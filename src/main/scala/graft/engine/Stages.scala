@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Reusable column-building stages, mirroring the reference's projection
+  * surface (SURVEY.md §2.3–2.4; reference `src/spark_streaming.py:91-114`,
+  * `:157-169`, `:199-214`).
+  *
+  * Everything here is a pure `Column`/`DataFrame` combinator so that batch
+  * and Structured Streaming pipelines share the exact same code — Spark's
+  * unified API makes an operator written this way run incrementally with no
+  * changes. All expressions stay inside whole-stage codegen (built-in
+  * functions only, no UDFs).
+  */
+object Stages {
+
+  /** P4 (reference `spark_streaming.py:92-111`): empty-string → NULL, then
+    * cast, then rename. Byte-identical NULL semantics to the reference:
+    * `when(col == "", None).otherwise(col.cast(T)).alias(name)`.
+    */
+  def nullNormCast(c: Column, t: DataType, as: String): Column =
+    when(c === lit(""), lit(null)).otherwise(c.cast(t)).as(as)
+
+  /** Empty-string → NULL without a cast (string columns). */
+  def nullNorm(c: Column, as: String): Column =
+    when(c === lit(""), lit(null)).otherwise(c).as(as)
+
+  /** P7 (reference `spark_streaming.py:157-161`): event-time difference in
+    * minutes via epoch-second casts — `(cast(end as long) - cast(start as
+    * long)) / 60`.
+    */
+  def durationMinutes(start: Column, end: Column): Column =
+    (end.cast("long") - start.cast("long")) / lit(60)
+
+  /** P7 (reference `spark_streaming.py:199-206`): row-local sum of fee
+    * components (the reference's `caculated_total_amount`, typo theirs).
+    */
+  def componentSum(cols: Seq[Column]): Column =
+    cols.reduce(_ + _)
+
+  /** F1 (reference `spark_streaming.py:162`): range-violation predicate. */
+  def rangeViolation(c: Column, lo: Double, hi: Double): Column =
+    c < lo || c > hi
+
+  /** F2 (reference `spark_streaming.py:207`): discrepancy-or-null predicate
+    * — `abs(actual - calculated) > threshold OR actual IS NULL`.
+    */
+  def discrepancyOrNull(actual: Column, calculated: Column, threshold: Double): Column =
+    abs(actual - calculated) > threshold || actual.isNull
+
+  // ---- cross-engine deterministic money arithmetic -----------------------
+  //
+  // `round(avg(double), 2)` is NOT portable: when the true average lands on
+  // an exact cent midpoint (easy with 2-decimal money — e.g. avg(5.31, 5.32)
+  // = 5.315) the result depends on each engine's float summation order and
+  // rounding mode. We instead compute in integer cents with explicit
+  // half-up rounding; the SAME SQL fragment is used verbatim for the Spark
+  // aggregation (via `expr`) and for the DuckDB oracle, so both engines run
+  // textually identical integer arithmetic. Exact while sums stay below
+  // 2^53 cents (~90 trillion dollars); past that a DECIMAL(38) sum is the
+  // cluster-scale follow-up.
+
+  /** SQL fragment: value column → integer cents (values have 2 decimals, so
+    * this is exact).
+    */
+  def centsSql(valueExpr: String): String =
+    s"CAST(round(($valueExpr) * 100) AS BIGINT)"
+
+  /** SQL fragment: average of integer-cents expr, rounded half-up to a
+    * whole cent, returned as dollars (double). `(2s + n) div (2n)` is
+    * half-up of `s/n`; expressed with `%` so the final division is exact in
+    * IEEE double on both engines. NULL when no rows qualify.
+    */
+  def halfUpAvgDollarsSql(cents: String): String = {
+    val num = s"(2 * sum($cents) + count($cents))"
+    val den = s"(2 * count($cents))"
+    s"CASE WHEN count($cents) > 0 THEN (($num - $num % $den) / $den) / 100.0 END"
+  }
+
+  /** Convenience: conditional cents expr (`CASE WHEN cond THEN cents END`). */
+  def centsWhenSql(cond: String, valueExpr: String): String =
+    s"CASE WHEN $cond THEN ${centsSql(valueExpr)} END"
+}

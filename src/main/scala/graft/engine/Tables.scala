@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver fixtures (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * Each table is one parquet file; at cluster scale these would be
+  * partitioned directories — the API is identical, and every query in this
+  * library reads through here so a swap to a partitioned/bucketed layout is
+  * a one-line change.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events fixture stores TIMESTAMP(NANOS) which Spark's TimestampType
+    // (µs) cannot hold; read nanos as long and rebuild below. Set per-session
+    // here so every entry point (Verify/Bench/tests/driver smoke) is covered.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read tz-less parquet timestamps as TIMESTAMP (UTC session) rather than
+    // TIMESTAMP_NTZ: NTZ cannot be cast to epoch seconds, and the DuckDB
+    // oracle treats them as plain timestamps anyway.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    // ts arrives as nanos-since-epoch long (fixture values are µs-aligned,
+    // so `div 1000` is lossless); integer division — a double roundtrip
+    // would lose precision above 2^53.
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
