@@ -3,17 +3,22 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{RefPipelines, Tables}
+import graft.engine.{RefPipelines, Relational, Stages, Tables}
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.{Dedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every query is a pure function of (session, fixture dir); each has an
   * equivalent DuckDB oracle in [[oracleSql]] with identical column names
   * (the driver's compare hashes values under name-sorted columns). Results
-  * are sorted on their natural unique key so both engines emit identical
-  * row sets in a canonical order — the `orderBy` lives HERE (verify
-  * surface), not in the engine stages, which stay order-free and
-  * streaming-composable.
+  * are sorted on a natural unique key so both engines emit identical row
+  * sets in canonical order — the `orderBy` lives HERE (verify surface),
+  * not in the engine stages, which stay order-free and
+  * streaming-composable. Queries whose operators are not SQL-expressible
+  * (hash-seeded MinHash/SimHash, LSH buckets, mapPartitions decode) have
+  * no oracle entry → the driver records a rows-only check.
   */
 object SparkEntry {
 
@@ -23,7 +28,7 @@ object SparkEntry {
       .hourlyAvgRevenue(Tables.events(spark, "/root/testdata/sf0.001"))
       .orderBy("date", "hour")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the six pipelines (SURVEY.md §0, §2) ----
     "q_full_table" -> ((s, dir) =>
@@ -43,11 +48,73 @@ object SparkEntry {
     "q_hourly_count_by_borough" -> ((s, dir) =>
       RefPipelines
         .hourlyCountByLookup(Tables.events(s, dir), Tables.nation(s, dir))
-        .orderBy("date", "hour", "borough"))
+        .orderBy("date", "hour", "borough")),
+    // ---- relational extensions (SURVEY.md §2.7) ----
+    "q_topk" -> ((s, dir) =>
+      Relational.topKPerGroup(Tables.lineitem(s, dir), 5).orderBy("l_returnflag", "rank")),
+    "q_distinct" -> ((s, dir) =>
+      Relational.distinctFlags(Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    "q_setops" -> ((s, dir) =>
+      Relational.setOps(Tables.events(s, dir)).orderBy("user_id")),
+    "q_agg_stats" -> ((s, dir) =>
+      Relational.aggStats(Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    // ---- text analysis (north-star ops over documents) ----
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    // ---- deduplication ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), 0.1).orderBy("doc_a", "doc_b")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), 10).orderBy("doc_a", "doc_b")),
+    // ---- similarity search over embeddings ----
+    "q_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshBucketTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_embed_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, dir), 0.3).orderBy("vec_a", "vec_b")),
+    // ---- multimodal binary columns ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables.documents(s, dir))
+        .drop("payload")
+        .orderBy("doc_id")),
+    "q_frame_features" -> ((s, dir) =>
+      Multimodal
+        .frameFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)), 2)
+        .orderBy("doc_id"))
   )
 
+  // Shared SQL fragments (identical text on both engines — see Stages).
+  private val avgRevenueAggs =
+    s"""${Stages.halfUpAvgDollarsSql(RefPipelines.valueCents)} AS avg_revenue,
+        ${Stages.halfUpAvgDollarsSql(RefPipelines.purchaseCents)} AS avg_purchase,
+        ${Stages.halfUpAvgDollarsSql(RefPipelines.signupCents)} AS avg_signup"""
+
+  /** DuckDB 3-gram shingle list for `text`, distinct, mirroring
+    * [[graft.text.Dedup]]'s `shingles(3)`.
+    */
+  private val duckShingles =
+    "list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), " +
+      "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+
+  private def duckStopwordHits(listName: String): String = {
+    val words = TextAnalysis.stopwords(listName).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($words)))"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q_dedup_minhash, q_dedup_simhash, q_ann_lsh, q_frame_features).
     */
   def oracleSql: Map[String, String] = Map(
     "q_full_table" ->
@@ -80,9 +147,7 @@ object SparkEntry {
     "q_hourly_avg_revenue" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d') AS date,
                 strftime(date_trunc('hour', ts), '%H:%M:%S') AS hour,
-                ${engine.Stages.halfUpAvgDollarsSql(engine.RefPipelines.valueCents)} AS avg_revenue,
-                ${engine.Stages.halfUpAvgDollarsSql(engine.RefPipelines.purchaseCents)} AS avg_purchase,
-                ${engine.Stages.halfUpAvgDollarsSql(engine.RefPipelines.signupCents)} AS avg_signup
+                $avgRevenueAggs
          FROM events WHERE value IS NOT NULL
          GROUP BY date_trunc('hour', ts) ORDER BY 1, 2""",
     "q_hourly_trip_count" ->
@@ -97,6 +162,115 @@ object SparkEntry {
                 strftime(date_trunc('hour', ts), '%H:%M:%S') AS hour,
                 n_name AS borough, count(user_id) AS trip_count
          FROM events LEFT JOIN nation ON (user_id % 25) = n_nationkey
-         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_topk" ->
+      """SELECT l_returnflag, rank, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+           FROM lineitem)
+         WHERE rank <= 5 ORDER BY l_returnflag, rank""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_setops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+         ORDER BY user_id""",
+    "q_agg_stats" -> {
+      val qtyCents = Stages.centsSql("l_quantity")
+      val priceCents = Stages.centsSql("l_extendedprice")
+      s"""SELECT l_returnflag, l_linestatus,
+                count(*) AS n_rows,
+                count(DISTINCT l_orderkey) AS n_orders,
+                sum($qtyCents) / 100.0 AS sum_qty,
+                sum($priceCents) / 100.0 AS sum_base_price,
+                ${Stages.halfUpAvgDollarsSql(priceCents)} AS avg_price,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""
+    },
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+                length(text) AS n_chars,
+                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces,
+                CAST(length(text) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS chars_per_token,
+                CAST(${duckStopwordHits("en")} AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      s"""WITH scored AS (
+           SELECT doc_id,
+                  ${duckStopwordHits("en")} AS s_en,
+                  ${duckStopwordHits("fr")} AS s_fr,
+                  ${duckStopwordHits("de")} AS s_de,
+                  ${duckStopwordHits("es")} AS s_es
+           FROM documents),
+         best AS (
+           SELECT doc_id, s_en, s_fr, s_de, s_es,
+                  greatest(s_en, s_fr, s_de, s_es) AS best,
+                  (CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
+                   CASE WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
+                   CASE WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
+                   CASE WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END) AS winners
+           FROM scored)
+         SELECT doc_id,
+                CASE WHEN best = 0 OR winners > 1 THEN 'und'
+                     WHEN s_en = best THEN 'en'
+                     WHEN s_fr = best THEN 'fr'
+                     WHEN s_de = best THEN 'de'
+                     ELSE 'es' END AS pred_lang
+         FROM best ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, substring(md5(lower(text)), 1, 16) AS fp64
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY text_md5""",
+    "q_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents)
+         SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.1
+         ORDER BY doc_a, doc_b""",
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.qid, e.vec_id AS nid,
+                  round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(q.qe, q.qe)) *
+                         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 3) AS cos_sim
+           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, nid, cos_sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+           FROM pairs)
+         SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_embed_near_dup" ->
+      """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) >= 0.3
+         ORDER BY vec_a, vec_b""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS byte_len,
+                sha256(text) AS sha,
+                lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+         FROM documents ORDER BY doc_id"""
   )
 }

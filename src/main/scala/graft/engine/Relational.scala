@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface beyond the reference (SURVEY.md §2.7 marks these as
+  * extensions, not parity): ranking/top-k, distinct, set operations, and a
+  * grouped aggregate-statistics query.
+  *
+  * Determinism across engines:
+  *  - top-k orders carry explicit unique tie-breakers;
+  *  - money sums go through integer cents (see [[Stages]]) so no float
+  *    summation-order noise reaches the output;
+  *  - set ops use the SQL-standard distinct semantics on exact types.
+  *
+  * Scale notes: topKPerGroup is a single shuffle on the partition key with
+  * in-partition sort — at 100 TB you'd pre-filter with an approximate
+  * per-partition top-k (rank pushdown) before the shuffle; Spark's AQE +
+  * `WindowGroupLimit` (Spark ≥3.5) already performs this rank-limit
+  * pushdown for `row_number() <= k` predicates, which is why the filter is
+  * written in exactly that shape.
+  */
+object Relational {
+
+  /** Top-k rows per group by a sort column, deterministic via tie-breaker
+    * columns. The `row_number() <= k` shape lets Catalyst's
+    * WindowGroupLimit prune per partition before the shuffle.
+    */
+  def topKPerGroup(df: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("l_returnflag"),
+        col("rank"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_extendedprice"))
+  }
+
+  /** DISTINCT projection (dedup of the exact key set). */
+  def distinctFlags(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** Set algebra: users with a high-value purchase AND a signup but no
+    * high-value error — INTERSECT + EXCEPT with SQL distinct-set
+    * semantics. (The value threshold keeps the result non-degenerate:
+    * with unconditioned event types every active user matches all three
+    * sets.)
+    */
+  def setOps(events: DataFrame): DataFrame = {
+    def users(t: String, minValue: Double) =
+      events
+        .filter(col("event_type") === t && (if (minValue > 0) col("value") > minValue else lit(true)))
+        .select(col("user_id"))
+    users("purchase", 150).intersect(users("signup", 0)).except(users("error", 150))
+  }
+
+  /** Grouped statistics over lineitem with fully exact arithmetic:
+    * count/min/max/countDistinct plus integer-cents sums and half-up
+    * averages — every output value is bit-identical across engines.
+    */
+  def aggStats(lineitem: DataFrame): DataFrame = {
+    val qtyCents = Stages.centsSql("l_quantity")
+    val priceCents = Stages.centsSql("l_extendedprice")
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        expr(s"sum($qtyCents) / 100.0").as("sum_qty"),
+        expr(s"sum($priceCents) / 100.0").as("sum_base_price"),
+        expr(Stages.halfUpAvgDollarsSql(priceCents)).as("avg_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode/feature-extract
+  * steps as partition-wise batch functions.
+  *
+  * The container has no media libraries, so the DECODE ITSELF IS A
+  * CLEARLY-MARKED DETERMINISTIC FAKE ([[FakeCodec]]); everything around it
+  * — binary column handling, metadata schema, `mapPartitions` batch shape,
+  * partition sizing — is real and is what matters at 100 TB (decode is
+  * embarrassingly parallel; the engine's job is batching and schema).
+  */
+object Multimodal {
+
+  /** One decoded "frame" of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, frame_bytes: Array[Byte])
+
+  /** STUB decoder — stands in for libjpeg/ffmpeg, which are not in this
+    * container. Deterministic: derives fake dimensions from the payload
+    * header and cuts fixed-size "frames" so tests can assert exact
+    * output. Replace `decode` with a real codec binding at deployment.
+    */
+  object FakeCodec {
+    val FrameBytes = 16
+    def decode(payload: Array[Byte]): Iterator[(Int, Int, Int, Array[Byte])] = {
+      val width = 16 + (if (payload.isEmpty) 0 else (payload(0) & 0x7f))
+      val height = 9 + (if (payload.length < 2) 0 else (payload(1) & 0x3f))
+      payload.grouped(FrameBytes).zipWithIndex.map { case (chunk, i) => (i, width, height, chunk) }
+    }
+  }
+
+  /** Binary ingestion: payload bytes (here: utf-8 of `text`, standing in
+    * for image bytes) + typed metadata computed with codegen'd built-ins
+    * — byte length, sha256, header hex. This projection is what a
+    * parquet-backed media table stores alongside the blob.
+    */
+  def mediaTable(documents: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    documents.select(
+      col("doc_id"),
+      payload.as("payload"),
+      length(payload).as("byte_len"),
+      sha2(payload, 256).as("sha"),
+      lower(hex(substring(payload, 1, 8))).as("header_hex"))
+  }
+
+  /** Frame sampling: decode every `every`-th frame of each payload via
+    * the partition-wise batch path. `mapPartitions` keeps one codec
+    * context per partition (how a real decoder amortizes init cost); the
+    * output is a typed Dataset with a columnar-friendly schema.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, every: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one fake "codec context" per partition
+        it.flatMap { case (id, payload) =>
+          FakeCodec.decode(payload).collect {
+            case (i, w, h, bytes) if i % every == 0 => Frame(id, i, w, h, bytes)
+          }
+        }
+      }
+  }
+
+  /** Feature extraction over sampled frames: per-frame byte statistics
+    * (the stand-in for an embedding model forward pass), aggregated back
+    * to one row per document — the groupBy shuffles only small feature
+    * rows, never the payloads.
+    */
+  def frameFeatures(spark: SparkSession, media: DataFrame, every: Int): DataFrame = {
+    import spark.implicits._
+    val frames = sampleFrames(spark, media, every)
+    frames
+      .map(f =>
+        (f.doc_id, f.width, f.height,
+          if (f.frame_bytes.isEmpty) 0.0
+          else f.frame_bytes.map(b => (b & 0xff).toLong).sum.toDouble / f.frame_bytes.length))
+      .toDF("doc_id", "width", "height", "frame_mean")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        round(avg(col("frame_mean")), 2).as("mean_intensity"))
+  }
+}

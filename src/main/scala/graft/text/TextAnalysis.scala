@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * All operators are narrow (per-row, no shuffle) and built from codegen'd
+  * built-ins — at 100 TB they run map-side at scan speed with full column
+  * pruning (only `doc_id`/`text` are read).
+  *
+  * Cross-engine determinism: token splits use `\s+` (same regex semantics
+  * in Java regex and RE2), ratios are single per-row IEEE divisions (bit
+  * identical in any engine), hashes are md5 hex (lowercase in both Spark
+  * and DuckDB).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Language-specific stopword lists for the language-ID heuristic.
+    * Deliberately small and overlapping-aware: ties resolve to 'und'.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "y", "los", "las", "es", "en", "un", "una"))
+
+  /** Count of tokens belonging to a fixed vocabulary (n-gram heuristic
+    * building block). `size(filter(...))` — array lambda, codegen'd.
+    */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(lit(_)): _*)))
+
+  /** Token count per document. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+
+  /** Quality scoring: length, token stats, punctuation and stopword
+    * ratios. Ratios are raw per-row doubles (single division — exact
+    * cross-engine reproducibility without rounding).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nChars = length(col("text"))
+    val nSpaces = nChars - length(regexp_replace(col("text"), "\\s", ""))
+    val enHits = vocabHits(toks, stopwords("en"))
+    documents.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      nSpaces.as("n_spaces"),
+      (nChars.cast("double") / nTokens.cast("double")).as("chars_per_token"),
+      (enHits.cast("double") / nTokens.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Language ID by stopword vote: the language whose stopword list hits
+    * the most tokens wins; ties (including all-zero) → 'und'. A real
+    * pipeline would use character n-gram profiles; the vote structure —
+    * per-row scores + argmax — is the same and this stays SQL-mirrorable.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = documents.select(
+      col("doc_id"),
+      vocabHits(toks, stopwords("en")).as("s_en"),
+      vocabHits(toks, stopwords("fr")).as("s_fr"),
+      vocabHits(toks, stopwords("de")).as("s_de"),
+      vocabHits(toks, stopwords("es")).as("s_es"))
+    val best = greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es"))
+    // strict argmax in fixed order en>fr>de>es; a tie for the max → 'und'
+    val winners =
+      when(col("s_en") === best, 1).otherwise(0) +
+        when(col("s_fr") === best, 1).otherwise(0) +
+        when(col("s_de") === best, 1).otherwise(0) +
+        when(col("s_es") === best, 1).otherwise(0)
+    scored.select(
+      col("doc_id"),
+      when(best === 0 || winners > 1, "und")
+        .when(col("s_en") === best, "en")
+        .when(col("s_fr") === best, "fr")
+        .when(col("s_de") === best, "de")
+        .otherwise("es")
+        .as("pred_lang"))
+  }
+
+  /** Document fingerprint: md5 of the case-normalized text (first 16 hex
+    * chars — 64 bits). Used as the exact-dedup key; a rolling-hash
+    * shingle fingerprint is the MinHash path in [[graft.text.Dedup]].
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fp64"))
+}
