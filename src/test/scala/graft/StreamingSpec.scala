@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.RefPipelines
+import graft.streaming._
+
+/** Streaming-semantics tests (SURVEY.md §2.9) — the behaviors the DuckDB
+  * oracle cannot check: watermark late-data drops, append-mode
+  * finalized-window emission, foreachBatch sinks and alerts, 6-query
+  * fan-out.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: java.lang.Double, props: String)
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, hour: Int, min: Int, value: Double, typ: String = "purchase"): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00"), id % 25, typ, value, s"""{"k": ${value.toInt}}""")
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("append-mode windowed agg emits a window only after the watermark passes its end") {
+    val input = MemoryStream[Ev]
+    val agg = RefPipelines.hourlyAvgRevenue(input.toDF().withWatermark("ts", "60 minutes"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("finalized_windows")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      // batch 1: events in hour 0 and hour 1 — nothing can finalize yet
+      input.addData(ev(1, 0, 10, 10.0), ev(2, 0, 20, 20.0), ev(3, 1, 15, 30.0))
+      q.processAllAvailable()
+      assert(spark.table("finalized_windows").count() == 0, "window emitted before watermark passed")
+
+      // batch 2: event at 03:30 → watermark 02:30 → hour-0 AND hour-1 windows finalize
+      input.addData(ev(4, 3, 30, 40.0))
+      q.processAllAvailable()
+      val out1 = spark.table("finalized_windows").collect()
+      assert(out1.map(_.getAs[String]("hour")).sorted.toSeq == Seq("00:00:00", "01:00:00"))
+      val h0 = out1.find(_.getAs[String]("hour") == "00:00:00").get
+      assert(h0.getAs[Double]("avg_revenue") == 15.0)
+
+      // batch 3: straggler into hour 0 (>60 min late) must be dropped, not re-emitted
+      input.addData(ev(5, 0, 30, 999.0))
+      q.processAllAvailable()
+      assert(spark.table("finalized_windows").count() == out1.length, "late row re-opened a finalized window")
+    } finally q.stop()
+  }
+
+  test("detectors alert on violations and write only violating rows; clean batches don't alert") {
+    val input = MemoryStream[Ev]
+    val sink = new CollectingSink
+    val alerter = new CollectingAlerter
+    val runner = new StreamRunner(spark, sink, alerter, tmpDir())
+    val q = runner.abnormalValue(input.toDF()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        val n = batch.count()
+        if (n > 0) alerter.alert("abnormal_value violations", s"epoch $epochId: $n rows")
+        sink.write(batch, epochId, "abnormal_value")
+      }
+      .start()
+    try {
+      input.addData(ev(1, 0, 5, 50.0), ev(2, 0, 6, 0.5), ev(3, 0, 7, 500.0))
+      q.processAllAvailable()
+      val rows = sink.rowsFor("abnormal_value")
+      assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(2L, 3L))
+      assert(alerter.alerts.size == 1 && alerter.alerts.head._2.contains("2 rows"))
+
+      input.addData(ev(4, 0, 8, 60.0)) // clean batch
+      q.processAllAvailable()
+      assert(alerter.alerts.size == 1, "clean batch raised an alert")
+    } finally q.stop()
+  }
+
+  test("wire-format parse: empty strings null-normalize and cast (P1-P4)") {
+    val input = MemoryStream[String]
+    val typed = EventSource.typed(
+      input.toDF().select(from_json(col("value"), EventSource.wireSchema).as("data")).select("data.*"))
+    val q = typed.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("wire_typed")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(
+        """{"event_id":"7","ts":"2024-01-01 00:00:07","user_id":"13","event_type":"error","value":"185.22","props":"{\"k\": 87}"}""",
+        """{"event_id":"8","ts":"2024-01-01 00:01:00","user_id":"","event_type":"","value":"","props":""}""")
+      q.processAllAvailable()
+      val rows = spark.table("wire_typed").collect().sortBy(_.getAs[Long]("event_id"))
+      assert(rows.length == 2)
+      val ok = rows(0)
+      assert(ok.getAs[Long]("event_id") == 7L)
+      assert(ok.getAs[Timestamp]("ts") == Timestamp.valueOf("2024-01-01 00:00:07"))
+      assert(ok.getAs[Double]("value") == 185.22)
+      val nulls = rows(1)
+      assert(nulls.isNullAt(nulls.fieldIndex("user_id")))
+      assert(nulls.isNullAt(nulls.fieldIndex("event_type")))
+      assert(nulls.isNullAt(nulls.fieldIndex("value")))
+      assert(nulls.isNullAt(nulls.fieldIndex("props")))
+    } finally q.stop()
+  }
+
+  test("six-query fan-out: all queries run concurrently off one source") {
+    // A replayable source (files, like Kafka in the reference) — MemoryStream
+    // truncates on commit and cannot feed six concurrent queries.
+    val srcDir = tmpDir()
+    val batch1 = Seq(
+      ev(1, 0, 10, 50.0), ev(2, 0, 20, 0.2), ev(3, 1, 15, 30.0, "signup"),
+      ev(4, 9, 0, 40.0)) // far-future event advances watermark past hours 0-1
+    batch1.toDS().write.mode("append").parquet(srcDir)
+    val source = spark.readStream.schema(batch1.toDS().schema).parquet(srcDir)
+    val sink = new CollectingSink
+    val alerter = new CollectingAlerter
+    val runner = new StreamRunner(spark, sink, alerter, tmpDir())
+    val queries = runner.startAll(source)
+    try {
+      assert(queries.length == 6)
+      queries.foreach(_.processAllAvailable())
+      Seq(ev(5, 10, 0, 41.0)).toDS().write.mode("append").parquet(srcDir) // second epoch flushes window state
+      queries.foreach(_.processAllAvailable())
+
+      assert(sink.rowsFor("events_full").size == 5)
+      assert(sink.rowsFor("abnormal_value").map(_.getAs[Long]("event_id")) == Seq(2L))
+      assert(sink.rowsFor("avg_revenue_per_hour").nonEmpty)
+      assert(sink.rowsFor("trip_count_per_hour").nonEmpty)
+      assert(sink.rowsFor("trip_count_by_borough").nonEmpty)
+      assert(alerter.alerts.nonEmpty)
+      // windowed sinks only contain finalized (pre-watermark) windows
+      val hours = sink.rowsFor("trip_count_per_hour").map(_.getAs[String]("hour"))
+      assert(hours.forall(h => h < "09:00:00"), s"unfinalized window emitted: $hours")
+    } finally queries.foreach(_.stop())
+  }
+}
