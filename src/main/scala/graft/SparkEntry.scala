@@ -71,7 +71,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), 0.1).orderBy("doc_a", "doc_b")),
+      Dedup.ngramJaccard(Tables.documents(s, dir), 0.5).orderBy("doc_a", "doc_b")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -241,7 +241,7 @@ object SparkEntry {
                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
          FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.1
+               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the hot loop of similarity search: a
+  * dot product over two `array<double>` columns.
+  *
+  * Why not `aggregate(zip_with(a, b, _*_), 0d, _+_)`: that shape
+  * materializes an intermediate 64-element array per row pair and walks
+  * higher-order-function lambdas; this expression compiles (doGenCode) to
+  * a tight scalar loop over the two ArrayData buffers — no allocation, no
+  * virtual calls — inside whole-stage codegen. Summation order is the
+  * same sequential left-to-right fold, so results are bit-identical to
+  * the HOF form (and to the DuckDB oracle's loop).
+  *
+  * Null handling: null-intolerant on the array arguments (null array →
+  * null). Null *elements* are not expected (embedding vectors are dense);
+  * they would read as 0.0 rather than propagate — acceptable for this
+  * domain, documented here.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Callers must supply array<double> on both sides (cast upstream once);
+  // no ExpectsInputTypes because AbstractDataType is private[sql].
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native SimHash-64 over a token array: per token, xxhash64 (seed 42 —
+  * same as Spark's `xxhash64()` builtin, so signatures are identical to
+  * the compositional form); per bit, ±1 vote; sign of each vote total
+  * forms the signature bit.
+  *
+  * Replaces an explode + groupBy(doc) + 64 conditional-sum aggregation —
+  * i.e. a full shuffle of every token — with one pass per row, map-side.
+  * CodegenFallback: the expression is evaluated once per document (not
+  * per pair), so interpreted eval is fine; a doGenCode loop is the
+  * follow-up if profiles ever show it hot.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+
+  /** Column API for [[DotProduct]]. Arguments must be `array<double>`
+    * (cast float embeddings once, upstream).
+    */
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Column API for [[SimHash64]]. Argument: `array<string>` tokens. */
+  def simhash64(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+  }
+}

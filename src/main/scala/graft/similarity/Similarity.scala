@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product over double arrays — `aggregate` +
-    * `zip_with`, whole-stage codegen'd, bit-identical to a scalar loop.
+  /** Sequential-fold dot product over double arrays — a native Catalyst
+    * expression ([[graft.functions.DotProduct]]) that codegens to a tight
+    * scalar loop; bit-identical to the HOF form
+    * `aggregate(zip_with(a,b,_*_), 0d, _+_)` it replaces, without the
+    * per-row intermediate array.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -39,20 +42,32 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Corpus projection with the embedding pre-cast to double and its norm
+    * precomputed ONCE per vector — the dominant cost of pairwise cosine is
+    * otherwise recomputing `sqrt(dot(v,v))` per pair (3× the flops).
+    * `norm = sqrt(dot(v,v))` is the identical expression the inline form
+    * used, so downstream doubles are bit-identical.
+    */
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("emb_d", asDouble(col("embedding")))
+      .withColumn("norm", sqrt(dot(col("emb_d"), col("emb_d"))))
+
   /** Exact top-k cosine neighbors for each query vector (`vec_id <
     * numQueries`), ranked on the cent-rounded similarity with vec_id
     * tie-break so ranking is stable across engines.
     */
   def cosineTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val q = embeddings
+    val corpus = withNorm(embeddings)
+    val q = corpus
       .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val pairs = embeddings
+      .select(col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"))
+    val pairs = corpus
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("embedding")), 3).as("cos_sim"))
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -89,17 +104,17 @@ object Similarity {
     */
   def lshBucketTopK(embeddings: DataFrame, numQueries: Int, k: Int, numPlanes: Int = 4): DataFrame = {
     val ps = planes(numPlanes, 64)
-    val bucketed = embeddings.withColumn("bucket", bucketId(col("embedding"), ps))
+    val bucketed = withNorm(embeddings).withColumn("bucket", bucketId(col("emb_d"), ps))
     val q = bucketed
       .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"), col("bucket"))
     val pairs = bucketed
       .join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(cosine(col("qe"), col("embedding")), 3).as("cos_sim"))
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -115,11 +130,12 @@ object Similarity {
     * join/filter shape is identical.
     */
   def cosineNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val a = embeddings.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val corpus = withNorm(embeddings)
+    val a = corpus.select(col("label"), col("vec_id").as("vec_a"), col("emb_d").as("emb_a"), col("norm").as("norm_a"))
+    val b = corpus.select(col("label"), col("vec_id").as("vec_b"), col("emb_d").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 3))
+      .withColumn("cos_sim", round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 3))
       .filter(col("cos_sim") >= minCos)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }

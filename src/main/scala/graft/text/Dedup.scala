@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline — exact,
@@ -23,14 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (space-joined) of the text column. */
-  private def shingles(n: Int) = {
-    val toks = TextAnalysis.tokens(col("text"))
-    // slice is 1-based; sequence(1, size-n+1) enumerates shingle starts
-    expr(
-      s"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - ${n - 1}, 1)), " +
-        s"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, $n)))")
-  }
+  /** Word n-gram shingles (space-joined) from a pre-tokenized array
+    * column. Tokenization must happen in its own projection (a `Column`
+    * reference here, not `split(...)` inline) — inlining the split into
+    * the lambda would re-split the text once per shingle, an O(len²)
+    * trap.
+    */
+  private def shinglesFromToks(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** doc_id, source, distinct word-3-gram shingles (tokenize-once). */
+  private def withShingles(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", array_distinct(shinglesFromToks(col("toks"), n)))
 
   /** Exact dedup: group identical texts (md5 key), keep the smallest
     * doc_id as canonical, report the group size.
@@ -48,9 +56,7 @@ object Dedup {
     val sig = (0 until numHashes).map { i =>
       array_min(transform(col("sh"), s => xxhash64(s, lit(i)))).as(s"mh_$i")
     }
-    documents
-      .withColumn("sh", array_distinct(shingles(3)))
-      .select(col("doc_id") +: sig: _*)
+    withShingles(documents, 3).select(col("doc_id") +: sig: _*)
   }
 
   /** MinHash + LSH banding: `numBands` bands of `rowsPerBand` signature
@@ -89,22 +95,17 @@ object Dedup {
   }
 
   /** SimHash (64-bit): per token-hash bit, vote +1/-1; the sign of each
-    * bit's vote total forms the signature bit. One aggregation per doc.
+    * bit's vote total forms the signature bit. Computed map-side in one
+    * pass by the native [[graft.functions.SimHash64]] expression — no
+    * token explode, no shuffle (the compositional explode + 64
+    * conditional sums shuffled every token; signatures are identical).
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    val toks = documents.select(
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(
       col("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
-    val withHash = toks.withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"v_$j")
-    }
-    val votes = withHash.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64)
-      .map(j => when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc_id"), sig.as("simhash"))
-  }
+      graft.functions.VectorFunctions
+        .simhash64(array_distinct(TextAnalysis.tokens(col("text"))))
+        .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
     * via 16-bit chunk banding (pigeonhole over 4 chunks ⊢ dist ≤ 3).
@@ -130,17 +131,56 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity over candidate blocks (same
     * `source`) — the verification stage a MinHash pass would feed at
-    * scale. SQL-mirrorable: emitted pairs carry a raw per-row double
-    * division (bit-exact across engines).
+    * scale.
+    *
+    * Shape: inverted index (gram → doc) self-join, NOT pairwise array
+    * intersection. Only pairs sharing at least one gram are ever
+    * materialized (pairs with no overlap have jaccard 0 and can't pass
+    * any positive threshold), the intersection size falls out of a
+    * groupBy count, and |A∪B| = |A|+|B|−|A∩B|. At 100 TB the pairwise
+    * form is O(docs²·len) array work per block; this is O(postings²)
+    * summed per gram bucket — the standard similarity-join plan.
+    * Emitted jaccard values are integer-ratio doubles, bit-identical to
+    * the oracle's `len(intersect)/len(union)`.
     */
   def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val grams = documents
-      .withColumn("grams", array_distinct(shingles(3)))
-      .select(col("doc_id"), col("source"), col("grams"))
-    val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    a.join(b, Seq("source"))
+    val grams = withShingles(documents, 3)
+      .select(col("doc_id"), col("source"), col("sh").as("grams"), size(col("sh")).as("n_grams"))
+      .cache()
+
+    // Canonical gram order by ascending global document frequency (gram
+    // string as tie-break), so every document's "prefix" holds its rarest
+    // grams. PPJoin prefix theorem: jaccard(A,B) ≥ τ implies the prefixes
+    // of length |X| - ⌈τ·|X|⌉ + 1 share at least one gram — candidates
+    // from the prefix index are EXACT (no recall loss), and hot grams
+    // (the pair-explosion source) fall out of the prefixes.
+    val postings = grams.select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
+    val df = postings.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+    val prefixes = postings
+      .join(df, Seq("gram"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("gram_df"), col("gram")))).as("ordered"))
+      .withColumn("n", size(col("ordered")))
+      .withColumn(
+        "prefix",
+        slice(col("ordered"), lit(1), (col("n") - ceil(col("n") * minJaccard) + 1).cast("int")))
+      .select(col("source"), col("doc_id"), explode(col("prefix.gram")).as("gram"))
+
+    val a = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_a"))
+    val b = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_b"))
+    val candidates = a
+      .join(b, Seq("source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"))
+      .distinct()
+
+    // exact verification on candidates only — values identical to an
+    // all-pairs |∩|/|∪| (integer-ratio doubles)
+    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    candidates
+      .join(ga, "doc_a")
+      .join(gb, "doc_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
