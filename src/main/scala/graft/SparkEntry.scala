@@ -61,6 +61,8 @@ object SparkEntry {
     // ---- text analysis (north-star ops over documents) ----
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_token_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_lang_id" -> ((s, dir) =>
@@ -196,6 +198,9 @@ object SparkEntry {
     },
     "q_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_token_bpe" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '${TextAnalysis.bpeSplitPattern}')) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
       s"""SELECT doc_id,

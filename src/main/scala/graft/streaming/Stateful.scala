@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators
+  * (`KeyValueGroupedDataset.flatMapGroupsWithState`) — the Structured
+  * Streaming escape hatch for state machines the built-in windowed
+  * aggregations can't express.
+  *
+  * State lives in the state store (checkpointed, partitioned by key), so
+  * this scales with the key cardinality across executors; the timeout
+  * bounds state size — both prerequisites at 100 TB.
+  */
+object Stateful {
+
+  case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, events: Long, total: Double)
+  case class SessionOutput(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Event-time sessionization with an inactivity gap: a user's session
+    * closes once the event-time watermark passes lastSeen + gap, emitting
+    * one summary row (append semantics). The built-in
+    * `session_window` covers plain gap-sessions; this keeps running
+    * custom state (count + sum here; arbitrary in general) and is the
+    * template for fraud/funnel/state-machine operators.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int,
+      watermarkDelay: String = "60 minutes"): Dataset[SessionOutput] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[SessionInput],
+        state: GroupState[SessionState]): Iterator[SessionOutput] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOutput(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOutput]
+        var cur = state.getOption
+        sorted.foreach { r =>
+          val t = r.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastSeen <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.lastSeen, t), s.events + 1, s.total + r.value))
+            case Some(s) =>
+              closed ::= SessionOutput(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.total)
+              cur = Some(SessionState(t, t, 1, r.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, r.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastSeen + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming exact dedup on a key within the watermark horizon —
+    * `dropDuplicates` keeps per-key state until the watermark passes, so
+    * state is bounded while duplicates inside the lateness window are
+    * suppressed exactly (the streaming twin of
+    * [[graft.text.Dedup.exact]]).
+    */
+  def dedupByKey(events: DataFrame, watermarkDelay: String = "60 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark("event_id")
+}

@@ -89,6 +89,22 @@ object TextAnalysis {
         .as("pred_lang"))
   }
 
+  /** BPE-ish tokenizer regex: letter runs, digit runs, or single
+    * punctuation — the pre-tokenization split most BPE vocabularies
+    * assume. ASCII-only classes so Java regex (Spark) and RE2 (DuckDB)
+    * agree.
+    */
+  val bpeSplitPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting under the BPE-ish pre-tokenizer (vs whitespace
+    * tokens in [[tokenCount]]) — the "how many tokens will my LLM see"
+    * estimator.
+    */
+  def bpeTokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0))).as("n_bpe_tokens"))
+
   /** Document fingerprint: md5 of the case-normalized text (first 16 hex
     * chars — 64 bits). Used as the exact-dedup key; a rolling-hash
     * shingle fingerprint is the MinHash path in [[graft.text.Dedup]].

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Joins, Sources, Tables}
+
+/** Sources (CSV/JSON paths) and join-utility semantics. */
+class EngineUtilSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("csvInferred mirrors the reference dim load: header + inferred types") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val csv = s"$dir/lookup.csv"
+    Files.writeString(
+      java.nio.file.Paths.get(csv),
+      "LocationID,Borough,Zone,service_zone\n1,EWR,Newark Airport,EWR\n2,Queens,Jamaica Bay,Boro Zone\n")
+    val df = Sources.csvInferred(spark, csv)
+    assert(df.schema("LocationID").dataType == IntegerType)
+    assert(df.schema("Borough").dataType == StringType)
+    assert(df.count() == 2)
+  }
+
+  test("jsonWithSchema reads the wire format") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/e.json"),
+      """{"event_id":"1","ts":"2024-01-01 00:00:00","user_id":"5","event_type":"purchase","value":"9.5","props":""}""" + "\n")
+    val df = graft.streaming.EventSource.typed(
+      Sources.jsonWithSchema(spark, dir, graft.streaming.EventSource.wireSchema))
+    val r = df.collect().head
+    assert(r.getAs[Long]("event_id") == 1L)
+    assert(r.getAs[Double]("value") == 9.5)
+    assert(r.isNullAt(r.fieldIndex("props")))
+  }
+
+  test("saltedJoin equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 10k rows all sharing key=1 (max skew) plus a tail
+    val left = (1 to 10000).map(i => (1L, i.toLong)).toDF("k", "v")
+      .union(Seq((2L, 0L), (3L, 0L)).toDF("k", "v"))
+    val right = Seq((1L, "hot"), (2L, "warm"), (3L, "cold")).toDF("k", "name")
+    val plain = left.join(right, "k").groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Joins.saltedJoin(left, right, "k", col("v"), 8).groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 10000L)
+  }
+
+  test("copartitionedJoin produces the same rows as a plain join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val a = Joins.copartitionedJoin(li, o, "l_orderkey", 4).count()
+    val b = li.join(o, "l_orderkey").count()
+    assert(a == b && a > 0)
+  }
+
+  test("broadcastLookup plans a BroadcastHashJoin") {
+    val ev = Tables.events(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val joined = Joins.broadcastLookup(
+      ev.withColumn("nk", pmod(col("user_id"), lit(25)).cast("int")),
+      nation, col("nk"), col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}

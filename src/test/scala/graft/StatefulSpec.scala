@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Stateful
+
+/** flatMapGroupsWithState sessionization + streaming dedup semantics. */
+class StatefulSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, uid: Long, time: String, value: Double): Ev =
+    Ev(id, Timestamp.valueOf(time), uid, "purchase", value, "{}")
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-stateful").toString
+
+  test("sessionize closes a session after the inactivity gap and aggregates state") {
+    val input = MemoryStream[Ev]
+    val sessions = Stateful.sessionize(spark, input.toDF(), gapMinutes = 30)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session), then 40-min silence → new session
+      input.addData(
+        ev(1, 1, "2024-01-01 00:00:00", 10.0),
+        ev(2, 1, "2024-01-01 00:10:00", 5.0),
+        ev(3, 1, "2024-01-01 00:50:00", 2.0))
+      q.processAllAvailable()
+      // same-batch session split emits the first session immediately
+      val afterBatch1 = spark.table("sessions_out").as[Stateful.SessionOutput].collect()
+      assert(afterBatch1.length == 1)
+      assert(afterBatch1.head.n_events == 2 && afterBatch1.head.total_value == 15.0)
+
+      // advance watermark far past the open session's timeout → it closes
+      input.addData(ev(4, 2, "2024-01-01 03:00:00", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 2, "2024-01-01 03:01:00", 1.0)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val all = spark.table("sessions_out").as[Stateful.SessionOutput].collect()
+      val u1 = all.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2, s"expected both user-1 sessions closed, got ${u1.toSeq}")
+      assert(u1(1).n_events == 1 && u1(1).total_value == 2.0)
+    } finally q.stop()
+  }
+
+  test("dedupByKey suppresses duplicate event_ids within the watermark") {
+    val input = MemoryStream[Ev]
+    val deduped = Stateful.dedupByKey(input.toDF())
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(
+        ev(1, 1, "2024-01-01 00:00:00", 1.0),
+        ev(1, 1, "2024-01-01 00:00:01", 1.0), // dup id, same batch
+        ev(2, 1, "2024-01-01 00:01:00", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 1, "2024-01-01 00:02:00", 1.0)) // dup id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
