@@ -112,6 +112,52 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Native MinHash signature over a shingle array: `numHashes` minima of
+  * the universal hash family `g_i(x) = h1(x) + i·h2(x)` (Broder-style two
+  * base hashes instead of `numHashes` independent string hashes — 16×
+  * fewer xxhash64 evaluations than the compositional
+  * `array_min(transform(sh, s => xxhash64(s, i)))` per band row, and one
+  * pass over the shingles instead of `numHashes` array materializations).
+  * CodegenFallback: evaluated once per document.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+        val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 77L)
+        var j = 0
+        var g = h1
+        while (j < numHashes) {
+          if (g < mins(j)) mins(j) = g
+          g += h2 // g = h1 + j*h2, wrapping
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column API for [[DotProduct]]. Arguments must be `array<double>`
@@ -126,5 +172,11 @@ object VectorFunctions {
   def simhash64(tokens: Column): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+  }
+
+  /** Column API for [[MinHashSignature]]. Argument: `array<string>`. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(MinHashSignature(ColumnShim.expression(shingles), numHashes))
   }
 }

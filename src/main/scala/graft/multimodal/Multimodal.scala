@@ -68,24 +68,37 @@ object Multimodal {
   }
 
   /** Feature extraction over sampled frames: per-frame byte statistics
-    * (the stand-in for an embedding model forward pass), aggregated back
-    * to one row per document — the groupBy shuffles only small feature
-    * rows, never the payloads.
+    * (the stand-in for an embedding model forward pass), folded to one
+    * row per document inside the SAME partition pass as the decode —
+    * frames of one payload never leave their partition, so there is no
+    * shuffle at all (vs. decode → explode frames → groupBy(doc)).
     */
   def frameFeatures(spark: SparkSession, media: DataFrame, every: Int): DataFrame = {
     import spark.implicits._
-    val frames = sampleFrames(spark, media, every)
-    frames
-      .map(f =>
-        (f.doc_id, f.width, f.height,
-          if (f.frame_bytes.isEmpty) 0.0
-          else f.frame_bytes.map(b => (b & 0xff).toLong).sum.toDouble / f.frame_bytes.length))
-      .toDF("doc_id", "width", "height", "frame_mean")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_frames"),
-        max(col("width")).as("width"),
-        max(col("height")).as("height"),
-        round(avg(col("frame_mean")), 2).as("mean_intensity"))
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          var n = 0L
+          var w = 0
+          var h = 0
+          var meanSum = 0.0
+          FakeCodec.decode(payload).foreach { case (i, fw, fh, bytes) =>
+            if (i % every == 0) {
+              n += 1
+              w = math.max(w, fw)
+              h = math.max(h, fh)
+              if (bytes.nonEmpty)
+                meanSum += bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+            }
+          }
+          val mean =
+            if (n == 0) 0.0
+            else BigDecimal(meanSum / n).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, n, w, h, mean)
+        }
+      }
+      .toDF("doc_id", "n_frames", "width", "height", "mean_intensity")
   }
 }

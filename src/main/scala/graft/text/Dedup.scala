@@ -52,12 +52,10 @@ object Dedup {
     * the minimum `xxhash64(shingle, seed)` over the document's distinct
     * 3-gram shingles. Computed entirely map-side.
     */
-  def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame = {
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(s, lit(i)))).as(s"mh_$i")
-    }
-    withShingles(documents, 3).select(col("doc_id") +: sig: _*)
-  }
+  def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame =
+    withShingles(documents, 3).select(
+      col("doc_id"),
+      graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
 
   /** MinHash + LSH banding: `numBands` bands of `rowsPerBand` signature
     * rows; docs sharing any band bucket become candidates; candidates are
@@ -71,15 +69,13 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val sigs = minhashSignatures(documents, numHashes).cache()
-    val sigArray = array((0 until numHashes).map(i => col(s"mh_$i")): _*)
     val withBands = sigs
-      .withColumn("sig", sigArray)
       .select(
         col("doc_id"),
         col("sig"),
         posexplode(
           array((0 until numBands).map(b =>
-            xxhash64(concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))): _*))
+            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
           .as(Seq("band", "band_hash")))
     val a = withBands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = withBands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
