@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{RefPipelines, Relational, Stages, Tables}
+import graft.engine.{Analytics, RefPipelines, Relational, Stages, Tables}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
@@ -58,6 +58,17 @@ object SparkEntry {
       Relational.setOps(Tables.events(s, dir)).orderBy("user_id")),
     "q_agg_stats" -> ((s, dir) =>
       Relational.aggStats(Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    "q_running_window" -> ((s, dir) =>
+      Analytics.runningWindow(Tables.events(s, dir)).orderBy("user_id", "event_id")),
+    "q_sessionize_batch" -> ((s, dir) =>
+      Analytics.sessionizeBatch(Tables.events(s, dir), 30).orderBy("user_id", "session_id")),
+    "q_rollup" -> ((s, dir) =>
+      Analytics.rollupStats(Tables.lineitem(s, dir))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_pivot" -> ((s, dir) =>
+      Analytics
+        .pivotAvgByType(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("hour_start")),
     // ---- text analysis (north-star ops over documents) ----
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -188,14 +199,52 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
                 count(*) AS n_rows,
                 count(DISTINCT l_orderkey) AS n_orders,
-                sum($qtyCents) / 100.0 AS sum_qty,
-                sum($priceCents) / 100.0 AS sum_base_price,
+                sum($qtyCents) / CAST(100 AS DOUBLE) AS sum_qty,
+                sum($priceCents) / CAST(100 AS DOUBLE) AS sum_base_price,
                 ${Stages.halfUpAvgDollarsSql(priceCents)} AS avg_price,
                 min(l_quantity) AS min_qty,
                 max(l_quantity) AS max_qty
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus"""
     },
+    "q_running_window" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+                sum(CAST(round((value) * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total,
+                sum(CAST(round((value) * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS moving_sum3
+         FROM events ORDER BY user_id, event_id""",
+    "q_sessionize_batch" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR (epoch_us(ts) // 1000000
+                             - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000) > 1800
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                count(*) AS n_events,
+                sum(CAST(round((value) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                sum(CAST(round((l_quantity) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                CASE WHEN count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "click",
+                CASE WHEN count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "error",
+                CASE WHEN count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "purchase",
+                CASE WHEN count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "signup",
+                CASE WHEN count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "view"
+         FROM events GROUP BY date_trunc('hour', ts) ORDER BY 1""",
     "q_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
          FROM documents ORDER BY doc_id""",

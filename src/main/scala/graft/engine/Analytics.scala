@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic-window and multidimensional aggregation surface (extensions
+  * beyond the reference, SURVEY.md §2.7): running frames, batch
+  * sessionization, ROLLUP, pivot.
+  *
+  * Money accumulations run in integer cents (exact, engine-portable — see
+  * [[Stages]]); window orderings always include a unique tie-breaker so
+  * frames are identical across engines.
+  */
+object Analytics {
+
+  private val userOrder = Window
+    .partitionBy(col("user_id"))
+    .orderBy(col("ts").asc, col("event_id").asc)
+
+  /** Running total and 3-row moving sum of `value` per user over event
+    * time. One shuffle on user_id; frames accumulate in-partition.
+    */
+  def runningWindow(events: DataFrame): DataFrame = {
+    val cents = expr(Stages.centsSql("value"))
+    events
+      .withColumn("cents", cents)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        (sum(col("cents")).over(userOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+          .as("running_total"),
+        (sum(col("cents")).over(userOrder.rowsBetween(-2, Window.currentRow)) / 100.0)
+          .as("moving_sum3"))
+  }
+
+  /** Batch sessionization — the exact batch twin of
+    * [[graft.streaming.Stateful.sessionize]]: a session breaks after
+    * `gapMinutes` of inactivity. Classic gaps-and-islands: lag → new-flag
+    * → running sum as session id → per-session aggregate. Two window
+    * passes + one aggregation, all on the same user_id partitioning (one
+    * shuffle total).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapSeconds = gapMinutes * 60L
+    val prevTs = lag(col("ts"), 1).over(userOrder)
+    val isNew = when(
+      prevTs.isNull || (col("ts").cast("long") - prevTs.cast("long")) > gapSeconds,
+      1L).otherwise(0L)
+    events
+      .withColumn("is_new", isNew)
+      .withColumn(
+        "session_id",
+        sum(col("is_new")).over(userOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cents", expr(Stages.centsSql("value")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        expr("sum(cents) / CAST(100 AS DOUBLE)").as("total_value"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): per-combination, per-flag
+    * subtotals and grand total in one pass (Spark expands grouping sets
+    * in a single shuffle).
+    */
+  def rollupStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("qty_cents", expr(Stages.centsSql("l_quantity")))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), expr("sum(qty_cents) / CAST(100 AS DOUBLE)").as("sum_qty"))
+
+  /** Pivot event_type → one exact-average column per category (the
+    * relational spelling of the reference's conditional aggregates A2/A4,
+    * as a first-class pivot).
+    */
+  def pivotAvgByType(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .pivot("event_type", types)
+      .agg(expr(Stages.halfUpAvgDollarsSql(Stages.centsSql("value"))))
+}

@@ -35,7 +35,7 @@ object Relational {
       .filter(col("rank") <= k)
       .select(
         col("l_returnflag"),
-        col("rank"),
+        col("rank").cast("long").as("rank"),
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_extendedprice"))
@@ -71,8 +71,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
-        expr(s"sum($qtyCents) / 100.0").as("sum_qty"),
-        expr(s"sum($priceCents) / 100.0").as("sum_base_price"),
+        expr(s"sum($qtyCents) / CAST(100 AS DOUBLE)").as("sum_qty"),
+        expr(s"sum($priceCents) / CAST(100 AS DOUBLE)").as("sum_base_price"),
         expr(Stages.halfUpAvgDollarsSql(priceCents)).as("avg_price"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))

@@ -42,7 +42,7 @@ object Multimodal {
     documents.select(
       col("doc_id"),
       payload.as("payload"),
-      length(payload).as("byte_len"),
+      length(payload).cast("long").as("byte_len"),
       sha2(payload, 256).as("sha"),
       lower(hex(substring(payload, 1, 8))).as("header_hex"))
   }

@@ -74,7 +74,7 @@ object Similarity {
     pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG — no runtime
@@ -121,7 +121,7 @@ object Similarity {
     pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cos_sim"))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`

@@ -38,7 +38,7 @@ object TextAnalysis {
 
   /** Token count per document. */
   def tokenCount(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    documents.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
 
   /** Quality scoring: length, token stats, punctuation and stopword
     * ratios. Ratios are raw per-row doubles (single division — exact
@@ -52,9 +52,9 @@ object TextAnalysis {
     val enHits = vocabHits(toks, stopwords("en"))
     documents.select(
       col("doc_id"),
-      nChars.as("n_chars"),
-      nTokens.as("n_tokens"),
-      nSpaces.as("n_spaces"),
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      nSpaces.cast("long").as("n_spaces"),
       (nChars.cast("double") / nTokens.cast("double")).as("chars_per_token"),
       (enHits.cast("double") / nTokens.cast("double")).as("stopword_ratio"))
   }
@@ -103,7 +103,7 @@ object TextAnalysis {
   def bpeTokenCount(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0))).as("n_bpe_tokens"))
+      size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0))).cast("long").as("n_bpe_tokens"))
 
   /** Document fingerprint: md5 of the case-normalized text (first 16 hex
     * chars — 64 bits). Used as the exact-dedup key; a rolling-hash

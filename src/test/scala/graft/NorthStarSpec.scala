@@ -58,8 +58,8 @@ class NorthStarSpec extends AnyFunSuite {
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
     assert(byQ.size == 3)
     byQ.values.foreach { rs =>
-      val sorted = rs.sortBy(_.getAs[Int]("rank"))
-      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
       val sims = sorted.map(_.getAs[Double]("cos_sim"))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
@@ -69,7 +69,7 @@ class NorthStarSpec extends AnyFunSuite {
     val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
     val frames = Multimodal.sampleFrames(spark, media, 2).collect()
     val byteLens = media.select(col("doc_id"), col("byte_len")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     val byDoc = frames.groupBy(_.doc_id)
     byDoc.foreach { case (id, fs) =>
       val totalFrames = math.ceil(byteLens(id).toDouble / Multimodal.FakeCodec.FrameBytes).toInt

@@ -42,6 +42,11 @@ def main():
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         ok_rows = len(spark_df) == len(duck_df)
         ok_cols = sorted(spark_df.columns) == sorted(duck_df.columns)
+        if ok_cols:
+            for c in spark_df.columns:
+                ds, dd = str(spark_df[c].dtype), str(duck_df[c].dtype)
+                if ds != dd:
+                    print(f"  WARN {name}.{c}: dtype spark={ds} vs duck={dd}")
         ok_hash = ok_rows and ok_cols and canon(spark_df) == canon(duck_df)
         if ok_hash:
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
