@@ -32,6 +32,20 @@ final class JdbcSink(url: String, props: java.util.Properties) extends BatchSink
     df.write.mode("append").jdbc(url, table, props)
 }
 
+/** Idempotent parquet sink: each epoch overwrites its own
+  * `epoch=<id>` partition directory, so a replayed micro-batch (restart
+  * between sink write and checkpoint commit) rewrites identical data
+  * instead of appending duplicates — upgrading the reference's
+  * at-least-once contract (SURVEY.md §2.9 "exactly-once: NOT achieved")
+  * to effective exactly-once for deterministic batches. The JDBC
+  * equivalent is a txn keyed on (table, epoch) or upsert — deployment
+  * concern.
+  */
+final class IdempotentParquetSink(baseDir: String) extends BatchSink {
+  def write(df: DataFrame, epochId: Long, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/$table/epoch=$epochId")
+}
+
 /** Collects batches in memory for assertions (test double). */
 final class CollectingSink extends BatchSink {
   val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[org.apache.spark.sql.Row])]

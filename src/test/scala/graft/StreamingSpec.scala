@@ -113,6 +113,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent sink: replaying an epoch leaves exactly one copy") {
+    val sinkDir = tmpDir()
+    val sink = new IdempotentParquetSink(sinkDir)
+    val batch = Seq(ev(1, 0, 5, 50.0), ev(2, 0, 6, 60.0)).toDS().toDF()
+    sink.write(batch, epochId = 0, table = "t")
+    sink.write(batch, epochId = 0, table = "t") // replay after simulated crash
+    val rows = spark.read.parquet(s"$sinkDir/t").count()
+    assert(rows == 2, s"replayed epoch duplicated rows: $rows")
+    // and the plain append sink shows why: same replay duplicates
+    val appendDir = tmpDir()
+    val append = new ParquetSink(appendDir)
+    append.write(batch, 0, "t")
+    append.write(batch, 0, "t")
+    assert(spark.read.parquet(s"$appendDir/t").count() == 4)
+  }
+
   test("six-query fan-out: all queries run concurrently off one source") {
     // A replayable source (files, like Kafka in the reference) — MemoryStream
     // truncates on commit and cannot feed six concurrent queries.
