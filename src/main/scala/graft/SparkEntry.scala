@@ -88,7 +88,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), 10).orderBy("doc_a", "doc_b")),
+      Dedup.simhashNearDups(Tables.documents(s, dir), 3).orderBy("doc_a", "doc_b")),
     // ---- similarity search over embeddings ----
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),

@@ -93,14 +93,19 @@ object Dedup {
   /** SimHash (64-bit): per token-hash bit, vote +1/-1; the sign of each
     * bit's vote total forms the signature bit. Computed map-side in one
     * pass by the native [[graft.functions.SimHash64]] expression — no
-    * token explode, no shuffle (the compositional explode + 64
-    * conditional sums shuffled every token; signatures are identical).
+    * token explode, no shuffle.
+    *
+    * Votes use token MULTIPLICITY (term frequency), the standard SimHash
+    * weighting: with distinct tokens, documents built from a shared
+    * vocabulary collapse onto near-identical signatures (a 20k-doc stress
+    * run produced 15M hamming≤10 pairs); frequency-weighted votes keep
+    * same-vocab/different-frequency documents apart.
     */
   def simhash(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       graft.functions.VectorFunctions
-        .simhash64(array_distinct(TextAnalysis.tokens(col("text"))))
+        .simhash64(TextAnalysis.tokens(col("text")))
         .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
