@@ -58,6 +58,8 @@ object SparkEntry {
       Relational.setOps(Tables.events(s, dir)).orderBy("user_id")),
     "q_agg_stats" -> ((s, dir) =>
       Relational.aggStats(Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    "q_percentiles" -> ((s, dir) =>
+      Relational.percentiles(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_running_window" -> ((s, dir) =>
       Analytics.runningWindow(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_sessionize_batch" -> ((s, dir) =>
@@ -80,9 +82,15 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir), 100, 450, 25).orderBy("doc_id")),
+    "q_string_funcs" -> ((s, dir) =>
+      TextAnalysis.stringFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
     // ---- deduplication ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(Tables.documents(s, dir), 0.5).orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), 0.5).orderBy("doc_a", "doc_b")),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -245,6 +253,36 @@ object SparkEntry {
                 CASE WHEN count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "signup",
                 CASE WHEN count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "view"
          FROM events GROUP BY date_trunc('hour', ts) ORDER BY 1""",
+    "q_quality_filter" ->
+      """SELECT doc_id, source, length(text) AS n_chars,
+                len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         FROM documents
+         WHERE length(text) BETWEEN 100 AND 450
+           AND len(string_split_regex(trim(text), '\s+')) >= 25
+         ORDER BY doc_id""",
+    "q_string_funcs" ->
+      """SELECT doc_id,
+                upper(substring(text, 1, 3)) AS up3,
+                reverse(substring(text, 1, 10)) AS head_rev,
+                lpad(source, 8, '_') AS padded,
+                replace(substring(text, 1, 20), ' ', '-') AS dashed,
+                CAST(levenshtein(lang, source) AS BIGINT) AS lev,
+                concat_ws('|', lang, source) AS cat
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_corpus" ->
+      s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
+         drops AS (
+           SELECT DISTINCT b.doc_id
+           FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5)
+         SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(CAST(round((l_extendedprice) * 100) AS BIGINT), 0.5) / CAST(100 AS DOUBLE) AS p50_price,
+                quantile_cont(CAST(round((l_extendedprice) * 100) AS BIGINT), 0.95) / CAST(100 AS DOUBLE) AS p95_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
          FROM documents ORDER BY doc_id""",

@@ -59,6 +59,20 @@ object Relational {
     users("purchase", 150).intersect(users("signup", 0)).except(users("error", 150))
   }
 
+  /** Grouped percentiles (median, p95) of extended price, computed over
+    * integer cents with linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the `lower + (upper-lower)·frac`
+    * definition on exact inputs.
+    */
+  def percentiles(lineitem: DataFrame): DataFrame = {
+    val priceCents = Stages.centsSql("l_extendedprice")
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile($priceCents, 0.5) / CAST(100 AS DOUBLE)").as("p50_price"),
+        expr(s"percentile($priceCents, 0.95) / CAST(100 AS DOUBLE)").as("p95_price"))
+  }
+
   /** Grouped statistics over lineitem with fully exact arithmetic:
     * count/min/max/countDistinct plus integer-cents sums and half-up
     * averages — every output value is bit-identical across engines.

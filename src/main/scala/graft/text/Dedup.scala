@@ -130,6 +130,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** The deduplicated corpus: documents minus the higher-id member of
+    * every near-duplicate pair ([[ngramJaccard]] ≥ threshold) — i.e. the
+    * output a training-data pipeline actually ships. Left-anti join
+    * against the (small) drop list.
+    */
+  def dedupedCorpus(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val drops = ngramJaccard(documents, minJaccard).select(col("doc_b").as("doc_id")).distinct()
+    documents
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Exact n-gram Jaccard similarity over candidate blocks (same
     * `source`) — the verification stage a MinHash pass would feed at
     * scale.

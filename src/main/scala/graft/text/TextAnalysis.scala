@@ -105,6 +105,39 @@ object TextAnalysis {
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0))).cast("long").as("n_bpe_tokens"))
 
+  /** Corpus quality filter: the keep/drop decision an LLM-data pipeline
+    * applies from the [[qualityScore]] metrics — pure narrow filter,
+    * pushed to the scan.
+    */
+  def qualityFilter(
+      documents: DataFrame,
+      minChars: Int,
+      maxChars: Int,
+      minTokens: Int): DataFrame = {
+    val nTokens = size(tokens(col("text")))
+    documents
+      .filter(length(col("text")).between(minChars, maxChars) && nTokens >= minTokens)
+      .select(
+        col("doc_id"),
+        col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTokens.cast("long").as("n_tokens"))
+  }
+
+  /** String-function battery over documents — the scalar string surface
+    * (substr/upper/reverse/lpad/replace/levenshtein/concat_ws) exercised
+    * as one narrow projection.
+    */
+  def stringFuncs(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 3)).as("up3"),
+      reverse(substring(col("text"), 1, 10)).as("head_rev"),
+      lpad(col("source"), 8, "_").as("padded"),
+      expr("replace(substring(text, 1, 20), ' ', '-')").as("dashed"),
+      levenshtein(col("lang"), col("source")).cast("long").as("lev"),
+      concat_ws("|", col("lang"), col("source")).as("cat"))
+
   /** Document fingerprint: md5 of the case-normalized text (first 16 hex
     * chars — 64 bits). Used as the exact-dedup key; a rolling-hash
     * shingle fingerprint is the MinHash path in [[graft.text.Dedup]].

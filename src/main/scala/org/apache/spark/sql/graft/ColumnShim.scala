@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime SQL-function registration on an existing session (the
+    * builder-time path is `SparkSessionExtensions.injectFunction`; this
+    * covers sessions we didn't build, e.g. the driver's).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -60,6 +60,17 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(a == b && a > 0)
   }
 
+  test("graft expressions are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql("SELECT graft_simhash64(array('a', 'b', 'a')) AS s").head.getLong(0)
+    val sh2 = spark.sql("SELECT graft_simhash64(array('a', 'a', 'b')) AS s").head.getLong(0)
+    assert(sh == sh2, "simhash must be order-insensitive")
+    val mh = spark.sql("SELECT graft_minhash(array('x', 'y'), 4) AS m").head.getSeq[Long](0)
+    assert(mh.length == 4)
+  }
+
   test("broadcastLookup plans a BroadcastHashJoin") {
     val ev = Tables.events(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)
