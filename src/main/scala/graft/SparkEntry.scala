@@ -139,7 +139,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_full_table" ->
-      """SELECT event_id, ts, user_id,
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
          CASE WHEN event_type = '' THEN NULL ELSE event_type END AS event_type,
          value,
          CASE WHEN json_extract_string(props, '$.k') = '' THEN NULL
