@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Analytics, RefPipelines, Relational, Stages, Tables}
+import graft.engine.{Analytics, AsOfJoin, RefPipelines, Relational, Stages, Tables}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
@@ -58,6 +58,18 @@ object SparkEntry {
       Relational.setOps(Tables.events(s, dir)).orderBy("user_id")),
     "q_agg_stats" -> ((s, dir) =>
       Relational.aggStats(Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    "q_asof_join" -> ((s, dir) => {
+      val ordersDedup = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"),
+          expr("max_by(o_totalprice, o_orderkey)").as("o_totalprice"))
+      AsOfJoin
+        .leftAsOf(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          ordersDedup, "user_id", "ts", "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
     "q_percentiles" -> ((s, dir) =>
       Relational.percentiles(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_running_window" -> ((s, dir) =>
@@ -278,6 +290,15 @@ object SparkEntry {
                  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5)
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id""",
+    "q_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY event_id""",
     "q_percentiles" ->
       """SELECT l_returnflag,
                 quantile_cont(CAST(round((l_extendedprice) * 100) AS BIGINT), 0.5) / CAST(100 AS DOUBLE) AS p50_price,

@@ -60,6 +60,30 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(a == b && a > 0)
   }
 
+  test("asOfJoin: latest at-or-before match per key, nulls when no prior row") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100.0),
+      (1L, t("2024-01-01 11:00:00"), 110.0),
+      (2L, t("2024-01-01 10:30:00"), 200.0)).toDF("q_key", "q_time", "price")
+    val trades = Seq(
+      (1L, 1L, t("2024-01-01 10:30:00")), // between quotes → 100.0
+      (2L, 1L, t("2024-01-01 11:00:00")), // exact match → 110.0 (at-or-before)
+      (3L, 2L, t("2024-01-01 10:00:00")), // before any quote → null
+      (4L, 3L, t("2024-01-01 12:00:00"))) // key with no quotes → null
+      .toDF("trade_id", "t_key", "t_time")
+    val joined = graft.engine.AsOfJoin
+      .leftAsOf(trades, quotes, "t_key", "t_time", "q_key", "q_time")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(joined(1L).contains(100.0))
+    assert(joined(2L).contains(110.0))
+    assert(joined(3L).isEmpty)
+    assert(joined(4L).isEmpty)
+  }
+
   test("graft expressions are SQL-callable after registration") {
     GraftExtensions.register(spark)
     val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
