@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Analytics, AsOfJoin, RefPipelines, Relational, Stages, Tables}
+import graft.engine.{Analytics, AsOfJoin, Joins, RefPipelines, Relational, Stages, Tables}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
@@ -70,6 +70,8 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
     }),
+    "q_range_join" -> ((s, dir) =>
+      Joins.followUpsWithin(Tables.events(s, dir), 3600).orderBy("event_a", "event_b")),
     "q_percentiles" -> ((s, dir) =>
       Relational.percentiles(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_running_window" -> ((s, dir) =>
@@ -299,6 +301,12 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY event_id""",
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+                (epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000) AS gap_seconds
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY event_a, event_b""",
     "q_percentiles" ->
       """SELECT l_returnflag,
                 quantile_cont(CAST(round((l_extendedprice) * 100) AS BIGINT), 0.5) / CAST(100 AS DOUBLE) AS p50_price,

@@ -44,6 +44,45 @@ object Joins {
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Interval (range) join via time-bucketing: follow-up events by the
+    * same key strictly within `(t, t + windowSeconds]` of an anchor
+    * event.
+    *
+    * A naive `a.key = b.key AND b.ts > a.ts AND b.ts <= a.ts + w`
+    * predicate gives Catalyst only the equi-key — fine — but at 100 TB
+    * the standard hardening is to ALSO bucket time so one hot key's rows
+    * don't all meet in one task: anchors map to buckets ⌊t/w⌋ and
+    * ⌊t/w⌋+1 (the range spans at most two), candidates to ⌊t/w⌋; the
+    * equi-join on (key, bucket) bounds each task's pair work to adjacent
+    * buckets, and the exact predicate filters after. Pairs can't
+    * duplicate: a candidate has exactly one bucket.
+    */
+  def followUpsWithin(events: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = windowSeconds
+    val anchors = events
+      .select(
+        col("user_id"),
+        col("event_id").as("event_a"),
+        col("ts").as("ts_a"),
+        explode(array(
+          expr(s"cast(ts as long) div $w"),
+          expr(s"cast(ts as long) div $w + 1"))).as("bucket"))
+    val candidates = events
+      .select(
+        col("user_id"),
+        col("event_id").as("event_b"),
+        col("ts").as("ts_b"),
+        expr(s"cast(ts as long) div $w").as("bucket"))
+    anchors
+      .join(candidates, Seq("user_id", "bucket"))
+      .filter(col("ts_b") > col("ts_a") && col("ts_b") <= col("ts_a") + expr(s"INTERVAL $w SECONDS"))
+      .select(
+        col("user_id"),
+        col("event_a"),
+        col("event_b"),
+        (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_seconds"))
+  }
+
   /** Pre-partitioned join: repartition both sides on the key so the join
     * itself is shuffle-free and the partitioning is reusable by
     * downstream stages on the same key (bucketing's runtime cousin —
