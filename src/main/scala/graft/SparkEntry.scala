@@ -96,6 +96,8 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir), 100, 450, 25).orderBy("doc_id")),
     "q_string_funcs" -> ((s, dir) =>
@@ -267,6 +269,19 @@ object SparkEntry {
                 CASE WHEN count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "signup",
                 CASE WHEN count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "view"
          FROM events GROUP BY date_trunc('hour', ts) ORDER BY 1""",
+    "q_winnow" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                    i -> CAST(CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+           FROM documents),
+         sel AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                    j -> list_min(hs[j:j+3])))) AS fps
+           FROM h)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps[1] AS min_fp, fps[-1] AS max_fp
+         FROM sel ORDER BY doc_id""",
     "q_quality_filter" ->
       """SELECT doc_id, source, length(text) AS n_chars,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens

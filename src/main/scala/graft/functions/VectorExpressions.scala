@@ -158,6 +158,65 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * hash every character k-gram (first 32 bits of md5 — portable: any
+  * engine with md5 computes the identical value), slide a window of `w`
+  * hashes, keep each window's minimum, return the distinct minima sorted.
+  * The selected set is position-independent and robust to local edits —
+  * the standard plagiarism/near-dup fingerprint.
+  *
+  * One pass per document, map-side (CodegenFallback is fine at one eval
+  * per row). Short texts (< k chars) hash as a single gram, mirroring
+  * `substring`'s clamping in the SQL oracle.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = math.max(s.length - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val gram = s.substring(i, math.min(i + k, s.length))
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hashes(i) =
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      md.reset()
+      i += 1
+    }
+    val nWin = math.max(n - w + 1, 1)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var x = j
+      val end = math.min(j + w, n)
+      while (x < end) {
+        if (hashes(x) < m) m = hashes(x)
+        x += 1
+      }
+      selected.add(m)
+      j += 1
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column API for [[DotProduct]]. Arguments must be `array<double>`
@@ -178,5 +237,11 @@ object VectorFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(MinHashSignature(ColumnShim.expression(shingles), numHashes))
+  }
+
+  /** Column API for [[Winnow]]. Argument: a string column. */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(Winnow(ColumnShim.expression(text), k, w))
   }
 }

@@ -138,6 +138,23 @@ object TextAnalysis {
       levenshtein(col("lang"), col("source")).cast("long").as("lev"),
       concat_ws("|", col("lang"), col("source")).as("cat"))
 
+  /** Winnowing fingerprint summary (see [[graft.functions.Winnow]]):
+    * k=8 char grams, window 4 — per doc, the count and extrema of the
+    * selected rolling-hash minima. The full fingerprint array is the
+    * dedup/overlap key at scale; the summary keeps the verify output
+    * scalar.
+    */
+  def winnowFingerprint(documents: DataFrame): DataFrame = {
+    val fps = graft.functions.VectorFunctions.winnow(col("text"), 8, 4)
+    documents
+      .withColumn("fps", fps)
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("min_fp"),
+        element_at(col("fps"), -1).as("max_fp"))
+  }
+
   /** Document fingerprint: md5 of the case-normalized text (first 16 hex
     * chars — 64 bits). Used as the exact-dedup key; a rolling-hash
     * shingle fingerprint is the MinHash path in [[graft.text.Dedup]].
