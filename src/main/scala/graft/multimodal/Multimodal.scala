@@ -67,6 +67,23 @@ object Multimodal {
       }
   }
 
+  /** Frame resize: every `factor`-th byte of the payload, halving the
+    * fake dimensions accordingly — the stand-in for a real image resample
+    * (which would swap in libvips/PIL at deployment). Same partition-wise
+    * typed path as [[sampleFrames]]; payload bytes shrink `factor`-fold
+    * BEFORE any shuffle or write, which is the entire point of early
+    * resize in a media pipeline.
+    */
+  def resizeFrames(spark: SparkSession, frames: Dataset[Frame], factor: Int): Dataset[Frame] = {
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val resized = f.frame_bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+        Frame(f.doc_id, f.frame_idx, math.max(f.width / factor, 1), math.max(f.height / factor, 1), resized)
+      }
+    }
+  }
+
   /** Feature extraction over sampled frames: per-frame byte statistics
     * (the stand-in for an embedding model forward pass), folded to one
     * row per document inside the SAME partition pass as the decode —

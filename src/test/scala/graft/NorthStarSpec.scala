@@ -79,6 +79,20 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("resize shrinks frame bytes and dimensions deterministically") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
+    val frames = Multimodal.sampleFrames(spark, media, 1)
+    val resized = Multimodal.resizeFrames(spark, frames, 2).collect()
+    val orig = frames.collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val o = orig((r.doc_id, r.frame_idx))
+      assert(r.frame_bytes.length == (o.frame_bytes.length + 1) / 2)
+      assert(r.width == math.max(o.width / 2, 1) && r.height == math.max(o.height / 2, 1))
+      assert(r.frame_bytes.sameElements(o.frame_bytes.zipWithIndex.collect { case (b, i) if i % 2 == 0 => b }))
+    }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.documents(spark, sfDir)
     val out = Dedup.exact(docs)
