@@ -171,15 +171,16 @@ object SparkEntry {
             OR (epoch(l_shipdate) - epoch(o_orderdate)) / 86400 > 2000
          ORDER BY l_orderkey, l_linenumber""",
     "q_abnormal_fee" ->
-      """WITH calc AS (
+      s"""WITH calc AS (
            SELECT l_orderkey,
-                  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS caculated_total
+                  sum(${engine.RefPipelines.lineChargeCentsSql}) AS calc_cents
            FROM lineitem GROUP BY l_orderkey)
-         SELECT o_orderkey, round(o_totalprice, 2) AS total_amount,
-                round(caculated_total, 2) AS caculated_total,
-                round(abs(o_totalprice - caculated_total), 2) AS discrepancy
+         SELECT o_orderkey,
+                ${engine.Stages.centsSql("o_totalprice")} / 100.0 AS total_amount,
+                calc_cents / 100.0 AS caculated_total,
+                abs(${engine.Stages.centsSql("o_totalprice")} - calc_cents) / 100.0 AS discrepancy
          FROM orders LEFT JOIN calc ON o_orderkey = l_orderkey
-         WHERE abs(o_totalprice - caculated_total) > 1 OR o_totalprice IS NULL
+         WHERE abs(${engine.Stages.centsSql("o_totalprice")} - calc_cents) > 100 OR o_totalprice IS NULL
          ORDER BY o_orderkey""",
     "q_hourly_avg_revenue" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d') AS date,

@@ -70,19 +70,29 @@ object RefPipelines {
     * Recompute the order total from its parts (P7 component sum) and flag
     * `abs(actual - calculated) > 1 OR actual IS NULL` (F2).
     */
+  /** Per-line charge in integer cents. The per-row double product is
+    * bit-identical across engines (same association), and rounding each
+    * LINE to cents before summing makes the order total exact integer
+    * arithmetic — summing raw double products and rounding at the end is
+    * boundary-prone: at sf0.1 one order's discrepancy lands on an exact
+    * cent midpoint and `round(,2)` splits across engines.
+    */
+  val lineChargeCentsSql: String =
+    "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)"
+
   def abnormalFee(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val calc = lineitem
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-        .as("caculated_total"))
+      .agg(expr(s"sum($lineChargeCentsSql)").as("calc_cents"))
     orders
+      .withColumn("total_cents", expr(Stages.centsSql("o_totalprice")))
       .join(calc, col("o_orderkey") === col("l_orderkey"), "left")
-      .filter(Stages.discrepancyOrNull(col("o_totalprice"), col("caculated_total"), 1.0))
+      .filter(abs(col("total_cents") - col("calc_cents")) > 100 || col("o_totalprice").isNull)
       .select(
         col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("total_amount"),
-        round(col("caculated_total"), 2).as("caculated_total"),
-        round(abs(col("o_totalprice") - col("caculated_total")), 2).as("discrepancy"))
+        (col("total_cents") / lit(100.0)).as("total_amount"),
+        (col("calc_cents") / lit(100.0)).as("caculated_total"),
+        (abs(col("total_cents") - col("calc_cents")) / lit(100.0)).as("discrepancy"))
   }
 
   /** Query 4 analog — hourly average revenue (`spark_streaming.py:242-269`).
