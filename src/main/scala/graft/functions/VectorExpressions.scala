@@ -75,38 +75,17 @@ case class DotProduct(left: Expression, right: Expression)
   * follow-up if profiles ever show it hot.
   */
 case class SimHash64(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(arr.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.simhash64($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -121,38 +100,18 @@ case class SimHash64(child: Expression)
   * CodegenFallback: evaluated once per document.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, org.apache.spark.sql.types.StringType, 42L)
-        val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, org.apache.spark.sql.types.StringType, 77L)
-        var j = 0
-        var g = h1
-        while (j < numHashes) {
-          if (g < mins(j)) mins(j) = g
-          g += h2 // g = h1 + j*h2, wrapping
-          j += 1
-        }
-      }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.minhash($a, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -170,48 +129,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * `substring`'s clamping in the SQL oracle.
   */
 case class Winnow(child: Expression, k: Int, w: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_winnow"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = math.max(s.length - k + 1, 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hashes = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val gram = s.substring(i, math.min(i + k, s.length))
-      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      hashes(i) =
-        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      md.reset()
-      i += 1
-    }
-    val nWin = math.max(n - w + 1, 1)
-    val selected = new java.util.TreeSet[java.lang.Long]()
-    var j = 0
-    while (j < nWin) {
-      var m = Long.MaxValue
-      var x = j
-      val end = math.min(j + w, n)
-      while (x < end) {
-        if (hashes(x) < m) m = hashes(x)
-        x += 1
-      }
-      selected.add(m)
-      j += 1
-    }
-    val out = new Array[Long](selected.size())
-    val it = selected.iterator()
-    var p = 0
-    while (it.hasNext) { out(p) = it.next(); p += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.winnow(input.toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.winnow($a.toString(), $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
