@@ -105,6 +105,8 @@ object SparkEntry {
     // ---- deduplication ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir), 0.5).orderBy("doc_id")),
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dedupedCorpus(Tables.documents(s, dir), 0.5).orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -299,6 +301,21 @@ object SparkEntry {
                 CAST(levenshtein(lang, source) AS BIGINT) AS lev,
                 concat_ws('|', lang, source) AS cat
          FROM documents ORDER BY doc_id""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(v, u) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+         SELECT v AS doc_id, min(u) AS cluster FROM reach GROUP BY v ORDER BY v""",
     "q_dedup_corpus" ->
       s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
          drops AS (

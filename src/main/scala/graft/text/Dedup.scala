@@ -130,6 +130,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components of the
+    * [[ngramJaccard]] similarity graph via distributed min-label
+    * propagation (the Pregel/large-star pattern — each iteration is one
+    * join + aggregate on the same key partitioning). Unlike the pairwise
+    * drop-list, this is the true transitive closure: a~b, b~c puts all
+    * three in one cluster even when a and c aren't directly similar.
+    * Converges in O(component-diameter) iterations; capped + early-stop.
+    */
+  def nearDupClusters(documents: DataFrame, minJaccard: Double, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src")
+      .withColumnRenamed("doc_b", "dst")
+      .cache()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels
+        .union(propagated)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster")).as("cluster"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** The deduplicated corpus: documents minus the higher-id member of
     * every near-duplicate pair ([[ngramJaccard]] ≥ threshold) — i.e. the
     * output a training-data pipeline actually ships. Left-anti join

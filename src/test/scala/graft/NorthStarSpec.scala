@@ -93,6 +93,27 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters closes transitively: a~b, b~c clusters all three without a~c") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    def text(from: Int, until: Int) = (from until until).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, text(1, 31)),   // a
+      (20L, text(9, 39)),   // b: overlaps a heavily
+      (30L, text(17, 47)),  // c: overlaps b heavily, a weakly
+      (40L, text(100, 130)) // unrelated singleton
+    ).toDF("doc_id", "text").withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val pairs = graft.text.Dedup.ngramJaccard(docs, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((10L, 20L)) && pairs.contains((20L, 30L)), s"chain pairs missing: $pairs")
+    assert(!pairs.contains((10L, 30L)), "a~c directly similar - fixture broken for transitivity test")
+    val clusters = graft.text.Dedup.nearDupClusters(docs, 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(10L) == 10L && clusters(20L) == 10L && clusters(30L) == 10L,
+      s"transitive closure failed: $clusters")
+    assert(clusters(40L) == 40L)
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val docs = Tables.documents(spark, sfDir)
     val out = Dedup.exact(docs)
