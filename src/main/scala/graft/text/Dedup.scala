@@ -138,17 +138,70 @@ object Dedup {
     * three in one cluster even when a and c aren't directly similar.
     * Converges in O(component-diameter) iterations; capped + early-stop.
     */
-  def nearDupClusters(documents: DataFrame, minJaccard: Double, maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b"))
+  def nearDupClusters(
+      documents: DataFrame,
+      minJaccard: Double,
+      maxIters: Int = 20,
+      collectEdgeThreshold: Long = 4L << 20): DataFrame = {
+    val pairs = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b")).cache()
+    val nEdges = pairs.count()
+    if (nEdges <= collectEdgeThreshold) {
+      // Small-graph fast path: near-dup edge lists are orders of magnitude
+      // smaller than the corpus (|edges| ~ dup rate × docs), so up to a few
+      // million edges a driver-side union-find plus ONE broadcast join beats
+      // O(diameter) distributed shuffle rounds. The corpus itself never
+      // leaves the executors — only the edge list does.
+      val spark = documents.sparkSession
+      import spark.implicits._
+      val edgeRows = pairs.as[(Long, Long)].collect()
+      pairs.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelMap = edgeRows
+        .iterator
+        .flatMap { case (a, b) => Iterator(a, b) }
+        .map(d => (d, find(d)))
+        .toSeq
+        .distinct
+      val labelDf = labelMap.toDF("doc_id", "edge_cluster")
+      return documents
+        .select(col("doc_id"))
+        .join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
+    }
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src")
       .withColumnRenamed("doc_b", "dst")
       .cache()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    // Iterate ONLY over edge-touched vertices: a doc with no near-dup edge
+    // can never leave its own singleton label, so keeping the full corpus
+    // in the loop just re-shuffles dead weight every iteration (at 100 TB
+    // the near-dup graph is orders of magnitude smaller than the corpus).
+    // Singletons are folded back with one left join at the end.
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+      .cache()
+    val dbg = sys.env.contains("GRAFT_DEBUG_CC")
+    var t0 = System.nanoTime()
+    labels.count() // materialize before looping: iterations must not re-run the pair join
+    if (dbg) println(f"CC init ${(System.nanoTime() - t0) / 1e9}%.3f s")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      t0 = System.nanoTime()
       val propagated = edges
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster"))
@@ -166,9 +219,14 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
+      if (dbg) println(f"CC iter $iter ${(System.nanoTime() - t0) / 1e9}%.3f s changed=$changed")
     }
     edges.unpersist()
-    labels
+    pairs.unpersist(false)
+    documents
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** The deduplicated corpus: documents minus the higher-id member of

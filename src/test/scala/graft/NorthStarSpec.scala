@@ -107,11 +107,15 @@ class NorthStarSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((10L, 20L)) && pairs.contains((20L, 30L)), s"chain pairs missing: $pairs")
     assert(!pairs.contains((10L, 30L)), "a~c directly similar - fixture broken for transitivity test")
-    val clusters = graft.text.Dedup.nearDupClusters(docs, 0.5)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
-    assert(clusters(10L) == 10L && clusters(20L) == 10L && clusters(30L) == 10L,
-      s"transitive closure failed: $clusters")
-    assert(clusters(40L) == 40L)
+    // both paths must agree: driver union-find (default threshold) and
+    // distributed label propagation (threshold 0 forces the loop)
+    for (threshold <- Seq(4L << 20, 0L)) {
+      val clusters = graft.text.Dedup.nearDupClusters(docs, 0.5, collectEdgeThreshold = threshold)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+      assert(clusters(10L) == 10L && clusters(20L) == 10L && clusters(30L) == 10L,
+        s"transitive closure failed (threshold=$threshold): $clusters")
+      assert(clusters(40L) == 40L)
+    }
   }
 
   test("exact dedup keeps one keeper per distinct text") {
