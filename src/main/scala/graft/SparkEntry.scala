@@ -85,6 +85,39 @@ object SparkEntry {
       Analytics
         .pivotAvgByType(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("hour_start")),
+    "q_cube" -> ((s, dir) =>
+      Analytics.cubeStats(Tables.lineitem(s, dir))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_window_sliding" -> ((s, dir) =>
+      Analytics.slidingWindowStats(Tables.events(s, dir)).orderBy("ws")),
+    "q_anti_join" -> ((s, dir) =>
+      // customers with no high-value order (the plain orders anti-join is
+      // degenerate on these fixtures: every customer has some order)
+      Joins
+        .antiJoin(
+          Tables.customer(s, dir),
+          Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+          col("c_custkey"), col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")),
+    "q_semi_join" -> ((s, dir) =>
+      Joins
+        .semiJoin(Tables.supplier(s, dir), Tables.lineitem(s, dir), col("s_suppkey"), col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")),
+    "q_salted_join" -> ((s, dir) => {
+      val left = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_linenumber"))
+      val right = Tables.orders(s, dir).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      Joins.saltedJoin(left, right, "okey", col("l_linenumber"), 8)
+        .withColumn("price_cents", expr(engine.Stages.centsSql("l_extendedprice")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("sum(price_cents) / CAST(100 AS DOUBLE)").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      Relational.approxDistinctCheck(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     // ---- text analysis (north-star ops over documents) ----
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -272,6 +305,37 @@ object SparkEntry {
                 CASE WHEN count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "signup",
                 CASE WHEN count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "view"
          FROM events GROUP BY date_trunc('hour', ts) ORDER BY 1""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_window_sliding" ->
+      """WITH w AS (
+           SELECT unnest([(epoch_us(ts) // 1000000 // 1800) * 1800 - 1800,
+                          (epoch_us(ts) // 1000000 // 1800) * 1800]) AS ws,
+                  CAST(round((value) * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT ws, count(*) AS n_events, sum(cents) / CAST(100 AS DOUBLE) AS sum_value
+         FROM w GROUP BY ws ORDER BY ws""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+         ORDER BY s_suppkey""",
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+                sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+                TRUE AS hll_within_tol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_winnow" ->
       """WITH h AS (
            SELECT doc_id,

@@ -72,6 +72,34 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), expr("sum(qty_cents) / CAST(100 AS DOUBLE)").as("sum_qty"))
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels —
+    * per-combination, per-flag, per-status, grand total — expanded in a
+    * single shuffle, like [[rollupStats]] but with the full lattice.
+    */
+  def cubeStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("price_cents", expr(Stages.centsSql("l_extendedprice")))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("sum(price_cents) / CAST(100 AS DOUBLE)").as("sum_price"))
+
+  /** Sliding event-time windows: 60-minute windows advancing every 30
+    * minutes. Each event expands map-side into exactly window/slide = 2
+    * window rows, then ONE shuffle aggregates — the batch twin of a
+    * streaming sliding-window aggregation, and the same plan shape Spark
+    * uses under `writeStream`. Window starts are emitted as epoch seconds
+    * so results are timezone-proof across engines.
+    */
+  def slidingWindowStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", expr(Stages.centsSql("value")))
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(cents) / CAST(100 AS DOUBLE)").as("sum_value"))
+      .select(col("w.start").cast("long").as("ws"), col("n_events"), col("sum_value"))
+
   /** Pivot event_type → one exact-average column per category (the
     * relational spelling of the reference's conditional aggregates A2/A4,
     * as a first-class pivot).

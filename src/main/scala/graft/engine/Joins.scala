@@ -44,6 +44,19 @@ object Joins {
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** LEFT ANTI equi-join — the distributed NOT EXISTS. Only the key
+    * column of the right side ships through the shuffle (Catalyst prunes
+    * the rest), and a small right side broadcasts automatically.
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column): DataFrame =
+    left.join(right, leftKey === rightKey, "left_anti")
+
+  /** LEFT SEMI equi-join — the distributed EXISTS; same pruning and
+    * broadcast behavior as [[antiJoin]], output columns from `left` only.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column): DataFrame =
+    left.join(right, leftKey === rightKey, "left_semi")
+
   /** Interval (range) join via time-bucketing: follow-up events by the
     * same key strictly within `(t, t + windowSeconds]` of an anchor
     * event.

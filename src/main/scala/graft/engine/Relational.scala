@@ -91,4 +91,26 @@ object Relational {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
   }
+
+  /** Sketch-based distinct counting, self-validated: per group, the exact
+    * distinct count alongside a flag that Spark's HyperLogLog++
+    * (`approx_count_distinct`, default rsd 5%) landed within `tol` of it.
+    * At 100 TB the exact column is what you drop and the sketch is what
+    * you keep — HLL merges partially, needs no distinct shuffle, and its
+    * error is independent of cardinality; this query pins the sketch's
+    * accuracy contract into the correctness gate.
+    */
+  def approxDistinctCheck(lineitem: DataFrame, tol: Double = 0.05): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        // rsd 1% against a 5% tolerance = a 5-sigma margin, so the flag is
+        // a stable property of the algorithm, not a coin flip per group
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")) <= col("exact_orders") * tol)
+          .as("hll_within_tol"))
 }

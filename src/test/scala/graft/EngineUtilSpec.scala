@@ -51,6 +51,40 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(salted("hot") == 10000L)
   }
 
+  test("antiJoin/semiJoin partition the left side exactly") {
+    val cust = Tables.customer(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000)
+    val anti = Joins.antiJoin(cust, ords, col("c_custkey"), col("o_custkey")).count()
+    val semi = Joins.semiJoin(cust, ords, col("c_custkey"), col("o_custkey")).count()
+    assert(anti + semi == cust.count())
+    assert(anti > 0 && semi > 0)
+  }
+
+  test("slidingWindowStats counts each event in exactly window/slide windows") {
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.engine.Analytics.slidingWindowStats(ev)
+    assert(out.agg(sum("n_events")).head.getLong(0) == 2 * ev.count())
+    // consecutive window starts differ by the 30-minute slide
+    val starts = out.select("ws").orderBy("ws").collect().map(_.getLong(0))
+    assert(starts.sliding(2).forall { case Array(a, b) => (b - a) % 1800 == 0 })
+  }
+
+  test("cubeStats covers the full grouping lattice") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cube = graft.engine.Analytics.cubeStats(li).collect()
+    val flags = li.select("l_returnflag").distinct().count()
+    val stats = li.select("l_linestatus").distinct().count()
+    val combos = li.select("l_returnflag", "l_linestatus").distinct().count()
+    assert(cube.length == combos + flags + stats + 1)
+    val grand = cube.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_rows") == li.count())
+  }
+
+  test("approxDistinctCheck: sketch lands within tolerance on every group") {
+    val out = graft.engine.Relational.approxDistinctCheck(Tables.lineitem(spark, sfDir))
+    assert(out.collect().forall(_.getAs[Boolean]("hll_within_tol")))
+  }
+
   test("copartitionedJoin produces the same rows as a plain join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
