@@ -16,9 +16,10 @@ import graft.text.{Dedup, TextAnalysis}
   * are sorted on a natural unique key so both engines emit identical row
   * sets in canonical order — the `orderBy` lives HERE (verify surface),
   * not in the engine stages, which stay order-free and
-  * streaming-composable. Queries whose operators are not SQL-expressible
-  * (hash-seeded MinHash/SimHash, LSH buckets, mapPartitions decode) have
-  * no oracle entry → the driver records a rows-only check.
+  * streaming-composable. All hash-based operators (MinHash, SimHash,
+  * winnowing) run on md5-derived hashes precisely so the oracle can
+  * reproduce them; only q_ann_lsh (seeded random hyperplanes) and
+  * q_frame_features (mapPartitions decode) remain rows-only checks.
   */
 object SparkEntry {
 
@@ -179,6 +180,31 @@ object SparkEntry {
     "list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), " +
       "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
 
+  /** DuckDB SimHash near-dup pipeline, generated: 64 per-bit vote
+    * aggregates over md5-hashed tokens (with multiplicity = tf weighting),
+    * signature assembled in UBIGINT bit space (signed BIGINT can't hold
+    * bit 63 without overflow-checked arithmetic tripping), candidates via
+    * 16-bit chunk equality, output = hamming distances only.
+    */
+  private def duckSimhashSql(maxHamming: Int): String = {
+    val votes = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val sigBits = (0 until 64)
+      .map(j => s"CASE WHEN v$j > 0 THEN CAST('${java.lang.Long.toUnsignedString(1L << j)}' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       th AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok),1,16)) AS UBIGINT) AS h FROM t),
+       v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       sig AS (SELECT doc_id, $sigBits AS s FROM v),
+       chunks AS (SELECT doc_id, s, unnest(generate_series(0,3)) AS c FROM sig),
+       keyed AS (SELECT doc_id, s, c, (s >> (c*16)) & 65535 AS cv FROM chunks),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+                FROM keyed a JOIN keyed b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY doc_a, doc_b"""
+  }
+
   private def duckStopwordHits(listName: String): String = {
     val words = TextAnalysis.stopwords(listName).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($words)))"
@@ -186,7 +212,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_dedup_minhash, q_dedup_simhash, q_ann_lsh, q_frame_features).
+    * (q_ann_lsh, q_frame_features).
     */
   def oracleSql: Map[String, String] = Map(
     "q_full_table" ->
@@ -461,6 +487,28 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "q_dedup_minhash" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+                FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b,
+                CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 AS est_jaccard
+         FROM sj
+         WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "q_dedup_simhash" -> duckSimhashSql(3),
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
          pairs AS (

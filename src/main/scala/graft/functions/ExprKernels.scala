@@ -1,8 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.StringType
 
 /** Shared scalar kernels for the native expressions — called from both
   * interpreted eval and generated code (Scala top-level objects emit
@@ -13,11 +11,19 @@ object ExprKernels {
 
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        // token hash = first 8 md5 bytes, big-endian — the same 64 bits
+        // any engine parses from the hex digest, making the signature
+        // (and the downstream hamming pairs) oracle-reproducible
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        md.reset()
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -35,20 +41,36 @@ object ExprKernels {
     sig
   }
 
+  /** Modulus of the MinHash universal family: the Mersenne prime 2³¹−1.
+    * Chosen so `(h1 + j·h2) mod p` stays below 2³⁶ before the reduction —
+    * computable in overflow-CHECKED 64-bit arithmetic (DuckDB BIGINT
+    * raises on wrap, so the oracle can run the identical formula). A
+    * wrapping 64-bit family is NOT portable; a non-modular 32-bit linear
+    * family degenerates (for large j the j·h2 term dominates and every
+    * position's argmin collapses onto the min-h2 shingle).
+    */
+  val MinHashP: Long = 2147483647L
+
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = XxHash64Function.hash(s, StringType, 42L)
-        val h2 = XxHash64Function.hash(s, StringType, 77L)
+        // h1/h2 = first/second 4 bytes of md5 (big-endian, same value any
+        // engine parses from the hex digest), reduced mod p
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        md.reset()
+        val h1 = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % MinHashP
+        val h2 = (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) % MinHashP
         var j = 0
         var g = h1
         while (j < numHashes) {
           if (g < mins(j)) mins(j) = g
-          g += h2 // g = h1 + j*h2, wrapping
+          g = (g + h2) % MinHashP // g = (h1 + j·h2) mod p
           j += 1
         }
       }

@@ -63,10 +63,10 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Native SimHash-64 over a token array: per token, xxhash64 (seed 42 —
-  * same as Spark's `xxhash64()` builtin, so signatures are identical to
-  * the compositional form); per bit, ±1 vote; sign of each vote total
-  * forms the signature bit.
+/** Native SimHash-64 over a token array: per token, a 64-bit hash (first
+  * 8 md5 bytes, big-endian — portable: any engine with md5 parses the
+  * identical bits from the hex digest); per bit, ±1 vote; sign of each
+  * vote total forms the signature bit.
   *
   * Replaces an explode + groupBy(doc) + 64 conditional-sum aggregation —
   * i.e. a full shuffle of every token — with one pass per row, map-side.
@@ -92,12 +92,15 @@ case class SimHash64(child: Expression)
 }
 
 /** Native MinHash signature over a shingle array: `numHashes` minima of
-  * the universal hash family `g_i(x) = h1(x) + i·h2(x)` (Broder-style two
-  * base hashes instead of `numHashes` independent string hashes — 16×
-  * fewer xxhash64 evaluations than the compositional
-  * `array_min(transform(sh, s => xxhash64(s, i)))` per band row, and one
-  * pass over the shingles instead of `numHashes` array materializations).
-  * CodegenFallback: evaluated once per document.
+  * the universal hash family `g_i(x) = (h1(x) + i·h2(x)) mod (2³¹−1)`
+  * (Broder-style two base hashes instead of `numHashes` independent
+  * string hashes — one md5 digest per shingle, and one pass over the
+  * shingles instead of `numHashes` array materializations). The base
+  * hashes come from the md5 digest and the reduction stays within checked
+  * 64-bit arithmetic, so any engine with md5 reproduces the signature
+  * bit-for-bit (see [[ExprKernels.MinHashP]]); that makes the LSH
+  * pipeline oracle-checkable end to end. CodegenFallback: evaluated once
+  * per document.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -69,17 +69,22 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
     val sigs = minhashSignatures(documents, numHashes).cache()
+    // The band bucket key is the raw 4-long signature slice, not a hash of
+    // it: Spark equi-joins on array<bigint> directly, so this costs one
+    // comparison per probe while eliminating bucket-collision false
+    // candidates (and keeping candidate generation reproducible by any
+    // engine that can compare lists).
     val withBands = sigs
       .select(
         col("doc_id"),
         col("sig"),
         posexplode(
           array((0 until numBands).map(b =>
-            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-          .as(Seq("band", "band_hash")))
-    val a = withBands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = withBands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+          .as(Seq("band", "band_sig")))
+    val a = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct()
@@ -125,7 +130,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
