@@ -205,6 +205,35 @@ object SparkEntry {
        FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY doc_a, doc_b"""
   }
 
+  /** DuckDB random-hyperplane LSH top-k, generated: the deterministic
+    * plane constants ([[Similarity.planes]]) are embedded as list
+    * literals (shortest-roundtrip decimal, which parses back to the
+    * identical double), bucket = sign-bit sum, then exact cosine top-k
+    * within the query's bucket — the same contract as the Spark side.
+    */
+  private def duckAnnLshSql(numQueries: Int, k: Int, numPlanes: Int): String = {
+    val ps = graft.similarity.Similarity.planes(numPlanes, 64)
+    val bucketExpr = ps.zipWithIndex
+      .map { case (p, i) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       q AS (SELECT vec_id AS qid, v AS qe, bucket FROM b WHERE vec_id < $numQueries),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid,
+                round(list_dot_product(q.qe, c.v) /
+                      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos_sim
+         FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         FROM pairs)
+       SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   private def duckStopwordHits(listName: String): String = {
     val words = TextAnalysis.stopwords(listName).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($words)))"
@@ -509,6 +538,7 @@ object SparkEntry {
          WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5
          ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" -> duckSimhashSql(3),
+    "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
          pairs AS (
