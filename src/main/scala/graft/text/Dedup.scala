@@ -271,17 +271,23 @@ object Dedup {
     // of length |X| - ⌈τ·|X|⌉ + 1 share at least one gram — candidates
     // from the prefix index are EXACT (no recall loss), and hot grams
     // (the pair-explosion source) fall out of the prefixes.
-    val postings = grams.select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
-    val df = postings.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-    val prefixes = postings
-      .join(df, Seq("gram"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("gram_df"), col("gram")))).as("ordered"))
-      .withColumn("n", size(col("ordered")))
-      .withColumn(
-        "prefix",
-        slice(col("ordered"), lit(1), (col("n") - ceil(col("n") * minJaccard) + 1).cast("int")))
-      .select(col("source"), col("doc_id"), explode(col("prefix.gram")).as("gram"))
+    //
+    // Two window passes over the postings — df as a whole-partition count
+    // over gram, then rank within doc — instead of a groupBy(gram) +
+    // re-join + collect_list/sort/slice/re-explode round trip: one fewer
+    // shuffle of the postings and no per-doc array materialization, on
+    // the same (gram) and (doc) partitionings a cluster run would use.
+    import org.apache.spark.sql.expressions.Window
+    val wGram = Window.partitionBy(col("gram"))
+    val wDocRank = Window.partitionBy(col("source"), col("doc_id")).orderBy(col("gram_df"), col("gram"))
+    val wDoc = Window.partitionBy(col("source"), col("doc_id"))
+    val prefixes = grams
+      .select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("gram_df", count(lit(1)).over(wGram))
+      .withColumn("rn", row_number().over(wDocRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(col("n") * minJaccard) + 1)
+      .select(col("source"), col("doc_id"), col("gram"))
 
     val a = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_a"))
     val b = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_b"))
