@@ -110,7 +110,7 @@ object SparkEntry {
       val left = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_linenumber"))
       val right = Tables.orders(s, dir).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      Joins.saltedJoin(left, right, "okey", col("l_linenumber"), 8)
+      Joins.saltedJoin(left, right, "okey", col("l_linenumber"), 4)
         .withColumn("price_cents", expr(engine.Stages.centsSql("l_extendedprice")))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
@@ -136,6 +136,8 @@ object SparkEntry {
       TextAnalysis.qualityFilter(Tables.documents(s, dir), 100, 450, 25).orderBy("doc_id")),
     "q_string_funcs" -> ((s, dir) =>
       TextAnalysis.stringFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_term_freq" -> ((s, dir) =>
+      TextAnalysis.termFrequency(Tables.documents(s, dir), 20).orderBy("rank")),
     // ---- deduplication ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
@@ -154,6 +156,8 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshBucketTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), 0.3).orderBy("vec_a", "vec_b")),
     // ---- multimodal binary columns ----
@@ -227,6 +231,36 @@ object SparkEntry {
                 round(list_dot_product(q.qe, c.v) /
                       (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos_sim
          FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         FROM pairs)
+       SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB IVF top-k, generated: centroid constants as list literals,
+    * cell = 1 + index of the minimum `v·v − 2·v·c + c·c` (first match on
+    * ties, same as Spark's array_position), exact cosine top-k within
+    * the query's cell.
+    */
+  private def duckAnnIvfSql(numQueries: Int, k: Int, numCells: Int): String = {
+    val cs = graft.similarity.Similarity.centroids(numCells, 64)
+    val dists = cs
+      .map { c =>
+        val lit = c.map(_.toString).mkString("[", ", ", "]")
+        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
+      }
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+       d AS (SELECT vec_id, v, $dists AS dists FROM e2),
+       b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell FROM d),
+       q AS (SELECT vec_id AS qid, v AS qe, cell FROM b WHERE vec_id < $numQueries),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid,
+                round(list_dot_product(q.qe, c.v) /
+                      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos_sim
+         FROM q JOIN b c ON c.cell = q.cell AND c.vec_id <> q.qid),
        ranked AS (
          SELECT qid, nid, cos_sim,
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
@@ -539,6 +573,12 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" -> duckSimhashSql(3),
     "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),
+    "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
+    "q_term_freq" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+         g AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+         r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM g)
+         SELECT rank, token, n FROM r WHERE rank <= 20 ORDER BY rank""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
          pairs AS (

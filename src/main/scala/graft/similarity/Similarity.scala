@@ -124,6 +124,62 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
+  /** Deterministic IVF coarse centroids (same fixed LCG as [[planes]],
+    * offset so the two codebooks differ). At 100 TB these come from a
+    * k-means training pass over a sample; the search-path shape below is
+    * identical either way.
+    */
+  def centroids(numCells: Int, dim: Int): Seq[Array[Double]] = {
+    var state = 0x2545F4914F6CDD1DL
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(numCells)(Array.fill(dim)(next()))
+  }
+
+  /** IVF cell id: index of the L2-nearest centroid (first match on ties).
+    * Distances expand as `v·v − 2·v·c + c·c` — the same three dot
+    * products any engine computes, so assignments are reproducible.
+    */
+  def cellId(vec: Column, cs: Seq[Array[Double]]): Column = {
+    val vd = asDouble(vec)
+    val vv = dot(vd, vd)
+    val dists = array(cs.map { c =>
+      val cl = typedLit(c.toSeq)
+      vv - lit(2.0) * dot(vd, cl) + lit(c.map(x => x * x).sum)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF ANN: [[cosineTopK]]'s contract restricted to the query's coarse
+    * cell (single-probe; multi-probe would union the next-nearest cells).
+    * The equi-join on cell id is the IVF inverted list: the corpus
+    * partitions by cell, and each query touches one partition instead of
+    * the full corpus — the standard billion-scale ANN layout.
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int, numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    val celled = withNorm(embeddings).withColumn("cell", cellId(col("embedding"), cs))
+    val q = celled
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"), col("cell"))
+    val pairs = celled
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("nid"),
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`
     * (the fixture's cluster id): pairs within a block with similarity ≥
     * `minCos`. At scale the block key comes from a coarse quantizer; the

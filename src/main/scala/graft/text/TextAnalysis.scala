@@ -163,4 +163,21 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fp64"))
+
+  /** Corpus-wide term frequency, top `topN` tokens. The groupBy combines
+    * map-side, so only (token, partial-count) pairs — vocabulary-sized,
+    * not corpus-sized — reach the shuffle; the final global rank then
+    * runs over the (small) aggregated vocabulary.
+    */
+  def termFrequency(documents: DataFrame, topN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("token"), col("n"))
+  }
 }

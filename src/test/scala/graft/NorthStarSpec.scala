@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.Tables
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.Dedup
+import graft.text.{Dedup, TextAnalysis}
 
 /** Semantics tests for the training-data-pipeline operators (dedup,
   * similarity, multimodal) that the DuckDB oracle cannot express.
@@ -116,6 +116,36 @@ class NorthStarSpec extends AnyFunSuite {
         s"transitive closure failed (threshold=$threshold): $clusters")
       assert(clusters(40L) == 40L)
     }
+  }
+
+  test("ivfTopK: every vector lands in a valid cell; results rank correctly in-cell") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = emb.withColumn("cell",
+      graft.similarity.Similarity.cellId(col("embedding"), graft.similarity.Similarity.centroids(8, 64)))
+    assert(cells.filter(col("cell") < 0 || col("cell") > 7).count() == 0)
+    val out = graft.similarity.Similarity.ivfTopK(emb, 5, 3).collect()
+    assert(out.nonEmpty)
+    // per query: ranks are 1..n and cos_sim non-increasing
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("termFrequency: counts sum consistently and ranking is by frequency") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.termFrequency(docs, 10).collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.length == 10)
+    val ns = out.map(_.getAs[Long]("n")).toSeq
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val topTok = out.head.getAs[String]("token")
+    val direct = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") === topTok).count()
+    assert(direct == out.head.getAs[Long]("n"))
   }
 
   test("exact dedup keeps one keeper per distinct text") {
