@@ -79,6 +79,9 @@ object SparkEntry {
       Analytics.runningWindow(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_sessionize_batch" -> ((s, dir) =>
       Analytics.sessionizeBatch(Tables.events(s, dir), 30).orderBy("user_id", "session_id")),
+    "q_session_native" -> ((s, dir) =>
+      Analytics.sessionWindowStats(Tables.events(s, dir), 30)
+        .orderBy("user_id", "session_start")),
     "q_rollup" -> ((s, dir) =>
       Analytics.rollupStats(Tables.lineitem(s, dir))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
@@ -381,6 +384,24 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(CAST(round((value) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
          FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_session_native" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) >= 1800 * 1000000
+                       THEN 1 ELSE 0 END AS is_new,
+                  event_id
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id,
+                epoch_us(min(ts)) // 1000000 AS session_start,
+                (epoch_us(max(ts)) + 1800 * 1000000) // 1000000 AS session_end,
+                count(*) AS n_events,
+                sum(CAST(round((value) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                 sum(CAST(round((l_quantity) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_qty

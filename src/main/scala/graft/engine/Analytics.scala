@@ -72,6 +72,29 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), expr("sum(qty_cents) / CAST(100 AS DOUBLE)").as("sum_qty"))
 
+  /** Native `session_window` sessionization — the same sessions as
+    * [[sessionizeBatch]] but via Spark's first-class session-window
+    * operator (one shuffle on the grouping key; runs identically under
+    * Structured Streaming with a watermark, which is the point of using
+    * the native operator over the gaps-and-islands spelling). Session end
+    * is last-event-time + gap, per the operator's contract; a session
+    * closes only when the NEXT event is ≥ gap away (the window
+    * half-open-ness makes an exactly-gap-apart event a new session).
+    */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withColumn("cents", expr(Stages.centsSql("value")))
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(cents) / CAST(100 AS DOUBLE)").as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").cast("long").as("session_start"),
+        col("w.end").cast("long").as("session_end"),
+        col("n_events"),
+        col("total_value"))
+
   /** CUBE over (returnflag, linestatus): all four grouping-set levels —
     * per-combination, per-flag, per-status, grand total — expanded in a
     * single shuffle, like [[rollupStats]] but with the full lattice.
