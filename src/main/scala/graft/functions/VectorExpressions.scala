@@ -149,6 +149,55 @@ case class Winnow(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid (IVF coarse-quantizer) cell id: index of the L2-
+  * nearest centroid, first match on ties. Distances expand as
+  * `v·v − 2·v·c + c·c` with sequential folds — the exact arithmetic an
+  * external engine reproduces from centroid literals.
+  *
+  * A native expression instead of `array_position(dists, array_min(
+  * dists))` over an array of per-centroid literal dot products: that
+  * shape inlines numCells × dim literal elements into generated code and
+  * evaluates the distance array twice; this is one interpreted call per
+  * row (CodegenFallback via eval — the expression is evaluated once per
+  * vector, not per pair).
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ivf_cell"
+
+  private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private lazy val cc: Array[Double] = cs.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { vv += v.getDouble(i) * v.getDouble(i); i += 1 }
+    var best = Double.MaxValue
+    var bestIdx = 0
+    var c = 0
+    while (c < cs.length) {
+      val cd = cs(c)
+      val m = math.min(n, cd.length)
+      var dp = 0.0
+      var j = 0
+      while (j < m) { dp += v.getDouble(j) * cd(j); j += 1 }
+      val d = vv - 2.0 * dp + cc(c)
+      if (d < best) { best = d; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column API for [[DotProduct]]. Arguments must be `array<double>`
@@ -169,6 +218,12 @@ object VectorFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(MinHashSignature(ColumnShim.expression(shingles), numHashes))
+  }
+
+  /** Column API for [[NearestCentroid]]. Argument: `array<double>`. */
+  def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(NearestCentroid(ColumnShim.expression(vec), centroids.map(_.toSeq)))
   }
 
   /** Column API for [[Winnow]]. Argument: a string column. */

@@ -141,16 +141,11 @@ object Similarity {
   /** IVF cell id: index of the L2-nearest centroid (first match on ties).
     * Distances expand as `v·v − 2·v·c + c·c` — the same three dot
     * products any engine computes, so assignments are reproducible.
+    * Native expression ([[graft.functions.NearestCentroid]]): one pass
+    * per vector, no per-row literal-array construction.
     */
-  def cellId(vec: Column, cs: Seq[Array[Double]]): Column = {
-    val vd = asDouble(vec)
-    val vv = dot(vd, vd)
-    val dists = array(cs.map { c =>
-      val cl = typedLit(c.toSeq)
-      vv - lit(2.0) * dot(vd, cl) + lit(c.map(x => x * x).sum)
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  def cellId(vec: Column, cs: Seq[Array[Double]]): Column =
+    graft.functions.VectorFunctions.nearestCentroid(asDouble(vec), cs)
 
   /** IVF ANN: [[cosineTopK]]'s contract restricted to the query's coarse
     * cell (single-probe; multi-probe would union the next-nearest cells).
