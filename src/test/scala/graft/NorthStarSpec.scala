@@ -135,6 +135,46 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN scale probe at 4x corpus: buckets stay balanced and prune the pair space") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = base.count()
+    // 4x corpus: replicas with deterministic per-copy perturbation so they
+    // don't collapse onto identical vectors
+    val big = (0 until 4)
+      .map(k => base.select(
+        (col("vec_id") + lit(k * n)).as("vec_id"),
+        transform(col("embedding"), x => x * (lit(1.0f) + lit(k * 0.001f))).as("embedding")))
+      .reduce(_.union(_))
+      .cache()
+    val total = big.count()
+    assert(total == 4 * n)
+
+    val cells = big.withColumn("cell",
+      Similarity.cellId(col("embedding"), Similarity.centroids(8, 64)))
+      .groupBy("cell").count().collect()
+    // untrained random centroids are legitimately unbalanced (k-means
+    // training is the 100 TB fix); the probe guards against degenerate
+    // collapse, not perfect balance
+    assert(cells.length >= 6, s"IVF cells collapsed: only ${cells.length}/8 populated")
+    assert(cells.map(_.getAs[Long]("count")).max < total * 3 / 5, "one IVF cell dominates the corpus")
+
+    val buckets = big.withColumn("bucket",
+      Similarity.bucketId(col("embedding"), Similarity.planes(4, 64)))
+      .groupBy("bucket").count().collect()
+    assert(buckets.length >= 8, s"only ${buckets.length}/16 LSH buckets populated")
+    assert(buckets.map(_.getAs[Long]("count")).max < total / 2, "one LSH bucket holds half the corpus")
+
+    // the point of bucketing: the within-bucket pair space is a small
+    // fraction of the all-pairs space
+    def pairSpace(counts: Seq[Long]) = counts.map(c => c * (c - 1) / 2).sum
+    val allPairs = total * (total - 1) / 2
+    // untrained cells: ≥2x pruning; hyperplane buckets: ≥4x
+    assert(pairSpace(cells.map(_.getAs[Long]("count")).toSeq) < allPairs / 2)
+    assert(pairSpace(buckets.map(_.getAs[Long]("count")).toSeq) < allPairs / 4)
+    big.unpersist()
+  }
+
   test("termFrequency: counts sum consistently and ranking is by frequency") {
     import org.apache.spark.sql.functions.{col, explode}
     val docs = Tables.documents(spark, sfDir)

@@ -57,6 +57,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowStats runs incrementally: session emits once its gap closes under the watermark") {
+    val input = MemoryStream[Ev]
+    val sessions = graft.engine.Analytics
+      .sessionWindowStats(input.toDF().withWatermark("ts", "60 minutes"), 30)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("native_sessions")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session); nothing finalizes yet
+      input.addData(ev(1, 0, 0, 10.0), ev(26, 0, 10, 20.0))
+      q.processAllAvailable()
+      assert(spark.table("native_sessions").count() == 0)
+
+      // event at 02:00 → watermark 01:00 > session end 00:40 → session emits
+      input.addData(ev(51, 2, 0, 5.0))
+      q.processAllAvailable()
+      val out = spark.table("native_sessions").collect()
+      assert(out.length == 1)
+      val s = out.head
+      assert(s.getAs[Long]("n_events") == 2 && s.getAs[Double]("total_value") == 30.0)
+      // end = last event (00:10) + 30 min gap
+      assert(s.getAs[Long]("session_end") - s.getAs[Long]("session_start") == 40 * 60)
+    } finally q.stop()
+  }
+
+  test("slidingWindowStats runs incrementally: each event lands in two finalized windows") {
+    val input = MemoryStream[Ev]
+    val sliding = graft.engine.Analytics
+      .slidingWindowStats(input.toDF().withWatermark("ts", "60 minutes"))
+    val q = sliding.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sliding_windows")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(ev(1, 0, 40, 10.0)) // windows [23:30-00:30) prev day? no: [00:00,01:00) and [00:30,01:30)
+      input.addData(ev(2, 4, 0, 1.0))   // advances watermark to 03:00 → both windows finalize
+      q.processAllAvailable()
+      val out = spark.table("sliding_windows").collect().filter(_.getAs[Long]("n_events") > 0)
+      val withEv1 = out.filter(r => r.getAs[Double]("sum_value") >= 10.0)
+      assert(withEv1.length == 2, s"expected event in exactly 2 windows, got ${withEv1.length}")
+      assert(withEv1.map(_.getAs[Long]("ws")).sorted.toSeq
+        .sliding(2).forall { case Seq(a, b) => b - a == 1800 })
+    } finally q.stop()
+  }
+
   test("detectors alert on violations and write only violating rows; clean batches don't alert") {
     val input = MemoryStream[Ev]
     val sink = new CollectingSink
