@@ -76,6 +76,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCentroid equals the compositional argmin spelling on random vectors") {
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(11)
+    val cs = graft.similarity.Similarity.centroids(8, 16)
+    val vecs = (1 to 50).map(i => (i.toLong, List.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val native = df
+      .select(df("id"), graft.functions.VectorFunctions.nearestCentroid(df("v").cast("array<double>"), cs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val dists = cs.map { c =>
+        var vv = 0.0; var dp = 0.0
+        v.indices.foreach { j => vv += v(j) * v(j); dp += v(j) * c(j) }
+        vv - 2.0 * dp + c.map(x => x * x).sum
+      }
+      val expected = dists.indexOf(dists.min)
+      assert(native(id) == expected, s"vec $id: native=${native(id)} expected=$expected")
+    }
+  }
+
+  test("MinHash signature values stay within the mod-p family range") {
+    val toksA = (1 to 40).map(i => s"t$i")
+    val dfA = Seq((1L, toksA.mkString(" "))).toDF("doc_id", "text")
+    val sigs = graft.text.Dedup.minhashSignatures(dfA, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // every position is a minimum of (h1 + j·h2) mod (2^31−1): in range,
+    // and never the Long.MaxValue sentinel (some shingle always hashed)
+    sigs.values.flatten.foreach(v => assert(v >= 0 && v < 2147483647L))
+  }
+
   test("SimHash hamming distance is 0 for identical docs and small for near-identical") {
     val words = (1 to 80).map(i => s"w$i")
     val df = Seq(
