@@ -122,6 +122,10 @@ object SparkEntry {
     }),
     "q_approx_distinct" -> ((s, dir) =>
       Relational.approxDistinctCheck(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_approx_percentile" -> ((s, dir) =>
+      Relational.approxPercentileCheck(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_hash_sample" -> ((s, dir) =>
+      Relational.hashModSample(Tables.events(s, dir), 10).orderBy("event_id")),
     // ---- text analysis (north-star ops over documents) ----
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -446,6 +450,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
                 TRUE AS hll_within_tol
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(CAST(round((l_extendedprice) * 100) AS BIGINT), 0.5) / CAST(100 AS DOUBLE) AS p50_exact,
+                TRUE AS sketch_within_rank_tol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_hash_sample" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 = 0
+         ORDER BY event_id""",
     "q_winnow" ->
       """WITH h AS (
            SELECT doc_id,

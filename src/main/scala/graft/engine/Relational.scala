@@ -100,6 +100,41 @@ object Relational {
     * error is independent of cardinality; this query pins the sketch's
     * accuracy contract into the correctness gate.
     */
+  /** Sketch-based percentile, self-validated like [[approxDistinctCheck]]:
+    * exact median alongside a flag that `approx_percentile` (accuracy
+    * 10000 → rank error ≤ 0.01%) landed between the exact 49th and 51st
+    * percentiles — a rank-space tolerance, so the check is scale-free.
+    * At 100 TB the sketch is what survives: it merges per-partition and
+    * never materializes the sorted column.
+    */
+  def approxPercentileCheck(lineitem: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("l_extendedprice")
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile($cents, 0.5) / CAST(100 AS DOUBLE)").as("p50_exact"),
+        expr(s"approx_percentile($cents, 0.5, 10000)").as("approx_cents"),
+        expr(s"percentile($cents, 0.49)").as("lo"),
+        expr(s"percentile($cents, 0.51)").as("hi"))
+      .select(
+        col("l_returnflag"),
+        col("p50_exact"),
+        (col("approx_cents") >= col("lo") && col("approx_cents") <= col("hi"))
+          .as("sketch_within_rank_tol"))
+  }
+
+  /** Deterministic hash-mod sampling — the stable eval-set selector of a
+    * training pipeline: a row is kept iff an md5-derived hash of its key
+    * ≡ 0 (mod `mod`). Unlike `TABLESAMPLE`/`rand()`, membership is a pure
+    * function of the key: reproducible across runs, engines, and
+    * repartitionings, and evaluated map-side with zero shuffle.
+    */
+  def hashModSample(events: DataFrame, mod: Int): DataFrame =
+    events
+      .filter(expr(
+        s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $mod = 0"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   def approxDistinctCheck(lineitem: DataFrame, tol: Double = 0.05): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
