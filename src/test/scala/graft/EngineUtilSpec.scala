@@ -127,6 +127,9 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(sh == sh2, "simhash must be order-insensitive")
     val mh = spark.sql("SELECT graft_minhash(array('x', 'y'), 4) AS m").head.getSeq[Long](0)
     assert(mh.length == 4)
+    assert(mh.forall(v => v >= 0 && v < 2147483647L), "minhash values outside the mod-p family")
+    val wn = spark.sql("SELECT graft_winnow('abcdefghijklmnop', 8, 4) AS w").head.getSeq[Long](0)
+    assert(wn.nonEmpty && wn == wn.sorted)
   }
 
   test("broadcastLookup plans a BroadcastHashJoin") {
