@@ -287,27 +287,33 @@ object Dedup {
       .withColumn("rn", row_number().over(wDocRank))
       .withColumn("n", count(lit(1)).over(wDoc))
       .filter(col("rn") <= col("n") - ceil(col("n") * minJaccard) + 1)
-      .select(col("source"), col("doc_id"), col("gram"))
+      .select(col("source"), col("doc_id"), col("gram"), col("n"))
 
-    val a = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_a"))
-    val b = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_b"))
+    // PPJoin size filter: jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ, so
+    // size-incompatible candidates drop before the (array-shipping)
+    // verification join. The sizes ride along as two ints.
+    val a = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = prefixes.select(col("source"), col("gram"), col("doc_id").as("doc_b"), col("n").as("n_b"))
     val candidates = a
       .join(b, Seq("source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("source"), col("doc_a"), col("doc_b"))
+      .filter(col("n_b") >= ceil(col("n_a") * minJaccard) && col("n_a") >= ceil(col("n_b") * minJaccard))
+      .select(col("source"), col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
 
-    // exact verification on candidates only — values identical to an
-    // all-pairs |∩|/|∪| (integer-ratio doubles)
+    // exact verification on candidates only: |∩| from one array
+    // intersection, |∪| = n_a + n_b − |∩| (no array_union
+    // materialization) — values identical to an all-pairs |∩|/|∪|
+    // (integer-ratio doubles)
     val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     candidates
       .join(ga, "doc_a")
       .join(gb, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
