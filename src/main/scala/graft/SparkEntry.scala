@@ -163,6 +163,8 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshBucketTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_lsh_mp" -> ((s, dir) =>
+      Similarity.lshMultiProbeTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_embed_near_dup" -> ((s, dir) =>
@@ -222,7 +224,7 @@ object SparkEntry {
     * identical double), bucket = sign-bit sum, then exact cosine top-k
     * within the query's bucket — the same contract as the Spark side.
     */
-  private def duckAnnLshSql(numQueries: Int, k: Int, numPlanes: Int): String = {
+  private def duckAnnLshSql(numQueries: Int, k: Int, numPlanes: Int, multiProbe: Boolean = false): String = {
     val ps = graft.similarity.Similarity.planes(numPlanes, 64)
     val bucketExpr = ps.zipWithIndex
       .map { case (p, i) =>
@@ -230,9 +232,15 @@ object SparkEntry {
         s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << i} ELSE 0 END)"
       }
       .mkString(" + ")
+    val qSource =
+      if (!multiProbe) s"SELECT vec_id AS qid, v AS qe, bucket FROM b WHERE vec_id < $numQueries"
+      else {
+        val probeList = ("bucket" +: (0 until numPlanes).map(i => s"xor(bucket, ${1 << i})")).mkString(", ")
+        s"SELECT vec_id AS qid, v AS qe, unnest([$probeList]) AS bucket FROM b WHERE vec_id < $numQueries"
+      }
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-       q AS (SELECT vec_id AS qid, v AS qe, bucket FROM b WHERE vec_id < $numQueries),
+       q AS ($qSource),
        pairs AS (
          SELECT q.qid, c.vec_id AS nid,
                 round(list_dot_product(q.qe, c.v) /
@@ -607,6 +615,7 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" -> duckSimhashSql(3),
     "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),
+    "q_ann_lsh_mp" -> duckAnnLshSql(10, 5, 4, multiProbe = true),
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
     "q_term_freq" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),

@@ -124,6 +124,39 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
+  /** Multi-probe LSH ANN: like [[lshBucketTopK]], but each query also
+    * probes the `numPlanes` buckets at Hamming distance 1 from its own
+    * (flip one sign bit) — the standard recall recovery for
+    * near-hyperplane vectors, at (numPlanes+1)× the candidate cost and
+    * still far below brute force. Corpus vectors keep one bucket, so no
+    * candidate can be seen twice and no dedup shuffle is needed.
+    */
+  def lshMultiProbeTopK(embeddings: DataFrame, numQueries: Int, k: Int, numPlanes: Int = 4): DataFrame = {
+    val ps = planes(numPlanes, 64)
+    val bucketed = withNorm(embeddings).withColumn("bucket", bucketId(col("emb_d"), ps))
+    val probes = array(
+      col("bucket") +: (0 until numPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+    val q = bucketed
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"),
+        explode(probes).as("bucket"))
+    val pairs = bucketed
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("nid"),
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
+  }
+
   /** Deterministic IVF coarse centroids (same fixed LCG as [[planes]],
     * offset so the two codebooks differ). At 100 TB these come from a
     * k-means training pass over a sample; the search-path shape below is

@@ -175,6 +175,23 @@ class NorthStarSpec extends AnyFunSuite {
     big.unpersist()
   }
 
+  test("multi-probe LSH recall dominates single-probe against the brute-force truth") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val truth = topSets(Similarity.cosineTopK(emb, 10, 5))
+    val single = topSets(Similarity.lshBucketTopK(emb, 10, 5))
+    val multi = topSets(Similarity.lshMultiProbeTopK(emb, 10, 5))
+    def recall(got: Map[Long, Set[Long]]) =
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size }.sum
+    assert(recall(multi) >= recall(single), "probing more buckets lost recall")
+    // multi-probe candidates strictly include single-probe candidates, so
+    // per query its top-k similarity at each rank is >= single-probe's
+    assert(recall(multi) > 0)
+  }
+
   test("termFrequency: counts sum consistently and ranking is by frequency") {
     import org.apache.spark.sql.functions.{col, explode}
     val docs = Tables.documents(spark, sfDir)
