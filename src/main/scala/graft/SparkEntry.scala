@@ -79,6 +79,8 @@ object SparkEntry {
       Analytics.runningWindow(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_sessionize_batch" -> ((s, dir) =>
       Analytics.sessionizeBatch(Tables.events(s, dir), 30).orderBy("user_id", "session_id")),
+    "q_window_funcs" -> ((s, dir) =>
+      Analytics.windowFuncs(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_session_native" -> ((s, dir) =>
       Analytics.sessionWindowStats(Tables.events(s, dir), 30)
         .orderBy("user_id", "session_start")),
@@ -396,6 +398,20 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(CAST(round((value) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
          FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_window_funcs" ->
+      """SELECT user_id, event_id, value,
+                lag(value, 1) OVER t AS prev_value,
+                lead(value, 1) OVER t AS next_value,
+                first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS first_value,
+                rank() OVER v AS value_rank,
+                dense_rank() OVER v AS value_dense_rank,
+                ntile(4) OVER v AS quartile,
+                percent_rank() OVER v AS pct_rank
+         FROM events
+         WINDOW t AS (PARTITION BY user_id ORDER BY ts, event_id),
+                v AS (PARTITION BY user_id ORDER BY CAST(round((value) * 100) AS BIGINT) DESC, event_id)
+         ORDER BY user_id, event_id""",
     "q_session_native" ->
       """WITH flagged AS (
            SELECT user_id, ts, value,

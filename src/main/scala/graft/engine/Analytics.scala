@@ -72,6 +72,32 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), expr("sum(qty_cents) / CAST(100 AS DOUBLE)").as("sum_qty"))
 
+  /** Analytic-function battery over one per-user shuffle: lag/lead on
+    * the time order plus the rank family (rank, dense_rank, ntile,
+    * percent_rank) on a value order made total with an id tie-break —
+    * ties would otherwise make ntile/row-dependent outputs
+    * nondeterministic across engines. Both orders share the user_id
+    * partitioning, so Spark evaluates them in one exchange.
+    */
+  def windowFuncs(events: DataFrame): DataFrame = {
+    val timeOrder = userOrder
+    val valueOrder = Window
+      .partitionBy(col("user_id"))
+      .orderBy(expr(Stages.centsSql("value")).desc, col("event_id").asc)
+    events.select(
+      col("user_id"),
+      col("event_id"),
+      col("value"),
+      lag(col("value"), 1).over(timeOrder).as("prev_value"),
+      lead(col("value"), 1).over(timeOrder).as("next_value"),
+      first(col("value")).over(timeOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("first_value"),
+      rank().over(valueOrder).cast("long").as("value_rank"),
+      dense_rank().over(valueOrder).cast("long").as("value_dense_rank"),
+      ntile(4).over(valueOrder).cast("long").as("quartile"),
+      percent_rank().over(valueOrder).as("pct_rank"))
+  }
+
   /** Native `session_window` sessionization — the same sessions as
     * [[sessionizeBatch]] but via Spark's first-class session-window
     * operator (one shuffle on the grouping key; runs identically under
