@@ -97,6 +97,35 @@ object Similarity {
       }
       .reduce((a, b) => a.bitwiseOR(b))
 
+  /** One distributed Lloyd (k-means) iteration over the IVF codebook:
+    * assign every vector to its nearest centroid, then recompute each
+    * centroid as its cell's per-dimension mean. The per-dimension
+    * spelling — posexplode to (cell, dim, x) then a map-side-combined
+    * avg — keeps the shuffle at K×dim partial aggregates regardless of
+    * corpus size, which is what makes the training pass viable at 100 TB
+    * (the K×dim result is trivially collected). Empty cells keep their
+    * centroid. Lloyd guarantees the total within-cell squared distance
+    * is non-increasing, which the spec pins.
+    */
+  def kmeansIterate(embeddings: DataFrame, cs: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val dims = embeddings
+      .withColumn("cell", cellId(col("embedding"), cs))
+      .select(col("cell"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .collect()
+    val byCell = dims.groupBy(_.getAs[Int]("cell"))
+    cs.indices.map { c =>
+      byCell.get(c) match {
+        case Some(rows) =>
+          val arr = new Array[Double](cs(c).length)
+          rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+          arr
+        case None => cs(c)
+      }
+    }
+  }
+
   /** Bucketed ANN: same contract as [[cosineTopK]] but candidates are
     * restricted to the query's LSH bucket (equi-join on bucket id). With
     * `numPlanes` bits the corpus side shrinks ~2^numPlanes-fold; recall

@@ -175,6 +175,29 @@ class NorthStarSpec extends AnyFunSuite {
     big.unpersist()
   }
 
+  test("kmeansIterate: one Lloyd step never increases total within-cell distance") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def cost(cs: Seq[Array[Double]]): Double =
+      vecs.map { v =>
+        cs.map { c =>
+          var d = 0.0
+          v.indices.foreach { j => val t = v(j) - c(j); d += t * t }
+          d
+        }.min
+      }.sum
+    val c0 = Similarity.centroids(8, 64)
+    val c1 = Similarity.kmeansIterate(emb, c0)
+    val c2 = Similarity.kmeansIterate(emb, c1)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    assert(cost(c1) <= cost(c0), s"Lloyd step increased cost: ${cost(c1)} > ${cost(c0)}")
+    assert(cost(c2) <= cost(c1))
+    // training actually moves the untrained codebook
+    assert(cost(c1) < cost(c0) * 0.99, "iteration left the random codebook unchanged")
+  }
+
   test("multi-probe LSH recall dominates single-probe against the brute-force truth") {
     val emb = Tables.embeddings(spark, sfDir)
     def topSets(df: org.apache.spark.sql.DataFrame) =
