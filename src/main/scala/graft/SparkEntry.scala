@@ -122,6 +122,11 @@ object SparkEntry {
           expr("sum(price_cents) / CAST(100 AS DOUBLE)").as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    "q_star_revenue" -> ((s, dir) =>
+      Relational
+        .starRevenueTopK(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+          "BUILDING", 10)
+        .orderBy("rank")),
     "q_approx_distinct" -> ((s, dir) =>
       Relational.approxDistinctCheck(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_approx_percentile" -> ((s, dir) =>
@@ -474,6 +479,22 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
                 TRUE AS hll_within_tol
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_star_revenue" ->
+      """WITH rev AS (
+           SELECT o_orderkey, o_orderpriority,
+                  sum(CAST(round((l_extendedprice) * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / CAST(10000 AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey, o_orderpriority),
+         ranked AS (
+           SELECT o_orderkey, o_orderpriority, revenue,
+                  row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+           FROM rev)
+         SELECT rank, o_orderkey, o_orderpriority, revenue
+         FROM ranked WHERE rank <= 10 ORDER BY rank""",
     "q_approx_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(CAST(round((l_extendedprice) * 100) AS BIGINT), 0.5) / CAST(100 AS DOUBLE) AS p50_exact,

@@ -92,6 +92,32 @@ object Relational {
         max(col("l_quantity")).as("max_qty"))
   }
 
+  /** TPC-H Q3-shaped star join: filtered customer → orders → lineitem,
+    * revenue per order, top `k` orders. Catalyst broadcasts the filtered
+    * customer side and pushes both date filters into the scans; revenue
+    * is exact integer arithmetic — price and discount have two decimals,
+    * so `cents(price) · (100 − pct(discount))` is an integer number of
+    * hundredth-cents and sums without float nondeterminism.
+    */
+  def starRevenueTopK(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      segment: String,
+      k: Int): DataFrame = {
+    val revenueMicros =
+      s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    val w = Window.orderBy(col("revenue").desc, col("o_orderkey").asc)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(expr(s"sum($revenueMicros) / CAST(10000 AS DOUBLE)").as("revenue"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("o_orderkey"), col("o_orderpriority"), col("revenue"))
+  }
+
   /** Sketch-based distinct counting, self-validated: per group, the exact
     * distinct count alongside a flag that Spark's HyperLogLog++
     * (`approx_count_distinct`, default rsd 5%) landed within `tol` of it.
