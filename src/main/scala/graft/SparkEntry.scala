@@ -122,6 +122,10 @@ object SparkEntry {
           expr("sum(price_cents) / CAST(100 AS DOUBLE)").as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    "q_datetime_funcs" -> ((s, dir) =>
+      Relational.datetimeFuncs(Tables.events(s, dir)).orderBy("event_id")),
+    "q_histogram" -> ((s, dir) =>
+      Relational.valueHistogram(Tables.events(s, dir), 2500).orderBy("bucket")),
     "q_star_revenue" -> ((s, dir) =>
       Relational
         .starRevenueTopK(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -479,6 +483,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
                 TRUE AS hll_within_tol
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_datetime_funcs" ->
+      """SELECT event_id,
+                year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
+                dayofmonth(ts) AS d, dayofweek(ts) + 1 AS dow,
+                dayofyear(ts) AS doy,
+                hour(ts) AS h, minute(ts) AS mi, second(ts) AS s
+         FROM events ORDER BY event_id""",
+    "q_histogram" ->
+      """SELECT CAST(round((value) * 100) AS BIGINT) // 2500 AS bucket, count(*) AS n
+         FROM events GROUP BY bucket ORDER BY bucket""",
     "q_star_revenue" ->
       """WITH rev AS (
            SELECT o_orderkey, o_orderpriority,

@@ -92,6 +92,32 @@ object Relational {
         max(col("l_quantity")).as("max_qty"))
   }
 
+  /** Datetime scalar battery over event time — every extraction is an
+    * int cast to long (cross-engine width parity) and dayofweek is
+    * normalized to Spark's Sunday=1 convention.
+    */
+  def datetimeFuncs(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("y"),
+      quarter(col("ts")).cast("long").as("q"),
+      month(col("ts")).cast("long").as("mo"),
+      dayofmonth(col("ts")).cast("long").as("d"),
+      dayofweek(col("ts")).cast("long").as("dow"),
+      dayofyear(col("ts")).cast("long").as("doy"),
+      hour(col("ts")).cast("long").as("h"),
+      minute(col("ts")).cast("long").as("mi"),
+      second(col("ts")).cast("long").as("s"))
+
+  /** Fixed-width value histogram: bucket = ⌊cents / width⌋ computed
+    * map-side, one combine-enabled shuffle — the plan shape histograms
+    * keep at any scale.
+    */
+  def valueHistogram(events: DataFrame, widthCents: Long): DataFrame =
+    events
+      .groupBy(expr(s"${Stages.centsSql("value")} div $widthCents").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** TPC-H Q3-shaped star join: filtered customer → orders → lineitem,
     * revenue per order, top `k` orders. Catalyst broadcasts the filtered
     * customer side and pushes both date filters into the scans; revenue
