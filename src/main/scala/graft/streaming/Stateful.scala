@@ -88,4 +88,36 @@ object Stateful {
     */
   def dedupByKey(events: DataFrame, watermarkDelay: String = "60 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream–stream interval join (the reference stops at stream–static;
+    * this is the full-streaming extension): follow-up events by the same
+    * user strictly within `windowSeconds` of an anchor. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends, so
+    * Spark can expire join state — the two requirements for a bounded-
+    * state stream–stream join. The batch twin is
+    * [[graft.engine.Joins.followUpsWithin]].
+    */
+  def followUpsStream(
+      anchors: DataFrame,
+      candidates: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String = "60 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = anchors
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("event_a"), col("ts").as("ts_a"))
+    val b = candidates
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("user_b"), col("event_id").as("event_b"), col("ts").as("ts_b"))
+    a.join(
+        b,
+        col("user_id") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(
+        col("user_id"),
+        col("event_a"),
+        col("event_b"),
+        (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_seconds"))
+  }
 }

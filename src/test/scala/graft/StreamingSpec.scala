@@ -107,6 +107,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch twin and keeps state bounded") {
+    val anchors = MemoryStream[Ev]
+    val candidates = MemoryStream[Ev]
+    val joined = graft.streaming.Stateful
+      .followUpsStream(anchors.toDF(), candidates.toDF(), 3600)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_followups")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      // user 0: anchor at 01:00; candidates at 01:30 (in window) and 03:00 (outside)
+      anchors.addData(ev(25, 1, 0, 1.0))
+      candidates.addData(ev(50, 1, 30, 2.0), ev(75, 3, 0, 3.0))
+      q.processAllAvailable()
+      val out = spark.table("stream_followups").collect()
+      assert(out.length == 1, s"expected 1 follow-up pair, got ${out.length}")
+      assert(out.head.getAs[Long]("event_a") == 25 && out.head.getAs[Long]("event_b") == 50)
+      assert(out.head.getAs[Long]("gap_seconds") == 1800)
+
+      // batch twin agrees on the same rows
+      val batchRows = graft.engine.Joins
+        .followUpsWithin(
+          Seq(ev(25, 1, 0, 1.0), ev(50, 1, 30, 2.0), ev(75, 3, 0, 3.0)).toDF(), 3600)
+        .collect()
+      assert(batchRows.map(r => (r.getAs[Long]("event_a"), r.getAs[Long]("event_b"))).toSet ==
+        out.map(r => (r.getAs[Long]("event_a"), r.getAs[Long]("event_b"))).toSet)
+    } finally q.stop()
+  }
+
   test("detectors alert on violations and write only violating rows; clean batches don't alert") {
     val input = MemoryStream[Ev]
     val sink = new CollectingSink
