@@ -124,6 +124,10 @@ object SparkEntry {
     }),
     "q_datetime_funcs" -> ((s, dir) =>
       Relational.datetimeFuncs(Tables.events(s, dir)).orderBy("event_id")),
+    "q_json_funcs" -> ((s, dir) =>
+      Relational.jsonFuncs(Tables.events(s, dir)).orderBy("event_id")),
+    "q_regex_funcs" -> ((s, dir) =>
+      Relational.regexFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_histogram" -> ((s, dir) =>
       Relational.valueHistogram(Tables.events(s, dir), 2500).orderBy("bucket")),
     "q_star_revenue" -> ((s, dir) =>
@@ -493,6 +497,20 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(round((value) * 100) AS BIGINT) // 2500 AS bucket, count(*) AS n
          FROM events GROUP BY bucket ORDER BY bucket""",
+    "q_json_funcs" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+                json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+                json_extract_string(props, '$.missing') IS NULL AS no_missing
+         FROM events ORDER BY event_id""",
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+                regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+                CAST(len(regexp_extract_all(text, '\ba[a-z]*')) AS BIGINT) AS n_a_words,
+                regexp_replace(substring(text, 1, 30), '\s+', '-', 'g') AS dashed30,
+                regexp_matches(text, 'spark') AS mentions_spark
+         FROM documents ORDER BY doc_id""",
     "q_star_revenue" ->
       """WITH rev AS (
            SELECT o_orderkey, o_orderpriority,

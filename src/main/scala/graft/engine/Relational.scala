@@ -92,6 +92,31 @@ object Relational {
         max(col("l_quantity")).as("max_qty"))
   }
 
+  /** JSON scalar battery over the wire-format `props` column: path
+    * extraction as string and as int, and an existence probe — the
+    * operations a schema-on-read ingest layer runs before committing to
+    * a typed column.
+    */
+  def jsonFuncs(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+      get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
+      get_json_object(col("props"), "$.missing").isNull.as("no_missing"))
+
+  /** Regex scalar battery over documents, restricted to constructs whose
+    * semantics agree between Java regex and RE2-style engines: anchored
+    * capture, word-boundary counting, global replacement.
+    */
+  def regexFuncs(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+      regexp_count(col("text"), lit("\\ba[a-z]*")).cast("long").as("n_a_words"),
+      regexp_replace(substring(col("text"), 1, 30), "\\s+", "-").as("dashed30"),
+      col("text").rlike("spark").as("mentions_spark"))
+
   /** Datetime scalar battery over event time — every extraction is an
     * int cast to long (cross-engine width parity) and dayofweek is
     * normalized to Spark's Sunday=1 convention.
