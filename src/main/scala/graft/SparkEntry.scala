@@ -17,9 +17,10 @@ import graft.text.{Dedup, TextAnalysis}
   * sets in canonical order — the `orderBy` lives HERE (verify surface),
   * not in the engine stages, which stay order-free and
   * streaming-composable. All hash-based operators (MinHash, SimHash,
-  * winnowing) run on md5-derived hashes precisely so the oracle can
-  * reproduce them; only q_ann_lsh (seeded random hyperplanes) and
-  * q_frame_features (mapPartitions decode) remain rows-only checks.
+  * winnowing) run on md5-derived hashes, and LSH/IVF on deterministic
+  * constants embedded in the oracle SQL, precisely so the oracle can
+  * reproduce them; only q_frame_features (mapPartitions decode) remains
+  * a rows-only check.
   */
 object SparkEntry {
 
@@ -304,8 +305,8 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_ann_lsh, q_frame_features).
+    * the same parquet tables. Omitted only for the one non-SQL-expressible
+    * op (q_frame_features, a mapPartitions binary decode).
     */
   def oracleSql: Map[String, String] = Map(
     "q_full_table" ->

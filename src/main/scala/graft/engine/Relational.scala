@@ -158,14 +158,23 @@ object Relational {
       k: Int): DataFrame = {
     val revenueMicros =
       s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-    val w = Window.orderBy(col("revenue").desc, col("o_orderkey").asc)
+    // Top-k via orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+    // driver merges k rows) — NOT an unpartitioned Window, which would drag
+    // every per-order aggregate through one partition at corpus scale. The
+    // rank is then derived over just the k survivors (constant partition
+    // key keeps the spec non-empty; the window input is k rows by then).
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer.filter(col("c_mktsegment") === segment), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(expr(s"sum($revenueMicros) / CAST(10000 AS DOUBLE)").as("revenue"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(lit(1)).orderBy(col("revenue").desc, col("o_orderkey").asc))
+          .cast("long"))
       .select(col("rank"), col("o_orderkey"), col("o_orderpriority"), col("revenue"))
   }
 

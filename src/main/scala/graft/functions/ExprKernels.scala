@@ -51,13 +51,20 @@ object ExprKernels {
     */
   val MinHashP: Long = 2147483647L
 
+  /** Returns null when the input has no non-null shingle — a signature
+    * over the empty set is undefined, and DuckDB's `list_min` over an
+    * empty list yields NULL the same way. (Without this the Long.MaxValue
+    * seed would leak out of the documented `[0, p)` range.)
+    */
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
+    var saw = false
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        saw = true
         // h1/h2 = first/second 4 bytes of md5 (big-endian, same value any
         // engine parses from the hex digest), reduced mod p
         val d = md.digest(arr.getUTF8String(i).getBytes)
@@ -76,7 +83,7 @@ object ExprKernels {
       }
       i += 1
     }
-    ArrayData.toArrayData(mins)
+    if (!saw) null else ArrayData.toArrayData(mins)
   }
 
   def winnow(text: String, k: Int, w: Int): ArrayData = {

@@ -108,13 +108,23 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // Nullable beyond null-in→null-out: an empty / all-null shingle array
+  // yields NULL (the signature of the empty set is undefined; DuckDB's
+  // list_min over an empty list agrees) — see ExprKernels.minhash.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(input: Any): Any =
     ExprKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.minhash($a, $numHashes)")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+        ${ev.value} = graft.functions.ExprKernels.minhash($a, $numHashes);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -166,18 +166,23 @@ object TextAnalysis {
 
   /** Corpus-wide term frequency, top `topN` tokens. The groupBy combines
     * map-side, so only (token, partial-count) pairs — vocabulary-sized,
-    * not corpus-sized — reach the shuffle; the final global rank then
-    * runs over the (small) aggregated vocabulary.
+    * not corpus-sized — reach the shuffle. The global top-k is
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, driver
+    * merges `topN` rows), never an unpartitioned Window over the full
+    * vocabulary; rank is derived afterwards over just the `topN`
+    * survivors (constant partition key keeps the window spec non-empty).
     */
   def termFrequency(documents: DataFrame, topN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
       .orderBy(col("n").desc, col("token").asc)
     documents
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topN)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topN)
       .select(col("rank"), col("token"), col("n"))
   }
 }

@@ -128,6 +128,10 @@ class EngineUtilSpec extends AnyFunSuite {
     val mh = spark.sql("SELECT graft_minhash(array('x', 'y'), 4) AS m").head.getSeq[Long](0)
     assert(mh.length == 4)
     assert(mh.forall(v => v >= 0 && v < 2147483647L), "minhash values outside the mod-p family")
+    // Empty / all-null shingle input → NULL (never the Long.MaxValue seed):
+    // the empty-set signature is undefined, same as DuckDB list_min([]).
+    assert(spark.sql("SELECT graft_minhash(array(), 4) AS m").head.isNullAt(0))
+    assert(spark.sql("SELECT graft_minhash(array(CAST(NULL AS STRING)), 4) AS m").head.isNullAt(0))
     val wn = spark.sql("SELECT graft_winnow('abcdefghijklmnop', 8, 4) AS w").head.getSeq[Long](0)
     assert(wn.nonEmpty && wn == wn.sorted)
   }
