@@ -142,6 +142,34 @@ object SparkEntry {
       Relational.approxPercentileCheck(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_hash_sample" -> ((s, dir) =>
       Relational.hashModSample(Tables.events(s, dir), 10).orderBy("event_id")),
+    "q_stratified_sample" -> ((s, dir) =>
+      Relational
+        .stratifiedHashSample(
+          Tables.events(s, dir), Map("error" -> 10, "purchase" -> 4), 1, 20)
+        .orderBy("event_id")),
+    "q_latest_by_key" -> ((s, dir) =>
+      Relational.latestByKey(Tables.events(s, dir)).orderBy("user_id")),
+    "q_grouping_sets" -> ((s, dir) =>
+      Relational.groupingSetsStats(Tables.orders(s, dir))
+        .orderBy(
+          col("gid"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+    "q_corr_stats" -> ((s, dir) =>
+      Relational.sufficientStatsCorr(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(Tables.events(s, dir), "signup", "purchase", 168).orderBy("user_id")),
+    "q_bloom_prefilter" -> ((s, dir) =>
+      Joins
+        .bloomPrefilteredSemiJoin(
+          Tables.lineitem(s, dir),
+          Tables.supplier(s, dir).filter(col("s_acctbal") >= 5000),
+          col("l_suppkey"), col("s_suppkey"), 10000L)
+        .withColumn("price_cents", expr(engine.Stages.centsSql("l_extendedprice")))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("sum(price_cents) / CAST(100 AS DOUBLE)").as("sum_price"))
+        .orderBy("l_suppkey")),
     // ---- text analysis (north-star ops over documents) ----
     "q_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -161,6 +189,10 @@ object SparkEntry {
       TextAnalysis.stringFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_term_freq" -> ((s, dir) =>
       TextAnalysis.termFrequency(Tables.documents(s, dir), 20).orderBy("rank")),
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3).orderBy("doc_id", "rank")),
+    "q_array_funcs" -> ((s, dir) =>
+      TextAnalysis.arrayFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
     // ---- deduplication ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
@@ -537,6 +569,85 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value FROM events
          WHERE CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 = 0
          ORDER BY event_id""",
+    "q_stratified_sample" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 20
+               < CASE WHEN event_type = 'error' THEN 10 WHEN event_type = 'purchase' THEN 4 ELSE 1 END
+         ORDER BY event_id""",
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+                 count(*) AS n_orders,
+                 sum(${Stages.centsSql("o_totalprice")}) / CAST(100 AS DOUBLE) AS sum_price,
+                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_corr_stats" -> {
+      val stats = Stages.momentStatsSql
+        .map { case (name, sql) => s"$sql AS $name" }
+        .mkString(",\n                 ")
+      s"""WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM (SELECT l_returnflag,
+                         ${Stages.centsSql("l_extendedprice")} // 100 AS x,
+                         CAST(round(l_quantity) AS BIGINT) AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag)
+          SELECT l_returnflag, n,
+                 $stats
+          FROM m ORDER BY l_returnflag"""
+    },
+    "q_funnel" ->
+      """WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         j AS (SELECT a.user_id, a.ts_a, b.ts AS ts_b
+               FROM a LEFT JOIN events b
+                 ON b.user_id = a.user_id AND b.event_type = 'purchase' AND b.ts >= a.ts_a),
+         g AS (SELECT user_id, ts_a, min(ts_b) AS ts_conv FROM j GROUP BY user_id, ts_a)
+         SELECT user_id,
+                strftime(CAST(ts_a AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_a,
+                strftime(CAST(ts_conv AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_b_after,
+                (ts_conv IS NOT NULL AND
+                 epoch_us(CAST(ts_conv AS TIMESTAMP)) // 1000000 - epoch_us(CAST(ts_a AS TIMESTAMP)) // 1000000 <= 604800)
+                  AS converted
+         FROM g ORDER BY user_id""",
+    "q_bloom_prefilter" ->
+      s"""SELECT l_suppkey, count(*) AS n_rows,
+                 sum(${Stages.centsSql("l_extendedprice")}) / CAST(100 AS DOUBLE) AS sum_price
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 5000)
+          GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_tfidf" ->
+      """WITH td AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM td GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                           CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+                    FROM tf JOIN df USING (token) CROSS JOIN n),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+                    FROM scored)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_array_funcs" ->
+      """SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                toks[3] AS tok3,
+                array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS first5_uniq,
+                list_sort(list_distinct(toks))[-1] AS max_tok,
+                list_contains(toks, 'the') AS has_the,
+                CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+                CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_tok_len
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         ORDER BY doc_id""",
     "q_winnow" ->
       """WITH h AS (
            SELECT doc_id,

@@ -35,6 +35,37 @@ object Analytics {
           .as("moving_sum3"))
   }
 
+  /** Two-step conversion funnel per user: first `stepA` event, then the
+    * first `stepB` event at-or-after it, and whether the conversion landed
+    * within `windowHours`. Two map-combined aggregations and one
+    * user-key equi-join — per-user rows only ever meet per-user rows, so
+    * the join input is |users|-sized, not |events|²; no window sort over
+    * the event log. The standard product-analytics funnel, expressed in
+    * the shape that survives a 100 TB event store.
+    */
+  def funnel(events: DataFrame, stepA: String, stepB: String, windowHours: Int): DataFrame = {
+    val firstA = events
+      .filter(col("event_type") === stepA)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ts_a"))
+    val bs = events
+      .filter(col("event_type") === stepB)
+      .select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+    // the ≥ ts_a condition lives IN the left join, not a post-filter —
+    // a post-filter would drop users whose B events all precede A
+    firstA
+      .join(bs, col("user_id") === col("user_b") && col("ts_b") >= col("ts_a"), "left")
+      .groupBy(col("user_id"), col("ts_a"))
+      .agg(min(col("ts_b")).as("ts_conv"))
+      .select(
+        col("user_id"),
+        date_format(col("ts_a"), "yyyy-MM-dd HH:mm:ss").as("first_a"),
+        date_format(col("ts_conv"), "yyyy-MM-dd HH:mm:ss").as("first_b_after"),
+        (col("ts_conv").isNotNull &&
+          col("ts_conv").cast("long") - col("ts_a").cast("long") <= windowHours * 3600L)
+          .as("converted"))
+  }
+
   /** Batch sessionization — the exact batch twin of
     * [[graft.streaming.Stateful.sessionize]]: a session breaks after
     * `gapMinutes` of inactivity. Classic gaps-and-islands: lag → new-flag

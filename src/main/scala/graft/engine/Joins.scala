@@ -103,4 +103,37 @@ object Joins {
     */
   def copartitionedJoin(left: DataFrame, right: DataFrame, key: String, partitions: Int): DataFrame =
     left.repartition(partitions, col(key)).join(right.repartition(partitions, col(key)), key)
+
+  /** Semi-join with an explicit bloom-filter pre-filter — the manual form
+    * of Catalyst's runtime-filter injection, for when the dim side is too
+    * big to broadcast as a hash table but its KEY SET compresses to a
+    * sketch. The filter is built DISTRIBUTED (Spark's native
+    * `BloomFilterAggregate` combines per-partition bloom buffers); only
+    * the finished ~KB-scale sketch reaches the driver and returns as a
+    * literal, so the fact side drops non-matching rows map-side at scan
+    * speed — before the join shuffle — and the exact semi-join afterwards
+    * removes the sketch's false positives. Net effect at 100 TB: the join
+    * shuffles only rows that (almost certainly) match, instead of the
+    * whole fact table. Result rows are identical to a plain semi-join
+    * (bloom filters have no false negatives).
+    */
+  def bloomPrefilteredSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: Column,
+      expectedDimKeys: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val bf = dim
+      .select(ColumnShim.column(
+        new BloomFilterAggregate(ColumnShim.expression(dimKey), expectedDimKeys)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnShim.column(
+      BloomFilterMightContain(Literal(bf, BinaryType), ColumnShim.expression(factKey)))
+    fact.filter(mightContain).join(dim, factKey === dimKey, "left_semi")
+  }
 }

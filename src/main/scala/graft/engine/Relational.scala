@@ -221,6 +221,102 @@ object Relational {
         s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $mod = 0"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Latest record per key — the CDC/compaction primitive: of all events
+    * for a user, the one with the greatest (ts, event_id). Implemented as
+    * ONE aggregation with `max_by` on a struct ordering key, not a
+    * `row_number` window: the aggregate combines map-side (each partition
+    * contributes one candidate row per key), so only |keys| rows reach the
+    * shuffle — at 100 TB a window would sort the whole corpus within key
+    * partitions; this shape never materializes more than one row per key
+    * per partition. The (ts, event_id) key makes the argmax total even if
+    * two events share a timestamp.
+    */
+  def latestByKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .select(
+        col("user_id"),
+        col("last.event_id").as("event_id"),
+        col("last.ts").as("ts"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+
+  /** Stratified deterministic sampling — the training-mix selector: each
+    * stratum (event_type) keeps rows at its own rate `num/denom`, decided
+    * by an md5-derived hash of the row key (same family as
+    * [[hashModSample]]). Membership is a pure function of (key, stratum
+    * rates): reproducible across runs, engines, and repartitionings, and
+    * evaluated map-side with zero shuffle — rebalancing a 100 TB corpus
+    * (e.g. downweight crawl, upweight code) without a sort, sample-file,
+    * or rand() anywhere.
+    */
+  def stratifiedHashSample(
+      events: DataFrame,
+      strata: Map[String, Int],
+      defaultNum: Int,
+      denom: Int): DataFrame = {
+    val hash =
+      s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $denom"
+    val cases = strata
+      .toSeq.sortBy(_._1)
+      .map { case (t, num) => s"WHEN event_type = '$t' THEN $num" }
+      .mkString(" ")
+    events
+      .filter(expr(s"$hash < CASE $cases ELSE $defaultNum END"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** GROUPING SETS ((status, priority), (status), ()) over orders — the
+    * explicit-sets sibling of rollup/cube (Spark ≥3.4 exposes
+    * `Dataset.groupingSets` natively; one shuffle, the sets expand
+    * map-side via Expand exactly like rollup). Money sums go through
+    * integer cents; `grouping_id` disambiguates real NULLs from subtotal
+    * rows.
+    */
+  def groupingSetsStats(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr(s"sum(${Stages.centsSql("o_totalprice")}) / CAST(100 AS DOUBLE)").as("sum_price"),
+        grouping_id().as("gid"))
+
+  /** Correlation/covariance/stddev of price (floor dollars) vs quantity
+    * per return flag, computed from sufficient statistics: exact BIGINT
+    * sums of (x, y, xy, x², y²) — the one-pass, partially-aggregatable
+    * moment sketch. The built-in `corr`/`covar_samp` accumulate doubles
+    * whose value depends on partition order (non-deterministic across
+    * engines AND across runs); integer moments are exact, and the final
+    * closed-form arithmetic is a fixed IEEE expression tree evaluated
+    * identically everywhere ([[Stages.momentStatsSql]] — the SAME SQL text
+    * runs on Spark and the oracle). At 100 TB this is also the faster
+    * plan: five integer sums, map-combined, one narrow shuffle.
+    */
+  def sufficientStatsCorr(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("x", expr(s"${Stages.centsSql("l_extendedprice")} div 100"))
+      .withColumn("y", expr("CAST(round(l_quantity) AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        Seq(col("l_returnflag"), col("n")) ++
+          Stages.momentStatsSql.map { case (name, sql) => expr(sql).as(name) }: _*)
+
   def approxDistinctCheck(lineitem: DataFrame, tol: Double = 0.05): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))

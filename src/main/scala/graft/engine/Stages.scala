@@ -82,4 +82,30 @@ object Stages {
   /** Convenience: conditional cents expr (`CASE WHEN cond THEN cents END`). */
   def centsWhenSql(cond: String, valueExpr: String): String =
     s"CASE WHEN $cond THEN ${centsSql(valueExpr)} END"
+
+  /** Closed-form moment statistics from exact integer sufficient
+    * statistics `n, sx, sy, sxy, sxx, syy` (column names fixed): mean,
+    * population variance/stddev/covariance and Pearson correlation. Every
+    * fragment is a fixed IEEE expression tree over exactly-represented
+    * integers (each < 2^53), and `+ − × / sqrt` are all correctly-rounded
+    * IEEE ops — so ANY engine evaluating this text produces bit-identical
+    * doubles, unlike built-in `corr`/`covar` whose double accumulation
+    * varies with partition order. Ordered (name → SQL) pairs; the SAME
+    * text runs in Spark `expr` and the DuckDB oracle.
+    */
+  val momentStatsSql: Seq[(String, String)] = {
+    val (n, sx, sy, sxy, sxx, syy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
+    val varY = s"($syy / $n - ($sy / $n) * ($sy / $n))"
+    val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
+    Seq(
+      "mean_x" -> s"$sx / $n",
+      "mean_y" -> s"$sy / $n",
+      "stddev_pop_x" -> s"sqrt($varX)",
+      "stddev_pop_y" -> s"sqrt($varY)",
+      "covar_pop" -> covar,
+      "corr_xy" -> s"$covar / sqrt($varX * $varY)")
+  }
 }

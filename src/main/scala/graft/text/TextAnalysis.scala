@@ -172,6 +172,63 @@ object TextAnalysis {
     * vocabulary; rank is derived afterwards over just the `topN`
     * survivors (constant partition key keeps the window spec non-empty).
     */
+  /** Per-document top-`k` TF-IDF terms. Pipeline: (doc, token) counts →
+    * document frequency per token (one count over the term-doc table,
+    * which already has one row per (doc, token)) → score → per-doc top-k.
+    * Both aggregations combine map-side, the df join is a token-key
+    * equi-join over vocabulary-sized data, and the final top-k is a
+    * partitioned `row_number() <= k` (WindowGroupLimit prunes per
+    * partition before the shuffle).
+    *
+    * Score = tf · (N / df) — the multiplicative idf without the log: a
+    * division and a multiplication over exact integers are single
+    * correctly-rounded IEEE ops, bit-identical in any engine, whereas
+    * `ln` is not correctly rounded and may differ between libm and the
+    * JVM in the last ulp. Monotone in the usual tf·idf for fixed tf, and
+    * fully order-determined with the (score desc, token asc) tie-break.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    val n = documents.count()
+    val td = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    td.join(df, "token")
+      .withColumn(
+        "score",
+        col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Array-function battery over the token array — the lambda/array
+    * surface (sort, distinct, slice, element access, contains, position,
+    * transform+aggregate fold) exercised end to end and scalar-ized for
+    * the oracle. All per-row map-side work on codegen'd builtins.
+    */
+  def arrayFuncs(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .withColumn("toks", toks)
+      .withColumn("sorted_uniq", array_sort(array_distinct(col("toks"))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("sorted_uniq")).cast("long").as("n_uniq"),
+        element_at(col("toks"), 3).as("tok3"),
+        array_join(slice(col("sorted_uniq"), 1, 5), " ").as("first5_uniq"),
+        element_at(col("sorted_uniq"), -1).as("max_tok"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "data").cast("long").as("pos_data"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), _ + _)
+          .as("sum_tok_len"))
+  }
+
   def termFrequency(documents: DataFrame, topN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Joins, Relational, Tables}
+import graft.text.TextAnalysis
+
+/** Round-3 extension operators: CDC latest-by-key, stratified sampling,
+  * grouping sets, sufficient-statistics moments, funnel, bloom-prefiltered
+  * semi-join, TF-IDF, array battery.
+  */
+class ExtensionOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("latestByKey returns exactly one row per user, the (ts, event_id)-max event") {
+    val ev = Tables.events(spark, sfDir)
+    val latest = Relational.latestByKey(ev)
+    assert(latest.count() == ev.select("user_id").distinct().count())
+    // cross-check against the window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = ev
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_id")
+    assert(latest.select("user_id", "event_id").except(viaWindow).isEmpty)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates and is deterministic") {
+    val ev = Tables.events(spark, sfDir)
+    val s1 = Relational.stratifiedHashSample(ev, Map("error" -> 10, "purchase" -> 4), 1, 20)
+    val s2 = Relational.stratifiedHashSample(ev, Map("error" -> 10, "purchase" -> 4), 1, 20)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // pure function of the key
+    val byType = s1.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // error keeps ~10/20, purchase ~4/20, the rest ~1/20 (±50% slack at sf0.001)
+    assert(byType("error").toDouble / totals("error") > 0.25)
+    assert(byType.getOrElse("view", 0L).toDouble / totals("view") < 0.15)
+  }
+
+  test("groupingSetsStats emits leaf, status-subtotal, and grand-total rows") {
+    val gs = Relational.groupingSetsStats(Tables.orders(spark, sfDir)).collect()
+    val gids = gs.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 3L))
+    val grand = gs.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    val leafSum = gs.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n_orders")).sum
+    assert(leafSum == grand.head.getAs[Long]("n_orders"))
+  }
+
+  test("sufficientStatsCorr matches Spark's built-in corr to float tolerance") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ours = Relational.sufficientStatsCorr(li).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr_xy")).toMap
+    val builtin = li
+      .withColumn("x", expr(s"${graft.engine.Stages.centsSql("l_extendedprice")} div 100"))
+      .groupBy("l_returnflag")
+      .agg(corr(col("x").cast("double"), col("l_quantity")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("c")).toMap
+    ours.foreach { case (flag, c) =>
+      assert(math.abs(c - builtin(flag)) < 1e-9, s"corr mismatch for $flag: $c vs ${builtin(flag)}")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("funnel keeps every signup user and orders conversions correctly") {
+    val ev = Tables.events(spark, sfDir)
+    val f = Analytics.funnel(ev, "signup", "purchase", 168)
+    assert(f.count() == ev.filter(col("event_type") === "signup").select("user_id").distinct().count())
+    // converted ⇒ a purchase exists at/after the first signup, within 7 days
+    val bad = f.filter(col("converted") &&
+      (col("first_b_after").isNull || col("first_b_after") < col("first_a")))
+    assert(bad.isEmpty)
+  }
+
+  test("bloomPrefilteredSemiJoin returns exactly the plain semi-join rows") {
+    val li = Tables.lineitem(spark, sfDir)
+    val dim = Tables.supplier(spark, sfDir).filter(col("s_acctbal") >= 5000)
+    val viaBloom = Joins.bloomPrefilteredSemiJoin(li, dim, col("l_suppkey"), col("s_suppkey"), 1000L)
+    val plain = li.join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
+    assert(viaBloom.count() == plain.count())
+    assert(viaBloom.select("l_orderkey", "l_linenumber")
+      .except(plain.select("l_orderkey", "l_linenumber")).isEmpty)
+  }
+
+  test("tfidfTopTerms ranks k terms per doc with df-consistent scores") {
+    val docs = Tables.documents(spark, sfDir)
+    val t = TextAnalysis.tfidfTopTerms(docs, 3)
+    val n = docs.count().toDouble
+    val rows = t.collect()
+    assert(rows.map(_.getAs[Long]("rank")).forall(r => r >= 1 && r <= 3))
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("tf").toDouble * (n / r.getAs[Long]("df").toDouble)
+      assert(r.getAs[Double]("score") == expected)
+    }
+    // every doc with ≥3 distinct tokens gets 3 rows
+    assert(t.groupBy("doc_id").count().filter(col("count") =!= 3).isEmpty)
+  }
+
+  test("arrayFuncs battery is internally consistent") {
+    val a = TextAnalysis.arrayFuncs(Tables.documents(spark, sfDir)).collect()
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_toks"))
+      assert(r.getAs[Long]("sum_tok_len") >= r.getAs[Long]("n_toks")) // every token ≥1 char
+      val pos = r.getAs[Long]("pos_data")
+      assert(pos >= 0 && pos <= r.getAs[Long]("n_toks"))
+    }
+  }
+}
