@@ -157,6 +157,10 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)),
     "q_corr_stats" -> ((s, dir) =>
       Relational.sufficientStatsCorr(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_skew_distinct" -> ((s, dir) =>
+      Relational.skewedDistinct(Tables.events(s, dir)).orderBy("event_type")),
+    "q_heavy_hitters" -> ((s, dir) =>
+      Relational.heavyHittersCheck(Tables.events(s, dir), 10).orderBy("rank")),
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(Tables.events(s, dir), "signup", "purchase", 168).orderBy("user_id")),
     "q_bloom_prefilter" -> ((s, dir) =>
@@ -191,6 +195,8 @@ object SparkEntry {
       TextAnalysis.termFrequency(Tables.documents(s, dir), 20).orderBy("rank")),
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 3).orderBy("doc_id", "rank")),
+    "q_bigram_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, dir), 15).orderBy("rank")),
     "q_array_funcs" -> ((s, dir) =>
       TextAnalysis.arrayFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
     // ---- deduplication ----
@@ -604,6 +610,33 @@ object SparkEntry {
                  $stats
           FROM m ORDER BY l_returnflag"""
     },
+    "q_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_heavy_hitters" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS BIGINT) AS rank,
+                user_id, n, TRUE AS cms_within_tol
+         FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+         ORDER BY n DESC, user_id ASC LIMIT 10""",
+    "q_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM toks),
+         bp AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+         uni AS (SELECT unnest(t) AS w FROM toks),
+         tot AS (SELECT (SELECT count(*) FROM bp) AS nbi, (SELECT count(*) FROM uni) AS nuni),
+         bc AS (SELECT w1, w2, count(*) AS n_ab FROM bp GROUP BY w1, w2),
+         uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+         scored AS (
+           SELECT bc.w1, bc.w2, bc.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+                  (CAST(n_ab AS DOUBLE) / CAST(nbi AS DOUBLE)) /
+                  ((CAST(a.n_w AS DOUBLE) / CAST(nuni AS DOUBLE)) * (CAST(b.n_w AS DOUBLE) / CAST(nuni AS DOUBLE)))
+                    AS pmi_ratio
+           FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w CROSS JOIN tot),
+         ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+                    FROM scored)
+         SELECT rank, w1, w2, n_ab, n_a, n_b, pmi_ratio
+         FROM ranked WHERE rank <= 15 ORDER BY rank""",
     "q_funnel" ->
       """WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events WHERE event_type = 'signup' GROUP BY user_id),
          j AS (SELECT a.user_id, a.ts_a, b.ts AS ts_b

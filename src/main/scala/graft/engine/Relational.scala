@@ -317,6 +317,58 @@ object Relational {
         Seq(col("l_returnflag"), col("n")) ++
           Stages.momentStatsSql.map { case (name, sql) => expr(sql).as(name) }: _*)
 
+  /** Distinct count per (possibly skewed) group key via explicit salted
+    * two-phase aggregation: phase 1 groups by (key, salt-of-user) and
+    * counts distinct users inside each salt bucket; phase 2 sums the
+    * partials. Salting on the DISTINCT key means each user lands in
+    * exactly one bucket per group, so the partial counts add exactly —
+    * and no single task ever holds a hot key's full user set, which is
+    * what OOMs a naive `count(distinct)` when one key owns 10% of a
+    * 100 TB corpus. (Plain sums don't need this — map-side combine
+    * absorbs skew; distinct is the aggregation whose state grows with the
+    * key.)
+    */
+  def skewedDistinct(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .groupBy(col("event_type"), pmod(hash(col("user_id")), lit(salts)).as("salt"))
+      .agg(countDistinct(col("user_id")).as("pd"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pd")).cast("long").as("n_users"), sum(col("pn")).cast("long").as("n_events"))
+
+  /** Heavy hitters, self-validated like [[approxDistinctCheck]]: the
+    * exact top-`k` keys by row count, each flagged if a Count-Min sketch
+    * (`count_min_sketch`, eps ⇒ overcount ≤ eps·N w.p. `confidence`)
+    * estimated its count within 1% of N — a 10× margin over the eps
+    * bound. At 100 TB the exact side is what you drop: the sketch is
+    * fixed-size, merges per-partition, and answers any key's frequency
+    * without a per-key shuffle. Only the finished sketch (a few KB)
+    * reaches the driver.
+    */
+  def heavyHittersCheck(events: DataFrame, k: Int, eps: Double = 0.001): DataFrame = {
+    val total = events.count()
+    val bytes = events
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val est = udf((u: Long) => cms.estimateCount(u))
+    val tol = math.max(1L, (0.01 * total).toLong)
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(lit(1)).orderBy(col("n").desc, col("user_id").asc))
+          .cast("long"))
+      .withColumn(
+        "cms_within_tol",
+        est(col("user_id")) >= col("n") && est(col("user_id")) - col("n") <= lit(tol))
+      .select(col("rank"), col("user_id"), col("n"), col("cms_within_tol"))
+  }
+
   def approxDistinctCheck(lineitem: DataFrame, tol: Double = 0.05): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))

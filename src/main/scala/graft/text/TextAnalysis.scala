@@ -164,6 +164,48 @@ object TextAnalysis {
       col("doc_id"),
       substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fp64"))
 
+  /** Top-`k` collocations by PMI ratio (log-free): for each adjacent
+    * token bigram, `p(ab) / (p(a)·p(b))` with unigram/bigram
+    * probabilities over the whole corpus. Three map-combined counts
+    * (bigram, unigram, and their totals) and two vocabulary-sized
+    * equi-joins — nothing corpus-sized ever joins; the final top-k is a
+    * distributed orderBy+limit. The score skips `ln` deliberately: the
+    * ratio is a fixed tree of correctly-rounded IEEE ops (engine-exact),
+    * `ln` is not, and `ln` is monotone so the ranking is identical.
+    */
+  def bigramPmi(documents: DataFrame, k: Int): DataFrame = {
+    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toksDf.select(
+      explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(
+          element_at(col("t"), i).as("w1"),
+          element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val unigrams = toksDf.select(explode(col("t")).as("w"))
+    val nBi = bigrams.count()
+    val nUni = unigrams.count()
+    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val scoreSql =
+      s"(CAST(n_ab AS DOUBLE) / CAST($nBi AS DOUBLE)) / " +
+        s"((CAST(n_a AS DOUBLE) / CAST($nUni AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST($nUni AS DOUBLE)))"
+    biCounts
+      .join(uniCounts.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uniCounts.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .withColumn("pmi_ratio", expr(scoreSql))
+      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))
+            .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc))
+          .cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("pmi_ratio"))
+  }
+
   /** Corpus-wide term frequency, top `topN` tokens. The groupBy combines
     * map-side, so only (token, partial-count) pairs — vocabulary-sized,
     * not corpus-sized — reach the shuffle. The global top-k is

@@ -101,6 +101,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(t.groupBy("doc_id").count().filter(col("count") =!= 3).isEmpty)
   }
 
+  test("skewedDistinct equals the built-in countDistinct per group") {
+    val ev = Tables.events(spark, sfDir)
+    val salted = Relational.skewedDistinct(ev).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).toMap
+    val plain = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("u"), r.getAs[Long]("n"))).toMap
+    assert(salted == plain)
+  }
+
+  test("heavyHittersCheck ranks exact counts and the CMS stays within tolerance") {
+    val hh = Relational.heavyHittersCheck(Tables.events(spark, sfDir), 10).collect()
+    assert(hh.length == 10)
+    assert(hh.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    assert(hh.sliding(2).forall(p => p(0).getAs[Long]("n") >= p(1).getAs[Long]("n")))
+    assert(hh.forall(_.getAs[Boolean]("cms_within_tol")))
+  }
+
+  test("bigramPmi top pairs have df-consistent counts and ordered scores") {
+    val pmi = TextAnalysis.bigramPmi(Tables.documents(spark, sfDir), 15).collect()
+    assert(pmi.length == 15)
+    assert(pmi.sliding(2).forall(p =>
+      p(0).getAs[Double]("pmi_ratio") >= p(1).getAs[Double]("pmi_ratio")))
+    pmi.foreach { r =>
+      assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_b"))
+      assert(r.getAs[Double]("pmi_ratio") > 0)
+    }
+  }
+
   test("arrayFuncs battery is internally consistent") {
     val a = TextAnalysis.arrayFuncs(Tables.documents(spark, sfDir)).collect()
     a.foreach { r =>
