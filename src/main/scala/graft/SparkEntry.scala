@@ -163,6 +163,8 @@ object SparkEntry {
       Relational.heavyHittersCheck(Tables.events(s, dir), 10).orderBy("rank")),
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(Tables.events(s, dir), "signup", "purchase", 168).orderBy("user_id")),
+    "q_scd2" -> ((s, dir) =>
+      Analytics.scd2(Tables.events(s, dir)).orderBy("user_id", "version")),
     "q_bloom_prefilter" -> ((s, dir) =>
       Joins
         .bloomPrefilteredSemiJoin(
@@ -650,6 +652,16 @@ object SparkEntry {
                  epoch_us(CAST(ts_conv AS TIMESTAMP)) // 1000000 - epoch_us(CAST(ts_a AS TIMESTAMP)) // 1000000 <= 604800)
                   AS converted
          FROM g ORDER BY user_id""",
+    "q_scd2" ->
+      """SELECT user_id, event_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(CAST(lead(ts, 1) OVER w AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_to,
+                (lead(ts, 1) OVER w IS NULL) AS is_current,
+                event_type, value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         ORDER BY user_id, version""",
     "q_bloom_prefilter" ->
       s"""SELECT l_suppkey, count(*) AS n_rows,
                  sum(${Stages.centsSql("l_extendedprice")}) / CAST(100 AS DOUBLE) AS sum_price

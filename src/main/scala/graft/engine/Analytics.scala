@@ -35,6 +35,27 @@ object Analytics {
           .as("moving_sum3"))
   }
 
+  /** SCD2 history build — the warehouse change-tracking twin of
+    * [[graft.engine.Relational.latestByKey]]: every event becomes a
+    * version row with a validity interval `[valid_from, valid_to)` closed
+    * by the NEXT version's timestamp (`lead` over the per-key ordering),
+    * open-ended + flagged current for the latest. One shuffle on the key;
+    * the window never crosses keys, so a 100 TB history build is
+    * embarrassingly parallel per key range.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val next = lead(col("ts"), 1).over(userOrder)
+    events.select(
+      col("user_id"),
+      col("event_id"),
+      row_number().over(userOrder).cast("long").as("version"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+      date_format(next, "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+      next.isNull.as("is_current"),
+      col("event_type"),
+      col("value"))
+  }
+
   /** Two-step conversion funnel per user: first `stepA` event, then the
     * first `stepB` event at-or-after it, and whether the conversion landed
     * within `windowHours`. Two map-combined aggregations and one

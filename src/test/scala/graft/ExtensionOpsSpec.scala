@@ -131,6 +131,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 builds contiguous validity chains with one current row per key") {
+    val h = Analytics.scd2(Tables.events(spark, sfDir))
+    val perUser = h.collect().groupBy(_.getAs[Long]("user_id"))
+    perUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+    }
+  }
+
   test("arrayFuncs battery is internally consistent") {
     val a = TextAnalysis.arrayFuncs(Tables.documents(spark, sfDir)).collect()
     a.foreach { r =>
