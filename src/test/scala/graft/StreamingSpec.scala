@@ -210,6 +210,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$appendDir/t").count() == 4)
   }
 
+  test("Trigger.AvailableNow drains the backlog, stops, and resumes incrementally") {
+    // The batch-catchup trigger: process everything available, then
+    // terminate — re-running against the same checkpoint picks up ONLY
+    // files that arrived since (a scheduled backfill over a 100 TB landing
+    // zone, without a long-lived cluster).
+    val srcDir = tmpDir()
+    val ckpt = tmpDir()
+    val sink = new CollectingSink
+    Seq(ev(1, 0, 5, 10.0), ev(2, 0, 10, 20.0)).toDS().write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, e: Long) => sink.write(b, e, "cat"))
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    }
+    drain()
+    assert(sink.rowsFor("cat").size == 2)
+    Seq(ev(3, 1, 0, 30.0)).toDS().write.mode("append").parquet(srcDir)
+    drain() // same checkpoint: only the new file is processed
+    assert(sink.rowsFor("cat").size == 3)
+  }
+
   test("six-query fan-out: all queries run concurrently off one source") {
     // A replayable source (files, like Kafka in the reference) — MemoryStream
     // truncates on commit and cannot feed six concurrent queries.
