@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Global top-`k` with a rank column, in the shape that scales: the
+    * top-k itself is `orderBy(sort).limit(k)` → TakeOrderedAndProject
+    * (per-partition heaps, driver merges k rows), and the rank is derived
+    * afterwards over just the k survivors under a constant partition key
+    * (a non-empty window spec over k rows — never an unpartitioned
+    * WindowExec over the full input). `sort` must be a total order for
+    * the rank to be deterministic.
+    */
+  def rankedTopK(df: DataFrame, k: Int, sort: org.apache.spark.sql.Column*): DataFrame =
+    df.orderBy(sort: _*)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(sort: _*)).cast("long"))
+
   /** Top-k rows per group by a sort column, deterministic via tie-breaker
     * columns. The `row_number() <= k` shape lets Catalyst's
     * WindowGroupLimit prune per partition before the shuffle.
@@ -158,23 +173,13 @@ object Relational {
       k: Int): DataFrame = {
     val revenueMicros =
       s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-    // Top-k via orderBy+limit → TakeOrderedAndProject (per-partition heaps,
-    // driver merges k rows) — NOT an unpartitioned Window, which would drag
-    // every per-order aggregate through one partition at corpus scale. The
-    // rank is then derived over just the k survivors (constant partition
-    // key keeps the spec non-empty; the window input is k rows by then).
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(customer.filter(col("c_mktsegment") === segment), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("o_orderkey"), col("o_orderpriority"))
-      .agg(expr(s"sum($revenueMicros) / CAST(10000 AS DOUBLE)").as("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey").asc)
-      .limit(k)
-      .withColumn(
-        "rank",
-        row_number()
-          .over(Window.partitionBy(lit(1)).orderBy(col("revenue").desc, col("o_orderkey").asc))
-          .cast("long"))
+    rankedTopK(
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer.filter(col("c_mktsegment") === segment), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(expr(s"sum($revenueMicros) / CAST(10000 AS DOUBLE)").as("revenue")),
+      k, col("revenue").desc, col("o_orderkey").asc)
       .select(col("rank"), col("o_orderkey"), col("o_orderpriority"), col("revenue"))
   }
 
@@ -260,13 +265,15 @@ object Relational {
       defaultNum: Int,
       denom: Int): DataFrame = {
     val hash =
-      s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $denom"
-    val cases = strata
-      .toSeq.sortBy(_._1)
-      .map { case (t, num) => s"WHEN event_type = '$t' THEN $num" }
-      .mkString(" ")
+      expr(s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $denom")
+    // Column-built CASE chain (no string interpolation of stratum names —
+    // a quote in a key must stay a value, never become SQL)
+    val threshold = strata.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultNum)) { case (other, (t, num)) =>
+        when(col("event_type") === lit(t), lit(num)).otherwise(other)
+      }
     events
-      .filter(expr(s"$hash < CASE $cases ELSE $defaultNum END"))
+      .filter(hash < threshold)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
@@ -353,16 +360,9 @@ object Relational {
       .readFrom(new java.io.ByteArrayInputStream(bytes))
     val est = udf((u: Long) => cms.estimateCount(u))
     val tol = math.max(1L, (0.01 * total).toLong)
-    events
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("user_id").asc)
-      .limit(k)
-      .withColumn(
-        "rank",
-        row_number()
-          .over(Window.partitionBy(lit(1)).orderBy(col("n").desc, col("user_id").asc))
-          .cast("long"))
+    rankedTopK(
+      events.groupBy(col("user_id")).agg(count(lit(1)).as("n")),
+      k, col("n").desc, col("user_id").asc)
       .withColumn(
         "cms_within_tol",
         est(col("user_id")) >= col("n") && est(col("user_id")) - col("n") <= lit(tol))

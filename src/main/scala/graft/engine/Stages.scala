@@ -106,6 +106,9 @@ object Stages {
       "stddev_pop_x" -> s"sqrt($varX)",
       "stddev_pop_y" -> s"sqrt($varY)",
       "covar_pop" -> covar,
-      "corr_xy" -> s"$covar / sqrt($varX * $varY)")
+      // zero-variance groups (n=1, or a constant x or y) have undefined
+      // correlation: NULL via a lazy CASE, never a 0/0 division — ANSI
+      // Spark throws DIVIDE_BY_ZERO on doubles where DuckDB yields NaN
+      "corr_xy" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE $covar / sqrt($varX * $varY) END")
   }
 }

@@ -175,45 +175,38 @@ object TextAnalysis {
     */
   def bigramPmi(documents: DataFrame, k: Int): DataFrame = {
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("t"))
-    val bigrams = toksDf.select(
-      explode(transform(
-        sequence(lit(1), size(col("t")) - 1),
-        i => struct(
-          element_at(col("t"), i).as("w1"),
-          element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
+    // size >= 2 guard: on a 1-token doc, sequence(1, size-1) = sequence(1, 0)
+    // counts DOWN ([1, 0]) and element_at(t, 0) / element_at(t, 2) throw
+    // under ANSI — single-token docs simply contribute no bigrams
+    val bigrams = toksDf
+      .filter(size(col("t")) >= 2)
+      .select(
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(
+            element_at(col("t"), i).as("w1"),
+            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val unigrams = toksDf.select(explode(col("t")).as("w"))
-    val nBi = bigrams.count()
-    val nUni = unigrams.count()
-    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-    val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    // One tokenizing pass per n-gram order; the corpus totals come from
+    // the vocabulary-sized count tables (cached — they feed both the
+    // totals and the join), never a second scan of the corpus.
+    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")).cache()
+    val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("n_w")).cache()
+    val nBi = biCounts.agg(sum(col("n_ab"))).head().getLong(0)
+    val nUni = uniCounts.agg(sum(col("n_w"))).head().getLong(0)
     val scoreSql =
       s"(CAST(n_ab AS DOUBLE) / CAST($nBi AS DOUBLE)) / " +
         s"((CAST(n_a AS DOUBLE) / CAST($nUni AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST($nUni AS DOUBLE)))"
-    biCounts
-      .join(uniCounts.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
-      .join(uniCounts.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
-      .withColumn("pmi_ratio", expr(scoreSql))
-      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
-      .limit(k)
-      .withColumn(
-        "rank",
-        row_number()
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(1))
-            .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc))
-          .cast("long"))
+    graft.engine.Relational.rankedTopK(
+      biCounts
+        .join(uniCounts.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+        .join(uniCounts.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+        .withColumn("pmi_ratio", expr(scoreSql)),
+      k, col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
       .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("pmi_ratio"))
   }
 
-  /** Corpus-wide term frequency, top `topN` tokens. The groupBy combines
-    * map-side, so only (token, partial-count) pairs — vocabulary-sized,
-    * not corpus-sized — reach the shuffle. The global top-k is
-    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, driver
-    * merges `topN` rows), never an unpartitioned Window over the full
-    * vocabulary; rank is derived afterwards over just the `topN`
-    * survivors (constant partition key keeps the window spec non-empty).
-    */
   /** Per-document top-`k` TF-IDF terms. Pipeline: (doc, token) counts →
     * document frequency per token (one count over the term-doc table,
     * which already has one row per (doc, token)) → score → per-doc top-k.
@@ -262,7 +255,9 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
         size(col("sorted_uniq")).cast("long").as("n_uniq"),
-        element_at(col("toks"), 3).as("tok3"),
+        // try_: NULL for a <3-token doc, like the oracle's toks[3] —
+        // plain element_at throws out-of-bounds under ANSI
+        try_element_at(col("toks"), lit(3)).as("tok3"),
         array_join(slice(col("sorted_uniq"), 1, 5), " ").as("first5_uniq"),
         element_at(col("sorted_uniq"), -1).as("max_tok"),
         array_contains(col("toks"), "the").as("has_the"),
@@ -271,17 +266,18 @@ object TextAnalysis {
           .as("sum_tok_len"))
   }
 
-  def termFrequency(documents: DataFrame, topN: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-      .orderBy(col("n").desc, col("token").asc)
-    documents
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(topN)
-      .withColumn("rank", row_number().over(w).cast("long"))
+  /** Corpus-wide term frequency, top `topN` tokens. The groupBy combines
+    * map-side, so only (token, partial-count) pairs — vocabulary-sized,
+    * not corpus-sized — reach the shuffle; the global top-k is
+    * [[graft.engine.Relational.rankedTopK]] (TakeOrderedAndProject, rank
+    * over the survivors only).
+    */
+  def termFrequency(documents: DataFrame, topN: Int): DataFrame =
+    graft.engine.Relational.rankedTopK(
+      documents
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")),
+      topN, col("n").desc, col("token").asc)
       .select(col("rank"), col("token"), col("n"))
-  }
 }

@@ -147,6 +147,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: 1-token docs, <3-token docs, zero-variance groups") {
+    import spark.implicits._
+    val tiny = Seq((1L, "solo"), (2L, "just two"), (3L, "a a b c")).toDF("doc_id", "text")
+    // single-token docs contribute no bigrams and must not throw (ANSI)
+    val pmi = TextAnalysis.bigramPmi(tiny, 10).collect()
+    assert(pmi.nonEmpty && pmi.forall(_.getAs[Long]("n_ab") >= 1))
+    // <3-token docs yield NULL tok3, like the oracle's list index
+    val af = TextAnalysis.arrayFuncs(tiny).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(af(1L).isNullAt(af(1L).fieldIndex("tok3")))
+    assert(af(3L).getAs[String]("tok3") == "b")
+    // a zero-variance group gets NULL correlation, not DIVIDE_BY_ZERO
+    val li = Seq(("A", 10.0, 5.0), ("B", 10.0, 1.0), ("B", 20.0, 2.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val corr = Relational.sufficientStatsCorr(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(corr("A").isNullAt(corr("A").fieldIndex("corr_xy")))
+    assert(math.abs(corr("B").getAs[Double]("corr_xy") - 1.0) < 1e-12)
+  }
+
   test("arrayFuncs battery is internally consistent") {
     val a = TextAnalysis.arrayFuncs(Tables.documents(spark, sfDir)).collect()
     a.foreach { r =>
