@@ -165,6 +165,12 @@ object SparkEntry {
       Analytics.funnel(Tables.events(s, dir), "signup", "purchase", 168).orderBy("user_id")),
     "q_scd2" -> ((s, dir) =>
       Analytics.scd2(Tables.events(s, dir)).orderBy("user_id", "version")),
+    "q_transitions" -> ((s, dir) =>
+      Analytics.transitionsTopK(Tables.events(s, dir), 15).orderBy("rank")),
+    "q_gap_fill" -> ((s, dir) =>
+      Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
+    "q_retention" -> ((s, dir) =>
+      Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
     "q_bloom_prefilter" -> ((s, dir) =>
       Joins
         .bloomPrefilteredSemiJoin(
@@ -652,6 +658,34 @@ object SparkEntry {
                  epoch_us(CAST(ts_conv AS TIMESTAMP)) // 1000000 - epoch_us(CAST(ts_a AS TIMESTAMP)) // 1000000 <= 604800)
                   AS converted
          FROM g ORDER BY user_id""",
+    "q_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS curr_type,
+                  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+           FROM events),
+         counts AS (
+           SELECT prev_type, curr_type, count(*) AS n FROM seq
+           WHERE prev_type IS NOT NULL GROUP BY prev_type, curr_type),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY n DESC, prev_type ASC, curr_type ASC) AS BIGINT) AS rank
+           FROM counts)
+         SELECT rank, prev_type, curr_type, n FROM ranked WHERE rank <= 15 ORDER BY rank""",
+    "q_gap_fill" ->
+      """WITH c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch, count(*) AS n_raw
+                    FROM events GROUP BY 1),
+         r AS (SELECT min(hour_epoch) AS h0, max(hour_epoch) AS h1 FROM c),
+         hours AS (SELECT unnest(generate_series(h0, h1)) AS hour_epoch FROM r)
+         SELECT hours.hour_epoch, hours.hour_epoch * 3600 AS hour_start_epoch,
+                coalesce(n_raw, 0) AS n
+         FROM hours LEFT JOIN c ON hours.hour_epoch = c.hour_epoch
+         ORDER BY hours.hour_epoch""",
+    "q_retention" ->
+      """WITH d AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS act_day FROM events),
+         firsts AS (SELECT user_id, min(act_day) AS cohort_day FROM d GROUP BY user_id),
+         j AS (SELECT d.user_id, firsts.cohort_day, (d.act_day - firsts.cohort_day) // 7 AS week_offset
+               FROM d JOIN firsts ON d.user_id = firsts.user_id)
+         SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
+         FROM j GROUP BY cohort_day, week_offset ORDER BY cohort_day, week_offset""",
     "q_scd2" ->
       """SELECT user_id, event_id,
                 CAST(row_number() OVER w AS BIGINT) AS version,

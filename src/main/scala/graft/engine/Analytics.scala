@@ -35,6 +35,72 @@ object Analytics {
           .as("moving_sum3"))
   }
 
+  /** Top-`k` event-type transitions — the Markov/bigram mining pass over
+    * behavioral sequences: per user, each event pairs with its
+    * predecessor (`lag` over the per-key ordering), transition pairs are
+    * counted corpus-wide, and the top-k comes from
+    * [[Relational.rankedTopK]]. One shuffle on the key for the lag, one
+    * map-combined count whose cardinality is |event types|² — at 100 TB
+    * the transition matrix is tiny no matter how big the log is.
+    */
+  def transitionsTopK(events: DataFrame, k: Int): DataFrame =
+    Relational.rankedTopK(
+      events
+        .select(
+          col("event_type").as("curr_type"),
+          lag(col("event_type"), 1).over(userOrder).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("curr_type"))
+        .agg(count(lit(1)).as("n")),
+      k, col("n").desc, col("prev_type").asc, col("curr_type").asc)
+      .select(col("rank"), col("prev_type"), col("curr_type"), col("n"))
+
+  /** Zero-filled hourly series: event counts per hour with every hour of
+    * the observed range present, gap hours at n=0. The hour dimension is
+    * GENERATED in-plan (`sequence` over the min..max epoch-hour from one
+    * tiny aggregate) and right-joined to the map-combined hourly counts —
+    * no driver-side range discovery, no calendar UDF, and the time key
+    * stays integer epoch-hours (timezone-free, engine-exact). The
+    * standard dashboard/gap-fill shape: at 100 TB the counts side is
+    * hours-sized after partial aggregation, the dimension side is
+    * hours-sized by construction.
+    */
+  def gapFilledHourly(events: DataFrame): DataFrame = {
+    val hourEpoch = expr("cast(ts as long) div 3600")
+    val counts = events
+      .groupBy(hourEpoch.as("hour_epoch"))
+      .agg(count(lit(1)).as("n_raw"))
+    val hours = events
+      .agg(min(hourEpoch).as("h0"), max(hourEpoch).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour_epoch"))
+    hours
+      .join(counts, Seq("hour_epoch"), "left")
+      .select(
+        col("hour_epoch"),
+        (col("hour_epoch") * 3600).as("hour_start_epoch"),
+        coalesce(col("n_raw"), lit(0L)).as("n"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day, counted
+    * distinct per (cohort, whole weeks since cohort). All time math is
+    * integer epoch-day arithmetic — no date formatting, no timezone.
+    * Two map-combined aggregations and one key equi-join (per-user rows
+    * meet per-user firsts); the output is |cohorts|×|offsets|-sized.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val day = expr("cast(ts as long) div 86400")
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(min(day).as("cohort_day"))
+    events
+      .select(col("user_id"), day.as("act_day"))
+      .join(firsts, "user_id")
+      .groupBy(
+        col("cohort_day"),
+        expr("(act_day - cohort_day) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** SCD2 history build — the warehouse change-tracking twin of
     * [[graft.engine.Relational.latestByKey]]: every event becomes a
     * version row with a validity interval `[valid_from, valid_to)` closed

@@ -147,6 +147,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transitionsTopK counts every in-sequence pair exactly once") {
+    val ev = Tables.events(spark, sfDir)
+    val t = Analytics.transitionsTopK(ev, 1000) // k > |types|² → full matrix
+    val totalTransitions = t.agg(sum(col("n"))).head().getLong(0)
+    val expected = ev.count() - ev.select("user_id").distinct().count() // n-1 per user
+    assert(totalTransitions == expected)
+  }
+
+  test("gapFilledHourly covers the full hour range with zero-filled gaps") {
+    val g = Analytics.gapFilledHourly(Tables.events(spark, sfDir)).collect()
+    val hours = g.map(_.getAs[Long]("hour_epoch"))
+    assert(hours.max - hours.min + 1 == hours.length, "missing hours in gap-filled series")
+    assert(g.map(_.getAs[Long]("n")).sum == Tables.events(spark, sfDir).count())
+    g.foreach(r => assert(r.getAs[Long]("hour_start_epoch") == r.getAs[Long]("hour_epoch") * 3600))
+  }
+
+  test("retentionCohorts: week-0 cohort sizes sum to the distinct user count") {
+    val ev = Tables.events(spark, sfDir)
+    val r = Analytics.retentionCohorts(ev)
+    val week0Users = r.filter(col("week_offset") === 0).agg(sum(col("n_users"))).head().getLong(0)
+    assert(week0Users == ev.select("user_id").distinct().count()) // everyone is active in their own first week
+    assert(r.filter(col("week_offset") < 0).isEmpty)
+  }
+
   test("degenerate inputs: 1-token docs, <3-token docs, zero-variance groups") {
     import spark.implicits._
     val tiny = Seq((1L, "solo"), (2L, "just two"), (3L, "a a b c")).toDF("doc_id", "text")
