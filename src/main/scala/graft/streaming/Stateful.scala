@@ -89,6 +89,35 @@ object Stateful {
   def dedupByKey(events: DataFrame, watermarkDelay: String = "60 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark("event_id")
 
+  case class KeyedEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class LatestState(event_id: Long, ts: Long, event_type: String, value: Double)
+
+  /** Streaming latest-state-per-key — the CDC materialization twin of
+    * [[graft.engine.Relational.latestByKey]]: every micro-batch emits the
+    * NEW current row for each key that changed (update-log semantics; a
+    * downstream upsert sink applies it). `mapGroupsWithState` keeps one
+    * fixed-size record per key — state scales with |keys|, never with the
+    * event volume — and ties break on (ts, event_id) exactly like the
+    * batch twin, so replaying the log converges to the same table.
+    */
+  def latestByKeyStream(spark: SparkSession, events: DataFrame): Dataset[KeyedEvent] = {
+    import spark.implicits._
+    def update(
+        key: Long,
+        rows: Iterator[KeyedEvent],
+        state: GroupState[LatestState]): KeyedEvent = {
+      val best = (state.getOption.map(s => KeyedEvent(key, s.event_id, new Timestamp(s.ts), s.event_type, s.value)).iterator ++ rows)
+        .maxBy(e => (e.ts.getTime, e.event_id))
+      state.update(LatestState(best.event_id, best.ts.getTime, best.event_type, best.value))
+      best
+    }
+    events
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[KeyedEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream–stream interval join (the reference stops at stream–static;
     * this is the full-streaming extension): follow-up events by the same
     * user strictly within `windowSeconds` of an anchor. Both sides carry

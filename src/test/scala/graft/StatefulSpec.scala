@@ -52,6 +52,35 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestByKeyStream emits the running (ts, event_id)-max per key, surviving late data") {
+    val input = MemoryStream[Ev]
+    val latest = Stateful.latestByKeyStream(spark, input.toDF())
+    val q = latest.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("latest_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(ev(1, 1, "2024-01-01 00:00:00", 10.0), ev(2, 1, "2024-01-01 01:00:00", 20.0))
+      q.processAllAvailable()
+      def currentOf(uid: Long): Stateful.KeyedEvent =
+        spark.table("latest_out").as[Stateful.KeyedEvent].collect()
+          .filter(_.user_id == uid).last
+      assert(currentOf(1L).event_id == 2L)
+
+      // a LATE event (older ts) must not displace the state
+      input.addData(ev(3, 1, "2024-01-01 00:30:00", 5.0))
+      q.processAllAvailable()
+      assert(currentOf(1L).event_id == 2L, "late event displaced the newer state")
+
+      // a genuinely newer event does
+      input.addData(ev(4, 1, "2024-01-01 02:00:00", 7.0))
+      q.processAllAvailable()
+      assert(currentOf(1L).event_id == 4L)
+    } finally q.stop()
+  }
+
   test("dedupByKey suppresses duplicate event_ids within the watermark") {
     val input = MemoryStream[Ev]
     val deduped = Stateful.dedupByKey(input.toDF())
