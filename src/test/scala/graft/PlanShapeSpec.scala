@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Joins, Relational, Tables}
+import graft.text.TextAnalysis
+
+/** Physical-plan regression tests: the scale-critical properties the
+  * round-3 operators were designed around, pinned so a refactor can't
+  * silently lose them (a wrong-but-correct plan passes every value
+  * check; only the plan text shows the 100 TB story).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("bloom prefilter evaluates might_contain under the scan, before the semi-join") {
+    val p = plan(Joins.bloomPrefilteredSemiJoin(
+      Tables.lineitem(spark, sfDir),
+      Tables.supplier(spark, sfDir).filter(col("s_acctbal") >= 5000),
+      col("l_suppkey"), col("s_suppkey"), 1000L))
+    assert(p.contains("might_contain"), p)
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(joinAt >= 0 && joinAt < filterAt,
+      "semi-join must sit ABOVE the bloom filter in the operator tree (filter runs first)")
+  }
+
+  test("latestByKey partial-aggregates max_by before the exchange") {
+    val p = plan(Relational.latestByKey(Tables.events(spark, sfDir)))
+    // two aggregate layers (partial below the shuffle, final above)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("max_by"), p)
+  }
+
+  test("global top-k queries use TakeOrderedAndProject, not a full-input window") {
+    Seq(
+      Analytics.transitionsTopK(Tables.events(spark, sfDir), 15),
+      TextAnalysis.termFrequency(Tables.documents(spark, sfDir), 20),
+      Relational.starRevenueTopK(
+        Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+        Tables.lineitem(spark, sfDir), "BUILDING", 10)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), p)
+    }
+  }
+
+  test("per-group top-k gets WindowGroupLimit rank pushdown") {
+    val p = plan(TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir), 3))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("stratified sample is a scan-stage filter: no shuffle, no join") {
+    val p = plan(Relational.stratifiedHashSample(
+      Tables.events(spark, sfDir), Map("error" -> 10, "purchase" -> 4), 1, 20))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+  }
+
+  test("skewedDistinct plans the three-layer salted aggregation") {
+    val p = plan(Relational.skewedDistinct(Tables.events(spark, sfDir)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      s"expected (key,salt) then (key) exchanges:\n$p")
+  }
+}
