@@ -229,6 +229,8 @@ object SparkEntry {
       Similarity.lshMultiProbeTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), 0.3).orderBy("vec_a", "vec_b")),
     // ---- multimodal binary columns ----
@@ -343,6 +345,45 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
          FROM pairs)
        SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB PQ pipeline, generated: per-subspace argmin codes over the
+    * deterministic codebook literals (`s·s − 2·s·c + c·c`, first match on
+    * ties — the identical expansion the native NearestCentroid kernel
+    * computes), per-query distance tables, ADC sum in fixed subspace
+    * order — the same contract as [[graft.similarity.Similarity.pqTopK]].
+    */
+  private def duckAnnPqSql(numQueries: Int, k: Int, m: Int, codebookSize: Int): String = {
+    val subDim = 64 / m
+    val books = graft.similarity.Similarity.pqCodebooks(m, codebookSize, subDim)
+    def subVec(j: Int) = s"v[${j * subDim + 1}:${(j + 1) * subDim}]"
+    val distLists = (0 until m).map { j =>
+      books(j)
+        .map { c =>
+          val lit = c.map(_.toString).mkString("[", ", ", "]")
+          s"list_dot_product(${subVec(j)}, ${subVec(j)}) - 2.0*list_dot_product(${subVec(j)}, $lit) + ${c.map(x => x * x).sum}"
+        }
+        .mkString("[", ", ", "]")
+    }
+    val codeExprs = (0 until m)
+      .map(j => s"list_position(d$j, list_min(d$j)) - 1")
+      .mkString("[", ", ", "]")
+    val dCols = (0 until m).map(j => s"${distLists(j)} AS d$j").mkString(", ")
+    val tabCols = (0 until m).map(j => s"d$j AS tab$j").mkString(", ")
+    val adc = (0 until m).map(j => s"q.tab$j[c.codes[${j + 1}] + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       d AS (SELECT vec_id, $dCols FROM e),
+       c AS (SELECT vec_id, $codeExprs AS codes FROM d),
+       q AS (SELECT vec_id AS qid, $tabCols FROM d WHERE vec_id < $numQueries),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid, round($adc, 3) AS approx_dist
+         FROM q JOIN c ON c.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, approx_dist,
+                row_number() OVER (PARTITION BY qid ORDER BY approx_dist ASC, nid ASC) AS rank
+         FROM pairs)
+       SELECT qid, CAST(rank AS BIGINT) AS rank, nid, approx_dist
+       FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
   }
 
   private def duckStopwordHits(listName: String): String = {
@@ -877,6 +918,7 @@ object SparkEntry {
     "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),
     "q_ann_lsh_mp" -> duckAnnLshSql(10, 5, 4, multiProbe = true),
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
+    "q_ann_pq" -> duckAnnPqSql(10, 5, 8, 16),
     "q_term_freq" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
          g AS (SELECT token, count(*) AS n FROM t GROUP BY token),

@@ -237,6 +237,77 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
+  /** Deterministic PQ sub-codebooks (same fixed LCG family as [[planes]]
+    * and [[centroids]], third seed): `m` subspaces × `k` centroids of
+    * `subDim` dims. At 100 TB these come from per-subspace k-means over a
+    * sample; the encode/search shapes below are identical either way.
+    */
+  def pqCodebooks(m: Int, k: Int, subDim: Int): Seq[Seq[Array[Double]]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(m)(Seq.fill(k)(Array.fill(subDim)(next())))
+  }
+
+  /** Product-quantization ANN (encode + asymmetric-distance search, the
+    * billion-scale memory-compression layout): each corpus vector is
+    * encoded ONCE, map-side, as `m` nibble codes (nearest sub-centroid
+    * per subspace — 64 floats become 8 small ints); each query builds an
+    * `m`×`k` distance table and scores candidates by `m` table lookups
+    * instead of a 64-dim dot product. The corpus never ships vectors to
+    * the search — only codes — which is the point at scale: the encoded
+    * corpus is ~32× smaller and the scan is cache-resident.
+    *
+    * Determinism: sub-distances expand as `s·s − 2·s·c + c·c` (the same
+    * three dot products any engine computes), the ADC sum adds the `m`
+    * lookups in fixed subspace order, and ranking uses the mil-rounded
+    * distance with id tie-break — all mirrored textually in the oracle.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    val dim = 64
+    val subDim = dim / m
+    val books = pqCodebooks(m, codebookSize, subDim)
+    val emb = embeddings.withColumn("v", asDouble(col("embedding")))
+    // corpus → codes (map-side; the only thing the search ever scans)
+    val codes = emb.select(
+      col("vec_id"),
+      array((0 until m).map(j =>
+        graft.functions.VectorFunctions
+          .nearestCentroid(slice(col("v"), j * subDim + 1, subDim), books(j))): _*).as("codes"))
+    // queries → per-subspace distance tables (m × codebookSize doubles per query)
+    val qTabCols = (0 until m).map { j =>
+      val sub = slice(col("v"), j * subDim + 1, subDim)
+      array(books(j).map { c =>
+        val cLit = typedLit(c.toSeq)
+        dot(sub, sub) - lit(2.0) * dot(sub, cLit) + lit(c.map(x => x * x).sum)
+      }: _*).as(s"tab$j")
+    }
+    val q = emb
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid") +: qTabCols: _*)
+    // ADC: m table lookups summed in fixed subspace order
+    val adc = (0 until m)
+      .map(j => element_at(col(s"tab$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val pairs = codes
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), round(adc, 3).as("approx_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("approx_dist").asc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("approx_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`
     * (the fixture's cluster id): pairs within a block with similarity ≥
     * `minCos`. At scale the block key comes from a coarse quantizer; the

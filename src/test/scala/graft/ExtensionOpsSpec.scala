@@ -190,6 +190,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(math.abs(corr("B").getAs[Double]("corr_xy") - 1.0) < 1e-12)
   }
 
+  test("pqTopK: k ranked neighbors per query with ascending ADC distances") {
+    val pq = graft.similarity.Similarity.pqTopK(Tables.embeddings(spark, sfDir), 10, 5).collect()
+    val perQ = pq.groupBy(_.getAs[Long]("qid"))
+    assert(perQ.size == 10)
+    perQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      assert(sorted.sliding(2).forall(p =>
+        p(0).getAs[Double]("approx_dist") <= p(1).getAs[Double]("approx_dist")))
+    }
+    // encode really is m small codes per vector
+    val books = graft.similarity.Similarity.pqCodebooks(8, 16, 8)
+    assert(books.length == 8 && books.forall(_.length == 16))
+  }
+
   test("arrayFuncs battery is internally consistent") {
     val a = TextAnalysis.arrayFuncs(Tables.documents(spark, sfDir)).collect()
     a.foreach { r =>
