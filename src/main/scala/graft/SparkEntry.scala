@@ -231,6 +231,8 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), 0.3).orderBy("vec_a", "vec_b")),
     // ---- multimodal binary columns ----
@@ -378,6 +380,53 @@ object SparkEntry {
        pairs AS (
          SELECT q.qid, c.vec_id AS nid, round($adc, 3) AS approx_dist
          FROM q JOIN c ON c.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, approx_dist,
+                row_number() OVER (PARTITION BY qid ORDER BY approx_dist ASC, nid ASC) AS rank
+         FROM pairs)
+       SELECT qid, CAST(rank AS BIGINT) AS rank, nid, approx_dist
+       FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB IVF+PQ, generated: [[duckAnnIvfSql]]'s coarse-cell assignment
+    * joined with [[duckAnnPqSql]]'s codes and ADC scoring.
+    */
+  private def duckAnnIvfPqSql(
+      numQueries: Int, k: Int, numCells: Int, m: Int, codebookSize: Int): String = {
+    val subDim = 64 / m
+    val books = graft.similarity.Similarity.pqCodebooks(m, codebookSize, subDim)
+    val cs = graft.similarity.Similarity.centroids(numCells, 64)
+    val cellDists = cs
+      .map { c =>
+        val lit = c.map(_.toString).mkString("[", ", ", "]")
+        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
+      }
+      .mkString("[", ", ", "]")
+    def subVec(j: Int) = s"v[${j * subDim + 1}:${(j + 1) * subDim}]"
+    val distLists = (0 until m).map { j =>
+      books(j)
+        .map { c =>
+          val lit = c.map(_.toString).mkString("[", ", ", "]")
+          s"list_dot_product(${subVec(j)}, ${subVec(j)}) - 2.0*list_dot_product(${subVec(j)}, $lit) + ${c.map(x => x * x).sum}"
+        }
+        .mkString("[", ", ", "]")
+    }
+    val codeExprs = (0 until m)
+      .map(j => s"list_position(d$j, list_min(d$j)) - 1")
+      .mkString("[", ", ", "]")
+    val dCols = (0 until m).map(j => s"${distLists(j)} AS d$j").mkString(", ")
+    val tabCols = (0 until m).map(j => s"d$j AS tab$j").mkString(", ")
+    val adc = (0 until m).map(j => s"q.tab$j[c.codes[${j + 1}] + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+       celled AS (SELECT vec_id, v, list_position(cd, list_min(cd)) - 1 AS cell
+                  FROM (SELECT vec_id, v, $cellDists AS cd FROM e2)),
+       d AS (SELECT vec_id, cell, $dCols FROM celled),
+       c AS (SELECT vec_id, cell, $codeExprs AS codes FROM d),
+       q AS (SELECT vec_id AS qid, cell AS qcell, $tabCols FROM d WHERE vec_id < $numQueries),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid, round($adc, 3) AS approx_dist
+         FROM q JOIN c ON c.cell = q.qcell AND c.vec_id <> q.qid),
        ranked AS (
          SELECT qid, nid, approx_dist,
                 row_number() OVER (PARTITION BY qid ORDER BY approx_dist ASC, nid ASC) AS rank
@@ -919,6 +968,7 @@ object SparkEntry {
     "q_ann_lsh_mp" -> duckAnnLshSql(10, 5, 4, multiProbe = true),
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
     "q_ann_pq" -> duckAnnPqSql(10, 5, 8, 16),
+    "q_ann_ivfpq" -> duckAnnIvfPqSql(10, 5, 8, 8, 16),
     "q_term_freq" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
          g AS (SELECT token, count(*) AS n FROM t GROUP BY token),

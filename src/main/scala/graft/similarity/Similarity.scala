@@ -308,6 +308,58 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("approx_dist"))
   }
 
+  /** IVF+PQ — the composed billion-scale ANN layout (FAISS's IVFPQ):
+    * candidates come from the query's coarse IVF cell (inverted-list
+    * equi-join, corpus touched ∝ 1/cells) and are scored by PQ
+    * asymmetric distance over their nibble codes (corpus stays ~32×
+    * compressed; no vector ever ships to the search). Exactly
+    * [[ivfTopK]]'s candidate shape with [[pqTopK]]'s scoring — at 100 TB
+    * the inverted lists partition by cell and each query's work is one
+    * cell's codes.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      numCells: Int = 8,
+      m: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    val dim = 64
+    val subDim = dim / m
+    val books = pqCodebooks(m, codebookSize, subDim)
+    val cs = centroids(numCells, dim)
+    val emb = embeddings.withColumn("v", asDouble(col("embedding")))
+    val encoded = emb.select(
+      col("vec_id"),
+      cellId(col("v"), cs).as("cell"),
+      array((0 until m).map(j =>
+        graft.functions.VectorFunctions
+          .nearestCentroid(slice(col("v"), j * subDim + 1, subDim), books(j))): _*).as("codes"))
+    val qTabCols = (0 until m).map { j =>
+      val sub = slice(col("v"), j * subDim + 1, subDim)
+      array(books(j).map { c =>
+        val cLit = typedLit(c.toSeq)
+        dot(sub, sub) - lit(2.0) * dot(sub, cLit) + lit(c.map(x => x * x).sum)
+      }: _*).as(s"tab$j")
+    }
+    val q = emb
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid") +: cellId(col("v"), cs).as("qcell") +: qTabCols: _*)
+    val adc = (0 until m)
+      .map(j => element_at(col(s"tab$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val pairs = encoded
+      .join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), round(adc, 3).as("approx_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("approx_dist").asc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("approx_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`
     * (the fixture's cluster id): pairs within a block with similarity ≥
     * `minCos`. At scale the block key comes from a coarse quantizer; the

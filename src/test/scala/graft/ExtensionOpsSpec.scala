@@ -205,6 +205,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(books.length == 8 && books.forall(_.length == 16))
   }
 
+  test("ivfPqTopK only scores candidates in the query's coarse cell") {
+    import graft.similarity.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val cellOf = e.select(
+      col("vec_id"),
+      Similarity.cellId(col("embedding").cast("array<double>"), Similarity.centroids(8, 64)).as("cell"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val rows = Similarity.ivfPqTopK(e, 10, 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(cellOf(r.getAs[Long]("qid")) == cellOf(r.getAs[Long]("nid")),
+        s"neighbor outside the query's cell: $r")
+    }
+  }
+
   test("arrayFuncs battery is internally consistent") {
     val a = TextAnalysis.arrayFuncs(Tables.documents(spark, sfDir)).collect()
     a.foreach { r =>
