@@ -236,6 +236,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.rowsFor("cat").size == 3)
   }
 
+  test("batch stages run unchanged on a stream: stratified sample matches its batch twin") {
+    // The engine contract: operators are pure DataFrame => DataFrame
+    // stages, so a map-side stage (deterministic hash sampling here)
+    // composes into readStream without modification and selects exactly
+    // the rows its batch twin selects on the same data.
+    val input = MemoryStream[Ev]
+    val strata = Map("purchase" -> 10)
+    val sampled = graft.engine.Relational
+      .stratifiedHashSample(input.toDF(), strata, 1, 20)
+    val q = sampled.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_sample")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      val events = (1L to 200L).map(i =>
+        ev(i, (i % 24).toInt, (i % 60).toInt, i.toDouble, if (i % 2 == 0) "purchase" else "view"))
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sample").collect().map(_.getAs[Long]("event_id")).sorted
+      val batch = graft.engine.Relational
+        .stratifiedHashSample(events.toDF(), strata, 1, 20)
+        .collect().map(_.getAs[Long]("event_id")).sorted
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("six-query fan-out: all queries run concurrently off one source") {
     // A replayable source (files, like Kafka in the reference) — MemoryStream
     // truncates on commit and cannot feed six concurrent queries.
