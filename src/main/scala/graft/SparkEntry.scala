@@ -207,9 +207,21 @@ object SparkEntry {
       TextAnalysis.bigramPmi(Tables.documents(s, dir), 15).orderBy("rank")),
     "q_array_funcs" -> ((s, dir) =>
       TextAnalysis.arrayFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_zscore" -> ((s, dir) =>
+      Relational.zscoreNormalize(Tables.lineitem(s, dir)).orderBy("l_orderkey", "l_linenumber")),
+    "q_range_window" -> ((s, dir) =>
+      Analytics.timeRangeWindow(Tables.events(s, dir)).orderBy("user_id", "event_id")),
+    "q_fuzzy_match" -> ((s, dir) =>
+      Joins.fuzzyBlockedMatch(Tables.customer(s, dir), 2).orderBy("cust_a", "cust_b")),
     // ---- deduplication ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_md5")),
+    "q_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), 50, 5).orderBy("doc_id")),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir), 0.5).orderBy("doc_id")),
     "q_dedup_corpus" -> ((s, dir) =>
@@ -233,6 +245,12 @@ object SparkEntry {
       Similarity.pqTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_ann_ivf2" -> ((s, dir) =>
+      Similarity.ivfProbe2TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupSummary(Tables.embeddings(s, dir), 0.3).orderBy("label")),
     "q_embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), 0.3).orderBy("vec_a", "vec_b")),
     // ---- multimodal binary columns ----
@@ -433,6 +451,70 @@ object SparkEntry {
          FROM pairs)
        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, approx_dist
        FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB n-gram shingle list (distinct, space-joined), mirroring
+    * [[graft.text.Dedup]]'s `shinglesFromToks` for arbitrary n.
+    */
+  private def duckShinglesN(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+${n - 1}], ' ')))"
+
+  /** DuckDB SQ8 ANN, generated: the [-1,1] fixed-range quantizer, integer
+    * squared-L2 via the same `cc − 2·q·c + qq` expansion as the Spark
+    * side — every score is an exact integer.
+    */
+  private def duckAnnSq8Sql(numQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id,
+               list_transform(v, x -> least(255, greatest(0, CAST(round((x + 1.0) / 2.0 * 255.0) AS BIGINT))))::DOUBLE[] AS cd
+             FROM e),
+       cc AS (SELECT vec_id, cd, list_dot_product(cd, cd) AS cc FROM c),
+       q AS (SELECT vec_id AS qid, cd AS qd, cc AS qq FROM cc WHERE vec_id < $numQueries),
+       pairs AS (
+         SELECT q.qid, c2.vec_id AS nid,
+                CAST(c2.cc - 2.0 * list_dot_product(q.qd, c2.cd) + q.qq AS BIGINT) AS sq_dist
+         FROM q JOIN cc c2 ON c2.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, sq_dist,
+                row_number() OVER (PARTITION BY qid ORDER BY sq_dist ASC, nid ASC) AS rank
+         FROM pairs)
+       SELECT qid, CAST(rank AS BIGINT) AS rank, nid, sq_dist
+       FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** DuckDB IVF nprobe=2, generated: [[duckAnnIvfSql]]'s cell assignment
+    * plus a second probe cell from re-argmin after masking the minimum
+    * distance to +∞ (the same value-mask expression the Spark side uses).
+    */
+  private def duckAnnIvf2Sql(numQueries: Int, k: Int, numCells: Int): String = {
+    val cs = graft.similarity.Similarity.centroids(numCells, 64)
+    val dists = cs
+      .map { c =>
+        val lit = c.map(_.toString).mkString("[", ", ", "]")
+        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
+      }
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+       d AS (SELECT vec_id, v, $dists AS dists FROM e2),
+       b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell FROM d),
+       qm AS (SELECT vec_id, v, dists,
+                list_transform(dists, x -> CASE WHEN x = list_min(dists) THEN CAST('infinity' AS DOUBLE) ELSE x END) AS masked
+              FROM d WHERE vec_id < $numQueries),
+       q AS (SELECT vec_id AS qid, v AS qe,
+               unnest([list_position(dists, list_min(dists)) - 1,
+                       list_position(masked, list_min(masked)) - 1]) AS cell
+             FROM qm),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid,
+                round(list_dot_product(q.qe, c.v) /
+                      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos_sim
+         FROM q JOIN b c ON c.cell = q.cell AND c.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         FROM pairs)
+       SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
   }
 
   private def duckStopwordHits(listName: String): String = {
@@ -964,6 +1046,83 @@ object SparkEntry {
          WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5
          ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" -> duckSimhashSql(3),
+    "q_decontaminate" ->
+      s"""WITH g AS (SELECT doc_id, unnest(${duckShinglesN(5)}) AS gram FROM documents),
+         e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id < 50),
+         c AS (SELECT doc_id, gram FROM g WHERE doc_id >= 50)
+         SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared_grams,
+                count(DISTINCT e.eval_id) AS n_eval_docs
+         FROM c JOIN e ON c.gram = e.gram
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q_repetition" ->
+      s"""WITH u AS (SELECT doc_id,
+                  list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+                    i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')) AS grams
+           FROM documents),
+         d AS (SELECT doc_id, grams, list_distinct(grams) AS uniq FROM u)
+         SELECT doc_id,
+                CAST(len(grams) AS BIGINT) AS n_grams,
+                CAST(len(uniq) AS BIGINT) AS n_distinct,
+                CAST(len(grams) - len(uniq) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS dup_ratio,
+                CAST(list_max(list_transform(uniq, g -> len(list_filter(grams, x -> x = g)))) AS BIGINT) AS max_gram_freq
+         FROM d ORDER BY doc_id""",
+    "q_mad_outliers" -> {
+      val cents = Stages.centsSql("l_extendedprice")
+      s"""WITH base AS (SELECT l_returnflag, $cents AS cents FROM lineitem),
+         med AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med FROM base GROUP BY l_returnflag),
+         mad AS (SELECT b.l_returnflag, m.med, quantile_cont(abs(b.cents - m.med), 0.5) AS mad
+                 FROM base b JOIN med m ON b.l_returnflag = m.l_returnflag
+                 GROUP BY b.l_returnflag, m.med)
+         SELECT b.l_returnflag, m.med / 100.0 AS median_price, m.mad / 100.0 AS mad_price,
+                count(*) AS n_rows,
+                count(CASE WHEN abs(b.cents - m.med) > m.mad * 10 THEN 1 END) AS n_outliers
+         FROM base b JOIN mad m ON b.l_returnflag = m.l_returnflag
+         GROUP BY b.l_returnflag, m.med, m.mad
+         ORDER BY b.l_returnflag"""
+    },
+    "q_zscore" ->
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                  ${Stages.centsSql("l_extendedprice")} // 100 AS x FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+               FROM base GROUP BY l_returnflag)
+         SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.x,
+                CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                     ELSE (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) /
+                          sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                END AS z
+         FROM base b JOIN m ON b.l_returnflag = m.l_returnflag
+         ORDER BY b.l_orderkey, b.l_linenumber""",
+    "q_range_window" ->
+      s"""SELECT user_id, event_id, epoch_s,
+                sum(cents) OVER w / CAST(100 AS DOUBLE) AS rolling_sum,
+                count(*) OVER w AS n_in_range
+         FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS epoch_s,
+                      ${Stages.centsSql("value")} AS cents FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q_fuzzy_match" ->
+      """SELECT a.c_nationkey AS block, a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY cust_a, cust_b""",
+    "q_semantic_dedup" ->
+      """WITH pairs AS (
+           SELECT a.label AS label, b.vec_id AS vec_id
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) >= 0.3),
+         dropped AS (SELECT DISTINCT label, vec_id FROM pairs)
+         SELECT e.label, count(*) AS n_vecs,
+                count(d.vec_id) AS n_dropped,
+                count(*) - count(d.vec_id) AS n_kept
+         FROM embeddings e LEFT JOIN dropped d ON e.label = d.label AND e.vec_id = d.vec_id
+         GROUP BY e.label ORDER BY e.label""",
+    "q_ann_sq8" -> duckAnnSq8Sql(10, 5),
+    "q_ann_ivf2" -> duckAnnIvf2Sql(10, 5, 8),
     "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),
     "q_ann_lsh_mp" -> duckAnnLshSql(10, 5, 4, multiProbe = true),
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),

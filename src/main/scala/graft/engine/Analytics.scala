@@ -276,4 +276,28 @@ object Analytics {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .pivot("event_type", types)
       .agg(expr(Stages.halfUpAvgDollarsSql(Stages.centsSql("value"))))
+
+  /** Event-time RANGE frame: per user, the rolling sum/count of `value`
+    * over the trailing `rangeSeconds` of EVENT TIME (`RANGE BETWEEN n
+    * PRECEDING AND CURRENT ROW` on epoch seconds) — a true time-decayed
+    * rolling feature, unlike ROWS frames whose horizon depends on event
+    * density. RANGE frames include all peers of the current timestamp on
+    * both engines, so no tie-breaker is needed (or allowed) in the frame
+    * order. One shuffle on user_id; sums are integer cents.
+    */
+  def timeRangeWindow(events: DataFrame, rangeSeconds: Long = 3600): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-rangeSeconds, Window.currentRow)
+    events
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .withColumn("cents", expr(Stages.centsSql("value")))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("epoch_s"),
+        (sum(col("cents")).over(w) / lit(100.0)).as("rolling_sum"),
+        count(lit(1)).over(w).as("n_in_range"))
+  }
 }

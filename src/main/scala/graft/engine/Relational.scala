@@ -382,4 +382,78 @@ object Relational {
         col("exact_orders"),
         (abs(col("approx") - col("exact_orders")) <= col("exact_orders") * tol)
           .as("hll_within_tol"))
+
+  /** Robust outlier detection per group via median absolute deviation:
+    * med = median(x), mad = median(|x − med|), outlier ⇔ |x − med| >
+    * `madK`·mad — the rank-based alternative to z-scores that one huge
+    * value cannot poison. Three grouped passes (median → MAD → flag
+    * count), each joining the tiny per-group stats back via broadcast.
+    * All inputs are integer cents, and exact `percentile` midpoints are
+    * integers or exact .5 halves, so every comparison is bit-exact
+    * cross-engine. At 100 TB the exact per-group sort inside
+    * `percentile` gives way to `approx_percentile` (validated against
+    * the exact path by [[approxPercentileCheck]]); the three-pass join
+    * shape is unchanged.
+    */
+  def madOutliers(lineitem: DataFrame, madK: Int = 10): DataFrame = {
+    val cents = expr(Stages.centsSql("l_extendedprice"))
+    val base = lineitem.select(col("l_returnflag"), cents.as("cents"))
+    val med = base
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val mad = base
+      .join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("med"))
+      .agg(expr("percentile(abs(cents - med), 0.5)").as("mad"))
+    base
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(abs(col("cents") - col("med")) > col("mad") * madK, lit(1)))
+          .as("n_outliers"))
+      .select(
+        col("l_returnflag"),
+        (col("med") / lit(100.0)).as("median_price"),
+        (col("mad") / lit(100.0)).as("mad_price"),
+        col("n_rows"),
+        col("n_outliers"))
+  }
+
+  /** Per-row standardization (z-score feature normalization) from exact
+    * integer sufficient statistics: z = (n·x − sx) / sqrt(n·sxx − sx²),
+    * algebraically (x − μ)/σ_pop with numerator and radicand formed from
+    * exact BIGINT moments — the same order-independent trick as
+    * [[sufficientStatsCorr]], so the doubles are bit-identical on any
+    * engine (built-in `stddev` is partition-order nondeterministic).
+    * Shape: one grouped moment pass (map-combined, 3-column shuffle) +
+    * one broadcast join back to the fact rows — the standard two-pass
+    * normalizer a feature pipeline runs before training; no window, no
+    * second shuffle of the facts.
+    */
+  def zscoreNormalize(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_returnflag"),
+      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
+    val moments = base
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    base
+      .join(broadcast(moments), Seq("l_returnflag"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_returnflag"),
+        col("x"),
+        expr(
+          """CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) /
+                  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END""").as("z"))
+  }
 }

@@ -360,6 +360,125 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("approx_dist"))
   }
 
+  /** SQ8 codes: each dimension scalar-quantized to an 8-bit level against
+    * the fixed range [-1, 1] (`code = round((x+1)/2·255)`, clamped). At
+    * 100 TB the range comes from a min/max training pass per dimension;
+    * the fixed range keeps the quantizer a pure literal both engines
+    * evaluate identically. 4× smaller than float32, 8× smaller than the
+    * double arrays — the first memory lever before PQ.
+    */
+  def sq8Codes(vec: Column): Column =
+    transform(
+      asDouble(vec),
+      x =>
+        least(
+          lit(255L),
+          greatest(lit(0L), round((x + lit(1.0)) / lit(2.0) * lit(255.0)).cast("long"))))
+
+  /** Scalar-quantization ANN: exact squared-L2 search in SQ8 code space.
+    * Distances are pure integers (`cc − 2·q·c + qq` over code vectors ≤
+    * 255), so ranking is bit-exact on any engine — the one ANN family
+    * member with no float in the scoring path at all. Same broadcast +
+    * rank-limit shape as [[cosineTopK]].
+    */
+  def sq8TopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val coded = embeddings
+      .withColumn("cd", sq8Codes(col("embedding")).cast("array<double>"))
+      .withColumn("cc", dot(col("cd"), col("cd")))
+    val q = coded
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("cd").as("qd"), col("cc").as("qq"))
+    val pairs = coded
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("nid"),
+        (col("cc") - lit(2.0) * dot(col("qd"), col("cd")) + col("qq")).cast("long").as("sq_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sq_dist").asc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("sq_dist"))
+  }
+
+  /** Per-vector distance array to every coarse centroid, in the exact
+    * association the oracle (and [[graft.functions.NearestCentroid]])
+    * uses: `(vv − 2·v·c) + c·c` per cell. Only evaluated on the tiny
+    * query side (inlines cells×dims literals — the compositional cost
+    * the native kernel avoids corpus-side).
+    */
+  private def centroidDists(v: Column, vv: Column, cs: Seq[Array[Double]]): Column =
+    array(cs.map { c =>
+      vv - lit(2.0) * dot(v, typedLit(c.toSeq)) + lit(c.map(x => x * x).sum)
+    }: _*)
+
+  /** IVF ANN with nprobe = 2: each query searches its nearest AND
+    * second-nearest coarse cell — the standard recall lever (FAISS
+    * `nprobe`) at 2× the candidate cost. Corpus vectors still index into
+    * exactly one inverted list (native kernel); only the ~numQueries
+    * query rows expand to two probe rows (same explode shape as
+    * multi-probe LSH). The second cell falls out compositionally:
+    * re-argmin after masking the minimum distance to +∞ (value-mask, so
+    * the same expression is writable in any engine).
+    */
+  def ivfProbe2TopK(embeddings: DataFrame, numQueries: Int, k: Int, numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    val inf = expr("CAST('Infinity' AS DOUBLE)")
+    val celled = withNorm(embeddings).withColumn("cell", cellId(col("embedding"), cs))
+    val q = celled
+      .filter(col("vec_id") < numQueries)
+      .withColumn("vv", dot(col("emb_d"), col("emb_d")))
+      .withColumn("dists", centroidDists(col("emb_d"), col("vv"), cs))
+      .withColumn("cell1", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .withColumn(
+        "masked",
+        transform(col("dists"), x => when(x === array_min(col("dists")), inf).otherwise(x)))
+      .withColumn("cell2", (array_position(col("masked"), array_min(col("masked"))) - 1).cast("int"))
+      .select(
+        col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"),
+        explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val pairs = celled
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("nid"),
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
+  }
+
+  /** SemDeDup-style semantic dedup summary: within each `label` block, a
+    * vector is DROPPED when any lower-id vector in its block is a cosine
+    * near-duplicate (≥ `minCos`) — the deterministic greedy keep-lowest
+    * rule (block minima are always kept; mutually-far vectors both
+    * survive, so this is greedy pruning, not connected components — that
+    * transitive variant is [[graft.text.Dedup.nearDupClusters]]).
+    * Reuses [[cosineNearDups]]'s blocked pair join; the drop list is
+    * near-dup-pair-sized (≪ corpus) and aggregates to one row per label.
+    */
+  def semanticDedupSummary(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val dropped = cosineNearDups(embeddings, minCos)
+      .select(col("label"), col("vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1L))
+    embeddings
+      .select(col("label"), col("vec_id"))
+      .join(dropped, Seq("label", "vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L)))).as("n_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`
     * (the fixture's cluster id): pairs within a block with similarity ≥
     * `minCos`. At scale the block key comes from a coarse quantizer; the

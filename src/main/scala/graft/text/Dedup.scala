@@ -29,7 +29,7 @@ object Dedup {
     * the lambda would re-split the text once per shingle, an O(len²)
     * trap.
     */
-  private def shinglesFromToks(toks: Column, n: Int): Column =
+  private[text] def shinglesFromToks(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
@@ -232,6 +232,35 @@ object Dedup {
       .select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Benchmark decontamination: corpus documents (doc_id ≥ `evalMaxId`)
+    * that share at least one word n-gram with the held-out eval set
+    * (doc_id < `evalMaxId`) — the n-gram-overlap contamination check every
+    * training-data pipeline runs before shipping a corpus (eval-set grams
+    * leak answers into training). Per contaminated document: how many
+    * distinct grams overlap and how many eval documents are hit.
+    *
+    * Shape: the eval side is benchmark-sized (≪ corpus), so its exploded
+    * gram set BROADCASTS; the corpus side streams its grams map-side
+    * through the broadcast hash join and only matched (doc_id, gram,
+    * eval_id) rows reach the final aggregation — the full corpus gram
+    * inventory never shuffles. Grams are distinct per document
+    * ([[withShingles]]), so the distinct-counts are exact.
+    */
+  def decontaminate(documents: DataFrame, evalMaxId: Long, n: Int = 5): DataFrame = {
+    val grams = withShingles(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val evalGrams = grams
+      .filter(col("doc_id") < evalMaxId)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    grams
+      .filter(col("doc_id") >= evalMaxId)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
   /** The deduplicated corpus: documents minus the higher-id member of

@@ -280,4 +280,28 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n")),
       topN, col("n").desc, col("token").asc)
       .select(col("rank"), col("token"), col("n"))
+
+  /** Within-document repetition stats — the Gopher-style "repetitious
+    * text" quality signal: total vs distinct word 3-grams, the duplicate
+    * fraction, and the highest single-gram multiplicity. Everything is
+    * computed per row from one token array (map-side, no shuffle): the
+    * max multiplicity is an in-row array fold over the distinct grams
+    * instead of exploding the corpus into a (doc, gram) table — at
+    * 100 TB this keeps the repetition filter a pure scan stage. The
+    * ratio is a single integer-ratio IEEE division (engine-portable).
+    */
+  def repetitionStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("grams", Dedup.shinglesFromToks(col("toks"), 3))
+      .withColumn("uniq", array_distinct(col("grams")))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("uniq")).cast("long").as("n_distinct"),
+        ((size(col("grams")) - size(col("uniq"))).cast("double") /
+          size(col("grams")).cast("double")).as("dup_ratio"),
+        array_max(transform(col("uniq"), g => size(filter(col("grams"), x => x === g))))
+          .cast("long")
+          .as("max_gram_freq"))
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Joins, Relational, Tables}
+import graft.similarity.Similarity
+import graft.text.{Dedup, TextAnalysis}
+
+/** Round-3 training-pipeline batch 2: decontamination, repetition stats,
+  * MAD outliers, z-score normalization, event-time RANGE frames, fuzzy
+  * entity matching, SQ8 / IVF-nprobe2 ANN, semantic dedup.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("repetitionStats: ratio identity holds and bounds are sane") {
+    val rows = TextAnalysis.repetitionStats(Tables.documents(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))
+      assert(u >= 1 && u <= n)
+      assert(r.getAs[Double]("dup_ratio") == (n - u).toDouble / n.toDouble)
+      val maxFreq = r.getAs[Long]("max_gram_freq")
+      assert(maxFreq >= 1 && maxFreq <= n - u + 1)
+      if (u == n) assert(maxFreq == 1)
+    }
+  }
+
+  test("decontaminate flags exactly the corpus docs sharing an eval 5-gram") {
+    val docs = Tables.documents(spark, sfDir)
+    val hits = Dedup.decontaminate(docs, 10, 5).collect()
+    hits.foreach(r => assert(r.getAs[Long]("doc_id") >= 10))
+    // independent recompute via pairwise array intersection
+    val g = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn(
+        "sh",
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 4, lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(5))))))
+      .select(col("doc_id"), col("sh"))
+    val eval_ = g.filter(col("doc_id") < 10).withColumnRenamed("sh", "esh")
+      .withColumnRenamed("doc_id", "eval_id")
+    val expected = g.filter(col("doc_id") >= 10)
+      .crossJoin(eval_)
+      .filter(size(array_intersect(col("sh"), col("esh"))) > 0)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hits.map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
+  test("madOutliers: medians match built-in percentile and flags recount") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Relational.madOutliers(li).collect()
+    assert(out.nonEmpty)
+    val cents = li.select(
+      col("l_returnflag"),
+      expr(s"${graft.engine.Stages.centsSql("l_extendedprice")}").as("cents"))
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val med = r.getAs[Double]("median_price") * 100
+      val mad = r.getAs[Double]("mad_price") * 100
+      val medRef = cents.filter(col("l_returnflag") === flag)
+        .agg(expr("percentile(cents, 0.5)")).head().getDouble(0)
+      assert(med == medRef)
+      val nOut = cents.filter(col("l_returnflag") === flag)
+        .filter(abs(col("cents") - med) > mad * 10).count()
+      assert(r.getAs[Long]("n_outliers") == nOut)
+    }
+  }
+
+  test("zscoreNormalize: per-group z has zero mean and unit population stddev") {
+    val z = Relational.zscoreNormalize(Tables.lineitem(spark, sfDir))
+    val stats = z.groupBy("l_returnflag")
+      .agg(avg("z").as("m"), stddev_pop("z").as("s"))
+      .collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9)
+    }
+  }
+
+  test("timeRangeWindow recomputes via an explicit interval self-join") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.timeRangeWindow(ev)
+    val base = ev.select(
+      col("user_id"), col("event_id"),
+      col("ts").cast("long").as("epoch_s"),
+      expr(graft.engine.Stages.centsSql("value")).as("cents"))
+    val ref = base.as("a")
+      .join(
+        base.select(col("user_id"), col("epoch_s").as("b_epoch"), col("cents").as("b_cents")).as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b_epoch") >= col("a.epoch_s") - 3600 && col("b_epoch") <= col("a.epoch_s"))
+      .groupBy(col("a.user_id").as("user_id"), col("a.event_id").as("event_id"))
+      .agg((sum("b_cents") / lit(100.0)).as("ref_sum"), count(lit(1)).as("ref_n"))
+    val joined = got.join(ref, Seq("user_id", "event_id"))
+    assert(joined.filter(col("rolling_sum") =!= col("ref_sum") || col("n_in_range") =!= col("ref_n")).isEmpty)
+    assert(got.count() == ev.count())
+  }
+
+  test("fuzzyBlockedMatch stays inside blocks with verified distances") {
+    val cust = Tables.customer(spark, sfDir)
+    val m = Joins.fuzzyBlockedMatch(cust, 2)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cust_a") < r.getAs[Long]("cust_b"))
+      assert(r.getAs[Long]("edit_dist") <= 2)
+    }
+    // spot-verify one pair's distance with the builtin on literals
+    val r0 = rows.head
+    val names = cust.filter(
+      col("c_custkey") === r0.getAs[Long]("cust_a") ||
+        col("c_custkey") === r0.getAs[Long]("cust_b"))
+      .select("c_name").collect().map(_.getString(0))
+    val ref = spark.range(1)
+      .select(levenshtein(lit(names(0)), lit(names(1))).cast("long")).head().getLong(0)
+    assert(ref == r0.getAs[Long]("edit_dist"))
+  }
+
+  test("sq8TopK: integer distances, full rank coverage, codes bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Similarity.sq8TopK(emb, 5, 3).collect()
+    val byQ = res.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+      val d = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("sq_dist"))
+      assert(d.sorted.toSeq == d.toSeq) // ascending with rank
+      d.foreach(x => assert(x >= 0 && x <= 255L * 255L * 64L))
+    }
+    val codes = emb.select(Similarity.sq8Codes(col("embedding")).as("c"))
+      .select(explode(col("c"))).collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= 0 && c <= 255))
+  }
+
+  test("ivfProbe2TopK dominates single-probe IVF recall per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val one = Similarity.ivfTopK(emb, 5, 3).filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos_sim")).toMap
+    val two = Similarity.ivfProbe2TopK(emb, 5, 3).filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos_sim")).toMap
+    // probe-2 candidates are a superset, so its best hit can't be worse
+    one.foreach { case (qid, c1) => assert(two(qid) >= c1) }
+  }
+
+  test("semanticDedupSummary: counts reconcile and block minima survive") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sum_ = Similarity.semanticDedupSummary(emb, 0.3).collect()
+    assert(sum_.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    sum_.foreach(r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_vecs")))
+    // the lowest vec_id of a label has no lower-id neighbor → never dropped
+    val dropped = Similarity.cosineNearDups(emb, 0.3)
+      .select(col("label"), col("vec_b").as("vec_id")).distinct()
+    val minIds = emb.groupBy("label").agg(min("vec_id").as("vec_id"))
+    assert(minIds.join(dropped, Seq("label", "vec_id")).isEmpty)
+  }
+}
