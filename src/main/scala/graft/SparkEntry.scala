@@ -163,6 +163,12 @@ object SparkEntry {
       Relational.heavyHittersCheck(Tables.events(s, dir), 10).orderBy("rank")),
     "q_funnel" -> ((s, dir) =>
       Analytics.funnel(Tables.events(s, dir), "signup", "purchase", 168).orderBy("user_id")),
+    "q_funnel3" -> ((s, dir) =>
+      Analytics.funnel3(Tables.events(s, dir), "signup", "purchase", "click").orderBy("user_id")),
+    "q_freq_bins" -> ((s, dir) =>
+      Relational.equalFreqBins(Tables.lineitem(s, dir), 10).orderBy("bin")),
+    "q_bottomk_sample" -> ((s, dir) =>
+      Relational.bottomKSample(Tables.events(s, dir), 10).orderBy("event_type", "rank")),
     "q_scd2" -> ((s, dir) =>
       Analytics.scd2(Tables.events(s, dir)).orderBy("user_id", "version")),
     "q_transitions" -> ((s, dir) =>
@@ -830,6 +836,39 @@ object SparkEntry {
                  epoch_us(CAST(ts_conv AS TIMESTAMP)) // 1000000 - epoch_us(CAST(ts_a AS TIMESTAMP)) // 1000000 <= 604800)
                   AS converted
          FROM g ORDER BY user_id""",
+    "q_funnel3" ->
+      """WITH f1 AS (SELECT user_id, min(ts) AS ts_1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         j2 AS (SELECT f1.user_id, f1.ts_1, e.ts AS ts_2c FROM f1 LEFT JOIN events e
+                ON e.user_id = f1.user_id AND e.event_type = 'purchase' AND e.ts >= f1.ts_1),
+         f2 AS (SELECT user_id, ts_1, min(ts_2c) AS ts_2 FROM j2 GROUP BY user_id, ts_1),
+         j3 AS (SELECT f2.user_id, f2.ts_1, f2.ts_2, e.ts AS ts_3c FROM f2 LEFT JOIN events e
+                ON e.user_id = f2.user_id AND e.event_type = 'click' AND e.ts >= f2.ts_2),
+         f3 AS (SELECT user_id, ts_1, ts_2, min(ts_3c) AS ts_3 FROM j3 GROUP BY user_id, ts_1, ts_2)
+         SELECT user_id,
+                strftime(CAST(ts_1 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_1,
+                strftime(CAST(ts_2 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_2,
+                strftime(CAST(ts_3 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_3,
+                ts_3 IS NOT NULL AS completed
+         FROM f3 ORDER BY user_id""",
+    "q_freq_bins" -> {
+      val fracs = (1 until 10).map(i => (i.toDouble / 10).toString).mkString(", ")
+      s"""WITH base AS (SELECT ${Stages.centsSql("l_extendedprice")} // 100 AS x FROM lineitem),
+         b AS (SELECT quantile_cont(x, [$fracs]) AS bounds FROM base)
+         SELECT CAST(len(list_filter(b.bounds, v -> x > v)) + 1 AS BIGINT) AS bin,
+                count(*) AS n_rows,
+                min(x) AS lo_dollars,
+                max(x) AS hi_dollars
+         FROM base, b GROUP BY bin ORDER BY bin"""
+    },
+    "q_bottomk_sample" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         h AS (SELECT event_type, user_id,
+                 CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+               FROM du),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY h ASC, user_id ASC) AS BIGINT) AS rank
+               FROM h)
+         SELECT event_type, rank, user_id, h FROM r WHERE rank <= 10
+         ORDER BY event_type, rank""",
     "q_transitions" ->
       """WITH seq AS (
            SELECT event_type AS curr_type,
@@ -1066,30 +1105,25 @@ object SparkEntry {
                 CAST(len(grams) - len(uniq) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS dup_ratio,
                 CAST(list_max(list_transform(uniq, g -> len(list_filter(grams, x -> x = g)))) AS BIGINT) AS max_gram_freq
          FROM d ORDER BY doc_id""",
-    "q_mad_outliers" -> {
-      val cents = Stages.centsSql("l_extendedprice")
-      s"""WITH base AS (SELECT l_returnflag, $cents AS cents FROM lineitem),
-         med AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med FROM base GROUP BY l_returnflag),
-         mad AS (SELECT b.l_returnflag, m.med, quantile_cont(abs(b.cents - m.med), 0.5) AS mad
+    "q_mad_outliers" ->
+      s"""WITH base AS (SELECT l_returnflag, ${Stages.centsSql("l_extendedprice")} // 100 AS x FROM lineitem),
+         med AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM base GROUP BY l_returnflag),
+         mad AS (SELECT b.l_returnflag, m.med, quantile_cont(abs(b.x - m.med), 0.5) AS mad
                  FROM base b JOIN med m ON b.l_returnflag = m.l_returnflag
                  GROUP BY b.l_returnflag, m.med)
-         SELECT b.l_returnflag, m.med / 100.0 AS median_price, m.mad / 100.0 AS mad_price,
+         SELECT b.l_returnflag, m.med AS median_dollars, m.mad AS mad_dollars,
                 count(*) AS n_rows,
-                count(CASE WHEN abs(b.cents - m.med) > m.mad * 10 THEN 1 END) AS n_outliers
+                count(CASE WHEN abs(b.x - m.med) > m.mad * 10 THEN 1 END) AS n_outliers
          FROM base b JOIN mad m ON b.l_returnflag = m.l_returnflag
          GROUP BY b.l_returnflag, m.med, m.mad
-         ORDER BY b.l_returnflag"""
-    },
+         ORDER BY b.l_returnflag""",
     "q_zscore" ->
       s"""WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
                   ${Stages.centsSql("l_extendedprice")} // 100 AS x FROM lineitem),
          m AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
                FROM base GROUP BY l_returnflag)
          SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.x,
-                CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                     ELSE (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) /
-                          sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                END AS z
+                ${Stages.zscoreSql} AS z
          FROM base b JOIN m ON b.l_returnflag = m.l_returnflag
          ORDER BY b.l_orderkey, b.l_linenumber""",
     "q_range_window" ->

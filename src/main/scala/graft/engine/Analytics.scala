@@ -153,6 +153,41 @@ object Analytics {
           .as("converted"))
   }
 
+  /** Three-step ordered sequence funnel (step1 → step2 → step3): per
+    * user, the first step1 event, the first step2 event at-or-after it,
+    * and the first step3 event at-or-after that. Every step1 user is
+    * kept (left joins with the ordering condition IN the join, as in
+    * [[funnel]]); each chaining stage is a join + min-aggregate on the
+    * same user_id partitioning — at scale, three co-partitioned shuffles
+    * of per-user firsts, never a cross of full event sets.
+    */
+  def funnel3(events: DataFrame, step1: String, step2: String, step3: String): DataFrame = {
+    val first1 = events
+      .filter(col("event_type") === step1)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ts_1"))
+    val s2 = events
+      .filter(col("event_type") === step2)
+      .select(col("user_id").as("u2"), col("ts").as("ts_2c"))
+    val first2 = first1
+      .join(s2, col("user_id") === col("u2") && col("ts_2c") >= col("ts_1"), "left")
+      .groupBy(col("user_id"), col("ts_1"))
+      .agg(min(col("ts_2c")).as("ts_2"))
+    val s3 = events
+      .filter(col("event_type") === step3)
+      .select(col("user_id").as("u3"), col("ts").as("ts_3c"))
+    first2
+      .join(s3, col("user_id") === col("u3") && col("ts_3c") >= col("ts_2"), "left")
+      .groupBy(col("user_id"), col("ts_1"), col("ts_2"))
+      .agg(min(col("ts_3c")).as("ts_3"))
+      .select(
+        col("user_id"),
+        date_format(col("ts_1"), "yyyy-MM-dd HH:mm:ss").as("first_1"),
+        date_format(col("ts_2"), "yyyy-MM-dd HH:mm:ss").as("first_2"),
+        date_format(col("ts_3"), "yyyy-MM-dd HH:mm:ss").as("first_3"),
+        col("ts_3").isNotNull.as("completed"))
+  }
+
   /** Batch sessionization — the exact batch twin of
     * [[graft.streaming.Stateful.sessionize]]: a session breaks after
     * `gapMinutes` of inactivity. Classic gaps-and-islands: lag → new-flag

@@ -154,8 +154,11 @@ object Joins {
       col("c_nationkey").as("block"), col("c_custkey").as("cust_b"), col("c_name").as("name_b"))
     a.join(b, Seq("block"))
       .filter(col("cust_a") < col("cust_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      // thresholded levenshtein: banded DP, O(maxDist·len) per pair
+      // instead of O(len²), returning -1 past the threshold — the exact
+      // distance is only ever computed for pairs that can match
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("block"), col("cust_a"), col("cust_b"), col("edit_dist"))
   }
 }

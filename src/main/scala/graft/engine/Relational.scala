@@ -383,49 +383,102 @@ object Relational {
         (abs(col("approx") - col("exact_orders")) <= col("exact_orders") * tol)
           .as("hll_within_tol"))
 
+  /** Equal-frequency binning (feature bucketization): decile boundaries
+    * from one exact `percentile` pass (a single 9-double row, broadcast),
+    * then each row's bin = 1 + count of boundaries strictly below it —
+    * an in-row array fold, no sort and no window over the facts.
+    * Floor-dollar integers keep the exact-percentile value→count buffer
+    * ~100× smaller than cents would (same trick as [[madOutliers]]), and
+    * make every boundary comparison robust: interpolated boundaries are
+    * either exact (integral rank index) or strictly between two
+    * integers, so no row sits within an ulp of its boundary on either
+    * engine. At 100 TB the boundary pass becomes `approx_percentile`
+    * and the assignment stage is unchanged.
+    */
+  def equalFreqBins(lineitem: DataFrame, nBins: Int = 10): DataFrame = {
+    val base = lineitem.select(expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
+    val fracs = (1 until nBins).map(i => (i.toDouble / nBins).toString).mkString(", ")
+    val bounds = base.agg(expr(s"percentile(x, array($fracs))").as("bounds"))
+    base
+      .join(broadcast(bounds))
+      .withColumn("bin", (size(filter(col("bounds"), b => col("x") > b)) + 1).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("lo_dollars"),
+        max(col("x")).as("hi_dollars"))
+  }
+
+  /** Bottom-k-by-hash distinct sample per group — the KMV (k minimum
+    * values) sketch shape: the k distinct users whose md5-derived hash is
+    * smallest within each event_type. A deterministic, mergeable
+    * "reservoir": any partitioning of the data yields the same k rows
+    * (min-hashes commute with union), which is how a distributed sampler
+    * avoids both `rand()` and a global sort. The `row_number ≤ k` spelling
+    * gets WindowGroupLimit pushdown, so each partition forwards at most k
+    * candidates per group to the shuffle.
+    */
+  def bottomKSample(events: DataFrame, k: Int): DataFrame = {
+    val h = expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc, col("user_id").asc)
+    events
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .withColumn("h", h)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("rank"), col("user_id"), col("h"))
+  }
+
   /** Robust outlier detection per group via median absolute deviation:
     * med = median(x), mad = median(|x − med|), outlier ⇔ |x − med| >
     * `madK`·mad — the rank-based alternative to z-scores that one huge
     * value cannot poison. Three grouped passes (median → MAD → flag
     * count), each joining the tiny per-group stats back via broadcast.
-    * All inputs are integer cents, and exact `percentile` midpoints are
-    * integers or exact .5 halves, so every comparison is bit-exact
-    * cross-engine. At 100 TB the exact per-group sort inside
-    * `percentile` gives way to `approx_percentile` (validated against
-    * the exact path by [[approxPercentileCheck]]); the three-pass join
-    * shape is unchanged.
+    * Inputs are floor-dollar integers (not cents: Spark's exact
+    * `percentile` buffers a value→count map, and the dollar grid keeps
+    * it ~100× smaller under mostly-distinct prices), and exact
+    * `percentile` midpoints are integers or exact .5 halves, so every
+    * comparison is bit-exact cross-engine. At 100 TB the exact per-group
+    * sort inside `percentile` gives way to `approx_percentile`
+    * (validated against the exact path by [[approxPercentileCheck]]);
+    * the three-pass join shape is unchanged.
     */
   def madOutliers(lineitem: DataFrame, madK: Int = 10): DataFrame = {
-    val cents = expr(Stages.centsSql("l_extendedprice"))
-    val base = lineitem.select(col("l_returnflag"), cents.as("cents"))
+    val dollars = expr(s"${Stages.centsSql("l_extendedprice")} div 100")
+    val base = lineitem.select(col("l_returnflag"), dollars.as("x"))
     val med = base
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(cents, 0.5)").as("med"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
     val mad = base
       .join(broadcast(med), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("med"))
-      .agg(expr("percentile(abs(cents - med), 0.5)").as("mad"))
+      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
     base
       .join(broadcast(mad), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("med"), col("mad"))
       .agg(
         count(lit(1)).as("n_rows"),
-        count(when(abs(col("cents") - col("med")) > col("mad") * madK, lit(1)))
+        count(when(abs(col("x") - col("med")) > col("mad") * madK, lit(1)))
           .as("n_outliers"))
       .select(
         col("l_returnflag"),
-        (col("med") / lit(100.0)).as("median_price"),
-        (col("mad") / lit(100.0)).as("mad_price"),
+        col("med").as("median_dollars"),
+        col("mad").as("mad_dollars"),
         col("n_rows"),
         col("n_outliers"))
   }
 
   /** Per-row standardization (z-score feature normalization) from exact
-    * integer sufficient statistics: z = (n·x − sx) / sqrt(n·sxx − sx²),
-    * algebraically (x − μ)/σ_pop with numerator and radicand formed from
-    * exact BIGINT moments — the same order-independent trick as
-    * [[sufficientStatsCorr]], so the doubles are bit-identical on any
-    * engine (built-in `stddev` is partition-order nondeterministic).
+    * integer sufficient statistics: z = (x − sx/n) / sqrt(sxx/n −
+    * (sx/n)²) — (x − μ)/σ_pop over exact BIGINT moments, the same
+    * order-independent trick as [[sufficientStatsCorr]], so the doubles
+    * are bit-identical on any engine (built-in `stddev` is
+    * partition-order nondeterministic). The closed form divides BEFORE
+    * multiplying (σ² = sxx/n − μ², never n·sxx − sx²): the product form
+    * overflows BIGINT once n·sxx passes 2⁶³ — which real data hits at
+    * ~600k rows of 5-digit dollars, exactly the kind of bug that only
+    * appears at 10× the test scale.
     * Shape: one grouped moment pass (map-combined, 3-column shuffle) +
     * one broadcast join back to the fact rows — the standard two-pass
     * normalizer a feature pipeline runs before training; no window, no
@@ -450,10 +503,6 @@ object Relational {
         col("l_linenumber"),
         col("l_returnflag"),
         col("x"),
-        expr(
-          """CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-             ELSE (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) /
-                  sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             END""").as("z"))
+        expr(Stages.zscoreSql).as("z"))
   }
 }

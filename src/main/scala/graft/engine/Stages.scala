@@ -93,6 +93,20 @@ object Stages {
     * varies with partition order. Ordered (name → SQL) pairs; the SAME
     * text runs in Spark `expr` and the DuckDB oracle.
     */
+  /** Closed-form z-score from exact integer moments (column names fixed:
+    * `n, sx, sxx` per group, `x` per row): (x − sx/n)/sqrt(sxx/n −
+    * (sx/n)²). Divisions come FIRST — the algebraically equal product
+    * form n·sxx − sx² overflows BIGINT once n·sxx passes 2⁶³ (≈600k rows
+    * of 5-digit values) — and zero/negative variance yields NULL via a
+    * lazy CASE. A fixed IEEE expression tree over exact integers: the
+    * SAME text runs in Spark `expr` and the DuckDB oracle.
+    */
+  val zscoreSql: String = {
+    val (n, sx, sxx) = ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sxx AS DOUBLE)")
+    val variance = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
+    s"CASE WHEN $variance <= 0 THEN NULL ELSE (CAST(x AS DOUBLE) - $sx / $n) / sqrt($variance) END"
+  }
+
   val momentStatsSql: Seq[(String, String)] = {
     val (n, sx, sy, sxy, sxx, syy) =
       ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",

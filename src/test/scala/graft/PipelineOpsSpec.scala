@@ -55,18 +55,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val li = Tables.lineitem(spark, sfDir)
     val out = Relational.madOutliers(li).collect()
     assert(out.nonEmpty)
-    val cents = li.select(
+    val base = li.select(
       col("l_returnflag"),
-      expr(s"${graft.engine.Stages.centsSql("l_extendedprice")}").as("cents"))
+      expr(s"${graft.engine.Stages.centsSql("l_extendedprice")} div 100").as("x"))
     out.foreach { r =>
       val flag = r.getString(0)
-      val med = r.getAs[Double]("median_price") * 100
-      val mad = r.getAs[Double]("mad_price") * 100
-      val medRef = cents.filter(col("l_returnflag") === flag)
-        .agg(expr("percentile(cents, 0.5)")).head().getDouble(0)
+      val med = r.getAs[Double]("median_dollars")
+      val mad = r.getAs[Double]("mad_dollars")
+      val medRef = base.filter(col("l_returnflag") === flag)
+        .agg(expr("percentile(x, 0.5)")).head().getDouble(0)
       assert(med == medRef)
-      val nOut = cents.filter(col("l_returnflag") === flag)
-        .filter(abs(col("cents") - med) > mad * 10).count()
+      val nOut = base.filter(col("l_returnflag") === flag)
+        .filter(abs(col("x") - med) > mad * 10).count()
       assert(r.getAs[Long]("n_outliers") == nOut)
     }
   }
@@ -145,6 +145,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos_sim")).toMap
     // probe-2 candidates are a superset, so its best hit can't be worse
     one.foreach { case (qid, c1) => assert(two(qid) >= c1) }
+  }
+
+  test("equalFreqBins partitions all rows into ordered, contiguous deciles") {
+    val li = Tables.lineitem(spark, sfDir)
+    val bins = Relational.equalFreqBins(li, 10).orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("bin")).toSeq == (1L to 10L))
+    assert(bins.map(_.getAs[Long]("n_rows")).sum == li.count())
+    // contiguity: each bin's hi is below the next bin's lo
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi_dollars") < b.getAs[Long]("lo_dollars"))
+      case _ =>
+    }
+    // equal-frequency: no decile is off by more than 2% of total
+    val n = li.count().toDouble
+    bins.foreach(r => assert(math.abs(r.getAs[Long]("n_rows") - n / 10) < n * 0.02))
+  }
+
+  test("bottomKSample is a partitioning-invariant deterministic reservoir") {
+    val ev = Tables.events(spark, sfDir)
+    val s1 = Relational.bottomKSample(ev, 10).collect()
+    s1.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val hs = sorted.map(_.getAs[Long]("h"))
+      assert(hs.sorted.toSeq == hs.toSeq) // ascending hash = k minimum values
+    }
+    // merge property: the same rows come back under any repartitioning
+    val s2 = Relational.bottomKSample(ev.repartition(7, col("value")), 10).collect()
+    assert(s1.map(_.toString).sorted.toSeq == s2.map(_.toString).sorted.toSeq)
+  }
+
+  test("funnel3 keeps every step-1 user and orders step timestamps") {
+    val ev = Tables.events(spark, sfDir)
+    val f = Analytics.funnel3(ev, "signup", "purchase", "click").collect()
+    val signupUsers = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(f.length == signupUsers)
+    f.foreach { r =>
+      val (t1, t2, t3) = (r.getString(1), r.getString(2), r.getString(3))
+      if (t2 != null) assert(t1 <= t2) // ISO strings order like timestamps
+      if (t3 != null) { assert(t2 != null && t2 <= t3) }
+      assert(r.getAs[Boolean]("completed") == (t3 != null))
+    }
   }
 
   test("semanticDedupSummary: counts reconcile and block minima survive") {
