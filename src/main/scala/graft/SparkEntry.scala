@@ -215,6 +215,8 @@ object SparkEntry {
       TextAnalysis.arrayFuncs(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), 512).orderBy("source", "pack_id")),
     "q_mad_outliers" -> ((s, dir) =>
       Relational.madOutliers(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_zscore" -> ((s, dir) =>
@@ -257,6 +259,8 @@ object SparkEntry {
       Similarity.ivfProbe2TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedupSummary(Tables.embeddings(s, dir), 0.3).orderBy("label")),
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_embed_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), 0.3).orderBy("vec_a", "vec_b")),
     // ---- multimodal binary columns ----
@@ -1093,6 +1097,19 @@ object SparkEntry {
                 count(DISTINCT e.eval_id) AS n_eval_docs
          FROM c JOIN e ON c.gram = e.gram
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t)
+         SELECT source, cum_before // 512 AS pack_id,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY source, cum_before // 512
+         ORDER BY source, pack_id""",
     "q_repetition" ->
       s"""WITH u AS (SELECT doc_id,
                   list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
@@ -1155,6 +1172,21 @@ object SparkEntry {
                 count(*) - count(d.vec_id) AS n_kept
          FROM embeddings e LEFT JOIN dropped d ON e.label = d.label AND e.vec_id = d.vec_id
          GROUP BY e.label ORDER BY e.label""",
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.qid, e.vec_id AS nid, e.label AS neg_label,
+                  round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(q.qe, q.qe)) *
+                         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 3) AS cos_sim
+           FROM q JOIN embeddings e ON e.label <> q.qlabel),
+         ranked AS (
+           SELECT qid, nid, neg_label, cos_sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+           FROM pairs)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, nid, neg_label, cos_sim
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "q_ann_sq8" -> duckAnnSq8Sql(10, 5),
     "q_ann_ivf2" -> duckAnnIvf2Sql(10, 5, 8),
     "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),

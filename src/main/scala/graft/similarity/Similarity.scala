@@ -455,6 +455,38 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — near the query in embedding space but semantically wrong,
+    * the negatives that actually move a contrastive loss. Identical
+    * broadcast + rank-limit shape to [[cosineTopK]] with the label
+    * inequality folded into the join condition, so same-label pairs
+    * never materialize.
+    */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val corpus = withNorm(embeddings)
+    val q = corpus
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb_d").as("qe"), col("norm").as("qnorm"))
+    val pairs = corpus
+      .join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(
+        col("qid"),
+        col("vec_id").as("nid"),
+        col("label").as("neg_label"),
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("neg_label"), col("cos_sim"))
+  }
+
   /** SemDeDup-style semantic dedup summary: within each `label` block, a
     * vector is DROPPED when any lower-id vector in its block is a cosine
     * near-duplicate (≥ `minCos`) — the deterministic greedy keep-lowest

@@ -281,6 +281,33 @@ object TextAnalysis {
       topN, col("n").desc, col("token").asc)
       .select(col("rank"), col("token"), col("n"))
 
+  /** Sequence packing — the LLM-training prep step that fills fixed
+    * `contextTokens`-sized windows with consecutive documents: contiguous
+    * fill in doc_id order, a document's pack = ⌊tokens-before-it / C⌋
+    * (docs may straddle a boundary, as real packers allow with cross-doc
+    * attention masking). One prefix-sum window per `source` partition —
+    * never an unpartitioned global cumsum; at 100 TB the source (or
+    * shard) key bounds each sort, and packs are globally unique as
+    * (source, pack_id). Output: one row per pack with its doc range and
+    * fill level.
+    */
+  def packSequences(documents: DataFrame, contextTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $contextTokens"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Within-document repetition stats — the Gopher-style "repetitious
     * text" quality signal: total vs distinct word 3-grams, the duplicate
     * fraction, and the highest single-gram multiplicity. Everything is

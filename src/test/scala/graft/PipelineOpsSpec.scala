@@ -190,6 +190,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences tiles each source contiguously and conserves tokens") {
+    val docs = Tables.documents(spark, sfDir)
+    val packs = TextAnalysis.packSequences(docs, 512).collect()
+    val totalTokens = docs
+      .select(size(split(trim(col("text")), "\\s+")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(packs.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    packs.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("pack_id"))
+      assert(sorted.map(_.getAs[Long]("pack_id")).toSeq == (0L until sorted.length))
+      // doc ranges are disjoint and ascending across packs
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
+  test("hardNegatives returns only cross-label neighbors, ranked") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = Similarity.hardNegatives(emb, 5, 3).collect()
+    assert(hn.groupBy(_.getAs[Long]("qid")).size == 5)
+    hn.foreach { r =>
+      assert(labels(r.getAs[Long]("nid")) == r.getAs[Int]("neg_label"))
+      assert(r.getAs[Int]("neg_label") != labels(r.getAs[Long]("qid")))
+    }
+    hn.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sorted.reverse.toSeq == sims.toSeq)
+    }
+  }
+
   test("semanticDedupSummary: counts reconcile and block minima survive") {
     val emb = Tables.embeddings(spark, sfDir)
     val sum_ = Similarity.semanticDedupSummary(emb, 0.3).collect()

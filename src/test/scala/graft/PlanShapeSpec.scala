@@ -68,4 +68,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
       s"expected (key,salt) then (key) exchanges:\n$p")
   }
+
+  test("decontaminate broadcasts the eval gram set; corpus grams never shuffle") {
+    val p = plan(graft.text.Dedup.decontaminate(Tables.documents(spark, sfDir), 10, 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one hash exchange (the final per-doc groupBy; countDistinct
+    // adds its partial layers above it) — the corpus postings reach the
+    // broadcast join scan-direct, unshuffled
+    assert("Exchange hashpartitioning\\(gram".r.findAllIn(p).isEmpty,
+      s"corpus postings must not shuffle on gram:\n$p")
+  }
+
+  test("ANN top-k family broadcasts the query side and rank-limits per group") {
+    Seq(
+      graft.similarity.Similarity.sq8TopK(Tables.embeddings(spark, sfDir), 5, 3),
+      graft.similarity.Similarity.hardNegatives(Tables.embeddings(spark, sfDir), 5, 3)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("packSequences windows by source partition, never unpartitioned") {
+    val p = plan(TextAnalysis.packSequences(Tables.documents(spark, sfDir), 512))
+    assert(p.contains("windowspecdefinition(source"),
+      s"pack prefix-sum must be partitioned by source:\n$p")
+  }
 }
