@@ -148,8 +148,18 @@ object Joins {
     * every engine — exact integer output, no parity risk.
     */
   def fuzzyBlockedMatch(customer: DataFrame, maxDist: Int): DataFrame = {
+    // the block dimension broadcasts, so the probe side's partitioning is
+    // the ONLY parallelism the pair verification gets — repartition it on
+    // (block, key): the shuffle moves just the entity table (tiny), the
+    // O(block²) Levenshtein work fans out across every core instead of
+    // inheriting however few input splits the scan produced. The explicit
+    // partition COUNT matters: the shuffle is bytes-tiny, so AQE would
+    // coalesce a count-less repartition straight back to one partition —
+    // exactly the compute-vs-bytes mismatch AQE can't see
+    val parallelism = customer.sparkSession.sparkContext.defaultParallelism
     val a = customer.select(
       col("c_nationkey").as("block"), col("c_custkey").as("cust_a"), col("c_name").as("name_a"))
+      .repartition(parallelism, col("block"), col("cust_a"))
     val b = customer.select(
       col("c_nationkey").as("block"), col("c_custkey").as("cust_b"), col("c_name").as("name_b"))
     a.join(b, Seq("block"))

@@ -396,15 +396,22 @@ object Relational {
     * and the assignment stage is unchanged.
     */
   def equalFreqBins(lineitem: DataFrame, nBins: Int = 10): DataFrame = {
-    val base = lineitem.select(expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
+    // same distribution-compression trick as [[madOutliers]]: boundaries
+    // AND bin populations both come from the (value → count) table; the
+    // fact rows shuffle once and are never revisited
+    val dist = lineitem
+      .select(expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
     val fracs = (1 until nBins).map(i => (i.toDouble / nBins).toString).mkString(", ")
-    val bounds = base.agg(expr(s"percentile(x, array($fracs))").as("bounds"))
-    base
+    val bounds = dist.agg(expr(s"percentile(x, array($fracs), cnt)").as("bounds"))
+    dist
       .join(broadcast(bounds))
       .withColumn("bin", (size(filter(col("bounds"), b => col("x") > b)) + 1).cast("long"))
       .groupBy(col("bin"))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(col("cnt")).as("n_rows"),
         min(col("x")).as("lo_dollars"),
         max(col("x")).as("hi_dollars"))
   }
@@ -446,20 +453,29 @@ object Relational {
     */
   def madOutliers(lineitem: DataFrame, madK: Int = 10): DataFrame = {
     val dollars = expr(s"${Stages.centsSql("l_extendedprice")} div 100")
-    val base = lineitem.select(col("l_returnflag"), dollars.as("x"))
-    val med = base
+    // one map-combined shuffle compresses the facts to a (group, value) →
+    // count distribution; every later pass — both percentile rounds and
+    // the outlier count — runs over the distribution with `percentile`'s
+    // frequency argument, never re-scanning the facts. At 100 TB the
+    // distribution is bounded by the value grid, not the row count.
+    val dist = lineitem
+      .select(col("l_returnflag"), dollars.as("x"))
+      .groupBy(col("l_returnflag"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val med = dist
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5)").as("med"))
-    val mad = base
+      .agg(expr("percentile(x, 0.5, cnt)").as("med"))
+    val mad = dist
       .join(broadcast(med), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("med"))
-      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
-    base
+      .agg(expr("percentile(abs(x - med), 0.5, cnt)").as("mad"))
+    dist
       .join(broadcast(mad), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"), col("med"), col("mad"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        count(when(abs(col("x") - col("med")) > col("mad") * madK, lit(1)))
+        sum(col("cnt")).as("n_rows"),
+        sum(when(abs(col("x") - col("med")) > col("mad") * madK, col("cnt")).otherwise(0L))
           .as("n_outliers"))
       .select(
         col("l_returnflag"),
