@@ -92,6 +92,10 @@ object SparkEntry {
       Analytics
         .pivotAvgByType(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("hour_start")),
+    "q_unpivot" -> ((s, dir) =>
+      Analytics
+        .unpivotHourlyAvg(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("hour_start", "event_type")),
     "q_cube" -> ((s, dir) =>
       Analytics.cubeStats(Tables.lineitem(s, dir))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
@@ -527,6 +531,21 @@ object SparkEntry {
        SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
   }
 
+  /** Generated wide hourly-average SQL — per-category exact half-up
+    * averages ([[Stages.halfUpAvgDollarsSql]] over conditional cents),
+    * shared by the pivot oracle and (wrapped in UNPIVOT) the melt oracle.
+    */
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val duckPivotWideSql: String = {
+    val cols = pivotTypes.map { t =>
+      val cents = Stages.centsWhenSql(s"event_type = '$t'", "value")
+      s"""${Stages.halfUpAvgDollarsSql(cents)} AS "$t""""
+    }.mkString(",\n                ")
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                $cols
+         FROM events GROUP BY date_trunc('hour', ts)"""
+  }
+
   private def duckStopwordHits(listName: String): String = {
     val words = TextAnalysis.stopwords(listName).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($words)))"
@@ -677,14 +696,12 @@ object SparkEntry {
                 sum(CAST(round((l_quantity) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
-    "q_pivot" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-                CASE WHEN count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'click' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "click",
-                CASE WHEN count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'error' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "error",
-                CASE WHEN count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "purchase",
-                CASE WHEN count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'signup' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "signup",
-                CASE WHEN count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) > 0 THEN (((2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) - (2 * sum(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END) + count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END)) % (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / (2 * count(CASE WHEN event_type = 'view' THEN CAST(round((value) * 100) AS BIGINT) END))) / 100.0 END AS "view"
-         FROM events GROUP BY date_trunc('hour', ts) ORDER BY 1""",
+    "q_pivot" -> s"$duckPivotWideSql ORDER BY 1",
+    "q_unpivot" ->
+      s"""WITH wide AS ($duckPivotWideSql)
+         SELECT hour_start, event_type, avg_value
+         FROM wide UNPIVOT (avg_value FOR event_type IN ("click", "error", "purchase", "signup", "view"))
+         ORDER BY hour_start, event_type""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                 sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_price

@@ -312,6 +312,23 @@ object Analytics {
       .pivot("event_type", types)
       .agg(expr(Stages.halfUpAvgDollarsSql(Stages.centsSql("value"))))
 
+  /** UNPIVOT (melt): the wide per-category hourly-average table back to
+    * long (hour, category, value) form — the inverse of
+    * [[pivotAvgByType]] and the standard reshaping step before a
+    * long-format export or union with other metrics. `Dataset.unpivot`
+    * expands map-side (an Expand node, no shuffle); null cells (hours
+    * where a category had no events) are dropped to match SQL UNPIVOT's
+    * default EXCLUDE NULLS on both engines.
+    */
+  def unpivotHourlyAvg(events: DataFrame, types: Seq[String]): DataFrame =
+    pivotAvgByType(events, types)
+      .unpivot(
+        Array(col("hour_start")),
+        types.map(col).toArray,
+        "event_type",
+        "avg_value")
+      .filter(col("avg_value").isNotNull)
+
   /** Event-time RANGE frame: per user, the rolling sum/count of `value`
     * over the trailing `rangeSeconds` of EVENT TIME (`RANGE BETWEEN n
     * PRECEDING AND CURRENT ROW` on epoch seconds) — a true time-decayed

@@ -245,8 +245,8 @@ object Dedup {
     * gram set BROADCASTS; the corpus side streams its grams map-side
     * through the broadcast hash join and only matched (doc_id, gram,
     * eval_id) rows reach the final aggregation — the full corpus gram
-    * inventory never shuffles. Grams are distinct per document
-    * ([[withShingles]]), so the distinct-counts are exact.
+    * inventory never shuffles. Grams are de-duplicated per document
+    * before the explode, so the distinct-counts are exact.
     */
   def decontaminate(documents: DataFrame, evalMaxId: Long, n: Int = 5): DataFrame = {
     // the shingle transform stays INLINE in the explode select (only
@@ -297,8 +297,10 @@ object Dedup {
     * the oracle's `len(intersect)/len(union)`.
     */
   def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
+    // cached once for the verification join only (doc_id → gram array);
+    // the candidate-generation postings are re-derived inline below
     val grams = withShingles(documents, 3)
-      .select(col("doc_id"), col("source"), col("sh").as("grams"), size(col("sh")).as("n_grams"))
+      .select(col("doc_id"), col("sh").as("grams"))
       .cache()
 
     // Canonical gram order by ascending global document frequency (gram

@@ -225,6 +225,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unpivotHourlyAvg equals the directly-computed long form") {
+    val ev = Tables.events(spark, sfDir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val viaPivot = Analytics.unpivotHourlyAvg(ev, types)
+    val direct = ev
+      .filter(col("event_type").isin(types: _*))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(expr(graft.engine.Stages.halfUpAvgDollarsSql(
+        graft.engine.Stages.centsSql("value"))).as("avg_value"))
+    assert(viaPivot.except(direct).isEmpty && direct.except(viaPivot).isEmpty)
+  }
+
   test("semanticDedupSummary: counts reconcile and block minima survive") {
     val emb = Tables.embeddings(spark, sfDir)
     val sum_ = Similarity.semanticDedupSummary(emb, 0.3).collect()
