@@ -181,6 +181,22 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_listagg" -> ((s, dir) =>
+      Analytics.pathString(Tables.events(s, dir)).orderBy("user_id")),
+    "q_pagerank" -> ((s, dir) =>
+      Analytics.pageRank(Tables.events(s, dir), 5).orderBy("rank")),
+    "q_median_mode" -> ((s, dir) =>
+      Relational.medianMode(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_weighted_sample" -> ((s, dir) =>
+      Relational.weightedSample(Tables.documents(s, dir), 10).orderBy("source", "rank")),
+    "q_quota_sample" -> ((s, dir) =>
+      Relational.quotaSample(Tables.documents(s, dir), 5).orderBy("source", "rank")),
+    "q_correlated" -> ((s, dir) =>
+      Relational.correlatedAboveAvg(s, Tables.orders(s, dir)).orderBy("o_orderkey")),
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkOverlap(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id")),
+    "q_char_diversity" -> ((s, dir) =>
+      TextAnalysis.charDiversity(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_bloom_prefilter" -> ((s, dir) =>
       Joins
         .bloomPrefilteredSemiJoin(
@@ -544,6 +560,55 @@ object SparkEntry {
     s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 $cols
          FROM events GROUP BY date_trunc('hour', ts)"""
+  }
+
+  /** DuckDB integer-arithmetic PageRank, generated: the same transition
+    * edge list and `iters` unrolled synchronous updates with every
+    * division integral (`//` floors like Spark's `div` on these
+    * non-negative values), so ranks match bit-for-bit.
+    */
+  private def duckPageRankSql(iters: Int, scale: Long): String = {
+    val its = (1 to iters)
+      .map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS node, CAST(sum(($p.r * e.w) // e.outw) AS BIGINT) AS contrib
+             FROM $p JOIN e ON $p.node = e.src GROUP BY e.dst),
+         r$i AS (SELECT nodes.node,
+                   CAST(((CAST($scale AS BIGINT) * 15) // 100) // nn.n_nodes
+                     + (85 * coalesce(c$i.contrib, 0)) // 100 AS BIGINT) AS r
+                 FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)"""
+      }
+      .mkString(",\n         ")
+    s"""WITH seq AS (
+           SELECT event_type AS dst,
+                  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+           FROM events),
+         e0 AS (SELECT src, dst, count(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY src, dst),
+         o AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+         e AS (SELECT e0.src, e0.dst, e0.w, o.outw FROM e0 JOIN o ON e0.src = o.src),
+         nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         r0 AS (SELECT node, CAST($scale AS BIGINT) // n_nodes AS r FROM nodes CROSS JOIN nn),
+         $its
+         SELECT CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT) AS rank, node, r
+         FROM r$iters ORDER BY rank"""
+  }
+
+  /** DuckDB Gini–Simpson letter-collision statistic, generated: 26 static
+    * per-letter counts, collision and total sums in exact integers, one
+    * IEEE division — mirrors [[TextAnalysis.charDiversity]].
+    */
+  private val duckCharDiversitySql: String = {
+    val letters = ('a' to 'z').toSeq
+    val counts = letters
+      .map(ch => s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS n_$ch")
+      .mkString(",\n                ")
+    val total = letters.map(ch => s"n_$ch").mkString(" + ")
+    val coll = letters.map(ch => s"n_$ch * (n_$ch - 1)").mkString(" + ")
+    s"""WITH c AS (SELECT doc_id, $counts FROM documents)
+       SELECT doc_id, $total AS n_letters, $coll AS collisions,
+              CAST($coll AS DOUBLE) / CAST(($total) * (($total) - 1) AS DOUBLE) AS collision_rate
+       FROM c ORDER BY doc_id"""
   }
 
   private def duckStopwordHits(listName: String): String = {
@@ -928,6 +993,57 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_listagg" ->
+      """SELECT user_id, count(*) AS n_events,
+                string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_pagerank" -> duckPageRankSql(5, 1000000000L),
+    "q_median_mode" ->
+      """WITH d AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q, count(*) AS n
+                    FROM lineitem GROUP BY 1, 2),
+         mode AS (SELECT l_returnflag, q AS mode_qty, n AS mode_n
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY n DESC, q ASC) AS rn FROM d)
+                  WHERE rn = 1),
+         med AS (SELECT l_returnflag,
+                        quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.5) AS median_qty
+                 FROM lineitem GROUP BY 1)
+         SELECT med.l_returnflag, median_qty, mode_qty, mode_n
+         FROM med JOIN mode ON med.l_returnflag = mode.l_returnflag
+         ORDER BY med.l_returnflag""",
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT source, doc_id, n_chars,
+                CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  / CAST(n_chars AS DOUBLE) AS priority
+              FROM documents),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY priority ASC, doc_id ASC) AS BIGINT) AS rank FROM p)
+         SELECT source, rank, doc_id, n_chars, priority FROM r WHERE rank <= 10
+         ORDER BY source, rank""",
+    "q_quota_sample" ->
+      """WITH r AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rank
+              FROM documents)
+         SELECT source, rank, doc_id FROM r WHERE rank <= 5 ORDER BY source, rank""",
+    "q_correlated" ->
+      s"""SELECT o_orderkey, o_custkey,
+                 ${Stages.centsSql("o_totalprice")} / CAST(100 AS DOUBLE) AS total_price
+          FROM orders o
+          WHERE ${Stages.centsSql("o_totalprice")} *
+                (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(${Stages.centsSql("i.o_totalprice")})
+                     FROM orders i WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""",
+    "q_chunk" ->
+      """WITH c AS (SELECT doc_id, text,
+                unnest(generate_series(0, (greatest(length(text) - 200, 0) + 149) // 150)) AS chunk_id
+              FROM documents)
+         SELECT doc_id, chunk_id,
+                CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_chars,
+                md5(substring(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
+    "q_char_diversity" -> duckCharDiversitySql,
     "q_bloom_prefilter" ->
       s"""SELECT l_suppkey, count(*) AS n_rows,
                  sum(${Stages.centsSql("l_extendedprice")}) / CAST(100 AS DOUBLE) AS sum_price

@@ -352,4 +352,73 @@ object Analytics {
         (sum(col("cents")).over(w) / lit(100.0)).as("rolling_sum"),
         count(lit(1)).over(w).as("n_in_range"))
   }
+
+  /** Ordered per-key sequence string (LISTAGG/STRING_AGG) — the
+    * behavioral-path builder of a sequence-modeling pipeline: every
+    * user's events concatenated in event-time order into one
+    * `a>b>c` string. `collect_list` alone is partition-order
+    * nondeterministic, so the list gathers (ts, event_id, event_type)
+    * structs and `array_sort` imposes the total order INSIDE the
+    * aggregate's result, map-side combined like any other aggregate —
+    * one shuffle of |keys| rows, no window sort of the full corpus.
+    * Per-key state is bounded by the user's own event count (cap it
+    * upstream with [[Relational.quotaSample]]-style limits at 100 TB).
+    */
+  def pathString(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+
+  /** PageRank over the event-type transition graph, `iters` synchronous
+    * iterations in EXACT integer arithmetic (rank mass scaled by
+    * `scale`): contribution = (r·w) div out-weight, update =
+    * 0.15·scale/n + 0.85·Σcontrib, every division integral — so the
+    * result is bit-identical on any engine and any partitioning (a
+    * floating-point PageRank is summation-order nondeterministic).
+    * Shape per iteration: one join of ranks (|V| rows) against the
+    * weighted edge list and one aggregate on dst — the edge list and
+    * out-weights are computed ONCE before the loop. At 100 TB the edge
+    * list is the only big table; ranks stay |V|-sized, so every
+    * iteration is a broadcast join against it, never an all-pairs
+    * shuffle. Dangling mass is deliberately dropped (same on both
+    * engines).
+    */
+  def pageRank(events: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    val seq = events
+      .select(col("event_type").as("dst"), lag(col("event_type"), 1).over(userOrder).as("src"))
+      .filter(col("src").isNotNull)
+    val edges = seq.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val out = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = edges.join(out, "src")
+    val nodes = edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(nDf).select(col("node"), expr(s"${scale}L div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(e, ranks("node") === e("src"))
+        .select(col("dst"), expr("(r * w) div outw").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .crossJoin(nDf)
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          col("node"),
+          expr(s"((${scale}L * 15) div 100) div n_nodes + (85 * coalesce(contrib, 0L)) div 100")
+            .as("r"))
+    }
+    ranks.select(
+      row_number()
+        .over(Window.partitionBy(lit(1)).orderBy(col("r").desc, col("node").asc))
+        .cast("long")
+        .as("rank"),
+      col("node"),
+      col("r"))
+  }
 }

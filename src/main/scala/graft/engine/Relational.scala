@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -520,5 +520,99 @@ object Relational {
         col("l_returnflag"),
         col("x"),
         expr(Stages.zscoreSql).as("z"))
+  }
+
+  /** Exact per-group median and deterministic mode over the value
+    * DISTRIBUTION, not the raw rows: facts aggregate once to
+    * (group, value) → count, the median runs `percentile` with the count
+    * as frequency weight, and the mode is the (count DESC, value ASC)
+    * head of the same distribution — ties break toward the smallest
+    * value, so the answer is unique on any engine. At 100 TB the
+    * distribution (bounded by the value domain) is the only thing that
+    * shuffles twice; the facts shuffle once.
+    */
+  def medianMode(lineitem: DataFrame): DataFrame = {
+    val dist = lineitem
+      .select(col("l_returnflag"), expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("n"))
+    val med = dist
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(q, 0.5, n)").as("median_qty"))
+    val mode = dist
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("n").desc, col("q").asc)))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("mode_qty"), col("n").as("mode_n"))
+    med.join(mode, Seq("l_returnflag"))
+  }
+
+  /** Deterministic weighted sampling (A-RES with the uniform replaced by
+    * an md5-derived hash): priority = hash / weight, and the k SMALLEST
+    * priorities per stratum win — heavier rows draw proportionally
+    * smaller priorities, membership is a pure function of the key. Both
+    * factors are exact in binary64 (hash < 2³², weight a small int), so
+    * the IEEE quotient is bit-identical on any engine. Map-side priority,
+    * one per-stratum top-k — the training-mix "sample by document
+    * quality/length" pass with zero rand() and zero extra shuffles.
+    */
+  def weightedSample(documents: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    documents
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+          " / CAST(n_chars AS DOUBLE)").as("priority"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"), col("priority"))
+  }
+
+  /** Per-group quota cap — the corpus-curation "at most N documents per
+    * source/domain" pass: rows rank inside their group by an md5-derived
+    * pseudo-random (but fully deterministic) order and only the first
+    * `cap` survive. The `row_number() <= cap` shape gets WindowGroupLimit
+    * rank pushdown, so each partition forwards at most `cap` rows per
+    * group to the shuffle — the 100 TB cost is the group count, not the
+    * corpus size.
+    */
+  def quotaSample(documents: DataFrame, cap: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    documents
+      .select(
+        col("source"),
+        col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cap)
+      .select(col("source"), col("rank"), col("doc_id"))
+  }
+
+  /** Correlated scalar subqueries — orders whose price exceeds 2× their
+    * own customer's average, written as two correlated aggregates and
+    * left to Catalyst's decorrelation (RewriteCorrelatedScalarSubquery
+    * turns each into an aggregate + left outer join; `.explain` shows no
+    * per-row subquery execution). The predicate compares
+    * cents·count > 2·sum(cents) — all integers, no division — so the
+    * oracle matches exactly.
+    */
+  def correlatedAboveAvg(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("graft_corr_orders")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey,
+                 ${Stages.centsSql("o_totalprice")} / CAST(100 AS DOUBLE) AS total_price
+          FROM graft_corr_orders o
+          WHERE ${Stages.centsSql("o_totalprice")} *
+                (SELECT count(*) FROM graft_corr_orders i WHERE i.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(${Stages.centsSql("i.o_totalprice")})
+                     FROM graft_corr_orders i WHERE i.o_custkey = o.o_custkey)""")
   }
 }

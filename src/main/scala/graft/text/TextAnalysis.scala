@@ -331,4 +331,50 @@ object TextAnalysis {
         array_max(transform(col("uniq"), g => size(filter(col("grams"), x => x === g))))
           .cast("long")
           .as("max_gram_freq"))
+
+  /** Fixed-size overlapping chunking — the context-window splitter of an
+    * LLM ingest pipeline: windows of `size` chars every `stride` chars
+    * (overlap = size − stride), chunk count derived in INTEGER arithmetic
+    * (`(max(len−size,0)+stride−1) div stride` extra chunks, always ≥1
+    * total). The chunk array is built and exploded in ONE inline
+    * expression (a pre-materialized array column would leave whole-stage
+    * codegen — the round-3 explode lesson), so chunking stays a pure
+    * map-side Generate at any corpus size. Chunks leave as md5 + length,
+    * not text, to keep the verified surface narrow.
+    */
+  def chunkOverlap(documents: DataFrame, size: Int = 200, stride: Int = 150): DataFrame =
+    documents
+      .selectExpr(
+        "doc_id",
+        s"""posexplode(transform(
+              sequence(0L, CAST((greatest(length(text) - $size, 0) + ${stride - 1}) div $stride AS LONG)),
+              i -> substring(text, CAST(i * $stride + 1 AS INT), $size))) AS (chunk_id, chunk)""")
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        length(col("chunk")).cast("long").as("chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+
+  /** Character-diversity quality proxy WITHOUT logarithms: the collision
+    * (Gini–Simpson) statistic over letter frequencies. Shannon entropy
+    * needs `ln`, which is not correctly rounded the same way across
+    * engines; the collision sum Σc·(c−1) over n·(n−1) ranks documents
+    * the same way (low diversity = high collision mass) in exact integer
+    * arithmetic, with ONE IEEE division at the end. Letter counts are 26
+    * static `length − length(replace(…))` expressions — a pure codegen'd
+    * scan, no explode of the corpus into characters.
+    */
+  def charDiversity(documents: DataFrame): DataFrame = {
+    val letters = ('a' to 'z').toSeq
+    val counted = documents.select(
+      col("doc_id") +: letters.map(ch =>
+        expr(s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT)").as(s"n_$ch")): _*)
+    val total = letters.map(ch => col(s"n_$ch")).reduce(_ + _)
+    val collisions = letters.map(ch => col(s"n_$ch") * (col(s"n_$ch") - 1)).reduce(_ + _)
+    counted.select(
+      col("doc_id"),
+      total.as("n_letters"),
+      collisions.as("collisions"),
+      (collisions.cast("double") / (total * (total - 1)).cast("double")).as("collision_rate"))
+  }
 }

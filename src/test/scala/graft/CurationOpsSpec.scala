@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Relational, Tables}
+import graft.text.TextAnalysis
+
+/** Round-3 curation/graph operators: ordered path strings (LISTAGG),
+  * integer PageRank, exact median+mode, weighted/quota sampling,
+  * correlated-subquery decorrelation, overlapping chunking, and the
+  * letter-collision diversity statistic.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("pathString emits each user's events in (ts, event_id) order") {
+    val ev = Tables.events(spark, sfDir)
+    val paths = Analytics.pathString(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n_events"), r.getAs[String]("path")))
+      .toMap
+    val manual = ev.select("user_id", "ts", "event_id", "event_type").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) =>
+        u -> rows
+          .sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+          .map(_.getAs[String]("event_type"))
+          .mkString(">")
+      }
+    manual.foreach { case (u, p) =>
+      assert(paths(u)._2 == p, s"user $u")
+      assert(paths(u)._1 == p.split(">", -1).length)
+    }
+  }
+
+  test("pageRank conserves scaled mass up to leakage and is deterministic") {
+    val ev = Tables.events(spark, sfDir)
+    val scale = 1000000000L
+    val r1 = Analytics.pageRank(ev, 5, scale).collect()
+    val r2 = Analytics.pageRank(ev, 5, scale).collect()
+    assert(r1.map(_.getAs[Long]("r")).toSeq == r2.map(_.getAs[Long]("r")).toSeq)
+    val total = r1.map(_.getAs[Long]("r")).sum
+    assert(total > 0 && total <= scale, s"mass $total vs scale $scale")
+    // ranks are strictly ordered by (r desc, node asc)
+    val sorted = r1.sortBy(_.getAs[Long]("rank"))
+    assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to r1.length).toSeq)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("r") > b.getAs[Long]("r") ||
+        (a.getAs[Long]("r") == b.getAs[Long]("r") &&
+          a.getAs[String]("node") < b.getAs[String]("node")))
+    }
+  }
+
+  test("medianMode matches a row-level recomputation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Relational.medianMode(li).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("median_qty"), r.getAs[Long]("mode_qty"), r.getAs[Long]("mode_n")))
+      .toMap
+    val rows = li.select("l_returnflag", "l_quantity").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> math.round(r.getAs[Double]("l_quantity")))
+    rows.groupBy(_._1).foreach { case (flag, fr) =>
+      val qs = fr.map(_._2).sorted
+      val n = qs.length
+      val median =
+        if (n % 2 == 1) qs(n / 2).toDouble else (qs(n / 2 - 1) + qs(n / 2)) / 2.0
+      val counts = fr.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (modeQ, modeN) = counts.toSeq.sortBy { case (q, c) => (-c, q) }.head
+      assert(got(flag)._1 == median, s"median $flag")
+      assert(got(flag)._2 == modeQ && got(flag)._3 == modeN, s"mode $flag")
+    }
+  }
+
+  test("weightedSample and quotaSample cap per group and favor heavy rows") {
+    val docs = Tables.documents(spark, sfDir)
+    val ws = Relational.weightedSample(docs, 10)
+    val byGroup = ws.groupBy("source").count().collect().map(_.getAs[Long]("count"))
+    assert(byGroup.forall(_ <= 10))
+    // weighted: kept docs skew longer than the corpus mean
+    val keptMean = ws.agg(avg("n_chars")).head.getDouble(0)
+    val allMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(keptMean > allMean, s"weighted sample mean $keptMean vs corpus $allMean")
+    val qs = Relational.quotaSample(docs, 5)
+    val quota = qs.groupBy("source").count().collect().map(_.getAs[Long]("count"))
+    assert(quota.forall(_ <= 5))
+    assert(qs.select("doc_id").distinct().count() == qs.count())
+  }
+
+  test("correlatedAboveAvg keeps exactly the orders above 2x their customer mean") {
+    val orders = Tables.orders(spark, sfDir)
+    val got = Relational.correlatedAboveAvg(spark, orders).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val rows = orders.select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        math.round(r.getAs[Double]("o_totalprice") * 100)))
+    val byCust = rows.groupBy(_._2)
+    val expect = rows.filter { case (_, ck, cents) =>
+      val grp = byCust(ck)
+      cents * grp.length > 2 * grp.map(_._3).sum
+    }.map(_._1).toSet
+    assert(got == expect)
+  }
+
+  test("chunkOverlap windows cover the text with the configured stride") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = TextAnalysis.chunkOverlap(docs, 200, 150).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      val mine = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+      val expectN = 1 + (math.max(text.length - 200, 0) + 149) / 150
+      assert(mine.length == expectN, s"doc $id")
+      mine.zipWithIndex.foreach { case (c, i) =>
+        val sub = text.substring(i * 150, math.min(i * 150 + 200, text.length))
+        assert(c.getAs[Long]("chunk_chars") == sub.length)
+      }
+      // strides cover the tail: last chunk reaches the end of the text
+      assert((expectN - 1) * 150 + 200 >= text.length)
+    }
+  }
+
+  test("charDiversity equals a direct per-document recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextAnalysis.charDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_letters"), r.getAs[Long]("collisions"), r.getAs[Double]("collision_rate")))
+      .toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      val counts = ('a' to 'z').map(ch => text.count(_ == ch).toLong)
+      val total = counts.sum
+      val coll = counts.map(c => c * (c - 1)).sum
+      assert(got(id)._1 == total && got(id)._2 == coll, s"doc $id")
+      assert(got(id)._3 == coll.toDouble / (total * (total - 1)).toDouble)
+    }
+  }
+}
