@@ -381,19 +381,65 @@ object Analytics {
     * 0.15·scale/n + 0.85·Σcontrib, every division integral — so the
     * result is bit-identical on any engine and any partitioning (a
     * floating-point PageRank is summation-order nondeterministic).
-    * Shape per iteration: one join of ranks (|V| rows) against the
-    * weighted edge list and one aggregate on dst — the edge list and
-    * out-weights are computed ONCE before the loop. At 100 TB the edge
-    * list is the only big table; ranks stay |V|-sized, so every
-    * iteration is a broadcast join against it, never an all-pairs
-    * shuffle. Dangling mass is deliberately dropped (same on both
-    * engines).
+    *
+    * Hybrid execution, same contract as the near-dup clustering: the
+    * ONLY corpus-scale pass is the distributed edge aggregation (one
+    * shuffle of (src, dst) pairs); the aggregated edge list is bounded
+    * by |V|² — the event-type vocabulary, not the corpus — so below
+    * `maxDriverEdges` the iterations run on the driver over the
+    * collected list (a lazy distributed loop would replay the whole
+    * edge lineage once per reference per iteration). Above the budget,
+    * [[pageRankDistributed]] iterates with |V|-sized rank joins against
+    * the (cached-size) edge list. Both paths share the integer-update
+    * arithmetic, so they agree bit-for-bit. Dangling mass is
+    * deliberately dropped (same on both engines).
     */
-  def pageRank(events: DataFrame, iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
-    val seq = events
+  def pageRank(
+      events: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000L,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
+    val spark = events.sparkSession
+    val edges = transitionEdges(events)
+    val edgeRows = edges.limit(maxDriverEdges.toInt + 1).collect()
+    if (edgeRows.length > maxDriverEdges) return pageRankDistributed(events, iters, scale)
+    val eList = edgeRows.map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("w")))
+    val outw = eList.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = (eList.map(_._1) ++ eList.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    var r: Map[String, Long] = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      eList.foreach { case (src, dst, w) => contrib(dst) += (r(src) * w) / outw(src) }
+      r = nodes.map(v => v -> (((scale * 15) / 100) / n + (85 * contrib(v)) / 100)).toMap
+    }
+    val ranked = nodes
+      .map(v => (v, r(v)))
+      .sortBy { case (v, rv) => (-rv, v) }
+      .zipWithIndex
+      .map { case ((v, rv), i) => (i + 1L, v, rv) }
+    import spark.implicits._
+    ranked.toSeq.toDF("rank", "node", "r")
+  }
+
+  /** The weighted transition edge list (src, dst, w) — the one
+    * corpus-scale aggregation both PageRank paths share.
+    */
+  private def transitionEdges(events: DataFrame): DataFrame =
+    events
       .select(col("event_type").as("dst"), lag(col("event_type"), 1).over(userOrder).as("src"))
       .filter(col("src").isNotNull)
-    val edges = seq.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Distributed PageRank fallback for vocabularies whose edge list
+    * exceeds the driver budget: ranks stay |V|-sized, each iteration is
+    * one join against the edge list plus one dst-aggregate. Identical
+    * integer arithmetic to the driver path.
+    */
+  def pageRankDistributed(events: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val edges = transitionEdges(events)
     val out = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val e = edges.join(out, "src")
     val nodes = edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct()

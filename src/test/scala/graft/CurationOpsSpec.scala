@@ -41,6 +41,13 @@ class CurationOpsSpec extends AnyFunSuite {
     val r1 = Analytics.pageRank(ev, 5, scale).collect()
     val r2 = Analytics.pageRank(ev, 5, scale).collect()
     assert(r1.map(_.getAs[Long]("r")).toSeq == r2.map(_.getAs[Long]("r")).toSeq)
+    // the distributed fallback computes the identical integer fixpoint
+    val dist = Analytics.pageRankDistributed(ev, 5, scale).orderBy("rank").collect()
+    assert(
+      dist.map(r => (r.getAs[Long]("rank"), r.getAs[String]("node"), r.getAs[Long]("r"))).toSeq ==
+        r1.sortBy(_.getAs[Long]("rank"))
+          .map(r => (r.getAs[Long]("rank"), r.getAs[String]("node"), r.getAs[Long]("r")))
+          .toSeq)
     val total = r1.map(_.getAs[Long]("r")).sum
     assert(total > 0 && total <= scale, s"mass $total vs scale $scale")
     // ranks are strictly ordered by (r desc, node asc)
