@@ -181,6 +181,21 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_interleave" -> ((s, dir) =>
+      Relational.interleaveSources(Tables.documents(s, dir)).orderBy("global_pos")),
+    "q_first_touch" -> ((s, dir) =>
+      Relational.firstTouch(Tables.events(s, dir)).orderBy("user_id", "event_type")),
+    "q_share_of_total" -> ((s, dir) =>
+      Relational.shareOfTotal(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_snowflake" -> ((s, dir) =>
+      Relational
+        .snowflakeRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))
+        .orderBy("r_name")),
+    "q_daily_delta" -> ((s, dir) =>
+      Analytics.dailyDelta(Tables.events(s, dir)).orderBy("day_epoch")),
+    "q_pair_support" -> ((s, dir) =>
+      Analytics.pairSupport(Tables.events(s, dir), 10).orderBy("rank")),
     "q_listagg" -> ((s, dir) =>
       Analytics.pathString(Tables.events(s, dir)).orderBy("user_id")),
     "q_pagerank" -> ((s, dir) =>
@@ -993,6 +1008,58 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_interleave" ->
+      """WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+                    FROM (SELECT DISTINCT source FROM documents)),
+         n AS (SELECT count(*) AS n_sources FROM s),
+         r AS (SELECT doc_id, source,
+                      CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_rank
+               FROM documents)
+         SELECT r.doc_id, r.source, r.src_rank,
+                (r.src_rank - 1) * n.n_sources + s.src_idx AS global_pos
+         FROM r JOIN s ON r.source = s.source CROSS JOIN n
+         ORDER BY global_pos""",
+    "q_first_touch" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts ASC, event_id ASC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_share_of_total" ->
+      s"""WITH g AS (SELECT l_returnflag, sum(${Stages.centsSql("l_extendedprice")}) AS cents
+                     FROM lineitem GROUP BY l_returnflag),
+         t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM g)
+         SELECT l_returnflag,
+                cents / CAST(100 AS DOUBLE) AS revenue,
+                cents / CAST(total_cents AS DOUBLE) AS share
+         FROM g CROSS JOIN t ORDER BY l_returnflag""",
+    "q_snowflake" ->
+      s"""SELECT r_name,
+                 count(DISTINCT o_orderkey) AS n_orders,
+                 sum(${Stages.centsSql("l_extendedprice")} * (100 - ${Stages.centsSql("l_discount")}))
+                   / CAST(10000 AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""",
+    "q_daily_delta" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day_epoch,
+                           count(*) AS n
+                    FROM events GROUP BY 1)
+         SELECT day_epoch, n,
+                lag(n, 1) OVER (ORDER BY day_epoch) AS prev_n,
+                n - coalesce(lag(n, 1) OVER (ORDER BY day_epoch), n) AS delta
+         FROM d ORDER BY day_epoch""",
+    "q_pair_support" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS support
+               FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY support DESC, type_a ASC, type_b ASC) AS BIGINT) AS rank
+               FROM p)
+         SELECT type_a, type_b, support, rank FROM r WHERE rank <= 10 ORDER BY rank""",
     "q_listagg" ->
       """SELECT user_id, count(*) AS n_events,
                 string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path

@@ -423,6 +423,45 @@ object Analytics {
     ranked.toSeq.toDF("rank", "node", "r")
   }
 
+  /** Day-over-day activity deltas: one corpus aggregation to daily
+    * counts, then lag/delta over the |days|-sized aggregate (the window
+    * runs over the AGGREGATE, never the facts — a constant partition
+    * key over bounded rows, not the corpus).
+    */
+  def dailyDelta(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("CAST(ts AS LONG) div 86400").as("day_epoch"))
+      .groupBy(col("day_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("day_epoch"))
+    daily.select(
+      col("day_epoch"),
+      col("n"),
+      lag(col("n"), 1).over(w).as("prev_n"),
+      (col("n") - coalesce(lag(col("n"), 1).over(w), col("n"))).as("delta"))
+  }
+
+  /** Pairwise co-occurrence support — the frequent-itemset (k=2) pass of
+    * basket mining: which event types appear together for the same user.
+    * Per-user type SETS first (distinct bounds the blow-up at the
+    * vocabulary, not the user's event count), then an ordered self-join
+    * per user emits |types|²-bounded pairs, counted and top-k'd. At
+    * 100 TB the only corpus-scale shuffles are the distinct and the
+    * pair count; the join happens inside the per-user set.
+    */
+  def pairSupport(events: DataFrame, k: Int): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut
+      .as("a")
+      .join(
+        ut.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support"))
+    Relational.rankedTopK(
+      pairs, k, col("support").desc, col("type_a").asc, col("type_b").asc)
+  }
+
   /** The weighted transition edge list (src, dst, w) — the one
     * corpus-scale aggregation both PageRank paths share.
     */

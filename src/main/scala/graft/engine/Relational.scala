@@ -596,6 +596,103 @@ object Relational {
       .select(col("source"), col("rank"), col("doc_id"))
   }
 
+  /** Deterministic round-robin interleave of sources — the curriculum
+    * mixer of a training pipeline: document i of source s lands at
+    * global position (i−1)·|S| + idx(s), so consecutive positions cycle
+    * through the sources. The position is ARITHMETIC, not a global sort:
+    * the only window is the per-source rank (one shuffle on source), the
+    * source→index map is a broadcast-sized dimension, and the output
+    * order is total because (rank, source) is unique. At 100 TB there is
+    * no global ordering bottleneck anywhere in the plan.
+    */
+  def interleaveSources(documents: DataFrame): DataFrame = {
+    val srcIdx = documents
+      .select(col("source"))
+      .distinct()
+      .withColumn(
+        "src_idx",
+        (row_number().over(Window.partitionBy(lit(1)).orderBy(col("source"))) - 1).cast("long"))
+    val nDf = srcIdx.agg(count(lit(1)).as("n_sources"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn(
+        "src_rank",
+        row_number()
+          .over(Window.partitionBy(col("source")).orderBy(col("doc_id")))
+          .cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nDf))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("src_rank"),
+        ((col("src_rank") - 1) * col("n_sources") + col("src_idx")).as("global_pos"))
+  }
+
+  /** First event per (user, event_type) — first-touch attribution, the
+    * dual of [[latestByKey]]: ONE aggregation with `min_by` on the
+    * (ts, event_id) struct order, map-side combined, so only |keys| rows
+    * per partition reach the shuffle (never a corpus-wide window sort).
+    */
+  def firstTouch(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min_by(
+          struct(col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("first"))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("first.event_id").as("event_id"),
+        col("first.ts").as("ts"),
+        col("first.value").as("value"))
+
+  /** Ratio-to-report (share of grand total) per group WITHOUT a window:
+    * one grouped integer-cents aggregate, the grand total re-aggregated
+    * from the group sums (|groups| rows) and broadcast back — a
+    * corpus-wide `sum() OVER ()` window would move everything to one
+    * partition. Both operands are exact integers < 2⁵³, so the one IEEE
+    * division matches any engine.
+    */
+  def shareOfTotal(lineitem: DataFrame): DataFrame = {
+    val g = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr(Stages.centsSql("l_extendedprice"))).as("cents"))
+    val t = g.agg(sum(col("cents")).as("total_cents"))
+    g.crossJoin(broadcast(t))
+      .select(
+        col("l_returnflag"),
+        expr("cents / CAST(100 AS DOUBLE)").as("revenue"),
+        expr("cents / CAST(total_cents AS DOUBLE)").as("share"))
+  }
+
+  /** Snowflake-chain star join: facts → orders → customer → nation →
+    * region, aggregated by region name. The two small dimensions are
+    * explicit broadcasts; the orders/customer joins shuffle on their
+    * keys and Catalyst (+AQE) reorders/plans the chain. Revenue is the
+    * exact integer discount arithmetic of [[starRevenueTopK]].
+    */
+  def snowflakeRevenue(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame =
+    lineitem
+      .withColumn(
+        "rev_units",
+        expr(
+          s"${Stages.centsSql("l_extendedprice")} * (100 - ${Stages.centsSql("l_discount")})"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        expr("sum(rev_units) / CAST(10000 AS DOUBLE)").as("revenue"))
+
   /** Correlated scalar subqueries — orders whose price exceeds 2× their
     * own customer's average, written as two correlated aggregates and
     * left to Catalyst's decorrelation (RewriteCorrelatedScalarSubquery

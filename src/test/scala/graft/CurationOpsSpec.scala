@@ -128,6 +128,80 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaveSources assigns unique cycling global positions") {
+    val docs = Tables.documents(spark, sfDir)
+    val il = Relational.interleaveSources(docs).collect()
+    assert(il.length == docs.count())
+    val pos = il.map(_.getAs[Long]("global_pos"))
+    assert(pos.distinct.length == pos.length)
+    // consecutive occupied positions never repeat a source within one cycle
+    val nSources = docs.select("source").distinct().count().toInt
+    il.groupBy(r => (r.getAs[Long]("global_pos") % nSources)).foreach { case (slot, rows) =>
+      assert(rows.map(_.getAs[String]("source")).distinct.length == 1, s"slot $slot")
+    }
+  }
+
+  test("firstTouch is the (ts, event_id)-min event per (user, type)") {
+    val ev = Tables.events(spark, sfDir)
+    val ft = Relational.firstTouch(ev)
+    val viaWindow = ev
+      .withColumn(
+        "rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+    assert(ft.select("user_id", "event_type", "event_id").except(viaWindow).isEmpty)
+    assert(ft.count() == viaWindow.count())
+  }
+
+  test("shareOfTotal shares sum to 1 and scale to group revenue") {
+    val st = Relational.shareOfTotal(Tables.lineitem(spark, sfDir)).collect()
+    val totalShare = st.map(_.getAs[Double]("share")).sum
+    assert(math.abs(totalShare - 1.0) < 1e-9)
+    val revs = st.map(_.getAs[Double]("revenue"))
+    assert(revs.forall(_ > 0))
+  }
+
+  test("snowflakeRevenue partitions orders across regions completely") {
+    val sf = Relational
+      .snowflakeRevenue(
+        Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+        Tables.customer(spark, sfDir), Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+      .collect()
+    // every order lands in exactly one region: distinct-order counts sum to the total
+    val distinctOrders = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey").distinct().count()
+    assert(sf.map(_.getAs[Long]("n_orders")).sum == distinctOrders)
+  }
+
+  test("dailyDelta deltas telescope back to the last day's count") {
+    val dd = Analytics.dailyDelta(Tables.events(spark, sfDir)).orderBy("day_epoch").collect()
+    assert(dd.head.isNullAt(dd.head.fieldIndex("prev_n")))
+    dd.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("prev_n") == a.getAs[Long]("n"))
+      assert(b.getAs[Long]("delta") == b.getAs[Long]("n") - a.getAs[Long]("n"))
+    }
+  }
+
+  test("pairSupport counts users with both types, ordered pairs only") {
+    val ev = Tables.events(spark, sfDir)
+    val ps = Analytics.pairSupport(ev, 10).collect()
+    ps.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val manual = ev.select("user_id", "event_type").distinct().collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .count { case (_, rows) =>
+          val ts = rows.map(_.getAs[String]("event_type")).toSet
+          ts.contains(a) && ts.contains(b)
+        }
+      assert(r.getAs[Long]("support") == manual, s"pair ($a,$b)")
+    }
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
