@@ -181,6 +181,12 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_skyline" -> ((s, dir) =>
+      Relational.skyline(Tables.lineitem(s, dir)).orderBy("price_dollars")),
+    "q_bitmap_index" -> ((s, dir) =>
+      Relational.bitmapIndex(Tables.events(s, dir)).orderBy("event_type", "word_id")),
+    "q_sliding_distinct" -> ((s, dir) =>
+      Analytics.slidingDistinctUsers(Tables.events(s, dir), 3).orderBy("win_end_hour")),
     "q_interleave" -> ((s, dir) =>
       Relational.interleaveSources(Tables.documents(s, dir)).orderBy("global_pos")),
     "q_first_touch" -> ((s, dir) =>
@@ -1008,6 +1014,29 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_skyline" ->
+      s"""WITH perx AS (SELECT ${Stages.centsSql("l_extendedprice")} // 100 AS price_dollars,
+                               max(CAST(round(l_quantity) AS BIGINT)) AS max_qty
+                        FROM lineitem GROUP BY 1),
+         f AS (SELECT price_dollars, max_qty,
+                      max(max_qty) OVER (ORDER BY price_dollars DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM perx)
+         SELECT price_dollars, max_qty AS qty FROM f
+         WHERE prev_max IS NULL OR prev_max < max_qty
+         ORDER BY price_dollars""",
+    "q_bitmap_index" ->
+      """SELECT event_type, user_id // 32 AS word_id,
+                bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits,
+                CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY event_type, word_id""",
+    "q_sliding_distinct" ->
+      """WITH hu AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch, user_id
+                     FROM events),
+         wu AS (SELECT DISTINCT unnest(generate_series(hour_epoch, hour_epoch + 2)) AS win_end_hour, user_id
+                FROM hu)
+         SELECT win_end_hour, count(*) AS n_users
+         FROM wu GROUP BY win_end_hour ORDER BY win_end_hour""",
     "q_interleave" ->
       """WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
                     FROM (SELECT DISTINCT source FROM documents)),

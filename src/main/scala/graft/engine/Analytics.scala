@@ -441,6 +441,27 @@ object Analytics {
       (col("n") - coalesce(lag(col("n"), 1).over(w), col("n"))).as("delta"))
   }
 
+  /** Sliding-window EXACT distinct users (trailing `windowHours`-hour
+    * windows at hour grain): the corpus first collapses to distinct
+    * (hour, user) pairs — the only full-scale shuffle — then each pair
+    * replicates into the `windowHours` windows it belongs to (explode
+    * of the constructing sequence, inline for codegen) and a second
+    * distinct+count runs over the bounded (windows × users) set. Exact
+    * sliding distinct without re-scanning the corpus per window; the
+    * approximate-at-scale variant swaps stage 2 for per-window HLL
+    * merges ([[Relational.approxDistinctCheck]] pins that sketch).
+    */
+  def slidingDistinctUsers(events: DataFrame, windowHours: Int = 3): DataFrame =
+    events
+      .select(expr("CAST(ts AS LONG) div 3600").as("hour_epoch"), col("user_id"))
+      .distinct()
+      .selectExpr(
+        s"explode(sequence(hour_epoch, hour_epoch + ${windowHours - 1})) AS win_end_hour",
+        "user_id")
+      .distinct()
+      .groupBy(col("win_end_hour"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Pairwise co-occurrence support — the frequent-itemset (k=2) pass of
     * basket mining: which event types appear together for the same user.
     * Per-user type SETS first (distinct bounds the blow-up at the

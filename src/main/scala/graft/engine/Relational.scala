@@ -596,6 +596,50 @@ object Relational {
       .select(col("source"), col("rank"), col("doc_id"))
   }
 
+  /** 2-D Pareto skyline (price, quantity maxima) in two bounded stages:
+    * stage 1 compresses the corpus to one max-quantity row per price
+    * DOLLAR (a grouped aggregate on the grid — the same ~100× value
+    * compression the percentile family uses); stage 2 runs the
+    * dominance filter as a running max over the grid-bounded survivors
+    * (constant partition key — the window input is |price grid|, never
+    * the corpus). A point survives iff its quantity beats every
+    * higher-priced point's.
+    */
+  def skyline(lineitem: DataFrame): DataFrame = {
+    val perX = lineitem
+      .select(
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("price_dollars"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      .groupBy(col("price_dollars"))
+      .agg(max(col("qty")).as("max_qty"))
+    val w = Window
+      .partitionBy(lit(1))
+      .orderBy(col("price_dollars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX
+      .withColumn("prev_max", max(col("max_qty")).over(w))
+      .filter(col("prev_max").isNull || col("prev_max") < col("max_qty"))
+      .select(col("price_dollars"), col("max_qty").as("qty"))
+  }
+
+  /** Bitmap-index build over 32-bit words — the OLAP bitmap/roaring
+    * container construction: users bucket into word_id = id div 32 and
+    * OR their bit map-side (`bit_or` partial-aggregates like any sum),
+    * so the shuffle carries |types|·|words| words, not |rows| events.
+    * 32-bit words keep every value positive in BIGINT on any engine
+    * (bit 63 overflows checked signed arithmetic). `bit_count` reads
+    * cardinality straight off the word.
+    */
+  def bitmapIndex(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        expr("user_id div 32").as("word_id"),
+        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
+      .groupBy(col("event_type"), col("word_id"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .withColumn("n_users", expr("CAST(bit_count(bits) AS BIGINT)"))
+
   /** Deterministic round-robin interleave of sources — the curriculum
     * mixer of a training pipeline: document i of source s lands at
     * global position (i−1)·|S| + idx(s), so consecutive positions cycle

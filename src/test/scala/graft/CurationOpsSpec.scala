@@ -202,6 +202,46 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline keeps exactly the non-dominated (price, qty) points") {
+    val li = Tables.lineitem(spark, sfDir)
+    val sky = Relational.skyline(li).collect()
+      .map(r => (r.getAs[Long]("price_dollars"), r.getAs[Long]("qty")))
+    val points = li.select("l_extendedprice", "l_quantity").collect()
+      .map(r => (math.round(r.getAs[Double]("l_extendedprice") * 100) / 100,
+        math.round(r.getAs[Double]("l_quantity"))))
+    val expect = points.distinct.filter { case (x, y) =>
+      !points.exists { case (x2, y2) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.sorted
+    assert(sky.sorted.toSeq == expect.toSeq)
+  }
+
+  test("bitmap index words reconstruct the exact user sets") {
+    val ev = Tables.events(spark, sfDir)
+    val bm = Relational.bitmapIndex(ev).collect()
+    val byType = ev.select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getAs[String]("event_type"))
+    bm.groupBy(_.getAs[String]("event_type")).foreach { case (t, words) =>
+      val users = words.flatMap { w =>
+        val (word, bits) = (w.getAs[Long]("word_id"), w.getAs[Long]("bits"))
+        (0 until 32).filter(b => (bits & (1L << b)) != 0).map(b => word * 32 + b)
+      }.toSet
+      val expect = byType(t).map(_.getAs[Long]("user_id")).toSet
+      assert(users == expect, s"type $t")
+      assert(words.map(_.getAs[Long]("n_users")).sum == expect.size)
+    }
+  }
+
+  test("slidingDistinctUsers equals a brute-force per-window distinct") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.slidingDistinctUsers(ev, 3).collect()
+      .map(r => r.getAs[Long]("win_end_hour") -> r.getAs[Long]("n_users")).toMap
+    val pairs = ev.select(expr("CAST(ts AS LONG) div 3600").as("h"), col("user_id")).collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("user_id"))).distinct
+    val brute = pairs.flatMap { case (h, u) => (h to h + 2).map(w => (w, u)) }
+      .distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got == brute)
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
