@@ -181,6 +181,14 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_abtest" -> ((s, dir) =>
+      Analytics.abTest(Tables.events(s, dir)).orderBy("n1")),
+    "q_cdc_merge" -> ((s, dir) =>
+      Analytics.cdcMerge(Tables.events(s, dir)).orderBy("user_id")),
+    "q_profile" -> ((s, dir) =>
+      Relational.profileEvents(Tables.events(s, dir)).orderBy("n_rows")),
+    "q_histogram2d" -> ((s, dir) =>
+      Relational.histogram2d(Tables.lineitem(s, dir)).orderBy("price_bin", "qty_bin")),
     "q_skyline" -> ((s, dir) =>
       Relational.skyline(Tables.lineitem(s, dir)).orderBy("price_dollars")),
     "q_bitmap_index" -> ((s, dir) =>
@@ -1014,6 +1022,38 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_abtest" ->
+      s"""WITH per AS (
+           SELECT user_id % 2 AS variant,
+                  count(DISTINCT user_id) AS n_users,
+                  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_converted
+           FROM events GROUP BY 1),
+         a AS (SELECT n_users AS n1, n_converted AS c1 FROM per WHERE variant = 0),
+         b AS (SELECT n_users AS n2, n_converted AS c2 FROM per WHERE variant = 1)
+         SELECT n1, c1, n2, c2,
+                CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_a,
+                CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS rate_b,
+                ${Stages.abTestZSql} AS z
+         FROM a CROSS JOIN b ORDER BY n1""",
+    "q_cdc_merge" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    "q_profile" ->
+      s"""SELECT count(*) AS n_rows,
+                 count(value) AS n_value_nonnull,
+                 count(DISTINCT user_id) AS n_users,
+                 count(DISTINCT event_type) AS n_types,
+                 epoch_us(CAST(min(ts) AS TIMESTAMP)) // 1000000 AS min_ts_epoch,
+                 epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000000 AS max_ts_epoch,
+                 CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS total_cents
+          FROM events ORDER BY n_rows""",
+    "q_histogram2d" ->
+      s"""SELECT ${Stages.centsSql("l_extendedprice")} // 10000 AS price_bin,
+                 CAST(round(l_quantity) AS BIGINT) // 10 AS qty_bin,
+                 count(*) AS n
+          FROM lineitem GROUP BY 1, 2 ORDER BY price_bin, qty_bin""",
     "q_skyline" ->
       s"""WITH perx AS (SELECT ${Stages.centsSql("l_extendedprice")} // 100 AS price_dollars,
                                max(CAST(round(l_quantity) AS BIGINT)) AS max_qty

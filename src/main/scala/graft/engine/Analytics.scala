@@ -441,6 +441,54 @@ object Analytics {
       (col("n") - coalesce(lag(col("n"), 1).over(w), col("n"))).as("delta"))
   }
 
+  /** Two-variant A/B read-out: users split by a deterministic hash of
+    * their id (here parity), conversion = reached the target event, and
+    * the two-proportion pooled z-statistic computed from the four
+    * integer counts via [[Stages.abTestZSql]] (identical expression
+    * text on both engines — sqrt/division are correctly rounded IEEE
+    * ops, so z is bit-exact). One distinct-aggregate over the corpus;
+    * the z arithmetic runs on a 1×4 row.
+    */
+  def abTest(events: DataFrame, convertType: String = "purchase"): DataFrame = {
+    val per = events
+      .groupBy(expr("user_id % 2").as("variant"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === convertType, col("user_id")))
+          .as("n_converted"))
+    val a = per.filter(col("variant") === 0)
+      .select(col("n_users").as("n1"), col("n_converted").as("c1"))
+    val b = per.filter(col("variant") === 1)
+      .select(col("n_users").as("n2"), col("n_converted").as("c2"))
+    a.crossJoin(b)
+      .selectExpr(
+        "n1", "c1", "n2", "c2",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_a",
+        "CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS rate_b",
+        s"${Stages.abTestZSql} AS z")
+  }
+
+  /** Changelog compaction with tombstones — the CDC MERGE/apply pass:
+    * the latest event per key wins ([[Relational.latestByKey]]'s
+    * map-combined `max_by` shape), and keys whose final state is a
+    * tombstone type disappear from the snapshot. One aggregation, one
+    * row per surviving key.
+    */
+  def cdcMerge(events: DataFrame, tombstoneType: String = "error"): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= tombstoneType)
+      .select(
+        col("user_id"),
+        col("last.event_id").as("event_id"),
+        col("last.ts").as("ts"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+
   /** Sliding-window EXACT distinct users (trailing `windowHours`-hour
     * windows at hour grain): the corpus first collapses to distinct
     * (hour, user) pairs — the only full-scale shuffle — then each pair

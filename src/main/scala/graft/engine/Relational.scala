@@ -596,6 +596,34 @@ object Relational {
       .select(col("source"), col("rank"), col("doc_id"))
   }
 
+  /** One-pass data-quality profile — the schema-health scan a pipeline
+    * runs before training: row/null/distinct tallies and time bounds in
+    * a single aggregate over one corpus scan (distincts partial-combine;
+    * nothing shuffles but the aggregation state).
+    */
+  def profileEvents(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("value")).as("n_value_nonnull"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      min(col("ts")).cast("long").as("min_ts_epoch"),
+      max(col("ts")).cast("long").as("max_ts_epoch"),
+      sum(expr(Stages.centsSql("value"))).as("total_cents"))
+
+  /** 2-D histogram (hundred-dollar price × ten-unit quantity bins) —
+    * the heatmap/joint-distribution aggregation: two integer floor
+    * divisions bin map-side, one grouped count. Bin count is bounded by
+    * the value domains, not the corpus.
+    */
+  def histogram2d(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        expr(s"${Stages.centsSql("l_extendedprice")} div 10000").as("price_bin"),
+        expr("CAST(round(l_quantity) AS BIGINT) div 10").as("qty_bin"))
+      .groupBy(col("price_bin"), col("qty_bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** 2-D Pareto skyline (price, quantity maxima) in two bounded stages:
     * stage 1 compresses the corpus to one max-quantity row per price
     * DOLLAR (a grouped aggregate on the grid — the same ~100× value

@@ -125,4 +125,23 @@ object Stages {
       // Spark throws DIVIDE_BY_ZERO on doubles where DuckDB yields NaN
       "corr_xy" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE $covar / sqrt($varX * $varY) END")
   }
+
+  /** Two-proportion pooled z-statistic over integer counts
+    * (n1, c1, n2, c2): every operand reaches binary64 exactly, and
+    * division, multiplication, and sqrt are all correctly rounded IEEE
+    * ops — so the SAME expression tree (same text on both engines)
+    * produces bit-identical z on any engine. (`ln`-based stats can't
+    * make this promise; sqrt can.)
+    */
+  val abTestZSql: String = {
+    val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    val p2 = "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    val pp = "(CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    // degenerate pools (nobody or everybody converted) have zero pooled
+    // variance: NULL via a lazy INTEGER-condition CASE — ANSI Spark
+    // throws DIVIDE_BY_ZERO on doubles where DuckDB yields ±inf
+    s"""CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL
+        ELSE ($p1 - $p2) / sqrt($pp * (1 - $pp) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        END"""
+  }
 }

@@ -242,6 +242,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("abTest counts match a manual split and z has the right sign") {
+    val ev = Tables.events(spark, sfDir)
+    val row = Analytics.abTest(ev).head()
+    val users = ev.select("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val byVariant = users.map(_._1).distinct.groupBy(_ % 2)
+    val converted = users.filter(_._2 == "purchase").map(_._1).distinct.groupBy(_ % 2)
+    assert(row.getAs[Long]("n1") == byVariant(0L).length)
+    assert(row.getAs[Long]("n2") == byVariant(1L).length)
+    assert(row.getAs[Long]("c1") == converted.getOrElse(0L, Array[Long]()).length)
+    assert(row.getAs[Long]("c2") == converted.getOrElse(1L, Array[Long]()).length)
+    val (n1, c1, n2, c2) = (row.getAs[Long]("n1"), row.getAs[Long]("c1"),
+      row.getAs[Long]("n2"), row.getAs[Long]("c2"))
+    if (c1 + c2 == 0 || c1 + c2 == n1 + n2) {
+      assert(row.isNullAt(row.fieldIndex("z"))) // degenerate pool: zero variance
+    } else {
+      val (ra, rb, z) =
+        (row.getAs[Double]("rate_a"), row.getAs[Double]("rate_b"), row.getAs[Double]("z"))
+      assert((ra > rb) == (z > 0) || ra == rb)
+    }
+  }
+
+  test("cdcMerge drops keys whose latest event is a tombstone") {
+    val ev = Tables.events(spark, sfDir)
+    val merged = Analytics.cdcMerge(ev, "error")
+    val latest = Relational.latestByKey(ev)
+    assert(merged.count() == latest.filter(col("event_type") =!= "error").count())
+    assert(merged.filter(col("event_type") === "error").count() == 0)
+    assert(merged.select("user_id", "event_id")
+      .except(latest.select("user_id", "event_id")).isEmpty)
+  }
+
+  test("profileEvents tallies one row of corpus statistics") {
+    val ev = Tables.events(spark, sfDir)
+    val p = Relational.profileEvents(ev).head()
+    assert(p.getAs[Long]("n_rows") == ev.count())
+    assert(p.getAs[Long]("n_users") == ev.select("user_id").distinct().count())
+    assert(p.getAs[Long]("n_value_nonnull") == ev.filter(col("value").isNotNull).count())
+    assert(p.getAs[Long]("min_ts_epoch") <= p.getAs[Long]("max_ts_epoch"))
+  }
+
+  test("histogram2d cell counts sum to the corpus size") {
+    val li = Tables.lineitem(spark, sfDir)
+    val h = Relational.histogram2d(li).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == li.count())
+    assert(h.map(r => (r.getAs[Long]("price_bin"), r.getAs[Long]("qty_bin"))).distinct.length == h.length)
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
