@@ -181,6 +181,14 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(Tables.documents(s, dir), 256).orderBy("doc_id", "bucket")),
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.documents(s, dir), 20).orderBy("rank")),
+    "q_hourly_profile" -> ((s, dir) =>
+      Analytics.hourlyProfile(Tables.events(s, dir)).orderBy("hour_of_day")),
+    "q_autocorr" -> ((s, dir) =>
+      Analytics.dailyAutocorr(Tables.events(s, dir)).orderBy("n_pairs")),
     "q_abtest" -> ((s, dir) =>
       Analytics.abTest(Tables.events(s, dir)).orderBy("n1")),
     "q_cdc_merge" -> ((s, dir) =>
@@ -1022,6 +1030,48 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+         SELECT doc_id,
+                CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket,
+                count(*) AS n
+         FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM toks WHERE len(t) >= 2),
+         bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+         pre AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY w1),
+         scored AS (SELECT bc.w1, bc.w2, bc.n_ab, pre.n_a,
+                           CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_cond
+                    FROM bc JOIN pre ON bc.w1 = pre.w1
+                    WHERE n_ab >= 5),
+         ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY p_cond DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+                    FROM scored)
+         SELECT rank, w1, w2, n_ab, n_a, p_cond FROM ranked WHERE rank <= 20 ORDER BY rank""",
+    "q_hourly_profile" -> {
+      val cents = Stages.centsWhenSql("value IS NOT NULL", "value")
+      s"""SELECT hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
+                 count(*) AS n_events,
+                 ${Stages.halfUpAvgDollarsSql(cents)} AS avg_value
+          FROM events GROUP BY 1 ORDER BY hour_of_day"""
+    },
+    "q_autocorr" -> {
+      val stats = Stages.momentStatsSql
+        .filter { case (name, _) => Seq("mean_x", "mean_y", "corr_xy").contains(name) }
+        .map { case (name, sql) => s"$sql AS $name" }
+        .mkString(",\n                 ")
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day, count(*) AS cnt
+                    FROM events GROUP BY 1),
+         p AS (SELECT a.cnt AS x, b.cnt AS y FROM d a JOIN d b ON b.day = a.day + 1),
+         m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p)
+         SELECT n AS n_pairs,
+                """ + stats + """
+         FROM m ORDER BY n_pairs"""
+    },
     "q_abtest" ->
       s"""WITH per AS (
            SELECT user_id % 2 AS variant,

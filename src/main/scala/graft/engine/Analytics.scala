@@ -441,6 +441,51 @@ object Analytics {
       (col("n") - coalesce(lag(col("n"), 1).over(w), col("n"))).as("delta"))
   }
 
+  /** Hour-of-day seasonality profile: activity and exact half-up money
+    * averages folded across days onto the 24-slot clock face — a single
+    * grouped aggregate whose output is constant-size regardless of
+    * corpus span.
+    */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val cents = Stages.centsWhenSql("value IS NOT NULL", "value")
+    events
+      .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr(s"${Stages.halfUpAvgDollarsSql(cents)}").as("avg_value"))
+  }
+
+  /** Lag-1 autocorrelation of the daily activity series, exactly: the
+    * corpus collapses to |days| counts, consecutive days pair by an
+    * arithmetic day+1 self-join, and the correlation comes from integer
+    * sufficient statistics through [[Stages.momentStatsSql]]'s shared
+    * closed form (built-in `corr` is partition-order nondeterministic).
+    * Everything after the first aggregate is |days|-sized.
+    */
+  def dailyAutocorr(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("CAST(ts AS LONG) div 86400").as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = daily
+      .as("a")
+      .join(daily.as("b"), col("b.day") === col("a.day") + 1)
+      .select(col("a.cnt").as("x"), col("b.cnt").as("y"))
+    pairs
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        Seq(col("n").as("n_pairs")) ++
+          Stages.momentStatsSql
+            .filter { case (name, _) => Seq("mean_x", "mean_y", "corr_xy").contains(name) }
+            .map { case (name, sql) => expr(sql).as(name) }: _*)
+  }
+
   /** Two-variant A/B read-out: users split by a deterministic hash of
     * their id (here parity), conversion = reached the target event, and
     * the two-proportion pooled z-statistic computed from the four

@@ -332,6 +332,54 @@ object TextAnalysis {
           .cast("long")
           .as("max_gram_freq"))
 
+  /** Hashing-trick featurization (bag-of-hashed-words): every token maps
+    * to one of `buckets` feature slots by md5 hash — the fixed-width
+    * sparse featurizer that needs NO vocabulary pass, broadcast, or
+    * fitting state, so it runs map-side at any corpus size. Output is
+    * the exploded sparse form (doc, bucket, count); the groupBy combines
+    * map-side within each document's partition.
+    */
+  def featureHash(documents: DataFrame, buckets: Int = 256): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(
+        col("doc_id"),
+        expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $buckets")
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Bigram language-model estimation: P(w2 | w1) = c(w1 w2) / c(w1 ·)
+    * as ONE exact integer ratio (both counts < 2⁵³ reach binary64
+    * exactly; the division is a single correctly-rounded IEEE op — the
+    * same no-log discipline as TF-IDF/PMI). The prefix total is the sum
+    * of the bigram counts themselves (one aggregation over the
+    * vocabulary-sized count table, not a second corpus scan). `minCount`
+    * keeps one-off continuations from flooding the top ranks with
+    * probability-1.0 noise.
+    */
+  def bigramLm(documents: DataFrame, k: Int, minCount: Long = 5L): DataFrame = {
+    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toksDf
+      .filter(size(col("t")) >= 2)
+      .select(
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(
+            element_at(col("t"), i).as("w1"),
+            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val prefix = biCounts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    graft.engine.Relational.rankedTopK(
+      biCounts
+        .join(prefix, "w1")
+        .filter(col("n_ab") >= minCount)
+        .withColumn("p_cond", expr("CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)")),
+      k, col("p_cond").desc, col("w1").asc, col("w2").asc)
+      .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("n_a"), col("p_cond"))
+  }
+
   /** Fixed-size overlapping chunking — the context-window splitter of an
     * LLM ingest pipeline: windows of `size` chars every `stride` chars
     * (overlap = size − stride), chunk count derived in INTEGER arithmetic

@@ -290,6 +290,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(h.map(r => (r.getAs[Long]("price_bin"), r.getAs[Long]("qty_bin"))).distinct.length == h.length)
   }
 
+  test("featureHash buckets partition token counts completely") {
+    val docs = Tables.documents(spark, sfDir)
+    val fh = TextAnalysis.featureHash(docs, 256)
+    val totalTokens = docs
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(fh.agg(sum("n")).head.getLong(0) == totalTokens)
+    assert(fh.filter(col("bucket") < 0 || col("bucket") >= 256).count() == 0)
+  }
+
+  test("bigramLm probabilities are conditional: per-prefix they sum to <= 1") {
+    val lm = TextAnalysis.bigramLm(Tables.documents(spark, sfDir), 20).collect()
+    lm.foreach { r =>
+      val p = r.getAs[Double]("p_cond")
+      assert(p > 0 && p <= 1.0)
+      assert(r.getAs[Long]("n_ab") >= 5)
+      assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_a"))
+      assert(p == r.getAs[Long]("n_ab").toDouble / r.getAs[Long]("n_a").toDouble)
+    }
+    assert(lm.map(_.getAs[Long]("rank")).toSeq == (1L to lm.length).toSeq)
+  }
+
+  test("hourlyProfile folds the corpus onto 24 slots") {
+    val ev = Tables.events(spark, sfDir)
+    val hp = Analytics.hourlyProfile(ev).collect()
+    assert(hp.length <= 24)
+    assert(hp.map(_.getAs[Long]("n_events")).sum == ev.count())
+    assert(hp.forall(r => r.getAs[Long]("hour_of_day") >= 0 && r.getAs[Long]("hour_of_day") < 24))
+  }
+
+  test("dailyAutocorr matches corr over the lagged daily series") {
+    val ev = Tables.events(spark, sfDir)
+    val row = Analytics.dailyAutocorr(ev).head()
+    val daily = ev.select(expr("CAST(ts AS LONG) div 86400").as("d")).groupBy("d").count()
+      .collect().map(r => r.getAs[Long]("d") -> r.getAs[Long]("count")).sortBy(_._1)
+    val pairs = daily.sliding(2).collect {
+      case Array((d1, x), (d2, y)) if d2 == d1 + 1 => (x.toDouble, y.toDouble)
+    }.toSeq
+    assert(row.getAs[Long]("n_pairs") == pairs.length)
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val sdx = math.sqrt(pairs.map { case (x, _) => (x - mx) * (x - mx) }.sum / n)
+    val sdy = math.sqrt(pairs.map { case (_, y) => (y - my) * (y - my) }.sum / n)
+    assert(math.abs(row.getAs[Double]("corr_xy") - cov / (sdx * sdy)) < 1e-9)
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
