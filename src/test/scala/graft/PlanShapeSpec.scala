@@ -95,4 +95,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(source"),
       s"pack prefix-sum must be partitioned by source:\n$p")
   }
+
+  test("bitmapIndex and firstTouch partial-aggregate before their one exchange") {
+    Seq(
+      Relational.bitmapIndex(Tables.events(spark, sfDir)),
+      Relational.firstTouch(Tables.events(spark, sfDir)),
+      Analytics.cdcMerge(Tables.events(spark, sfDir))
+    ).foreach { df =>
+      val p = plan(df)
+      assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2,
+        s"expected partial+final aggregate layers:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"expected exactly one hash exchange:\n$p")
+    }
+  }
+
+  test("snowflake chain broadcasts the small dimensions") {
+    val p = plan(Relational.snowflakeRevenue(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir), Tables.region(spark, sfDir)))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation and region must broadcast:\n$p")
+  }
+
+  test("interleave has no corpus-wide window: the only window partitions by source") {
+    val p = plan(Relational.interleaveSources(Tables.documents(spark, sfDir)))
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source rank must partition by source:\n$p")
+    // the src_idx window runs over the distinct-source dimension, not the corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"source index map must broadcast:\n$p")
+  }
+
+  test("skyline compresses to the dollar grid before its bounded window") {
+    val df = Relational.skyline(Tables.lineitem(spark, sfDir))
+    val p = plan(df)
+    // grid aggregate (partial+final) sits below the dominance window
+    val aggAt = p.lastIndexOf("Aggregate")
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"grid aggregate must run before (below) the dominance window:\n$p")
+  }
+
+  test("featureHash explodes the constructing expression inline") {
+    val p = plan(TextAnalysis.featureHash(Tables.documents(spark, sfDir), 256))
+    assert(p.contains("Generate explode(split("),
+      s"tokens must explode inline (not from a materialized array column):\n$p")
+  }
+
+  test("pageRank's corpus pass is the one edge aggregation") {
+    // the driver-side path materializes edges once; its input plan is the
+    // lag window + aggregate, nothing iterative
+    val edges = Analytics.pageRank(Tables.events(spark, sfDir), 5)
+    assert(edges.collect().length > 0) // driver path executes (no iterative lineage)
+  }
 }
