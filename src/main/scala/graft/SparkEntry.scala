@@ -314,6 +314,14 @@ object SparkEntry {
       Similarity.sq8TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_ivf2" -> ((s, dir) =>
       Similarity.ivfProbe2TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_knn" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir), 10, 5).orderBy("qid")),
+    "q_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Tables.embeddings(s, dir), 10, 5).orderBy("qid")),
+    "q_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir)).orderBy("true_lang", "pred_lang")),
+    "q_source_stats" -> ((s, dir) =>
+      TextAnalysis.sourceStats(Tables.documents(s, dir)).orderBy("source")),
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedupSummary(Tables.embeddings(s, dir), 0.3).orderBy("label")),
     "q_hard_negatives" -> ((s, dir) =>
@@ -652,6 +660,51 @@ object SparkEntry {
     val words = TextAnalysis.stopwords(listName).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($words)))"
   }
+
+  /** DuckDB brute-force cosine top-k, generated — shared by the
+    * q_cosine_topk oracle and the evaluation oracles (q_knn,
+    * q_ann_recall) that consume the exact ranking as ground truth.
+    */
+  private def duckCosineTopKSql(numQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $numQueries),
+       pairs AS (
+         SELECT q.qid, e.vec_id AS nid,
+                round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(q.qe, q.qe)) *
+                       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 3) AS cos_sim
+           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       ranked AS (
+         SELECT qid, nid, cos_sim,
+                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         FROM pairs)
+       SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** DuckDB stopword-vote language identifier — shared by the q_lang_id
+    * oracle and the q_confusion evaluation oracle.
+    */
+  private lazy val duckLangIdSql: String =
+    s"""WITH scored AS (
+           SELECT doc_id,
+                  ${duckStopwordHits("en")} AS s_en,
+                  ${duckStopwordHits("fr")} AS s_fr,
+                  ${duckStopwordHits("de")} AS s_de,
+                  ${duckStopwordHits("es")} AS s_es
+           FROM documents),
+         best AS (
+           SELECT doc_id, s_en, s_fr, s_de, s_es,
+                  greatest(s_en, s_fr, s_de, s_es) AS best,
+                  (CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
+                   CASE WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
+                   CASE WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
+                   CASE WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END) AS winners
+           FROM scored)
+         SELECT doc_id,
+                CASE WHEN best = 0 OR winners > 1 THEN 'und'
+                     WHEN s_en = best THEN 'en'
+                     WHEN s_fr = best THEN 'fr'
+                     WHEN s_de = best THEN 'de'
+                     ELSE 'es' END AS pred_lang
+         FROM best ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the one non-SQL-expressible
@@ -1348,29 +1401,7 @@ object SparkEntry {
                 CAST(length(text) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS chars_per_token,
                 CAST(${duckStopwordHits("en")} AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
-    "q_lang_id" ->
-      s"""WITH scored AS (
-           SELECT doc_id,
-                  ${duckStopwordHits("en")} AS s_en,
-                  ${duckStopwordHits("fr")} AS s_fr,
-                  ${duckStopwordHits("de")} AS s_de,
-                  ${duckStopwordHits("es")} AS s_es
-           FROM documents),
-         best AS (
-           SELECT doc_id, s_en, s_fr, s_de, s_es,
-                  greatest(s_en, s_fr, s_de, s_es) AS best,
-                  (CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
-                   CASE WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
-                   CASE WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END +
-                   CASE WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 1 ELSE 0 END) AS winners
-           FROM scored)
-         SELECT doc_id,
-                CASE WHEN best = 0 OR winners > 1 THEN 'und'
-                     WHEN s_en = best THEN 'en'
-                     WHEN s_fr = best THEN 'fr'
-                     WHEN s_de = best THEN 'de'
-                     ELSE 'es' END AS pred_lang
-         FROM best ORDER BY doc_id""",
+    "q_lang_id" -> duckLangIdSql,
     "q_fingerprint" ->
       """SELECT doc_id, substring(md5(lower(text)), 1, 16) AS fp64
          FROM documents ORDER BY doc_id""",
@@ -1513,24 +1544,45 @@ object SparkEntry {
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
     "q_ann_pq" -> duckAnnPqSql(10, 5, 8, 16),
     "q_ann_ivfpq" -> duckAnnIvfPqSql(10, 5, 8, 8, 16),
+    "q_knn" ->
+      s"""WITH topk AS (SELECT qid, nid FROM (${duckCosineTopKSql(10, 5)})),
+         votes AS (SELECT t.qid, e.label AS n_label, count(*) AS votes
+                   FROM topk t JOIN embeddings e ON e.vec_id = t.nid GROUP BY 1, 2),
+         pred AS (SELECT qid, n_label AS pred_label, votes
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY votes DESC, n_label ASC) AS rn FROM votes)
+                  WHERE rn = 1)
+         SELECT p.qid, CAST(q.label AS BIGINT) AS true_label,
+                CAST(p.pred_label AS BIGINT) AS pred_label, p.votes,
+                q.label = p.pred_label AS correct
+         FROM pred p JOIN embeddings q ON q.vec_id = p.qid ORDER BY qid""",
+    "q_ann_recall" ->
+      s"""WITH bf AS (SELECT qid, nid FROM (${duckCosineTopKSql(10, 5)})),
+         ap AS (SELECT qid, nid FROM (${duckAnnLshSql(10, 5, 4)})),
+         h AS (SELECT qid, count(*) AS n_hit FROM bf JOIN ap USING (qid, nid) GROUP BY qid),
+         t AS (SELECT qid, count(*) AS n_true FROM bf GROUP BY qid)
+         SELECT t.qid, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+                CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall
+         FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid""",
+    "q_confusion" ->
+      s"""WITH pred AS ($duckLangIdSql)
+         SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+         FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                max(n_chars) AS max_chars,
+                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+                count(DISTINCT md5(text)) AS n_uniq_texts,
+                count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+         FROM documents GROUP BY source ORDER BY source""",
     "q_term_freq" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
          g AS (SELECT token, count(*) AS n FROM t GROUP BY token),
          r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM g)
          SELECT rank, token, n FROM r WHERE rank <= 20 ORDER BY rank""",
-    "q_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
-         pairs AS (
-           SELECT q.qid, e.vec_id AS nid,
-                  round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
-                        (sqrt(list_dot_product(q.qe, q.qe)) *
-                         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 3) AS cos_sim
-           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
-         ranked AS (
-           SELECT qid, nid, cos_sim,
-                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
-           FROM pairs)
-         SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_cosine_topk" -> duckCosineTopKSql(10, 5),
     "q_embed_near_dup" ->
       """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                 round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -511,6 +511,54 @@ object Similarity {
         (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L)))).as("n_kept"))
   }
 
+  /** k-NN label vote — nearest-neighbor classification over the
+    * embedding corpus: each query's exact top-k ([[cosineTopK]]) joins
+    * the broadcast label dimension, votes count per (query, label), and
+    * the (votes DESC, label ASC) head is the deterministic prediction.
+    * Everything after the top-k runs over numQueries·k rows.
+    */
+  def knnClassify(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = cosineTopK(embeddings, numQueries, k)
+      .join(
+        broadcast(labels.select(col("vec_id").as("nid"), col("label").as("n_label"))),
+        Seq("nid"))
+      .groupBy(col("qid"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(
+        broadcast(labels.select(col("vec_id").as("qid"), col("label").as("true_label"))),
+        Seq("qid"))
+      .select(
+        col("qid"),
+        col("true_label").cast("long").as("true_label"),
+        col("n_label").cast("long").as("pred_label"),
+        col("votes"),
+        (col("true_label") === col("n_label")).as("correct"))
+  }
+
+  /** Recall@k evaluation of the LSH index against the brute-force ground
+    * truth — the measurement loop every ANN deployment runs: per query,
+    * |approx ∩ exact| / k. Both rankings already exist as operators; the
+    * evaluation is a (qid, nid) equi-join over numQueries·k rows. Exact
+    * integer ratio (one IEEE division).
+    */
+  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val bf = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
+    val approx = lshBucketTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
+    val hits = bf.join(approx, Seq("qid", "nid")).groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`
     * (the fixture's cluster id): pairs within a block with similarity ≥
     * `minCos`. At scale the block key comes from a coarse quantizer; the

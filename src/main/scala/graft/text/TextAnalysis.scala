@@ -332,6 +332,34 @@ object TextAnalysis {
           .cast("long")
           .as("max_gram_freq"))
 
+  /** Confusion matrix of the language identifier against the corpus's
+    * true labels — the evaluation pass that closes the loop on
+    * [[languageId]]: one join on doc_id, one (true, pred) count. Output
+    * is |langs|²-bounded.
+    */
+  def langConfusion(documents: DataFrame): DataFrame =
+    languageId(documents)
+      .join(documents.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-source corpus report — the curation dashboard aggregate: doc
+    * and token tallies, length extremes, and exact-duplicate mass
+    * (docs − distinct text hashes) in one grouped pass. distinct-md5
+    * partial-aggregates per partition; everything else combines
+    * map-side.
+    */
+  def sourceStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        countDistinct(md5(col("text"))).as("n_uniq_texts"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+
   /** Hashing-trick featurization (bag-of-hashed-words): every token maps
     * to one of `buckets` feature slots by md5 hash — the fixed-width
     * sparse featurizer that needs NO vocabulary pass, broadcast, or

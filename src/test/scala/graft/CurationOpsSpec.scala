@@ -337,6 +337,61 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("corr_xy") - cov / (sdx * sdy)) < 1e-9)
   }
 
+  test("knnClassify predicts the majority label of the exact top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val knn = graft.similarity.Similarity.knnClassify(emb, 10, 5).collect()
+    assert(knn.length == 10)
+    val topk = graft.similarity.Similarity.cosineTopK(emb, 10, 5).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    knn.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val votes = topk(qid).map(t => labels(t.getAs[Long]("nid")))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val (pred, n) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Long]("pred_label") == pred && r.getAs[Long]("votes") == n, s"qid $qid")
+      assert(r.getAs[Boolean]("correct") == (labels(qid).toLong == r.getAs[Long]("pred_label")))
+    }
+  }
+
+  test("annRecall is the per-query overlap of LSH with brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rec = graft.similarity.Similarity.annRecall(emb, 10, 5).collect()
+    assert(rec.length == 10)
+    val bf = graft.similarity.Similarity.cosineTopK(emb, 10, 5).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    val lsh = graft.similarity.Similarity.lshBucketTopK(emb, 10, 5).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    rec.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val exact = bf(qid).map(_.getAs[Long]("nid")).toSet
+      val approx = lsh.getOrElse(qid, Array()).map(_.getAs[Long]("nid")).toSet
+      assert(r.getAs[Long]("n_hit") == (exact & approx).size, s"qid $qid")
+      assert(r.getAs[Double]("recall") == (exact & approx).size.toDouble / exact.size)
+    }
+  }
+
+  test("langConfusion row counts sum to the corpus and diagonal dominates") {
+    val docs = Tables.documents(spark, sfDir)
+    val cm = TextAnalysis.langConfusion(docs).collect()
+    assert(cm.map(_.getAs[Long]("n")).sum == docs.count())
+    val diag = cm.filter(r => r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag > 0, "identifier should get at least some documents right")
+  }
+
+  test("sourceStats tallies docs, tokens, and exact-duplicate mass per source") {
+    val docs = Tables.documents(spark, sfDir)
+    val st = TextAnalysis.sourceStats(docs).collect()
+    assert(st.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    st.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_uniq_texts"))
+      assert(r.getAs[Long]("max_chars") <= r.getAs[Long]("total_chars"))
+    }
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
