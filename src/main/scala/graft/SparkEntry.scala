@@ -314,6 +314,13 @@ object SparkEntry {
       Similarity.sq8TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_ann_ivf2" -> ((s, dir) =>
       Similarity.ivfProbe2TopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_not_in" -> ((s, dir) =>
+      Joins.notInSubquery(s, Tables.customer(s, dir), Tables.supplier(s, dir))
+        .orderBy("c_custkey")),
+    "q_ks_test" -> ((s, dir) =>
+      TextAnalysis.ksTest(Tables.documents(s, dir), "src0", "src1").orderBy("na")),
+    "q_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(Tables.documents(s, dir)).orderBy("source_a", "source_b")),
     "q_knn" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir), 10, 5).orderBy("qid")),
     "q_ann_recall" -> ((s, dir) =>
@@ -1544,6 +1551,37 @@ object SparkEntry {
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
     "q_ann_pq" -> duckAnnPqSql(10, 5, 8, 16),
     "q_ann_ivfpq" -> duckAnnIvfPqSql(10, 5, 8, 8, 16),
+    "q_not_in" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+         ORDER BY c_custkey""",
+    "q_ks_test" ->
+      """WITH d AS (SELECT source, n_chars AS x FROM documents WHERE source IN ('src0', 'src1')),
+         grid AS (SELECT x,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+                  FROM d GROUP BY x),
+         cum AS (SELECT x,
+                        CAST(sum(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+                        CAST(sum(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+                 FROM grid),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM grid)
+         SELECT na, nb,
+                CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+                CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d_stat
+         FROM cum CROSS JOIN t GROUP BY na, nb ORDER BY na""",
+    "q_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                     FROM documents),
+         sizes AS (SELECT source, count(*) AS n_vocab FROM st GROUP BY source),
+         p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+               FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT source_a, source_b, n_shared, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+                CAST(n_shared AS DOUBLE) / CAST(sa.n_vocab + sb.n_vocab - n_shared AS DOUBLE) AS jaccard
+         FROM p JOIN sizes sa ON p.source_a = sa.source
+                JOIN sizes sb ON p.source_b = sb.source
+         ORDER BY source_a, source_b""",
     "q_knn" ->
       s"""WITH topk AS (SELECT qid, nid FROM (${duckCosineTopKSql(10, 5)})),
          votes AS (SELECT t.qid, e.label AS n_label, count(*) AS votes

@@ -171,4 +171,23 @@ object Joins {
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("block"), col("cust_a"), col("cust_b"), col("edit_dist"))
   }
+
+  /** NOT IN (subquery) — the NULL-AWARE anti-join: unlike NOT EXISTS,
+    * a single NULL in the subquery empties the result, so Catalyst
+    * plans a null-aware variant (single-column NAAJ broadcasts;
+    * `.explain` shows BroadcastHashJoin LeftAnti with the
+    * null-aware mark). Written as SQL because NOT IN's three-valued
+    * semantics ARE the operator — the DataFrame `left_anti` join is the
+    * NOT EXISTS cousin ([[antiJoin]]).
+    */
+  def notInSubquery(
+      spark: org.apache.spark.sql.SparkSession,
+      customer: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("graft_naaj_customer")
+    supplier.createOrReplaceTempView("graft_naaj_supplier")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_nationkey FROM graft_naaj_customer
+         WHERE c_nationkey NOT IN (SELECT s_nationkey FROM graft_naaj_supplier)""")
+  }
 }

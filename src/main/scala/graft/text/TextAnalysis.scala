@@ -332,6 +332,62 @@ object TextAnalysis {
           .cast("long")
           .as("max_gram_freq"))
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the document
+    * LENGTH distributions of two sources, with the supremum computed in
+    * INTEGER arithmetic: D = max |F_a − F_b| = max |ca·nb − cb·na| /
+    * (na·nb), where the cumulative counts run over the merged value
+    * grid. The corpus collapses to (source, length) → count first; the
+    * cumulative window and the max run over the grid (bounded by the
+    * length domain), and the single division at the end is exact in
+    * binary64 (counts ≪ 2²⁶ each, so the cross-products stay < 2⁵³).
+    */
+  def ksTest(documents: DataFrame, srcA: String, srcB: String): DataFrame = {
+    val grid = documents
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(col("source") === srcA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grid.select(col("x"), sum(col("a")).over(w).as("ca"), sum(col("b")).over(w).as("cb"))
+    val totals = grid.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cum
+      .crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"), abs(col("ca") * col("nb") - col("cb") * col("na")).as("diff"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("diff")).as("d_num"))
+      .select(
+        col("na"), col("nb"), col("d_num"),
+        expr("CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("d_stat"))
+  }
+
+  /** Pairwise source-vocabulary overlap — the corpus-mix similarity
+    * report: per-source distinct token sets (vocabulary-bounded after
+    * the distinct), shared-token counts via a token-key self-join, and
+    * exact-integer Jaccard |A∩B| / (|A|+|B|−|A∩B|). The token join's
+    * fan-out is bounded by how many sources share a token (≤ |sources|),
+    * never by corpus size.
+    */
+  def vocabOverlap(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    st.as("a")
+      .join(st.as("b"), col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_vocab").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_vocab").as("n_b"))), Seq("source_b"))
+      .select(
+        col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE)").as("jaccard"))
+  }
+
   /** Confusion matrix of the language identifier against the corpus's
     * true labels — the evaluation pass that closes the loop on
     * [[languageId]]: one join on doc_id, one (true, pred) count. Output

@@ -392,6 +392,51 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("notInSubquery matches the set-difference semantics on non-null keys") {
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val got = graft.engine.Joins.notInSubquery(spark, cust, supp).collect()
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val suppNations = supp.select("s_nationkey").collect().map(_.getAs[Int]("s_nationkey")).toSet
+    val expect = cust.collect()
+      .filter(r => !suppNations.contains(r.getAs[Int]("c_nationkey")))
+      .map(_.getAs[Long]("c_custkey")).toSet
+    assert(got == expect)
+  }
+
+  test("ksTest computes the exact KS supremum over the merged grid") {
+    val docs = Tables.documents(spark, sfDir)
+    val row = TextAnalysis.ksTest(docs, "src0", "src1").head()
+    val lens = docs.filter(col("source").isin("src0", "src1"))
+      .select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val (xa, xb) = (lens.filter(_._1 == "src0").map(_._2), lens.filter(_._1 == "src1").map(_._2))
+    val gridVals = (xa ++ xb).distinct.sorted
+    val (na, nb) = (xa.length.toLong, xb.length.toLong)
+    val dNum = gridVals.map { v =>
+      math.abs(xa.count(_ <= v) * nb - xb.count(_ <= v) * na)
+    }.max
+    assert(row.getAs[Long]("na") == na && row.getAs[Long]("nb") == nb)
+    assert(row.getAs[Long]("d_num") == dNum)
+    assert(row.getAs[Double]("d_stat") == dNum.toDouble / (na * nb).toDouble)
+  }
+
+  test("vocabOverlap Jaccard agrees with set arithmetic on a sample pair") {
+    val docs = Tables.documents(spark, sfDir)
+    val vo = TextAnalysis.vocabOverlap(docs).collect()
+    val vocab = docs.select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("t")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sources = vocab.keys.toSeq.sorted
+    assert(vo.length == sources.combinations(2).size)
+    vo.take(5).foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == inter, s"pair ($a,$b)")
+      assert(r.getAs[Long]("n_a") == vocab(a).size && r.getAs[Long]("n_b") == vocab(b).size)
+    }
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
