@@ -149,4 +149,55 @@ object Stateful {
         col("event_b"),
         (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_seconds"))
   }
+
+  case class AlertEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class AlertState(lastAlertMs: Long)
+  case class Alert(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  /** Rate-limited per-key alerting — the production form of the
+    * reference's violation alerts (SURVEY.md §2.2 K4, which e-mails on
+    * EVERY batch with matches): at most one alert per key per
+    * `cooldownMinutes`, enforced by one fixed-size state record per key
+    * with an event-time timeout that garbage-collects idle keys. The
+    * violation PREDICATE stays a plain filter stage (batch/stream
+    * shared); only the suppression window needs custom state. Emitted
+    * alerts are the first qualifying event per cooldown window, ties on
+    * (ts, event_id) within a micro-batch.
+    */
+  def rateLimitedAlerts(
+      spark: SparkSession,
+      violations: DataFrame,
+      cooldownMinutes: Int,
+      watermarkDelay: String = "60 minutes"): Dataset[Alert] = {
+    import spark.implicits._
+    val cooldownMs = cooldownMinutes * 60L * 1000L
+
+    def update(
+        key: Long,
+        rows: Iterator[AlertEvent],
+        state: GroupState[AlertState]): Iterator[Alert] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var lastMs = state.getOption.map(_.lastAlertMs).getOrElse(Long.MinValue)
+      val out = sorted.flatMap { e =>
+        if (lastMs == Long.MinValue || e.ts.getTime - lastMs >= cooldownMs) {
+          lastMs = e.ts.getTime
+          Some(Alert(key, e.event_id, e.ts, e.value))
+        } else None
+      }
+      if (lastMs != Long.MinValue) {
+        state.update(AlertState(lastMs))
+        state.setTimeoutTimestamp(lastMs + cooldownMs, watermarkDelay)
+      }
+      out.iterator
+    }
+
+    violations
+      .withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id", "event_id", "ts", "value")
+      .as[AlertEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -52,6 +52,36 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rateLimitedAlerts suppresses repeat alerts inside the cooldown window") {
+    val input = MemoryStream[Ev]
+    val alerts = Stateful.rateLimitedAlerts(spark, input.toDF(), cooldownMinutes = 30)
+    val q = alerts.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("alerts_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      // three violations in 10 minutes: only the first may alert
+      input.addData(
+        ev(1, 1, "2024-01-01 00:00:00", 10.0),
+        ev(2, 1, "2024-01-01 00:05:00", 11.0),
+        ev(3, 1, "2024-01-01 00:10:00", 12.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("alerts_out").as[Stateful.Alert].collect()
+      assert(afterBatch1.map(_.event_id).toSeq == Seq(1L), s"got ${afterBatch1.toSeq}")
+
+      // past the cooldown → the next violation alerts again; a different
+      // key alerts independently
+      input.addData(
+        ev(4, 1, "2024-01-01 00:31:00", 13.0),
+        ev(5, 2, "2024-01-01 00:32:00", 9.0))
+      q.processAllAvailable()
+      val all = spark.table("alerts_out").as[Stateful.Alert].collect()
+      assert(all.map(_.event_id).sorted.toSeq == Seq(1L, 4L, 5L), s"got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("latestByKeyStream emits the running (ts, event_id)-max per key, surviving late data") {
     val input = MemoryStream[Ev]
     val latest = Stateful.latestByKeyStream(spark, input.toDF())
