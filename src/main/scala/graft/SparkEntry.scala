@@ -1553,7 +1553,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> duckAnnIvfPqSql(10, 5, 8, 8, 16),
     "q_not_in" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
-         WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+         WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal >= 5000.0)
          ORDER BY c_custkey""",
     "q_ks_test" ->
       """WITH d AS (SELECT source, n_chars AS x FROM documents WHERE source IN ('src0', 'src1')),

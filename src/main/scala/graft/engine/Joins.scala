@@ -183,11 +183,13 @@ object Joins {
   def notInSubquery(
       spark: org.apache.spark.sql.SparkSession,
       customer: DataFrame,
-      supplier: DataFrame): DataFrame = {
+      supplier: DataFrame,
+      minAcctbal: Double = 5000): DataFrame = {
     customer.createOrReplaceTempView("graft_naaj_customer")
     supplier.createOrReplaceTempView("graft_naaj_supplier")
     spark.sql(
-      """SELECT c_custkey, c_name, c_nationkey FROM graft_naaj_customer
-         WHERE c_nationkey NOT IN (SELECT s_nationkey FROM graft_naaj_supplier)""")
+      s"""SELECT c_custkey, c_name, c_nationkey FROM graft_naaj_customer
+          WHERE c_nationkey NOT IN
+            (SELECT s_nationkey FROM graft_naaj_supplier WHERE s_acctbal >= $minAcctbal)""")
   }
 }

@@ -397,7 +397,9 @@ class CurationOpsSpec extends AnyFunSuite {
     val supp = Tables.supplier(spark, sfDir)
     val got = graft.engine.Joins.notInSubquery(spark, cust, supp).collect()
       .map(_.getAs[Long]("c_custkey")).toSet
-    val suppNations = supp.select("s_nationkey").collect().map(_.getAs[Int]("s_nationkey")).toSet
+    assert(got.nonEmpty, "fixture must make the NOT IN non-degenerate")
+    val suppNations = supp.filter(col("s_acctbal") >= 5000)
+      .select("s_nationkey").collect().map(_.getAs[Int]("s_nationkey")).toSet
     val expect = cust.collect()
       .filter(r => !suppNations.contains(r.getAs[Int]("c_nationkey")))
       .map(_.getAs[Long]("c_custkey")).toSet
