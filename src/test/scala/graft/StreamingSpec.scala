@@ -264,6 +264,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstTouch runs as a streaming update-mode aggregation, converging to its batch twin") {
+    // The dual claim to the sampling test: a STATEFUL stage (min_by
+    // aggregate) also composes into readStream unchanged — update mode
+    // streams the running winner per key, and once all data is
+    // processed the latest row per key equals the batch answer.
+    val input = MemoryStream[Ev]
+    val touched = graft.engine.Relational.firstTouch(input.toDF())
+    val q = touched.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stream_first_touch")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      val events = (1L to 100L).map(i =>
+        ev(i, (i % 12).toInt, (i % 60).toInt, i.toDouble, if (i % 3 == 0) "view" else "purchase"))
+      // two batches, out of order across them
+      input.addData(events.drop(50): _*)
+      q.processAllAvailable()
+      input.addData(events.take(50): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_first_touch").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) -> r.getAs[Long]("event_id"))
+        .toMap // last update per key wins
+      val batch = graft.engine.Relational.firstTouch(events.toDF()).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) -> r.getAs[Long]("event_id"))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("six-query fan-out: all queries run concurrently off one source") {
     // A replayable source (files, like Kafka in the reference) — MemoryStream
     // truncates on commit and cannot feed six concurrent queries.
