@@ -340,6 +340,9 @@ object SparkEntry {
       Multimodal.mediaTable(Tables.documents(s, dir))
         .drop("payload")
         .orderBy("doc_id")),
+    "q_payload_slices" -> ((s, dir) =>
+      Multimodal.payloadSlices(Multimodal.mediaTable(Tables.documents(s, dir)))
+        .orderBy("doc_id", "slice_id")),
     "q_frame_features" -> ((s, dir) =>
       Multimodal
         .frameFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)), 2)
@@ -1631,6 +1634,14 @@ object SparkEntry {
                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) >= 0.3
          ORDER BY vec_a, vec_b""",
+    "q_payload_slices" ->
+      """WITH s AS (SELECT doc_id, length(text) AS byte_len,
+                unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
+              FROM documents)
+         SELECT doc_id, slice_id, slice_id * 128 AS byte_off,
+                CAST(octet_length(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))) AS BIGINT) AS n_bytes,
+                md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
+         FROM s ORDER BY doc_id, slice_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS byte_len,

@@ -67,6 +67,31 @@ object Multimodal {
       }
   }
 
+  /** Strided binary slice sampling — the oracle-checkable face of frame
+    * sampling: fixed-width byte windows every `strideBytes` into the
+    * payload, fingerprinted without decoding (content-defined dedup /
+    * probe sampling over video blobs works exactly like this). Pure
+    * map-side: slice count derives from byte_len in integer arithmetic,
+    * the slice array explodes inline, and the fingerprint is md5 over
+    * the slice's hex text (the payload here is ASCII-text bytes, so the
+    * DuckDB oracle reproduces byte slices as text slices byte-for-byte;
+    * with true binary media the oracle would compare plumbing only).
+    */
+  def payloadSlices(media: DataFrame, sliceBytes: Int = 64, strideBytes: Int = 128): DataFrame =
+    media
+      .selectExpr(
+        "doc_id",
+        "byte_len",
+        s"""posexplode(transform(
+              sequence(0L, CAST((byte_len - 1) div $strideBytes AS LONG)),
+              i -> substring(payload, CAST(i * $strideBytes + 1 AS INT), $sliceBytes))) AS (slice_id, slice)""")
+      .select(
+        col("doc_id"),
+        col("slice_id").cast("long").as("slice_id"),
+        (col("slice_id").cast("long") * strideBytes).as("byte_off"),
+        length(col("slice")).cast("long").as("n_bytes"),
+        md5(lower(hex(col("slice")))).as("slice_md5"))
+
   /** Frame resize: every `factor`-th byte of the payload, halving the
     * fake dimensions accordingly — the stand-in for a real image resample
     * (which would swap in libvips/PIL at deployment). Same partition-wise

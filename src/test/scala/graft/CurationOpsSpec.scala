@@ -439,6 +439,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("payloadSlices covers every byte window at the configured stride") {
+    val docs = Tables.documents(spark, sfDir)
+    val media = graft.multimodal.Multimodal.mediaTable(docs)
+    val slices = graft.multimodal.Multimodal.payloadSlices(media, 64, 128).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      val mine = slices(id).sortBy(_.getAs[Long]("slice_id"))
+      assert(mine.length == 1 + (text.length - 1) / 128, s"doc $id")
+      mine.foreach { s =>
+        val off = s.getAs[Long]("byte_off").toInt
+        val expect = text.substring(off, math.min(off + 64, text.length))
+        assert(s.getAs[Long]("n_bytes") == expect.getBytes("UTF-8").length)
+      }
+    }
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
