@@ -116,4 +116,49 @@ class PropertySpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) == 0)
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
   }
+
+  test("chunkOverlap covers every character for random sizes and strides") {
+    val rnd = new Random(7)
+    (1 to 10).foreach { _ =>
+      val size = 20 + rnd.nextInt(200)
+      val stride = 1 + rnd.nextInt(size) // stride ≤ size → full coverage
+      val texts = (1L to 5L).map(i =>
+        (i, new Random(i).alphanumeric.take(1 + rnd.nextInt(600)).mkString))
+      val df = texts.toDF("doc_id", "text")
+      val chunks = graft.text.TextAnalysis.chunkOverlap(df, size, stride).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      texts.foreach { case (id, text) =>
+        val mine = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+        val expectN = 1 + (math.max(text.length - size, 0) + stride - 1) / stride
+        assert(mine.length == expectN, s"size=$size stride=$stride len=${text.length}")
+        // coverage: last chunk reaches the end
+        assert((expectN - 1) * stride + size >= text.length)
+      }
+    }
+  }
+
+  test("bitmapIndex reconstructs arbitrary user id sets exactly") {
+    val rnd = new Random(11)
+    (1 to 5).foreach { _ =>
+      val users = (1 to 40).map(_ => rnd.nextInt(500).toLong).distinct
+      val df = users.map(u => (u, "t")).toDF("user_id", "event_type")
+      val words = graft.engine.Relational.bitmapIndex(df).collect()
+      val decoded = words.flatMap { w =>
+        val (word, bits) = (w.getAs[Long]("word_id"), w.getAs[Long]("bits"))
+        (0 until 32).filter(b => (bits & (1L << b)) != 0).map(b => word * 32 + b)
+      }.toSet
+      assert(decoded == users.toSet)
+      assert(words.map(_.getAs[Long]("n_users")).sum == users.size)
+    }
+  }
+
+  test("KS statistic is 0 for identical samples and 1 for disjoint ones") {
+    val same = ((1 to 50).map(i => ("src0", i.toLong)) ++ (1 to 50).map(i => ("src1", i.toLong)))
+    val dfSame = same.toDF("source", "n_chars")
+    val r0 = graft.text.TextAnalysis.ksTest(dfSame, "src0", "src1").head()
+    assert(r0.getAs[Long]("d_num") == 0 && r0.getAs[Double]("d_stat") == 0.0)
+    val disjoint = ((1 to 50).map(i => ("src0", i.toLong)) ++ (1 to 50).map(i => ("src1", 1000L + i)))
+    val r1 = graft.text.TextAnalysis.ksTest(disjoint.toDF("source", "n_chars"), "src0", "src1").head()
+    assert(r1.getAs[Double]("d_stat") == 1.0)
+  }
 }
