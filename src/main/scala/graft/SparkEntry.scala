@@ -181,6 +181,12 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_daily_topk" -> ((s, dir) =>
+      Analytics.dailyTopSpenders(Tables.events(s, dir), 3).orderBy("day_epoch", "rank")),
+    "q_trigrams" -> ((s, dir) =>
+      Analytics.trigramPaths(Tables.events(s, dir), 15).orderBy("rank")),
+    "q_time_to_convert" -> ((s, dir) =>
+      Analytics.timeToConvert(Tables.events(s, dir)).orderBy("cohort_day")),
     "q_feature_hash" -> ((s, dir) =>
       TextAnalysis.featureHash(Tables.documents(s, dir), 256).orderBy("doc_id", "bucket")),
     "q_bigram_lm" -> ((s, dir) =>
@@ -1093,6 +1099,38 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_daily_topk" ->
+      s"""WITH per AS (
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day_epoch, user_id,
+                  CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day_epoch
+                 ORDER BY cents DESC, user_id ASC) AS BIGINT) AS rank FROM per)
+         SELECT day_epoch, rank, user_id, cents / CAST(100 AS DOUBLE) AS spend
+         FROM r WHERE rank <= 3 ORDER BY day_epoch, rank""",
+    "q_trigrams" ->
+      """WITH seq AS (
+           SELECT event_type AS t3,
+                  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t2,
+                  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t1
+           FROM events),
+         c AS (SELECT t1, t2, t3, count(*) AS n FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS BIGINT) AS rank
+               FROM c)
+         SELECT t1, t2, t3, n, rank FROM r WHERE rank <= 15 ORDER BY rank""",
+    "q_time_to_convert" ->
+      """WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         j AS (SELECT a.user_id, a.ts_a, b.ts AS ts_b
+               FROM a LEFT JOIN events b
+                 ON b.user_id = a.user_id AND b.event_type = 'purchase' AND b.ts >= a.ts_a),
+         g AS (SELECT user_id, ts_a, min(ts_b) AS ts_conv FROM j GROUP BY user_id, ts_a),
+         gaps AS (SELECT epoch_us(CAST(ts_a AS TIMESTAMP)) // 1000000 // 86400 AS cohort_day,
+                         epoch_us(CAST(ts_conv AS TIMESTAMP)) // 1000000 // 3600
+                           - epoch_us(CAST(ts_a AS TIMESTAMP)) // 1000000 // 3600 AS gap_hours
+                  FROM g)
+         SELECT cohort_day, count(*) AS n_users, count(gap_hours) AS n_converted,
+                quantile_cont(gap_hours, 0.5) AS median_hours
+         FROM gaps GROUP BY cohort_day ORDER BY cohort_day""",
     "q_feature_hash" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
          SELECT doc_id,

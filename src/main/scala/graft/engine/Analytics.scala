@@ -423,6 +423,74 @@ object Analytics {
     ranked.toSeq.toDF("rank", "node", "r")
   }
 
+  /** Per-day spend leaderboard: two-level shape — (day, user) exact
+    * integer-cents totals first (map-combined), then a per-day
+    * `row_number() <= k` that WindowGroupLimit prunes before its
+    * shuffle. The window input is the aggregate (|days|·|users| bound),
+    * never raw events.
+    */
+  def dailyTopSpenders(events: DataFrame, k: Int): DataFrame = {
+    val per = events
+      .filter(col("value").isNotNull)
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("day_epoch"), col("user_id"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("cents"))
+    val w = Window.partitionBy(col("day_epoch")).orderBy(col("cents").desc, col("user_id").asc)
+    per
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("day_epoch"), col("rank"), col("user_id"),
+        expr("cents / CAST(100 AS DOUBLE)").as("spend"))
+  }
+
+  /** Top event-type TRIGRAMS — [[transitionsTopK]]'s order-3 sibling,
+    * the sequential-pattern miner over behavioral paths: two lags over
+    * the per-user event-time order, one vocabulary-bounded count, global
+    * top-k via TakeOrdered.
+    */
+  def trigramPaths(events: DataFrame, k: Int): DataFrame = {
+    val seq = events
+      .select(
+        col("event_type").as("t3"),
+        lag(col("event_type"), 1).over(userOrder).as("t2"),
+        lag(col("event_type"), 2).over(userOrder).as("t1"))
+      .filter(col("t1").isNotNull)
+    Relational.rankedTopK(
+      seq.groupBy(col("t1"), col("t2"), col("t3")).agg(count(lit(1)).as("n")),
+      k, col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+  }
+
+  /** Time-to-conversion by signup cohort — the survival-curve input:
+    * per user, hours from first signup to first subsequent purchase
+    * (INTEGER hours via floor division), aggregated per cohort day with
+    * an exact median (`percentile`, cross-engine-consistent with
+    * quantile_cont on integers). Unconverted users count in n_users but
+    * contribute NULL gaps, which both engines' aggregates skip.
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val first = events
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("ts_a"))
+    val conv = first
+      .join(
+        events.select(col("user_id").as("uid2"), col("event_type"), col("ts").as("ts_b")),
+        col("user_id") === col("uid2") &&
+          col("event_type") === "purchase" && col("ts_b") >= col("ts_a"),
+        "left")
+      .groupBy(col("user_id"), col("ts_a"))
+      .agg(min(col("ts_b")).as("ts_conv"))
+    conv
+      .select(
+        expr("CAST(ts_a AS LONG) div 86400").as("cohort_day"),
+        expr("CAST(ts_conv AS LONG) div 3600 - CAST(ts_a AS LONG) div 3600").as("gap_hours"))
+      .groupBy(col("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("gap_hours")).as("n_converted"),
+        expr("percentile(gap_hours, 0.5)").as("median_hours"))
+  }
+
   /** Day-over-day activity deltas: one corpus aggregation to daily
     * counts, then lag/delta over the |days|-sized aggregate (the window
     * runs over the AGGREGATE, never the facts — a constant partition

@@ -456,6 +456,58 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dailyTopSpenders ranks exact per-day spend with at most k rows per day") {
+    val ev = Tables.events(spark, sfDir)
+    val top = Analytics.dailyTopSpenders(ev, 3).collect()
+    val perDay = top.groupBy(_.getAs[Long]("day_epoch"))
+    perDay.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq)
+      val spends = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("spend"))
+      assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
+    }
+    // cross-check one day against a manual tally
+    val (day, rows) = perDay.head
+    val manual = ev.filter(col("value").isNotNull)
+      .filter(expr(s"CAST(ts AS LONG) div 86400 = $day"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(r => math.round(r.getAs[Double]("value") * 100)).sum).toMap
+    rows.foreach { r =>
+      assert(manual(r.getAs[Long]("user_id")) == math.round(r.getAs[Double]("spend") * 100))
+    }
+  }
+
+  test("trigramPaths counts order-3 sequences consistently with transitions") {
+    val ev = Tables.events(spark, sfDir)
+    val tri = Analytics.trigramPaths(ev, 15).collect()
+    assert(tri.nonEmpty)
+    val manual = ev.select("user_id", "ts", "event_id", "event_type").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .values.flatMap { rows =>
+        val seq = rows.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+          .map(_.getAs[String]("event_type"))
+        seq.sliding(3).filter(_.length == 3).map(s => (s(0), s(1), s(2)))
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    tri.foreach { r =>
+      val key = (r.getAs[String]("t1"), r.getAs[String]("t2"), r.getAs[String]("t3"))
+      assert(manual(key) == r.getAs[Long]("n"), s"trigram $key")
+    }
+  }
+
+  test("timeToConvert cohorts count all signups, converted or not") {
+    val ev = Tables.events(spark, sfDir)
+    val ttc = Analytics.timeToConvert(ev).collect()
+    val signupUsers = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(ttc.map(_.getAs[Long]("n_users")).sum == signupUsers)
+    ttc.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      if (r.getAs[Long]("n_converted") > 0)
+        assert(r.getAs[Double]("median_hours") >= 0)
+      else assert(r.isNullAt(r.fieldIndex("median_hours")))
+    }
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
