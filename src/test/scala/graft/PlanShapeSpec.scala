@@ -143,6 +143,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tokens must explode inline (not from a materialized array column):\n$p")
   }
 
+  test("dailyTopSpenders windows over the aggregate with rank pushdown") {
+    val p = plan(Analytics.dailyTopSpenders(Tables.events(spark, sfDir), 3))
+    assert(p.contains("WindowGroupLimit"), p)
+    // the window input is the (day, user) aggregate, not raw events:
+    // aggregate layers appear below the window in the tree
+    val winAt = p.indexOf("WindowGroupLimit")
+    assert(p.indexOf("HashAggregate", winAt) > winAt,
+      s"expected aggregate below the leaderboard window:\n$p")
+  }
+
   test("pageRank's corpus pass is the one edge aggregation") {
     // the driver-side path materializes edges once; its input plan is the
     // lag window + aggregate, nothing iterative
