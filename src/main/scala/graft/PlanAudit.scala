@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale anti-pattern sweep over EVERY query in [[SparkEntry.queries]]:
+  * builds each physical plan (no execution) and fails on
+  *
+  *  - `CartesianProductExec` — an accidental all-pairs join (intentional
+  *    tiny cross joins plan as BroadcastNestedLoopJoin and are fine);
+  *  - `WindowExec` with an EMPTY partition spec — the "Moving all data
+  *    to a single partition" shape. Constant-key windows
+  *    (`partitionBy(lit(1))`) over pre-bounded inputs are the sanctioned
+  *    spelling and pass, because their partitionSpec is non-empty.
+  *
+  * Usage: `runMain graft.PlanAudit [sfDir]`. Exit 1 on any hit — run it
+  * per round like Verify; it is the automated form of the
+  * `.explain("formatted")` inspection the round notes document.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // A windowed pass with no partition key is sanctioned ONLY when its
+    // input was already compressed below corpus scale — an aggregate,
+    // limit, or TakeOrdered below it bounds the rows reaching the single
+    // partition (the rankedTopK / grid-statistics spelling;
+    // `partitionBy(lit(1))` constant-folds to an empty spec, so intent
+    // can't be read off the spec itself). Unpartitioned windows straight
+    // over scans/joins are the 100 TB bug this audit exists to catch.
+    def boundedBelow(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case a if a.nodeName.contains("Aggregate") => true
+        case l if l.nodeName.contains("Limit") => true
+        case t if t.nodeName.contains("TakeOrdered") => true
+      }.isDefined
+
+    def offenders(p: SparkPlan): Seq[String] = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      root.collect {
+        case _: CartesianProductExec => Seq("CartesianProduct")
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          Seq("UnpartitionedWindowOverUnboundedInput")
+        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+      }.flatten
+    }
+
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val hits = offenders(fn(spark, sfDir).queryExecution.executedPlan).distinct
+        if (hits.nonEmpty) { bad += 1; println(s"FLAG $name: ${hits.mkString(", ")}") }
+      } catch {
+        case e: Throwable => bad += 1; println(s"FAIL $name: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    println(s"== plan audit: ${SparkEntry.queries.size - bad} clean / $bad flagged")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
