@@ -181,6 +181,13 @@ object SparkEntry {
       Analytics.gapFilledHourly(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_retention" -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir)).orderBy("cohort_day", "week_offset")),
+    "q_global_rank" -> ((s, dir) =>
+      Relational
+        .scalableGlobalRank(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy("rank")),
     "q_daily_topk" -> ((s, dir) =>
       Analytics.dailyTopSpenders(Tables.events(s, dir), 3).orderBy("day_epoch", "rank")),
     "q_trigrams" -> ((s, dir) =>
@@ -1099,6 +1106,10 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY user_id, version""",
+    "q_global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+                CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rank
+         FROM lineitem ORDER BY rank""",
     "q_daily_topk" ->
       s"""WITH per AS (
            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day_epoch, user_id,

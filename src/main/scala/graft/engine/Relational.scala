@@ -596,6 +596,29 @@ object Relational {
       .select(col("source"), col("rank"), col("doc_id"))
   }
 
+  /** EXACT global ranking over a total order WITHOUT a single-partition
+    * window: range-repartition on the sort key (the same distributed
+    * machinery as a global sort), sort within partitions, then assign
+    * rank = partition offset + local index, where the offsets come from
+    * one per-partition count pass (Spark's own zipWithIndex — the one
+    * sanctioned RDD drop-down: a genuinely per-partition imperative
+    * index). A `row_number() OVER (ORDER BY …)` moves the corpus to ONE
+    * partition; this shape keeps every stage parallel and produces
+    * bit-identical ranks because the sort key is a total order.
+    */
+  def scalableGlobalRank(df: DataFrame, sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 2)
+    val ranged = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType, false))
+    val withIdx = ranged.rdd
+      .zipWithIndex()
+      .map { case (row, idx) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+    spark.createDataFrame(withIdx, schema)
+  }
+
   /** One-pass data-quality profile — the schema-health scan a pipeline
     * runs before training: row/null/distinct tallies and time bounds in
     * a single aggregate over one corpus scan (distincts partial-combine;

@@ -508,6 +508,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scalableGlobalRank equals the window row_number without one") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ranked = Relational
+      .scalableGlobalRank(li, col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val viaWindow = li.withColumn(
+      "rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+        .cast("long"))
+    assert(ranked.count() == li.count())
+    assert(ranked.except(viaWindow).isEmpty && viaWindow.except(ranked).isEmpty)
+    // and the plan truly has no Window node
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"global rank must not plan a window:\n$p")
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
