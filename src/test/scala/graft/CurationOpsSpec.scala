@@ -525,6 +525,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"global rank must not plan a window:\n$p")
   }
 
+  test("latest-by-key merges incrementally: apply(base, delta) == batch over the union") {
+    // incremental materialization algebra: the latest-state table of the
+    // full corpus equals latestByKey over (yesterday's states ∪ today's
+    // events) — the MERGE/upsert loop a 100 TB pipeline runs nightly
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.agg(expr("percentile(CAST(ts AS LONG), 0.5)")).head.getDouble(0).toLong
+    val base = Relational.latestByKey(ev.filter(col("ts").cast("long") <= cut))
+    val delta = ev.filter(col("ts").cast("long") > cut)
+    val merged = Relational.latestByKey(base.unionByName(delta.select(
+      col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))))
+    val full = Relational.latestByKey(ev)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()
