@@ -698,7 +698,10 @@ object Relational {
     * the only window is the per-source rank (one shuffle on source), the
     * source→index map is a broadcast-sized dimension, and the output
     * order is total because (rank, source) is unique. At 100 TB there is
-    * no global ordering bottleneck anywhere in the plan.
+    * no global ordering bottleneck anywhere in the plan. Caveat: the
+    * per-source rank sorts each source inside one partition — a source
+    * owning most of the corpus needs the [[scalableGlobalRank]] shape
+    * (range repartition + offsets) applied per source instead.
     */
   def interleaveSources(documents: DataFrame): DataFrame = {
     val srcIdx = documents
