@@ -161,6 +161,16 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)),
     "q_corr_stats" -> ((s, dir) =>
       Relational.sufficientStatsCorr(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_linreg" -> ((s, dir) =>
+      Relational.linearRegression(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_null_funcs" -> ((s, dir) =>
+      Relational.nullFuncs(Tables.events(s, dir)).orderBy("event_id")),
+    "q_streaks" -> ((s, dir) =>
+      Analytics.activityStreaks(Tables.events(s, dir)).orderBy("user_id")),
+    "q_rfm" -> ((s, dir) =>
+      Analytics.rfmSegments(Tables.events(s, dir)).orderBy("user_id")),
+    "q_dense_grid" -> ((s, dir) =>
+      Analytics.denseHourGrid(Tables.events(s, dir)).orderBy("event_type", "hod")),
     "q_skew_distinct" -> ((s, dir) =>
       Relational.skewedDistinct(Tables.events(s, dir)).orderBy("event_type")),
     "q_heavy_hitters" -> ((s, dir) =>
@@ -998,6 +1008,69 @@ object SparkEntry {
     "q_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_linreg" -> {
+      val stats = Stages.linregSql
+        .map { case (name, sql) => s"$sql AS $name" }
+        .mkString(",\n                 ")
+      s"""WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM (SELECT l_returnflag,
+                         CAST(round(l_quantity) AS BIGINT) AS x,
+                         ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                  FROM lineitem)
+            GROUP BY l_returnflag)
+          SELECT l_returnflag, n,
+                 $stats
+          FROM m ORDER BY l_returnflag"""
+    },
+    "q_null_funcs" ->
+      """SELECT event_id,
+                coalesce(v, -1.0) AS v_or_neg1,
+                nullif(event_type, 'error') AS type_no_error,
+                greatest(v, 50.0) AS v_floor50,
+                least(v, 50.0) AS v_cap50,
+                v IS NULL AS v_is_null,
+                CASE WHEN v IS NULL THEN 'missing' ELSE 'present' END AS v_status
+         FROM (SELECT event_id, event_type,
+                      CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+               FROM events)
+         ORDER BY event_id""",
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day
+                       FROM events),
+         isl AS (SELECT user_id, day,
+                        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+                 FROM days),
+         runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY user_id, island)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(max(len) AS BIGINT) AS longest_streak, count(*) AS n_streaks
+         FROM runs GROUP BY user_id ORDER BY user_id""",
+    "q_rfm" ->
+      s"""WITH pu AS (
+            SELECT user_id,
+                   max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) AS recency_day,
+                   count(*) AS frequency,
+                   CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS monetary_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+          SELECT user_id, recency_day, frequency, monetary_cents,
+                 CAST(ntile(4) OVER (ORDER BY recency_day, user_id) AS BIGINT) AS r_score,
+                 CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+                 CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_score
+          FROM pu ORDER BY user_id""",
+    "q_dense_grid" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+         hours AS (SELECT unnest(generate_series(0, 23)) AS hod),
+         c AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+                      count(*) AS n_raw
+               FROM events GROUP BY 1, 2)
+         SELECT t.event_type, CAST(h.hod AS BIGINT) AS hod,
+                CAST(coalesce(c.n_raw, 0) AS BIGINT) AS n
+         FROM types t CROSS JOIN hours h
+         LEFT JOIN c ON c.event_type = t.event_type AND c.hod = h.hod
+         ORDER BY t.event_type, h.hod""",
     "q_heavy_hitters" ->
       """SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS BIGINT) AS rank,
                 user_id, n, TRUE AS cms_within_tol

@@ -688,4 +688,79 @@ object Analytics {
       col("node"),
       col("r"))
   }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape: distinct (user, epoch-day), then
+    * `day − row_number` is constant exactly within a run of consecutive
+    * days, so grouping on it isolates each island. All time math is
+    * integer epoch-day arithmetic; the only shuffles are the distinct
+    * and the per-user window/aggregate chain, every one keyed on
+    * user_id — per-user day counts are calendar-bounded (≤ a few
+    * thousand), so no key's state grows with corpus size.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day").asc))
+    days
+      .withColumn("island", col("day") - rn)
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation over purchase
+    * events: one per-user aggregate (map-combined shuffle on user_id)
+    * yields last-purchase epoch-day, purchase count, and exact
+    * integer-cents spend; each metric is then scored into quartiles with
+    * `ntile(4)` ordered ascending with a user_id tie-break (deterministic,
+    * identical NTILE semantics on any ANSI engine). The ntile windows are
+    * global but run over the ALREADY-AGGREGATED per-user table — for a
+    * user base too large for one partition, swap each ntile for
+    * [[Relational.scalableGlobalRank]] + `ceil(4·rank/n)`, which computes
+    * the same quartile without a single-partition sort.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(expr("CAST(ts AS LONG) div 86400")).as("recency_day"),
+        count(lit(1)).as("frequency"),
+        sum(expr(Stages.centsSql("value"))).as("monetary_cents"))
+    def quartile(metric: String) =
+      ntile(4).over(Window.orderBy(col(metric).asc, col("user_id").asc)).cast("long")
+    perUser.select(
+      col("user_id"),
+      col("recency_day"),
+      col("frequency"),
+      col("monetary_cents"),
+      quartile("recency_day").as("r_score"),
+      quartile("frequency").as("f_score"),
+      quartile("monetary_cents").as("m_score"))
+  }
+
+  /** Dense (event_type × hour-of-day) activity grid with zero-filled
+    * cells — the cross-join + left-join "fill the matrix" shape behind
+    * heatmaps and per-cell models. Both dimensions are generated in-plan
+    * (distinct types ≈ dozens; hours are a literal 0-23 sequence), so the
+    * cross join is broadcast-nested-loop over tiny inputs while the
+    * counts side stays a map-combined aggregate of the corpus.
+    */
+  def denseHourGrid(events: DataFrame): DataFrame = {
+    val types = events.select(col("event_type")).distinct()
+    val hours = types.sparkSession.range(0, 24).select(col("id").as("hod"))
+    val counts = events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_raw"))
+    types
+      .crossJoin(hours)
+      .join(counts, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("hod"), coalesce(col("n_raw"), lit(0L)).as("n"))
+  }
 }

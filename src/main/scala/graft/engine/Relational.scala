@@ -149,6 +149,25 @@ object Relational {
       minute(col("ts")).cast("long").as("mi"),
       second(col("ts")).cast("long").as("s"))
 
+  /** Null-handling scalar battery — coalesce / nullif / greatest /
+    * least / null predicates over a deterministically nulled value
+    * column (the fixtures carry no natural nulls, so `event_id % 5 = 0`
+    * synthesizes them in-plan). greatest/least skip NULL operands on
+    * both ANSI engines; values pass through without re-rounding, so
+    * every output is engine-exact.
+    */
+  def nullFuncs(events: DataFrame): DataFrame =
+    events
+      .withColumn("v", expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END"))
+      .select(
+        col("event_id"),
+        coalesce(col("v"), lit(-1.0)).as("v_or_neg1"),
+        expr("nullif(event_type, 'error')").as("type_no_error"),
+        greatest(col("v"), lit(50.0)).as("v_floor50"),
+        least(col("v"), lit(50.0)).as("v_cap50"),
+        col("v").isNull.as("v_is_null"),
+        expr("CASE WHEN v IS NULL THEN 'missing' ELSE 'present' END").as("v_status"))
+
   /** Fixed-width value histogram: bucket = ⌊cents / width⌋ computed
     * map-side, one combine-enabled shuffle — the plan shape histograms
     * keep at any scale.
@@ -323,6 +342,31 @@ object Relational {
       .select(
         Seq(col("l_returnflag"), col("n")) ++
           Stages.momentStatsSql.map { case (name, sql) => expr(sql).as(name) }: _*)
+
+  /** Per-group ordinary-least-squares fit (price-vs-quantity line per
+    * return flag) from the same exact integer sufficient statistics as
+    * [[sufficientStatsCorr]]: one map-combined moment pass, then the
+    * closed-form slope/intercept/r² of [[Stages.linregSql]] — a fixed
+    * IEEE tree over exact integers, bit-identical on any engine, unlike
+    * built-in `regr_slope` whose double accumulation is partition-order
+    * dependent. Group cardinality bounds the output; nothing but the
+    * 6-column moment state ever shuffles.
+    */
+  def linearRegression(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("x", expr("CAST(round(l_quantity) AS BIGINT)"))
+      .withColumn("y", expr(s"${Stages.centsSql("l_extendedprice")} div 100"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        Seq(col("l_returnflag"), col("n")) ++
+          Stages.linregSql.map { case (name, sql) => expr(sql).as(name) }: _*)
 
   /** Distinct count per (possibly skewed) group key via explicit salted
     * two-phase aggregation: phase 1 groups by (key, salt-of-user) and

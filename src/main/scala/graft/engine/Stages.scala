@@ -126,6 +126,29 @@ object Stages {
       "corr_xy" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE $covar / sqrt($varX * $varY) END")
   }
 
+  /** Ordinary-least-squares line fit from the same exact integer
+    * sufficient statistics as [[momentStatsSql]] (column names fixed:
+    * `n, sx, sy, sxy, sxx, syy`): slope = cov/var(x), intercept =
+    * ȳ − slope·x̄, r² = cov²/(var(x)·var(y)). Divisions come first (the
+    * /n mean form, never n·sxy − sx·sy, which overflows BIGINT at scale);
+    * zero-variance groups yield NULL via a lazy CASE. Fixed IEEE
+    * expression trees over exact integers — the SAME text runs in Spark
+    * `expr` and the DuckDB oracle, so the doubles are bit-identical.
+    */
+  val linregSql: Seq[(String, String)] = {
+    val (n, sx, sy, sxy, sxx, syy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
+    val varY = s"($syy / $n - ($sy / $n) * ($sy / $n))"
+    val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
+    val slope = s"($covar / $varX)"
+    Seq(
+      "slope" -> s"CASE WHEN $varX = 0 THEN NULL ELSE $slope END",
+      "intercept" -> s"CASE WHEN $varX = 0 THEN NULL ELSE $sy / $n - $slope * ($sx / $n) END",
+      "r2" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE ($covar * $covar) / ($varX * $varY) END")
+  }
+
   /** Two-proportion pooled z-statistic over integer counts
     * (n1, c1, n2, c2): every operand reaches binary64 exactly, and
     * division, multiplication, and sqrt are all correctly rounded IEEE

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Relational, Tables}
+
+/** Round-3 behavioral-analytics batch: gaps-and-islands streaks, RFM
+  * quartile segmentation, closed-form per-group OLS, dense grid fill,
+  * and the null-handling scalar battery.
+  */
+class BehaviorOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("activityStreaks matches a brute-force islands recomputation") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.activityStreaks(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks")))
+      .toMap
+    val manual = ev.select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+      .distinct
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        val days = rows.map(_._2).sorted
+        // split the sorted day list into runs of consecutive days
+        val runs = days.foldLeft(List.empty[List[Long]]) {
+          case (acc @ (h :: t), d) if h.head + 1 == d => (d :: h) :: t
+          case (acc, d) => List(d) :: acc
+        }
+        u -> (days.size.toLong, runs.map(_.size).max.toLong, runs.size.toLong)
+      }
+    assert(got == manual)
+  }
+
+  test("rfm scores are balanced quartiles consistent with the metric order") {
+    val rfm = Analytics.rfmSegments(Tables.events(spark, sfDir)).collect()
+    val n = rfm.length
+    assert(n > 0)
+    for (scoreCol <- Seq("r_score", "f_score", "m_score")) {
+      val scores = rfm.map(_.getAs[Long](scoreCol))
+      assert(scores.forall(s => s >= 1 && s <= 4), scoreCol)
+      // ntile buckets differ in size by at most one
+      val sizes = scores.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$scoreCol sizes $sizes")
+    }
+    // monotone: a strictly larger monetary value never gets a lower score
+    val byMonetary = rfm.sortBy(r => (r.getAs[Long]("monetary_cents"), r.getAs[Long]("user_id")))
+    val mScores = byMonetary.map(_.getAs[Long]("m_score"))
+    assert(mScores.zip(mScores.tail).forall { case (a, b) => a <= b })
+    // frequency/monetary agree with a direct per-user recount
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "value").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rfm.foreach { r =>
+      val rows = ev(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("frequency") == rows.length.toLong)
+      assert(r.getAs[Long]("monetary_cents") ==
+        rows.map(x => math.round(x.getAs[Double]("value") * 100)).sum)
+    }
+  }
+
+  test("linearRegression reproduces a driver-side OLS fit per group") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Relational.linearRegression(li).collect()
+    val raw = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    got.foreach { r =>
+      val rows = raw(r.getAs[String]("l_returnflag"))
+      val xs = rows.map(x => math.round(x.getAs[Double]("l_quantity")).toDouble)
+      val ys = rows.map(x => (math.round(x.getAs[Double]("l_extendedprice") * 100) / 100).toDouble)
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val varX = xs.map(x => x * x).sum / n - mx * mx
+      val cov = xs.zip(ys).map { case (x, y) => x * y }.sum / n - mx * my
+      assert(math.abs(r.getAs[Double]("slope") - cov / varX) < 1e-6)
+      assert(math.abs(r.getAs[Double]("intercept") - (my - (cov / varX) * mx)) < 1e-3)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1)
+    }
+  }
+
+  test("denseHourGrid covers the full type x hour matrix and preserves totals") {
+    val ev = Tables.events(spark, sfDir)
+    val grid = Analytics.denseHourGrid(ev).collect()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(grid.length == nTypes * 24)
+    assert(grid.map(_.getAs[Long]("n")).sum == ev.count())
+    assert(grid.exists(_.getAs[Long]("n") == 0) ||
+      ev.count() >= nTypes * 24) // zero-fill only observable when cells are empty
+  }
+
+  test("nullFuncs synthesizes nulls exactly on event_id % 5 == 0") {
+    val out = Relational.nullFuncs(Tables.events(spark, sfDir)).collect()
+    out.foreach { r =>
+      val isNull = r.getAs[Boolean]("v_is_null")
+      assert(isNull == (r.getAs[Long]("event_id") % 5 == 0))
+      if (isNull) {
+        assert(r.getAs[Double]("v_or_neg1") == -1.0)
+        assert(r.getAs[Double]("v_floor50") == 50.0)
+        assert(r.getAs[Double]("v_cap50") == 50.0)
+        assert(r.getAs[String]("v_status") == "missing")
+      } else {
+        assert(r.getAs[Double]("v_floor50") >= 50.0)
+        assert(r.getAs[Double]("v_cap50") <= 50.0)
+        assert(r.getAs[String]("v_status") == "present")
+      }
+    }
+  }
+}
