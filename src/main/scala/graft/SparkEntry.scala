@@ -316,6 +316,14 @@ object SparkEntry {
       Dedup.dedupedCorpus(Tables.documents(s, dir), 0.5).orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), 0.5).orderBy("doc_a", "doc_b")),
+    "q_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(Tables.documents(s, dir), 0.6).orderBy("doc_a", "doc_b")),
+    "q_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateStats(Tables.documents(s, dir), 0.05).orderBy("doc_id")),
+    "q_hhi" -> ((s, dir) =>
+      TextAnalysis.sourceHhi(Tables.documents(s, dir)).orderBy("source")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1549,6 +1557,57 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "q_containment" ->
+      s"""WITH g AS (SELECT doc_id, source, ${duckShinglesN(3)} AS sh FROM documents),
+         p AS (SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.sh, b.sh)) AS n_inter, len(a.sh) AS n_a
+               FROM g a JOIN g b ON a.source = b.source AND a.doc_id <> b.doc_id)
+         SELECT source, doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+                CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+         FROM p WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.6
+         ORDER BY doc_a, doc_b""",
+    "q_pii_scrub" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  concat(text,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN concat(' contact u', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+                    CASE WHEN doc_id % 11 = 0
+                         THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END) AS aug
+           FROM documents),
+         c AS (SELECT doc_id, aug,
+                      regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                                     '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+               FROM aug)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(aug, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+                md5(clean) AS clean_md5,
+                CAST(length(clean) AS BIGINT) AS clean_len
+         FROM c ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         spans AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                                                i -> array_to_string(t[i:i+1], ' '))) AS gram
+                   FROM toks),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         common AS (SELECT gram
+                    FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM spans GROUP BY gram), nd
+                    WHERE df >= n_docs * 0.05)
+         SELECT s.doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS boiler_ratio
+         FROM spans s LEFT JOIN common c ON s.gram = c.gram
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+    "q_hhi" ->
+      """WITH tf AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         c AS (SELECT source, tok, count(*) AS cnt FROM tf GROUP BY source, tok)
+         SELECT source, count(*) AS n_distinct, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(sum(cnt * cnt) AS DOUBLE)
+                  / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) AS hhi
+         FROM c GROUP BY source ORDER BY source""",
     "q_dedup_minhash" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
          h AS (SELECT doc_id,

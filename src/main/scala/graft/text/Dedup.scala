@@ -362,4 +362,56 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ τ —
+    * the sub-document overlap detector (quotes, near-subsets) that
+    * Jaccard misses when |B| ≫ |A|. Exact prefix filter, one-sided:
+    * overlap ≥ ⌈τ·|A|⌉ forces A's rarest |A| − ⌈τ·|A|⌉ + 1 grams (by
+    * global document frequency) to hit B somewhere, so only the A-side
+    * prefix joins the full distinct-gram postings. Because prefixes
+    * keep each document's RAREST grams, the join key distribution is
+    * the df of rare grams — hot grams never enter from the A side, and
+    * their B-side postings only meet small A-prefix lists. Candidates
+    * then verify exactly on one array intersection. Both directions
+    * are emitted (containment is not symmetric).
+    */
+  def ngramContainment(documents: DataFrame, minContainment: Double): DataFrame = {
+    val grams = withShingles(documents, 3)
+      .select(col("doc_id"), col("sh").as("grams"))
+      .cache()
+
+    import org.apache.spark.sql.expressions.Window
+    val wGram = Window.partitionBy(col("gram"))
+    val wDocRank = Window.partitionBy(col("doc_id")).orderBy(col("gram_df"), col("gram"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val postings = documents
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(
+        col("source"), col("doc_id"),
+        explode(array_distinct(shinglesFromToks(col("toks"), 3))).as("gram"))
+      .withColumn("gram_df", count(lit(1)).over(wGram))
+      .withColumn("rn", row_number().over(wDocRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    val aPrefix = postings
+      .filter(col("rn") <= col("n") - ceil(col("n") * minContainment) + 1)
+      .select(col("source"), col("gram"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val bAll = postings.select(col("source"), col("gram"), col("doc_id").as("doc_b"))
+
+    val candidates = aPrefix
+      .join(bAll, Seq("source", "gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"), col("n_a"))
+      .distinct()
+
+    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    candidates
+      .join(ga, "doc_a")
+      .join(gb, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("containment", col("n_inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("n_inter").cast("long").as("n_inter"), col("containment"))
+  }
 }

@@ -509,4 +509,92 @@ object TextAnalysis {
       collisions.as("collisions"),
       (collisions.cast("double") / (total * (total - 1)).cast("double")).as("collision_rate"))
   }
+
+  /** PII redaction pass — the scrub step every training-data pipeline
+    * runs before release: count and replace e-mail and phone patterns,
+    * emit the cleaned text's md5 + length (compact, hash-comparable
+    * proof of the exact output bytes). The fixtures carry no natural
+    * PII, so deterministic synthetic PII is appended IN-PLAN on
+    * `doc_id % 7 / % 11` rows (same construction in the oracle) —
+    * making the redaction path observable, like the synthesized nulls
+    * in the null battery. Regexes restrict to constructs whose
+    * semantics agree between Java regex and RE2.
+    * Pure per-row map: no shuffle at any scale.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val phone = "\\b555-[0-9]{4}\\b"
+    documents
+      .withColumn(
+        "aug",
+        expr("""concat(text,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat(' contact u', CAST(doc_id AS STRING), '@example.com') ELSE '' END,
+             CASE WHEN doc_id % 11 = 0
+                  THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)"""))
+      .withColumn(
+        "clean",
+        regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"), phone, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(phone)).cast("long").as("n_phones"),
+        md5(col("clean").cast("binary")).as("clean_md5"),
+        length(col("clean")).cast("long").as("clean_len"))
+  }
+
+  /** Boilerplate-span statistics — the CCNet/RefinedWeb-style pass that
+    * measures how much of each document is corpus-common: token bigram
+    * spans whose document frequency reaches `minFrac` of the corpus are
+    * "boilerplate", and each document reports its span total, its
+    * boilerplate-span count, and the ratio. The common-span set is
+    * |vocab|²-bounded (broadcast-sized in practice); the corpus-side
+    * work is one distinct + one grouped count on (gram) and one grouped
+    * count on (doc) — every shuffle keyed, ratios a single exact IEEE
+    * division. The corpus size feeds in via a 1-row aggregate
+    * cross-join, never a driver action.
+    */
+  def boilerplateStats(documents: DataFrame, minFrac: Double = 0.05): DataFrame = {
+    val spans = documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(Dedup.shinglesFromToks(col("toks"), 2)).as("gram"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val common = spans
+      .select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") >= col("n_docs") * minFrac)
+      .select(col("gram"), lit(1).as("is_common"))
+    spans
+      .join(common, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_common"), lit(0))).cast("long").as("n_boiler"))
+      .select(
+        col("doc_id"), col("n_spans"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_spans").cast("double")).as("boiler_ratio"))
+  }
+
+  /** Per-source token concentration (Herfindahl–Hirschman index):
+    * HHI = Σ(share²) over the source's token distribution, computed as
+    * sum(cnt²)/total² from EXACT integer sums — one double division at
+    * the end, bit-identical on any engine, where the naive Σ(p²) of
+    * per-token double shares would be partition-order nondeterministic.
+    * Two map-combined aggregations, output |sources|-sized.
+    */
+  def sourceHhi(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("cnt")).as("ssq"))
+      .select(
+        col("source"), col("n_distinct"), col("n_tokens"),
+        expr("CAST(ssq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))")
+          .as("hhi"))
 }
