@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Analytics, AsOfJoin, Joins, RefPipelines, Relational, Stages, Tables}
+import graft.engine.{Analytics, AsOfJoin, Graph, Joins, RefPipelines, Relational, Stages, Tables}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
@@ -241,6 +241,10 @@ object SparkEntry {
       Analytics.dailyDelta(Tables.events(s, dir)).orderBy("day_epoch")),
     "q_pair_support" -> ((s, dir) =>
       Analytics.pairSupport(Tables.events(s, dir), 10).orderBy("rank")),
+    "q_degree_dist" -> ((s, dir) =>
+      Graph.degreeDistribution(Tables.lineitem(s, dir)).orderBy("degree")),
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangleTopK(Tables.lineitem(s, dir), 20).orderBy("rank")),
     "q_listagg" -> ((s, dir) =>
       Analytics.pathString(Tables.events(s, dir)).orderBy("user_id")),
     "q_pagerank" -> ((s, dir) =>
@@ -1364,6 +1368,33 @@ object SparkEntry {
                 lag(n, 1) OVER (ORDER BY day_epoch) AS prev_n,
                 n - coalesce(lag(n, 1) OVER (ORDER BY day_epoch), n) AS delta
          FROM d ORDER BY day_epoch""",
+    "q_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2),
+         d AS (SELECT part, count(*) AS degree
+               FROM (SELECT pa AS part FROM e UNION ALL SELECT pb FROM e) GROUP BY part)
+         SELECT degree, count(*) AS n_parts FROM d GROUP BY degree ORDER BY degree""",
+    "q_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2),
+         d AS (SELECT part, count(*) AS d
+               FROM (SELECT pa AS part FROM e UNION ALL SELECT pb FROM e) GROUP BY part),
+         o AS (SELECT CASE WHEN da < db OR (da = db AND pa < pb) THEN pa ELSE pb END AS src,
+                      CASE WHEN da < db OR (da = db AND pa < pb) THEN pb ELSE pa END AS dst
+               FROM (SELECT e.pa, e.pb, x.d AS da, y.d AS db
+                     FROM e JOIN d x ON x.part = e.pa JOIN d y ON y.part = e.pb)),
+         t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               FROM o e1 JOIN o e2 ON e1.dst = e2.src
+               JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         pn AS (SELECT part, count(*) AS n_tri
+                FROM (SELECT a AS part FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+                GROUP BY part)
+         SELECT CAST(row_number() OVER (ORDER BY n_tri DESC, pn.part ASC) AS BIGINT) AS rank,
+                pn.part, pn.n_tri, d.d AS degree
+         FROM pn JOIN d ON d.part = pn.part
+         ORDER BY n_tri DESC, pn.part ASC LIMIT 20""",
     "q_pair_support" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS support

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the part co-order graph (parts are linked when
+  * they appear in the same order — the market-basket projection of
+  * lineitem). Extensions beyond the reference surface (SURVEY.md §2.7),
+  * in the training-pipeline spirit: co-occurrence graphs are how corpus
+  * entity/link structure gets profiled before sampling.
+  *
+  * Scale design: the edge list is built from one self-equi-join on
+  * l_orderkey (orders are small groups, so the per-key pair blowup is
+  * C(items-per-order, 2) — bounded by order size, not corpus size).
+  * Triangle counting uses the Suri–Vassilvitskii / compact-forward
+  * orientation: every edge points from its (degree, id)-smaller to its
+  * (degree, id)-larger endpoint, so wedge enumeration joins each node's
+  * OUT-list with itself, and a hub of degree d contributes only
+  * out-deg² ≤ d wedges-from-low-degree-sides instead of d² — the skew
+  * bound that makes all-pairs-of-neighbors survive power-law graphs.
+  * Each triangle is counted exactly once (its unique orientation-ordered
+  * a→b→c traversal).
+  */
+object Graph {
+
+  /** Undirected distinct edge list (pa < pb) with co-order weight. */
+  def coOrderEdges(lineitem: DataFrame): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val a = op.select(col("ok"), col("pk").as("pa"))
+    val b = op.select(col("ok"), col("pk").as("pb"))
+    a.join(b, "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Degree distribution of the co-order graph: degree → node count.
+    * Output is |distinct degrees|-sized (≤ max order multiplicity —
+    * tiny); two map-combined aggregations after the edge build.
+    */
+  def degreeDistribution(lineitem: DataFrame): DataFrame =
+    coOrderEdges(lineitem)
+      .select(explode(array(col("pa"), col("pb"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_parts"))
+
+  /** Top-`k` parts by triangle participation, plus each part's degree.
+    * Orientation join is the compact-forward shape described on the
+    * object; the per-node tally explodes each triangle into its three
+    * corners and map-combines.
+    */
+  def triangleTopK(lineitem: DataFrame, k: Int): DataFrame = {
+    val e = coOrderEdges(lineitem).select(col("pa"), col("pb"))
+    val deg = e
+      .select(explode(array(col("pa"), col("pb"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("d"))
+    // orient: src = (degree, id)-smaller endpoint
+    val withDegs = e
+      .join(deg.select(col("part").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("part").as("pb"), col("d").as("db")), "pb")
+    val oriented = withDegs
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          col("pa")).otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          col("pb")).otherwise(col("pa")).as("dst"))
+      .cache()
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val tri = e1
+      .join(e2, "b")
+      .join(e3, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_tri"))
+    Relational
+      .rankedTopK(
+        perNode.join(deg, "part"),
+        k, col("n_tri").desc, col("part").asc)
+      .select(col("rank"), col("part"), col("n_tri"), col("d").as("degree"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Graph, Tables}
+
+/** Round-3 graph batch: co-order edge build, degree distribution, and
+  * degree-oriented (compact-forward) triangle counting.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val edges: Set[(Long, Long)] =
+    Graph.coOrderEdges(Tables.lineitem(spark, sfDir))
+      .collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")))
+      .toSet
+
+  test("coOrderEdges matches a brute-force basket pairing") {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .distinct
+      .groupBy(_._1)
+    val expected = baskets.values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(edges == expected)
+  }
+
+  test("degreeDistribution conserves the handshake sum") {
+    val dist = Graph.degreeDistribution(Tables.lineitem(spark, sfDir)).collect()
+    val handshake = dist.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_parts")).sum
+    assert(handshake == 2L * edges.size)
+    assert(dist.map(_.getAs[Long]("n_parts")).sum ==
+      edges.flatMap(e => Seq(e._1, e._2)).size)
+  }
+
+  test("triangleTopK matches brute-force per-node triangle counts") {
+    val adj = edges
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triOf = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a).intersect(adj(b)) if b < c) {
+      // (a<b by edge construction; require b<c for one count per triangle)
+      if (a < b) { triOf(a) += 1; triOf(b) += 1; triOf(c) += 1 }
+    }
+    val expectedTop = triOf.toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(20)
+    val got = Graph.triangleTopK(Tables.lineitem(spark, sfDir), 20).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_tri")))
+    assert(got.toSeq == expectedTop)
+    assert(got.nonEmpty && got.head._2 > 0, "fixture must contain triangles")
+  }
+}
