@@ -243,6 +243,12 @@ object SparkEntry {
       Analytics.pairSupport(Tables.events(s, dir), 10).orderBy("rank")),
     "q_degree_dist" -> ((s, dir) =>
       Graph.degreeDistribution(Tables.lineitem(s, dir)).orderBy("degree")),
+    "q_twap" -> ((s, dir) =>
+      Analytics.timeWeightedAvg(Tables.events(s, dir)).orderBy("user_id")),
+    "q_ohlc" -> ((s, dir) =>
+      Analytics.ohlcBars(Tables.events(s, dir)).orderBy("hour_epoch")),
+    "q_mix_weights" -> ((s, dir) =>
+      TextAnalysis.sourceMixWeights(Tables.documents(s, dir)).orderBy("source")),
     "q_triangles" -> ((s, dir) =>
       Graph.triangleTopK(Tables.lineitem(s, dir), 20).orderBy("rank")),
     "q_listagg" -> ((s, dir) =>
@@ -1368,6 +1374,40 @@ object SparkEntry {
                 lag(n, 1) OVER (ORDER BY day_epoch) AS prev_n,
                 n - coalesce(lag(n, 1) OVER (ORDER BY day_epoch), n) AS delta
          FROM d ORDER BY day_epoch""",
+    "q_twap" ->
+      """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+                           CAST(round((value) * 100) AS BIGINT) AS cents, event_id
+                    FROM events),
+         d AS (SELECT user_id, cents,
+                      lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS dt
+               FROM b)
+         SELECT user_id, count(*) AS n_intervals, CAST(sum(dt) AS BIGINT) AS total_seconds,
+                CASE WHEN CAST(sum(dt) AS BIGINT) = 0 THEN NULL
+                     ELSE CAST(CAST(sum(cents * dt) AS BIGINT) AS DOUBLE)
+                          / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) / 100.0 END AS twap
+         FROM d WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "q_ohlc" ->
+      """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch,
+                           value,
+                           row_number() OVER (PARTITION BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600
+                                              ORDER BY ts, event_id) AS rna,
+                           row_number() OVER (PARTITION BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600
+                                              ORDER BY ts DESC, event_id DESC) AS rnd
+                    FROM events)
+         SELECT hour_epoch, max(CASE WHEN rna = 1 THEN value END) AS open, max(value) AS high,
+                min(value) AS low, max(CASE WHEN rnd = 1 THEN value END) AS close,
+                count(*) AS volume
+         FROM b GROUP BY hour_epoch ORDER BY hour_epoch""",
+    "q_mix_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM s)
+         SELECT source, n_docs, n_tokens,
+                CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+                CAST(total_tokens AS DOUBLE)
+                  / (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS weight
+         FROM s, t ORDER BY source""",
     "q_degree_dist" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk

@@ -745,6 +745,58 @@ object Analytics {
       quartile("monetary_cents").as("m_score"))
   }
 
+  /** Time-weighted average value (TWAP) per user: each observation is
+    * weighted by how long it remained current (seconds to the next
+    * event, via `lead` over the per-user ordering; the final open-ended
+    * observation carries no weight). Both accumulators are EXACT
+    * integers — cents × seconds and seconds — so the single closing
+    * division is bit-identical on any engine, where a double-weighted
+    * `avg` would be partition-order dependent. One shuffle on user_id;
+    * per-user state is two longs.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("user_id"),
+        col("ts").cast("long").as("sec"),
+        expr(Stages.centsSql("value")).as("cents"),
+        col("event_id"))
+      .withColumn(
+        "dt",
+        lead(col("sec"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("sec").asc, col("event_id").asc))
+          - col("sec"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("total_seconds"),
+        sum(col("cents") * col("dt")).as("swx"))
+      .select(
+        col("user_id"), col("n_intervals"), col("total_seconds"),
+        expr("""CASE WHEN total_seconds = 0 THEN NULL
+                ELSE CAST(swx AS DOUBLE) / CAST(total_seconds AS DOUBLE) / 100.0 END""")
+          .as("twap"))
+
+  /** Hourly OHLC (open/high/low/close) bars over the value stream —
+    * the time-series resampling shape. Open/close come from `min_by` /
+    * `max_by` keyed on the (ts, event_id) struct (one aggregate, no
+    * window, map-side combinable); values pass through without
+    * re-rounding so every output is engine-exact.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("CAST(ts AS LONG) div 3600").as("hour_epoch"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("hour_epoch"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+
   /** Dense (event_type × hour-of-day) activity grid with zero-filled
     * cells — the cross-join + left-join "fill the matrix" shape behind
     * heatmaps and per-cell models. Both dimensions are generated in-plan

@@ -576,6 +576,31 @@ object TextAnalysis {
         (col("n_boiler").cast("double") / col("n_spans").cast("double")).as("boiler_ratio"))
   }
 
+  /** Per-source sampling weights that rebalance the corpus to a uniform
+    * token share — the mixture-weighting step before training-data
+    * sampling: weight_s = total / (n_sources · tokens_s), so expected
+    * post-sampling tokens are equal across sources. Integer token sums
+    * feed one fixed IEEE division chain (engine-exact); the corpus
+    * totals arrive via a 1-row aggregate cross-join, never a driver
+    * action. Output is |sources|-sized.
+    */
+  def sourceMixWeights(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource
+      .crossJoin(totals)
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)").as("share"),
+        expr("""CAST(total_tokens AS DOUBLE)
+                / (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE))""").as("weight"))
+  }
+
   /** Per-source token concentration (Herfindahl–Hirschman index):
     * HHI = Σ(share²) over the source's token distribution, computed as
     * sum(cnt²)/total² from EXACT integer sums — one double division at

@@ -95,6 +95,61 @@ class BehaviorOpsSpec extends AnyFunSuite {
       ev.count() >= nTypes * 24) // zero-fill only observable when cells are empty
   }
 
+  test("timeWeightedAvg matches a driver-side exact recomputation") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.timeWeightedAvg(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("total_seconds"),
+          if (r.isNullAt(r.fieldIndex("twap"))) None else Some(r.getAs[Double]("twap"))))
+      .toMap
+    val manual = ev.select(col("user_id"), col("ts").cast("long").as("sec"),
+      col("value"), col("event_id")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .collect { case (u, rows) if rows.length >= 2 =>
+        val sorted = rows.sortBy(r => (r.getAs[Long]("sec"), r.getAs[Long]("event_id")))
+        val pairs = sorted.zip(sorted.tail).map { case (a, b) =>
+          val dt = b.getAs[Long]("sec") - a.getAs[Long]("sec")
+          (math.round(a.getAs[Double]("value") * 100), dt)
+        }
+        val sw = pairs.map(_._2).sum
+        val swx = pairs.map(p => p._1 * p._2).sum
+        u -> (pairs.length.toLong, sw,
+          if (sw == 0) None else Some(swx.toDouble / sw.toDouble / 100.0))
+      }
+    assert(got == manual)
+  }
+
+  test("ohlcBars open/close pick the boundary events of each hour") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.ohlcBars(ev).collect()
+    val byHour = ev.select(expr("CAST(ts AS LONG) div 3600").as("h"), col("ts").cast("long").as("sec"),
+      col("event_id"), col("value")).collect()
+      .groupBy(_.getAs[Long]("h"))
+    assert(got.length == byHour.size)
+    got.foreach { r =>
+      val rows = byHour(r.getAs[Long]("hour_epoch"))
+        .sortBy(x => (x.getAs[Long]("sec"), x.getAs[Long]("event_id")))
+      assert(r.getAs[Double]("open") == rows.head.getAs[Double]("value"))
+      assert(r.getAs[Double]("close") == rows.last.getAs[Double]("value"))
+      assert(r.getAs[Double]("high") == rows.map(_.getAs[Double]("value")).max)
+      assert(r.getAs[Double]("low") == rows.map(_.getAs[Double]("value")).min)
+      assert(r.getAs[Long]("volume") == rows.length.toLong)
+    }
+  }
+
+  test("sourceMixWeights rebalance to a uniform expected token share") {
+    val out = graft.text.TextAnalysis
+      .sourceMixWeights(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Double]("share"), r.getAs[Double]("weight")))
+    val total = out.map(_._1).sum
+    out.foreach { case (nTok, share, weight) =>
+      assert(share == nTok.toDouble / total.toDouble)
+      // weighted token mass is equal across sources: weight · tokens = total / n_sources
+      assert(math.abs(weight * nTok - total.toDouble / out.length) < 1e-6)
+    }
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("nullFuncs synthesizes nulls exactly on event_id % 5 == 0") {
     val out = Relational.nullFuncs(Tables.events(spark, sfDir)).collect()
     out.foreach { r =>
