@@ -245,6 +245,14 @@ object SparkEntry {
       Graph.degreeDistribution(Tables.lineitem(s, dir)).orderBy("degree")),
     "q_twap" -> ((s, dir) =>
       Analytics.timeWeightedAvg(Tables.events(s, dir)).orderBy("user_id")),
+    "q_cusum" -> ((s, dir) =>
+      Analytics.cusumChangepoint(Tables.events(s, dir)).orderBy("day")),
+    "q_benford" -> ((s, dir) =>
+      Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
+    "q_fk_orphans" -> ((s, dir) =>
+      Relational.fkOrphans(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.part(s, dir), Tables.events(s, dir))
+        .orderBy("relation")),
     "q_ohlc" -> ((s, dir) =>
       Analytics.ohlcBars(Tables.events(s, dir)).orderBy("hour_epoch")),
     "q_mix_weights" -> ((s, dir) =>
@@ -1386,6 +1394,44 @@ object SparkEntry {
                      ELSE CAST(CAST(sum(cents * dt) AS BIGINT) AS DOUBLE)
                           / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) / 100.0 END AS twap
          FROM d WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "q_cusum" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day, count(*) AS n
+                    FROM events GROUP BY 1),
+         s AS (SELECT day, n,
+                      CAST(sum(n * (SELECT count(*) FROM d) - (SELECT sum(n) FROM d))
+                           OVER (ORDER BY day) AS BIGINT) AS cusum
+               FROM d)
+         SELECT day, n, cusum, abs(cusum) = (SELECT max(abs(cusum)) FROM s) AS is_peak
+         FROM s ORDER BY day""",
+    "q_benford" ->
+      s"""WITH b AS (SELECT CAST(substring(CAST(${Stages.centsSql("l_extendedprice")} AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                            count(*) AS n
+                     FROM lineitem GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+          SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+          FROM b, t ORDER BY digit""",
+    "q_fk_orphans" ->
+      """WITH r AS (
+           SELECT 'lineitem.orderkey' AS relation, (SELECT count(*) FROM lineitem) AS n_child,
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+           UNION ALL
+           SELECT 'orders.custkey', (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'lineitem.partkey', (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'events.user_building', (SELECT count(*) FROM events),
+                  (SELECT count(*) FROM events e WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c
+                      WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = e.user_id)))
+         SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+                CAST(n_orphans AS BIGINT) AS n_orphans,
+                CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate
+         FROM r ORDER BY relation""",
     "q_ohlc" ->
       """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch,
                            value,

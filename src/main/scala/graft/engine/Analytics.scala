@@ -797,6 +797,32 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** CUSUM changepoint scan over the daily event-count series: the
+    * cumulative sum of SCALED deviations `n_d·D − T` (D days, T total
+    * events — the ×D clearing of the mean keeps every term an exact
+    * BIGINT; no double accumulation anywhere), with the |cusum|-max day
+    * flagged as the changepoint. The corpus collapses to one
+    * map-combined daily aggregate first; the running windows then
+    * operate on the bounded |days| series (the sanctioned
+    * constant-key-window-over-aggregate shape).
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRun = wAll.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("cusum", sum(col("n") * col("n_days") - col("total")).over(wRun))
+      .withColumn("max_abs", max(abs(col("cusum"))).over(wAll))
+      .select(
+        col("day"), col("n"), col("cusum"),
+        (abs(col("cusum")) === col("max_abs")).as("is_peak"))
+  }
+
   /** Dense (event_type × hour-of-day) activity grid with zero-filled
     * cells — the cross-join + left-join "fill the matrix" shape behind
     * heatmaps and per-cell models. Both dimensions are generated in-plan

@@ -149,6 +149,62 @@ object Relational {
       minute(col("ts")).cast("long").as("mi"),
       second(col("ts")).cast("long").as("s"))
 
+  /** Benford first-digit audit over extended price: the first decimal
+    * digit of the exact integer cents (string head of a BIGINT —
+    * engine-identical, unlike log₁₀ bucketing), counted and shared
+    * against the total via one crossed 1-row aggregate. The
+    * fraud/data-quality screen: natural multiplicative data leans on
+    * low digits; uniform or truncated generators don't. Output is
+    * 9-rowed; everything map-combines.
+    */
+  def benfordDigits(lineitem: DataFrame): DataFrame = {
+    val byDigit = lineitem
+      .groupBy(
+        expr(s"CAST(substring(CAST(${Stages.centsSql("l_extendedprice")} AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = byDigit.agg(sum(col("n")).as("total"))
+    byDigit
+      .crossJoin(total)
+      .select(
+        col("digit"), col("n"),
+        expr("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)").as("share"))
+  }
+
+  /** Referential-integrity audit — the FK conformance report a pipeline
+    * runs before joining fact tables at scale: per relation, child
+    * cardinality, orphan count (left-anti against the parent), and the
+    * orphan rate. Each relation is two aggregates and one anti-join on
+    * the FK (broadcastable parents broadcast); the result is
+    * |relations|-sized. The last relation checks conformance against a
+    * FILTERED dimension subset (BUILDING-segment customers) — the
+    * "active slice" check that, unlike plain PK/FK integrity, is
+    * routinely non-zero in practice.
+    */
+  def fkOrphans(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      part: DataFrame,
+      events: DataFrame): DataFrame = {
+    def audit(name: String, child: DataFrame, key: String, parent: DataFrame, pkey: String) = {
+      val orphans = child
+        .join(parent.select(col(pkey)), child(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child
+        .agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(
+          lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          expr("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)").as("orphan_rate"))
+    }
+    audit("lineitem.orderkey", lineitem, "l_orderkey", orders, "o_orderkey")
+      .unionByName(audit("orders.custkey", orders, "o_custkey", customer, "c_custkey"))
+      .unionByName(audit("lineitem.partkey", lineitem, "l_partkey", part, "p_partkey"))
+      .unionByName(audit("events.user_building", events, "user_id",
+        customer.filter(col("c_mktsegment") === "BUILDING"), "c_custkey"))
+  }
+
   /** Null-handling scalar battery — coalesce / nullif / greatest /
     * least / null predicates over a deterministically nulled value
     * column (the fixtures carry no natural nulls, so `event_id % 5 = 0`

@@ -150,6 +150,56 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(math.abs(out.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("cusumChangepoint telescopes to zero and flags the true argmax") {
+    val out = Analytics.cusumChangepoint(Tables.events(spark, sfDir)).collect()
+      .sortBy(_.getAs[Long]("day"))
+    val d = out.length.toLong
+    val total = out.map(_.getAs[Long]("n")).sum
+    // telescoping: the final cusum is sum(n_d·D − T) over all days = T·D − T·D = 0
+    assert(out.last.getAs[Long]("cusum") == 0L)
+    // running recomputation
+    var acc = 0L
+    out.foreach { r =>
+      acc += r.getAs[Long]("n") * d - total
+      assert(r.getAs[Long]("cusum") == acc)
+    }
+    val maxAbs = out.map(r => math.abs(r.getAs[Long]("cusum"))).max
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_peak") == (math.abs(r.getAs[Long]("cusum")) == maxAbs))
+    }
+    assert(out.count(_.getAs[Boolean]("is_peak")) >= 1)
+  }
+
+  test("benfordDigits partitions the corpus into 9 digit classes") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Relational.benfordDigits(li).collect()
+    assert(out.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    assert(out.map(_.getAs[Long]("n")).sum == li.count())
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    val manual = li.select("l_extendedprice").collect()
+      .groupBy(r => math.round(r.getAs[Double]("l_extendedprice") * 100).toString.head)
+      .map { case (k, v) => k.toString.toLong -> v.length.toLong }
+    assert(out.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("n")).toMap == manual)
+  }
+
+  test("fkOrphans reports intact FKs as zero and the filtered slice as non-zero") {
+    val out = Relational.fkOrphans(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.part(spark, sfDir),
+      Tables.events(spark, sfDir)).collect()
+      .map(r => r.getAs[String]("relation") ->
+        (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"), r.getAs[Double]("orphan_rate")))
+      .toMap
+    assert(out.size == 4)
+    for (rel <- Seq("lineitem.orderkey", "orders.custkey", "lineitem.partkey")) {
+      assert(out(rel)._2 == 0L, s"$rel should be intact")
+      assert(out(rel)._3 == 0.0)
+    }
+    val (nChild, nOrphans, rate) = out("events.user_building")
+    assert(nOrphans > 0 && nOrphans < nChild, "filtered-slice check must be non-degenerate")
+    assert(rate == nOrphans.toDouble / nChild.toDouble)
+  }
+
   test("nullFuncs synthesizes nulls exactly on event_id % 5 == 0") {
     val out = Relational.nullFuncs(Tables.events(spark, sfDir)).collect()
     out.foreach { r =>
