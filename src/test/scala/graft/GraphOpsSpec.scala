@@ -39,12 +39,17 @@ class GraphOpsSpec extends AnyFunSuite {
       edges.flatMap(e => Seq(e._1, e._2)).size)
   }
 
-  test("triangleTopK matches brute-force per-node triangle counts") {
-    val adj = edges
+  test("triangleTopK matches brute-force per-node triangle counts on the support-2 graph") {
+    val strong = Graph.coOrderEdges(Tables.lineitem(spark, sfDir))
+      .filter(org.apache.spark.sql.functions.col("w") >= 2)
+      .collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")))
+      .toSet
+    val adj = strong
       .flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     val triOf = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-    for ((a, b) <- edges; c <- adj(a).intersect(adj(b)) if b < c) {
+    for ((a, b) <- strong; c <- adj(a).intersect(adj(b)) if b < c) {
       // (a<b by edge construction; require b<c for one count per triangle)
       if (a < b) { triOf(a) += 1; triOf(b) += 1; triOf(c) += 1 }
     }
