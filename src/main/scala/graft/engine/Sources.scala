@@ -35,6 +35,13 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the second columnar lake format Spark ships natively
+    * (predicate pushdown and column pruning work the same as parquet;
+    * ORC's row-group indexes additionally min/max-skip inside stripes).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC batch read with partitioned parallelism — the reverse of the
     * reference's JDBC sink; `numPartitions` concurrent connections each
     * read one stride of `partitionColumn`. Requires the driver jar on the

@@ -539,6 +539,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
   }
 
+  test("join delta algebra: Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB") {
+    // incremental view maintenance for an inner equi-join: tonight's
+    // delta of orders⋈lineitem equals the three delta joins — the
+    // identity that lets a 100 TB pipeline maintain a joined view by
+    // joining only the day's increments against yesterday's snapshots
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val cut = orders.agg(expr("percentile(o_orderkey, 0.5)")).head.getDouble(0).toLong
+    val (o0, dO) = (orders.filter(col("o_orderkey") <= cut), orders.filter(col("o_orderkey") > cut))
+    val (l0, dL) = (lineitem.filter(col("l_orderkey") <= cut), lineitem.filter(col("l_orderkey") > cut))
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+    val full = j(orders, lineitem)
+    val old = j(o0, l0)
+    val incremental = old
+      .unionByName(j(dO, l0)).unionByName(j(o0, dL)).unionByName(j(dO, dL))
+    assert(incremental.count() == full.count())
+    assert(incremental.except(full).isEmpty && full.except(incremental).isEmpty)
+    // the delta terms are non-degenerate: new keys joined new lineitems
+    assert(j(dO, dL).count() > 0 && old.count() > 0)
+  }
+
   test("charDiversity equals a direct per-document recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.charDiversity(docs).collect()

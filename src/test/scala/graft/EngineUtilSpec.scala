@@ -37,6 +37,20 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("props")))
   }
 
+  test("orc roundtrips the events table and pushes filters into the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/events"
+    val ev = graft.engine.Tables.events(spark, SparkTestSession.sfDir)
+    ev.write.orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.count() == ev.count())
+    assert(back.schema == ev.schema)
+    // values survive the roundtrip exactly
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
+    // predicate reaches the ORC scan (PushedFilters in the physical plan)
+    val plan = back.filter(col("user_id") === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan)
+  }
+
   test("saltedJoin equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows all sharing key=1 (max skew) plus a tail
