@@ -247,6 +247,8 @@ object SparkEntry {
       Analytics.timeWeightedAvg(Tables.events(s, dir)).orderBy("user_id")),
     "q_cusum" -> ((s, dir) =>
       Analytics.cusumChangepoint(Tables.events(s, dir)).orderBy("day")),
+    "q_locf" -> ((s, dir) =>
+      Analytics.forwardFill(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_benford" -> ((s, dir) =>
       Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
     "q_fk_orphans" -> ((s, dir) =>
@@ -1403,6 +1405,14 @@ object SparkEntry {
                FROM d)
          SELECT day, n, cusum, abs(cusum) = (SELECT max(abs(cusum)) FROM s) AS is_peak
          FROM s ORDER BY day""",
+    "q_locf" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+                           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+                    FROM events)
+         SELECT user_id, event_id, v,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         FROM b ORDER BY user_id, event_id""",
     "q_benford" ->
       s"""WITH b AS (SELECT CAST(substring(CAST(${Stages.centsSql("l_extendedprice")} AS VARCHAR), 1, 1) AS BIGINT) AS digit,
                             count(*) AS n

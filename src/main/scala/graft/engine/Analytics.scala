@@ -797,6 +797,24 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** Forward fill (LOCF — last observation carried forward) per user:
+    * the time-series imputation pass, via `last(_, ignoreNulls)` over
+    * the per-user event-time frame. Nulls are synthesized in-plan on
+    * `event_id % 5 = 0` rows (the fixtures carry none), same as the
+    * null battery. One shuffle on user_id; values pass through without
+    * re-rounding.
+    */
+  def forwardFill(events: DataFrame): DataFrame =
+    events
+      .withColumn("v", expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("v"),
+        last(col("v"), ignoreNulls = true)
+          .over(userOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("v_filled"))
+
   /** CUSUM changepoint scan over the daily event-count series: the
     * cumulative sum of SCALED deviations `n_d·D − T` (D days, T total
     * events — the ×D clearing of the mean keeps every term an exact

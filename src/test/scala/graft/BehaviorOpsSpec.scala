@@ -200,6 +200,35 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(rate == nOrphans.toDouble / nChild.toDouble)
   }
 
+  test("forwardFill carries the last non-null observation forward per user") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.forwardFill(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Double]("v")),
+          if (r.isNullAt(r.fieldIndex("v_filled"))) None else Some(r.getAs[Double]("v_filled"))))
+      .toMap
+    val manual = ev.select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"), col("value"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .toSeq
+      .flatMap { case (u, rows) =>
+        var lastSeen: Option[Double] = None
+        rows.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"))).map { r =>
+          val id = r.getAs[Long]("event_id")
+          val v = if (id % 5 == 0) None else Some(r.getAs[Double]("value"))
+          if (v.isDefined) lastSeen = v
+          (u, id) -> (v, lastSeen)
+        }
+      }
+    val manualMap = manual.toMap
+    val diffs = (got.keySet ++ manualMap.keySet)
+      .filter(k => got.get(k) != manualMap.get(k)).take(5)
+    assert(diffs.isEmpty,
+      diffs.map(k => s"$k got=${got.get(k)} manual=${manualMap.get(k)}").mkString("; "))
+    // non-degenerate: some filled value differs from its raw (nulled) value
+    assert(got.values.exists { case (v, filled) => v.isEmpty && filled.isDefined })
+  }
+
   test("nullFuncs synthesizes nulls exactly on event_id % 5 == 0") {
     val out = Relational.nullFuncs(Tables.events(spark, sfDir)).collect()
     out.foreach { r =>
