@@ -200,4 +200,63 @@ object Stateful {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class TypeChange(
+      user_id: Long,
+      event_id: Long,
+      ts: Timestamp,
+      prev_type: String,
+      event_type: String)
+
+  /** State-change detector on the Spark 4 `transformWithState` processor
+    * API (the arbitrary-state successor to `*GroupsWithState`, with
+    * named state variables in the RocksDB store): per user, suppress
+    * consecutive duplicates of `event_type` and emit one row per
+    * TRANSITION (prev_type null on the first observation) — the
+    * debounce/change-data shape. State per key is one string in a
+    * `ValueState`; rows sort by (ts, event_id) within each batch.
+    */
+  class TypeChangeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedEvent, TypeChange] {
+    @transient private var lastType: org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastType = getHandle.getValueState[String](
+        "lastType", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeChange] = {
+      val out = List.newBuilder[TypeChange]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+        val prev = if (lastType.exists()) lastType.get() else null
+        if (prev != r.event_type) {
+          out += TypeChange(key, r.event_id, r.ts, prev, r.event_type)
+          lastType.update(r.event_type)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Stream of per-user event-type transitions (consecutive duplicates
+    * suppressed) via [[TypeChangeProcessor]]. Requires the RocksDB state
+    * store provider (transformWithState's backing store); the caller
+    * sets `spark.sql.streaming.stateStore.providerClass`.
+    */
+  def typeChangesStream(spark: SparkSession, events: DataFrame): Dataset[TypeChange] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      .as[KeyedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TypeChangeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

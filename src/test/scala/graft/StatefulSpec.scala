@@ -19,6 +19,49 @@ class StatefulSpec extends AnyFunSuite {
 
   private def tmpDir(): String = Files.createTempDirectory("graft-stateful").toString
 
+  test("typeChangesStream (transformWithState) emits only transitions, across batches") {
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    def evT(id: Long, uid: Long, time: String, typ: String): Ev =
+      Ev(id, Timestamp.valueOf(time), uid, typ, 1.0, "{}")
+    val q = Stateful.typeChangesStream(spark, input.toDF()).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("typechange_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(
+        evT(1, 1, "2024-01-01 00:00:00", "view"),
+        evT(2, 1, "2024-01-01 00:01:00", "view"), // duplicate → suppressed
+        evT(3, 1, "2024-01-01 00:02:00", "purchase"),
+        evT(4, 2, "2024-01-01 00:00:30", "signup"))
+      q.processAllAvailable()
+      // duplicate across a batch boundary is suppressed too; a change isn't
+      input.addData(
+        evT(5, 1, "2024-01-01 00:03:00", "purchase"),
+        evT(6, 1, "2024-01-01 00:04:00", "view"))
+      q.processAllAvailable()
+      val rows = spark.table("typechange_out").as[Stateful.TypeChange].collect()
+        .sortBy(r => (r.user_id, r.event_id))
+        .map(r => (r.user_id, r.event_id, Option(r.prev_type), r.event_type))
+      assert(rows.toSeq == Seq(
+        (1L, 1L, None, "view"),
+        (1L, 3L, Some("view"), "purchase"),
+        (1L, 6L, Some("purchase"), "view"),
+        (2L, 4L, None, "signup")))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize closes a session after the inactivity gap and aggregates state") {
     val input = MemoryStream[Ev]
     val sessions = Stateful.sessionize(spark, input.toDF(), gapMinutes = 30)
