@@ -163,6 +163,9 @@ object SparkEntry {
       Relational.sufficientStatsCorr(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_linreg" -> ((s, dir) =>
       Relational.linearRegression(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_residuals" -> ((s, dir) =>
+      Relational.regressionOutliers(Tables.lineitem(s, dir))
+        .orderBy("l_orderkey", "l_linenumber")),
     "q_null_funcs" -> ((s, dir) =>
       Relational.nullFuncs(Tables.events(s, dir)).orderBy("event_id")),
     "q_streaks" -> ((s, dir) =>
@@ -1052,6 +1055,21 @@ object SparkEntry {
           SELECT l_returnflag, n,
                  $stats
           FROM m ORDER BY l_returnflag"""
+    },
+    "q_residuals" -> {
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                            CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n,
+                      sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy
+               FROM b GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber, l_returnflag, x, y,
+                ${Stages.residualSql} AS resid
+         FROM b JOIN m USING (l_returnflag)
+         WHERE ${Stages.residualOutlierCondSql("1.6")}
+         ORDER BY l_orderkey, l_linenumber"""
     },
     "q_null_funcs" ->
       """SELECT event_id,

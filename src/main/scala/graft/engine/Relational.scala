@@ -149,6 +149,37 @@ object Relational {
       minute(col("ts")).cast("long").as("mi"),
       second(col("ts")).cast("long").as("s"))
 
+  /** Model-based outlier detection: rows whose price deviates from the
+    * per-group OLS price-vs-quantity line by more than `mult`·rmse —
+    * the residual screen that catches mispriced rows a plain z-score
+    * misses (it conditions on quantity). Same two-pass shape as
+    * [[zscoreNormalize]]: one map-combined moment pass (6 integer sums
+    * per group), one broadcast join back to the facts, and the
+    * [[Stages.residualSql]] closed form per row — no window, nothing
+    * but the moment state shuffles, bit-identical on any engine.
+    */
+  def regressionOutliers(lineitem: DataFrame, mult: String = "1.6"): DataFrame = {
+    val base = lineitem.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+    val moments = base
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    base
+      .join(broadcast(moments), "l_returnflag")
+      .filter(expr(Stages.residualOutlierCondSql(mult)))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("x"), col("y"), expr(Stages.residualSql).as("resid"))
+  }
+
   /** Benford first-digit audit over extended price: the first decimal
     * digit of the exact integer cents (string head of a BIGINT —
     * engine-identical, unlike log₁₀ bucketing), counted and shared

@@ -149,6 +149,35 @@ object Stages {
       "r2" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE ($covar * $covar) / ($varX * $varY) END")
   }
 
+  /** Per-row OLS residual and the model-based outlier predicate, from
+    * the same exact integer sufficient statistics as [[linregSql]]
+    * (columns `n, sx, sy, sxy, sxx, syy` joined onto each fact row's
+    * `x, y`): resid = y − (slope·x + intercept), flagged when |resid|
+    * exceeds `mult`·rmse with rmse² = var(y) − cov²/var(x) (the exact
+    * in-sample mse of the fitted line). Fixed IEEE trees over exact
+    * integers — the SAME text runs in Spark `expr` and the DuckDB
+    * oracle, so the filter boundary is bit-identical.
+    */
+  val residualSql: String = {
+    val (n, sx, sy, sxy, sxx) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)")
+    val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
+    val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
+    val slope = s"($covar / $varX)"
+    s"(CAST(y AS DOUBLE) - ($slope * CAST(x AS DOUBLE) + $sy / $n - $slope * ($sx / $n)))"
+  }
+
+  def residualOutlierCondSql(mult: String): String = {
+    val (n, sx, sy, sxy, sxx, syy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
+    val varY = s"($syy / $n - ($sy / $n) * ($sy / $n))"
+    val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
+    s"abs($residualSql) > $mult * sqrt($varY - $covar * $covar / $varX)"
+  }
+
   /** Two-proportion pooled z-statistic over integer counts
     * (n1, c1, n2, c2): every operand reaches binary64 exactly, and
     * division, multiplication, and sqrt are all correctly rounded IEEE

@@ -85,6 +85,36 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("regressionOutliers flags exactly the rows beyond mult*rmse of the group fit") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Relational.regressionOutliers(li).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber")) -> r.getAs[Double]("resid"))
+      .toMap
+    val raw = li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"), r.getAs[String]("l_returnflag"),
+        math.round(r.getAs[Double]("l_quantity")).toDouble,
+        (math.round(r.getAs[Double]("l_extendedprice") * 100) / 100).toDouble))
+    val byFlag = raw.groupBy(_._3)
+    val fits = byFlag.map { case (flag, rows) =>
+      val n = rows.length.toDouble
+      val (mx, my) = (rows.map(_._4).sum / n, rows.map(_._5).sum / n)
+      val varX = rows.map(r => r._4 * r._4).sum / n - mx * mx
+      val varY = rows.map(r => r._5 * r._5).sum / n - my * my
+      val cov = rows.map(r => r._4 * r._5).sum / n - mx * my
+      val slope = cov / varX
+      flag -> (slope, my - slope * mx, math.sqrt(varY - cov * cov / varX))
+    }
+    val expected = raw.flatMap { case (ok, ln, flag, x, y) =>
+      val (slope, icept, rmse) = fits(flag)
+      val resid = y - (slope * x + icept)
+      if (math.abs(resid) > 1.6 * rmse) Some((ok, ln) -> resid) else None
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-6, s"$k") }
+    assert(got.nonEmpty && got.size < raw.length)
+  }
+
   test("denseHourGrid covers the full type x hour matrix and preserves totals") {
     val ev = Tables.events(spark, sfDir)
     val grid = Analytics.denseHourGrid(ev).collect()
