@@ -19,6 +19,34 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  test("regressionOutliers broadcasts the moment table back onto the facts") {
+    val p = plan(Relational.regressionOutliers(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no window, no sort of the fact table
+    assert(!p.contains("Window"), p)
+  }
+
+  test("coOrderEdges plans two aggregates and no join") {
+    val p = plan(graft.engine.Graph.coOrderEdges(Tables.lineitem(spark, sfDir)))
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("piiScrub is a pure per-row projection: no exchange anywhere") {
+    val p = plan(TextAnalysis.piiScrub(Tables.documents(spark, sfDir)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("sourceHhi and mixWeights keep integer sums until one closing division") {
+    for (df <- Seq(
+        TextAnalysis.sourceHhi(Tables.documents(spark, sfDir)),
+        TextAnalysis.sourceMixWeights(Tables.documents(spark, sfDir)))) {
+      val p = plan(df)
+      // partial + final aggregate layers (map-side combine on the shuffle)
+      assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2, p)
+    }
+  }
+
   test("bloom prefilter evaluates might_contain under the scan, before the semi-join") {
     val p = plan(Joins.bloomPrefilteredSemiJoin(
       Tables.lineitem(spark, sfDir),
