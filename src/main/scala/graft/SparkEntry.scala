@@ -264,6 +264,8 @@ object SparkEntry {
       TextAnalysis.sourceMixWeights(Tables.documents(s, dir)).orderBy("source")),
     "q_triangles" -> ((s, dir) =>
       Graph.triangleTopK(Tables.lineitem(s, dir), 20).orderBy("rank")),
+    "q_assoc_rules" -> ((s, dir) =>
+      Graph.associationRules(Tables.lineitem(s, dir), 20).orderBy("rank")),
     "q_listagg" -> ((s, dir) =>
       Analytics.pathString(Tables.events(s, dir)).orderBy("user_id")),
     "q_pagerank" -> ((s, dir) =>
@@ -1509,6 +1511,23 @@ object SparkEntry {
                 pn.part, pn.n_tri, d.d AS degree
          FROM pn JOIN d ON d.part = pn.part
          ORDER BY n_tri DESC, pn.part ASC LIMIT 20""",
+    "q_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS w
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         pairs AS (SELECT pa AS ant, pb AS cons, w FROM e
+                   UNION ALL SELECT pb, pa, w FROM e),
+         s AS (SELECT pk, count(*) AS s FROM op GROUP BY pk),
+         n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+         r AS (SELECT ant, cons, CAST(w AS BIGINT) AS w,
+                      CAST(sa.s AS BIGINT) AS s_ant, CAST(sc.s AS BIGINT) AS s_cons,
+                      CAST(w AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+                      CAST(w * n_orders AS DOUBLE) / CAST(sa.s * sc.s AS DOUBLE) AS lift
+               FROM pairs JOIN s sa ON sa.pk = ant JOIN s sc ON sc.pk = cons, n)
+         SELECT CAST(row_number() OVER (ORDER BY lift DESC, ant, cons) AS BIGINT) AS rank,
+                ant, cons, w, s_ant, s_cons, confidence, lift
+         FROM r ORDER BY lift DESC, ant, cons LIMIT 20""",
     "q_pair_support" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS support

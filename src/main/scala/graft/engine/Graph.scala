@@ -56,6 +56,41 @@ object Graph {
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_parts"))
 
+  /** Top-`k` association rules A→B over co-ordered parts, ranked by
+    * lift: confidence = supp(AB)/supp(A), lift = supp(AB)·N /
+    * (supp(A)·supp(B)) — every ratio a single division of exact integer
+    * supports, so the scores are engine-identical. Pair supports come
+    * from [[coOrderEdges]] (emitted in both directions — rules are
+    * directional), item supports from one map-combined count, the order
+    * total from a 1-row aggregate cross-join; `minSupport` prunes the
+    * rule space before ranking, and the ranking itself is the
+    * TakeOrdered top-k — nothing corpus-sized survives past the
+    * supports.
+    */
+  def associationRules(lineitem: DataFrame, k: Int, minSupport: Int = 2): DataFrame = {
+    val pairs = coOrderEdges(lineitem).filter(col("w") >= minSupport)
+    val both = pairs.select(col("pa").as("ant"), col("pb").as("cons"), col("w"))
+      .unionByName(pairs.select(col("pb").as("ant"), col("pa").as("cons"), col("w")))
+    val supp = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("s"))
+    val nOrders = lineitem.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    Relational
+      .rankedTopK(
+        both
+          .join(supp.select(col("l_partkey").as("ant"), col("s").as("s_ant")), "ant")
+          .join(supp.select(col("l_partkey").as("cons"), col("s").as("s_cons")), "cons")
+          .crossJoin(nOrders)
+          .select(
+            col("ant"), col("cons"), col("w"), col("s_ant"), col("s_cons"),
+            expr("CAST(w AS DOUBLE) / CAST(s_ant AS DOUBLE)").as("confidence"),
+            expr("CAST(w * n_orders AS DOUBLE) / CAST(s_ant * s_cons AS DOUBLE)").as("lift")),
+        k, col("lift").desc, col("ant").asc, col("cons").asc)
+      .select(col("rank"), col("ant"), col("cons"), col("w"), col("s_ant"), col("s_cons"),
+        col("confidence"), col("lift"))
+  }
+
   /** Top-`k` parts by triangle participation, plus each part's degree.
     * Orientation join is the compact-forward shape described on the
     * object; the per-node tally explodes each triangle into its three

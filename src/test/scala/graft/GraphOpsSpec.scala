@@ -39,6 +39,36 @@ class GraphOpsSpec extends AnyFunSuite {
       edges.flatMap(e => Seq(e._1, e._2)).size)
   }
 
+  test("associationRules confidence and lift match a brute-force recount") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Graph.associationRules(li, 20).collect().sortBy(_.getAs[Long]("rank"))
+    val baskets = li.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .distinct
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val supp = baskets.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val pairW = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val rules = pairW.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w))
+    }.map { case (a, b, w) =>
+      (a, b, w, supp(a), supp(b),
+        w.toDouble / supp(a).toDouble,
+        (w * nOrders).toDouble / (supp(a) * supp(b)).toDouble)
+    }
+    val expected = rules.sortBy { case (a, b, _, _, _, _, lift) => (-lift, a, b) }.take(20)
+    val gotTuples = got.map(r => (r.getAs[Long]("ant"), r.getAs[Long]("cons"), r.getAs[Long]("w"),
+      r.getAs[Long]("s_ant"), r.getAs[Long]("s_cons"),
+      r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(gotTuples.toSeq == expected)
+    // lift is symmetric but confidence is not: the ranked list carries
+    // both directions of each pair with distinct confidences
+    assert(got.length == 20 && gotTuples.map(_._7).distinct.nonEmpty)
+  }
+
   test("triangleTopK matches brute-force per-node triangle counts on the support-2 graph") {
     val strong = Graph.coOrderEdges(Tables.lineitem(spark, sfDir))
       .filter(org.apache.spark.sql.functions.col("w") >= 2)
