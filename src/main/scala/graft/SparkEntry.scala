@@ -166,6 +166,8 @@ object SparkEntry {
     "q_residuals" -> ((s, dir) =>
       Relational.regressionOutliers(Tables.lineitem(s, dir))
         .orderBy("l_orderkey", "l_linenumber")),
+    "q_zorder" -> ((s, dir) =>
+      Relational.zorderLayout(Tables.lineitem(s, dir)).orderBy("zrange")),
     "q_null_funcs" -> ((s, dir) =>
       Relational.nullFuncs(Tables.events(s, dir)).orderBy("event_id")),
     "q_streaks" -> ((s, dir) =>
@@ -1072,6 +1074,16 @@ object SparkEntry {
          FROM b JOIN m USING (l_returnflag)
          WHERE ${Stages.residualOutlierCondSql("1.6")}
          ORDER BY l_orderkey, l_linenumber"""
+    },
+    "q_zorder" -> {
+      val morton = Stages.mortonSql("x", "y", 8)
+      s"""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 // 512 AS y
+                     FROM lineitem),
+         z AS (SELECT x, y, $morton AS zkey FROM b)
+         SELECT zkey // 256 AS zrange, count(*) AS n,
+                min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY 1 ORDER BY zrange"""
     },
     "q_null_funcs" ->
       """SELECT event_id,

@@ -841,6 +841,26 @@ object Analytics {
         (abs(col("cusum")) === col("max_abs")).as("is_peak"))
   }
 
+  /** [[ohlcBars]] spelled over a tumbling `window()` — IDENTICAL results
+    * (hour_epoch = window start / 3600), but because the group key is a
+    * time window, the same stage runs unchanged as a streaming query:
+    * with a watermark, append mode emits each bar exactly once when its
+    * hour finalizes. The batch/stream unification proof lives in the
+    * streaming spec.
+    */
+  def ohlcBarsWindowed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "60 minutes"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(
+        expr("CAST(window.start AS LONG) div 3600").as("hour_epoch"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
   /** Dense (event_type × hour-of-day) activity grid with zero-filled
     * cells — the cross-join + left-join "fill the matrix" shape behind
     * heatmaps and per-cell models. Both dimensions are generated in-plan

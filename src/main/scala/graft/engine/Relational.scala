@@ -149,6 +149,28 @@ object Relational {
       minute(col("ts")).cast("long").as("mi"),
       second(col("ts")).cast("long").as("s"))
 
+  /** Z-order layout statistics: every row gets a Morton key interleaving
+    * its (quantity, price-bucket) coordinates, rows are grouped into
+    * zkey ranges ("files"), and each range reports its min/max on BOTH
+    * dimensions — the file-statistics table that shows why Z-ORDER
+    * clustering prunes on either predicate (each range spans a small
+    * box in (x, y) space, unlike a single-column sort where the second
+    * dimension spans everything). The key is [[Stages.mortonSql]]
+    * integer arithmetic computed map-side; one map-combined aggregate
+    * on the range id; output is |ranges|-bounded.
+    */
+  def zorderLayout(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100 div 512").as("y"))
+      .withColumn("zkey", expr(Stages.mortonSql("x", "y", 8)))
+      .groupBy(expr("zkey div 256").as("zrange"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
   /** Model-based outlier detection: rows whose price deviates from the
     * per-group OLS price-vs-quantity line by more than `mult`·rmse —
     * the residual screen that catches mispriced rows a plain z-score

@@ -149,6 +149,19 @@ object Stages {
       "r2" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE ($covar * $covar) / ($varX * $varY) END")
   }
 
+  /** Morton (Z-order) interleave of two non-negative integer columns
+    * (`bits` low bits each → a 2·bits-bit key): the space-filling-curve
+    * clustering key behind Z-ORDER data layout — rows sorted by this key
+    * keep BOTH dimensions locally dense, so min/max file statistics
+    * prune on either predicate. Pure integer shifts and masks, one
+    * fixed expression text for Spark `expr` and the DuckDB oracle.
+    */
+  def mortonSql(xCol: String, yCol: String, bits: Int): String =
+    (0 until bits)
+      .map(i =>
+        s"((($xCol >> $i) & 1) << ${2 * i}) + ((($yCol >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
   /** Per-row OLS residual and the model-based outlier predicate, from
     * the same exact integer sufficient statistics as [[linregSql]]
     * (columns `n, sx, sy, sxy, sxx, syy` joined onto each fact row's

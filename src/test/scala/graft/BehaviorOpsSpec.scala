@@ -115,6 +115,30 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < raw.length)
   }
 
+  test("zorderLayout ranges are tight boxes in both dimensions") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Relational.zorderLayout(li).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == li.count())
+    got.foreach { r =>
+      // a zkey div 256 range fixes the high 4 bits of BOTH coordinates:
+      // every range spans at most 16 values per dimension — the locality
+      // property single-column sorting cannot give the second dimension
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 15, r.toString)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 15, r.toString)
+    }
+    // driver-side morton recount agrees per range
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))).sum
+    val manual = li.select("l_quantity", "l_extendedprice").collect()
+      .map { r =>
+        val x = math.round(r.getAs[Double]("l_quantity"))
+        val y = math.round(r.getAs[Double]("l_extendedprice") * 100) / 100 / 512
+        morton(x, y) / 256
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got.map(r => r.getAs[Long]("zrange") -> r.getAs[Long]("n")).toMap == manual)
+  }
+
   test("denseHourGrid covers the full type x hour matrix and preserves totals") {
     val ev = Tables.events(spark, sfDir)
     val grid = Analytics.denseHourGrid(ev).collect()

@@ -264,6 +264,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ohlcBarsWindowed streams in append mode and matches the batch ohlcBars exactly") {
+    // OHLC resampling unifies batch/stream because the group key is a
+    // time window: with a watermark, append emits each finalized bar
+    // once, and the min_by/max_by boundary picks are identical to the
+    // batch twin's (one late-ish probe included to exercise ordering).
+    val input = MemoryStream[Ev]
+    val bars = graft.engine.Analytics
+      .ohlcBarsWindowed(input.toDF().withWatermark("ts", "60 minutes"))
+    val q = bars.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_ohlc")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(
+        ev(1, 0, 5, 10.0), ev(2, 0, 20, 50.0), ev(3, 0, 40, 3.0),
+        ev(4, 0, 55, 30.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 0, 50, 99.0)) // late within the hour, pre-finalization
+      q.processAllAvailable()
+      input.addData(ev(6, 3, 0, 7.0)) // watermark passes hour 0 → bar finalizes
+      q.processAllAvailable()
+      val streamed = spark.table("stream_ohlc").collect()
+        .map(r => (r.getAs[Long]("hour_epoch"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("volume")))
+      val all = Seq(
+        ev(1, 0, 5, 10.0), ev(2, 0, 20, 50.0), ev(3, 0, 40, 3.0),
+        ev(4, 0, 55, 30.0), ev(5, 0, 50, 99.0), ev(6, 3, 0, 7.0))
+      val batchHour0 = graft.engine.Analytics.ohlcBars(all.toDF())
+        .filter(org.apache.spark.sql.functions.col("hour_epoch") % 24 === 0)
+        .collect()
+        .map(r => (r.getAs[Long]("hour_epoch"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("volume")))
+      assert(streamed.toSeq == batchHour0.toSeq)
+      assert(streamed.head._2 == 10.0 && streamed.head._5 == 30.0, "open/close pick boundary events")
+    } finally q.stop()
+  }
+
   test("firstTouch runs as a streaming update-mode aggregation, converging to its batch twin") {
     // The dual claim to the sampling test: a STATEFUL stage (min_by
     // aggregate) also composes into readStream unchanged — update mode
