@@ -168,6 +168,10 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")),
     "q_zorder" -> ((s, dir) =>
       Relational.zorderLayout(Tables.lineitem(s, dir)).orderBy("zrange")),
+    "q_data_split" -> ((s, dir) =>
+      Relational.dataSplitReport(Tables.events(s, dir)).orderBy("split", "event_type")),
+    "q_weighted_median" -> ((s, dir) =>
+      Relational.weightedMedian(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_null_funcs" -> ((s, dir) =>
       Relational.nullFuncs(Tables.events(s, dir)).orderBy("event_id")),
     "q_streaks" -> ((s, dir) =>
@@ -1085,6 +1089,27 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_data_split" ->
+      """WITH b AS (SELECT event_type,
+                           CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 AS bucket
+                    FROM events)
+         SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+                event_type, count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY split, event_type""",
+    "q_weighted_median" ->
+      s"""WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+                            CAST(round(l_quantity) AS BIGINT) AS wt,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         c AS (SELECT l_returnflag, y,
+                      CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY y, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+                      CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+               FROM b)
+         SELECT l_returnflag, CAST(min(y) AS BIGINT) AS weighted_median,
+                CAST(max(totw) AS BIGINT) AS total_weight
+         FROM c WHERE cumw * 2 >= totw
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_null_funcs" ->
       """SELECT event_id,
                 coalesce(v, -1.0) AS v_or_neg1,

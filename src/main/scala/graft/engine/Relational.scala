@@ -354,6 +354,51 @@ object Relational {
         s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $mod = 0"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Deterministic 80/10/10 train/validation/test assignment with a
+    * per-(split, event_type) stratification report — the split audit a
+    * training pipeline runs to confirm the hash assignment didn't skew
+    * any class. Assignment hashes the stable row id (md5 head, the
+    * repo-wide sampling idiom), so it is reproducible on any engine and
+    * any run; the report is one map-combined aggregate, output
+    * 3·|classes|-sized.
+    */
+  def dataSplitReport(events: DataFrame): DataFrame = {
+    val bucket =
+      "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 10"
+    events
+      .withColumn(
+        "split",
+        expr(s"CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'valid' ELSE 'test' END"))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Weighted median value per group (weights = order quantity): sort
+    * the group by value, accumulate weights in a running window, and
+    * take the first value whose doubled cumulative weight reaches the
+    * group total — the exact lower weighted median, all in integer
+    * arithmetic. Two shuffles on the group key (window + final min);
+    * per-key window state is one long.
+    */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("y").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    lineitem
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("wt"),
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("y")).as("weighted_median"), max(col("totw")).as("total_weight"))
+  }
+
   /** Latest record per key — the CDC/compaction primitive: of all events
     * for a user, the one with the greatest (ts, event_id). Implemented as
     * ONE aggregation with `max_by` on a struct ordering key, not a

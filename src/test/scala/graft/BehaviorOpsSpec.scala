@@ -139,6 +139,43 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(got.map(r => r.getAs[Long]("zrange") -> r.getAs[Long]("n")).toMap == manual)
   }
 
+  test("dataSplitReport partitions every row into one split with ~80/10/10 mass") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Relational.dataSplitReport(ev).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == ev.count())
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[Long]("n")).sum }
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.7 && bySplit("train") / total < 0.9)
+    assert(bySplit("valid") / total < 0.2 && bySplit("test") / total < 0.2)
+    // assignment is deterministic: recomputing yields identical counts
+    assert(Relational.dataSplitReport(ev).collect().map(_.toString).sorted.toSeq ==
+      out.map(_.toString).sorted.toSeq)
+  }
+
+  test("weightedMedian matches a driver-side cumulative-weight scan") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Relational.weightedMedian(li).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("weighted_median"), r.getAs[Long]("total_weight")))
+      .toMap
+    val manual = li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"), math.round(r.getAs[Double]("l_quantity")),
+        math.round(r.getAs[Double]("l_extendedprice") * 100) / 100))
+      .groupBy(_._1)
+      .map { case (flag, rows) =>
+        val sorted = rows.sortBy(r => (r._5, r._2, r._3))
+        val tot = sorted.map(_._4).sum
+        var acc = 0L
+        val med = sorted.find { r => acc += r._4; acc * 2 >= tot }.get._5
+        flag -> (med, tot)
+      }
+    assert(got == manual)
+  }
+
   test("denseHourGrid covers the full type x hour matrix and preserves totals") {
     val ev = Tables.events(spark, sfDir)
     val grid = Analytics.denseHourGrid(ev).collect()
