@@ -172,6 +172,10 @@ object SparkEntry {
       Relational.dataSplitReport(Tables.events(s, dir)).orderBy("split", "event_type")),
     "q_weighted_median" -> ((s, dir) =>
       Relational.weightedMedian(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_wilson" -> ((s, dir) =>
+      Relational.wilsonTopUsers(Tables.events(s, dir), 20).orderBy("rank")),
+    "q_dup_rates" -> ((s, dir) =>
+      TextAnalysis.sourceDupRates(Tables.documents(s, dir)).orderBy("source")),
     "q_null_funcs" -> ((s, dir) =>
       Relational.nullFuncs(Tables.events(s, dir)).orderBy("event_id")),
     "q_streaks" -> ((s, dir) =>
@@ -1089,6 +1093,23 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_wilson" -> {
+      s"""WITH u AS (SELECT user_id, count(*) AS n,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+                     FROM events GROUP BY user_id),
+         s AS (SELECT user_id, n, c, ${Stages.wilsonLowerSql} AS wilson_lb FROM u)
+         SELECT CAST(row_number() OVER (ORDER BY wilson_lb DESC, user_id) AS BIGINT) AS rank,
+                user_id, n, c, wilson_lb
+         FROM s ORDER BY wilson_lb DESC, user_id LIMIT 20"""
+    },
+    "q_dup_rates" ->
+      """WITH g AS (SELECT source, md5(text) AS text_md5, count(*) AS copies
+                    FROM documents GROUP BY 1, 2)
+         SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs, count(*) AS n_unique,
+                CAST(sum(copies - 1) AS BIGINT) AS n_dup_rows,
+                CAST(CAST(sum(copies - 1) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(copies) AS BIGINT) AS DOUBLE) AS dup_ratio
+         FROM g GROUP BY source ORDER BY source""",
     "q_data_split" ->
       """WITH b AS (SELECT event_type,
                            CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 AS bucket

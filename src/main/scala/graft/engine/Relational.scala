@@ -373,6 +373,26 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Top-`k` users by Wilson-lower-bound purchase propensity: raw
+    * purchase rates rank a 1/1 user above a 40/50 one; the
+    * [[Stages.wilsonLowerSql]] bound corrects for sample size. One
+    * map-combined per-user aggregate (two longs of state), closed-form
+    * scoring, TakeOrdered top-k — nothing user-corpus-sized survives
+    * the aggregate.
+    */
+  def wilsonTopUsers(events: DataFrame, k: Int): DataFrame =
+    rankedTopK(
+      events
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+        .select(
+          col("user_id"), col("n"), col("c"),
+          expr(Stages.wilsonLowerSql).as("wilson_lb")),
+      k, col("wilson_lb").desc, col("user_id").asc)
+      .select(col("rank"), col("user_id"), col("n"), col("c"), col("wilson_lb"))
+
   /** Weighted median value per group (weights = order quantity): sort
     * the group by value, accumulate weights in a running window, and
     * take the first value whose doubled cumulative weight reaches the

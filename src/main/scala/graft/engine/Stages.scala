@@ -149,6 +149,23 @@ object Stages {
       "r2" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE ($covar * $covar) / ($varX * $varY) END")
   }
 
+  /** Wilson score lower bound for a binomial proportion (columns `c`
+    * successes, `n` trials; z = 1.96): the uncertainty-corrected rate
+    * that ranks 3/3 below 80/100 — the standard fix for sorting by raw
+    * success ratios. Division, multiplication and sqrt over exactly-
+    * represented integers: one fixed IEEE tree, same text on both
+    * engines, bit-identical results.
+    */
+  val wilsonLowerSql: String = {
+    val (n, c) = ("CAST(n AS DOUBLE)", "CAST(c AS DOUBLE)")
+    val p = s"($c / $n)"
+    val z2 = "(1.96 * 1.96)"
+    s"""CASE WHEN n = 0 THEN NULL ELSE
+        ($p + $z2 / (2 * $n)
+         - 1.96 * sqrt($p * (1 - $p) / $n + $z2 / (4 * $n * $n)))
+        / (1 + $z2 / $n) END"""
+  }
+
   /** Morton (Z-order) interleave of two non-negative integer columns
     * (`bits` low bits each → a 2·bits-bit key): the space-filling-curve
     * clustering key behind Z-ORDER data layout — rows sorted by this key

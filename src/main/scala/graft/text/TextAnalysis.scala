@@ -576,6 +576,25 @@ object TextAnalysis {
         (col("n_boiler").cast("double") / col("n_spans").cast("double")).as("boiler_ratio"))
   }
 
+  /** Per-source exact-duplication report: documents, distinct texts
+    * (md5 keys — 64-bit-safe at corpus scale), and the duplicate-row
+    * ratio — the curation metric that decides which sources need the
+    * expensive near-dup pass. Two map-combined aggregates; ratios are
+    * single exact divisions.
+    */
+  def sourceDupRates(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("copies") - 1).as("n_dup_rows"))
+      .select(
+        col("source"), col("n_docs"), col("n_unique"), col("n_dup_rows"),
+        expr("CAST(n_dup_rows AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("dup_ratio"))
+
   /** Per-source sampling weights that rebalance the corpus to a uniform
     * token share — the mixture-weighting step before training-data
     * sampling: weight_s = total / (n_sources · tokens_s), so expected

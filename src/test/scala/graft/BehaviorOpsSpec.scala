@@ -176,6 +176,40 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(got == manual)
   }
 
+  test("wilsonTopUsers ranks by the lower bound, never above the raw rate") {
+    val got = Relational.wilsonTopUsers(Tables.events(spark, sfDir), 20).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(got.length == math.min(20L, nUsers))
+    got.foreach { r =>
+      val (n, c, lb) = (r.getAs[Long]("n"), r.getAs[Long]("c"), r.getAs[Double]("wilson_lb"))
+      val p = c.toDouble / n.toDouble
+      assert(lb >= 0 && lb <= p + 1e-12, s"lb=$lb p=$p")
+      // exact recomputation of the bound
+      val z = 1.96
+      val expected = (p + z * z / (2.0 * n) -
+        z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))) / (1 + z * z / n)
+      assert(math.abs(lb - expected) < 1e-12)
+    }
+    val lbs = got.map(_.getAs[Double]("wilson_lb"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b }, "ranked descending")
+  }
+
+  test("sourceDupRates counts duplicate rows exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.text.TextAnalysis.sourceDupRates(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.foreach { r =>
+      val (n, u, d) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"), r.getAs[Long]("n_dup_rows"))
+      assert(d == n - u)
+      assert(r.getAs[Double]("dup_ratio") == d.toDouble / n.toDouble)
+    }
+    val manual = docs.select("source", "text").collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[String]("text")).distinct.length.toLong }
+    out.foreach(r => assert(r.getAs[Long]("n_unique") == manual(r.getAs[String]("source"))))
+  }
+
   test("denseHourGrid covers the full type x hour matrix and preserves totals") {
     val ev = Tables.events(spark, sfDir)
     val grid = Analytics.denseHourGrid(ev).collect()
