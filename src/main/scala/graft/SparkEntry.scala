@@ -262,6 +262,8 @@ object SparkEntry {
       Analytics.cusumChangepoint(Tables.events(s, dir)).orderBy("day")),
     "q_locf" -> ((s, dir) =>
       Analytics.forwardFill(Tables.events(s, dir)).orderBy("user_id", "event_id")),
+    "q_ratio_report" -> ((s, dir) =>
+      Analytics.ratioToReport(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_benford" -> ((s, dir) =>
       Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
     "q_fk_orphans" -> ((s, dir) =>
@@ -1093,6 +1095,16 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_ratio_report" ->
+      """WITH b AS (SELECT user_id, event_id,
+                           CAST(round((value) * 100) AS BIGINT) AS cents
+                    FROM events),
+         w AS (SELECT user_id, event_id, cents,
+                      CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+               FROM b)
+         SELECT user_id, event_id, cents, user_total,
+                CAST(cents AS DOUBLE) / CAST(user_total AS DOUBLE) AS share
+         FROM w ORDER BY user_id, event_id""",
     "q_wilson" -> {
       s"""WITH u AS (SELECT user_id, count(*) AS n,
                             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c

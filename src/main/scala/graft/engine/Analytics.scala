@@ -797,6 +797,22 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** Ratio-to-report: each event's share of its user's total spend —
+    * the window-aggregate share shape (`sum over (partition by key)`
+    * with no ordering, so no sort: Spark plans a WindowExec whose frame
+    * is the whole partition, one shuffle on user_id). Numerator and
+    * denominator are exact integer cents; one closing division.
+    */
+  def ratioToReport(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        expr(Stages.centsSql("value")).as("cents"))
+      .withColumn("user_total", sum(col("cents")).over(Window.partitionBy(col("user_id"))))
+      .select(
+        col("user_id"), col("event_id"), col("cents"), col("user_total"),
+        expr("CAST(cents AS DOUBLE) / CAST(user_total AS DOUBLE)").as("share"))
+
   /** Forward fill (LOCF — last observation carried forward) per user:
     * the time-series imputation pass, via `last(_, ignoreNulls)` over
     * the per-user event-time frame. Nulls are synthesized in-plan on

@@ -139,6 +139,21 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(got.map(r => r.getAs[Long]("zrange") -> r.getAs[Long]("n")).toMap == manual)
   }
 
+  test("ratioToReport shares sum to 1 per user and match an exact recount") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.ratioToReport(ev).collect()
+    assert(out.length == ev.count())
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val total = rows.head.getAs[Long]("user_total")
+      assert(rows.map(_.getAs[Long]("cents")).sum == total)
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      rows.foreach(r =>
+        assert(r.getAs[Double]("share") ==
+          r.getAs[Long]("cents").toDouble / total.toDouble))
+    }
+  }
+
   test("dataSplitReport partitions every row into one split with ~80/10/10 mass") {
     val ev = Tables.events(spark, sfDir)
     val out = Relational.dataSplitReport(ev).collect()
