@@ -318,6 +318,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_copy_detect" -> ((s, dir) =>
+      TextAnalysis.winnowCopyPairs(Tables.documents(s, dir), 40).orderBy("doc_a", "doc_b")),
     "q_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir), 100, 450, 25).orderBy("doc_id")),
     "q_string_funcs" -> ((s, dir) =>
@@ -1701,6 +1703,28 @@ object SparkEntry {
            FROM h)
          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps[1] AS min_fp, fps[-1] AS max_fp
          FROM sel ORDER BY doc_id""",
+    "q_copy_detect" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                    i -> CAST(CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+           FROM documents),
+         sel AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                    j -> list_min(hs[j:j+3])))) AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+               FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 40)
+         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(n_shared AS DOUBLE)
+                  / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap
+         FROM p
+         JOIN (SELECT doc_id, len(fps) AS n FROM sel) sa ON sa.doc_id = doc_a
+         JOIN (SELECT doc_id, len(fps) AS n FROM sel) sb ON sb.doc_id = doc_b
+         ORDER BY doc_a, doc_b""",
     "q_quality_filter" ->
       """SELECT doc_id, source, length(text) AS n_chars,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens

@@ -155,6 +155,41 @@ object TextAnalysis {
         element_at(col("fps"), -1).as("max_fp"))
   }
 
+  /** MOSS-style copy detection: documents sharing at least `minShared`
+    * winnowing fingerprints (the [[winnowFingerprint]] selection — local
+    * minima of rolling 8-gram hashes over a window of 4) become copy
+    * candidates, scored by shared-fingerprint count and the
+    * containment-style overlap vs the smaller document. Winnowing
+    * guarantees any sufficiently long verbatim passage contributes a
+    * shared fingerprint, while selecting only window-minima keeps each
+    * document's posting list ~1/4 of its n-gram count — the join key
+    * distribution is minima-of-hashes (spread), not raw n-gram
+    * frequency. One fingerprint-keyed equi-join of postings; counts
+    * map-combine per pair.
+    */
+  def winnowCopyPairs(documents: DataFrame, minShared: Int): DataFrame = {
+    val sizes = documents
+      .select(
+        col("doc_id"),
+        size(graft.functions.VectorFunctions.winnow(col("text"), 8, 4)).cast("long").as("n_fp"))
+    val postings = documents
+      .select(
+        col("doc_id"),
+        explode(graft.functions.VectorFunctions.winnow(col("text"), 8, 4)).as("fp"))
+    val a = postings.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = postings.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("CAST(n_shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)").as("overlap"))
+  }
+
   /** Document fingerprint: md5 of the case-normalized text (first 16 hex
     * chars — 64 bits). Used as the exact-dedup key; a rolling-hash
     * shingle fingerprint is the MinHash path in [[graft.text.Dedup]].

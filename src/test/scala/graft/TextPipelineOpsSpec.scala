@@ -83,6 +83,29 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowCopyPairs matches brute-force shared-fingerprint counting") {
+    val docs = Tables.documents(spark, sfDir)
+    val minShared = 20 // lower than the query's 40: sf0.001 docs are fewer
+    val got = TextAnalysis.winnowCopyPairs(docs, minShared).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("overlap")))
+      .toMap
+    val fps = docs
+      .select(col("doc_id"), graft.functions.VectorFunctions.winnow(col("text"), 8, 4).as("fps"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet)
+    val expected = (for {
+      (da, fa) <- fps
+      (db, fb) <- fps
+      if da < db
+      shared = fa.intersect(fb).size.toLong
+      if shared >= minShared
+    } yield (da, db) -> (shared, shared.toDouble / math.min(fa.size, fb.size).toDouble)).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture must contain copy candidates at this threshold")
+    got.values.foreach { case (_, overlap) => assert(overlap > 0 && overlap <= 1.0) }
+  }
+
   test("ngramContainment matches brute-force same-source containment") {
     val docs = Tables.documents(spark, sfDir)
     val got = Dedup.ngramContainment(docs, 0.6).collect()
