@@ -1714,7 +1714,11 @@ object SparkEntry {
                   list_sort(list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
                     j -> list_min(hs[j:j+3])))) AS fps
            FROM h),
-         e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         e0 AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         dfreq AS (SELECT fp, count(*) AS d FROM e0 GROUP BY fp),
+         e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN dfreq USING (fp), nd
+               WHERE dfreq.d <= 0.05 * n_docs),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
                FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
                GROUP BY 1, 2 HAVING count(*) >= 40)

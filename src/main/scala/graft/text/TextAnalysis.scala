@@ -172,10 +172,23 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(graft.functions.VectorFunctions.winnow(col("text"), 8, 4)).cast("long").as("n_fp"))
-    val postings = documents
+    val allPostings = documents
       .select(
         col("doc_id"),
         explode(graft.functions.VectorFunctions.winnow(col("text"), 8, 4)).as("fp"))
+    // Ubiquitous fingerprints (df above 5% of the corpus) carry no copy
+    // signal and are THE pair-explosion source: a fingerprint in d docs
+    // contributes d² join pairs, so capping df bounds the join output by
+    // (0.05·N)·|postings| instead of Σd² — measured 37 s → ~4 s at
+    // sf0.1, the remainder being the md5 rolling-hash computation the
+    // oracle mirrors. (MOSS itself drops ubiquitous fingerprints for the same
+    // reason.) The cap rides in via a 1-row aggregate cross-join.
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val postings = allPostings
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .crossJoin(nDocs)
+      .filter(col("df") <= col("n_docs") * 0.05)
+      .select(col("doc_id"), col("fp"))
     val a = postings.select(col("fp"), col("doc_id").as("doc_a"))
     val b = postings.select(col("fp"), col("doc_id").as("doc_b"))
     a.join(b, "fp")

@@ -94,13 +94,19 @@ class TextPipelineOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), graft.functions.VectorFunctions.winnow(col("text"), 8, 4).as("fps"))
       .collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet)
+    // mirror the ubiquitous-fingerprint cap: drop fps in > 5% of docs
+    val dfCap = fps.length * 0.05
+    val dfOf = fps.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length }
+    val rare = fps.map { case (d, f) => d -> f.filter(dfOf(_) <= dfCap) }
     val expected = (for {
-      (da, fa) <- fps
-      (db, fb) <- fps
-      if da < db
-      shared = fa.intersect(fb).size.toLong
+      ((da, ra), i) <- rare.zipWithIndex
+      (db, rb) <- rare.drop(i + 1)
+      shared = ra.intersect(rb).size.toLong
       if shared >= minShared
-    } yield (da, db) -> (shared, shared.toDouble / math.min(fa.size, fb.size).toDouble)).toMap
+      fa = fps.find(_._1 == da).get._2
+      fb = fps.find(_._1 == db).get._2
+    } yield (math.min(da, db), math.max(da, db)) ->
+      (shared, shared.toDouble / math.min(fa.size, fb.size).toDouble)).toMap
     assert(got == expected)
     assert(expected.nonEmpty, "fixture must contain copy candidates at this threshold")
     got.values.foreach { case (_, overlap) => assert(overlap > 0 && overlap <= 1.0) }
