@@ -903,7 +903,10 @@ object SparkEntry {
                 rank() OVER v AS value_rank,
                 dense_rank() OVER v AS value_dense_rank,
                 ntile(4) OVER v AS quartile,
-                percent_rank() OVER v AS pct_rank
+                percent_rank() OVER v AS pct_rank,
+                cume_dist() OVER v AS cum_dist,
+                nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS third_value
          FROM events
          WINDOW t AS (PARTITION BY user_id ORDER BY ts, event_id),
                 v AS (PARTITION BY user_id ORDER BY CAST(round((value) * 100) AS BIGINT) DESC, event_id)

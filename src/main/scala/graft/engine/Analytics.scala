@@ -248,7 +248,11 @@ object Analytics {
       rank().over(valueOrder).cast("long").as("value_rank"),
       dense_rank().over(valueOrder).cast("long").as("value_dense_rank"),
       ntile(4).over(valueOrder).cast("long").as("quartile"),
-      percent_rank().over(valueOrder).as("pct_rank"))
+      percent_rank().over(valueOrder).as("pct_rank"),
+      cume_dist().over(valueOrder).as("cum_dist"),
+      nth_value(col("value"), 3)
+        .over(timeOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("third_value"))
   }
 
   /** Native `session_window` sessionization — the same sessions as
