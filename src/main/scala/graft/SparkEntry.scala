@@ -365,6 +365,8 @@ object SparkEntry {
       TextAnalysis.sourceHhi(Tables.documents(s, dir)).orderBy("source")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_minhash_acc" -> ((s, dir) =>
+      Dedup.minhashAccuracy(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), 3).orderBy("doc_a", "doc_b")),
     // ---- similarity search over embeddings ----
@@ -1893,6 +1895,32 @@ object SparkEntry {
                 CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 AS est_jaccard
          FROM sj
          WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "q_minhash_acc" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         est AS (SELECT doc_a, doc_b,
+                        CAST(len(list_filter(generate_series(1,32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+         q AS (SELECT * FROM est WHERE est_jaccard >= 0.25)
+         SELECT doc_a, doc_b, est_jaccard,
+                CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS exact_jaccard,
+                abs(est_jaccard
+                  - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                    / CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)) AS abs_err
+         FROM q JOIN g ga ON ga.doc_id = q.doc_a JOIN g gb ON gb.doc_id = q.doc_b
          ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" -> duckSimhashSql(3),
     "q_decontaminate" ->

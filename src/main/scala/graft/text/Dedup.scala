@@ -363,6 +363,29 @@ object Dedup {
       .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Sketch-quality evaluation: for every MinHash band candidate with
+    * estimated Jaccard ≥ `minEst`, the EXACT n-gram Jaccard and the
+    * estimation error — the agreement report that justifies (or
+    * indicts) the sketch parameters before a corpus-wide dedup run.
+    * Candidates come from [[minhashNearDups]] (band-limited, never
+    * all-pairs); the exact score joins the two gram arrays only for
+    * those candidates, mirroring the Jaccard verification join.
+    */
+  def minhashAccuracy(documents: DataFrame, minEst: Double = 0.25): DataFrame = {
+    val grams = withShingles(documents, 3).select(col("doc_id"), col("sh"))
+    minhashNearDups(documents, minEstJaccard = minEst)
+      .join(grams.select(col("doc_id").as("doc_a"), col("sh").as("ga")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("sh").as("gb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn(
+        "exact_jaccard",
+        col("n_inter").cast("double")
+          / (size(col("ga")) + size(col("gb")) - col("n_inter")).cast("double"))
+      .select(
+        col("doc_a"), col("doc_b"), col("est_jaccard"), col("exact_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+  }
+
   /** Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ τ —
     * the sub-document overlap detector (quotes, near-subsets) that
     * Jaccard misses when |B| ≫ |A|. Exact prefix filter, one-sided:

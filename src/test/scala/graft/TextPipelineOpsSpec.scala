@@ -112,6 +112,31 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     got.values.foreach { case (_, overlap) => assert(overlap > 0 && overlap <= 1.0) }
   }
 
+  test("minhashAccuracy reports exact Jaccard for every band candidate") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.minhashAccuracy(docs).collect()
+    assert(out.nonEmpty)
+    val grams = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(expr("transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))")).as("sh"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (ga, gb) = (grams(a), grams(b))
+      val exact = ga.intersect(gb).size.toDouble / (ga.size + gb.size - ga.intersect(gb).size).toDouble
+      assert(r.getAs[Double]("exact_jaccard") == exact, s"($a,$b)")
+      assert(r.getAs[Double]("abs_err") ==
+        math.abs(r.getAs[Double]("est_jaccard") - exact))
+      assert(r.getAs[Double]("est_jaccard") >= 0.25)
+    }
+    // the 32-hash estimator should track exact jaccard on average
+    val meanErr = out.map(_.getAs[Double]("abs_err")).sum / out.length
+    assert(meanErr < 0.25, s"mean |est - exact| = $meanErr")
+  }
+
   test("ngramContainment matches brute-force same-source containment") {
     val docs = Tables.documents(spark, sfDir)
     val got = Dedup.ngramContainment(docs, 0.6).collect()
