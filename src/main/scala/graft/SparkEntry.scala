@@ -278,6 +278,10 @@ object SparkEntry {
       Graph.triangleTopK(Tables.lineitem(s, dir), 20).orderBy("rank")),
     "q_assoc_rules" -> ((s, dir) =>
       Graph.associationRules(Tables.lineitem(s, dir), 20).orderBy("rank")),
+    "q_basket_hist" -> ((s, dir) =>
+      Graph.basketSizeHistogram(Tables.lineitem(s, dir)).orderBy("n_items")),
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir)).orderBy("token")),
     "q_listagg" -> ((s, dir) =>
       Analytics.pathString(Tables.events(s, dir)).orderBy("user_id")),
     "q_pagerank" -> ((s, dir) =>
@@ -1588,6 +1592,16 @@ object SparkEntry {
                 pn.part, pn.n_tri, d.d AS degree
          FROM pn JOIN d ON d.part = pn.part
          ORDER BY n_tri DESC, pn.part ASC LIMIT 20""",
+    "q_basket_hist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         b AS (SELECT l_orderkey, count(*) AS n_items FROM op GROUP BY l_orderkey)
+         SELECT n_items, count(*) AS n_orders FROM b GROUP BY n_items ORDER BY n_items""",
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+                    FROM documents)
+         SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM t GROUP BY token ORDER BY token""",
     "q_assoc_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS w

@@ -56,6 +56,19 @@ object Graph {
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_parts"))
 
+  /** Basket-size profile: how many orders carry n distinct parts — the
+    * market-basket distribution that predicts the co-order pair volume
+    * (Σ C(n,2) over this histogram). Two map-combined aggregates;
+    * output is bounded by the max basket size.
+    */
+  def basketSizeHistogram(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"))
+
   /** Top-`k` association rules A→B over co-ordered parts, ranked by
     * lift: confidence = supp(AB)/supp(A), lift = supp(AB)·N /
     * (supp(A)·supp(B)) — every ratio a single division of exact integer

@@ -155,6 +155,22 @@ object TextAnalysis {
         element_at(col("fps"), -1).as("max_fp"))
   }
 
+  /** Inverted-index build: one postings row per vocabulary token with
+    * document frequency, total term frequency, and the posting-list
+    * doc-id bounds — the IR-index construction pass. Corpus-side work
+    * is one explode + two map-combined aggregates keyed on token;
+    * output is vocabulary-sized.
+    */
+  def invertedIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   /** MOSS-style copy detection: documents sharing at least `minShared`
     * winnowing fingerprints (the [[winnowFingerprint]] selection — local
     * minima of rolling 8-gram hashes over a window of 4) become copy

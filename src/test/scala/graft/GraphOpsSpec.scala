@@ -39,6 +39,35 @@ class GraphOpsSpec extends AnyFunSuite {
       edges.flatMap(e => Seq(e._1, e._2)).size)
   }
 
+  test("basketSizeHistogram conserves orders and predicts the pair volume") {
+    val li = Tables.lineitem(spark, sfDir)
+    val hist = Graph.basketSizeHistogram(li).collect()
+      .map(r => r.getAs[Long]("n_items") -> r.getAs[Long]("n_orders"))
+    val nOrders = li.select("l_orderkey").distinct().count()
+    assert(hist.map(_._2).sum == nOrders)
+    // sum over the histogram of C(n,2) equals the weighted co-order pair count
+    val predictedPairs = hist.map { case (n, k) => k * n * (n - 1) / 2 }.sum
+    val actualPairs = Graph.coOrderEdges(li)
+      .agg(org.apache.spark.sql.functions.sum("w")).head.getLong(0)
+    assert(predictedPairs == actualPairs)
+  }
+
+  test("invertedIndex df/tf match a brute-force token recount") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val got = graft.text.TextAnalysis.invertedIndex(docs).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("tf"), r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      .toMap
+    val toks = docs.select("doc_id", "text").collect().flatMap { r =>
+      r.getAs[String]("text").trim.split("\\s+").map(t => (t, r.getAs[Long]("doc_id")))
+    }
+    val manual = toks.groupBy(_._1).map { case (t, v) =>
+      val ds = v.map(_._2)
+      t -> (ds.distinct.length.toLong, ds.length.toLong, ds.min, ds.max)
+    }
+    assert(got == manual)
+  }
+
   test("associationRules confidence and lift match a brute-force recount") {
     val li = Tables.lineitem(spark, sfDir)
     val got = Graph.associationRules(li, 20).collect().sortBy(_.getAs[Long]("rank"))
