@@ -264,6 +264,8 @@ object SparkEntry {
       Analytics.forwardFill(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_ratio_report" -> ((s, dir) =>
       Analytics.ratioToReport(Tables.events(s, dir)).orderBy("user_id", "event_id")),
+    "q_journey" -> ((s, dir) =>
+      Analytics.journeyMatrix(Tables.events(s, dir)).orderBy("first_type", "last_type")),
     "q_benford" -> ((s, dir) =>
       Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
     "q_fk_orphans" -> ((s, dir) =>
@@ -1106,6 +1108,13 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_journey" ->
+      """WITH j AS (SELECT user_id,
+                           arg_min(event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 10000000 + event_id) AS first_type,
+                           arg_max(event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 10000000 + event_id) AS last_type
+                    FROM events GROUP BY user_id)
+         SELECT first_type, last_type, count(*) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY first_type, last_type""",
     "q_ratio_report" ->
       """WITH b AS (SELECT user_id, event_id,
                            CAST(round((value) * 100) AS BIGINT) AS cents

@@ -801,6 +801,25 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** User-journey matrix: users bucketed by (first event type → last
+    * event type), the entry/exit flow table behind Sankey funnels. One
+    * `min_by`/`max_by` aggregate per user (map-combined), then a
+    * |types|²-bounded count. The ordering key is the scalar
+    * `epoch_seconds·10⁷ + event_id` (same-second ties break on the
+    * unique id; assumes event_id < 10⁷ — an engine-portable composite,
+    * since not every engine's arg_min accepts a struct key).
+    */
+  def journeyMatrix(events: DataFrame): DataFrame = {
+    val ordKey = expr("CAST(ts AS LONG) * 10000000 + event_id")
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), ordKey).as("first_type"),
+        max_by(col("event_type"), ordKey).as("last_type"))
+      .groupBy(col("first_type"), col("last_type"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ratio-to-report: each event's share of its user's total spend —
     * the window-aggregate share shape (`sum over (partition by key)`
     * with no ordering, so no sort: Spark plans a WindowExec whose frame

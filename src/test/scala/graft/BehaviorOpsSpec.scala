@@ -154,6 +154,24 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("journeyMatrix buckets every user by first/last event type") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.journeyMatrix(ev).collect()
+      .map(r => (r.getAs[String]("first_type"), r.getAs[String]("last_type")) -> r.getAs[Long]("n_users"))
+      .toMap
+    val manual = ev.select(col("user_id"), expr("CAST(ts AS LONG) * 10000000 + event_id").as("k"), col("event_type"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .toSeq
+      .map { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("k"))
+        (sorted.head.getAs[String]("event_type"), sorted.last.getAs[String]("event_type"))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == manual)
+    assert(got.values.sum == ev.select("user_id").distinct().count())
+  }
+
   test("dataSplitReport partitions every row into one split with ~80/10/10 mass") {
     val ev = Tables.events(spark, sfDir)
     val out = Relational.dataSplitReport(ev).collect()
