@@ -266,6 +266,8 @@ object SparkEntry {
       Analytics.ratioToReport(Tables.events(s, dir)).orderBy("user_id", "event_id")),
     "q_journey" -> ((s, dir) =>
       Analytics.journeyMatrix(Tables.events(s, dir)).orderBy("first_type", "last_type")),
+    "q_new_returning" -> ((s, dir) =>
+      Analytics.newVsReturning(Tables.events(s, dir)).orderBy("day")),
     "q_benford" -> ((s, dir) =>
       Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
     "q_fk_orphans" -> ((s, dir) =>
@@ -1108,6 +1110,16 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_new_returning" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day
+                    FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id)
+         SELECT day,
+                CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+         FROM a JOIN f USING (user_id)
+         GROUP BY day ORDER BY day""",
     "q_journey" ->
       """WITH j AS (SELECT user_id,
                            arg_min(event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 10000000 + event_id) AS first_type,

@@ -801,6 +801,25 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** Daily new-vs-returning user split — the growth dashboard's core
+    * series: each active (user, day) pair is "new" on the user's
+    * first-seen day and "returning" after. One per-user min aggregate
+    * (map-combined), one distinct on (user, day), one broadcast-sized
+    * join of per-user firsts back onto activity, one daily count.
+    * All time math is integer epoch days.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val day = expr("CAST(ts AS LONG) div 86400")
+    val activity = events.select(col("user_id"), day.as("day")).distinct()
+    val firsts = activity.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    activity
+      .join(firsts, "user_id")
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
   /** User-journey matrix: users bucketed by (first event type → last
     * event type), the entry/exit flow table behind Sankey funnels. One
     * `min_by`/`max_by` aggregate per user (map-combined), then a

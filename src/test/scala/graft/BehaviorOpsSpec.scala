@@ -154,6 +154,19 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("newVsReturning conserves user-days and marks each user new exactly once") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.newVsReturning(ev).collect().sortBy(_.getAs[Long]("day"))
+    val userDays = ev.select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("d"))
+      .distinct().count()
+    assert(out.map(r => r.getAs[Long]("n_new") + r.getAs[Long]("n_returning")).sum == userDays)
+    // every user is new exactly once, on their first active day
+    assert(out.map(_.getAs[Long]("n_new")).sum == ev.select("user_id").distinct().count())
+    // the first day in the series has no returning users
+    assert(out.head.getAs[Long]("n_returning") == 0L)
+    assert(out.exists(_.getAs[Long]("n_returning") > 0L), "fixture spans multiple days")
+  }
+
   test("journeyMatrix buckets every user by first/last event type") {
     val ev = Tables.events(spark, sfDir)
     val got = Analytics.journeyMatrix(ev).collect()
