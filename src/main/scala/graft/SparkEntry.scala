@@ -268,6 +268,8 @@ object SparkEntry {
       Analytics.journeyMatrix(Tables.events(s, dir)).orderBy("first_type", "last_type")),
     "q_new_returning" -> ((s, dir) =>
       Analytics.newVsReturning(Tables.events(s, dir)).orderBy("day")),
+    "q_gini" -> ((s, dir) =>
+      Analytics.giniSpend(Tables.events(s, dir)).orderBy("event_type")),
     "q_benford" -> ((s, dir) =>
       Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
     "q_fk_orphans" -> ((s, dir) =>
@@ -1110,6 +1112,21 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_gini" ->
+      """WITH pu AS (SELECT event_type, user_id,
+                            CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) AS x
+                     FROM events GROUP BY event_type, user_id),
+         r AS (SELECT event_type, x,
+                      CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i
+               FROM pu),
+         s AS (SELECT event_type, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS total_cents,
+                      CAST(sum(i * x) AS BIGINT) AS swx
+               FROM r GROUP BY event_type)
+         SELECT event_type, n_users, total_cents,
+                CASE WHEN total_cents = 0 THEN NULL
+                     ELSE CAST(2 * swx - (n_users + 1) * total_cents AS DOUBLE)
+                          / CAST(n_users * total_cents AS DOUBLE) END AS gini
+         FROM s ORDER BY event_type""",
     "q_new_returning" ->
       """WITH a AS (SELECT DISTINCT user_id,
                            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day

@@ -801,6 +801,36 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** Per-type Gini coefficient of user spend — the inequality statistic
+    * behind "do whales dominate this event type": G = (2·Σᵢ i·xᵢ −
+    * (n+1)·Σx) / (n·Σx) over ascending per-user totals. Every
+    * accumulator is an exact integer (ranks × cents), so the one
+    * closing division is engine-identical — no sorted-prefix floats.
+    * One per-(type, user) aggregate, one in-partition rank per type,
+    * one per-type aggregate.
+    */
+  def giniSpend(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("x"))
+    val ranked = perUser.withColumn(
+      "i",
+      row_number()
+        .over(Window.partitionBy(col("event_type")).orderBy(col("x").asc, col("user_id").asc))
+        .cast("long"))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("total_cents"),
+        sum(col("i") * col("x")).as("swx"))
+      .select(
+        col("event_type"), col("n_users"), col("total_cents"),
+        expr("""CASE WHEN total_cents = 0 THEN NULL
+                ELSE CAST(2 * swx - (n_users + 1) * total_cents AS DOUBLE)
+                     / CAST(n_users * total_cents AS DOUBLE) END""").as("gini"))
+  }
+
   /** Daily new-vs-returning user split — the growth dashboard's core
     * series: each active (user, day) pair is "new" on the user's
     * first-seen day and "returning" after. One per-user min aggregate

@@ -154,6 +154,26 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("giniSpend matches a driver-side sorted-rank recomputation and stays in [0,1)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.giniSpend(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap
+    val manual = ev.select("event_type", "user_id", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rows) =>
+        val xs = rows.groupBy(_.getAs[Long]("user_id")).toSeq
+          .map { case (u, v) => (u, v.map(r => math.round(r.getAs[Double]("value") * 100)).sum) }
+          .sortBy { case (u, x) => (x, u) }
+          .map(_._2)
+        val n = xs.length.toLong
+        val tot = xs.sum
+        val swx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+        t -> (2 * swx - (n + 1) * tot).toDouble / (n * tot).toDouble
+      }
+    assert(got == manual)
+    got.values.foreach(g => assert(g >= 0 && g < 1))
+  }
+
   test("newVsReturning conserves user-days and marks each user new exactly once") {
     val ev = Tables.events(spark, sfDir)
     val out = Analytics.newVsReturning(ev).collect().sortBy(_.getAs[Long]("day"))
