@@ -270,6 +270,10 @@ object SparkEntry {
       Analytics.newVsReturning(Tables.events(s, dir)).orderBy("day")),
     "q_gini" -> ((s, dir) =>
       Analytics.giniSpend(Tables.events(s, dir)).orderBy("event_type")),
+    "q_fano" -> ((s, dir) =>
+      Analytics.fanoBurstiness(Tables.events(s, dir)).orderBy("event_type")),
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_benford" -> ((s, dir) =>
       Relational.benfordDigits(Tables.lineitem(s, dir)).orderBy("digit")),
     "q_fk_orphans" -> ((s, dir) =>
@@ -1112,6 +1116,26 @@ object SparkEntry {
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z GROUP BY 1 ORDER BY zrange"""
     },
+    "q_fano" ->
+      """WITH h AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hr,
+                           count(*) AS x
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(x) AS BIGINT) AS n_events,
+                      CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM h GROUP BY event_type)
+         SELECT event_type, n_hours, n_events,
+                CAST(n_hours * sxx - n_events * n_events AS DOUBLE)
+                  / CAST(n_hours * n_events AS DOUBLE) AS fano
+         FROM s ORDER BY event_type""",
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+                    FROM documents),
+         f AS (SELECT token, min(doc_id) AS first_doc FROM t GROUP BY token),
+         h AS (SELECT first_doc, count(*) AS n_new_tokens FROM f GROUP BY first_doc)
+         SELECT first_doc AS doc_id, n_new_tokens,
+                CAST(sum(n_new_tokens) OVER (ORDER BY first_doc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+         FROM h ORDER BY doc_id""",
     "q_gini" ->
       """WITH pu AS (SELECT event_type, user_id,
                             CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) AS x

@@ -801,6 +801,28 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
 
+  /** Fano dispersion (burstiness) index of hourly arrivals per event
+    * type: var/mean of the hourly count series, 1 for a Poisson
+    * process, >1 for bursty traffic. Computed from exact integer sums
+    * over the per-(type, hour) counts — F = (n·Σx² − (Σx)²) / (n·Σx) —
+    * so the one closing division is engine-identical. Two map-combined
+    * aggregations; the n·Σx² product stays under 2⁶³ while hours ×
+    * counts² fit 31 bits each (far beyond any realistic hourly series).
+    */
+  def fanoBurstiness(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("x")).as("n_events"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("event_type"), col("n_hours"), col("n_events"),
+        expr("""CAST(n_hours * sxx - n_events * n_events AS DOUBLE)
+                / CAST(n_hours * n_events AS DOUBLE)""").as("fano"))
+
   /** Per-type Gini coefficient of user spend — the inequality statistic
     * behind "do whales dominate this event type": G = (2·Σᵢ i·xᵢ −
     * (n+1)·Σx) / (n·Σx) over ascending per-user totals. Every

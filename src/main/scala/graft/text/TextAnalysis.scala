@@ -155,6 +155,32 @@ object TextAnalysis {
         element_at(col("fps"), -1).as("max_fp"))
   }
 
+  /** Heaps'-law vocabulary growth: cumulative distinct-token count as
+    * the corpus grows in doc_id order, reported at each document that
+    * INTRODUCES vocabulary. Each token contributes at its first
+    * document (one min-aggregate over the postings), the firsts
+    * collapse to a per-introducing-doc histogram — a VOCABULARY-bounded
+    * series, not a corpus-bounded one — and one running window over
+    * that series yields the curve. Docs that introduce nothing are
+    * implied by the preceding curve point, which is what keeps the
+    * single-partition window safe at any corpus size.
+    */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+      .withColumn(
+        "vocab_size",
+        sum(col("n_new_tokens")).over(
+          Window.partitionBy(lit(1)).orderBy(col("first_doc").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("first_doc").as("doc_id"), col("n_new_tokens"), col("vocab_size"))
+  }
+
   /** Inverted-index build: one postings row per vocabulary token with
     * document frequency, total term frequency, and the posting-list
     * doc-id bounds — the IR-index construction pass. Corpus-side work

@@ -174,6 +174,26 @@ class BehaviorOpsSpec extends AnyFunSuite {
     got.values.foreach(g => assert(g >= 0 && g < 1))
   }
 
+  test("fanoBurstiness equals a driver-side var/mean of the hourly series") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.fanoBurstiness(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_hours"), r.getAs[Long]("n_events"), r.getAs[Double]("fano")))
+      .toMap
+    val manual = ev.select(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("hr"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr")))
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        val xs = rows.groupBy(_._2).map(_._2.length.toLong).toSeq
+        val (n, tot) = (xs.length.toLong, xs.sum)
+        val sxx = xs.map(x => x * x).sum
+        t -> (n, tot, (n * sxx - tot * tot).toDouble / (n * tot).toDouble)
+      }
+    assert(got == manual)
+    got.values.foreach { case (_, _, f) => assert(f >= 0) }
+  }
+
   test("newVsReturning conserves user-days and marks each user new exactly once") {
     val ev = Tables.events(spark, sfDir)
     val out = Analytics.newVsReturning(ev).collect().sortBy(_.getAs[Long]("day"))

@@ -112,6 +112,20 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     got.values.foreach { case (_, overlap) => assert(overlap > 0 && overlap <= 1.0) }
   }
 
+  test("vocabGrowth ends at the full vocabulary and is strictly increasing") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextAnalysis.vocabGrowth(docs).collect().sortBy(_.getAs[Long]("doc_id"))
+    val fullVocab = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(out.last.getAs[Long]("vocab_size") == fullVocab)
+    assert(out.map(_.getAs[Long]("n_new_tokens")).sum == fullVocab)
+    val sizes = out.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b })
+    // cumulative equals the running sum of increments
+    assert(sizes.toSeq == out.map(_.getAs[Long]("n_new_tokens")).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
   test("minhashAccuracy reports exact Jaccard for every band candidate") {
     val docs = Tables.documents(spark, sfDir)
     val out = Dedup.minhashAccuracy(docs).collect()
