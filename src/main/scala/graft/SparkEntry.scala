@@ -432,7 +432,18 @@ object SparkEntry {
     "q_frame_features" -> ((s, dir) =>
       Multimodal
         .frameFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)), 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // ---- data-quality audits & distribution reports ----
+    "q_rule_violations" -> ((s, dir) =>
+      Relational.ruleViolations(Tables.events(s, dir)).orderBy("rule")),
+    "q_late_events" -> ((s, dir) =>
+      Analytics.latenessAudit(Tables.events(s, dir)).orderBy("event_type")),
+    "q_iqr_outliers" -> ((s, dir) =>
+      Analytics.iqrOutliers(Tables.events(s, dir)).orderBy("event_type")),
+    "q_decile_stats" -> ((s, dir) =>
+      Analytics.decileStats(Tables.orders(s, dir)).orderBy("decile")),
+    "q_lorenz" -> ((s, dir) =>
+      Analytics.lorenzCurve(Tables.events(s, dir)).orderBy("decile"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2197,6 +2208,80 @@ object SparkEntry {
                 octet_length(encode(text)) AS byte_len,
                 sha256(text) AS sha,
                 lower(hex(encode(substring(text, 1, 8)))) AS header_hex
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_rule_violations" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_null,
+                CAST(sum(CASE WHEN value < 0.05 OR value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS r_range,
+                CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS r_type,
+                CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 < 1704153600 THEN 1 ELSE 0 END) AS BIGINT) AS r_stale,
+                CAST(sum(CASE WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$') THEN 1 ELSE 0 END) AS BIGINT) AS r_props
+         FROM events)
+         SELECT rule, n_violations, n_rows,
+                CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_rate
+         FROM (SELECT 'null_value' AS rule, r_null AS n_violations, n_rows FROM a
+               UNION ALL SELECT 'out_of_range', r_range, n_rows FROM a
+               UNION ALL SELECT 'unknown_type', r_type, n_rows FROM a
+               UNION ALL SELECT 'stale_ts', r_stale, n_rows FROM a
+               UNION ALL SELECT 'malformed_props', r_props, n_rows FROM a)
+         ORDER BY rule""",
+    "q_late_events" ->
+      """WITH ev AS (SELECT event_type,
+                            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                              - CASE WHEN event_id % 13 = 0 THEN 21600
+                                     WHEN event_id % 97 = 0 THEN 86400
+                                     ELSE 0 END AS ts_sec,
+                            event_id // 250 AS batch
+                     FROM events),
+         wm AS (SELECT batch,
+                       max(max_ts) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark
+                FROM (SELECT batch, max(ts_sec) AS max_ts FROM ev GROUP BY batch)),
+         l AS (SELECT ev.event_type, greatest(wm.watermark - ev.ts_sec, 0) AS late_sec
+               FROM ev JOIN wm USING (batch))
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN late_sec > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(sum(CASE WHEN late_sec > 7200 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                max(late_sec) AS max_late_sec,
+                CAST(sum(late_sec) AS BIGINT) AS late_sec_sum
+         FROM l GROUP BY event_type ORDER BY event_type""",
+    "q_iqr_outliers" ->
+      s"""WITH base AS (SELECT event_type, ${Stages.centsSql("value")} AS cents FROM events),
+         f AS (SELECT event_type,
+                      quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+               FROM base GROUP BY event_type),
+         f2 AS (SELECT event_type, q1, q3,
+                       q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+                FROM f)
+         SELECT b.event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN b.cents < f2.lo OR b.cents > f2.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                CAST(sum(CASE WHEN b.cents < f2.lo OR b.cents > f2.hi THEN b.cents ELSE 0 END) AS BIGINT) AS outlier_cents,
+                max(f2.q1) AS q1, max(f2.q3) AS q3
+         FROM base b JOIN f2 USING (event_type)
+         GROUP BY b.event_type ORDER BY b.event_type""",
+    "q_decile_stats" ->
+      s"""WITH c AS (SELECT ${Stages.centsSql("o_totalprice")} AS cents, o_orderkey FROM orders),
+         r AS (SELECT cents,
+                      CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rank
+               FROM c),
+         n AS (SELECT count(*) AS n FROM c)
+         SELECT (rank - 1) * 10 // n + 1 AS decile, count(*) AS n_orders,
+                min(cents) AS lo_cents, max(cents) AS hi_cents,
+                CAST(sum(cents) AS BIGINT) AS decile_cents
+         FROM r, n GROUP BY 1 ORDER BY 1""",
+    "q_lorenz" ->
+      s"""WITH pu AS (SELECT user_id, CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS x
+                      FROM events GROUP BY user_id),
+         r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rank FROM pu),
+         n AS (SELECT count(*) AS n FROM pu),
+         b AS (SELECT (rank - 1) * 10 // n + 1 AS decile, count(*) AS n_users,
+                      CAST(sum(x) AS BIGINT) AS decile_cents
+               FROM r, n GROUP BY 1),
+         t AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS total_cents FROM b)
+         SELECT decile, n_users, decile_cents,
+                CAST(sum(decile_cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(total_cents AS DOUBLE) AS cum_share
+         FROM b, t ORDER BY decile"""
   )
 }

@@ -989,4 +989,135 @@ object Analytics {
       .join(counts, Seq("event_type", "hod"), "left")
       .select(col("event_type"), col("hod"), coalesce(col("n_raw"), lit(0L)).as("n"))
   }
+
+  /** Watermark-lateness audit, batch-simulated: arrival order is proxied
+    * by event_id grouped into coarse arrival batches, and the watermark a
+    * row faces is the max event time of all STRICTLY EARLIER batches —
+    * the same cadence a streaming engine uses to advance its watermark
+    * per micro-batch. The only unpartitioned window runs over the
+    * per-batch aggregate (corpus_rows / batchRows rows, not the corpus),
+    * which then broadcasts back onto events. `n_late` counts rows later
+    * than 1 h behind the watermark; `n_dropped` rows a
+    * `withWatermark("2 hours")` stream would discard. All time math is
+    * integer epoch seconds; `greatest(NULL, 0) = 0` in both engines, so
+    * the first batch (no watermark yet) contributes zero lateness.
+    * The fixture's events arrive in event-time order (no natural
+    * lateness), so straggler arrivals are synthesized in-plan — a
+    * deterministic `event_id % k` subset shifted hours earlier,
+    * mirrored verbatim in the oracle — the same convention the
+    * null-synthesis rules use.
+    */
+  def latenessAudit(events: DataFrame, batchRows: Long = 250L): DataFrame = {
+    val ev = events.select(
+      col("event_type"),
+      expr("""CAST(ts AS LONG) - CASE WHEN event_id % 13 = 0 THEN 21600
+                                      WHEN event_id % 97 = 0 THEN 86400
+                                      ELSE 0 END""").as("ts_sec"),
+      expr(s"event_id div $batchRows").as("batch"))
+    val wm = ev
+      .groupBy(col("batch"))
+      .agg(max(col("ts_sec")).as("batch_max"))
+      .withColumn(
+        "watermark",
+        max(col("batch_max")).over(
+          Window.orderBy(col("batch")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("batch"), col("watermark"))
+    ev.join(broadcast(wm), Seq("batch"))
+      .withColumn("late_sec", greatest(col("watermark") - col("ts_sec"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_sec") > 3600L, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late_sec") > 7200L, 1L).otherwise(0L)).as("n_dropped"),
+        max(col("late_sec")).as("max_late_sec"),
+        sum(col("late_sec")).as("late_sec_sum"))
+  }
+
+  /** Tukey-fence outlier screen per event type: Q1/Q3 over integer cents
+    * (exact interpolated percentile — the cross-engine-proven quantile),
+    * fences at 1.5·IQR, then one broadcast join of the per-type fence
+    * table (|event types| rows) back onto the corpus for the outlier
+    * tally. Two corpus scans, no corpus-wide shuffle beyond the two
+    * per-type aggregations.
+    */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_type"), expr(Stages.centsSql("value")).as("cents"))
+    val fences = base
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    val isOut = col("cents") < col("lo") || col("cents") > col("hi")
+    base
+      .join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(isOut, col("cents")).otherwise(0L)).as("outlier_cents"),
+        max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"))
+  }
+
+  /** Equal-frequency decile table of order value WITHOUT `ntile`'s
+    * single-partition window: ranks come from
+    * [[Relational.scalableGlobalRank]] (range repartition + per-partition
+    * offsets — every stage parallel), and the bucket is pure arithmetic
+    * on (rank, n): `(rank−1)·k div n + 1`, the textbook equal-frequency
+    * quantile bucket, identical in both engines. The row count rides in
+    * as a broadcast scalar, not a driver-side collect.
+    */
+  def decileStats(orders: DataFrame, k: Int = 10): DataFrame = {
+    val ranked = Relational.scalableGlobalRank(
+      orders.select(
+        expr(Stages.centsSql("o_totalprice")).as("cents"), col("o_orderkey")),
+      col("cents").asc, col("o_orderkey").asc)
+    val total = ranked.agg(max(col("rank")).as("n"))
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr(s"(rank - 1) * $k div n + 1"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        sum(col("cents")).as("decile_cents"))
+  }
+
+  /** Lorenz curve of user spend in k points — the distribution behind
+    * [[giniSpend]], materialized: per-user integer-cents totals, a
+    * scalable global rank (no single-partition window over users), an
+    * arithmetic equal-frequency bucket, and a cumulative share computed
+    * by a window over the k-row bucket table only. `cum_share` of the
+    * last bucket is exactly 1.0 (cents are integers, division happens
+    * once at the end).
+    */
+  def lorenzCurve(events: DataFrame, k: Int = 10): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("x"))
+    val ranked =
+      Relational.scalableGlobalRank(perUser, col("x").asc, col("user_id").asc)
+    val total = ranked.agg(max(col("rank")).as("n"))
+    val buckets = ranked
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr(s"(rank - 1) * $k div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("decile_cents"))
+    val grand = buckets.agg(sum(col("decile_cents")).as("total_cents"))
+    buckets
+      .withColumn(
+        "cum_cents",
+        sum(col("decile_cents")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(grand))
+      .select(
+        col("decile"), col("n_users"), col("decile_cents"),
+        (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+          .as("cum_share"))
+  }
 }

@@ -1028,4 +1028,36 @@ object Relational {
               > 2 * (SELECT sum(${Stages.centsSql("i.o_totalprice")})
                      FROM graft_corr_orders i WHERE i.o_custkey = o.o_custkey)""")
   }
+
+  /** Multi-rule data-quality audit in ONE corpus scan: every rule is a
+    * conditional sum inside a single aggregate (map-side combined), and
+    * the per-rule report rows are exploded from that one result row with
+    * `stack` — no per-rule scans, no shuffle beyond the aggregation's
+    * single-row exchange. A rule that fires zero times still emits its
+    * row (an absent rule is indistinguishable from a broken probe).
+    * Fixtures carry no nulls, so the null-value rule observes an in-plan
+    * synthesized nullable column (`event_id % 7`), mirrored verbatim in
+    * the oracle. Time math is integer epoch seconds (engine-portable).
+    */
+  def ruleViolations(events: DataFrame): DataFrame =
+    events
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(expr("event_id % 7 = 0"), 1L).otherwise(0L)).as("r_null"),
+        sum(when(col("value") < 0.05 || col("value") > 400.0, 1L).otherwise(0L)).as("r_range"),
+        sum(when(!col("event_type").isin("click", "view", "purchase", "signup"), 1L)
+          .otherwise(0L)).as("r_type"),
+        sum(when(expr("CAST(ts AS LONG) < 1704153600"), 1L).otherwise(0L)).as("r_stale"),
+        sum(when(!col("props").rlike("^\\{\"k\": [0-9]+\\}$"), 1L).otherwise(0L)).as("r_props"))
+      .select(
+        expr("""stack(5,
+                  'null_value',      r_null,
+                  'out_of_range',    r_range,
+                  'unknown_type',    r_type,
+                  'stale_ts',        r_stale,
+                  'malformed_props', r_props) AS (rule, n_violations)"""),
+        col("n_rows"))
+      .withColumn(
+        "violation_rate",
+        col("n_violations").cast("double") / col("n_rows").cast("double"))
 }
