@@ -443,7 +443,17 @@ object SparkEntry {
     "q_decile_stats" -> ((s, dir) =>
       Analytics.decileStats(Tables.orders(s, dir)).orderBy("decile")),
     "q_lorenz" -> ((s, dir) =>
-      Analytics.lorenzCurve(Tables.events(s, dir)).orderBy("decile"))
+      Analytics.lorenzCurve(Tables.events(s, dir)).orderBy("decile")),
+    "q_simpson" -> ((s, dir) =>
+      TextAnalysis.simpsonDiversity(Tables.documents(s, dir)).orderBy("source")),
+    "q_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_cross_corr" -> ((s, dir) =>
+      Analytics.crossCorr(Tables.events(s, dir)).orderBy("lag")),
+    "q_bfs_reach" -> ((s, dir) =>
+      Graph.bfsReach(Tables.lineitem(s, dir)).orderBy("node")),
+    "q_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("cluster", "label"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2282,6 +2292,74 @@ object SparkEntry {
                 CAST(sum(decile_cents) OVER (ORDER BY decile
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                   / CAST(total_cents AS DOUBLE) AS cum_share
-         FROM b, t ORDER BY decile"""
+         FROM b, t ORDER BY decile""",
+    "q_simpson" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+         g AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+         s AS (SELECT source, count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS snn1
+               FROM g GROUP BY source)
+         SELECT source, n_types, n_tokens,
+                CASE WHEN n_tokens < 2 THEN NULL
+                     ELSE 1 - CAST(snn1 AS DOUBLE)
+                              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END
+                  AS simpson
+         FROM s ORDER BY source""",
+    "q_readability" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> len(t) >= 6)) AS BIGINT) AS n_long_words,
+                CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables,
+                (n_words + 11) // 12 AS n_sentences,
+                206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+         FROM documents ORDER BY doc_id""",
+    "q_cross_corr" -> {
+      val stats = Stages.momentStatsSql
+        .filter { case (name, _) => name == "corr_xy" }
+        .map { case (name, sql) => s"$sql AS $name" }
+        .mkString
+      s"""WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS cents,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         l AS (SELECT unnest(generate_series(0, 3)) AS lag),
+         p AS (SELECT l.lag AS lag, a.cents AS x, b.cnt AS y
+               FROM h a CROSS JOIN l JOIN h b ON b.hour = a.hour + l.lag),
+         m AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY lag)
+         SELECT lag, n AS n_pairs, $stats
+         FROM m ORDER BY lag"""
+    },
+    "q_bfs_reach" ->
+      """WITH RECURSIVE
+         op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+         deg AS (SELECT src AS node, count(*) AS d FROM ed GROUP BY 1),
+         seed AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1),
+         r AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM seed
+               UNION
+               SELECT ed.dst, r.hop + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.hop < 3)
+         SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM r GROUP BY node ORDER BY node""",
+    "q_kmeans_assign" ->
+      """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+                    FROM embeddings),
+         s AS (SELECT vec_id AS seed_id, e AS se, norm AS snorm FROM n WHERE vec_id < 4),
+         p AS (SELECT n.vec_id, n.label, s.seed_id,
+                      round(list_dot_product(s.se, n.e) / (s.snorm * n.norm), 3) AS cos_sim
+               FROM n CROSS JOIN s),
+         a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos_sim DESC, seed_id ASC) AS rn FROM p)
+         SELECT seed_id AS cluster, label, count(*) AS n_vecs,
+                CAST(sum(CAST(round(cos_sim * 1000) AS BIGINT)) AS BIGINT) AS sim_milli_sum
+         FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY cluster, label"""
   )
 }

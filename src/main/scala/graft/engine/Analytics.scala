@@ -558,6 +558,43 @@ object Analytics {
             .map { case (name, sql) => expr(sql).as(name) }: _*)
   }
 
+  /** Lagged cross-correlation between the hourly revenue series and the
+    * hourly event-count series: does activity volume LEAD spend? The
+    * corpus collapses to |hours| rows first; each lag 0..maxLag pairs
+    * hour t revenue with hour t+lag counts via an arithmetic equi-join
+    * (`b.hour = a.hour + lag`), and the correlation comes from exact
+    * integer sufficient statistics through [[Stages.momentStatsSql]]'s
+    * shared closed form. Everything past the first aggregate is
+    * |hours|·(maxLag+1)-sized.
+    */
+  def crossCorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(
+        sum(expr(Stages.centsSql("value"))).as("cents"),
+        count(lit(1)).as("cnt"))
+    val lags = events.sparkSession.range(0, maxLag + 1).select(col("id").as("lag"))
+    hourly
+      .as("a")
+      .crossJoin(broadcast(lags))
+      .join(
+        hourly.as("b"),
+        col("b.hour") === col("a.hour") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a.cents")).as("sx"),
+        sum(col("b.cnt")).as("sy"),
+        sum(col("a.cents") * col("b.cnt")).as("sxy"),
+        sum(col("a.cents") * col("a.cents")).as("sxx"),
+        sum(col("b.cnt") * col("b.cnt")).as("syy"))
+      .select(
+        Seq(col("lag"), col("n").as("n_pairs")) ++
+          Stages.momentStatsSql
+            .filter { case (name, _) => name == "corr_xy" }
+            .map { case (name, sql) => expr(sql).as(name) }: _*)
+  }
+
   /** Two-variant A/B read-out: users split by a deterministic hash of
     * their id (here parity), conversion = reached the target event, and
     * the two-proportion pooled z-statistic computed from the four

@@ -152,4 +152,38 @@ object Graph {
         k, col("n_tri").desc, col("part").asc)
       .select(col("rank"), col("part"), col("n_tri"), col("d").as("degree"))
   }
+
+  /** Bounded BFS over the support-thresholded co-order graph: hop
+    * distance from the max-degree part (ties → min key) out to `maxHops`.
+    * The frontier expands by one distributed join per hop — a FIXED
+    * number of stages, not a convergence loop — and each hop anti-joins
+    * against the visited set so the frontier only carries NEW nodes (on
+    * a high-expansion graph the frontier saturates and stays bounded by
+    * |V|). The driver loop builds the plan; no data touches the driver.
+    */
+  def bfsReach(lineitem: DataFrame, maxHops: Int = 3, minSupport: Int = 2): DataFrame = {
+    val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
+    val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      .cache()
+    val seed = bidir
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node").asc)
+      .limit(1)
+      .select(col("node"))
+    var reached = seed.withColumn("hop", lit(0L)).cache()
+    var frontier = reached.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = frontier
+        .join(bidir, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .cache()
+      reached = reached.union(next.withColumn("hop", lit(h.toLong))).cache()
+      frontier = next
+    }
+    reached
+  }
 }

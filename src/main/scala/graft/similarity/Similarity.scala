@@ -574,4 +574,39 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
+
+  /** One k-means ASSIGNMENT step with deterministic seeds (the first k
+    * vectors by vec_id — kmeans++-style "first points" seeding needs no
+    * RNG): every vector joins the broadcast k-row seed table, takes the
+    * max-cosine seed (seed-id tie-break), and the report aggregates
+    * per (cluster, label) — counts plus an integer milli-cosine sum, so
+    * the only cross-row accumulations are exact. The per-vector argmax
+    * window partitions by vec_id (k rows each — no skew at any scale).
+    * The UPDATE step (recompute centroids) is deliberately absent: a
+    * cross-row mean of doubles is partition-order nondeterministic; an
+    * engine implementation would round centroids before the next round.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    val corpus = withNorm(embeddings)
+    val seeds = corpus
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("seed_id"), col("emb_d").as("se"), col("norm").as("snorm"))
+    val assigned = corpus
+      .crossJoin(broadcast(seeds))
+      .select(
+        col("vec_id"), col("label"), col("seed_id"),
+        round(dot(col("se"), col("emb_d")) / (col("snorm") * col("norm")), 3).as("cos_sim"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id"))
+            .orderBy(col("cos_sim").desc, col("seed_id").asc)))
+      .filter(col("rn") === 1)
+    assigned
+      .groupBy(col("seed_id").as("cluster"), col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(round(cos_sim * 1000) AS BIGINT)")).as("sim_milli_sum"))
+  }
 }

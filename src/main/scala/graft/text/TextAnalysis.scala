@@ -731,4 +731,51 @@ object TextAnalysis {
         col("source"), col("n_distinct"), col("n_tokens"),
         expr("CAST(ssq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))")
           .as("hhi"))
+
+  /** Per-source Simpson diversity 1 − Σnᵢ(nᵢ−1)/(N(N−1)) — the
+    * probability two tokens drawn without replacement differ. Unlike
+    * Shannon entropy (whose `ln` is not cross-engine bit-exact) the
+    * index is pure integer sums with ONE final division, so the oracle
+    * matches bitwise. Same two map-combined aggregations as [[sourceHhi]].
+    */
+  def simpsonDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * (col("cnt") - 1)).as("snn1"))
+      .select(
+        col("source"), col("n_types"), col("n_tokens"),
+        expr("""CASE WHEN n_tokens < 2 THEN NULL
+                ELSE 1 - CAST(snn1 AS DOUBLE)
+                         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END""")
+          .as("simpson"))
+
+  /** Flesch-style readability per document from regex-countable proxies:
+    * words (`\s+` split), syllables ≈ vowel groups, long words (≥ 6
+    * chars). The fixture corpus carries NO sentence punctuation, so
+    * sentence boundaries are synthesized as one per 12 words (ceil) —
+    * stated in-plan and mirrored in the oracle, like the null-synthesis
+    * rules. Entirely per-row (scan-speed at any scale); the score is a
+    * fixed IEEE expression tree over integer counts.
+    */
+  def readability(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        expr("CAST(size(filter(split(trim(text), '\\\\s+'), t -> length(t) >= 6)) AS LONG)")
+          .as("n_long_words"),
+        expr("CAST(size(regexp_extract_all(text, '[aeiouy]+', 0)) AS LONG)")
+          .as("n_syllables"))
+      .withColumn("n_sentences", expr("(n_words + 11) div 12"))
+      .withColumn(
+        "flesch",
+        expr("""206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"""))
 }
