@@ -453,7 +453,19 @@ object SparkEntry {
     "q_bfs_reach" -> ((s, dir) =>
       Graph.bfsReach(Tables.lineitem(s, dir)).orderBy("node")),
     "q_kmeans_assign" -> ((s, dir) =>
-      Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("cluster", "label"))
+      Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("cluster", "label")),
+    "q_bollinger" -> ((s, dir) =>
+      Analytics.bollingerBands(Tables.events(s, dir)).orderBy("hour")),
+    "q_ewma" -> ((s, dir) =>
+      Analytics.ewmaSeries(Tables.events(s, dir)).orderBy("hour")),
+    "q_event_dedup" -> ((s, dir) =>
+      Relational.eventDedup(Tables.events(s, dir)).orderBy("event_type")),
+    "q_seasonal_anomaly" -> ((s, dir) =>
+      Analytics.seasonalAnomaly(Tables.events(s, dir)).orderBy("hour_epoch")),
+    "q_calibration" -> ((s, dir) =>
+      Analytics.calibrationCurve(Tables.events(s, dir)).orderBy("bin")),
+    "q_auc" -> ((s, dir) =>
+      Analytics.aucRankSum(Tables.events(s, dir)).orderBy("n_pos"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2360,6 +2372,104 @@ object SparkEntry {
                  ORDER BY cos_sim DESC, seed_id ASC) AS rn FROM p)
          SELECT seed_id AS cluster, label, count(*) AS n_vecs,
                 CAST(sum(CAST(round(cos_sim * 1000) AS BIGINT)) AS BIGINT) AS sim_milli_sum
-         FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY cluster, label"""
+         FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY cluster, label""",
+    "q_bollinger" ->
+      s"""WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS cents
+               FROM events GROUP BY 1),
+         w AS (SELECT hour, cents,
+                      count(*) OVER fr AS n_win,
+                      CAST(sum(cents) OVER fr AS BIGINT) AS s_win,
+                      CAST(sum(cents * cents) OVER fr AS BIGINT) AS ss_win
+               FROM h WINDOW fr AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT hour, cents, n_win,
+                CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE) AS ma,
+                sqrt(CAST(ss_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                  - (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                    * (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))) AS sd,
+                CAST(CASE WHEN CAST(cents AS DOUBLE) >
+                       CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                       + 2 * sqrt(CAST(ss_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                         - (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                           * (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))) THEN 1
+                     WHEN CAST(cents AS DOUBLE) <
+                       CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                       - 2 * sqrt(CAST(ss_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                         - (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                           * (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))) THEN -1
+                     ELSE 0 END AS BIGINT) AS signal
+         FROM w ORDER BY hour""",
+    "q_ewma" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         l AS (SELECT hour, cnt,
+                      lag(cnt, 1) OVER o AS l1, lag(cnt, 2) OVER o AS l2,
+                      lag(cnt, 3) OVER o AS l3, lag(cnt, 4) OVER o AS l4,
+                      lag(cnt, 5) OVER o AS l5
+               FROM h WINDOW o AS (ORDER BY hour))
+         SELECT hour, cnt,
+                (CAST(cnt AS DOUBLE)
+                + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 * CAST(l1 AS DOUBLE) END
+                + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 * CAST(l2 AS DOUBLE) END
+                + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 * CAST(l3 AS DOUBLE) END
+                + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 * CAST(l4 AS DOUBLE) END
+                + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.03125 * CAST(l5 AS DOUBLE) END)
+                / (1.0
+                + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+                + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+                + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+                + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END
+                + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.03125 END) AS ewma
+         FROM l ORDER BY hour""",
+    "q_event_dedup" ->
+      """WITH c AS (SELECT user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                           count(*) AS n_in_cell
+                    FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, CAST(sum(n_in_cell) AS BIGINT) AS n_raw,
+                count(*) AS n_kept,
+                CAST(sum(n_in_cell) - count(*) AS BIGINT) AS n_dropped
+         FROM c GROUP BY event_type ORDER BY event_type""",
+    "q_seasonal_anomaly" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         d AS (SELECT hour_epoch, cnt,
+                      (hour_epoch // 24 + 4) % 7 AS dow, hour_epoch % 24 AS hod
+               FROM h),
+         p AS (SELECT dow, hod, count(*) AS cell_n, CAST(sum(cnt) AS BIGINT) AS cell_sum
+               FROM d GROUP BY 1, 2)
+         SELECT hour_epoch, dow, hod, cnt, cell_n, cell_sum,
+                CAST(cnt AS DOUBLE) * CAST(cell_n AS DOUBLE) / CAST(cell_sum AS DOUBLE) AS ratio
+         FROM d JOIN p USING (dow, hod)
+         WHERE CAST(cnt AS DOUBLE) * CAST(cell_n AS DOUBLE) / CAST(cell_sum AS DOUBLE) >= 1.5
+         ORDER BY hour_epoch""",
+    "q_calibration" ->
+      """WITH s AS (SELECT (event_id % 1000003) * 2654435761 % 1000 AS score_milli,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                    FROM events)
+         SELECT score_milli // 100 AS bin, count(*) AS n,
+                CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+                CAST(sum(score_milli) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS avg_score
+         FROM s GROUP BY 1 ORDER BY bin""",
+    "q_auc" ->
+      """WITH s AS (SELECT (event_id % 1000003) * 2654435761 % 1000 AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                    FROM events),
+         b AS (SELECT s, CAST(sum(pos) AS BIGINT) AS pos_n,
+                      CAST(sum(1 - pos) AS BIGINT) AS neg_n
+               FROM s GROUP BY s),
+         w AS (SELECT pos_n, neg_n,
+                      coalesce(CAST(sum(neg_n) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                        AS neg_below
+               FROM b)
+         SELECT CAST(sum(pos_n) AS BIGINT) AS n_pos, CAST(sum(neg_n) AS BIGINT) AS n_neg,
+                CAST(sum(pos_n * (2 * neg_below + neg_n)) AS BIGINT) AS u2,
+                CAST(sum(pos_n * (2 * neg_below + neg_n)) AS DOUBLE)
+                  / (2.0 * CAST(sum(pos_n) AS DOUBLE) * CAST(sum(neg_n) AS DOUBLE)) AS auc
+         FROM w"""
   )
 }

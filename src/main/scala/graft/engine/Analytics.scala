@@ -595,6 +595,159 @@ object Analytics {
             .map { case (name, sql) => expr(sql).as(name) }: _*)
   }
 
+  /** Bollinger bands over the hourly revenue series: trailing-24h mean
+    * and population σ derived from integer sufficient statistics (sum,
+    * sum-of-squares over the frame) through the same /n-first closed
+    * form as [[Stages.momentStatsSql]] — no built-in `stddev` (its
+    * accumulation order is engine-specific). The corpus collapses to
+    * |hours| rows BEFORE the only unpartitioned window, so the window
+    * input is pre-aggregated and tiny at any corpus scale. `signal` is
+    * +1/−1/0 for closes above/below the 2σ band.
+    */
+  def bollingerBands(events: DataFrame, span: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("cents"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-(span - 1), 0)
+    hourly
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s_win", sum(col("cents")).over(w))
+      .withColumn("ss_win", sum(col("cents") * col("cents")).over(w))
+      .select(
+        col("hour"), col("cents"), col("n_win"),
+        expr("CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)").as("ma"),
+        expr("""sqrt(CAST(ss_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                - (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                  * (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)))""").as("sd"),
+        expr("""CASE WHEN CAST(cents AS DOUBLE) >
+                       CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                       + 2 * sqrt(CAST(ss_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                         - (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                           * (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))) THEN 1
+                     WHEN CAST(cents AS DOUBLE) <
+                       CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                       - 2 * sqrt(CAST(ss_win AS DOUBLE) / CAST(n_win AS DOUBLE)
+                         - (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+                           * (CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))) THEN -1
+                     ELSE 0 END""").cast("long").as("signal"))
+  }
+
+  /** Exponential moving average of the hourly event count as an EXPLICIT
+    * finite kernel: six `lag` terms with halving weights, each weight an
+    * exact binary fraction, summed in fixed textual order and normalized
+    * by the sum of PRESENT weights (series head keeps fewer terms). A
+    * recursive EWMA is inexpressible as a window frame; the truncated
+    * kernel (residual weight 2⁻⁶ ≈ 1.6 %) is the standard streaming
+    * approximation and gives bit-identical doubles on any engine. The
+    * lags run over the pre-aggregated |hours| series, not the corpus.
+    */
+  def ewmaSeries(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("hour"))
+    val withLags = (1 to 5).foldLeft(hourly) { (df, i) =>
+      df.withColumn(s"l$i", lag(col("cnt"), i).over(w))
+    }
+    withLags.select(
+      col("hour"), col("cnt"),
+      expr("""(CAST(cnt AS DOUBLE)
+              + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 * CAST(l1 AS DOUBLE) END
+              + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 * CAST(l2 AS DOUBLE) END
+              + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 * CAST(l3 AS DOUBLE) END
+              + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 * CAST(l4 AS DOUBLE) END
+              + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.03125 * CAST(l5 AS DOUBLE) END)
+              / (1.0
+              + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+              + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+              + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+              + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END
+              + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.03125 END)""").as("ewma"))
+  }
+
+  /** Seasonal traffic anomalies: each hour's event count against the
+    * mean of its (day-of-week × hour-of-day) cell. Calendar math is pure
+    * integer arithmetic (`(epoch_day + 4) % 7` — 1970-01-01 was a
+    * Thursday) because `dayofweek`/`dow` builtins disagree across
+    * engines. Two map-combined aggregates and one broadcast join of the
+    * 168-row profile; the ratio is a single fixed-order division, and
+    * only hours ≥ 1.5× their cell mean survive.
+    */
+  def seasonalAnomaly(events: DataFrame, minRatio: Double = 1.5): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour_epoch"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("(hour_epoch div 24 + 4) % 7"))
+      .withColumn("hod", expr("hour_epoch % 24"))
+    val profile = hourly
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("cell_n"), sum(col("cnt")).as("cell_sum"))
+    hourly
+      .join(broadcast(profile), Seq("dow", "hod"))
+      .withColumn(
+        "ratio",
+        expr("CAST(cnt AS DOUBLE) * CAST(cell_n AS DOUBLE) / CAST(cell_sum AS DOUBLE)"))
+      .filter(col("ratio") >= minRatio)
+      .select(col("hour_epoch"), col("dow"), col("hod"), col("cnt"),
+        col("cell_n"), col("cell_sum"), col("ratio"))
+  }
+
+  /** Pseudo-score used by the model-evaluation reports: a Knuth
+    * multiplicative hash of the event id onto 0..999. The id is reduced
+    * mod a prime FIRST so the product stays far below 2⁶³ at any corpus
+    * scale; identical text runs in both engines.
+    */
+  val pseudoScoreSql: String = "(event_id % 1000003) * 2654435761 % 1000"
+
+  /** Calibration curve of the pseudo-score against the actual purchase
+    * label: ten equal-width score bins, per-bin positives and exact
+    * integer score sums (one division each at the end). The shape every
+    * model-quality pipeline needs — corpus → 10 rows in one map-combined
+    * aggregate.
+    */
+  def calibrationCurve(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr(pseudoScoreSql).as("score_milli"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("score_milli div 100").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("score_milli")).as("score_sum"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        expr("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)").as("pos_rate"),
+        expr("CAST(score_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)").as("avg_score"))
+
+  /** Exact ROC AUC by binned rank-sum: scores quantize to 1000 discrete
+    * values, so the Mann-Whitney U with tie correction is pure integer
+    * arithmetic over the 1000-row bin table — `u2 = Σ pos·(2·neg_below +
+    * neg_bin)` is twice U, and AUC = u2 / (2·P·N) in ONE final division.
+    * No corpus-wide sort or global rank: one aggregate to the bins, one
+    * window over the bins. This is the 100 TB-safe AUC — the textbook
+    * per-row rank formulation needs a global sort and average tie ranks.
+    */
+  def aucRankSum(events: DataFrame): DataFrame = {
+    val bins = events
+      .select(
+        expr(pseudoScoreSql).as("s"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("s"))
+      .agg(sum(col("pos")).as("pos_n"), sum(lit(1L) - col("pos")).as("neg_n"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("neg_below", coalesce(sum(col("neg_n")).over(w), lit(0L)))
+      .agg(
+        sum(col("pos_n")).as("n_pos"),
+        sum(col("neg_n")).as("n_neg"),
+        sum(col("pos_n") * (lit(2L) * col("neg_below") + col("neg_n"))).as("u2"))
+      .select(
+        col("n_pos"), col("n_neg"), col("u2"),
+        expr("CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")
+          .as("auc"))
+  }
+
   /** Two-variant A/B read-out: users split by a deterministic hash of
     * their id (here parity), conversion = reached the target event, and
     * the two-proportion pooled z-statistic computed from the four

@@ -1039,6 +1039,23 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Windowed-dedup report — the batch analog of streaming
+    * `dropDuplicates` under a watermark: events collapse to one per
+    * (user, type, hour) cell, keeping per-type raw/kept/dropped tallies.
+    * Spelled as two map-combined aggregations, NOT a row_number window:
+    * the first groupBy is the dedup itself, so no per-row rank state
+    * ever materializes. One shuffle on the cell key.
+    */
+  def eventDedup(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        col("user_id"), col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("n_in_cell"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_in_cell")).as("n_raw"), count(lit(1)).as("n_kept"))
+      .withColumn("n_dropped", col("n_raw") - col("n_kept"))
+
   def ruleViolations(events: DataFrame): DataFrame =
     events
       .agg(
