@@ -465,7 +465,17 @@ object SparkEntry {
     "q_calibration" -> ((s, dir) =>
       Analytics.calibrationCurve(Tables.events(s, dir)).orderBy("bin")),
     "q_auc" -> ((s, dir) =>
-      Analytics.aucRankSum(Tables.events(s, dir)).orderBy("n_pos"))
+      Analytics.aucRankSum(Tables.events(s, dir)).orderBy("n_pos")),
+    "q_sax" -> ((s, dir) =>
+      Analytics.saxSymbols(Tables.events(s, dir)).orderBy("hour")),
+    "q_gap_interp" -> ((s, dir) =>
+      Analytics.gapInterpolate(Tables.events(s, dir)).orderBy("hour")),
+    "q_keyword_lift" -> ((s, dir) =>
+      TextAnalysis.keywordLift(Tables.documents(s, dir)).orderBy("source", "rank")),
+    "q_dict_coverage" -> ((s, dir) =>
+      TextAnalysis.dictCoverage(Tables.documents(s, dir)).orderBy("source")),
+    "q_url_extract" -> ((s, dir) =>
+      TextAnalysis.urlExtract(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2470,6 +2480,97 @@ object SparkEntry {
                 CAST(sum(pos_n * (2 * neg_below + neg_n)) AS BIGINT) AS u2,
                 CAST(sum(pos_n * (2 * neg_below + neg_n)) AS DOUBLE)
                   / (2.0 * CAST(sum(pos_n) AS DOUBLE) * CAST(sum(neg_n) AS DOUBLE)) AS auc
-         FROM w"""
+         FROM w""",
+    "q_sax" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         st AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+                       CAST(sum(cnt * cnt) AS BIGINT) AS ss
+                FROM h),
+         z AS (SELECT hour, cnt,
+                      (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+               FROM h CROSS JOIN st)
+         SELECT hour, cnt, z,
+                CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                     WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+         FROM z ORDER BY hour""",
+    "q_gap_interp" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         sp AS (SELECT unnest(generate_series(min(hour), max(hour))) AS hour FROM h),
+         j AS (SELECT sp.hour AS hour, h.cnt AS cnt FROM sp LEFT JOIN h USING (hour)),
+         w AS (SELECT hour, cnt,
+                      last_value(cnt IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS prev_val,
+                      last_value(CASE WHEN cnt IS NOT NULL THEN hour END IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS prev_hour,
+                      first_value(cnt IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS next_val,
+                      first_value(CASE WHEN cnt IS NOT NULL THEN hour END IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS next_hour
+               FROM j)
+         SELECT hour, cnt,
+                CASE
+                  WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+                  WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                    CAST(prev_val AS DOUBLE)
+                    + CAST(next_val - prev_val AS DOUBLE)
+                      * (CAST(hour - prev_hour AS DOUBLE)
+                         / CAST(next_hour - prev_hour AS DOUBLE))
+                  WHEN prev_val IS NOT NULL THEN CAST(prev_val AS DOUBLE)
+                  ELSE CAST(next_val AS DOUBLE)
+                END AS filled,
+                CAST(cnt IS NULL AS BIGINT) AS was_gap
+         FROM w ORDER BY hour""",
+    "q_keyword_lift" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+         pst AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+         pt AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tc FROM pst GROUP BY tok
+                HAVING CAST(sum(cnt) AS BIGINT) >= 5),
+         ps AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS sn FROM pst GROUP BY source),
+         tot AS (SELECT CAST(sum(sn) AS BIGINT) AS nn FROM ps),
+         lf AS (SELECT pst.source, pst.tok, pst.cnt,
+                       CAST(cnt AS DOUBLE) * CAST(nn AS DOUBLE)
+                         / (CAST(sn AS DOUBLE) * CAST(tc AS DOUBLE)) AS lift
+                FROM pst JOIN pt USING (tok) JOIN ps USING (source) CROSS JOIN tot),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY lift DESC, tok ASC) AS BIGINT) AS rank FROM lf)
+         SELECT source, rank, tok, cnt, lift FROM r WHERE rank <= 5
+         ORDER BY source, rank""",
+    "q_dict_coverage" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+         pst AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+         d AS (SELECT tok FROM (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tc
+                                FROM pst GROUP BY tok)
+               ORDER BY tc DESC, tok ASC LIMIT 10)
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN d.tok IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+                  AS n_covered,
+                CAST(sum(CASE WHEN d.tok IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(cnt) AS DOUBLE) AS coverage
+         FROM pst LEFT JOIN d ON pst.tok = d.tok
+         GROUP BY source ORDER BY source""",
+    "q_url_extract" ->
+      """WITH u AS (SELECT doc_id,
+                           'https://' || source || '.example.com/' || lang || '/doc-'
+                             || CAST(doc_id AS VARCHAR) || '?len='
+                             || CAST(n_chars AS VARCHAR) AS url
+                    FROM documents)
+         SELECT doc_id, url,
+                regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                regexp_extract(url, '^https://[^/]+/([^/]+)/', 1) AS path_lang,
+                CAST(regexp_extract(url, 'len=([0-9]+)', 1) AS BIGINT) AS len_param
+         FROM u ORDER BY doc_id"""
   )
 }

@@ -692,6 +692,78 @@ object Analytics {
         col("cell_n"), col("cell_sum"), col("ratio"))
   }
 
+  /** SAX symbolization of the hourly activity series: z-scores against
+    * the GLOBAL series mean/σ (exact integer sufficient statistics, /n
+    * form, one sqrt) map to a 4-letter alphabet at the standard normal
+    * quartile breakpoints ±0.6745. The series stats ride in as a
+    * broadcast 1-row cross join; everything else is per-row arithmetic
+    * over the pre-aggregated |hours| table.
+    */
+  def saxSymbols(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.agg(
+      count(lit(1)).as("n"),
+      sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    hourly
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "z",
+        expr("""(CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"""))
+      .select(
+        col("hour"), col("cnt"), col("z"),
+        expr("""CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+                     WHEN z < 0.6745 THEN 'c' ELSE 'd' END""").as("symbol"))
+  }
+
+  /** Linear interpolation of missing points on a DENSE hourly spine:
+    * `sequence(min,max)` generates every hour, observed counts left-join
+    * on, and gaps fill from the nearest observed neighbors on each side
+    * (IGNORE NULLS window endpoints) weighted by integer hour distance —
+    * one division per gap row. Series edges degrade to one-sided fill.
+    * Both windows run over the |hours| spine, never the corpus; the
+    * spine generation is one `explode` of a 2-element aggregate.
+    */
+  def gapInterpolate(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("hour"))
+    val before = Window.orderBy(col("hour")).rowsBetween(Window.unboundedPreceding, 0)
+    val after = Window.orderBy(col("hour")).rowsBetween(0, Window.unboundedFollowing)
+    spine
+      .join(hourly, Seq("hour"), "left")
+      .withColumn("prev_val", last(col("cnt"), ignoreNulls = true).over(before))
+      .withColumn(
+        "prev_hour",
+        last(when(col("cnt").isNotNull, col("hour")), ignoreNulls = true).over(before))
+      .withColumn("next_val", first(col("cnt"), ignoreNulls = true).over(after))
+      .withColumn(
+        "next_hour",
+        first(when(col("cnt").isNotNull, col("hour")), ignoreNulls = true).over(after))
+      .select(
+        col("hour"),
+        col("cnt"),
+        expr("""CASE
+                  WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+                  WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                    CAST(prev_val AS DOUBLE)
+                    + CAST(next_val - prev_val AS DOUBLE)
+                      * (CAST(hour - prev_hour AS DOUBLE)
+                         / CAST(next_hour - prev_hour AS DOUBLE))
+                  WHEN prev_val IS NOT NULL THEN CAST(prev_val AS DOUBLE)
+                  ELSE CAST(next_val AS DOUBLE)
+                END""").as("filled"),
+        col("cnt").isNull.cast("long").as("was_gap"))
+  }
+
   /** Pseudo-score used by the model-evaluation reports: a Knuth
     * multiplicative hash of the event id onto 0..999. The id is reduced
     * mod a prime FIRST so the product stays far below 2⁶³ at any corpus

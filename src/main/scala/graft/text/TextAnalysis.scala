@@ -755,6 +755,91 @@ object TextAnalysis {
                          / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END""")
           .as("simpson"))
 
+  /** Distinctive vocabulary per source by LIFT — share of the token
+    * within its source over its share in the whole corpus, `cnt·N /
+    * (sn·tc)` — the ln-free cousin of TF-IDF (pure counts, one
+    * fixed-order double expression). Tokens under `minCount` corpus
+    * occurrences are pruned BEFORE the ranking window, so the per-source
+    * top-k ranks over a vocabulary already reduced to frequent terms.
+    */
+  def keywordLift(documents: DataFrame, k: Int = 5, minCount: Long = 5L): DataFrame = {
+    val tok = documents.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val perSrcTok = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val perTok = perSrcTok.groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("tc"))
+      .filter(col("tc") >= minCount)
+    val perSrc = perSrcTok.groupBy(col("source")).agg(sum(col("cnt")).as("sn"))
+    val total = perSrc.agg(sum(col("sn")).as("nn"))
+    val lifted = perSrcTok
+      .join(perTok, "tok")
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lift",
+        expr("""CAST(cnt AS DOUBLE) * CAST(nn AS DOUBLE)
+                / (CAST(sn AS DOUBLE) * CAST(tc AS DOUBLE))"""))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("tok").asc)
+    lifted
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("tok"), col("cnt"), col("lift"))
+  }
+
+  /** Compression-dictionary coverage: what fraction of each source's
+    * token stream the global top-`dictSize` tokens cover. The dictionary
+    * is a distributed top-k (sort-limit — TakeOrdered, no single-
+    * partition window) broadcast back onto the per-source counts; the
+    * report is |sources| rows of integer tallies and one division.
+    * The fixture vocabulary is small, so the default dictionary is 10
+    * tokens — at real scale the same plan runs with 10⁵-entry
+    * dictionaries unchanged (the dict side stays broadcast-sized).
+    */
+  def dictCoverage(documents: DataFrame, dictSize: Int = 10): DataFrame = {
+    val perSrcTok = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val dict = perSrcTok
+      .groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("tc"))
+      .orderBy(col("tc").desc, col("tok").asc)
+      .limit(dictSize)
+      .select(col("tok"))
+    perSrcTok
+      .join(broadcast(dict).withColumn("in_dict", lit(1L)), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_dict").isNotNull, col("cnt")).otherwise(0L)).as("n_covered"))
+      .withColumn(
+        "coverage",
+        expr("CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
+  }
+
+  /** URL field extraction — the log-parsing staple: a canonical URL is
+    * synthesized in-plan from document attributes (the fixture carries
+    * no URL column), then host / path segment / query parameter are
+    * pulled back out with `regexp_extract` group captures. Entirely
+    * per-row, scan-speed; the synthesis-then-parse round trip makes the
+    * extraction verifiable against trivially known values.
+    */
+  def urlExtract(documents: DataFrame): DataFrame =
+    documents
+      .withColumn(
+        "url",
+        concat(
+          lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+          lit("?len="), col("n_chars").cast("string")))
+      .select(
+        col("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^https://[^/]+/([^/]+)/", 1).as("path_lang"),
+        regexp_extract(col("url"), "len=([0-9]+)", 1).cast("long").as("len_param"))
+
   /** Flesch-style readability per document from regex-countable proxies:
     * words (`\s+` split), syllables ≈ vowel groups, long words (≥ 6
     * chars). The fixture corpus carries NO sentence punctuation, so
