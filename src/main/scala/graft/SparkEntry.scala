@@ -475,7 +475,17 @@ object SparkEntry {
     "q_dict_coverage" -> ((s, dir) =>
       TextAnalysis.dictCoverage(Tables.documents(s, dir)).orderBy("source")),
     "q_url_extract" -> ((s, dir) =>
-      TextAnalysis.urlExtract(Tables.documents(s, dir)).orderBy("doc_id"))
+      TextAnalysis.urlExtract(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_rolling_median" -> ((s, dir) =>
+      Analytics.rollingMedian(Tables.events(s, dir)).orderBy("hour")),
+    "q_log_histogram" -> ((s, dir) =>
+      Analytics.logHistogram(Tables.lineitem(s, dir)).orderBy("bin")),
+    "q_velocity" -> ((s, dir) =>
+      Analytics.velocityScreen(Tables.events(s, dir)).orderBy("user_id")),
+    "q_segment_shift" -> ((s, dir) =>
+      Analytics.segmentShift(Tables.events(s, dir)).orderBy("q_from", "q_to")),
+    "q_interarrival" -> ((s, dir) =>
+      Analytics.interArrival(Tables.events(s, dir)).orderBy("event_type"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2571,6 +2581,60 @@ object SparkEntry {
                 regexp_extract(url, '^https://([^/]+)/', 1) AS host,
                 regexp_extract(url, '^https://[^/]+/([^/]+)/', 1) AS path_lang,
                 CAST(regexp_extract(url, 'len=([0-9]+)', 1) AS BIGINT) AS len_param
-         FROM u ORDER BY doc_id"""
+         FROM u ORDER BY doc_id""",
+    "q_rolling_median" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS cnt
+               FROM events GROUP BY 1)
+         SELECT hour, cnt,
+                quantile_cont(cnt, 0.5) OVER fr AS med,
+                quantile_cont(cnt, 0.9) OVER fr AS p90
+         FROM h WINDOW fr AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         ORDER BY hour""",
+    "q_log_histogram" ->
+      s"""WITH c AS (SELECT ${Stages.centsSql("l_extendedprice")} AS cents FROM lineitem)
+         SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bin, count(*) AS n,
+                min(cents) AS min_cents, max(cents) AS max_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM c GROUP BY 1 ORDER BY bin""",
+    "q_velocity" ->
+      """WITH e AS (SELECT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+                    FROM events),
+         w AS (SELECT user_id,
+                      count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                        RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS burst
+               FROM e)
+         SELECT user_id, count(*) AS n_events, CAST(max(burst) AS BIGINT) AS max_burst,
+                CAST(max(burst) >= 8 AS BIGINT) AS flagged
+         FROM w GROUP BY user_id ORDER BY user_id""",
+    "q_segment_shift" ->
+      s"""WITH wk AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 604800 AS week,
+                      CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+         a AS (SELECT min(week) AS w0 FROM wk),
+         r AS (SELECT user_id, week - w0 AS rel_week, cents FROM wk CROSS JOIN a
+               WHERE week - w0 IN (0, 3)),
+         q AS (SELECT user_id, rel_week,
+                      CAST(ntile(4) OVER (PARTITION BY rel_week
+                        ORDER BY cents ASC, user_id ASC) AS BIGINT) AS quartile
+               FROM r)
+         SELECT f.quartile AS q_from, t.quartile AS q_to, count(*) AS n_users
+         FROM (SELECT user_id, quartile FROM q WHERE rel_week = 0) f
+         JOIN (SELECT user_id, quartile FROM q WHERE rel_week = 3) t USING (user_id)
+         GROUP BY 1, 2 ORDER BY q_from, q_to""",
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+                    FROM events),
+         g AS (SELECT event_type,
+                      ts_sec - lag(ts_sec, 1) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts_sec ASC, event_id ASC) AS gap
+               FROM e)
+         SELECT event_type, count(*) AS n_gaps, min(gap) AS min_gap,
+                quantile_cont(gap, 0.5) AS p50_gap, quantile_cont(gap, 0.9) AS p90_gap,
+                max(gap) AS max_gap
+         FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -764,6 +764,118 @@ object Analytics {
         col("cnt").isNull.cast("long").as("was_gap"))
   }
 
+  /** Rolling median (and p90) of the hourly count over a trailing-24h
+    * frame — the robust Bollinger alternative: exact interpolated
+    * percentile evaluated AS a window aggregate, over the
+    * pre-aggregated |hours| series only. Outlier hours barely move it,
+    * unlike the mean band.
+    */
+  def rollingMedian(events: DataFrame, span: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-(span - 1), 0)
+    hourly
+      .withColumn("med", expr("percentile(cnt, 0.5)").over(w))
+      .withColumn("p90", expr("percentile(cnt, 0.9)").over(w))
+      .select(col("hour"), col("cnt"), col("med"), col("p90"))
+  }
+
+  /** Log₂-binned histogram of line-item price WITHOUT `ln`: the bin is
+    * the bit length of the integer cents value (`length(bin(x)) − 1` —
+    * identical builtin in both engines), so doubling buckets come from
+    * pure integer/string ops. One map-combined aggregate, |bins| ≤ 63
+    * output rows at any scale.
+    */
+  def logHistogram(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(expr(Stages.centsSql("l_extendedprice")).as("cents"))
+      .groupBy(expr("length(bin(cents)) - 1").cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+
+  /** Velocity / burst screen: each user's maximum event count inside any
+    * trailing-24h RANGE frame over their own timeline — the sliding-
+    * window rate limit a fraud pipeline enforces. The frame is
+    * event-time RANGE (integer seconds), partitioned per user: state
+    * never exceeds one user's day of events, and the corpus shuffles
+    * once on user_id. `flagged` marks users whose burst reaches
+    * `threshold`.
+    */
+  def velocityScreen(events: DataFrame, threshold: Long = 8L): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-86399L, 0L)
+    events
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("ts_sec"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst"))
+      .withColumn("flagged", (col("max_burst") >= threshold).cast("long"))
+  }
+
+  /** Week-over-week spend-quartile transition matrix: users are ntile(4)
+    * bucketed WITHIN each of the first and fourth observed weeks
+    * (per-week partitioned windows — no global ordering), and the
+    * |4×4| matrix counts migrations. The week anchors derive from the
+    * data (broadcast 1-row min), so the query is calendar-free.
+    * Users absent in either week fall out via the inner join — churn
+    * accounting belongs to [[retentionCohorts]].
+    */
+  def segmentShift(events: DataFrame): DataFrame = {
+    val weekly = events
+      .groupBy(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("week"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("cents"))
+    val anchor = weekly.agg(min(col("week")).as("w0"))
+    val anchored = weekly
+      .crossJoin(broadcast(anchor))
+      .withColumn("rel_week", col("week") - col("w0"))
+      .filter(col("rel_week") === 0L || col("rel_week") === 3L)
+    val q = anchored.withColumn(
+      "quartile",
+      ntile(4)
+        .over(Window.partitionBy(col("rel_week"))
+          .orderBy(col("cents").asc, col("user_id").asc))
+        .cast("long"))
+    q.filter(col("rel_week") === 0L)
+      .select(col("user_id"), col("quartile").as("q_from"))
+      .join(
+        q.filter(col("rel_week") === 3L)
+          .select(col("user_id"), col("quartile").as("q_to")),
+        "user_id")
+      .groupBy(col("q_from"), col("q_to"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Inter-arrival gap statistics per event type: consecutive gaps come
+    * from a per-user `lag` (partitioned window — each user's timeline
+    * sorts independently), and the distribution report is one exact
+    * interpolated-percentile aggregate per type. Gap math is integer
+    * seconds end to end.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    events
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        expr("CAST(ts AS LONG)").as("ts_sec"))
+      .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap"),
+        expr("percentile(gap, 0.5)").as("p50_gap"),
+        expr("percentile(gap, 0.9)").as("p90_gap"),
+        max(col("gap")).as("max_gap"))
+  }
+
   /** Pseudo-score used by the model-evaluation reports: a Knuth
     * multiplicative hash of the event id onto 0..999. The id is reduced
     * mod a prime FIRST so the product stays far below 2⁶³ at any corpus

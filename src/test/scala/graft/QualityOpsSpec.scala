@@ -81,12 +81,14 @@ class QualityOpsSpec extends AnyFunSuite {
         (r.getAs[Long]("n_events"), r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_cents"),
           r.getAs[Double]("q1"), r.getAs[Double]("q3")))
       .toMap
-    // interpolated percentile, the same definition percentile()/quantile_cont use
+    // interpolated percentile in the weighted two-product form both
+    // Spark percentile and DuckDB quantile_cont evaluate
     def pct(sorted: Array[Long], q: Double): Double = {
       val pos = q * (sorted.length - 1)
       val lo = math.floor(pos).toInt
       val hi = math.ceil(pos).toInt
-      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+      if (lo == hi) sorted(lo).toDouble
+      else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
     }
     val byType = eventRows.groupBy(_._2)
     for ((t, rs) <- byType) {
