@@ -485,7 +485,15 @@ object SparkEntry {
     "q_segment_shift" -> ((s, dir) =>
       Analytics.segmentShift(Tables.events(s, dir)).orderBy("q_from", "q_to")),
     "q_interarrival" -> ((s, dir) =>
-      Analytics.interArrival(Tables.events(s, dir)).orderBy("event_type"))
+      Analytics.interArrival(Tables.events(s, dir)).orderBy("event_type")),
+    "q_mrr" -> ((s, dir) =>
+      Similarity.mrrEval(Tables.embeddings(s, dir)).orderBy("n_queries")),
+    "q_audience_overlap" -> ((s, dir) =>
+      Relational.audienceOverlap(Tables.events(s, dir)).orderBy("type_a", "type_b")),
+    "q_user_features" -> ((s, dir) =>
+      Relational.userFeatures(Tables.events(s, dir)).orderBy("user_id")),
+    "q_lsh_bucket_stats" -> ((s, dir) =>
+      Dedup.lshBucketStats(Tables.documents(s, dir)).orderBy("band"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2635,6 +2643,65 @@ object SparkEntry {
          SELECT event_type, count(*) AS n_gaps, min(gap) AS min_gap,
                 quantile_cont(gap, 0.5) AS p50_gap, quantile_cont(gap, 0.9) AS p90_gap,
                 max(gap) AS max_gap
-         FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type"""
+         FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type""",
+    "q_mrr" ->
+      s"""WITH tk AS (${duckCosineTopKSql(10, 5)}),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         j AS (SELECT tk.qid, tk.rank, ql.label AS q_label, nl.label AS n_label
+               FROM tk JOIN lab ql ON ql.vec_id = tk.qid
+                       JOIN lab nl ON nl.vec_id = tk.nid),
+         f AS (SELECT qid, CAST(min(rank) AS BIGINT) AS first_rank
+               FROM j WHERE q_label = n_label GROUP BY qid)
+         SELECT CAST(10 AS BIGINT) AS n_queries, count(*) AS n_matched,
+                CAST(sum(60 // first_rank) AS BIGINT) AS rr60_sum,
+                CAST(sum(60 // first_rank) AS DOUBLE) / (60.0 * 10) AS mrr
+         FROM f""",
+    "q_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+         iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       count(*) AS n_common
+                FROM tu a JOIN tu b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+                  AS jaccard
+         FROM iv JOIN sz sa ON sa.event_type = iv.type_a
+                 JOIN sz sb ON sb.event_type = iv.type_b
+         ORDER BY type_a, type_b""",
+    "q_user_features" ->
+      s"""SELECT user_id, count(*) AS n_events,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400)
+                  AS BIGINT) AS active_days,
+                min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS first_seen,
+                max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_seen,
+                CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS spend_cents,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_purchases,
+                (max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+                 - min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)) // 86400 AS tenure_days,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS purchase_ratio
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_lsh_bucket_stats" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         bk AS (SELECT band, bsig, count(*) AS s FROM keyed GROUP BY 1, 2)
+         SELECT band, count(*) AS n_buckets,
+                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                CAST(max(s) AS BIGINT) AS max_bucket,
+                CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+         FROM bk GROUP BY band ORDER BY band"""
   )
 }

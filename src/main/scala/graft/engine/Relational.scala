@@ -1039,6 +1039,59 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Pairwise audience overlap between event types: Jaccard of the user
+    * sets for every type pair. The distinct (type, user) projection
+    * shuffles once; the self-join co-partitions on user_id and fans out
+    * at most |types|² rows per user (bounded by a constant, not the
+    * corpus), and the |types|-row size table broadcasts back on.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    tu.as("a")
+      .join(
+        tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(
+        broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(
+        broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(
+        col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)")
+          .as("jaccard"))
+  }
+
+  /** Per-user feature assembly in ONE aggregate pass — the feature-store
+    * materialization a churn model trains on. Every feature is a
+    * conditional aggregate inside the same groupBy (recency, frequency,
+    * monetary, breadth, tenure), so the corpus shuffles exactly once on
+    * user_id and nothing joins; derived ratios are per-row arithmetic
+    * afterwards. The N-separate-aggregates-then-join spelling costs N
+    * shuffles for identical output.
+    */
+  def userFeatures(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(expr("CAST(ts AS LONG) div 86400")).as("active_days"),
+        min(expr("CAST(ts AS LONG)")).as("first_seen"),
+        max(expr("CAST(ts AS LONG)")).as("last_seen"),
+        sum(expr(Stages.centsSql("value"))).as("spend_cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .withColumn("tenure_days", expr("(last_seen - first_seen) div 86400"))
+      .withColumn(
+        "purchase_ratio",
+        expr("CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE)"))
+
   /** Windowed-dedup report — the batch analog of streaming
     * `dropDuplicates` under a watermark: events collapse to one per
     * (user, type, hour) cell, keeping per-type raw/kept/dropped tallies.

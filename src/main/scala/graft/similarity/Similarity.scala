@@ -575,6 +575,37 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Mean reciprocal rank of the label-matched neighbor in the exact
+    * top-k — the retrieval-quality readout next to [[cosineTopK]]. The
+    * reciprocal ranks accumulate as integers (`60 div rank` is exact for
+    * every rank ≤ 5 — LCM trick), so the cross-row sum is
+    * order-independent and the single division happens at the end.
+    * Output is ONE row; the only corpus-sized work is the top-k itself.
+    */
+  def mrrEval(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    require(60 % k == 0 && k <= 5, "LCM trick covers ranks 1..5")
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val firstHit = cosineTopK(embeddings, numQueries, k)
+      .join(
+        labels.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "q_label"),
+        "qid")
+      .join(
+        labels.withColumnRenamed("vec_id", "nid").withColumnRenamed("label", "n_label"),
+        "nid")
+      .filter(col("q_label") === col("n_label"))
+      .groupBy(col("qid"))
+      .agg(min(col("rank")).as("first_rank"))
+    firstHit
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(expr("60 div first_rank")).as("rr60_sum"))
+      .select(
+        lit(numQueries.toLong).as("n_queries"),
+        col("n_matched"),
+        col("rr60_sum"),
+        expr(s"CAST(rr60_sum AS DOUBLE) / (60.0 * $numQueries)").as("mrr"))
+  }
+
   /** One k-means ASSIGNMENT step with deterministic seeds (the first k
     * vectors by vec_id — kmeans++-style "first points" seeding needs no
     * RNG): every vector joins the broadcast k-row seed table, takes the

@@ -95,6 +95,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
+  /** LSH tuning report: per band, the bucket-size distribution the
+    * banding induces — bucket count, singleton count, largest bucket and
+    * the candidate-pair volume Σ s(s−1)/2 the verifier stage will face.
+    * This is how numBands/rowsPerBand get chosen BEFORE running the
+    * full dedup at corpus scale: the report costs two map-combined
+    * aggregations over the signature table (no pair join at all).
+    */
+  def lshBucketStats(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
+    sigs
+      .select(
+        col("doc_id"),
+        posexplode(
+          array((0 until numBands).map(b =>
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+          .as(Seq("band", "band_sig")))
+      .groupBy(col("band").cast("long").as("band"), col("band_sig"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        max(col("s")).as("max_bucket"),
+        sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
+  }
+
   /** SimHash (64-bit): per token-hash bit, vote +1/-1; the sign of each
     * bit's vote total forms the signature bit. Computed map-side in one
     * pass by the native [[graft.functions.SimHash64]] expression — no
