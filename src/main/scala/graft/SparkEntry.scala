@@ -493,7 +493,16 @@ object SparkEntry {
     "q_user_features" -> ((s, dir) =>
       Relational.userFeatures(Tables.events(s, dir)).orderBy("user_id")),
     "q_lsh_bucket_stats" -> ((s, dir) =>
-      Dedup.lshBucketStats(Tables.documents(s, dir)).orderBy("band"))
+      Dedup.lshBucketStats(Tables.documents(s, dir)).orderBy("band")),
+    "q_rollup_percentiles" -> ((s, dir) =>
+      Relational.rollupPercentiles(Tables.lineitem(s, dir))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_rare_collapse" -> ((s, dir) =>
+      Relational.rareCollapse(Tables.events(s, dir)).orderBy("final_cat")),
+    "q_target_encoding" -> ((s, dir) =>
+      Relational.targetEncoding(Tables.events(s, dir)).orderBy("category")),
+    "q_norm_stats" -> ((s, dir) =>
+      Similarity.normStats(Tables.embeddings(s, dir)).orderBy("label"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2702,6 +2711,41 @@ object SparkEntry {
                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
                 CAST(max(s) AS BIGINT) AS max_bucket,
                 CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
-         FROM bk GROUP BY band ORDER BY band"""
+         FROM bk GROUP BY band ORDER BY band""",
+    "q_rollup_percentiles" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                quantile_cont(${Stages.centsSql("l_extendedprice")}, 0.5) AS p50_cents,
+                quantile_cont(${Stages.centsSql("l_extendedprice")}, 0.95) AS p95_cents
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_rare_collapse" ->
+      """WITH c AS (SELECT concat(event_type, '_', CAST(event_id % 13 AS VARCHAR)) AS cat,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         SELECT CASE WHEN cnt * 100 < total THEN 'other' ELSE cat END AS final_cat,
+                CAST(sum(cnt) AS BIGINT) AS n_events, count(*) AS n_src_cats
+         FROM c CROSS JOIN t GROUP BY 1 ORDER BY final_cat""",
+    "q_target_encoding" ->
+      """WITH s AS (SELECT concat(event_type, '_',
+                      CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 4 AS VARCHAR))
+                      AS category,
+                           CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS pos
+                    FROM events),
+         pc AS (SELECT category, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+                FROM s GROUP BY 1),
+         pr AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp FROM pc)
+         SELECT category, n, n_pos,
+                CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE) AS prior,
+                (CAST(n_pos AS DOUBLE) + 10 * (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)))
+                  / CAST(n + 10 AS DOUBLE) AS te
+         FROM pc CROSS JOIN pr ORDER BY category""",
+    "q_norm_stats" ->
+      """WITH n AS (SELECT label,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+                    FROM embeddings)
+         SELECT label, count(*) AS n_vecs, min(norm) AS min_norm,
+                quantile_cont(norm, 0.5) AS med_norm, max(norm) AS max_norm
+         FROM n GROUP BY label ORDER BY label"""
   )
 }

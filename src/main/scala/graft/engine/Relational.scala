@@ -1039,6 +1039,68 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Exact percentiles at every ROLLUP level — subtotal and grand-total
+    * rows carry the percentile of their WHOLE stratum, not an average of
+    * child percentiles (which would be wrong: quantiles don't compose).
+    * Spark evaluates the multi-level aggregate in one pass via grouping
+    * sets; integer-cents input keeps the interpolation bit-exact.
+    */
+  def rollupPercentiles(lineitem: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("l_extendedprice")
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"percentile($cents, 0.5)").as("p50_cents"),
+        expr(s"percentile($cents, 0.95)").as("p95_cents"))
+  }
+
+  /** Rare-category collapse — the cardinality-control step before
+    * one-hot/target encoding: a fine category is synthesized in-plan
+    * (type × id-residue, mirrored in the oracle), and categories holding
+    * under 1 % of the corpus fold into 'other'. The share test is
+    * integer (`cnt·100 < total`), so the cut is scale-invariant and
+    * engine-exact; two map-combined aggregates plus a 1-row broadcast.
+    */
+  def rareCollapse(events: DataFrame): DataFrame = {
+    val cat = expr("concat(event_type, '_', CAST(event_id % 13 AS STRING))")
+    val counts = events.select(cat.as("cat")).groupBy(col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "final_cat",
+        when(col("cnt") * 100 < col("total"), lit("other")).otherwise(col("cat")))
+      .groupBy(col("final_cat"))
+      .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_src_cats"))
+  }
+
+  /** Smoothed target (mean) encoding of a synthesized category against a
+    * high-value label: te = (pos + m·prior) / (n + m), the m-estimate
+    * that shrinks small categories toward the global rate. Counts are
+    * exact integers; prior and te are two fixed-order divisions, so the
+    * doubles match any engine bitwise. One aggregate over the corpus
+    * plus a broadcast 1-row prior.
+    */
+  def targetEncoding(events: DataFrame, m: Int = 10): DataFrame = {
+    val cat = expr("concat(event_type, '_', CAST((CAST(ts AS LONG) div 3600) % 4 AS STRING))")
+    val pos = when(col("value") > 100.0, 1L).otherwise(0L)
+    val perCat = events
+      .select(cat.as("category"), pos.as("pos"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val prior = perCat.agg(
+      sum(col("n")).as("tn"), sum(col("n_pos")).as("tp"))
+    perCat
+      .crossJoin(broadcast(prior))
+      .select(
+        col("category"), col("n"), col("n_pos"),
+        expr("CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)").as("prior"),
+        expr(s"""(CAST(n_pos AS DOUBLE) + $m * (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)))
+                 / CAST(n + $m AS DOUBLE)""").as("te"))
+  }
+
   /** Pairwise audience overlap between event types: Jaccard of the user
     * sets for every type pair. The distinct (type, user) projection
     * shuffles once; the self-join co-partitions on user_id and fans out

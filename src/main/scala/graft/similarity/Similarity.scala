@@ -575,6 +575,21 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Per-label embedding-norm profile — the drift/health check an
+    * embedding pipeline runs on ingest: each vector's L2 norm is a
+    * per-row sqrt over the same dot-product kernel the ANN ops use
+    * (bit-identical doubles), and the report is one exact
+    * interpolated-percentile aggregate per label.
+    */
+  def normStats(embeddings: DataFrame): DataFrame =
+    withNorm(embeddings)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("norm")).as("min_norm"),
+        expr("percentile(norm, 0.5)").as("med_norm"),
+        max(col("norm")).as("max_norm"))
+
   /** Mean reciprocal rank of the label-matched neighbor in the exact
     * top-k — the retrieval-quality readout next to [[cosineTopK]]. The
     * reciprocal ranks accumulate as integers (`60 div rank` is exact for
