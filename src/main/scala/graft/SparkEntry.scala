@@ -502,7 +502,17 @@ object SparkEntry {
     "q_target_encoding" -> ((s, dir) =>
       Relational.targetEncoding(Tables.events(s, dir)).orderBy("category")),
     "q_norm_stats" -> ((s, dir) =>
-      Similarity.normStats(Tables.embeddings(s, dir)).orderBy("label"))
+      Similarity.normStats(Tables.embeddings(s, dir)).orderBy("label")),
+    "q_skew_report" -> ((s, dir) =>
+      Relational.skewReport(Tables.lineitem(s, dir), Tables.orders(s, dir))
+        .orderBy("key_col")),
+    "q_survivorship" -> ((s, dir) =>
+      Relational.survivorship(Tables.events(s, dir))
+        .orderBy("user_id", "event_type", "day")),
+    "q_table_checksum" -> ((s, dir) =>
+      Relational.tableChecksum(Tables.lineitem(s, dir)).orderBy("n_rows")),
+    "q_partition_balance" -> ((s, dir) =>
+      Relational.partitionBalance(Tables.events(s, dir)).orderBy("bucket"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2746,6 +2756,55 @@ object SparkEntry {
                     FROM embeddings)
          SELECT label, count(*) AS n_vecs, min(norm) AS min_norm,
                 quantile_cont(norm, 0.5) AS med_norm, max(norm) AS max_norm
-         FROM n GROUP BY label ORDER BY label"""
+         FROM n GROUP BY label ORDER BY label""",
+    "q_skew_report" ->
+      """WITH fa AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+         fb AS (SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY 1),
+         pa AS (SELECT 'lineitem.l_orderkey' AS key_col, count(*) AS n_keys,
+                       CAST(max(f) AS BIGINT) AS max_freq,
+                       quantile_cont(f, 0.5) AS p50_freq, quantile_cont(f, 0.99) AS p99_freq
+                FROM fa),
+         pb AS (SELECT 'orders.o_custkey' AS key_col, count(*) AS n_keys,
+                       CAST(max(f) AS BIGINT) AS max_freq,
+                       quantile_cont(f, 0.5) AS p50_freq, quantile_cont(f, 0.99) AS p99_freq
+                FROM fb)
+         SELECT key_col, n_keys, max_freq, p50_freq, p99_freq,
+                CAST(max_freq AS DOUBLE) / p50_freq AS skew
+         FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+         ORDER BY key_col""",
+    "q_survivorship" ->
+      """WITH b AS (SELECT user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+                           event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         w AS (SELECT user_id, event_type, day, event_id,
+                      row_number() OVER cell_o AS rn,
+                      count(*) OVER cell AS n_merged,
+                      max(cents) OVER cell AS max_cents
+               FROM b
+               WINDOW cell AS (PARTITION BY user_id, event_type, day),
+                      cell_o AS (PARTITION BY user_id, event_type, day
+                                 ORDER BY ts_sec DESC, event_id ASC))
+         SELECT user_id, event_type, day, event_id AS survivor_id,
+                CAST(n_merged AS BIGINT) AS n_merged, max_cents
+         FROM w WHERE rn = 1 ORDER BY user_id, event_type, day""",
+    "q_table_checksum" ->
+      s"""WITH r AS (SELECT CAST(CAST(concat('0x', substring(md5(concat_ws('|',
+                       CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                       l_returnflag, l_linestatus,
+                       CAST(${Stages.centsSql("l_extendedprice")} AS VARCHAR))), 1, 4))
+                     AS UBIGINT) AS BIGINT) AS word
+               FROM lineitem)
+         SELECT count(*) AS n_rows, CAST(sum(word) AS BIGINT) AS word_sum,
+                min(word) AS min_word, max(word) AS max_word
+         FROM r""",
+    "q_partition_balance" ->
+      """WITH c AS (SELECT (user_id % 1000003) * 2654435761 % 32 AS bucket, count(*) AS n
+                    FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         SELECT bucket, n, CAST(n AS DOUBLE) * 32 / CAST(total AS DOUBLE) AS balance
+         FROM c CROSS JOIN t ORDER BY bucket"""
   )
 }

@@ -1039,6 +1039,92 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Join-key skew diagnostics — the report that decides salting and
+    * broadcast thresholds BEFORE a shuffle join runs at corpus scale:
+    * per candidate key, the frequency distribution of the key (distinct
+    * count, max, exact p50/p99) and the max/median skew ratio. Each
+    * profile is two map-combined aggregates; the per-key frequency table
+    * is the only shuffle.
+    */
+  def skewReport(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def profile(df: DataFrame, keyCol: String, name: String): DataFrame =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+        .agg(
+          lit(name).as("key_col"),
+          count(lit(1)).as("n_keys"),
+          max(col("f")).as("max_freq"),
+          expr("percentile(f, 0.5)").as("p50_freq"),
+          expr("percentile(f, 0.99)").as("p99_freq"))
+    profile(lineitem, "l_orderkey", "lineitem.l_orderkey")
+      .union(profile(orders, "o_custkey", "orders.o_custkey"))
+      .withColumn("skew", expr("CAST(max_freq AS DOUBLE) / p50_freq"))
+  }
+
+  /** Survivorship merge — the golden-record step after dedup finds a
+    * cluster: within each (user, type, day) cell the survivor is the
+    * latest event (event_id tie-break) and the merged record carries the
+    * cell's aggregates. ONE partitioned-window pass computes the rank
+    * AND the cell aggregates (count/max as window functions over the
+    * same partition), so the corpus shuffles once and no self-join back
+    * onto the cell is needed.
+    */
+  def survivorship(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("user_id"), col("event_type"),
+      expr("CAST(ts AS LONG) div 86400").as("day"),
+      col("event_id"),
+      expr("CAST(ts AS LONG)").as("ts_sec"),
+      expr(Stages.centsSql("value")).as("cents"))
+    val cell = Window.partitionBy(col("user_id"), col("event_type"), col("day"))
+    val w = cell.orderBy(col("ts_sec").desc, col("event_id").asc)
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_merged", count(lit(1)).over(cell))
+      .withColumn("max_cents", max(col("cents")).over(cell))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type"), col("day"),
+        col("event_id").as("survivor_id"),
+        col("n_merged"), col("max_cents"))
+  }
+
+  /** Order-independent table fingerprint — the data-diff primitive for
+    * comparing a table across systems without sorting it: each row
+    * hashes (md5 over a canonical integer-text rendering) to a 16-bit
+    * word, and the fingerprint is (count, Σword, min, max). 16-bit words
+    * keep the BIGINT sum exact past 10¹³ rows; every piece is
+    * commutative, so partition order — and engine — cannot change it.
+    */
+  def tableChecksum(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(expr(
+        s"""CAST(conv(substring(md5(concat_ws('|',
+             CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+             l_returnflag, l_linestatus,
+             CAST(${Stages.centsSql("l_extendedprice")} AS STRING))), 1, 4), 16, 10)
+           AS BIGINT)""").as("word"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("word")).as("word_sum"),
+        min(col("word")).as("min_word"),
+        max(col("word")).as("max_word"))
+
+  /** Partition-balance report for a prospective hash partitioning: rows
+    * per bucket under the same multiplicative hash the engine would use,
+    * with each bucket's deviation from the uniform share. 32 output rows
+    * regardless of corpus size; one map-combined aggregate.
+    */
+  def partitionBalance(events: DataFrame, buckets: Int = 32): DataFrame = {
+    val counts = events
+      .groupBy(expr(s"(user_id % 1000003) * 2654435761 % $buckets").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .select(
+        col("bucket"), col("n"),
+        expr(s"CAST(n AS DOUBLE) * $buckets / CAST(total AS DOUBLE)").as("balance"))
+  }
+
   /** Exact percentiles at every ROLLUP level — subtotal and grand-total
     * rows carry the percentile of their WHOLE stratum, not an average of
     * child percentiles (which would be wrong: quantiles don't compose).
