@@ -512,7 +512,15 @@ object SparkEntry {
     "q_table_checksum" -> ((s, dir) =>
       Relational.tableChecksum(Tables.lineitem(s, dir)).orderBy("n_rows")),
     "q_partition_balance" -> ((s, dir) =>
-      Relational.partitionBalance(Tables.events(s, dir)).orderBy("bucket"))
+      Relational.partitionBalance(Tables.events(s, dir)).orderBy("bucket")),
+    "q_multihot" -> ((s, dir) =>
+      Relational.multihotEncode(Tables.events(s, dir)).orderBy("mask")),
+    "q_srm" -> ((s, dir) =>
+      Relational.srmCheck(Tables.events(s, dir)).orderBy("n1")),
+    "q_quantile_transform" -> ((s, dir) =>
+      Relational.quantileTransform(Tables.orders(s, dir)).orderBy("o_orderkey")),
+    "q_chi2_independence" -> ((s, dir) =>
+      TextAnalysis.chi2Independence(Tables.documents(s, dir)).orderBy("source", "lang"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2805,6 +2813,46 @@ object SparkEntry {
                     FROM events GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
          SELECT bucket, n, CAST(n AS DOUBLE) * 32 / CAST(total AS DOUBLE) AS balance
-         FROM c CROSS JOIN t ORDER BY bucket"""
+         FROM c CROSS JOIN t ORDER BY bucket""",
+    "q_multihot" ->
+      """WITH b AS (SELECT user_id,
+                           CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                             WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                             WHEN 'view' THEN 16 ELSE 32 END AS bit
+                    FROM events),
+         m AS (SELECT user_id, CAST(sum(DISTINCT bit) AS BIGINT) AS mask FROM b GROUP BY 1)
+         SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types, count(*) AS n_users
+         FROM m GROUP BY mask ORDER BY mask""",
+    "q_srm" ->
+      """WITH v AS (SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+         c AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+               FROM v)
+         SELECT n1, n2,
+                CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS chi2,
+                CAST(CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) > 3.84
+                  AS BIGINT) AS flagged
+         FROM c""",
+    "q_quantile_transform" ->
+      s"""WITH c AS (SELECT ${Stages.centsSql("o_totalprice")} AS cents, o_orderkey FROM orders),
+         r AS (SELECT o_orderkey, cents,
+                      CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rank
+               FROM c),
+         n AS (SELECT count(*) AS n FROM c)
+         SELECT o_orderkey, cents,
+                CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS qt
+         FROM r CROSS JOIN n ORDER BY o_orderkey""",
+    "q_chi2_independence" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+         rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+         SELECT source, lang, obs,
+                CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
+                (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+         FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN t
+         ORDER BY source, lang"""
   )
 }

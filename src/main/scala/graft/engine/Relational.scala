@@ -1039,6 +1039,64 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Multi-hot encoding of each user's event-type set as an integer
+    * bitmask (fixed CASE mapping — engine-portable, no hash), then the
+    * histogram of masks: which behavior combinations exist and how
+    * common they are. `sum(DISTINCT bit)` folds the set map-side;
+    * bit_count recovers the set size. 2^|types| output rows max.
+    */
+  def multihotEncode(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("user_id"),
+        expr("""CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                WHEN 'view' THEN 16 ELSE 32 END""").as("bit"))
+      .groupBy(col("user_id"))
+      .agg(sum_distinct(col("bit")).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("n_types", expr("bit_count(mask)").cast("long"))
+      .select(col("mask"), col("n_types"), col("n_users"))
+
+  /** Sample-ratio-mismatch check for the [[Analytics.abTest]] split: if
+    * the deterministic 50/50 assignment drifted, the experiment is
+    * invalid before any metric is read. χ² = (n1−n2)²/(n1+n2) on exact
+    * distinct-user counts; flag at the 95 % critical value 3.84. One
+    * distinct aggregate, 1-row output.
+    */
+  def srmCheck(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("user_id % 2").as("variant"))
+      .distinct()
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"))
+      .select(
+        col("n1"), col("n2"),
+        expr("""CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
+                / CAST(n1 + n2 AS DOUBLE)""").as("chi2"))
+      .withColumn("flagged", (col("chi2") > 3.84).cast("long"))
+
+  /** Quantile (rank) normalization of order value — the monotone
+    * transform that makes a feature uniform on [0,1]: qt = (rank−1)/
+    * (n−1) over the total order (value, key). Rank comes from
+    * [[scalableGlobalRank]] — range partition + per-partition offsets,
+    * no single-partition window — and n rides in as a broadcast scalar,
+    * so the transform holds its shape at any corpus size.
+    */
+  def quantileTransform(orders: DataFrame): DataFrame = {
+    val ranked = scalableGlobalRank(
+      orders.select(
+        expr(Stages.centsSql("o_totalprice")).as("cents"), col("o_orderkey")),
+      col("cents").asc, col("o_orderkey").asc)
+    ranked
+      .crossJoin(broadcast(ranked.agg(max(col("rank")).as("n"))))
+      .select(
+        col("o_orderkey"), col("cents"),
+        expr("CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)").as("qt"))
+  }
+
   /** Join-key skew diagnostics — the report that decides salting and
     * broadcast thresholds BEFORE a shuffle join runs at corpus scale:
     * per candidate key, the frequency distribution of the key (distinct

@@ -755,6 +755,33 @@ object TextAnalysis {
                          / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END""")
           .as("simpson"))
 
+  /** χ² independence cells for the (source × lang) contingency table —
+    * the corpus-drift check before mixing sources: each cell reports its
+    * observed count, the independence expectation rt·ct/N, and its χ²
+    * contribution (obs−exp)²/exp. All inputs are exact integer margins
+    * (three map-combined aggregates, broadcast joins); each cell's
+    * doubles are a fixed-order expression, and no cross-cell double sum
+    * exists — consumers threshold per cell.
+    */
+  def chi2Independence(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy(col("source")).agg(sum(col("obs")).as("rt"))
+    val colTot = cells.groupBy(col("lang")).agg(sum(col("obs")).as("ct"))
+    val total = cells.agg(sum(col("obs")).as("n"))
+    cells
+      .join(broadcast(rowTot), "source")
+      .join(broadcast(colTot), "lang")
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("lang"), col("obs"),
+        expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)").as("exp"),
+        expr("""(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))""")
+          .as("contrib"))
+  }
+
   /** Distinctive vocabulary per source by LIFT — share of the token
     * within its source over its share in the whole corpus, `cnt·N /
     * (sn·tc)` — the ln-free cousin of TF-IDF (pure counts, one
