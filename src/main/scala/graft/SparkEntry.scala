@@ -520,7 +520,15 @@ object SparkEntry {
     "q_quantile_transform" -> ((s, dir) =>
       Relational.quantileTransform(Tables.orders(s, dir)).orderBy("o_orderkey")),
     "q_chi2_independence" -> ((s, dir) =>
-      TextAnalysis.chi2Independence(Tables.documents(s, dir)).orderBy("source", "lang"))
+      TextAnalysis.chi2Independence(Tables.documents(s, dir)).orderBy("source", "lang")),
+    "q_ltv_curve" -> ((s, dir) =>
+      Analytics.ltvCurve(Tables.events(s, dir)).orderBy("cohort_week", "week_offset")),
+    "q_ewma_anomaly" -> ((s, dir) =>
+      Analytics.ewmaAnomaly(Tables.events(s, dir)).orderBy("hour")),
+    "q_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
+    "q_stickiness" -> ((s, dir) =>
+      Analytics.stickiness(Tables.events(s, dir)).orderBy("day"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2853,6 +2861,71 @@ object SparkEntry {
                 * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
          FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN t
-         ORDER BY source, lang"""
+         ORDER BY source, lang""",
+    "q_ltv_curve" ->
+      s"""WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+                      ${Stages.centsSql("value")} AS cents
+               FROM events),
+         f AS (SELECT user_id, min(day) AS day0 FROM b GROUP BY 1),
+         cs AS (SELECT day0 // 7 AS cohort_week, count(*) AS n_users FROM f GROUP BY 1),
+         sp AS (SELECT f.day0 // 7 AS cohort_week, (b.day - f.day0) // 7 AS week_offset,
+                       CAST(sum(b.cents) AS BIGINT) AS week_cents
+                FROM b JOIN f USING (user_id) GROUP BY 1, 2),
+         cum AS (SELECT cohort_week, week_offset, week_cents,
+                        CAST(sum(week_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+                 FROM sp)
+         SELECT cohort_week, week_offset, n_users, week_cents, cum_cents,
+                CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) AS ltv_cents
+         FROM cum JOIN cs USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
+    "q_ewma_anomaly" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         l AS (SELECT hour, cnt,
+                      lag(cnt, 1) OVER o AS l1, lag(cnt, 2) OVER o AS l2,
+                      lag(cnt, 3) OVER o AS l3, lag(cnt, 4) OVER o AS l4,
+                      lag(cnt, 5) OVER o AS l5
+               FROM h WINDOW o AS (ORDER BY hour)),
+         p AS (SELECT hour, cnt,
+                      CASE WHEN l1 IS NULL THEN NULL ELSE
+                      (CAST(l1 AS DOUBLE)
+                      + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5 * CAST(l2 AS DOUBLE) END
+                      + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.25 * CAST(l3 AS DOUBLE) END
+                      + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.125 * CAST(l4 AS DOUBLE) END
+                      + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.0625 * CAST(l5 AS DOUBLE) END)
+                      / (1.0
+                      + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5 END
+                      + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.25 END
+                      + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.125 END
+                      + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.0625 END) END AS pred
+               FROM l)
+         SELECT hour, cnt, pred, CAST(cnt AS DOUBLE) / pred AS ratio,
+                CAST(CASE WHEN pred IS NULL THEN 0
+                          WHEN CAST(cnt AS DOUBLE) / pred >= 2.0
+                            OR CAST(cnt AS DOUBLE) / pred <= 0.5 THEN 1
+                          ELSE 0 END AS BIGINT) AS flag
+         FROM p ORDER BY hour""",
+    "q_centroids" ->
+      """WITH e AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding
+                    FROM embeddings),
+         m AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+                      CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000) AS BIGINT) AS milli
+               FROM e)
+         SELECT label, dim, count(*) AS n_vecs, CAST(sum(milli) AS BIGINT) AS milli_sum,
+                CAST(sum(milli) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid_milli
+         FROM m GROUP BY 1, 2 ORDER BY label, dim""",
+    "q_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day
+                    FROM events),
+         d AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+         w AS (SELECT d.day, count(DISTINCT a.user_id) AS wau
+               FROM d JOIN a ON a.day >= d.day - 6 AND a.day <= d.day
+               GROUP BY d.day)
+         SELECT day, dau, CAST(wau AS BIGINT) AS wau,
+                CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+         FROM d JOIN w USING (day) ORDER BY day"""
   )
 }

@@ -876,6 +876,99 @@ object Analytics {
         max(col("gap")).as("max_gap"))
   }
 
+  /** Cohort LTV curve: cumulative spend per signup-week cohort across
+    * week offsets, absolute and per cohort user. Money accumulates in
+    * integer cents; the cumulative window partitions by cohort and runs
+    * over the |offsets|-sized per-cohort series, never the corpus. The
+    * cohort-size join is broadcast (|cohorts| rows).
+    */
+  def ltvCurve(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("user_id"),
+      expr("CAST(ts AS LONG) div 86400").as("day"),
+      expr(Stages.centsSql("value")).as("cents"))
+    val firsts = base.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+    val cohortSizes = firsts
+      .groupBy(expr("day0 div 7").as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val spend = base
+      .join(firsts, "user_id")
+      .groupBy(
+        expr("day0 div 7").as("cohort_week"),
+        expr("(day - day0) div 7").as("week_offset"))
+      .agg(sum(col("cents")).as("week_cents"))
+    spend
+      .withColumn(
+        "cum_cents",
+        sum(col("week_cents")).over(
+          Window.partitionBy(col("cohort_week"))
+            .orderBy(col("week_offset"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(cohortSizes), "cohort_week")
+      .select(
+        col("cohort_week"), col("week_offset"), col("n_users"),
+        col("week_cents"), col("cum_cents"),
+        expr("CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE)").as("ltv_cents"))
+  }
+
+  /** EWMA forecast-residual anomalies: the prediction for hour t is the
+    * halving-kernel average of hours t−1…t−5 ONLY (the [[ewmaSeries]]
+    * kernel shifted off the current point, so the observation never
+    * explains itself), and hours at ≥ 2× or ≤ ½× their forecast flag.
+    * Fixed-order IEEE arithmetic over the pre-aggregated hourly series.
+    */
+  def ewmaAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("hour"))
+    val withLags = (1 to 5).foldLeft(hourly) { (df, i) =>
+      df.withColumn(s"l$i", lag(col("cnt"), i).over(w))
+    }
+    withLags
+      .withColumn(
+        "pred",
+        expr("""CASE WHEN l1 IS NULL THEN NULL ELSE
+                (CAST(l1 AS DOUBLE)
+                + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5 * CAST(l2 AS DOUBLE) END
+                + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.25 * CAST(l3 AS DOUBLE) END
+                + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.125 * CAST(l4 AS DOUBLE) END
+                + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.0625 * CAST(l5 AS DOUBLE) END)
+                / (1.0
+                + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5 END
+                + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.25 END
+                + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.125 END
+                + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.0625 END) END"""))
+      .withColumn("ratio", expr("CAST(cnt AS DOUBLE) / pred"))
+      .withColumn(
+        "flag",
+        expr("""CASE WHEN ratio IS NULL THEN 0
+                     WHEN ratio >= 2.0 OR ratio <= 0.5 THEN 1
+                     ELSE 0 END""").cast("long"))
+      .select(col("hour"), col("cnt"), col("pred"), col("ratio"), col("flag"))
+  }
+
+  /** DAU / trailing-WAU stickiness: the activity table collapses to
+    * distinct (user, day) FIRST, then each day range-joins its trailing
+    * week of activity (a 7× fan-out of the already-deduplicated
+    * activity, not the corpus) for the distinct-user WAU count.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    val dau = activity.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = dau.select(col("day"))
+      .join(
+        activity.select(col("user_id"), col("day").as("a_day")),
+        col("a_day") >= col("day") - 6 && col("a_day") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau
+      .join(wau, "day")
+      .withColumn("stickiness", expr("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)"))
+  }
+
   /** Pseudo-score used by the model-evaluation reports: a Knuth
     * multiplicative hash of the event id onto 0..999. The id is reduced
     * mod a prime FIRST so the product stays far below 2⁶³ at any corpus

@@ -575,6 +575,28 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Per-label centroids with EXACT accumulation: each component
+    * quantizes to integer millis per row, the per-(label, dim) sums are
+    * plain BIGINT aggregation (order-independent — a raw double mean
+    * would be partition-order nondeterministic), and the mean divides
+    * once at the end. |labels|·dims output rows; the explode is linear
+    * in corpus·dims with full column pruning.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(
+        col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(
+        col("label"),
+        (col("dim0") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("milli"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("milli")).as("milli_sum"))
+      .withColumn(
+        "centroid_milli",
+        expr("CAST(milli_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE)"))
+
   /** Per-label embedding-norm profile — the drift/health check an
     * embedding pipeline runs on ingest: each vector's L2 norm is a
     * per-row sqrt over the same dot-product kernel the ANN ops use
