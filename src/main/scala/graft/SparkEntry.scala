@@ -528,7 +528,14 @@ object SparkEntry {
     "q_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
     "q_stickiness" -> ((s, dir) =>
-      Analytics.stickiness(Tables.events(s, dir)).orderBy("day"))
+      Analytics.stickiness(Tables.events(s, dir)).orderBy("day")),
+    "q_psi_chi2" -> ((s, dir) =>
+      Analytics.driftBins(Tables.events(s, dir)).orderBy("bin")),
+    "q_attribution" -> ((s, dir) =>
+      Analytics.linearAttribution(Tables.events(s, dir)).orderBy("touch_type")),
+    "q_ship_latency" -> ((s, dir) =>
+      Relational.shipLatency(Tables.lineitem(s, dir), Tables.orders(s, dir))
+        .orderBy("o_orderpriority"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2926,6 +2933,52 @@ object SparkEntry {
                GROUP BY d.day)
          SELECT day, dau, CAST(wau AS BIGINT) AS wau,
                 CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
-         FROM d JOIN w USING (day) ORDER BY day"""
+         FROM d JOIN w USING (day) ORDER BY day""",
+    "q_psi_chi2" ->
+      s"""WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+                      least(${Stages.centsSql("value")} // 5000, 9) AS bin
+               FROM events),
+         sp AS (SELECT min(day) + 15 AS split_day FROM b),
+         c AS (SELECT bin,
+                      CAST(sum(CASE WHEN day < split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN day >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+               FROM b CROSS JOIN sp GROUP BY bin),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+         SELECT bin, n_a, n_b,
+                CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE) AS e_a,
+                (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE)) AS contrib
+         FROM c CROSS JOIN t ORDER BY bin""",
+    "q_attribution" ->
+      s"""WITH b AS (SELECT user_id, event_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+                      ${Stages.centsSql("value")} AS cents
+               FROM events),
+         p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_ts, cents AS p_cents
+               FROM b WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts_sec AS t_ts
+               FROM b),
+         j AS (SELECT p.purchase_id, p.p_cents, t.touch_type,
+                      count(*) OVER (PARTITION BY p.purchase_id) AS k
+               FROM p JOIN t ON p.user_id = t.user_id
+                 AND t.t_ts >= p.p_ts - 604800 AND t.t_ts < p.p_ts)
+         SELECT touch_type, count(*) AS n_touches,
+                CAST(sum(p_cents * 1000 // k) AS BIGINT) AS attributed_milli
+         FROM j GROUP BY touch_type ORDER BY touch_type""",
+    "q_ship_latency" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+                      (epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 1000000
+                       - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000) // 86400 AS days
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT o_orderpriority, count(*) AS n_lines,
+                quantile_cont(days, 0.5) AS p50_days,
+                quantile_cont(days, 0.95) AS p95_days,
+                quantile_cont(days, 0.99) AS p99_days,
+                max(days) AS max_days
+         FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

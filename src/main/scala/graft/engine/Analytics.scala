@@ -969,6 +969,78 @@ object Analytics {
       .withColumn("stickiness", expr("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)"))
   }
 
+  /** Distribution-drift bins (χ² homogeneity in place of PSI, whose ln
+    * is not engine-portable): the month splits at its midpoint
+    * (data-derived, broadcast), event values bucket into fixed $50
+    * bins, and each bin reports both periods' counts plus its χ²
+    * contribution from exact integer margins in fixed-order doubles.
+    * Cross-bin summation is the CONSUMER's choice — no cross-row double
+    * sum lives in the query.
+    */
+  def driftBins(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr("CAST(ts AS LONG) div 86400").as("day"),
+      expr(s"least(${Stages.centsSql("value")} div 5000, 9)").as("bin"))
+    val split = base.agg(expr("min(day) + 15").as("split_day"))
+    val counts = base
+      .crossJoin(broadcast(split))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("day") < col("split_day"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("day") >= col("split_day"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bin"), col("n_a"), col("n_b"),
+        expr("""CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE)""")
+          .as("e_a"),
+        expr("""(CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))""")
+          .as("contrib"))
+  }
+
+  /** Linear multi-touch attribution in EXACT integer milli-cents: each
+    * purchase's value splits by floor division across the user's touches
+    * in the preceding 7 days (deterministic remainder loss, stated —
+    * the price of an order-independent integer sum). The touch join is
+    * per-user and time-bounded, so the fan-out is each user's 7-day
+    * neighborhood, never the corpus square; k comes from a window over
+    * the purchase's own touch group.
+    */
+  def linearAttribution(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      expr("CAST(ts AS LONG)").as("ts_sec"),
+      expr(Stages.centsSql("value")).as("cents"))
+    val purchases = base
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_sec").as("p_ts"), col("cents").as("p_cents"))
+    val touches = base.select(
+      col("user_id"), col("event_id").as("touch_id"),
+      col("event_type").as("touch_type"), col("ts_sec").as("t_ts"))
+    purchases
+      .join(
+        touches,
+        Seq("user_id"))
+      .filter(
+        col("t_ts") >= col("p_ts") - 604800L && col("t_ts") < col("p_ts"))
+      .withColumn(
+        "k",
+        count(lit(1)).over(Window.partitionBy(col("purchase_id"))))
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
+  }
+
   /** Pseudo-score used by the model-evaluation reports: a Knuth
     * multiplicative hash of the event id onto 0..999. The id is reduced
     * mod a prime FIRST so the product stays far below 2⁶³ at any corpus

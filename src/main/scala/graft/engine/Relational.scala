@@ -1039,6 +1039,31 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Fulfillment-latency SLA report: days from order to line shipment,
+    * exact interpolated percentiles per order priority. The join keys
+    * both corpus tables on orderkey (co-partitioned shuffle join — the
+    * canonical fact-to-fact TPC-H shape) and day math is integer
+    * end to end.
+    */
+  def shipLatency(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), expr("CAST(l_shipdate AS LONG)").as("ship_sec"))
+      .join(
+        orders.select(
+          col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(o_orderdate AS LONG)").as("order_sec")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        expr("(ship_sec - order_sec) div 86400").as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        expr("percentile(days, 0.5)").as("p50_days"),
+        expr("percentile(days, 0.95)").as("p95_days"),
+        expr("percentile(days, 0.99)").as("p99_days"),
+        max(col("days")).as("max_days"))
+
   /** Multi-hot encoding of each user's event-type set as an integer
     * bitmask (fixed CASE mapping — engine-portable, no hash), then the
     * histogram of masks: which behavior combinations exist and how
