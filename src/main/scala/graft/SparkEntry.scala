@@ -535,7 +535,28 @@ object SparkEntry {
       Analytics.linearAttribution(Tables.events(s, dir)).orderBy("touch_type")),
     "q_ship_latency" -> ((s, dir) =>
       Relational.shipLatency(Tables.lineitem(s, dir), Tables.orders(s, dir))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+    "q_rolling_sums" -> ((s, dir) =>
+      Analytics.rollingSums(Tables.events(s, dir)).orderBy("day")),
+    "q_item_rec" -> ((s, dir) =>
+      Graph.itemRecommendations(Tables.lineitem(s, dir)).orderBy("part", "rank")),
+    "q_nullsafe_join" -> ((s, dir) =>
+      Relational.nullSafeJoinReport(Tables.events(s, dir), Tables.orders(s, dir))
+        .orderBy("n_keys_a")),
+    "q_asof_forward" -> ((s, dir) => {
+      // right side: purchases, unique per (user, ts) per the as-of contract
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max("event_id").as("purchase_id"),
+          expr(s"max_by(${Stages.centsSql("value")}, event_id)").as("p_cents"))
+      AsOfJoin
+        .leftAsOfForward(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          purchases, "user_id", "ts", "p_user", "p_ts")
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("p_cents"))
+        .orderBy("event_id")
+    })
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -2979,6 +3000,51 @@ object SparkEntry {
                 quantile_cont(days, 0.95) AS p95_days,
                 quantile_cont(days, 0.99) AS p99_days,
                 max(days) AS max_days
-         FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_rolling_sums" ->
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS day,
+                      CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS cents
+               FROM events GROUP BY 1)
+         SELECT day, cents,
+                CAST(sum(cents) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS r7_cents,
+                CAST(sum(cents) OVER (ORDER BY day RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS r28_cents
+         FROM d ORDER BY day""",
+    "q_item_rec" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS w
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         bidir AS (SELECT pa AS part, pb AS rec_part, w FROM e
+                   UNION ALL SELECT pb, pa, w FROM e),
+         r AS (SELECT part, rec_part, w,
+                      CAST(row_number() OVER (PARTITION BY part
+                        ORDER BY w DESC, rec_part ASC) AS BIGINT) AS rank
+               FROM bidir)
+         SELECT part, rank, rec_part, w FROM r WHERE rank <= 3
+         ORDER BY part, rank""",
+    "q_nullsafe_join" ->
+      """WITH a AS (SELECT DISTINCT CASE WHEN event_id % 7 = 0 THEN NULL
+                                         ELSE event_id % 100 END AS k FROM events),
+         b AS (SELECT DISTINCT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                                    ELSE o_orderkey % 100 END AS k FROM orders),
+         eq AS (SELECT count(*) AS matched_eq FROM a JOIN b ON a.k = b.k),
+         ns AS (SELECT count(*) AS matched_nullsafe
+                FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k),
+         sa AS (SELECT count(*) AS n_keys_a,
+                       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_a
+                FROM a),
+         sb AS (SELECT count(*) AS n_keys_b FROM b)
+         SELECT n_keys_a, n_null_a, n_keys_b, matched_eq, matched_nullsafe
+         FROM sa CROSS JOIN sb CROSS JOIN eq CROSS JOIN ns""",
+    "q_asof_forward" ->
+      s"""WITH p AS (
+           SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS purchase_id,
+                  arg_max(${Stages.centsSql("value")}, event_id) AS p_cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, p.purchase_id, p.p_cents
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.p_user AND e.ts <= p.p_ts
+         ORDER BY event_id"""
   )
 }

@@ -1041,6 +1041,24 @@ object Analytics {
         sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
   }
 
+  /** Trailing 7- and 28-day revenue sums — the dashboard staple: daily
+    * integer-cents totals with event-time RANGE frames over the |days|
+    * series (gaps in the calendar shorten the frame correctly, which a
+    * ROWS frame would get wrong). Corpus → |days| rows before any
+    * window.
+    */
+  def rollingSums(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("cents"))
+    def trail(days: Int) = Window
+      .orderBy(col("day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily
+      .withColumn("r7_cents", sum(col("cents")).over(trail(7)))
+      .withColumn("r28_cents", sum(col("cents")).over(trail(28)))
+  }
+
   /** Pseudo-score used by the model-evaluation reports: a Knuth
     * multiplicative hash of the event id onto 0..999. The id is reduced
     * mod a prime FIRST so the product stays far below 2⁶³ at any corpus

@@ -28,7 +28,31 @@ object AsOfJoin {
       leftKey: String,
       leftTime: String,
       rightKey: String,
-      rightTime: String): DataFrame = {
+      rightTime: String): DataFrame =
+    asOf(left, right, leftKey, leftTime, rightKey, rightTime, forward = false)
+
+  /** Forward as-of: attach the right row with the SMALLEST
+    * `rightTime >= leftTime` — "the next event after" (DuckDB spells it
+    * `ASOF JOIN … ON right.t >= left.t`). Identical one-shuffle window
+    * plan as [[leftAsOf]]; only the in-partition sort direction flips.
+    */
+  def leftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String): DataFrame =
+    asOf(left, right, leftKey, leftTime, rightKey, rightTime, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      forward: Boolean): DataFrame = {
     val rightPayload = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
 
     val taggedLeft = rightPayload
@@ -54,10 +78,12 @@ object AsOfJoin {
     val unioned = taggedLeft.select(cols.map(col): _*).unionByName(taggedRight.select(cols.map(col): _*))
 
     // right rows (side 0) sort before left rows at equal time ⇒ "at or
-    // before" semantics; last(ignoreNulls) carries the latest payload
+    // before" (backward) / "at or after" (forward) semantics;
+    // last(ignoreNulls) carries the nearest qualifying payload
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -153,6 +153,26 @@ object Graph {
       .select(col("rank"), col("part"), col("n_tri"), col("d").as("degree"))
   }
 
+  /** Item-to-item recommendations from co-order evidence: for every
+    * part, its top-k most co-ordered partners. The ranking window
+    * partitions per part (bounded by one node's degree, never the
+    * corpus) and Catalyst's WindowGroupLimit prunes each partition to k
+    * before the shuffle completes.
+    */
+  def itemRecommendations(lineitem: DataFrame, k: Int = 3): DataFrame = {
+    val edges = coOrderEdges(lineitem)
+    val bidir = edges
+      .select(col("pa").as("part"), col("pb").as("rec_part"), col("w"))
+      .union(edges.select(col("pb").as("part"), col("pa").as("rec_part"), col("w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part"))
+      .orderBy(col("w").desc, col("rec_part").asc)
+    bidir
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("part"), col("rank"), col("rec_part"), col("w"))
+  }
+
   /** Bounded BFS over the support-thresholded co-order graph: hop
     * distance from the max-degree part (ties → min key) out to `maxHops`.
     * The frontier expands by one distributed join per hop — a FIXED

@@ -1039,6 +1039,30 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Null-safe equality semantics report: how many DISTINCT key values
+    * two tables share under `=` versus `<=>` (IS NOT DISTINCT FROM).
+    * Nullable keys are synthesized in-plan on both sides (fixtures carry
+    * none); the comparison runs over the two distinct key SETS (≤ the
+    * key-domain size, broadcast-joined), so the null–null cross product
+    * that makes row-level `<=>` joins explode never materializes.
+    */
+  def nullSafeJoinReport(events: DataFrame, orders: DataFrame): DataFrame = {
+    val aKeys = events
+      .select(expr("CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 100 END").as("k"))
+      .distinct()
+    val bKeys = orders
+      .select(expr("CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey % 100 END").as("k"))
+      .distinct()
+    val eq = aKeys.join(bKeys.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      .agg(count(lit(1)).as("matched_eq"))
+    val ns = aKeys.join(bKeys.withColumnRenamed("k", "k2"), col("k") <=> col("k2"))
+      .agg(count(lit(1)).as("matched_nullsafe"))
+    aKeys.agg(count(lit(1)).as("n_keys_a"), sum(col("k").isNull.cast("long")).as("n_null_a"))
+      .crossJoin(bKeys.agg(count(lit(1)).as("n_keys_b")))
+      .crossJoin(eq)
+      .crossJoin(ns)
+  }
+
   /** Fulfillment-latency SLA report: days from order to line shipment,
     * exact interpolated percentiles per order priority. The join keys
     * both corpus tables on orderkey (co-partitioned shuffle join — the
