@@ -543,6 +543,14 @@ object SparkEntry {
     "q_nullsafe_join" -> ((s, dir) =>
       Relational.nullSafeJoinReport(Tables.events(s, dir), Tables.orders(s, dir))
         .orderBy("n_keys_a")),
+    "q_freshness" -> ((s, dir) =>
+      Analytics.freshness(Tables.events(s, dir)).orderBy("event_type")),
+    "q_revenue_bridge" -> ((s, dir) =>
+      Analytics.revenueBridge(Tables.events(s, dir)).orderBy("event_type")),
+    "q_time_in_state" -> ((s, dir) =>
+      Analytics.timeInState(Tables.events(s, dir)).orderBy("event_type")),
+    "q_vocab_drift" -> ((s, dir) =>
+      TextAnalysis.vocabDrift(Tables.documents(s, dir)).orderBy("batch")),
     "q_asof_forward" -> ((s, dir) => {
       // right side: purchases, unique per (user, ts) per the as-of contract
       val purchases = Tables.events(s, dir)
@@ -3045,6 +3053,63 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, p.purchase_id, p.p_cents
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    "q_freshness" ->
+      """WITH t AS (SELECT event_type, count(*) AS n_events,
+                           max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS max_ts
+                    FROM events GROUP BY 1),
+         g AS (SELECT max(max_ts) AS global_max FROM t)
+         SELECT event_type, n_events, max_ts, global_max - max_ts AS lag_sec
+         FROM t CROSS JOIN g ORDER BY event_type""",
+    "q_revenue_bridge" ->
+      s"""WITH b AS (SELECT event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 604800 AS week,
+                      ${Stages.centsSql("value")} AS cents
+               FROM events),
+         a AS (SELECT min(week) AS w0 FROM b),
+         f AS (SELECT event_type, week - w0 AS rel, cents FROM b CROSS JOIN a
+               WHERE week - w0 IN (0, 3)),
+         g AS (SELECT event_type,
+                      CAST(sum(CASE WHEN rel = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN rel = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+                      CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                      CAST(sum(CASE WHEN rel = 3 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+               FROM f GROUP BY 1)
+         SELECT event_type, n_a, s_a, n_b, s_b, s_b - s_a AS delta_cents,
+                CASE WHEN n_a = 0 THEN NULL
+                ELSE CAST(n_b - n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                END AS volume_effect,
+                CASE WHEN n_a = 0 THEN NULL
+                ELSE CAST(s_b - s_a AS DOUBLE)
+                     - CAST(n_b - n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                END AS mix_effect
+         FROM g ORDER BY event_type""",
+    "q_time_in_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+                    FROM events),
+         d AS (SELECT event_type,
+                      lead(ts_sec, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts_sec ASC, event_id ASC) - ts_sec AS dwell
+               FROM e)
+         SELECT event_type, count(*) AS n_stays,
+                CAST(sum(dwell) AS BIGINT) AS total_sec, max(dwell) AS max_sec,
+                CAST(sum(dwell) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_sec
+         FROM d WHERE dwell IS NOT NULL GROUP BY event_type ORDER BY event_type""",
+    "q_vocab_drift" ->
+      """WITH s AS (SELECT DISTINCT doc_id // 100 AS batch,
+                           unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+         z AS (SELECT batch, count(*) AS n_tokens FROM s GROUP BY 1),
+         c AS (SELECT b.batch AS batch, count(*) AS n_common
+               FROM s a JOIN s b ON a.tok = b.tok AND b.batch = a.batch + 1
+               GROUP BY 1)
+         SELECT z.batch AS batch, p.n_tokens AS n_tokens_prev, z.n_tokens AS n_tokens,
+                CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+                CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                  / CAST(p.n_tokens + z.n_tokens - coalesce(c.n_common, 0) AS DOUBLE) AS jaccard
+         FROM z JOIN (SELECT batch + 1 AS batch, n_tokens FROM z) p USING (batch)
+              LEFT JOIN c USING (batch)
+         ORDER BY batch"""
   )
 }

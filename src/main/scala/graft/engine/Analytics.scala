@@ -1041,6 +1041,84 @@ object Analytics {
         sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
   }
 
+  /** Partition-freshness report — the staleness check a scheduler reads
+    * before depending on a table: per event type, the newest event time
+    * and its lag behind the corpus watermark. One map-combined
+    * aggregate; the global max rides in as a broadcast scalar.
+    */
+  def freshness(events: DataFrame): DataFrame = {
+    val perType = events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(expr("CAST(ts AS LONG)")).as("max_ts"))
+    perType
+      .crossJoin(broadcast(perType.agg(max(col("max_ts")).as("global_max"))))
+      .select(
+        col("event_type"), col("n_events"), col("max_ts"),
+        (col("global_max") - col("max_ts")).as("lag_sec"))
+  }
+
+  /** Revenue bridge (waterfall decomposition) between the first and
+    * fourth observed weeks: Δrevenue per type splits into the volume
+    * effect (Δcount at the old average value, one fixed-order double)
+    * and the residual mix effect. Both periods fold into ONE conditional
+    * aggregate per type — no pivot, no self-join; the week anchor is a
+    * broadcast 1-row min.
+    */
+  def revenueBridge(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_type"),
+      expr("CAST(ts AS LONG) div 604800").as("week"),
+      expr(Stages.centsSql("value")).as("cents"))
+    val anchor = base.agg(min(col("week")).as("w0"))
+    base
+      .crossJoin(broadcast(anchor))
+      .withColumn("rel", col("week") - col("w0"))
+      .filter(col("rel") === 0L || col("rel") === 3L)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("rel") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("rel") === 0L, col("cents")).otherwise(0L)).as("s_a"),
+        sum(when(col("rel") === 3L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("rel") === 3L, col("cents")).otherwise(0L)).as("s_b"))
+      .select(
+        col("event_type"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        (col("s_b") - col("s_a")).as("delta_cents"),
+        expr("""CASE WHEN n_a = 0 THEN NULL
+                ELSE CAST(n_b - n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                END""").as("volume_effect"),
+        expr("""CASE WHEN n_a = 0 THEN NULL
+                ELSE CAST(s_b - s_a AS DOUBLE)
+                     - CAST(n_b - n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                END""").as("mix_effect"))
+  }
+
+  /** Dwell time per behavioral state: each event's duration is the gap
+    * to the user's next event (per-user `lead` — one shuffle on
+    * user_id), summed per state. Open-ended final events carry no dwell
+    * and are excluded, stated. Integer seconds; the mean divides once.
+    */
+  def timeInState(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    events
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(ts AS LONG)").as("ts_sec"))
+      .withColumn("dwell", lead(col("ts_sec"), 1).over(w) - col("ts_sec"))
+      .filter(col("dwell").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_stays"),
+        sum(col("dwell")).as("total_sec"),
+        max(col("dwell")).as("max_sec"))
+      .withColumn(
+        "avg_sec",
+        expr("CAST(total_sec AS DOUBLE) / CAST(n_stays AS DOUBLE)"))
+  }
+
   /** Trailing 7- and 28-day revenue sums — the dashboard staple: daily
     * integer-cents totals with event-time RANGE frames over the |days|
     * series (gaps in the calendar shorten the frame correctly, which a

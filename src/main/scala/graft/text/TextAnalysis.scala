@@ -755,6 +755,40 @@ object TextAnalysis {
                          / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END""")
           .as("simpson"))
 
+  /** Batch-over-batch vocabulary drift: documents group into ingestion
+    * batches (doc_id ranges — the fixture carries no ingest time), and
+    * consecutive batches compare token SETS by Jaccard. Set sizes and
+    * intersections are exact integer counts (distinct projection, one
+    * arithmetic batch+1 self-join on token); one division per batch
+    * pair.
+    */
+  def vocabDrift(documents: DataFrame, batchDocs: Int = 100): DataFrame = {
+    val sets = documents
+      .select(
+        expr(s"doc_id div $batchDocs").as("batch"),
+        explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = sets.groupBy(col("batch")).agg(count(lit(1)).as("n_tokens"))
+    val common = sets.as("a")
+      .join(
+        sets.as("b"),
+        col("a.tok") === col("b.tok") && col("b.batch") === col("a.batch") + 1)
+      .groupBy(col("b.batch").as("batch"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes
+      .join(
+        sizes.select(
+          (col("batch") + 1).as("batch"), col("n_tokens").as("n_tokens_prev")),
+        "batch")
+      .join(common, Seq("batch"), "left")
+      .select(
+        col("batch"), col("n_tokens_prev"), col("n_tokens"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("""CAST(coalesce(n_common, 0) AS DOUBLE)
+                / CAST(n_tokens_prev + n_tokens - coalesce(n_common, 0) AS DOUBLE)""")
+          .as("jaccard"))
+  }
+
   /** χ² independence cells for the (source × lang) contingency table —
     * the corpus-drift check before mixing sources: each cell reports its
     * observed count, the independence expectation rt·ct/N, and its χ²
