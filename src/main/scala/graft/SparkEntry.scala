@@ -545,6 +545,12 @@ object SparkEntry {
         .orderBy("n_keys_a")),
     "q_freshness" -> ((s, dir) =>
       Analytics.freshness(Tables.events(s, dir)).orderBy("event_type")),
+    "q_lag_features" -> ((s, dir) =>
+      Analytics.lagFeatures(Tables.events(s, dir)).orderBy("event_id")),
+    "q_error_rate" -> ((s, dir) =>
+      Analytics.errorRateMonitor(Tables.events(s, dir)).orderBy("hour")),
+    "q_trending" -> ((s, dir) =>
+      Analytics.trendingParts(Tables.lineitem(s, dir)).orderBy("l_partkey")),
     "q_revenue_bridge" -> ((s, dir) =>
       Analytics.revenueBridge(Tables.events(s, dir)).orderBy("event_type")),
     "q_time_in_state" -> ((s, dir) =>
@@ -3054,6 +3060,57 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
          ORDER BY event_id""",
+    "q_lag_features" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+                      ${Stages.centsSql("value")} AS cents
+               FROM events)
+         SELECT event_id, user_id, cents,
+                lag(cents, 1) OVER u AS v_lag1,
+                lag(cents, 2) OVER u AS v_lag2,
+                CASE WHEN count(*) OVER t3 = 0 THEN NULL
+                ELSE CAST(sum(cents) OVER t3 AS DOUBLE)
+                     / CAST(count(*) OVER t3 AS DOUBLE) END AS v_ma3
+         FROM e
+         WINDOW u AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC),
+                t3 AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         ORDER BY event_id""",
+    "q_error_rate" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS n,
+                      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_err
+               FROM events GROUP BY 1),
+         w AS (SELECT hour, n, n_err,
+                      CAST(sum(n) OVER fr AS BIGINT) AS win_n,
+                      CAST(sum(n_err) OVER fr AS BIGINT) AS win_err
+               FROM h WINDOW fr AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT hour, n, n_err,
+                CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+                CASE WHEN win_err = 0 THEN NULL
+                ELSE CAST(n_err AS DOUBLE) * CAST(win_n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(win_err AS DOUBLE)) END AS rate_ratio
+         FROM w ORDER BY hour""",
+    "q_trending" ->
+      s"""WITH wk AS (SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 1000000 // 604800 AS week,
+                      l_partkey, CAST(sum(${Stages.centsSql("l_extendedprice")}) AS BIGINT) AS week_cents
+               FROM lineitem GROUP BY 1, 2),
+         a AS (SELECT min(week) AS w0 FROM wk),
+         f AS (SELECT l_partkey, week - w0 AS rel, week_cents FROM wk CROSS JOIN a
+               WHERE week - w0 IN (0, 3)),
+         r AS (SELECT l_partkey, rel, week_cents,
+                      CAST(row_number() OVER (PARTITION BY rel
+                        ORDER BY week_cents DESC, l_partkey ASC) AS BIGINT) AS rank
+               FROM f),
+         t AS (SELECT * FROM r WHERE rank <= 20)
+         SELECT coalesce(x.l_partkey, y.l_partkey) AS l_partkey,
+                x.rank AS rank_a, x.week_cents AS cents_a,
+                y.rank AS rank_b, y.week_cents AS cents_b,
+                x.rank - y.rank AS jump
+         FROM (SELECT * FROM t WHERE rel = 0) x
+         FULL OUTER JOIN (SELECT * FROM t WHERE rel = 3) y ON x.l_partkey = y.l_partkey
+         ORDER BY l_partkey""",
     "q_freshness" ->
       """WITH t AS (SELECT event_type, count(*) AS n_events,
                            max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS max_ts

@@ -1041,6 +1041,101 @@ object Analytics {
         sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
   }
 
+  /** Point-in-time lag features per event — the leakage-safe feature
+    * snapshot an online model trains on: previous two values and the
+    * trailing-3 mean of the user's own history STRICTLY BEFORE the
+    * event. One per-user window pass; cents stay integer until the one
+    * mean division.
+    */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    val trailing3 = w.rowsBetween(-3, -1)
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        expr("CAST(ts AS LONG)").as("ts_sec"),
+        expr(Stages.centsSql("value")).as("cents"))
+      .withColumn("v_lag1", lag(col("cents"), 1).over(w))
+      .withColumn("v_lag2", lag(col("cents"), 2).over(w))
+      .withColumn("n_prev3", count(lit(1)).over(trailing3))
+      .withColumn("sum_prev3", sum(col("cents")).over(trailing3))
+      .select(
+        col("event_id"), col("user_id"), col("cents"),
+        col("v_lag1"), col("v_lag2"),
+        expr("""CASE WHEN n_prev3 = 0 THEN NULL
+                ELSE CAST(sum_prev3 AS DOUBLE) / CAST(n_prev3 AS DOUBLE) END""")
+          .as("v_ma3"))
+  }
+
+  /** Error-rate ratio monitor: each hour's error share against its
+    * trailing-24h share, as one fixed-order expression over four integer
+    * window sums (`e·N / (n·E)` spelled in doubles) — rate-of-rates
+    * without any intermediate rounding. Windows run over the
+    * pre-aggregated hourly table.
+    */
+  def errorRateMonitor(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
+    hourly
+      .withColumn("win_n", sum(col("n")).over(w))
+      .withColumn("win_err", sum(col("n_err")).over(w))
+      .select(
+        col("hour"), col("n"), col("n_err"),
+        expr("CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)").as("rate"),
+        expr("""CASE WHEN win_err = 0 THEN NULL
+                ELSE CAST(n_err AS DOUBLE) * CAST(win_n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(win_err AS DOUBLE)) END""")
+          .as("rate_ratio"))
+  }
+
+  /** Week-over-week trending parts: rank movement between the first and
+    * fourth weeks' top-20 revenue lists. Each week's ranking window
+    * partitions by week and keeps rank ≤ 20, which Catalyst's
+    * WindowGroupLimit prunes to 20 rows per partition BEFORE the
+    * shuffle completes — the full |parts| table never sorts through one
+    * partition. The movers join is top-20 × top-20 (tiny).
+    */
+  def trendingParts(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val weekly = lineitem
+      .select(
+        expr("CAST(l_shipdate AS LONG) div 604800").as("week"),
+        col("l_partkey"),
+        expr(Stages.centsSql("l_extendedprice")).as("cents"))
+      .groupBy(col("week"), col("l_partkey"))
+      .agg(sum(col("cents")).as("week_cents"))
+    val anchor = weekly.agg(min(col("week")).as("w0"))
+    val anchored = weekly
+      .crossJoin(broadcast(anchor))
+      .withColumn("rel", col("week") - col("w0"))
+      .filter(col("rel") === 0L || col("rel") === 3L)
+    val ranked = anchored
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(col("rel"))
+            .orderBy(col("week_cents").desc, col("l_partkey").asc))
+          .cast("long"))
+      .filter(col("rank") <= k)
+    ranked.filter(col("rel") === 0L)
+      .select(col("l_partkey"), col("rank").as("rank_a"),
+        col("week_cents").as("cents_a"))
+      .join(
+        ranked.filter(col("rel") === 3L)
+          .select(col("l_partkey"), col("rank").as("rank_b"),
+            col("week_cents").as("cents_b")),
+        Seq("l_partkey"), "full_outer")
+      .select(
+        col("l_partkey"), col("rank_a"), col("cents_a"),
+        col("rank_b"), col("cents_b"),
+        (col("rank_a") - col("rank_b")).as("jump"))
+  }
+
   /** Partition-freshness report — the staleness check a scheduler reads
     * before depending on a table: per event type, the newest event time
     * and its lag behind the corpus watermark. One map-combined
