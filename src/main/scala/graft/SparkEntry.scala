@@ -547,6 +547,12 @@ object SparkEntry {
       Analytics.freshness(Tables.events(s, dir)).orderBy("event_type")),
     "q_lag_features" -> ((s, dir) =>
       Analytics.lagFeatures(Tables.events(s, dir)).orderBy("event_id")),
+    "q_table_diff" -> ((s, dir) =>
+      Relational.tableDiff(Tables.orders(s, dir)).orderBy("n_same")),
+    "q_sample_error" -> ((s, dir) =>
+      Relational.sampleAccuracy(Tables.events(s, dir)).orderBy("event_type")),
+    "q_recency_score" -> ((s, dir) =>
+      Relational.recencyScore(Tables.events(s, dir)).orderBy("user_id")),
     "q_error_rate" -> ((s, dir) =>
       Analytics.errorRateMonitor(Tables.events(s, dir)).orderBy("hour")),
     "q_trending" -> ((s, dir) =>
@@ -3060,6 +3066,51 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
          ORDER BY event_id""",
+    "q_table_diff" ->
+      s"""WITH a AS (SELECT o_orderkey AS k,
+                      md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                          CAST(${Stages.centsSql("o_totalprice")} AS VARCHAR))) AS fp_a
+               FROM orders),
+         b AS (SELECT o_orderkey AS k,
+                      md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                          CAST(${Stages.centsSql("o_totalprice")}
+                               + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS VARCHAR)))
+                        AS fp_b
+               FROM orders WHERE o_orderkey % 101 != 0)
+         SELECT CAST(sum(CASE WHEN fp_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+                CAST(sum(CASE WHEN fp_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+                CAST(sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL AND fp_a <> fp_b
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         FROM a FULL OUTER JOIN b USING (k)""",
+    "q_sample_error" ->
+      s"""WITH b AS (SELECT event_type, ${Stages.centsSql("value")} AS cents,
+                      (event_id % 1000003) * 2654435761 % 10 AS h
+               FROM events)
+         SELECT event_type, count(*) AS n,
+                quantile_cont(cents, 0.5) AS p50_full,
+                CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+                quantile_cont(CASE WHEN h = 0 THEN cents END, 0.5) AS p50_sample,
+                abs(quantile_cont(CASE WHEN h = 0 THEN cents END, 0.5)
+                    - quantile_cont(cents, 0.5)) AS abs_err
+         FROM b GROUP BY event_type ORDER BY event_type""",
+    "q_recency_score" ->
+      s"""WITH b AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+                      ${Stages.centsSql("value")} AS cents
+               FROM events),
+         a AS (SELECT max(ts_sec) AS now_sec FROM b),
+         s AS (SELECT user_id, cents,
+                      (now_sec - ts_sec) // 604800 AS age_weeks
+               FROM b CROSS JOIN a),
+         w AS (SELECT user_id, cents,
+                      CASE WHEN age_weeks > 5 THEN 0
+                           ELSE 32 // (1 << CAST(age_weeks AS INT)) END AS w32
+               FROM s)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(cents * w32) AS BIGINT) AS score_32nds,
+                CAST(sum(cents * w32) AS DOUBLE) / 32.0 AS score
+         FROM w GROUP BY user_id ORDER BY user_id""",
     "q_lag_features" ->
       s"""WITH e AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,

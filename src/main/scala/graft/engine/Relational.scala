@@ -1039,6 +1039,80 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Row-level table reconciliation — the data-diff between a table and
+    * its (in-plan synthesized) drifted copy: keys only in A, only in B,
+    * matched-but-changed, and matched-identical, from ONE full outer
+    * join on the key comparing md5 row fingerprints. The drift is
+    * deterministic (drop keys ≡ 0 mod 101, perturb prices ≡ 0 mod 97,
+    * append nothing), mirrored in the oracle.
+    */
+  def tableDiff(orders: DataFrame): DataFrame = {
+    def fp(priceExpr: String) =
+      expr(s"""md5(concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus,
+               CAST($priceExpr AS STRING)))""")
+    val a = orders.select(
+      col("o_orderkey").as("k"),
+      fp(Stages.centsSql("o_totalprice")).as("fp_a"))
+    val b = orders
+      .filter(expr("o_orderkey % 101 != 0"))
+      .select(
+        col("o_orderkey").as("k"),
+        fp(s"${Stages.centsSql("o_totalprice")} + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END")
+          .as("fp_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("fp_b").isNull, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(col("fp_a").isNull, 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull &&
+          col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L)).as("n_same"))
+  }
+
+  /** Sampling-accuracy report: the exact median against the median of a
+    * deterministic 10 % hash sample, per event type — what a pipeline
+    * pays in accuracy for sampled percentiles. Both medians are exact
+    * interpolated percentiles; the error is integer-scaled cents.
+    */
+  def sampleAccuracy(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_type"),
+      expr(Stages.centsSql("value")).as("cents"),
+      expr("(event_id % 1000003) * 2654435761 % 10").as("h"))
+    base
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(cents, 0.5)").as("p50_full"),
+        sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_sample"),
+        expr("percentile(CASE WHEN h = 0 THEN cents END, 0.5)").as("p50_sample"))
+      .withColumn("abs_err", expr("abs(p50_sample - p50_full)"))
+  }
+
+  /** Recency-weighted engagement score with EXACT arithmetic: per event,
+    * weight 2^(5−age_weeks) in 32nds (integer — halving decay, zero past
+    * five weeks), so the per-user accumulation is a BIGINT sum and the
+    * only double appears in the final /32. Age anchors to the corpus
+    * max timestamp (broadcast 1-row).
+    */
+  def recencyScore(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("user_id"),
+      expr("CAST(ts AS LONG)").as("ts_sec"),
+      expr(Stages.centsSql("value")).as("cents"))
+    val anchor = base.agg(max(col("ts_sec")).as("now_sec"))
+    base
+      .crossJoin(broadcast(anchor))
+      .withColumn("age_weeks", expr("(now_sec - ts_sec) div 604800"))
+      .withColumn(
+        "w32",
+        expr("CASE WHEN age_weeks > 5 THEN 0 ELSE 32 div (1 << CAST(age_weeks AS INT)) END"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents") * col("w32")).as("score_32nds"))
+      .withColumn("score", expr("CAST(score_32nds AS DOUBLE) / 32.0"))
+  }
+
   /** Null-safe equality semantics report: how many DISTINCT key values
     * two tables share under `=` versus `<=>` (IS NOT DISTINCT FROM).
     * Nullable keys are synthesized in-plan on both sides (fixtures carry
