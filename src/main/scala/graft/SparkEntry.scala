@@ -549,6 +549,12 @@ object SparkEntry {
       Analytics.lagFeatures(Tables.events(s, dir)).orderBy("event_id")),
     "q_table_diff" -> ((s, dir) =>
       Relational.tableDiff(Tables.orders(s, dir)).orderBy("n_same")),
+    "q_pareto" -> ((s, dir) =>
+      Relational.paretoParts(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_growth_accounting" -> ((s, dir) =>
+      Analytics.growthAccounting(Tables.events(s, dir)).orderBy("week")),
+    "q_cuped" -> ((s, dir) =>
+      Analytics.cupedReport(Tables.events(s, dir)).orderBy("n_users")),
     "q_sample_error" -> ((s, dir) =>
       Relational.sampleAccuracy(Tables.events(s, dir)).orderBy("event_type")),
     "q_recency_score" -> ((s, dir) =>
@@ -3066,6 +3072,68 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
          ORDER BY event_id""",
+    "q_pareto" ->
+      s"""WITH r0 AS (SELECT l_partkey, CAST(sum(${Stages.centsSql("l_extendedprice")}) AS BIGINT) AS cents
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM r0),
+         r AS (SELECT l_partkey, cents,
+                      CAST(row_number() OVER (ORDER BY cents DESC, l_partkey ASC) AS BIGINT) AS rank
+               FROM r0),
+         f AS (SELECT * FROM r WHERE rank <= 100),
+         c AS (SELECT rank, l_partkey, cents,
+                      CAST(sum(cents) OVER (ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+               FROM f)
+         SELECT rank, l_partkey, cents, cum_cents,
+                CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS cum_share
+         FROM c CROSS JOIN t WHERE rank IN (1, 5, 10, 20, 50, 100)
+         ORDER BY rank""",
+    "q_growth_accounting" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 604800 AS week
+                    FROM events),
+         f AS (SELECT user_id, min(week) AS first_week FROM a GROUP BY 1),
+         cur AS (SELECT user_id, week, 1 AS is_curr FROM a),
+         prv AS (SELECT user_id, week + 1 AS week, 1 AS was_prev FROM a),
+         j AS (SELECT coalesce(cur.user_id, prv.user_id) AS user_id,
+                      coalesce(cur.week, prv.week) AS week,
+                      cur.is_curr, prv.was_prev
+               FROM cur FULL OUTER JOIN prv
+                 ON cur.user_id = prv.user_id AND cur.week = prv.week)
+         SELECT week,
+                CAST(sum(CASE WHEN is_curr IS NOT NULL AND first_week = week
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN is_curr IS NOT NULL AND was_prev IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                CAST(sum(CASE WHEN is_curr IS NOT NULL AND was_prev IS NULL
+                  AND first_week < week THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+                CAST(sum(CASE WHEN is_curr IS NULL AND was_prev IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         FROM j JOIN f USING (user_id)
+         GROUP BY week ORDER BY week""",
+    "q_cuped" -> {
+      val stats = (Stages.momentStatsSql.filter(_._1 == "corr_xy") ++ Stages.cupedSql)
+        .map { case (name, sql) => s"$sql AS $name" }
+        .mkString(",\n                ")
+      s"""WITH b AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 604800 AS week,
+                      ${Stages.centsSql("value")} AS cents
+               FROM events),
+         a AS (SELECT min(week) AS w0 FROM b),
+         pu AS (SELECT user_id,
+                       CAST(sum(CASE WHEN week - w0 <= 1 THEN cents ELSE 0 END) AS BIGINT) AS pre,
+                       CAST(sum(CASE WHEN week - w0 >= 3 AND week - w0 <= 4 THEN cents ELSE 0 END) AS BIGINT) AS post
+                FROM b CROSS JOIN a GROUP BY 1),
+         m AS (SELECT count(*) AS n, CAST(sum(pre) AS BIGINT) AS sx,
+                      CAST(sum(post) AS BIGINT) AS sy,
+                      CAST(sum(pre * post) AS BIGINT) AS sxy,
+                      CAST(sum(pre * pre) AS BIGINT) AS sxx,
+                      CAST(sum(post * post) AS BIGINT) AS syy
+               FROM pu)
+         SELECT n AS n_users,
+                $stats
+         FROM m"""
+    },
     "q_table_diff" ->
       s"""WITH a AS (SELECT o_orderkey AS k,
                       md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,

@@ -1041,6 +1041,72 @@ object Analytics {
         sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
   }
 
+  /** Growth accounting — the MAU rollforward every growth team reads:
+    * each week's actives classify as new (first week ever), retained
+    * (also active the week before) or resurrected (returning after a
+    * gap), plus the week's churn (active last week, absent now). One
+    * distinct activity projection, an arithmetic week+1 self-join, and
+    * a broadcast-sized firsts join — no window anywhere.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("week"))
+      .distinct()
+    val firsts = activity.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    val prev = activity.select(col("user_id"), (col("week") + 1).as("week"))
+      .withColumn("was_prev", lit(1L))
+    val classified = activity
+      .withColumn("is_curr", lit(1L))
+      .join(prev, Seq("user_id", "week"), "full_outer")
+      .join(firsts, "user_id")
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("is_curr").isNotNull && col("first_week") === col("week"), 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("is_curr").isNotNull && col("was_prev").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("is_curr").isNotNull && col("was_prev").isNull &&
+          col("first_week") < col("week"), 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("is_curr").isNull && col("was_prev").isNotNull, 1L)
+          .otherwise(0L)).as("n_churned"))
+    classified
+  }
+
+  /** CUPED readout for the [[abTest]] metric: per-user pre-period (weeks
+    * 0–1) and post-period (weeks 3–4) spend in integer cents, folded to
+    * sufficient statistics, then θ = cov/var(pre) and the variance-
+    * reduction ratio corr² through [[Stages.cupedSql]]'s shared closed
+    * form. One row out; everything after the per-user aggregate is
+    * 1-row arithmetic.
+    */
+  def cupedReport(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("user_id"),
+      expr("CAST(ts AS LONG) div 604800").as("week"),
+      expr(Stages.centsSql("value")).as("cents"))
+    val anchor = base.agg(min(col("week")).as("w0"))
+    val perUser = base
+      .crossJoin(broadcast(anchor))
+      .withColumn("rel", col("week") - col("w0"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("rel") <= 1L, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("rel") >= 3L && col("rel") <= 4L, col("cents")).otherwise(0L))
+          .as("post"))
+    perUser
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("pre")).as("sx"),
+        sum(col("post")).as("sy"),
+        sum(col("pre") * col("post")).as("sxy"),
+        sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("post") * col("post")).as("syy"))
+      .select(
+        Seq(col("n").as("n_users")) ++
+          (Stages.momentStatsSql.filter(_._1 == "corr_xy") ++ Stages.cupedSql)
+            .map { case (name, sql) => expr(sql).as(name) }: _*)
+  }
+
   /** Point-in-time lag features per event — the leakage-safe feature
     * snapshot an online model trains on: previous two values and the
     * trailing-3 mean of the user's own history STRICTLY BEFORE the

@@ -1039,6 +1039,32 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Pareto concentration of part revenue: cumulative share captured by
+    * the top-1/5/10/20/50/100 parts. The global ordering comes from
+    * [[scalableGlobalRank]] (descending revenue); the cumulative window
+    * then runs over the ≤100-row prefix only, and the grand total rides
+    * in as a broadcast scalar.
+    */
+  def paretoParts(lineitem: DataFrame, maxRank: Int = 100): DataFrame = {
+    val revenue = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(Stages.centsSql("l_extendedprice"))).as("cents"))
+    val total = revenue.agg(sum(col("cents")).as("total_cents"))
+    val ranked = scalableGlobalRank(revenue, col("cents").desc, col("l_partkey").asc)
+      .filter(col("rank") <= maxRank)
+    ranked
+      .withColumn(
+        "cum_cents",
+        sum(col("cents")).over(
+          Window.orderBy(col("rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank").isin(1L, 5L, 10L, 20L, 50L, 100L))
+      .crossJoin(broadcast(total))
+      .select(
+        col("rank"), col("l_partkey"), col("cents"), col("cum_cents"),
+        expr("CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)").as("cum_share"))
+  }
+
   /** Row-level table reconciliation — the data-diff between a table and
     * its (in-plan synthesized) drifted copy: keys only in A, only in B,
     * matched-but-changed, and matched-identical, from ONE full outer

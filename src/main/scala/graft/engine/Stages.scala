@@ -126,6 +126,26 @@ object Stages {
       "corr_xy" -> s"CASE WHEN $varX * $varY = 0 THEN NULL ELSE $covar / sqrt($varX * $varY) END")
   }
 
+  /** CUPED fragments over the same `n, sx, sy, sxy, sxx, syy` sufficient
+    * statistics (x = pre-period covariate, y = post-period metric):
+    * θ = cov/var(x) — the adjustment coefficient — and the variance
+    * reduction ratio corr², both as the same fixed IEEE expression text
+    * on either engine; degenerate variances yield NULL.
+    */
+  val cupedSql: Seq[(String, String)] = {
+    val (n, sx, sy, sxy, sxx, syy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
+    val varY = s"($syy / $n - ($sy / $n) * ($sy / $n))"
+    val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
+    Seq(
+      "theta" -> s"CASE WHEN $varX = 0 THEN NULL ELSE $covar / $varX END",
+      "var_reduction" ->
+        s"""CASE WHEN $varX * $varY = 0 THEN NULL
+            ELSE ($covar / sqrt($varX * $varY)) * ($covar / sqrt($varX * $varY)) END""")
+  }
+
   /** Ordinary-least-squares line fit from the same exact integer
     * sufficient statistics as [[momentStatsSql]] (column names fixed:
     * `n, sx, sy, sxy, sxx, syy`): slope = cov/var(x), intercept =

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Relational, Tables}
+
+/** Round-3 continuation: Pareto concentration, growth accounting, CUPED
+  * readout — brute-force recomputation on sf0.001.
+  */
+class GrowthOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("paretoParts cumulative shares at the canonical ranks") {
+    val got = Relational.paretoParts(Tables.lineitem(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("rank") ->
+        (r.getAs[Long]("l_partkey"), r.getAs[Long]("cents"), r.getAs[Long]("cum_cents"),
+          r.getAs[Double]("cum_share")))
+      .toMap
+    val revenue = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("c")))
+      .groupBy(_._1).map { case (p, rs) => (p, rs.map(_._2).sum) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }
+    val total = revenue.map(_._2).sum
+    val expectedRanks = Seq(1, 5, 10, 20, 50, 100).filter(_ <= revenue.length)
+    assert(got.keySet == expectedRanks.map(_.toLong).toSet)
+    for (k <- expectedRanks) {
+      val cum = revenue.take(k).map(_._2).sum
+      val (p, c, gc, share) = got(k.toLong)
+      assert(p == revenue(k - 1)._1 && c == revenue(k - 1)._2, k)
+      assert(gc == cum, k)
+      assert(share == cum.toDouble / total, k)
+    }
+    // concentration is real: top-20 holds a strictly larger share than 20/N
+    val n = revenue.length
+    if (n > 100) assert(got(20L)._4 > 20.0 / n)
+  }
+
+  test("growthAccounting classifies weekly actives and churn exactly") {
+    val got = Analytics.growthAccounting(Tables.events(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+      .toMap
+    val activity = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("w"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("w")))
+      .distinct
+    val byWeek = activity.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._1).toSet }
+    val firstOf = activity.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val weeks = byWeek.keySet ++ byWeek.keySet.map(_ + 1)
+    for (w <- weeks) {
+      val cur = byWeek.getOrElse(w, Set.empty)
+      val prev = byWeek.getOrElse(w - 1, Set.empty)
+      val nNew = cur.count(firstOf(_) == w).toLong
+      val nRet = (cur intersect prev).size.toLong
+      val nRes = cur.count(u => !prev(u) && firstOf(u) < w).toLong
+      val nChu = (prev diff cur).size.toLong
+      if (cur.nonEmpty || prev.nonEmpty) {
+        assert(got(w) == ((nNew, nRet, nRes, nChu)), w)
+      }
+    }
+    assert(got.values.exists(_._2 > 0L), "retention should occur")
+    assert(got.values.exists(_._4 > 0L), "churn should occur")
+  }
+
+  test("cupedReport theta and variance reduction from exact sufficient stats") {
+    val row = Analytics.cupedReport(Tables.events(spark, sfDir)).collect().head
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("w"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("w"), r.getAs[Long]("c")))
+    val w0 = rows.map(_._2).min
+    val perUser = rows.groupBy(_._1).map { case (_, rs) =>
+      (rs.filter(r => r._2 - w0 <= 1).map(_._3).sum,
+        rs.filter(r => r._2 - w0 >= 3 && r._2 - w0 <= 4).map(_._3).sum)
+    }.toSeq
+    val n = perUser.length.toDouble
+    val (sx, sy) = (perUser.map(_._1).sum.toDouble, perUser.map(_._2).sum.toDouble)
+    val sxy = perUser.map(p => p._1 * p._2).sum.toDouble
+    val sxx = perUser.map(p => p._1 * p._1).sum.toDouble
+    val syy = perUser.map(p => p._2 * p._2).sum.toDouble
+    val (vx, vy) = (sxx / n - (sx / n) * (sx / n), syy / n - (sy / n) * (sy / n))
+    val cov = sxy / n - (sx / n) * (sy / n)
+    assert(row.getAs[Long]("n_users") == perUser.length.toLong)
+    assert(math.abs(row.getAs[Double]("theta") - cov / vx) < 1e-9)
+    val corr = cov / math.sqrt(vx * vy)
+    assert(math.abs(row.getAs[Double]("corr_xy") - corr) < 1e-9)
+    assert(math.abs(row.getAs[Double]("var_reduction") - corr * corr) < 1e-9)
+    assert(row.getAs[Double]("var_reduction") >= 0.0 &&
+      row.getAs[Double]("var_reduction") < 1.0)
+  }
+}
