@@ -551,6 +551,12 @@ object SparkEntry {
       Relational.tableDiff(Tables.orders(s, dir)).orderBy("n_same")),
     "q_pareto" -> ((s, dir) =>
       Relational.paretoParts(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_filter_funnel" -> ((s, dir) =>
+      TextAnalysis.filterFunnel(Tables.documents(s, dir)).orderBy("n_docs")),
+    "q_dedup_sweep" -> ((s, dir) =>
+      Dedup.dedupThresholdSweep(Tables.documents(s, dir)).orderBy("n_candidates")),
+    "q_winsor_mean" -> ((s, dir) =>
+      Analytics.winsorizedMean(Tables.events(s, dir)).orderBy("event_type")),
     "q_growth_accounting" -> ((s, dir) =>
       Analytics.growthAccounting(Tables.events(s, dir)).orderBy("week")),
     "q_cuped" -> ((s, dir) =>
@@ -3072,6 +3078,66 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
          ORDER BY event_id""",
+    "q_filter_funnel" ->
+      """SELECT count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+                CAST(sum(CASE WHEN n_chars >= 100
+                  AND len(string_split_regex(trim(text), '\s+')) >= 20
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
+                CAST(sum(CASE WHEN n_chars >= 100
+                  AND len(string_split_regex(trim(text), '\s+')) >= 20
+                  AND len(list_distinct(string_split_regex(trim(text), '\s+'))) * 10
+                      >= len(string_split_regex(trim(text), '\s+')) * 3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pass_diversity,
+                CAST(sum(CASE WHEN n_chars >= 100
+                  AND len(string_split_regex(trim(text), '\s+')) >= 20
+                  AND len(list_distinct(string_split_regex(trim(text), '\s+'))) * 10
+                      >= len(string_split_regex(trim(text), '\s+')) * 3
+                  AND lang IN ('en', 'es', 'de', 'fr')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+                CAST(sum(CASE WHEN n_chars >= 100
+                  AND len(string_split_regex(trim(text), '\s+')) >= 20
+                  AND len(list_distinct(string_split_regex(trim(text), '\s+'))) * 10
+                      >= len(string_split_regex(trim(text), '\s+')) * 3
+                  AND lang IN ('en', 'es', 'de', 'fr')
+                  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS final_yield
+         FROM documents""",
+    "q_dedup_sweep" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         sj AS (SELECT CAST(len(list_filter(generate_series(1,32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS ej
+                FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         SELECT count(*) AS n_candidates,
+                CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS ge_050,
+                CAST(sum(CASE WHEN ej >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS ge_060,
+                CAST(sum(CASE WHEN ej >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS ge_070,
+                CAST(sum(CASE WHEN ej >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ge_080,
+                CAST(sum(CASE WHEN ej >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_090
+         FROM sj""",
+    "q_winsor_mean" ->
+      s"""WITH b AS (SELECT event_type, ${Stages.centsSql("value")} AS cents FROM events),
+         f AS (SELECT event_type,
+                      CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+                      CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+               FROM b GROUP BY 1)
+         SELECT event_type, count(*) AS n, max(lo) AS lo_cents, max(hi) AS hi_cents,
+                CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT) AS winsor_cents,
+                CAST(sum(cents) AS BIGINT) AS raw_cents,
+                CAST(sum(greatest(lo, least(hi, cents))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS winsor_mean
+         FROM b JOIN f USING (event_type)
+         GROUP BY event_type ORDER BY event_type""",
     "q_pareto" ->
       s"""WITH r0 AS (SELECT l_partkey, CAST(sum(${Stages.centsSql("l_extendedprice")}) AS BIGINT) AS cents
                FROM lineitem GROUP BY 1),

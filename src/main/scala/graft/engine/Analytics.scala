@@ -1041,6 +1041,36 @@ object Analytics {
         sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
   }
 
+  /** Winsorized mean per event type with INTEGER fences: the p05/p95
+    * interpolated percentiles round to whole cents (stated — the exact
+    * double fences would force an order-dependent cross-row double sum),
+    * values clamp to the integer fences, and the clamped accumulation is
+    * a BIGINT sum with one closing division. Fences broadcast back onto
+    * the corpus (|types| rows).
+    */
+  def winsorizedMean(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_type"), expr(Stages.centsSql("value")).as("cents"))
+    val fences = base
+      .groupBy(col("event_type"))
+      .agg(
+        expr("CAST(round(percentile(cents, 0.05)) AS BIGINT)").as("lo"),
+        expr("CAST(round(percentile(cents, 0.95)) AS BIGINT)").as("hi"))
+    base
+      .join(broadcast(fences), Seq("event_type"))
+      .withColumn("clamped", expr("greatest(lo, least(hi, cents))"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("lo")).as("lo_cents"),
+        max(col("hi")).as("hi_cents"),
+        sum(col("clamped")).as("winsor_cents"),
+        sum(col("cents")).as("raw_cents"))
+      .withColumn(
+        "winsor_mean",
+        expr("CAST(winsor_cents AS DOUBLE) / CAST(n AS DOUBLE)"))
+  }
+
   /** Growth accounting — the MAU rollforward every growth team reads:
     * each week's actives classify as new (first week ever), retained
     * (also active the week before) or resurrected (returning after a

@@ -124,6 +124,23 @@ object Dedup {
         sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
   }
 
+  /** Dedup threshold sweep — how aggressive each similarity cutoff
+    * would be: the LSH candidate pairs (band-sharing only, the same
+    * recall envelope the production dedup uses) bucket by estimated
+    * Jaccard and report survivor counts per canonical threshold.
+    * One pass over the candidate-pair table; the thresholds are
+    * conditional sums, not five filter jobs.
+    */
+  def dedupThresholdSweep(documents: DataFrame): DataFrame =
+    minhashNearDups(documents, minEstJaccard = 0.0)
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("ge_050"),
+        sum(when(col("est_jaccard") >= 0.6, 1L).otherwise(0L)).as("ge_060"),
+        sum(when(col("est_jaccard") >= 0.7, 1L).otherwise(0L)).as("ge_070"),
+        sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("ge_080"),
+        sum(when(col("est_jaccard") >= 0.9, 1L).otherwise(0L)).as("ge_090"))
+
   /** SimHash (64-bit): per token-hash bit, vote +1/-1; the sign of each
     * bit's vote total forms the signature bit. Computed map-side in one
     * pass by the native [[graft.functions.SimHash64]] expression — no

@@ -755,6 +755,31 @@ object TextAnalysis {
                          / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) END""")
           .as("simpson"))
 
+  /** Curation filter funnel — the yield report for a stacked quality
+    * gate: how many documents survive each successive rule (length,
+    * token count, lexical diversity, language allowlist). Cumulative
+    * pass counts fold into ONE aggregate over one scan (each stage is a
+    * conjunction of the previous), so the funnel costs the same as a
+    * single filter. Rates divide once per stage.
+    */
+  def filterFunnel(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val r1 = col("n_chars") >= 100L
+    val r2 = size(toks) >= 20
+    val r3 = expr("size(array_distinct(split(trim(text), '\\\\s+'))) * 10 >= size(split(trim(text), '\\\\s+')) * 3")
+    val r4 = col("lang").isin("en", "es", "de", "fr")
+    documents
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(r1, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(r1 && r2, 1L).otherwise(0L)).as("pass_tokens"),
+        sum(when(r1 && r2 && r3, 1L).otherwise(0L)).as("pass_diversity"),
+        sum(when(r1 && r2 && r3 && r4, 1L).otherwise(0L)).as("pass_lang"))
+      .withColumn(
+        "final_yield",
+        expr("CAST(pass_lang AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+  }
+
   /** Batch-over-batch vocabulary drift: documents group into ingestion
     * batches (doc_id ranges — the fixture carries no ingest time), and
     * consecutive batches compare token SETS by Jaccard. Set sizes and
