@@ -553,6 +553,12 @@ object SparkEntry {
       Relational.paretoParts(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_filter_funnel" -> ((s, dir) =>
       TextAnalysis.filterFunnel(Tables.documents(s, dir)).orderBy("n_docs")),
+    "q_interval_union" -> ((s, dir) =>
+      Analytics.intervalUnion(Tables.events(s, dir)).orderBy("user_id")),
+    "q_concurrency" -> ((s, dir) =>
+      Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
+    "q_peaks" -> ((s, dir) =>
+      Analytics.localPeaks(Tables.events(s, dir)).orderBy("hour")),
     "q_dedup_sweep" -> ((s, dir) =>
       Dedup.dedupThresholdSweep(Tables.documents(s, dir)).orderBy("n_candidates")),
     "q_winsor_mean" -> ((s, dir) =>
@@ -3078,6 +3084,63 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
          ORDER BY event_id""",
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 900 AS end_sec
+               FROM events),
+         m AS (SELECT user_id, event_id, start_sec, end_sec,
+                      max(end_sec) OVER (PARTITION BY user_id
+                        ORDER BY start_sec ASC, end_sec ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM iv),
+         fl AS (SELECT user_id, start_sec, end_sec,
+                       CASE WHEN prev_max IS NULL OR start_sec > prev_max THEN 1 ELSE 0 END
+                         AS new_island, event_id
+                FROM m),
+         isl AS (SELECT user_id, start_sec, end_sec,
+                        CAST(sum(new_island) OVER (PARTITION BY user_id
+                          ORDER BY start_sec ASC, end_sec ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                          AS island
+                 FROM fl),
+         g AS (SELECT user_id, island, min(start_sec) AS s, max(end_sec) AS e
+               FROM isl GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_islands,
+                CAST(sum(e - s) AS BIGINT) AS covered_sec,
+                max(e - s) AS longest_sec
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_concurrency" ->
+      """WITH e AS (SELECT event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+                    FROM events),
+         pts AS (SELECT event_id, ts_sec // 86400 AS day, ts_sec - 900 AS t,
+                        CAST(1 AS BIGINT) AS delta
+                 FROM e
+                 UNION ALL
+                 SELECT event_id, ts_sec // 86400 AS day, ts_sec + 900 AS t,
+                        CAST(-1 AS BIGINT) AS delta
+                 FROM e),
+         r AS (SELECT day,
+                      CAST(sum(delta) OVER (PARTITION BY day
+                        ORDER BY t ASC, delta ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS running
+               FROM pts)
+         SELECT day, max(running) AS peak_concurrency, count(*) AS n_points
+         FROM r GROUP BY day ORDER BY day""",
+    "q_peaks" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+         l AS (SELECT hour, cnt,
+                      lag(cnt, 1) OVER o AS p1, lag(cnt, 2) OVER o AS p2,
+                      lead(cnt, 1) OVER o AS n1, lead(cnt, 2) OVER o AS n2
+               FROM h WINDOW o AS (ORDER BY hour))
+         SELECT hour, cnt, p1, n1 FROM l
+         WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+           AND cnt > p1 AND cnt > p2 AND cnt > n1 AND cnt > n2
+         ORDER BY hour""",
     "q_filter_funnel" ->
       """SELECT count(*) AS n_docs,
                 CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,

@@ -1041,6 +1041,93 @@ object Analytics {
         sum(expr("p_cents * 1000 div k")).as("attributed_milli"))
   }
 
+  /** Interval-union coverage per user: each event projects a ±15 min
+    * activity interval; overlaps merge via the gaps-and-islands pattern
+    * (island starts where the interval begins after the running max of
+    * prior ends — one per-user window), and the report sums covered
+    * seconds and island counts. All integer seconds; per-user windows
+    * shuffle once on user_id.
+    */
+  def intervalUnion(events: DataFrame, halfWidthSec: Long = 900L): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("start_sec").asc, col("end_sec").asc, col("event_id").asc)
+    val prevMaxEnd = max(col("end_sec"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = events
+      .select(
+        col("user_id"), col("event_id"),
+        (expr("CAST(ts AS LONG)") - halfWidthSec).as("start_sec"),
+        (expr("CAST(ts AS LONG)") + halfWidthSec).as("end_sec"))
+      .withColumn(
+        "new_island",
+        when(prevMaxEnd.isNull || col("start_sec") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn(
+        "island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start_sec")).as("s"), max(col("end_sec")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_sec"),
+        max(col("e") - col("s")).as("longest_sec"))
+  }
+
+  /** Peak concurrency per day by sweep line: every ±15 min activity
+    * interval contributes a +1/−1 point, and the running sum inside
+    * each DAY partition (intervals are clipped to their start day —
+    * stated; at corpus scale a finer partition key bounds the sweep the
+    * same way) peaks at the day's max concurrent sessions. Ordering is
+    * total: (time, delta, event_id) with −1 before +1 at a tie, so
+    * back-to-back intervals don't double-count.
+    */
+  def peakConcurrency(events: DataFrame, halfWidthSec: Long = 900L): DataFrame = {
+    val pts = events
+      .select(col("event_id"), expr("CAST(ts AS LONG)").as("ts_sec"))
+      .select(
+        col("event_id"),
+        expr("ts_sec div 86400").as("day"),
+        explode(array(
+          struct((col("ts_sec") - halfWidthSec).as("t"), lit(1L).as("delta")),
+          struct((col("ts_sec") + halfWidthSec).as("t"), lit(-1L).as("delta"))))
+          .as("p"))
+      .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"), col("event_id"))
+    val w = Window
+      .partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts
+      .withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("peak_concurrency"), count(lit(1)).as("n_points"))
+  }
+
+  /** Local maxima of the hourly series: hours strictly above both
+    * neighbors on each side (lag/lead over the pre-aggregated series).
+    * Series edges cannot be peaks — missing neighbors compare as
+    * failures, stated in-plan via coalesce to MAX_LONG sentinels being
+    * avoided: NULL neighbor ⇒ not a peak.
+    */
+  def localPeaks(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("hour"))
+    hourly
+      .withColumn("p1", lag(col("cnt"), 1).over(w))
+      .withColumn("p2", lag(col("cnt"), 2).over(w))
+      .withColumn("n1", lead(col("cnt"), 1).over(w))
+      .withColumn("n2", lead(col("cnt"), 2).over(w))
+      .filter(
+        col("p1").isNotNull && col("p2").isNotNull &&
+          col("n1").isNotNull && col("n2").isNotNull &&
+          col("cnt") > col("p1") && col("cnt") > col("p2") &&
+          col("cnt") > col("n1") && col("cnt") > col("n2"))
+      .select(col("hour"), col("cnt"), col("p1"), col("n1"))
+  }
+
   /** Winsorized mean per event type with INTEGER fences: the p05/p95
     * interpolated percentiles round to whole cents (stated — the exact
     * double fences would force an order-dependent cross-row double sum),
