@@ -555,6 +555,12 @@ object SparkEntry {
       TextAnalysis.filterFunnel(Tables.documents(s, dir)).orderBy("n_docs")),
     "q_interval_union" -> ((s, dir) =>
       Analytics.intervalUnion(Tables.events(s, dir)).orderBy("user_id")),
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.embeddings(s, dir)).orderBy("label", "rank")),
+    "q_lifecycle" -> ((s, dir) =>
+      Relational.lifecycleStages(Tables.events(s, dir)).orderBy("stage")),
+    "q_dedup_agreement" -> ((s, dir) =>
+      Dedup.dedupAgreement(Tables.documents(s, dir)).orderBy("n_pairs")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -609,6 +615,31 @@ object SparkEntry {
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), " +
       "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+
+  /** DuckDB MinHash-LSH near-dup pair pipeline (the q_dedup_minhash
+    * chain, shared with q_dedup_agreement): emits (doc_a, doc_b,
+    * est_jaccard) for banded candidates at est ≥ 0.5.
+    */
+  private lazy val duckMinhashPairsSql: String =
+    s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+       h AS (SELECT doc_id,
+               list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+               list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+             FROM g),
+       sig AS (SELECT doc_id,
+               list_transform(generate_series(0,31), j ->
+                 list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+               FROM h),
+       bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+       keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+              FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b,
+              CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 AS est_jaccard
+       FROM sj
+       WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5"""
 
   /** DuckDB SimHash near-dup pipeline, generated: 64 per-bit vote
     * aggregates over md5-hashed tokens (with multiplicity = tf weighting),
@@ -3084,6 +3115,60 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.p_user AND e.ts <= p.p_ts
          ORDER BY event_id""",
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, unnest(generate_series(1, 64)) AS dim, embedding
+                    FROM embeddings),
+         m AS (SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+                      CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000) AS BIGINT) AS milli
+               FROM e),
+         c AS (SELECT label, dim,
+                      CAST(round(CAST(CAST(sum(milli) AS BIGINT) AS DOUBLE)
+                                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+               FROM m GROUP BY 1, 2),
+         d AS (SELECT m.label, m.vec_id,
+                      CAST(sum((m.milli - c.c) * (m.milli - c.c)) AS BIGINT) AS dist2
+               FROM m JOIN c ON m.label = c.label AND m.dim = c.dim
+               GROUP BY 1, 2),
+         r AS (SELECT label, vec_id, dist2,
+                      CAST(row_number() OVER (PARTITION BY label
+                        ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rank
+               FROM d)
+         SELECT label, rank, vec_id, dist2 FROM r WHERE rank <= 3
+         ORDER BY label, rank""",
+    "q_lifecycle" ->
+      """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec
+                    FROM events),
+         a AS (SELECT max(ts_sec) AS now_sec FROM b),
+         pu AS (SELECT user_id, count(*) AS freq,
+                       (max(now_sec) - max(ts_sec)) // 86400 AS recency_days
+                FROM b CROSS JOIN a GROUP BY 1),
+         md AS (SELECT quantile_cont(recency_days, 0.5) AS med_r,
+                       quantile_cont(freq, 0.5) AS med_f
+                FROM pu)
+         SELECT CASE
+                  WHEN recency_days <= med_r AND freq >= med_f THEN 'core'
+                  WHEN recency_days <= med_r THEN 'casual'
+                  WHEN freq >= med_f THEN 'lapsing'
+                  ELSE 'dormant'
+                END AS stage, count(*) AS n_users
+         FROM pu CROSS JOIN md GROUP BY 1 ORDER BY stage""",
+    "q_dedup_agreement" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($duckMinhashPairsSql)),
+         sh AS (SELECT doc_a, doc_b FROM (${duckSimhashSql(3)})),
+         j AS (SELECT coalesce(mh.doc_a, sh.doc_a) AS doc_a,
+                      coalesce(mh.doc_b, sh.doc_b) AS doc_b,
+                      CASE WHEN mh.doc_a IS NOT NULL THEN 1 END AS in_mh,
+                      CASE WHEN sh.doc_a IS NOT NULL THEN 1 END AS in_sh
+               FROM mh FULL OUTER JOIN sh
+                 ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b)
+         SELECT count(*) AS n_pairs,
+                CAST(sum(CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                CAST(sum(CASE WHEN in_sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_minhash_only,
+                CAST(sum(CASE WHEN in_mh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_simhash_only
+         FROM j""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

@@ -1039,6 +1039,37 @@ object Relational {
     * synthesized nullable column (`event_id % 7`), mirrored verbatim in
     * the oracle. Time math is integer epoch seconds (engine-portable).
     */
+  /** Lifecycle-stage census: users quadrant by recency vs frequency
+    * against the corpus medians (exact interpolated percentiles over the
+    * per-user table, broadcast back as two scalars). Core = recent and
+    * frequent; casual = recent only; lapsing = frequent only; dormant =
+    * neither. |stages| output rows; two aggregates and a broadcast.
+    */
+  def lifecycleStages(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), expr("CAST(ts AS LONG)").as("ts_sec"))
+    val anchor = base.agg(max(col("ts_sec")).as("now_sec"))
+    val perUser = base
+      .crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("freq"),
+        expr("(max(now_sec) - max(ts_sec)) div 86400").as("recency_days"))
+    val medians = perUser.agg(
+      expr("percentile(recency_days, 0.5)").as("med_r"),
+      expr("percentile(freq, 0.5)").as("med_f"))
+    perUser
+      .crossJoin(broadcast(medians))
+      .select(
+        expr("""CASE
+                  WHEN recency_days <= med_r AND freq >= med_f THEN 'core'
+                  WHEN recency_days <= med_r THEN 'casual'
+                  WHEN freq >= med_f THEN 'lapsing'
+                  ELSE 'dormant'
+                END""").as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Pareto concentration of part revenue: cumulative share captured by
     * the top-1/5/10/20/50/100 parts. The global ordering comes from
     * [[scalableGlobalRank]] (descending revenue); the cumulative window

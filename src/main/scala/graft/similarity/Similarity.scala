@@ -597,6 +597,41 @@ object Similarity {
         "centroid_milli",
         expr("CAST(milli_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE)"))
 
+  /** Farthest-from-centroid outliers per label: the centroid quantizes
+    * to integer millis (same convention as [[labelCentroids]] — a raw
+    * double centroid would make the distance accumulation order-
+    * dependent), per-vector squared distance is then a pure BIGINT sum
+    * over dims, and a per-label window keeps the top-k. The mislabeled-
+    * embedding screen of an ingest pipeline.
+    */
+  def embedOutliers(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val exploded = embeddings
+      .select(
+        col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(
+        col("vec_id"), col("label"),
+        (col("dim0") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("milli"))
+    val centroids = exploded
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("milli")).as("ms"))
+      .select(
+        col("label"), col("dim"),
+        expr("CAST(round(CAST(ms AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)").as("c"))
+    val dist = exploded
+      .join(broadcast(centroids), Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("milli") - col("c")) * (col("milli") - col("c"))).as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+    dist
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist2"))
+  }
+
   /** Per-label embedding-norm profile — the drift/health check an
     * embedding pipeline runs on ingest: each vector's L2 norm is a
     * per-row sqrt over the same dot-product kernel the ANN ops use

@@ -141,6 +141,28 @@ object Dedup {
         sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("ge_080"),
         sum(when(col("est_jaccard") >= 0.9, 1L).otherwise(0L)).as("ge_090"))
 
+  /** Method-agreement report between the two near-dup detectors: pairs
+    * found by MinHash-LSH (est. Jaccard ≥ 0.5), by SimHash (hamming ≤
+    * 3), or by both — the calibration readout that says whether the
+    * cheap detector can replace the expensive one on this corpus. One
+    * full outer join of the two pair tables on the pair key.
+    */
+  def dedupAgreement(documents: DataFrame): DataFrame = {
+    val mh = minhashNearDups(documents)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("in_mh", lit(1L))
+    val sh = simhashNearDups(documents, 3)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("in_sh", lit(1L))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("in_sh").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+        sum(when(col("in_mh").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+  }
+
   /** SimHash (64-bit): per token-hash bit, vote +1/-1; the sign of each
     * bit's vote total forms the signature bit. Computed map-side in one
     * pass by the native [[graft.functions.SimHash64]] expression — no
