@@ -561,6 +561,12 @@ object SparkEntry {
       Relational.lifecycleStages(Tables.events(s, dir)).orderBy("stage")),
     "q_dedup_agreement" -> ((s, dir) =>
       Dedup.dedupAgreement(Tables.documents(s, dir)).orderBy("n_pairs")),
+    "q_mannwhitney" -> ((s, dir) =>
+      Analytics.mannWhitney(Tables.events(s, dir), "purchase", "click").orderBy("na")),
+    "q_cms" -> ((s, dir) =>
+      TextAnalysis.cmsAccuracy(Tables.documents(s, dir)).orderBy("rank")),
+    "q_rrf" -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.embeddings(s, dir)).orderBy("qid", "rank")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3169,6 +3175,55 @@ object SparkEntry {
                 CAST(sum(CASE WHEN in_mh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_simhash_only
          FROM j""",
+    "q_mannwhitney" ->
+      """WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+         r AS (SELECT a, a + b AS t,
+                      CAST(coalesce(sum(a + b) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+               FROM g),
+         s AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                      CAST(sum(t - a) AS BIGINT) AS nb,
+                      CAST(sum(a * (2 * c + t + 1)) AS BIGINT) AS two_ra,
+                      CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+               FROM r),
+         u AS (SELECT na, nb, two_ra - na * (na + 1) AS two_u_a, tie3 FROM s)
+         SELECT na, nb, two_u_a,
+                CAST(two_u_a - na * nb AS DOUBLE) /
+                (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
+                            (CAST(na + nb + 1 AS DOUBLE) -
+                             CAST(tie3 AS DOUBLE) /
+                             (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))) AS z
+         FROM u ORDER BY na""",
+    "q_cms" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM t GROUP BY 1),
+         k AS (SELECT tok, true_cnt, unnest(generate_series(0, 3)) AS j FROM cnt),
+         kb AS (SELECT tok, true_cnt, j,
+                  CAST(CAST(concat('0x', substring(md5(tok), j * 8 + 1, 8)) AS UBIGINT) AS BIGINT) % 512 AS bucket
+                FROM k),
+         c AS (SELECT j, bucket, CAST(sum(true_cnt) AS BIGINT) AS counter FROM kb GROUP BY 1, 2),
+         e AS (SELECT kb.tok, max(kb.true_cnt) AS true_cnt, min(c.counter) AS cms_est
+               FROM kb JOIN c ON kb.j = c.j AND kb.bucket = c.bucket GROUP BY 1),
+         r AS (SELECT tok, true_cnt, cms_est,
+                 CAST(row_number() OVER (ORDER BY true_cnt DESC, tok ASC) AS BIGINT) AS rank
+               FROM e)
+         SELECT rank, tok, true_cnt, cms_est, cms_est - true_cnt AS err
+         FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q_rrf" ->
+      s"""WITH ex AS (SELECT qid, nid, rank AS r_exact FROM (${duckCosineTopKSql(10, 5)})),
+         iv AS (SELECT qid, nid, rank AS r_ivf FROM (${duckAnnIvfSql(10, 5, 8)})),
+         f AS (SELECT coalesce(ex.qid, iv.qid) AS qid, coalesce(ex.nid, iv.nid) AS nid,
+                      coalesce(1.0 / (60 + CAST(r_exact AS DOUBLE)), 0.0) +
+                      coalesce(1.0 / (60 + CAST(r_ivf AS DOUBLE)), 0.0) AS rrf
+               FROM ex FULL OUTER JOIN iv ON ex.qid = iv.qid AND ex.nid = iv.nid),
+         ranked AS (SELECT qid, nid, rrf,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY rrf DESC, nid ASC) AS BIGINT) AS rank
+                    FROM f)
+         SELECT qid, rank, nid, rrf FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

@@ -2033,4 +2033,54 @@ object Analytics {
         (col("cum_cents").cast("double") / col("total_cents").cast("double"))
           .as("cum_share"))
   }
+
+  /** Exact Mann–Whitney U rank-sum test (tie-corrected normal
+    * approximation) between the value distributions of two event types —
+    * the nonparametric sibling of the CUPED/SRM battery. Computed on the
+    * (value-cents → per-type count) grid in pure integer arithmetic:
+    * with C(x) = merged count strictly below x and t(x) = tie-group size,
+    * the tie-averaged rank satisfies 2·rank(x) = 2·C(x) + t(x) + 1, so
+    * twice the A rank-sum — and twice U_A — stay BIGINT-exact. The only
+    * floating point is the final z, one division over one sqrt on
+    * integer-derived doubles (identical expression text in the oracle).
+    * Grid size is bounded by the value DOMAIN (distinct cents), not the
+    * row count — the same scaling argument as
+    * [[graft.text.TextAnalysis.ksTest]]; the single-partition cumulative
+    * window runs over that bounded grid, never the raw rows.
+    */
+  def mannWhitney(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val grid = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr(Stages.centsSql("value")).as("x"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid.select(
+      col("a"),
+      (col("a") + col("b")).as("t"),
+      coalesce(sum(col("a") + col("b")).over(below), lit(0L)).as("c"))
+    ranked
+      .agg(
+        sum(col("a")).as("na"),
+        sum(col("t") - col("a")).as("nb"),
+        sum(col("a") * (lit(2L) * col("c") + col("t") + lit(1L))).as("two_ra"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .select(
+        col("na"), col("nb"),
+        (col("two_ra") - col("na") * (col("na") + lit(1L))).as("two_u_a"),
+        col("tie3"))
+      .select(
+        col("na"), col("nb"), col("two_u_a"),
+        expr("""CAST(two_u_a - na * nb AS DOUBLE) /
+                (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
+                            (CAST(na + nb + 1 AS DOUBLE) -
+                             CAST(tie3 AS DOUBLE) /
+                             (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))""")
+          .as("z"))
+  }
 }

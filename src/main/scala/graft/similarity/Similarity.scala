@@ -712,4 +712,38 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         sum(expr("CAST(round(cos_sim * 1000) AS BIGINT)")).as("sim_milli_sum"))
   }
+
+  /** Reciprocal-rank fusion of two retrieval rankings — exact cosine
+    * top-k ([[cosineTopK]]) and IVF top-k ([[ivfTopK]]):
+    * score(d) = Σ_lists 1 / (c + rank_d), the standard hybrid-search
+    * combiner. Each summand is a single IEEE division and the per-doc
+    * sum has at most two terms (2-term addition is order-exact), so the
+    * fused score is bit-identical across engines. The fusion itself is
+    * a full outer join of two k-rows-per-query tables — negligible next
+    * to the retrieval stages that feed it, at any corpus size.
+    */
+  def rrfFusion(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      c: Int = 60,
+      topN: Int = 5): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("qid"), col("nid"), col("rank").as("r_exact"))
+    val ivf = ivfTopK(embeddings, numQueries, k)
+      .select(col("qid"), col("nid"), col("rank").as("r_ivf"))
+    val fused = exact
+      .join(ivf, Seq("qid", "nid"), "full_outer")
+      .withColumn(
+        "rrf",
+        expr(s"""coalesce(1.0 / ($c + CAST(r_exact AS DOUBLE)), 0.0) +
+                 coalesce(1.0 / ($c + CAST(r_ivf AS DOUBLE)), 0.0)"""))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("nid"), col("rrf"))
+  }
 }

@@ -949,4 +949,40 @@ object TextAnalysis {
         expr("""206.835
                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"""))
+
+  /** Count-min sketch accuracy report: a d=4 × w=`width` sketch of the
+    * corpus token counts — row hashes are the four disjoint 8-hex-char
+    * slices of md5(token) mod `width` (the digest-slicing family MinHash
+    * already uses, so any engine reproduces the bucketing) — point-
+    * queried for the `topN` most frequent tokens against their exact
+    * counts. The sketch build is one map-side-combinable aggregate down
+    * to d·w counters regardless of corpus size, and the point query joins
+    * the broadcast d·w counter table — the shape that survives 100 TB
+    * (the exact counts here are the verification harness; a production
+    * sketch would skip them). CMS never undercounts, so `err ≥ 0`
+    * measures collision inflation at this width.
+    */
+  def cmsAccuracy(documents: DataFrame, width: Int = 512, topN: Int = 20): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val keyed = counts
+      .select(col("tok"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn(
+        "bucket",
+        expr(s"CAST(conv(substring(md5(tok), j * 8 + 1, 8), 16, 10) AS BIGINT) % $width"))
+    val counters = keyed
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_cnt")).as("counter"))
+    val est = keyed
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("tok"))
+      .agg(max(col("true_cnt")).as("true_cnt"), min(col("counter")).as("cms_est"))
+    graft.engine.Relational
+      .rankedTopK(est, topN, col("true_cnt").desc, col("tok").asc)
+      .select(
+        col("rank"), col("tok"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("err"))
+  }
 }
