@@ -567,6 +567,12 @@ object SparkEntry {
       TextAnalysis.cmsAccuracy(Tables.documents(s, dir)).orderBy("rank")),
     "q_rrf" -> ((s, dir) =>
       Similarity.rrfFusion(Tables.embeddings(s, dir)).orderBy("qid", "rank")),
+    "q_zone_map" -> ((s, dir) =>
+      Relational.zoneMapSkipping(Tables.lineitem(s, dir)).orderBy("layout")),
+    "q_mann_kendall" -> ((s, dir) =>
+      Analytics.mannKendall(Tables.events(s, dir)).orderBy("n_days")),
+    "q_merge_stats" -> ((s, dir) =>
+      Analytics.mergeStats(Tables.events(s, dir)).orderBy("event_type")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3224,6 +3230,62 @@ object SparkEntry {
                         ORDER BY rrf DESC, nid ASC) AS BIGINT) AS rank
                     FROM f)
          SELECT qid, rank, nid, rrf FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_zone_map" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS d FROM lineitem),
+         mk AS (SELECT max(l_orderkey) AS mk FROM base),
+         nr AS (SELECT count(*) AS nr FROM base),
+         nat AS (SELECT l_orderkey * 64 // (mk + 1) AS zone, d FROM base CROSS JOIN mk),
+         rk AS (SELECT d, row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) AS rank FROM base),
+         clu AS (SELECT (rank - 1) * 64 // nr AS zone, d FROM rk CROSS JOIN nr),
+         zn AS (SELECT 'natural' AS layout, zone, d FROM nat
+                UNION ALL SELECT 'clustered' AS layout, zone, d FROM clu),
+         z AS (SELECT layout, zone, count(*) AS zr, min(d) AS zmin, max(d) AS zmax
+               FROM zn GROUP BY 1, 2)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_zones,
+                CAST(sum(CASE WHEN zmax < DATE '1998-01-01' OR zmin >= DATE '1999-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+                CAST(sum(zr) AS BIGINT) AS rows_total,
+                CAST(sum(CASE WHEN zmax < DATE '1998-01-01' OR zmin >= DATE '1999-01-01'
+                  THEN 0 ELSE zr END) AS BIGINT) AS rows_scanned,
+                CAST(sum(CASE WHEN zmax < DATE '1998-01-01' OR zmin >= DATE '1999-01-01'
+                  THEN 0 ELSE zr END) AS DOUBLE) / CAST(sum(zr) AS DOUBLE) AS scan_frac
+         FROM z GROUP BY 1 ORDER BY layout""",
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+         s AS (SELECT CAST(coalesce(sum(CAST(sign(j.x - i.x) AS BIGINT)), 0) AS BIGINT) AS s_stat
+               FROM daily i JOIN daily j ON i.d < j.d),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x),
+         tt AS (SELECT CAST(sum(1) AS BIGINT) AS n_days,
+                       CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+                FROM t)
+         SELECT n_days, s_stat,
+                CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     ELSE 0.0 END /
+                sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0) AS z
+         FROM s CROSS JOIN tt ORDER BY n_days""",
+    "q_merge_stats" ->
+      """WITH base AS (SELECT event_type, event_id % 2 AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         p AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+               FROM base GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_partials,
+                      CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS sum_cents,
+                      CAST(sum(ss) AS BIGINT) AS sumsq_cents
+               FROM p GROUP BY 1),
+         d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_d,
+                      CAST(sum(c) AS BIGINT) AS s_d, CAST(sum(c * c) AS BIGINT) AS ss_d
+               FROM base GROUP BY 1)
+         SELECT m.event_type, n_partials, n, sum_cents, sumsq_cents,
+                (n = n_d AND sum_cents = s_d AND sumsq_cents = ss_d) AS merge_exact,
+                CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_dollars,
+                sqrt((CAST(sumsq_cents AS DOUBLE) -
+                      CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     CAST(n - 1 AS DOUBLE)) / 100.0 AS stddev_dollars
+         FROM m JOIN d USING (event_type) ORDER BY event_type""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

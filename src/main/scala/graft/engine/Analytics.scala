@@ -2083,4 +2083,73 @@ object Analytics {
                              (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))""")
           .as("z"))
   }
+
+  /** Mann–Kendall monotonic-trend test on the daily-revenue series:
+    * S = Σ_{i<j} sgn(x_j − x_i) over day pairs, tie-corrected variance
+    * Var·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), continuity-corrected z.
+    * The pair join runs on the DAY grid — bounded by the calendar, not
+    * the row count — after a map-side-combined daily rollup; S, n and
+    * the tie term are BIGINT-exact, and z is one division over one sqrt
+    * with the oracle's exact expression text.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("CAST(ts AS DATE)").as("d"), expr(Stages.centsSql("value")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"))
+    val s = daily.as("i")
+      .join(daily.as("j"), col("i.d") < col("j.d"))
+      .agg(coalesce(sum(expr("CAST(sign(j.x - i.x) AS BIGINT)")), lit(0L)).as("s_stat"))
+    val ties = daily
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("t"))
+      .agg(
+        sum(lit(1L)).as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_term"))
+    s.crossJoin(broadcast(ties))
+      .select(
+        col("n_days"), col("s_stat"),
+        expr("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     ELSE 0.0 END /
+                sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)""")
+          .as("z"))
+  }
+
+  /** Two-phase distributed aggregation with an explicit partial-state
+    * merge — the combiner identity that makes count/sum/sumsq mergeable
+    * across executors: partials per (type, event_id-parity half) are
+    * merged by plain sums and checked against the direct one-pass
+    * aggregate in-plan (`merge_exact`). Moments run in integer cents /
+    * cents² (BIGINT-exact, engine-portable); mean and sample stddev are
+    * derived at the end with the oracle's exact expression text.
+    */
+  def mergeStats(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_type"),
+      (col("event_id") % 2).as("h"),
+      expr(Stages.centsSql("value")).as("c"))
+    val merged = base
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_partials"),
+        sum(col("n")).as("n"),
+        sum(col("s")).as("sum_cents"),
+        sum(col("ss")).as("sumsq_cents"))
+    val direct = base
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_d"), sum(col("c")).as("s_d"), sum(col("c") * col("c")).as("ss_d"))
+    merged
+      .join(direct, Seq("event_type"))
+      .select(
+        col("event_type"), col("n_partials"), col("n"), col("sum_cents"), col("sumsq_cents"),
+        (col("n") === col("n_d") && col("sum_cents") === col("s_d") &&
+          col("sumsq_cents") === col("ss_d")).as("merge_exact"),
+        expr("CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0").as("mean_dollars"),
+        expr("""sqrt((CAST(sumsq_cents AS DOUBLE) -
+                      CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     CAST(n - 1 AS DOUBLE)) / 100.0""").as("stddev_dollars"))
+  }
 }

@@ -1516,4 +1516,45 @@ object Relational {
       .withColumn(
         "violation_rate",
         col("n_violations").cast("double") / col("n_rows").cast("double"))
+
+  /** Zone-map (min/max data-skipping) readout comparing two physical
+    * layouts for the same ship-date range predicate: `natural` zones
+    * follow the write order (orderkey ranges — the layout you get for
+    * free) and `clustered` zones follow the filter column (equal-depth
+    * slices of the shipdate-sorted order, via [[scalableGlobalRank]] —
+    * what a sort/Z-order compaction buys). A zone is skippable when its
+    * [min,max] misses the predicate window entirely; `scan_frac` is the
+    * fraction of rows a min/max-pruning scan still reads. Zone stats are
+    * one map-side-combined aggregate per layout — the zone table is
+    * `zones` rows regardless of corpus size.
+    */
+  def zoneMapSkipping(lineitem: DataFrame, zones: Int = 64): DataFrame = {
+    val lo = "DATE'1998-01-01'"
+    val hi = "DATE'1999-01-01'"
+    val base = lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(l_shipdate AS DATE)").as("d"))
+    val maxKey = base.agg(max(col("l_orderkey")).as("mk"))
+    val natural = base
+      .crossJoin(broadcast(maxKey))
+      .select(expr(s"l_orderkey * $zones div (mk + 1)").as("zone"), col("d"))
+    val n = base.agg(count(lit(1)).as("nr"))
+    val clustered = scalableGlobalRank(base, col("d").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .crossJoin(broadcast(n))
+      .select(expr(s"(rank - 1) * $zones div nr").as("zone"), col("d"))
+    def report(df: DataFrame, layout: String): DataFrame =
+      df.groupBy(col("zone"))
+        .agg(count(lit(1)).as("zr"), min(col("d")).as("zmin"), max(col("d")).as("zmax"))
+        .agg(
+          count(lit(1)).as("n_zones"),
+          sum(when(expr(s"zmax < $lo OR zmin >= $hi"), 1L).otherwise(0L)).as("n_pruned"),
+          sum(col("zr")).as("rows_total"),
+          sum(when(expr(s"zmax < $lo OR zmin >= $hi"), 0L).otherwise(col("zr")))
+            .as("rows_scanned"))
+        .select(
+          lit(layout).as("layout"), col("n_zones"), col("n_pruned"),
+          col("rows_total"), col("rows_scanned"),
+          expr("CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)").as("scan_frac"))
+    report(natural, "natural").unionAll(report(clustered, "clustered"))
+  }
 }
