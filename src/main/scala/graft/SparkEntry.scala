@@ -573,6 +573,12 @@ object SparkEntry {
       Analytics.mannKendall(Tables.events(s, dir)).orderBy("n_days")),
     "q_merge_stats" -> ((s, dir) =>
       Analytics.mergeStats(Tables.events(s, dir)).orderBy("event_type")),
+    "q_kendall_tau" -> ((s, dir) =>
+      Analytics.kendallTau(Tables.events(s, dir)).orderBy("n0")),
+    "q_runs_test" -> ((s, dir) =>
+      Analytics.runsTest(Tables.events(s, dir)).orderBy("n1")),
+    "q_hll" -> ((s, dir) =>
+      Analytics.hllDistinct(Tables.events(s, dir)).orderBy("event_type")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -627,6 +633,13 @@ object SparkEntry {
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), " +
       "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+
+  /** HLL rank ladder (shared text with [[graft.engine.Analytics.hllDistinct]]):
+    * position of the first set bit in the 24-bit remainder, 25 when zero.
+    */
+  private lazy val hllRhoLadder: String = (1 to 24)
+    .map(r => s"WHEN rem >= ${1L << (24 - r)} THEN $r")
+    .mkString("CASE ", " ", " ELSE 25 END")
 
   /** DuckDB MinHash-LSH near-dup pair pipeline (the q_dedup_minhash
     * chain, shared with q_dedup_agreement): emits (doc_a, doc_b,
@@ -3286,6 +3299,66 @@ object SparkEntry {
                       CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) /
                      CAST(n - 1 AS DOUBLE)) / 100.0 AS stddev_dollars
          FROM m JOIN d USING (event_type) ORDER BY event_type""",
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+                        CAST(count(DISTINCT user_id) AS BIGINT) AS y
+                 FROM events GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                        CAST(coalesce(sum(CAST(sign(j.x - i.x) AS BIGINT) *
+                                          CAST(sign(j.y - i.y) AS BIGINT)), 0) AS BIGINT) AS s_stat,
+                        CAST(sum(CASE WHEN j.x = i.x THEN 1 ELSE 0 END) AS BIGINT) AS tx_pairs,
+                        CAST(sum(CASE WHEN j.y = i.y THEN 1 ELSE 0 END) AS BIGINT) AS ty_pairs
+                 FROM daily i JOIN daily j ON i.d < j.d)
+         SELECT n0, s_stat, tx_pairs, ty_pairs,
+                CAST(s_stat AS DOUBLE) /
+                sqrt(CAST(n0 - tx_pairs AS DOUBLE) * CAST(n0 - ty_pairs AS DOUBLE)) AS tau_b
+         FROM agg ORDER BY n0""",
+    "q_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+         md AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
+         sgn AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+                 FROM daily CROSS JOIN md WHERE CAST(x AS DOUBLE) <> med),
+         ch AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                                 OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
+                FROM sgn),
+         agg AS (SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                        CAST(sum(chg) AS BIGINT) AS r
+                 FROM ch)
+         SELECT n1, n2, r,
+                (CAST(r AS DOUBLE) -
+                 (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0)) /
+                sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                     (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)) /
+                     (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+                      CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+         FROM agg ORDER BY n1""",
+    "q_hll" ->
+      s"""WITH h AS (SELECT event_type,
+                     CAST(CAST(concat('0x', substring(md5(concat(CAST(user_id AS VARCHAR), '-',
+                       CAST(CAST(ts AS DATE) AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+              FROM events),
+         br AS (SELECT event_type, h >> 24 AS bucket, h & 16777215 AS rem FROM h),
+         rr AS (SELECT event_type, bucket, $hllRhoLadder AS rho FROM br),
+         regs AS (SELECT event_type, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+         sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_used,
+                       CAST(sum(1 << (25 - r)) AS BIGINT) AS s_present
+                FROM regs GROUP BY 1),
+         si AS (SELECT event_type, n_used, s_present + (256 - n_used) * 33554432 AS s_int FROM sk),
+         ex AS (SELECT event_type,
+                       CAST(count(DISTINCT concat(CAST(user_id AS VARCHAR), '-',
+                         CAST(CAST(ts AS DATE) AS VARCHAR))) AS BIGINT) AS n_exact
+                FROM events GROUP BY 1),
+         est AS (SELECT si.event_type, n_used, n_exact,
+                        CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0) *
+                        65536.0 * 33554432.0 / CAST(s_int AS DOUBLE) AS hll_est
+                 FROM si JOIN ex USING (event_type))
+         SELECT event_type, n_used, n_exact, hll_est,
+                (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+         FROM est ORDER BY event_type""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

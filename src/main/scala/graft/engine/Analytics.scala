@@ -2152,4 +2152,119 @@ object Analytics {
                       CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) /
                      CAST(n - 1 AS DOUBLE)) / 100.0""").as("stddev_dollars"))
   }
+
+  /** Kendall τ-b rank correlation between daily revenue and daily active
+    * users — does activity move with money? S = Σ_{i<j} sgn(Δx)·sgn(Δy)
+    * and the tie-pair counts are BIGINT-exact over the DAY-grid pair
+    * join (calendar-bounded, like [[mannKendall]]); τ-b divides by the
+    * tie-adjusted pair counts in one sqrt expression shared verbatim
+    * with the oracle.
+    */
+  def kendallTau(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(
+        expr("CAST(ts AS DATE)").as("d"),
+        expr(Stages.centsSql("value")).as("c"),
+        col("user_id"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"), countDistinct(col("user_id")).as("y"))
+    daily.as("i")
+      .join(daily.as("j"), col("i.d") < col("j.d"))
+      .agg(
+        count(lit(1)).as("n0"),
+        coalesce(
+          sum(expr("CAST(sign(j.x - i.x) AS BIGINT) * CAST(sign(j.y - i.y) AS BIGINT)")),
+          lit(0L)).as("s_stat"),
+        sum(when(col("j.x") === col("i.x"), 1L).otherwise(0L)).as("tx_pairs"),
+        sum(when(col("j.y") === col("i.y"), 1L).otherwise(0L)).as("ty_pairs"))
+      .select(
+        col("n0"), col("s_stat"), col("tx_pairs"), col("ty_pairs"),
+        expr("""CAST(s_stat AS DOUBLE) /
+                sqrt(CAST(n0 - tx_pairs AS DOUBLE) * CAST(n0 - ty_pairs AS DOUBLE))""")
+          .as("tau_b"))
+  }
+
+  /** Wald–Wolfowitz runs test on the daily-revenue series: days strictly
+    * above/below the series median form a ±1 sequence; too few or too
+    * many sign runs rejects randomness. The run count comes from a lag
+    * over the calendar-bounded day grid (never the raw rows), equal-to-
+    * median days are excluded (the standard treatment), and z uses the
+    * exact n1/n2 moment formula — integer inputs, one sqrt, oracle-
+    * identical text.
+    */
+  def runsTest(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("CAST(ts AS DATE)").as("d"), expr(Stages.centsSql("value")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"))
+    val med = daily.agg(expr("percentile(x, 0.5)").as("med"))
+    val signed = daily
+      .crossJoin(broadcast(med))
+      .filter(expr("CAST(x AS DOUBLE) <> med"))
+      .select(col("d"), when(col("x") > col("med"), 1L).otherwise(0L).as("s"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("d"))
+    signed
+      .withColumn(
+        "chg",
+        when(lag(col("s"), 1).over(w).isNull || lag(col("s"), 1).over(w) =!= col("s"), 1L)
+          .otherwise(0L))
+      .agg(
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === 0L, 1L).otherwise(0L)).as("n2"),
+        sum(col("chg")).as("r"))
+      .select(
+        col("n1"), col("n2"), col("r"),
+        expr("""(CAST(r AS DOUBLE) -
+                (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0)) /
+                sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                     (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE)) /
+                     (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+                      CAST(n1 + n2 - 1 AS DOUBLE)))""").as("z"))
+  }
+
+  /** Portable HyperLogLog (b=8, m=256) over the distinct (user, day)
+    * active pairs per event type — the mergeable cardinality sketch in
+    * its true distributed shape: every row hashes map-side (first 32
+    * md5 bits: top 8 = register, next 24 = rank via a generated
+    * comparison ladder), duplicates collapse inside `max(rho)` partial
+    * aggregation — no DISTINCT shuffle anywhere — and the register sum
+    * Σ2^{−ρ} is carried as the INTEGER Σ2^{25−ρ} (every term a dyadic
+    * power, so no float accumulation order to disagree on). The raw-HLL
+    * estimate and its relative error against the exact count are single
+    * oracle-identical double expressions. Production would add linear
+    * counting below 2.5·m; the raw estimator keeps the report exact to
+    * reproduce.
+    */
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val rhoLadder = (1 to 24)
+      .map(r => s"WHEN rem >= ${1L << (24 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 25 END")
+    val key = "concat(CAST(user_id AS STRING), '-', CAST(CAST(ts AS DATE) AS STRING))"
+    val regs = events
+      .select(
+        col("event_type"),
+        expr(s"CAST(conv(substring(md5($key), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"), expr("h >> 24").as("bucket"), expr("h & 16777215").as("rem"))
+      .select(col("event_type"), col("bucket"), expr(rhoLadder).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val sketch = regs
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_used"), sum(expr("1 << (25 - r)")).as("s_present"))
+      .select(
+        col("event_type"), col("n_used"),
+        (col("s_present") + (lit(256L) - col("n_used")) * lit(33554432L)).as("s_int"))
+    val exact = events
+      .select(col("event_type"), expr(key).as("k"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    sketch
+      .join(exact, Seq("event_type"))
+      .select(
+        col("event_type"), col("n_used"), col("n_exact"),
+        expr("""CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0) *
+                65536.0 * 33554432.0 / CAST(s_int AS DOUBLE)""")
+          .as("hll_est"))
+      .withColumn("rel_err", expr("(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)"))
+  }
 }
