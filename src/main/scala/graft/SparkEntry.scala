@@ -579,6 +579,12 @@ object SparkEntry {
       Analytics.runsTest(Tables.events(s, dir)).orderBy("n1")),
     "q_hll" -> ((s, dir) =>
       Analytics.hllDistinct(Tables.events(s, dir)).orderBy("event_type")),
+    "q_changepoint" -> ((s, dir) =>
+      Analytics.changepoint(Tables.events(s, dir)).orderBy("split_day")),
+    "q_theil_sen" -> ((s, dir) =>
+      Analytics.theilSen(Tables.events(s, dir)).orderBy("n_pairs")),
+    "q_k_anonymity" -> ((s, dir) =>
+      Relational.kAnonymity(Tables.events(s, dir)).orderBy("n_groups")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3359,6 +3365,53 @@ object SparkEntry {
          SELECT event_type, n_used, n_exact, hll_est,
                 (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
          FROM est ORDER BY event_type""",
+    "q_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+         pre AS (SELECT d,
+                        CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
+                        CAST(sum(x * x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ql,
+                        CAST(sum(1) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl
+                 FROM daily),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+                        CAST(sum(x * x) AS BIGINT) AS q
+                 FROM daily),
+         cand AS (SELECT epoch_us(CAST(d AS TIMESTAMP)) // 1000000 // 86400 AS split_day,
+                         nl AS n_left, n - nl AS n_right,
+                         (CAST(ql AS DOUBLE) -
+                          CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) +
+                         (CAST(q - ql AS DOUBLE) -
+                          CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE)) AS cost
+                  FROM pre CROSS JOIN tot WHERE nl < n)
+         SELECT split_day, n_left, n_right, cost FROM cand
+         ORDER BY cost ASC, split_day ASC LIMIT 1""",
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+                 FROM events GROUP BY 1),
+         dd AS (SELECT epoch_us(CAST(d AS TIMESTAMP)) // 1000000 // 86400 AS dn, x FROM daily),
+         sl AS (SELECT CAST(round(CAST((j.x - i.x) * 1000 AS DOUBLE) /
+                                  CAST(j.dn - i.dn AS DOUBLE)) AS BIGINT) AS slope_milli
+                FROM dd i JOIN dd j ON i.dn < j.dn)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                quantile_cont(slope_milli, 0.5) AS slope_milli_median
+         FROM sl ORDER BY n_pairs""",
+    "q_k_anonymity" ->
+      """WITH qi AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) // 2000 AS band,
+                     CAST(ts AS DATE) AS day
+              FROM events),
+         g AS (SELECT event_type, band, day, CAST(count(*) AS BIGINT) AS gsz
+               FROM qi GROUP BY 1, 2, 3),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                        CAST(min(gsz) AS BIGINT) AS min_group,
+                        CAST(sum(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+                        CAST(sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+                        CAST(sum(gsz) AS BIGINT) AS n_rows
+                 FROM g)
+         SELECT n_groups, min_group, n_groups_below_k, n_rows_below_k, n_rows,
+                CAST(n_rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE) AS risk_frac
+         FROM agg ORDER BY n_groups""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

@@ -2267,4 +2267,68 @@ object Analytics {
           .as("hll_est"))
       .withColumn("rel_err", expr("(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)"))
   }
+
+  /** Single-changepoint detection (one step of binary segmentation) on
+    * the daily-revenue series: the split minimizing total within-segment
+    * squared error, where each segment's SSE folds to Σx² − (Σx)²/n over
+    * BIGINT prefix sums (one cumulative window over the calendar-bounded
+    * day grid). Candidate costs are doubles from the oracle's exact
+    * expression; the argmin breaks ties on the earlier day. Cents² sums
+    * stay in BIGINT range through sf1-scale daily totals (~2⁶² headroom
+    * at 10⁹-cent days × 10³ days).
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("CAST(ts AS DATE)").as("d"), expr(Stages.centsSql("value")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"))
+    val w = Window
+      .partitionBy(lit(1))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily.select(
+      col("d"),
+      sum(col("x")).over(w).as("sl"),
+      sum(col("x") * col("x")).over(w).as("ql"),
+      sum(lit(1L)).over(w).as("nl"))
+    val tot = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+    pre
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .select(
+        expr("CAST(CAST(d AS TIMESTAMP) AS LONG) div 86400").as("split_day"),
+        col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        expr("""(CAST(ql AS DOUBLE) -
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) +
+                (CAST(q - ql AS DOUBLE) -
+                 CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE))""")
+          .as("cost"))
+      .orderBy(col("cost").asc, col("split_day").asc)
+      .limit(1)
+  }
+
+  /** Theil–Sen robust trend slope of daily revenue: the median of all
+    * pairwise slopes over the day grid, with each slope quantized to
+    * integer milli-cents/day BEFORE the median (round of one exact
+    * division — cross-engine bit-stable, and the interpolated median of
+    * integers is exact dyadic arithmetic in both engines, unlike a
+    * median over raw quotient doubles). Pair count is calendar-bounded.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("CAST(ts AS DATE)").as("d"), expr(Stages.centsSql("value")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"))
+      .select(expr("CAST(CAST(d AS TIMESTAMP) AS LONG) div 86400").as("dn"), col("x"))
+    daily.as("i")
+      .join(daily.as("j"), col("i.dn") < col("j.dn"))
+      .select(
+        expr("""CAST(round(CAST((j.x - i.x) * 1000 AS DOUBLE) /
+                           CAST(j.dn - i.dn AS DOUBLE)) AS BIGINT)""").as("slope_milli"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(slope_milli, 0.5)").as("slope_milli_median"))
+  }
 }

@@ -1557,4 +1557,30 @@ object Relational {
           expr("CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)").as("scan_frac"))
     report(natural, "natural").unionAll(report(clustered, "clustered"))
   }
+
+  /** k-anonymity risk audit over the quasi-identifier (event_type,
+    * $20 value band, day) — the re-identification screen a dataset
+    * release runs: how many QI-groups have fewer than `k` members, and
+    * what fraction of rows sit in them. One grouped count plus one
+    * aggregate over the (domain-bounded) group table; no row-level data
+    * leaves the scan.
+    */
+  def kAnonymity(events: DataFrame, k: Int = 5): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        expr(s"${Stages.centsSql("value")} div 2000").as("band"),
+        expr("CAST(ts AS DATE)").as("day"))
+      .groupBy(col("event_type"), col("band"), col("day"))
+      .agg(count(lit(1)).as("gsz"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("gsz")).as("min_group"),
+        sum(when(col("gsz") < k, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("gsz") < k, col("gsz")).otherwise(0L)).as("n_rows_below_k"),
+        sum(col("gsz")).as("n_rows"))
+      .select(
+        col("n_groups"), col("min_group"), col("n_groups_below_k"),
+        col("n_rows_below_k"), col("n_rows"),
+        expr("CAST(n_rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)").as("risk_frac"))
 }
