@@ -585,6 +585,12 @@ object SparkEntry {
       Analytics.theilSen(Tables.events(s, dir)).orderBy("n_pairs")),
     "q_k_anonymity" -> ((s, dir) =>
       Relational.kAnonymity(Tables.events(s, dir)).orderBy("n_groups")),
+    "q_spearman" -> ((s, dir) =>
+      Analytics.spearman(Tables.events(s, dir)).orderBy("n")),
+    "q_hash_uniformity" -> ((s, dir) =>
+      Relational.hashUniformity(Tables.events(s, dir)).orderBy("n")),
+    "q_median_ci" -> ((s, dir) =>
+      Analytics.medianCI(Tables.events(s, dir)).orderBy("event_type")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3412,6 +3418,72 @@ object SparkEntry {
          SELECT n_groups, min_group, n_groups_below_k, n_rows_below_k, n_rows,
                 CAST(n_rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE) AS risk_frac
          FROM agg ORDER BY n_groups""",
+    "q_spearman" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+                        CAST(count(DISTINCT user_id) AS BIGINT) AS y
+                 FROM events GROUP BY 1),
+         rk AS (SELECT CAST(2 * rank() OVER (ORDER BY x) +
+                            count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS u,
+                       CAST(2 * rank() OVER (ORDER BY y) +
+                            count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS v
+                FROM daily),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+                        CAST(sum(u * u) AS BIGINT) AS suu, CAST(sum(v * v) AS BIGINT) AS svv,
+                        CAST(sum(u * v) AS BIGINT) AS suv
+                 FROM rk)
+         SELECT n,
+                CAST(n * suv - su * sv AS DOUBLE) /
+                sqrt(CAST(n * suu - su * su AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE)) AS rho
+         FROM agg ORDER BY n""",
+    "q_hash_uniformity" ->
+      """WITH c AS (SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS b,
+                    CAST(count(*) AS BIGINT) AS o
+             FROM events GROUP BY 1),
+         grid AS (SELECT g.b, coalesce(c.o, 0) AS o
+                  FROM (SELECT unnest(generate_series(0, 255)) AS b) g
+                  LEFT JOIN c ON c.b = g.b),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
+                        CAST(sum(o * o) AS BIGINT) AS sumsq
+                 FROM grid),
+         cum AS (SELECT b, o,
+                        CAST(sum(o) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM grid),
+         agg AS (SELECT max(n) AS n, max(n_buckets_used) AS n_buckets_used,
+                        max(sumsq) AS sumsq,
+                        max(abs(256 * cum - n * (b + 1))) AS ks_num
+                 FROM cum CROSS JOIN tot)
+         SELECT n, n_buckets_used,
+                (256.0 * CAST(sumsq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS chi2,
+                CAST(ks_num AS DOUBLE) / (256.0 * CAST(n AS DOUBLE)) AS ks_d
+         FROM agg ORDER BY n""",
+    "q_median_ci" ->
+      """WITH base AS (SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         rks AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                        quantile_cont(c, 0.5) AS median_cents
+                 FROM base GROUP BY 1),
+         bounds AS (SELECT event_type, n, median_cents,
+                           greatest(CAST(1 AS BIGINT),
+                             CAST(floor((CAST(n AS DOUBLE) -
+                               CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS lo_rank,
+                           least(n,
+                             CAST(ceil((CAST(n AS DOUBLE) + 2.0 +
+                               CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS hi_rank
+                    FROM rks),
+         rn AS (SELECT event_type, c,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                         ORDER BY c ASC, event_id ASC) AS BIGINT) AS rn
+                FROM base)
+         SELECT rn.event_type, max(b.n) AS n, max(b.median_cents) AS median_cents,
+                max(b.lo_rank) AS lo_rank, max(b.hi_rank) AS hi_rank,
+                min(CASE WHEN rn.rn = b.lo_rank THEN rn.c END) AS lo_cents,
+                min(CASE WHEN rn.rn = b.hi_rank THEN rn.c END) AS hi_cents
+         FROM rn JOIN bounds b ON rn.event_type = b.event_type
+         WHERE rn.rn = b.lo_rank OR rn.rn = b.hi_rank
+         GROUP BY 1 ORDER BY rn.event_type""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

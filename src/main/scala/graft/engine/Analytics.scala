@@ -2331,4 +2331,79 @@ object Analytics {
         count(lit(1)).as("n_pairs"),
         expr("percentile(slope_milli, 0.5)").as("slope_milli_median"))
   }
+
+  /** Spearman rank correlation between daily revenue and daily active
+    * users, tie-aware: doubled tie-averaged ranks (2r = 2·rank_min +
+    * ties − 1, integers) feed the Pearson identity
+    * (nΣuv − ΣuΣv) / √((nΣu² − (Σu)²)(nΣv² − (Σv)²)) — every moment
+    * BIGINT-exact over the calendar-bounded day grid, one final
+    * division over one sqrt with oracle-identical text.
+    */
+  def spearman(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(
+        expr("CAST(ts AS DATE)").as("d"),
+        expr(Stages.centsSql("value")).as("c"),
+        col("user_id"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"), countDistinct(col("user_id")).as("y"))
+    val one = Window.partitionBy(lit(1))
+    val ranked = daily.select(
+      (lit(2L) * rank().over(one.orderBy(col("x"))) +
+        count(lit(1)).over(Window.partitionBy(col("x"))) - lit(1L)).as("u"),
+      (lit(2L) * rank().over(one.orderBy(col("y"))) +
+        count(lit(1)).over(Window.partitionBy(col("y"))) - lit(1L)).as("v"))
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"),
+        sum(col("u") * col("u")).as("suu"), sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"))
+      .select(
+        col("n"),
+        expr("""CAST(n * suv - su * sv AS DOUBLE) /
+                sqrt(CAST(n * suu - su * su AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE))""")
+          .as("rho"))
+  }
+
+  /** Distribution-free confidence interval for the per-type median of
+    * the value column, by order statistics: the values at ranks
+    * n/2 ∓ 1.96·√n/2 bracket the median at ~95% (binomial normal
+    * approximation). Ranks come from a per-type window over a total
+    * order (cents, event_id) — the same per-group sort any exact
+    * percentile pays — and the bracket VALUES are picked by two
+    * conditional aggregates, so the output is |types| rows.
+    */
+  def medianCI(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_type"), col("event_id"), expr(Stages.centsSql("value")).as("c"))
+    val ranks = base
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), expr("percentile(c, 0.5)").as("median_cents"))
+      .select(
+        col("event_type"), col("n"), col("median_cents"),
+        expr("""greatest(CAST(1 AS BIGINT),
+                CAST(floor((CAST(n AS DOUBLE) -
+                  CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT))""")
+          .as("lo_rank"),
+        expr("""least(n,
+                CAST(ceil((CAST(n AS DOUBLE) + 2.0 +
+                  CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT))""")
+          .as("hi_rank"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("c").asc, col("event_id").asc)
+    base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(ranks), Seq("event_type"))
+      .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("lo_rank")).as("lo_rank"),
+        max(col("hi_rank")).as("hi_rank"),
+        min(when(col("rn") === col("lo_rank"), col("c"))).as("lo_cents"),
+        min(when(col("rn") === col("hi_rank"), col("c"))).as("hi_cents"))
+  }
 }

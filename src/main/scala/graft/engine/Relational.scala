@@ -1583,4 +1583,48 @@ object Relational {
         col("n_groups"), col("min_group"), col("n_groups_below_k"),
         col("n_rows_below_k"), col("n_rows"),
         expr("CAST(n_rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)").as("risk_frac"))
+
+  /** Goodness-of-fit of the md5 row-partitioner against uniform over
+    * 256 buckets — the check behind every hash-partition/sample op in
+    * this library: χ² folds to 256·ΣO²/n − n (ΣO² is BIGINT-exact, so
+    * no per-bucket float accumulation order exists to disagree on) and
+    * the KS sup runs over the full 0..255 bucket grid (empty buckets
+    * included via a generated series) with an integer numerator
+    * max|256·cumO − n·(b+1)|. Bucket table is 256 rows at any corpus
+    * size.
+    */
+  def hashUniformity(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 256")
+        .as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("o"))
+    val grid = events.sparkSession
+      .range(1)
+      .select(explode(expr("sequence(0, 255)")).as("b"))
+      .join(counts, Seq("b"), "left_outer")
+      .select(col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    val w = Window
+      .partitionBy(lit(1))
+      .orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = grid.agg(
+      sum(col("o")).as("n"),
+      sum(when(col("o") > 0, 1L).otherwise(0L)).as("n_buckets_used"),
+      sum(col("o") * col("o")).as("sumsq"))
+    grid
+      .select(col("b"), col("o"), sum(col("o")).over(w).as("cum"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("n_buckets_used")).as("n_buckets_used"),
+        max(col("sumsq")).as("sumsq"),
+        max(abs(lit(256L) * col("cum") - col("n") * (col("b") + 1L))).as("ks_num"))
+      .select(
+        col("n"), col("n_buckets_used"),
+        expr("(256.0 * CAST(sumsq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)")
+          .as("chi2"),
+        expr("CAST(ks_num AS DOUBLE) / (256.0 * CAST(n AS DOUBLE))").as("ks_d"))
+  }
 }
