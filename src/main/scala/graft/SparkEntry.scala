@@ -591,6 +591,12 @@ object SparkEntry {
       Relational.hashUniformity(Tables.events(s, dir)).orderBy("n")),
     "q_median_ci" -> ((s, dir) =>
       Analytics.medianCI(Tables.events(s, dir)).orderBy("event_type")),
+    "q_cov_matrix" -> ((s, dir) =>
+      Similarity.covMatrix(Tables.embeddings(s, dir)).orderBy("i", "j")),
+    "q_power_iteration" -> ((s, dir) =>
+      Similarity.powerIteration(Tables.embeddings(s, dir)).orderBy("dim")),
+    "q_cosine_hist" -> ((s, dir) =>
+      Similarity.cosineHistogram(Tables.embeddings(s, dir)).orderBy("bin")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3484,6 +3490,46 @@ object SparkEntry {
          FROM rn JOIN bounds b ON rn.event_type = b.event_type
          WHERE rn.rn = b.lo_rank OR rn.rn = b.hi_rank
          GROUP BY 1 ORDER BY rn.event_type""",
+    "q_cov_matrix" ->
+      """WITH m AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000) AS BIGINT) AS m
+             FROM (SELECT vec_id, embedding, unnest(generate_series(1, 8)) AS dim
+                   FROM embeddings))
+         SELECT a.dim AS i, b.dim AS j, CAST(sum(a.m * b.m) AS BIGINT) AS s
+         FROM m a JOIN m b ON a.vec_id = b.vec_id
+         GROUP BY 1, 2 ORDER BY i, j""",
+    "q_power_iteration" ->
+      """WITH m AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000) AS BIGINT) AS m
+             FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS dim
+                   FROM embeddings)),
+         cells AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.m * b.m) AS BIGINT) AS s
+                   FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         u0 AS (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT) AS udim,
+                       CAST(1 AS BIGINT) AS u),
+         w1 AS (SELECT i, CAST(sum(s * u) AS BIGINT) AS w
+                FROM cells JOIN u0 ON j = udim GROUP BY 1),
+         mx1 AS (SELECT max(abs(w)) AS mx FROM w1),
+         u1 AS (SELECT i AS udim,
+                       CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS u
+                FROM w1 CROSS JOIN mx1),
+         w2 AS (SELECT i, CAST(sum(s * u) AS BIGINT) AS w
+                FROM cells JOIN u1 ON j = udim GROUP BY 1),
+         mx2 AS (SELECT max(abs(w)) AS mx FROM w2),
+         u2 AS (SELECT i AS udim,
+                       CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS u
+                FROM w2 CROSS JOIN mx2)
+         SELECT udim AS dim, u AS loading_milli FROM u2 ORDER BY dim""",
+    "q_cosine_hist" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT CAST(round(100 * (list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(q.qe, q.qe)) *
+                       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))) AS BIGINT)
+                      + 100 AS cent_shift
+               FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+         SELECT cent_shift // 5 AS bin, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY bin""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

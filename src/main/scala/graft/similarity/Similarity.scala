@@ -746,4 +746,90 @@ object Similarity {
       .filter(col("rank") <= topN)
       .select(col("qid"), col("rank"), col("nid"), col("rrf"))
   }
+
+  /** Milli-quantized embedding in long form — the shared integer basis
+    * for the second-moment / eigenvector ops ([[covMatrix]],
+    * [[powerIteration]]): exact BIGINT per (vec, dim), same convention
+    * as [[labelCentroids]] / [[embedOutliers]].
+    */
+  private def milliLong(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(
+        col("vec_id"),
+        (col("dim0") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("m"))
+
+  /** Uncentered second-moment (Gram/covariance-style) matrix of the
+    * milli-quantized embeddings, as (i, j, s_ij = Σ m_i·m_j) cells for
+    * an upper-left `dims`×`dims` block. The per-vector dim×dim pair
+    * expansion happens map-side off one self-join on vec_id and folds
+    * straight into a dims²-cell partial aggregate — the classic
+    * distributed covariance shape whose shuffle is K² cells regardless
+    * of corpus size. BIGINT-exact throughout.
+    */
+  def covMatrix(embeddings: DataFrame, dims: Int = 8): DataFrame = {
+    val m = milliLong(embeddings).filter(col("dim") <= dims)
+    m.as("a")
+      .join(m.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.m") * col("b.m")).as("s"))
+  }
+
+  /** Two deterministic power-iteration steps toward the dominant
+    * eigenvector of the full 64×64 second-moment matrix, with the
+    * iterate re-quantized to milli scale (round(1000·w/max|w|)) after
+    * each multiply so every matrix-vector product stays BIGINT-exact —
+    * floating point appears only inside the per-step rounding division,
+    * on oracle-identical text. Output is the 64-dim iterate after step
+    * 2; the matrix build is the [[covMatrix]] shape, each multiply a
+    * broadcast join against a 64-row vector.
+    */
+  def powerIteration(embeddings: DataFrame): DataFrame = {
+    val m = milliLong(embeddings)
+    val cells = m.as("a")
+      .join(m.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.m") * col("b.m")).as("s"))
+    def step(u: DataFrame): DataFrame = {
+      val w = cells
+        .join(broadcast(u), col("j") === col("udim"))
+        .groupBy(col("i"))
+        .agg(sum(col("s") * col("u")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(
+          col("i").as("udim"),
+          expr("CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT)")
+            .as("u"))
+    }
+    val u0 = embeddings.sparkSession
+      .range(1)
+      .select(explode(expr("sequence(1, 64)")).as("udim"), lit(1L).as("u"))
+    step(step(u0)).select(col("udim").as("dim"), col("u").as("loading_milli"))
+  }
+
+  /** Histogram of query-to-corpus cosine similarity (0.05-wide bins on
+    * the cent-rounded value) — the similarity-landscape profile that
+    * sizes ANN thresholds before an index build. Bin count is bounded
+    * by the cosine domain; the pair stage is the same broadcast-query
+    * scan as [[cosineTopK]].
+    */
+  def cosineHistogram(embeddings: DataFrame, numQueries: Int = 10): DataFrame = {
+    val corpus = withNorm(embeddings)
+    val q = corpus
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"))
+    corpus
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        (round(lit(100) * (dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm"))))
+          .cast("long") + 100L).as("cent_shift"))
+      // +100 keeps the bin key non-negative: integer `div` truncates
+      // toward zero in Spark but floors in DuckDB, so negatives would
+      // bin differently across engines
+      .select(expr("cent_shift div 5").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }
