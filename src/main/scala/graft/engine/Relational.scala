@@ -1083,11 +1083,15 @@ object Relational {
     val total = revenue.agg(sum(col("cents")).as("total_cents"))
     val ranked = scalableGlobalRank(revenue, col("cents").desc, col("l_partkey").asc)
       .filter(col("rank") <= maxRank)
+      // no-op limit (the filter already bounds to maxRank rows): makes the
+      // boundedness visible in the physical plan so the prefix window
+      // below is provably not corpus-scale
+      .limit(maxRank)
     ranked
       .withColumn(
         "cum_cents",
         sum(col("cents")).over(
-          Window.orderBy(col("rank"))
+          Window.partitionBy(lit(1)).orderBy(col("rank"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rank").isin(1L, 5L, 10L, 20L, 50L, 100L))
       .crossJoin(broadcast(total))
