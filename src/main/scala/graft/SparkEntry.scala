@@ -597,6 +597,12 @@ object SparkEntry {
       Similarity.powerIteration(Tables.embeddings(s, dir)).orderBy("dim")),
     "q_cosine_hist" -> ((s, dir) =>
       Similarity.cosineHistogram(Tables.embeddings(s, dir)).orderBy("bin")),
+    "q_motif" -> ((s, dir) =>
+      Analytics.motifCensus(Tables.events(s, dir)).orderBy("motif")),
+    "q_compaction_plan" -> ((s, dir) =>
+      Relational.compactionPlan(Tables.events(s, dir)).orderBy("bucket")),
+    "q_recall_curve" -> ((s, dir) =>
+      Similarity.recallCurve(Tables.embeddings(s, dir)).orderBy("k")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3530,6 +3536,53 @@ object SparkEntry {
                FROM q JOIN embeddings e ON e.vec_id <> q.qid)
          SELECT cent_shift // 5 AS bin, CAST(count(*) AS BIGINT) AS n_pairs
          FROM p GROUP BY 1 ORDER BY bin""",
+    "q_motif" ->
+      """WITH keyed AS (SELECT user_id,
+                        concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR), 12, '0'),
+                               lpad(CAST(event_id AS VARCHAR), 12, '0'),
+                               substring(event_type, 1, 1)) AS k
+                 FROM events),
+         paths AS (SELECT user_id,
+                          array_to_string(list_transform(list_sort(list(k)), x -> right(x, 1)), '') AS path
+                   FROM keyed GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM paths),
+         hits AS (SELECT 'vcp' AS motif,
+                         CAST(sum(CASE WHEN instr(path, 'vcp') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+                  FROM paths
+                  UNION ALL
+                  SELECT 'cp' AS motif,
+                         CAST(sum(CASE WHEN instr(path, 'cp') > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  FROM paths
+                  UNION ALL
+                  SELECT 'ss' AS motif,
+                         CAST(sum(CASE WHEN instr(path, 'ss') > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  FROM paths)
+         SELECT motif, n_matching, n_users,
+                CAST(n_matching AS DOUBLE) / CAST(n_users AS DOUBLE) AS frac
+         FROM hits CROSS JOIN tot ORDER BY motif""",
+    "q_compaction_plan" ->
+      """WITH files AS (SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 1000000 // 86400 AS day,
+                        event_type, CAST(count(*) AS BIGINT) AS rows
+                 FROM events GROUP BY 1, 2),
+         packed AS (SELECT day, event_type, rows,
+                           CAST(coalesce(sum(rows) OVER (ORDER BY day, event_type
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2000 AS bucket
+                    FROM files)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(rows) AS BIGINT) AS total_rows,
+                CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+         FROM packed GROUP BY 1 ORDER BY bucket""",
+    "q_recall_curve" ->
+      s"""WITH ex AS (SELECT qid, nid, rank AS r_exact FROM (${duckCosineTopKSql(10, 5)})),
+         iv AS (SELECT qid, nid, rank AS r_ivf FROM (${duckAnnIvfSql(10, 5, 8)})),
+         grid AS (SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS k),
+         hits AS (SELECT k, CAST(count(*) AS BIGINT) AS h
+                  FROM ex JOIN iv USING (qid, nid) CROSS JOIN grid
+                  WHERE r_exact <= k AND r_ivf <= k
+                  GROUP BY 1)
+         SELECT g.k, coalesce(h.h, 0) AS n_hits,
+                CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(10 * g.k AS DOUBLE) AS recall
+         FROM grid g LEFT JOIN hits h ON g.k = h.k ORDER BY g.k""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

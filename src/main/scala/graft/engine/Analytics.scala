@@ -2406,4 +2406,38 @@ object Analytics {
         min(when(col("rn") === col("lo_rank"), col("c"))).as("lo_cents"),
         min(when(col("rn") === col("hi_rank"), col("c"))).as("hi_cents"))
   }
+
+  /** Sequence-motif census: how many users' chronologically-ordered
+    * event-type path contains each behavioural motif (as a substring of
+    * type initials, e.g. 'vcp' = view→click→purchase consecutively).
+    * The per-user path is built ORDER-FREE inside the aggregation — a
+    * sortable composite key (zero-padded epoch ‖ event_id ‖ initial) is
+    * collected, array-sorted, and the initials peeled off — the same
+    * engine-portable composite-ordering trick as the journey matrix;
+    * per-user state is bounded by that user's activity, never the
+    * corpus. Motif matching is one `instr` per motif on the path.
+    */
+  def motifCensus(events: DataFrame, motifs: Seq[String] = Seq("vcp", "cp", "ss")): DataFrame = {
+    val paths = events
+      .select(
+        col("user_id"),
+        expr("""concat(lpad(CAST(CAST(ts AS LONG) AS STRING), 12, '0'),
+                       lpad(CAST(event_id AS STRING), 12, '0'),
+                       substring(event_type, 1, 1))""").as("k"))
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(k)), x -> right(x, 1)), '')")
+        .as("path"))
+    val total = paths.agg(count(lit(1)).as("n_users"))
+    val hits = motifs
+      .map(m =>
+        paths.agg(
+          lit(m).as("motif"),
+          sum(when(expr(s"instr(path, '$m') > 0"), 1L).otherwise(0L)).as("n_matching")))
+      .reduce(_ unionAll _)
+    hits
+      .crossJoin(broadcast(total))
+      .select(
+        col("motif"), col("n_matching"), col("n_users"),
+        expr("CAST(n_matching AS DOUBLE) / CAST(n_users AS DOUBLE)").as("frac"))
+  }
 }

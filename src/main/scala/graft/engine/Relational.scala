@@ -1631,4 +1631,36 @@ object Relational {
           .as("chi2"),
         expr("CAST(ks_num AS DOUBLE) / (256.0 * CAST(n AS DOUBLE))").as("ks_d"))
   }
+
+  /** Greedy small-file compaction plan: the (day, event_type) "files"
+    * (row counts as size proxy) are packed in calendar order into output
+    * buckets of ~`targetRows` by flooring the exclusive prefix sum —
+    * files are never split, buckets may run over by at most one file,
+    * exactly the first-fit-in-order plan a table-maintenance job emits.
+    * The file table is domain-bounded (days × types), so the packing
+    * window never sees corpus-scale rows.
+    */
+  def compactionPlan(events: DataFrame, targetRows: Long = 2000L): DataFrame = {
+    val files = events
+      .select(expr("CAST(CAST(ts AS DATE) AS TIMESTAMP)").as("dts"), col("event_type"))
+      .groupBy(expr("CAST(CAST(dts AS LONG) div 86400 AS BIGINT)").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("rows"))
+    val w = Window
+      .partitionBy(lit(1))
+      .orderBy(col("day"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .select(
+        col("day"), col("event_type"), col("rows"),
+        coalesce(sum(col("rows")).over(w), lit(0L)).as("cum0"))
+      .select(
+        col("day"), col("event_type"), col("rows"),
+        expr(s"cum0 div $targetRows").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("rows")).as("total_rows"),
+        min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+  }
 }

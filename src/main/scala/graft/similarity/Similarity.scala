@@ -832,4 +832,33 @@ object Similarity {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Recall@k curve of the IVF index against the exact brute-force
+    * ranking, k = 1..`k`: for each cutoff, the fraction of true top-k
+    * neighbors (over all queries) the index also ranks in ITS top-k.
+    * One inner join of the two k-rows-per-query rankings, fanned out
+    * over the k cutoffs (a `sequence` literal) — all counting, one
+    * division per output row.
+    */
+  def recallCurve(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("qid"), col("nid"), col("rank").as("r_exact"))
+    val ivf = ivfTopK(embeddings, numQueries, k)
+      .select(col("qid"), col("nid"), col("rank").as("r_ivf"))
+    val grid = embeddings.sparkSession
+      .range(1)
+      .select(explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($k AS BIGINT))")).as("k"))
+    val hits = exact
+      .join(ivf, Seq("qid", "nid"))
+      .crossJoin(grid)
+      .filter(col("r_exact") <= col("k") && col("r_ivf") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("h"))
+    grid
+      .join(hits, Seq("k"), "left_outer")
+      .select(col("k"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .select(
+        col("k"), col("n_hits"),
+        expr(s"CAST(n_hits AS DOUBLE) / CAST($numQueries * k AS DOUBLE)").as("recall"))
+  }
 }
