@@ -603,6 +603,12 @@ object SparkEntry {
       Relational.compactionPlan(Tables.events(s, dir)).orderBy("bucket")),
     "q_recall_curve" -> ((s, dir) =>
       Similarity.recallCurve(Tables.embeddings(s, dir)).orderBy("k")),
+    "q_ridge2" -> ((s, dir) =>
+      Analytics.ridgeRegression(Tables.events(s, dir)).orderBy("n")),
+    "q_markov_stationary" -> ((s, dir) =>
+      Analytics.markovStationary(Tables.events(s, dir)).orderBy("event_type")),
+    "q_watermark_reco" -> ((s, dir) =>
+      Analytics.watermarkReco(Tables.events(s, dir)).orderBy("n_events")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3583,6 +3589,86 @@ object SparkEntry {
          SELECT g.k, coalesce(h.h, 0) AS n_hits,
                 CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(10 * g.k AS DOUBLE) AS recall
          FROM grid g LEFT JOIN hits h ON g.k = h.k ORDER BY g.k""",
+    "q_ridge2" -> {
+      val det = Stages.det3Sql("a", "b", "c", "b", "e", "f", "c", "f", "i")
+      val d1 = Stages.det3Sql("r1", "b", "c", "r2", "e", "f", "r3", "f", "i")
+      val d2 = Stages.det3Sql("a", "r1", "c", "b", "r2", "f", "c", "r3", "i")
+      val d3 = Stages.det3Sql("a", "b", "r1", "b", "e", "r2", "c", "f", "r3")
+      s"""WITH base AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1,
+                        (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 + 3) % 7 + 1 AS x2,
+                        ${Stages.centsSql("value")} AS y
+                 FROM events),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                      CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                      CAST(sum(x1 * y) AS BIGINT) AS sb1, CAST(sum(x2 * y) AS BIGINT) AS sb2
+               FROM base),
+         d AS (SELECT n,
+                      CAST(s11 AS DOUBLE) + CAST(1000.0 AS DOUBLE) AS a,
+                      CAST(s12 AS DOUBLE) AS b, CAST(s1 AS DOUBLE) AS c,
+                      CAST(s22 AS DOUBLE) + CAST(1000.0 AS DOUBLE) AS e,
+                      CAST(s2 AS DOUBLE) AS f, CAST(n AS DOUBLE) AS i,
+                      CAST(sb1 AS DOUBLE) AS r1, CAST(sb2 AS DOUBLE) AS r2,
+                      CAST(sy AS DOUBLE) AS r3
+               FROM m)
+         SELECT n, $d1 / $det AS coef_hour, $d2 / $det AS coef_dow,
+                $d3 / $det AS intercept
+         FROM d ORDER BY n"""
+    },
+    "q_markov_stationary" ->
+      """WITH seq AS (SELECT event_type AS curr,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS prev
+               FROM events),
+         pairs AS (SELECT prev, curr, CAST(count(*) AS BIGINT) AS cnt
+                   FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         rsum AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot FROM pairs GROUP BY 1),
+         p AS (SELECT pairs.prev, pairs.curr,
+                      CAST(round(1000000.0 * CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS p_ppm
+               FROM pairs JOIN rsum USING (prev)),
+         v0 AS (SELECT DISTINCT event_type AS vtype, CAST(1000 AS BIGINT) AS v FROM events),
+         w1 AS (SELECT curr, CAST(sum(p_ppm * v) AS BIGINT) AS w
+                FROM p JOIN v0 ON prev = vtype GROUP BY 1),
+         m1 AS (SELECT max(abs(w)) AS mx FROM w1),
+         v1 AS (SELECT curr AS vtype,
+                       CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+                FROM w1 CROSS JOIN m1),
+         w2 AS (SELECT curr, CAST(sum(p_ppm * v) AS BIGINT) AS w
+                FROM p JOIN v1 ON prev = vtype GROUP BY 1),
+         m2 AS (SELECT max(abs(w)) AS mx FROM w2),
+         v2 AS (SELECT curr AS vtype,
+                       CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+                FROM w2 CROSS JOIN m2)
+         SELECT vtype AS event_type, v AS stationary_milli FROM v2 ORDER BY event_type""",
+    "q_watermark_reco" ->
+      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                       - CASE WHEN event_id % 13 = 0 THEN 21600
+                              WHEN event_id % 97 = 0 THEN 86400
+                              ELSE 0 END AS ts_sec,
+                     event_id // 250 AS batch
+              FROM events),
+         wm AS (SELECT batch,
+                       max(max_ts) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark
+                FROM (SELECT batch, max(ts_sec) AS max_ts FROM ev GROUP BY batch)),
+         l AS (SELECT greatest(wm.watermark - ev.ts_sec, 0) AS late_sec
+               FROM ev JOIN wm USING (batch)),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                      quantile_cont(late_sec, 0.5) AS p50_sec,
+                      quantile_cont(late_sec, 0.9) AS p90_sec,
+                      quantile_cont(late_sec, 0.99) AS reco_watermark_sec
+               FROM l),
+         agg AS (SELECT max(n_events) AS n_events, max(p50_sec) AS p50_sec,
+                        max(p90_sec) AS p90_sec,
+                        max(reco_watermark_sec) AS reco_watermark_sec,
+                        CAST(sum(CASE WHEN CAST(late_sec AS DOUBLE) > reco_watermark_sec
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_at_reco
+                 FROM l CROSS JOIN p)
+         SELECT n_events, p50_sec, p90_sec, reco_watermark_sec, n_dropped_at_reco,
+                CAST(n_dropped_at_reco AS DOUBLE) / CAST(n_events AS DOUBLE) AS drop_frac
+         FROM agg ORDER BY n_events""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

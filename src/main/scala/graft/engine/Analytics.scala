@@ -2440,4 +2440,132 @@ object Analytics {
         col("motif"), col("n_matching"), col("n_users"),
         expr("CAST(n_matching AS DOUBLE) / CAST(n_users AS DOUBLE)").as("frac"))
   }
+
+  /** Closed-form ridge regression of value-cents on (hour-of-day,
+    * portable Monday-1 weekday) with intercept: the 3×3 penalized normal
+    * equations are solved by Cramer's rule over [[Stages.det3Sql]] —
+    * sufficient statistics accumulate BIGINT-exact in ONE corpus pass
+    * (the only distributed work), and the four determinants are fixed
+    * IEEE expression trees shared textually with the oracle. λ is added
+    * to the two slope diagonals only, the standard no-intercept-penalty
+    * convention.
+    */
+  def ridgeRegression(events: DataFrame, lambda: Double = 1000.0): DataFrame = {
+    val base = events.select(
+      expr("CAST(hour(ts) AS BIGINT)").as("x1"),
+      expr("(CAST(ts AS LONG) div 86400 + 3) % 7 + 1").as("x2"),
+      expr(Stages.centsSql("value")).as("y"))
+    val det = Stages.det3Sql("a", "b", "c", "b", "e", "f", "c", "f", "i")
+    val d1 = Stages.det3Sql("r1", "b", "c", "r2", "e", "f", "r3", "f", "i")
+    val d2 = Stages.det3Sql("a", "r1", "c", "b", "r2", "f", "c", "r3", "i")
+    val d3 = Stages.det3Sql("a", "b", "r1", "b", "e", "r2", "c", "f", "r3")
+    base
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("sb1"), sum(col("x2") * col("y")).as("sb2"))
+      .select(
+        col("n"),
+        expr(s"CAST(s11 AS DOUBLE) + CAST($lambda AS DOUBLE)").as("a"),
+        expr("CAST(s12 AS DOUBLE)").as("b"),
+        expr("CAST(s1 AS DOUBLE)").as("c"),
+        expr(s"CAST(s22 AS DOUBLE) + CAST($lambda AS DOUBLE)").as("e"),
+        expr("CAST(s2 AS DOUBLE)").as("f"),
+        expr("CAST(n AS DOUBLE)").as("i"),
+        expr("CAST(sb1 AS DOUBLE)").as("r1"),
+        expr("CAST(sb2 AS DOUBLE)").as("r2"),
+        expr("CAST(sy AS DOUBLE)").as("r3"))
+      .select(
+        col("n"),
+        expr(s"$d1 / $det").as("coef_hour"),
+        expr(s"$d2 / $det").as("coef_dow"),
+        expr(s"$d3 / $det").as("intercept"))
+  }
+
+  /** Stationary distribution of the event-type Markov chain, two
+    * deterministic power steps: the transition matrix quantizes to ppm
+    * (round(10⁶·count/rowsum) — one rounded division per cell) so each
+    * v·P multiply is a pure BIGINT dot product with no float
+    * accumulation order to disagree on, and the iterate re-quantizes to
+    * milli scale per step like [[graft.similarity.Similarity.powerIteration]].
+    * The matrix is |types|² cells from one map-combined pair count.
+    */
+  def markovStationary(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(
+        col("event_type").as("curr"),
+        lag(col("event_type"), 1).over(userOrder).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("curr"))
+      .agg(count(lit(1)).as("cnt"))
+    val rows = pairs.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    val pppm = pairs
+      .join(broadcast(rows), Seq("prev"))
+      .select(
+        col("prev"), col("curr"),
+        expr("CAST(round(1000000.0 * CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT)")
+          .as("p_ppm"))
+    def step(v: DataFrame): DataFrame = {
+      val w = pppm
+        .join(broadcast(v), col("prev") === col("vtype"))
+        .groupBy(col("curr"))
+        .agg(sum(col("p_ppm") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(
+          col("curr").as("vtype"),
+          expr("CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT)").as("v"))
+    }
+    val v0 = events
+      .select(col("event_type").as("vtype"))
+      .distinct()
+      .withColumn("v", lit(1000L))
+    step(step(v0)).select(col("vtype").as("event_type"), col("v").as("stationary_milli"))
+  }
+
+  /** Watermark recommendation from the observed arrival lateness (same
+    * synthesized arrival stream as [[latenessAudit]]): p50/p90/p99
+    * lateness, the p99 taken as the recommended delay, and the residual
+    * drop rate a stream running that watermark would still see. Two
+    * aggregates and a broadcast — the lateness table never leaves the
+    * executors.
+    */
+  def watermarkReco(events: DataFrame, batchRows: Long = 250L): DataFrame = {
+    val ev = events.select(
+      expr("""CAST(ts AS LONG) - CASE WHEN event_id % 13 = 0 THEN 21600
+                                      WHEN event_id % 97 = 0 THEN 86400
+                                      ELSE 0 END""").as("ts_sec"),
+      expr(s"event_id div $batchRows").as("batch"))
+    val wm = ev
+      .groupBy(col("batch"))
+      .agg(max(col("ts_sec")).as("batch_max"))
+      .withColumn(
+        "watermark",
+        max(col("batch_max")).over(
+          Window.partitionBy(lit(1)).orderBy(col("batch"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("batch"), col("watermark"))
+    val late = ev
+      .join(broadcast(wm), Seq("batch"))
+      .select(greatest(col("watermark") - col("ts_sec"), lit(0L)).as("late_sec"))
+    val pcts = late.agg(
+      count(lit(1)).as("n_events"),
+      expr("percentile(late_sec, 0.5)").as("p50_sec"),
+      expr("percentile(late_sec, 0.9)").as("p90_sec"),
+      expr("percentile(late_sec, 0.99)").as("reco_watermark_sec"))
+    late
+      .crossJoin(broadcast(pcts))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max(col("p50_sec")).as("p50_sec"),
+        max(col("p90_sec")).as("p90_sec"),
+        max(col("reco_watermark_sec")).as("reco_watermark_sec"),
+        sum(when(expr("CAST(late_sec AS DOUBLE) > reco_watermark_sec"), 1L).otherwise(0L))
+          .as("n_dropped_at_reco"))
+      .withColumn(
+        "drop_frac",
+        expr("CAST(n_dropped_at_reco AS DOUBLE) / CAST(n_events AS DOUBLE)"))
+  }
 }

@@ -83,6 +83,17 @@ object Stages {
   def centsWhenSql(cond: String, valueExpr: String): String =
     s"CASE WHEN $cond THEN ${centsSql(valueExpr)} END"
 
+  /** Cofactor expansion of a 3×3 determinant |a b c; d e f; g h i| over
+    * nine SQL sub-expressions. One fixed IEEE expression tree, shared
+    * TEXTUALLY between the Spark plan and the DuckDB oracle (the
+    * closed-form ridge solve) so the double arithmetic is bit-identical.
+    */
+  def det3Sql(
+      a: String, b: String, c: String,
+      d: String, e: String, f: String,
+      g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
   /** Closed-form moment statistics from exact integer sufficient
     * statistics `n, sx, sy, sxy, sxx, syy` (column names fixed): mean,
     * population variance/stddev/covariance and Pearson correlation. Every
