@@ -609,6 +609,12 @@ object SparkEntry {
       Analytics.markovStationary(Tables.events(s, dir)).orderBy("event_type")),
     "q_watermark_reco" -> ((s, dir) =>
       Analytics.watermarkReco(Tables.events(s, dir)).orderBy("n_events")),
+    "q_emd" -> ((s, dir) =>
+      TextAnalysis.emd(Tables.documents(s, dir), "src0", "src1").orderBy("na")),
+    "q_hist_quantile" -> ((s, dir) =>
+      Analytics.histQuantile(Tables.events(s, dir)).orderBy("q")),
+    "q_outlier_ensemble" -> ((s, dir) =>
+      Analytics.outlierEnsemble(Tables.events(s, dir)).orderBy("event_type")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3669,6 +3675,99 @@ object SparkEntry {
          SELECT n_events, p50_sec, p90_sec, reco_watermark_sec, n_dropped_at_reco,
                 CAST(n_dropped_at_reco AS DOUBLE) / CAST(n_events AS DOUBLE) AS drop_frac
          FROM agg ORDER BY n_events""",
+    "q_emd" ->
+      """WITH g AS (SELECT n_chars AS x,
+                    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+         cum AS (SELECT x,
+                        CAST(sum(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                        CAST(sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+                        lead(x, 1) OVER (ORDER BY x) - x AS gap
+                 FROM g),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM g),
+         agg AS (SELECT max(na) AS na, max(nb) AS nb,
+                        CAST(sum(abs(ca * nb - cb * na) * gap) AS BIGINT) AS w1_num
+                 FROM cum CROSS JOIN t WHERE gap IS NOT NULL)
+         SELECT na, nb, w1_num,
+                CAST(w1_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS emd
+         FROM agg ORDER BY na""",
+    "q_hist_quantile" ->
+      """WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         ext AS (SELECT min(c) AS mn, max(c) AS mx, CAST(count(*) AS BIGINT) AS n,
+                        quantile_cont(c, 0.5) AS ex50, quantile_cont(c, 0.9) AS ex90,
+                        quantile_cont(c, 0.99) AS ex99
+                 FROM base),
+         binned AS (SELECT (c - mn) * 256 // (mx - mn + 1) AS bin,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM base CROSS JOIN ext GROUP BY 1),
+         cum AS (SELECT bin, cnt,
+                        CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM binned),
+         est AS (SELECT 'p50' AS q, n,
+                        CAST(mn AS DOUBLE) +
+                        (CAST(bin AS DOUBLE) +
+                         CAST(CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT) - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) *
+                        (CAST(mx - mn + 1 AS DOUBLE) / 256.0) AS est_cents,
+                        ex50 AS exact_cents
+                 FROM cum CROSS JOIN ext
+                 WHERE cum >= CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)
+                 ORDER BY bin LIMIT 1),
+         est90 AS (SELECT 'p90' AS q, n,
+                        CAST(mn AS DOUBLE) +
+                        (CAST(bin AS DOUBLE) +
+                         CAST(CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT) - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) *
+                        (CAST(mx - mn + 1 AS DOUBLE) / 256.0) AS est_cents,
+                        ex90 AS exact_cents
+                 FROM cum CROSS JOIN ext
+                 WHERE cum >= CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT)
+                 ORDER BY bin LIMIT 1),
+         est99 AS (SELECT 'p99' AS q, n,
+                        CAST(mn AS DOUBLE) +
+                        (CAST(bin AS DOUBLE) +
+                         CAST(CAST(ceil(0.99 * CAST(n AS DOUBLE)) AS BIGINT) - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) *
+                        (CAST(mx - mn + 1 AS DOUBLE) / 256.0) AS est_cents,
+                        ex99 AS exact_cents
+                 FROM cum CROSS JOIN ext
+                 WHERE cum >= CAST(ceil(0.99 * CAST(n AS DOUBLE)) AS BIGINT)
+                 ORDER BY bin LIMIT 1),
+         u AS (SELECT * FROM est UNION ALL SELECT * FROM est90 UNION ALL SELECT * FROM est99)
+         SELECT q, n, est_cents, exact_cents, est_cents - exact_cents AS err_cents
+         FROM u ORDER BY q""",
+    "q_outlier_ensemble" ->
+      s"""WITH base AS (SELECT event_type, ${Stages.centsSql("value")} // 100 AS x FROM events),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM base GROUP BY 1),
+         qr AS (SELECT event_type, quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+                FROM base GROUP BY 1),
+         md AS (SELECT event_type, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1),
+         ma AS (SELECT b.event_type, md.med, quantile_cont(abs(b.x - md.med), 0.5) AS mad
+                FROM base b JOIN md ON b.event_type = md.event_type
+                GROUP BY 1, 2),
+         f AS (SELECT b.event_type,
+                      CASE WHEN abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) >
+                             3.0 * sqrt((CAST(sxx AS DOUBLE) -
+                                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                                        CAST(n - 1 AS DOUBLE))
+                      THEN 1 ELSE 0 END AS fz,
+                      CASE WHEN CAST(x AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+                             OR CAST(x AS DOUBLE) > q3 + 1.5 * (q3 - q1)
+                      THEN 1 ELSE 0 END AS fi,
+                      CASE WHEN abs(CAST(x AS DOUBLE) - med) >
+                             3.0 * CAST(1.4826 AS DOUBLE) * mad
+                      THEN 1 ELSE 0 END AS fm
+               FROM base b
+               JOIN m ON b.event_type = m.event_type
+               JOIN qr ON b.event_type = qr.event_type
+               JOIN ma ON b.event_type = ma.event_type)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(fz) AS BIGINT) AS n_z,
+                CAST(sum(fi) AS BIGINT) AS n_iqr,
+                CAST(sum(fm) AS BIGINT) AS n_mad,
+                CAST(sum(CASE WHEN fz + fi + fm >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+                CAST(sum(CASE WHEN fz + fi + fm = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_all
+         FROM f GROUP BY 1 ORDER BY event_type""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

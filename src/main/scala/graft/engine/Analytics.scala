@@ -2568,4 +2568,113 @@ object Analytics {
         "drop_frac",
         expr("CAST(n_dropped_at_reco AS DOUBLE) / CAST(n_events AS DOUBLE)"))
   }
+
+  /** Histogram-sketch quantile accuracy: p50/p90/p99 estimated from a
+    * 256-equal-width-bin histogram (the mergeable one-pass sketch every
+    * monitoring system ships) against the exact percentile, with the
+    * estimator fully pinned: target rank ⌈q·n⌉, first bin whose
+    * cumulative count reaches it, linear interpolation by rank within
+    * the bin. Bin assignment and cumulative counts are BIGINT-exact;
+    * the estimate/exact/error columns are fixed double expressions
+    * shared with the oracle. Histogram size is `bins` regardless of
+    * corpus size — that is the sketch's point.
+    */
+  def histQuantile(events: DataFrame, bins: Int = 256): DataFrame = {
+    val base = events.select(expr(Stages.centsSql("value")).as("c"))
+    val ext = base.agg(
+      min(col("c")).as("mn"), max(col("c")).as("mx"), count(lit(1)).as("n"),
+      expr("percentile(c, 0.5)").as("ex50"),
+      expr("percentile(c, 0.9)").as("ex90"),
+      expr("percentile(c, 0.99)").as("ex99"))
+    val binned = base
+      .crossJoin(broadcast(ext))
+      .select(expr(s"(c - mn) * $bins div (mx - mn + 1)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = binned.select(
+      col("bin"), col("cnt"),
+      sum(col("cnt")).over(
+        Window.partitionBy(lit(1)).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    val qs = Seq(("p50", "0.5", "ex50"), ("p90", "0.9", "ex90"), ("p99", "0.99", "ex99"))
+    qs.map { case (lbl, q, exCol) =>
+      cum
+        .crossJoin(broadcast(ext))
+        .withColumn("need", expr(s"CAST(ceil($q * CAST(n AS DOUBLE)) AS BIGINT)"))
+        .filter(col("cum") >= col("need"))
+        .orderBy(col("bin").asc)
+        .limit(1)
+        .select(
+          lit(lbl).as("q"),
+          col("n"),
+          expr(s"""CAST(mn AS DOUBLE) +
+                   (CAST(bin AS DOUBLE) +
+                    CAST(need - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) *
+                   (CAST(mx - mn + 1 AS DOUBLE) / ${bins}.0)""").as("est_cents"),
+          col(exCol).as("exact_cents"))
+        .withColumn("err_cents", expr("est_cents - exact_cents"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Ensemble outlier vote per event type: the three standard detectors
+    * — 3σ z-score from exact integer moments, Tukey 1.5·IQR fences, and
+    * 3·1.4826·MAD — each flag rows over the same compressed
+    * (type, floor-dollar) → count distribution ([[graft.engine.Relational.madOutliers]]'s
+    * frequency-percentile trick), and the vote tallies how many rows
+    * one, two, or all three agree on. Disagreement width is the
+    * robustness signal a curation pipeline actually acts on. Three
+    * stat passes over the domain-bounded distribution; thresholds are
+    * oracle-identical double expressions.
+    */
+  def outlierEnsemble(events: DataFrame): DataFrame = {
+    val dist = events
+      .select(col("event_type"), expr(s"${Stages.centsSql("value")} div 100").as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val moments = dist
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("x") * col("cnt")).as("sx"),
+        sum(col("x") * col("x") * col("cnt")).as("sxx"))
+    val quart = dist
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(x, 0.25, cnt)").as("q1"),
+        expr("percentile(x, 0.75, cnt)").as("q3"))
+    val med = dist
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(x, 0.5, cnt)").as("med"))
+    val mad = dist
+      .join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(x - med), 0.5, cnt)").as("mad"))
+    val flagged = dist
+      .join(broadcast(moments), Seq("event_type"))
+      .join(broadcast(quart), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(
+        col("event_type"), col("cnt"),
+        expr("""CASE WHEN abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) >
+                       3.0 * sqrt((CAST(sxx AS DOUBLE) -
+                                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                                  CAST(n - 1 AS DOUBLE))
+                THEN 1 ELSE 0 END""").as("fz"),
+        expr("""CASE WHEN CAST(x AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+                       OR CAST(x AS DOUBLE) > q3 + 1.5 * (q3 - q1)
+                THEN 1 ELSE 0 END""").as("fi"),
+        expr("""CASE WHEN abs(CAST(x AS DOUBLE) - med) >
+                       3.0 * CAST(1.4826 AS DOUBLE) * mad
+                THEN 1 ELSE 0 END""").as("fm"))
+    flagged
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("fz") * col("cnt")).as("n_z"),
+        sum(col("fi") * col("cnt")).as("n_iqr"),
+        sum(col("fm") * col("cnt")).as("n_mad"),
+        sum(when(col("fz") + col("fi") + col("fm") >= 1, col("cnt")).otherwise(0L)).as("n_any"),
+        sum(when(col("fz") + col("fi") + col("fm") === 3, col("cnt")).otherwise(0L)).as("n_all"))
+  }
 }

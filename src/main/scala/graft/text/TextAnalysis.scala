@@ -455,6 +455,43 @@ object TextAnalysis {
         expr("CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("d_stat"))
   }
 
+  /** Exact 1-D earth mover's (Wasserstein-1) distance between the
+    * document LENGTH distributions of two sources — the integral
+    * companion to [[ksTest]]'s supremum: W₁ = ∫|F_a − F_b| dx =
+    * Σ_grid |ca·nb − cb·na|·gap / (na·nb), where `gap` is the distance
+    * to the next occupied grid value. The whole sum is BIGINT-exact
+    * (same cross-product trick as the KS statistic); one division at
+    * the end. Grid size is bounded by the length domain.
+    */
+  def emd(documents: DataFrame, srcA: String, srcB: String): DataFrame = {
+    val grid = documents
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(col("source") === srcA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy(col("x"))
+    val cum = grid.select(
+      col("x"),
+      sum(col("a")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).as("ca"),
+      sum(col("b")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).as("cb"),
+      (lead(col("x"), 1).over(w) - col("x")).as("gap"))
+    val totals = grid.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cum
+      .filter(col("gap").isNotNull)
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(col("na")).as("na"),
+        max(col("nb")).as("nb"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na")) * col("gap")).as("w1_num"))
+      .select(
+        col("na"), col("nb"), col("w1_num"),
+        expr("CAST(w1_num AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("emd"))
+  }
+
   /** Pairwise source-vocabulary overlap — the corpus-mix similarity
     * report: per-source distinct token sets (vocabulary-bounded after
     * the distinct), shared-token counts via a token-key self-join, and
