@@ -615,6 +615,10 @@ object SparkEntry {
       Analytics.histQuantile(Tables.events(s, dir)).orderBy("q")),
     "q_outlier_ensemble" -> ((s, dir) =>
       Analytics.outlierEnsemble(Tables.events(s, dir)).orderBy("event_type")),
+    "q_kcore" -> ((s, dir) =>
+      Graph.kcorePeel(Tables.lineitem(s, dir)).orderBy("round")),
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(Tables.documents(s, dir)).orderBy("term", "rank")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -669,6 +673,31 @@ object SparkEntry {
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), " +
       "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+
+  /** DuckDB k-core peel, generated: the co-order edge build followed by
+    * `rounds` unrolled (degree → keep → prune) CTE stages with a
+    * per-round count report — the oracle twin of
+    * [[graft.engine.Graph.kcorePeel]].
+    */
+  private def duckKcoreSql(k: Int, rounds: Int, minSupport: Int): String = {
+    val base =
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= $minSupport)"""
+    val stages = (1 to rounds).map { r =>
+      s""", d$r AS (SELECT node, count(*) AS deg
+                FROM (SELECT pa AS node FROM e${r - 1} UNION ALL SELECT pb FROM e${r - 1})
+                GROUP BY 1),
+         k$r AS (SELECT node FROM d$r WHERE deg >= $k),
+         e$r AS (SELECT pa, pb FROM e${r - 1}
+                 WHERE pa IN (SELECT node FROM k$r) AND pb IN (SELECT node FROM k$r)),
+         rep$r AS (SELECT CAST($r AS BIGINT) AS round,
+                          (SELECT CAST(count(*) AS BIGINT) FROM k$r) AS n_nodes,
+                          (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges)"""
+    }.mkString
+    val union = (1 to rounds).map(r => s"SELECT * FROM rep$r").mkString(" UNION ALL ")
+    s"$base$stages $union ORDER BY round"
+  }
 
   /** HLL rank ladder (shared text with [[graft.engine.Analytics.hllDistinct]]):
     * position of the first set bit in the 24-bit remainder, 25 when zero.
@@ -3768,6 +3797,26 @@ object SparkEntry {
                 CAST(sum(CASE WHEN fz + fi + fm >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
                 CAST(sum(CASE WHEN fz + fi + fm = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_all
          FROM f GROUP BY 1 ORDER BY event_type""",
+    "q_kcore" -> duckKcoreSql(3, 3, 2),
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tfreq FROM t GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         terms AS (SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT 3),
+         sc AS (SELECT tf.tok, tf.doc_id,
+                       (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) *
+                       (CAST(tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0) /
+                        (CAST(tfreq AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                         (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) /
+                          (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score
+                FROM tf JOIN terms USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+         r AS (SELECT tok AS term, doc_id, score,
+                      CAST(row_number() OVER (PARTITION BY tok
+                        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM sc)
+         SELECT term, rank, doc_id, score FROM r WHERE rank <= 5 ORDER BY term, rank""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

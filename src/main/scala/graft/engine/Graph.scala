@@ -206,4 +206,43 @@ object Graph {
     }
     reached
   }
+
+  /** Bounded k-core peeling on the support-thresholded co-order graph:
+    * `rounds` fixed rounds of (degree count → drop nodes under `k` →
+    * drop incident edges), reporting surviving node/edge counts per
+    * round. The FIXED round count is what keeps the op oracle-checkable
+    * and cluster-schedulable (each round is two map-combined aggregates
+    * and two semi-joins on the |E|-bounded edge table); the per-round
+    * report makes the bounded iteration honest — convergence shows as a
+    * flat tail, and a production peel would loop these same stages to
+    * fixpoint.
+    */
+  def kcorePeel(
+      lineitem: DataFrame,
+      k: Int = 3,
+      rounds: Int = 3,
+      minSupport: Int = 2): DataFrame = {
+    val base = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+      .cache()
+    var edges = base
+    val reports = (1 to rounds).map { r =>
+      val deg = edges
+        .select(explode(array(col("pa"), col("pb"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node")).cache()
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .select(col("pa"), col("pb"))
+      edges = pruned
+      pruned
+        .agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(keep.agg(count(lit(1)).as("n_nodes"))))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    reports.reduce(_ unionAll _)
+  }
 }

@@ -492,6 +492,44 @@ object TextAnalysis {
         expr("CAST(w1_num AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("emd"))
   }
 
+  /** BM25 top-documents per term for the `numTerms` highest-df corpus
+    * terms, in the log-free odds form: idf_odds = (N − df + ½)/(df + ½)
+    * (the exp of Robertson idf — same ranking, no `ln`, which is the
+    * one float primitive that is NOT correctly-rounded-identical across
+    * engines), tf saturation with k1=1.2, b=0.75. tf/df/dl/avgdl
+    * accumulate BIGINT-exact map-side; the score is one fixed double
+    * expression shared with the oracle, ranked under a per-term window
+    * with doc tie-break.
+    */
+  def bm25TopDocs(documents: DataFrame, numTerms: Int = 3, topN: Int = 5): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tfreq"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val terms = graft.engine.Relational
+      .rankedTopK(df, numTerms, col("df").desc, col("tok").asc)
+      .select(col("tok"), col("df"))
+    val scored = tf
+      .join(broadcast(terms), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("tok"), col("doc_id"),
+        expr("""(CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) *
+                (CAST(tfreq AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0) /
+                 (CAST(tfreq AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                  (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) /
+                   (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("tok").as("term"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Pairwise source-vocabulary overlap — the corpus-mix similarity
     * report: per-source distinct token sets (vocabulary-bounded after
     * the distinct), shared-token counts via a token-key self-join, and
