@@ -619,6 +619,12 @@ object SparkEntry {
       Graph.kcorePeel(Tables.lineitem(s, dir)).orderBy("round")),
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(Tables.documents(s, dir)).orderBy("term", "rank")),
+    "q_quarantine" -> ((s, dir) =>
+      Relational.quarantineRouter(Tables.events(s, dir)).orderBy("reason")),
+    "q_stump" -> ((s, dir) =>
+      Analytics.decisionStump(Tables.events(s, dir)).orderBy("split_dollars")),
+    "q_cronbach" -> ((s, dir) =>
+      Analytics.cronbachAlpha(Tables.events(s, dir)).orderBy("n")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3817,6 +3823,71 @@ object SparkEntry {
                         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
                FROM sc)
          SELECT term, rank, doc_id, score FROM r WHERE rank <= 5 ORDER BY term, rank""",
+    "q_quarantine" ->
+      """WITH c AS (SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                               WHEN event_id % 11 = 0 THEN concat(props, 'x')
+                               ELSE props END AS p
+              FROM events),
+         r AS (SELECT CASE WHEN p IS NULL THEN 'null_props'
+                           WHEN NOT regexp_matches(p, '^\{"k": [0-9]+\}$') THEN 'malformed'
+                           ELSE 'ok' END AS reason,
+                      CAST(regexp_extract(p, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+               FROM c)
+         SELECT reason, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN reason = 'ok' THEN k ELSE 0 END) AS BIGINT) AS k_sum
+         FROM r GROUP BY 1 ORDER BY reason""",
+    "q_stump" ->
+      """WITH grid AS (SELECT CAST(round(value * 100) AS BIGINT) // 100 AS x,
+                       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+                       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+                       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_view
+                FROM events GROUP BY 1),
+         cum AS (SELECT x,
+                        CAST(sum(c_click) OVER wsum AS BIGINT) AS l_click,
+                        CAST(sum(c_error) OVER wsum AS BIGINT) AS l_error,
+                        CAST(sum(c_purchase) OVER wsum AS BIGINT) AS l_purchase,
+                        CAST(sum(c_signup) OVER wsum AS BIGINT) AS l_signup,
+                        CAST(sum(c_view) OVER wsum AS BIGINT) AS l_view
+                 FROM grid
+                 WINDOW wsum AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT CAST(sum(c_click) AS BIGINT) AS n_click,
+                        CAST(sum(c_error) AS BIGINT) AS n_error,
+                        CAST(sum(c_purchase) AS BIGINT) AS n_purchase,
+                        CAST(sum(c_signup) AS BIGINT) AS n_signup,
+                        CAST(sum(c_view) AS BIGINT) AS n_view
+                 FROM grid),
+         cand AS (SELECT x AS split_dollars,
+                         l_click + l_error + l_purchase + l_signup + l_view AS l_rows,
+                         (n_click - l_click) + (n_error - l_error) + (n_purchase - l_purchase) + (n_signup - l_signup) + (n_view - l_view) AS r_rows,
+                         l_click * l_click + l_error * l_error + l_purchase * l_purchase + l_signup * l_signup + l_view * l_view AS l_sq,
+                         (n_click - l_click) * (n_click - l_click) + (n_error - l_error) * (n_error - l_error) + (n_purchase - l_purchase) * (n_purchase - l_purchase) + (n_signup - l_signup) * (n_signup - l_signup) + (n_view - l_view) * (n_view - l_view) AS r_sq
+                  FROM cum CROSS JOIN tot)
+         SELECT split_dollars, l_rows, r_rows,
+                (CAST(l_rows AS DOUBLE) - CAST(l_sq AS DOUBLE) / CAST(l_rows AS DOUBLE)) +
+                (CAST(r_rows AS DOUBLE) - CAST(r_sq AS DOUBLE) / CAST(r_rows AS DOUBLE)) AS gini_cost
+         FROM cand WHERE l_rows > 0 AND r_rows > 0
+         ORDER BY gini_cost ASC, split_dollars ASC LIMIT 1""",
+    "q_cronbach" ->
+      """WITH items AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x1,
+                        CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) AS BIGINT) AS x2,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // 100 AS x3
+                 FROM events GROUP BY 1),
+         it AS (SELECT x1, x2, x3, x1 + x2 + x3 AS xt FROM items),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+                      CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+                      CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3,
+                      CAST(sum(xt) AS BIGINT) AS st, CAST(sum(xt * xt) AS BIGINT) AS qt
+               FROM it)
+         SELECT n,
+                (3.0 / 2.0) *
+                (1.0 - ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                        (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))) /
+                       (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS alpha
+         FROM m ORDER BY n""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

@@ -2677,4 +2677,90 @@ object Analytics {
         sum(when(col("fz") + col("fi") + col("fm") >= 1, col("cnt")).otherwise(0L)).as("n_any"),
         sum(when(col("fz") + col("fi") + col("fm") === 3, col("cnt")).otherwise(0L)).as("n_all"))
   }
+
+  /** Event types of the fixture, pinned for the stump's pivoted class
+    * columns (mirrored in the oracle).
+    */
+  private val StumpTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Decision stump: the single best `value ≤ t` split for predicting
+    * event_type, by weighted Gini impurity. The corpus compresses to
+    * the (floor-dollar → per-class count) grid; per-class cumulative
+    * windows give left/right class counts at every candidate threshold,
+    * and Gini folds to L − Σc²/L with Σc² a per-row INTEGER sum over
+    * the five pivoted class columns (no float accumulation anywhere
+    * before the final two divisions, which share text with the
+    * oracle). Argmin breaks ties on the smaller threshold. One shuffle
+    * to the domain-bounded grid; everything after is grid-sized.
+    */
+  def decisionStump(events: DataFrame): DataFrame = {
+    val counts = StumpTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val grid = events
+      .select(expr(s"${Stages.centsSql("value")} div 100").as("x"), col("event_type"))
+      .groupBy(col("x"))
+      .agg(counts.head, counts.tail: _*)
+    val w = Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.select(
+      col("x") +: StumpTypes.map(t => sum(col(s"c_$t")).over(w).as(s"l_$t")): _*)
+    val tot = grid.agg(
+      StumpTypes.map(t => sum(col(s"c_$t")).as(s"n_$t")).head,
+      StumpTypes.map(t => sum(col(s"c_$t")).as(s"n_$t")).tail: _*)
+    val lSum = StumpTypes.map(t => s"l_$t").mkString(" + ")
+    val rSum = StumpTypes.map(t => s"(n_$t - l_$t)").mkString(" + ")
+    val lSq = StumpTypes.map(t => s"l_$t * l_$t").mkString(" + ")
+    val rSq = StumpTypes.map(t => s"(n_$t - l_$t) * (n_$t - l_$t)").mkString(" + ")
+    cum
+      .crossJoin(broadcast(tot))
+      .select(
+        col("x").as("split_dollars"),
+        expr(s"$lSum").as("l_rows"),
+        expr(s"$rSum").as("r_rows"),
+        expr(s"$lSq").as("l_sq"),
+        expr(s"$rSq").as("r_sq"))
+      .filter(col("l_rows") > 0 && col("r_rows") > 0)
+      .select(
+        col("split_dollars"), col("l_rows"), col("r_rows"),
+        expr("""(CAST(l_rows AS DOUBLE) - CAST(l_sq AS DOUBLE) / CAST(l_rows AS DOUBLE)) +
+                (CAST(r_rows AS DOUBLE) - CAST(r_sq AS DOUBLE) / CAST(r_rows AS DOUBLE))""")
+          .as("gini_cost"))
+      .orderBy(col("gini_cost").asc, col("split_dollars").asc)
+      .limit(1)
+  }
+
+  /** Cronbach's α over three per-user engagement items (event count,
+    * active days, floor-dollar spend) — the metric-reliability readout:
+    * α = k/(k−1) · (1 − Σᵢ SSᵢ / SS_total), with every sum-of-squares
+    * an UNNORMALIZED population SS from exact integer sufficient
+    * statistics (the shared n cancels in the ratio), so the only floats
+    * are the final fixed-text expression. One per-user aggregate, one
+    * moment aggregate over |users| rows.
+    */
+  def cronbachAlpha(events: DataFrame): DataFrame = {
+    val items = events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("x1"),
+        countDistinct(expr("CAST(ts AS LONG) div 86400")).as("x2"),
+        expr(s"sum(${Stages.centsSql("value")}) div 100").as("x3"))
+      .withColumn("xt", expr("x1 + x2 + x3"))
+    items
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x1") * col("x1")).as("q1"),
+        sum(col("x2")).as("s2"), sum(col("x2") * col("x2")).as("q2"),
+        sum(col("x3")).as("s3"), sum(col("x3") * col("x3")).as("q3"),
+        sum(col("xt")).as("st"), sum(col("xt") * col("xt")).as("qt"))
+      .select(
+        col("n"),
+        expr("""(3.0 / 2.0) *
+                (1.0 - ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                        (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))) /
+                       (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))""")
+          .as("alpha"))
+  }
 }

@@ -1663,4 +1663,30 @@ object Relational {
         min(col("day")).as("min_day"),
         max(col("day")).as("max_day"))
   }
+
+  /** Ingestion quarantine router: rows whose payload fails the schema
+    * contract are counted per failure reason instead of silently
+    * nulling downstream — the dead-letter pattern. Corruption is
+    * synthesized IN-PLAN (`event_id % 11` appends garbage, `% 13` nulls
+    * the payload — the fixtures carry no bad rows), validation is one
+    * anchored regex and extraction one regex group (both RE2-safe, no
+    * JSON engine dependence), and the good-row payload sum proves the
+    * surviving lane still parses. One map-side pass, |reasons| output
+    * rows.
+    */
+  def quarantineRouter(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("""CASE WHEN event_id % 13 = 0 THEN NULL
+                     WHEN event_id % 11 = 0 THEN concat(props, 'x')
+                     ELSE props END""").as("p"))
+      .select(
+        when(col("p").isNull, "null_props")
+          .when(!col("p").rlike("^\\{\"k\": [0-9]+\\}$"), "malformed")
+          .otherwise("ok").as("reason"),
+        regexp_extract(col("p"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy(col("reason"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("reason") === "ok", col("k")).otherwise(0L)).as("k_sum"))
 }
