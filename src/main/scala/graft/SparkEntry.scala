@@ -625,6 +625,10 @@ object SparkEntry {
       Analytics.decisionStump(Tables.events(s, dir)).orderBy("split_dollars")),
     "q_cronbach" -> ((s, dir) =>
       Analytics.cronbachAlpha(Tables.events(s, dir)).orderBy("n")),
+    "q_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortion(Tables.embeddings(s, dir)).orderBy("va", "vb")),
+    "q_link_predict" -> ((s, dir) =>
+      Graph.linkPrediction(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -703,6 +707,32 @@ object SparkEntry {
     }.mkString
     val union = (1 to rounds).map(r => s"SELECT * FROM rep$r").mkString(" UNION ALL ")
     s"$base$stages $union ORDER BY round"
+  }
+
+  /** DuckDB JL distortion, generated with the same ±1 sign matrix as
+    * [[graft.similarity.Similarity.jlDistortion]].
+    */
+  private def duckJlSql(k: Int, numQueries: Int): String = {
+    val signs = graft.similarity.Similarity.jlSigns(k, 64)
+    val yCols = signs.zipWithIndex.map { case (row, j) =>
+      val terms = row.zipWithIndex
+        .map { case (r, d) => s"($r * ma[${d + 1}])" }
+        .mkString(" + ")
+      s"CAST($terms AS BIGINT) AS y${j + 1}"
+    }.mkString(", ")
+    val dk = (1 to k).map(j => s"(a.y$j - b.y$j) * (a.y$j - b.y$j)").mkString(" + ")
+    s"""WITH m AS (SELECT vec_id,
+                   list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS ma
+            FROM embeddings WHERE vec_id < $numQueries),
+       y AS (SELECT vec_id, ma, $yCols FROM m),
+       p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                    CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> (a.ma[i] - b.ma[i]) * (a.ma[i] - b.ma[i]))) AS BIGINT) AS d64,
+                    CAST($dk AS BIGINT) AS dk
+             FROM y a JOIN y b ON a.vec_id < b.vec_id)
+       SELECT va, vb, d64, dk,
+              CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE)) AS ratio
+       FROM p ORDER BY va, vb"""
   }
 
   /** HLL rank ladder (shared text with [[graft.engine.Analytics.hllDistinct]]):
@@ -3888,6 +3918,23 @@ object SparkEntry {
                         (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))) /
                        (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS alpha
          FROM m ORDER BY n""",
+    "q_jl_distortion" -> duckJlSql(8, 10),
+    "q_link_predict" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         adj AS (SELECT pa AS node, pb AS nb FROM e UNION ALL SELECT pb, pa FROM e),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         cn AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cn
+                FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node GROUP BY 1, 2),
+         ne AS (SELECT cn.a, cn.b, cn.cn FROM cn LEFT JOIN e ON cn.a = e.pa AND cn.b = e.pb
+                WHERE e.pa IS NULL),
+         sc AS (SELECT a, b, cn, CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+                FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b),
+         r AS (SELECT a, b, cn, jaccard,
+                      CAST(row_number() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS BIGINT) AS rank
+               FROM sc)
+         SELECT rank, a, b, cn, jaccard FROM r WHERE rank <= 10 ORDER BY rank""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

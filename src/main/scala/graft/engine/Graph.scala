@@ -245,4 +245,37 @@ object Graph {
     }
     reports.reduce(_ unionAll _)
   }
+
+  /** Link prediction by neighbor-set Jaccard: the `k` best NON-adjacent
+    * part pairs scored |N(a)∩N(b)| / |N(a)∪N(b)| on the
+    * support-thresholded co-order graph — common neighbors come from
+    * one wedge join on the adjacency list (bounded by the thresholded
+    * degree), the union size from the inclusion-exclusion identity
+    * da + db − cn (pure integers; one final division), existing edges
+    * drop via an anti-join on the normalized pair key, and the top-k
+    * is the TakeOrdered [[graft.engine.Relational.rankedTopK]] shape.
+    */
+  def linkPrediction(lineitem: DataFrame, k: Int = 10, minSupport: Int = 2): DataFrame = {
+    val e = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+      .cache()
+    val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
+      .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val cn = adj.as("x")
+      .join(adj.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val nonEdge = cn.join(e, cn("a") === e("pa") && cn("b") === e("pb"), "left_anti")
+    val scored = nonEdge
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("cn"),
+        expr("CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE)").as("jaccard"))
+    Relational
+      .rankedTopK(scored, k, col("jaccard").desc, col("a").asc, col("b").asc)
+      .select(col("rank"), col("a"), col("b"), col("cn"), col("jaccard"))
+  }
 }

@@ -833,6 +833,52 @@ object Similarity {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (`k` rows ×
+    * `dim`), fourth LCG seed of the [[planes]] family.
+    */
+  def jlSigns(k: Int, dim: Int): Seq[Array[Int]] = {
+    var state = 0x2545F4914F6CDD1DL
+    def next(): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      if (((state >>> 11) & 1L) == 1L) 1 else -1
+    }
+    Seq.fill(k)(Array.fill(dim)(next()))
+  }
+
+  /** Johnson–Lindenstrauss distortion report: the query vectors project
+    * 64 → `k` dims through a deterministic ±1 sign matrix ON THE MILLI
+    * INTEGER GRID (projection = signed integer sums, pairwise squared
+    * distances in both spaces BIGINT-exact), and each query pair reports
+    * d_k / (k·d_64) — the ratio JL says concentrates near 1. The only
+    * float is that final division. The projection itself is one map-side
+    * pass; the pair stage is queries²-bounded.
+    */
+  def jlDistortion(embeddings: DataFrame, k: Int = 8, numQueries: Int = 10): DataFrame = {
+    val signs = jlSigns(k, 64)
+    val ma = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
+          .as("ma"))
+    val withY = signs.zipWithIndex.foldLeft(ma) { case (df, (row, j)) =>
+      val arr = row.mkString("array(", "L, ", "L)")
+      df.withColumn(
+        s"y${j + 1}",
+        expr(s"aggregate(zip_with(ma, $arr, (x, s) -> x * s), 0L, (acc, v) -> acc + v)"))
+    }
+    val d8 = (1 to k).map(j => s"(a.y$j - b.y$j) * (a.y$j - b.y$j)").mkString(" + ")
+    withY.as("a")
+      .join(withY.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        expr("aggregate(zip_with(a.ma, b.ma, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("d64"),
+        expr(d8).as("dk"))
+      .withColumn("ratio", expr(s"CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE))"))
+  }
+
   /** Recall@k curve of the IVF index against the exact brute-force
     * ranking, k = 1..`k`: for each cutoff, the fraction of true top-k
     * neighbors (over all queries) the index also ranks in ITS top-k.
