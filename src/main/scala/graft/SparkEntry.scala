@@ -629,6 +629,21 @@ object SparkEntry {
       Similarity.jlDistortion(Tables.embeddings(s, dir)).orderBy("va", "vb")),
     "q_link_predict" -> ((s, dir) =>
       Graph.linkPrediction(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_local_volume" -> ((s, dir) =>
+      Relational.localSupplierVolume(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+        "ASIA", "1996-01-01", "1997-01-01").orderBy("n_name")),
+    "q_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualTopNeighbors(Tables.embeddings(s, dir)).orderBy("va")),
+    "q_life_table" -> ((s, dir) =>
+      Analytics.lifeTable(Tables.events(s, dir)).orderBy("dur_day")),
+    "q_conformal" -> ((s, dir) =>
+      Analytics.conformalInterval(Tables.lineitem(s, dir))),
+    "q_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(Tables.embeddings(s, dir)).orderBy("cell")),
+    "q_post_strat" -> ((s, dir) =>
+      Relational.postStratified(Tables.events(s, dir)).orderBy("event_type")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -855,6 +870,36 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
          FROM pairs)
        SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB squared-distance silhouette, generated with the same centroid
+    * literals, first-match argmin, and value-mask second-min as
+    * [[graft.similarity.Similarity.silhouette]].
+    */
+  private def duckSilhouetteSql(numCells: Int): String = {
+    val cs = graft.similarity.Similarity.centroids(numCells, 64)
+    val dists = cs
+      .map { c =>
+        val lit = c.map(_.toString).mkString("[", ", ", "]")
+        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
+      }
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       e2 AS (SELECT v, list_dot_product(v, v) AS vv FROM e),
+       d AS (SELECT $dists AS dists FROM e2),
+       m AS (SELECT dists, list_position(dists, list_min(dists)) - 1 AS cell,
+                    list_min(dists) AS a2 FROM d),
+       s AS (SELECT cell, a2,
+                    list_min(list_transform(dists,
+                      x -> CASE WHEN x = a2 THEN CAST('Infinity' AS DOUBLE) ELSE x END)) AS b2
+             FROM m),
+       r AS (SELECT cell,
+                    CAST(round((CASE WHEN b2 = 0 THEN 0.0 ELSE (b2 - a2) / b2 END) * 1000000) AS BIGINT) AS sil_micro
+             FROM s)
+       SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(sum(sil_micro) AS BIGINT) AS sil_sum,
+              (CAST(sum(sil_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_sil
+       FROM r GROUP BY cell ORDER BY cell"""
   }
 
   /** DuckDB PQ pipeline, generated: per-subspace argmin codes over the
@@ -3919,6 +3964,99 @@ object SparkEntry {
                        (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS alpha
          FROM m ORDER BY n""",
     "q_jl_distortion" -> duckJlSql(8, 10),
+    "q_conformal" -> {
+      val linreg = Stages.linregSql.toMap
+      s"""WITH b AS (SELECT CASE WHEN CAST(CAST(concat('0x', substring(md5(concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) % 10 < 6 THEN 'train'
+                              WHEN CAST(CAST(concat('0x', substring(md5(concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) % 10 < 8 THEN 'cal'
+                              ELSE 'test' END AS split,
+                            CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy
+               FROM b WHERE split = 'train'),
+         h AS (SELECT split, CAST(round(abs(${Stages.residualSql})) AS BIGINT) AS abs_resid
+               FROM b, m WHERE split <> 'train'),
+         nc AS (SELECT count(*) AS n_cal FROM h WHERE split = 'cal'),
+         cc AS (SELECT abs_resid, count(*) AS cnt FROM h WHERE split = 'cal' GROUP BY 1),
+         q AS (SELECT min(abs_resid) AS qhat_dollars
+               FROM (SELECT abs_resid,
+                            sum(cnt) OVER (ORDER BY abs_resid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                     FROM cc), nc
+               WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                      CAST(sum(CASE WHEN abs_resid <= qhat_dollars THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+               FROM h, q WHERE split = 'test')
+         SELECT m.n AS n_train, CAST(nc.n_cal AS BIGINT) AS n_cal, t.n_test AS n_test,
+                ${linreg("slope")} AS slope,
+                ${linreg("intercept")} AS intercept,
+                q.qhat_dollars AS qhat_dollars,
+                CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE) AS coverage
+         FROM m, nc, q, t"""
+    },
+    "q_silhouette" -> duckSilhouetteSql(8),
+    "q_post_strat" ->
+      """WITH s AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_pop,
+                           CAST(sum(CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+                           CAST(coalesce(sum(CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 = 0 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS s_cents
+                    FROM events GROUP BY 1),
+         t AS (SELECT sum(n_pop) AS n_total FROM s)
+         SELECT event_type, n_pop, n_sample,
+                CAST(n_pop AS DOUBLE) / CAST(n_total AS DOUBLE) AS weight,
+                CASE WHEN n_sample = 0 THEN NULL
+                     ELSE (CAST(s_cents AS DOUBLE) / CAST(n_sample AS DOUBLE)) / 100.0 END AS sample_mean,
+                (CAST(n_pop AS DOUBLE) / CAST(n_total AS DOUBLE)) *
+                (CASE WHEN n_sample = 0 THEN NULL
+                      ELSE (CAST(s_cents AS DOUBLE) / CAST(n_sample AS DOUBLE)) / 100.0 END) AS contribution
+         FROM s, t ORDER BY event_type""",
+    "q_local_volume" ->
+      """SELECT n_name,
+                CAST(count(*) AS BIGINT) AS n_items,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT))) / CAST(10000 AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         GROUP BY 1 ORDER BY n_name""",
+    "q_mutual_knn" ->
+      """WITH p AS (
+           SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+                  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         t AS (SELECT label, va, vb, cos_sim,
+                      row_number() OVER (PARTITION BY va ORDER BY cos_sim DESC, vb) AS rn
+               FROM p)
+         SELECT x.label AS label, x.va AS va, x.vb AS vb, x.cos_sim AS cos_sim
+         FROM t x JOIN t y ON x.va = y.vb AND x.vb = y.va AND y.rn = 1
+         WHERE x.rn = 1 AND x.va < x.vb ORDER BY va""",
+    "q_life_table" ->
+      """WITH pu AS (SELECT user_id,
+                            min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS first_s,
+                            max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_s
+                     FROM events GROUP BY 1),
+         mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS max_s FROM events),
+         u AS (SELECT (last_s - first_s) // 86400 AS dur_day,
+                      last_s >= max_s - 86400 AS censored
+               FROM pu, mx),
+         d AS (SELECT dur_day,
+                      CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d_churn,
+                      CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c_censored
+               FROM u GROUP BY 1),
+         e AS (SELECT dur_day, d_churn, c_censored,
+                      coalesce(sum(d_churn + c_censored) OVER
+                        (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exited_before
+               FROM d),
+         n AS (SELECT count(*) AS n_users FROM pu)
+         SELECT dur_day, CAST(n_users - exited_before AS BIGINT) AS n_risk, d_churn, c_censored,
+                CAST(d_churn AS DOUBLE) / CAST(n_users - exited_before AS DOUBLE) AS hazard
+         FROM e, n ORDER BY dur_day""",
     "q_link_predict" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk

@@ -2763,4 +2763,108 @@ object Analytics {
                        (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))""")
           .as("alpha"))
   }
+
+  /** Discrete-time life table over user lifetimes: per user, duration =
+    * whole days between first and last event; users whose last event
+    * falls within `censorSec` of the corpus max are right-censored
+    * (still observed alive at window end, not churned). Per duration
+    * day: users still at risk, churn exits, censored exits, and the
+    * discrete hazard d/n_risk — the survival-analysis readout behind
+    * retention forecasting. Two map-combined aggregates (per-user, then
+    * per-day) plus a running sum over the ≤|days|-row day table (an
+    * aggregate-bounded input, the sanctioned unpartitioned-window
+    * shape); the integer counts divide once at the end.
+    */
+  def lifeTable(events: DataFrame, censorSec: Long = 86400L): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts").cast("long")).as("first_s"),
+        max(col("ts").cast("long")).as("last_s"))
+    val maxS = events.agg(max(col("ts").cast("long")).as("max_s"))
+    val byDay = perUser
+      .crossJoin(broadcast(maxS))
+      .select(
+        expr("(last_s - first_s) div 86400").as("dur_day"),
+        (col("last_s") >= col("max_s") - lit(censorSec)).as("censored"))
+      .groupBy(col("dur_day"))
+      .agg(
+        sum(when(col("censored"), 0L).otherwise(1L)).as("d_churn"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c_censored"))
+    val before = Window.orderBy(col("dur_day")).rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .withColumn(
+        "exited_before",
+        coalesce(sum(col("d_churn") + col("c_censored")).over(before), lit(0L)))
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"))))
+      .withColumn("n_risk", col("n_users") - col("exited_before"))
+      .withColumn("hazard", expr("CAST(d_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)"))
+      .select(col("dur_day"), col("n_risk"), col("d_churn"), col("c_censored"), col("hazard"))
+  }
+
+  /** Split-conformal regression interval, self-calibrated end to end:
+    * a 60/20/20 md5-hash split of lineitem (train / calibration / test),
+    * an OLS price-vs-quantity fit from exact integer sufficient
+    * statistics ([[Stages.linregSql]]; y in whole dollars, the same
+    * overflow headroom convention as q_linreg), the conformal quantile
+    * q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration |residual| taken
+    * from a value→count table (an aggregate-bounded running sum, never a
+    * row-scale window), and the empirical coverage of ŷ ± q̂ on the held-
+    * out test split — the finite-sample ≥90% guarantee, measured. Three
+    * map-combined aggregates and single-row broadcast joins; residuals
+    * are the shared fixed IEEE tree of [[Stages.residualSql]], so the
+    * split, fit, quantile, and coverage are bit-identical on any engine.
+    */
+  def conformalInterval(lineitem: DataFrame): DataFrame = {
+    val bucket =
+      "cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
+        "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 10"
+    val base = lineitem.select(
+      expr(s"CASE WHEN $bucket < 6 THEN 'train' WHEN $bucket < 8 THEN 'cal' ELSE 'test' END")
+        .as("split"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+    val stats = base
+      .filter(col("split") === "train")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val holdout = base
+      .filter(col("split") =!= "train")
+      .crossJoin(broadcast(stats))
+      .withColumn("abs_resid", expr(s"CAST(round(abs(${Stages.residualSql})) AS BIGINT)"))
+    val nCal = holdout.filter(col("split") === "cal").agg(count(lit(1)).as("n_cal"))
+    val calCounts = holdout
+      .filter(col("split") === "cal")
+      .groupBy(col("abs_resid"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy(col("abs_resid")).rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = calCounts
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .crossJoin(broadcast(nCal))
+      .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+      .agg(min(col("abs_resid")).as("qhat_dollars"))
+    val testAgg = holdout
+      .filter(col("split") === "test")
+      .crossJoin(broadcast(qhat))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("abs_resid") <= col("qhat_dollars"), 1L).otherwise(0L)).as("n_covered"))
+    val fit = stats.select(
+      col("n").as("n_train"),
+      expr(Stages.linregSql.toMap.apply("slope")).as("slope"),
+      expr(Stages.linregSql.toMap.apply("intercept")).as("intercept"))
+    fit
+      .crossJoin(broadcast(nCal))
+      .crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(testAgg))
+      .withColumn(
+        "coverage", expr("CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)"))
+      .select(
+        col("n_train"), col("n_cal"), col("n_test"),
+        col("slope"), col("intercept"), col("qhat_dollars"), col("coverage"))
+  }
 }

@@ -311,6 +311,56 @@ object Relational {
       .select(col("rank"), col("o_orderkey"), col("o_orderpriority"), col("revenue"))
   }
 
+  /** TPC-H Q5-shaped "local supplier" volume: revenue from lineitems whose
+    * supplier and ordering customer sit in the SAME nation of one region,
+    * over one order-date year. The nation⋈region dimension broadcasts to
+    * the customer leg; supplier broadcasts to the fact side; the
+    * `s_nationkey = c_nationkey` locality test rides ON the supplier join
+    * (a join condition, not a post-filter), so non-local pairs die inside
+    * the build-side probe. Only the orders⋈lineitem join shuffles, on the
+    * key both sides already produce. Revenue is exact hundredth-cent
+    * integers (`cents · (100 − pct)`) summed as BIGINT and divided once —
+    * exact below 2^53 hundredth-cents per nation (~$9×10^12; past that
+    * the DECIMAL(38) sum is the cluster-scale follow-up).
+    */
+  def localSupplierVolume(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String,
+      yearStart: String,
+      yearEndExcl: String): DataFrame = {
+    val localNations = nation
+      .join(
+        broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer
+      .join(broadcast(localNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(
+        col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+          col("o_orderdate") < lit(yearEndExcl).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val revenueMicros =
+      s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), expr(revenueMicros).as("rev_micros"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        expr("sum(rev_micros) / CAST(10000 AS DOUBLE)").as("revenue"))
+  }
+
   /** Sketch-based distinct counting, self-validated: per group, the exact
     * distinct count alongside a flag that Spark's HyperLogLog++
     * (`approx_count_distinct`, default rsd 5%) landed within `tol` of it.
@@ -371,6 +421,43 @@ object Relational {
         expr(s"CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'valid' ELSE 'test' END"))
       .groupBy(col("split"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Post-stratified estimation readout: the survey-sampling bias
+    * correction for a hash sample whose strata mix drifted from the
+    * population. Per event-type stratum: the TRUE population share
+    * (weight = N_h/N, known exactly — strata counts come from the full
+    * scan), the 10% md5-hash sample's size and mean value, and the
+    * stratum's contribution weight·mean to the post-stratified total —
+    * Σ contributions estimates the population mean with the sample-mix
+    * bias removed. One map-combined aggregate computes population and
+    * sample moments together (the sample terms are conditional sums, no
+    * second scan); every division is a fixed IEEE tree over exact
+    * integers. Per-stratum rows keep the output deterministic — the
+    * cross-stratum Σ would be a float sum whose order an engine is free
+    * to choose.
+    */
+  def postStratified(events: DataFrame): DataFrame = {
+    val bucket =
+      "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 10"
+    val strata = events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pop"),
+        sum(when(expr(s"$bucket = 0"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(expr(s"$bucket = 0"), expr(Stages.centsSql("value"))).otherwise(lit(0L)))
+          .as("s_cents"))
+    strata
+      .crossJoin(broadcast(strata.agg(sum(col("n_pop")).as("n_total"))))
+      .withColumn("weight", expr("CAST(n_pop AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+      .withColumn(
+        "sample_mean",
+        expr("CASE WHEN n_sample = 0 THEN NULL ELSE " +
+          "(CAST(s_cents AS DOUBLE) / CAST(n_sample AS DOUBLE)) / 100.0 END"))
+      .withColumn("contribution", col("weight") * col("sample_mean"))
+      .select(
+        col("event_type"), col("n_pop"), col("n_sample"),
+        col("weight"), col("sample_mean"), col("contribution"))
   }
 
   /** Top-`k` users by Wilson-lower-bound purchase propensity: raw

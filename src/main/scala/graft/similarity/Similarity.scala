@@ -455,6 +455,43 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
+  /** Squared-distance (simplified) silhouette of the IVF coarse
+    * quantizer: per vector, a = squared distance to its assigned
+    * (nearest) centroid, b = squared distance to the next-nearest via
+    * the [[ivfProbe2TopK]] value-mask re-argmin, s = (b − a)/b — the
+    * codebook-quality readout that tells you when the quantizer needs
+    * retraining. Per-row s is one fixed IEEE tree over the shared
+    * centroid literals, quantized to integer micros so the per-cell
+    * mean accumulates as exact order-free BIGINTs and divides once.
+    * One scan, one map-combined aggregate, |cells| output rows; the
+    * dist-array expansion is compositional (cells×dims literals) — a
+    * native min2-kernel is the follow-up if the codebook grows.
+    */
+  def silhouette(embeddings: DataFrame, numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    val inf = expr("CAST('Infinity' AS DOUBLE)")
+    embeddings
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("dists", centroidDists(col("v"), col("vv"), cs))
+      .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1))
+      .withColumn("a2", array_min(col("dists")))
+      .withColumn(
+        "masked",
+        transform(col("dists"), x => when(x === col("a2"), inf).otherwise(x)))
+      .withColumn("b2", array_min(col("masked")))
+      .withColumn(
+        "sil",
+        when(col("b2") === 0.0, lit(0.0)).otherwise((col("b2") - col("a2")) / col("b2")))
+      .withColumn("sil_micro", expr("CAST(round(sil * 1000000) AS BIGINT)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sil_micro")).as("sil_sum"))
+      .withColumn(
+        "mean_sil",
+        expr("(CAST(sil_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0"))
+      .select(col("cell"), col("n_vecs"), col("sil_sum"), col("mean_sil"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT
     * label — near the query in embedding space but semantically wrong,
@@ -573,6 +610,39 @@ object Similarity {
       .withColumn("cos_sim", round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 3))
       .filter(col("cos_sim") >= minCos)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Mutual nearest-neighbor pairs, blocked by `label` like
+    * [[cosineNearDups]]: each vector's top-1 cosine neighbor inside its
+    * block (ranked on the milli-rounded similarity, vec_id tie-break),
+    * kept only when the choice is reciprocal — a's best is b AND b's
+    * best is a. The MNN pairing used to mine aligned / duplicate
+    * training pairs; the mutual check is a self-join of the per-vector
+    * top-1 table (two |V|-row relations, never the pair matrix), and at
+    * scale the block key comes from a coarse quantizer so the per-block
+    * pair fan-out stays bounded.
+    */
+  def mutualTopNeighbors(embeddings: DataFrame): DataFrame = {
+    val corpus = withNorm(embeddings)
+    val a = corpus.select(
+      col("label"), col("vec_id").as("va"), col("emb_d").as("ea"), col("norm").as("na"))
+    val b = corpus.select(
+      col("label"), col("vec_id").as("vb"), col("emb_d").as("eb"), col("norm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("va"))
+      .orderBy(col("cos_sim").desc, col("vb").asc)
+    val top1 = a.join(b, Seq("label"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 3))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("va"), col("vb"), col("cos_sim"))
+    top1.as("x")
+      .join(
+        top1.select(col("va").as("yb"), col("vb").as("ya")),
+        col("va") === col("ya") && col("vb") === col("yb"))
+      .filter(col("va") < col("vb"))
+      .select(col("label"), col("va"), col("vb"), col("cos_sim"))
   }
 
   /** Per-label centroids with EXACT accumulation: each component
