@@ -644,6 +644,54 @@ object SparkEntry {
       Similarity.silhouette(Tables.embeddings(s, dir)).orderBy("cell")),
     "q_post_strat" -> ((s, dir) =>
       Relational.postStratified(Tables.events(s, dir)).orderBy("event_type")),
+    "q_grid_cluster" -> ((s, dir) =>
+      Similarity.gridDensityClusters(Tables.embeddings(s, dir))
+        .orderBy("comp_gx", "comp_gy")),
+    "q_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(Tables.embeddings(s, dir)).orderBy("label")),
+    "q_apdex" -> ((s, dir) =>
+      Analytics.apdex(Tables.events(s, dir)).orderBy("event_type")),
+    "q_anova" -> ((s, dir) =>
+      Analytics.anovaByType(Tables.events(s, dir))),
+    "q_welch" -> ((s, dir) =>
+      Analytics.welchTTest(Tables.events(s, dir))),
+    "q_poisson_boot" -> ((s, dir) =>
+      Analytics.poissonBootstrap(Tables.events(s, dir)).orderBy("resample")),
+    "q_blocking_eval" -> ((s, dir) =>
+      Dedup.blockingQuality(Tables.documents(s, dir))),
+    "q_paired_shift" -> ((s, dir) =>
+      Analytics.pairedShift(Tables.events(s, dir))),
+    "q_ess" -> ((s, dir) =>
+      Analytics.effectiveSampleSize(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_absorption" -> ((s, dir) =>
+      Analytics.absorptionProbabilities(Tables.events(s, dir))),
+    "q_nn_match" -> ((s, dir) =>
+      Analytics.nnMatchAtt(Tables.events(s, dir))),
+    "q_modularity" -> ((s, dir) =>
+      Graph.brandModularity(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy("p_brand")),
+    "q_pca2" -> ((s, dir) =>
+      Similarity.powerIterationDeflated(Tables.embeddings(s, dir)).orderBy("dim")),
+    "q_lm_eval" -> ((s, dir) =>
+      Analytics.bigramEval(Tables.events(s, dir)).orderBy("event_type")),
+    "q_join_card" -> ((s, dir) =>
+      Relational.joinCardinalityEstimate(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(Tables.lineitem(s, dir))),
+    "q_partial_corr" -> ((s, dir) =>
+      Analytics.partialCorrelation(Tables.events(s, dir))),
+    "q_icc" -> ((s, dir) =>
+      Analytics.intraclassCorrelation(Tables.events(s, dir))),
+    "q_kcenter" -> ((s, dir) =>
+      Similarity.kcenterSeeds(Tables.embeddings(s, dir)).orderBy("rank")),
+    "q_cv_linreg" -> ((s, dir) =>
+      Analytics.crossValidatedLinreg(Tables.lineitem(s, dir)).orderBy("fold")),
+    "q_seq_gini" -> ((s, dir) =>
+      Analytics.sequencePredictability(Tables.events(s, dir)).orderBy("event_type")),
+    "q_ab_power" -> ((s, dir) =>
+      Analytics.abPowerAnalysis(Tables.events(s, dir))),
+    "q_dedup_prf" -> ((s, dir) =>
+      Dedup.dedupPrf(Tables.documents(s, dir))),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -3995,6 +4043,510 @@ object SparkEntry {
          FROM m, nc, q, t"""
     },
     "q_silhouette" -> duckSilhouetteSql(8),
+    "q_grid_cluster" ->
+      """WITH RECURSIVE cells AS (
+           SELECT gx, gy, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT (CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) + 10000) // 50 - 200 AS gx,
+                        (CAST(round(embedding[2]::DOUBLE * 1000) AS BIGINT) + 10000) // 50 - 200 AS gy
+                 FROM embeddings)
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         edges AS (
+           SELECT a.gx AS ax, a.gy AS ay, b.gx AS bgx, b.gy AS bgy
+           FROM cells a JOIN cells b
+             ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+            AND (a.gx <> b.gx OR a.gy <> b.gy)),
+         r AS (
+           SELECT gx, gy, gx AS rx, gy AS ry FROM cells
+           UNION
+           SELECT e.bgx, e.bgy, r.rx, r.ry FROM r JOIN edges e ON e.ax = r.gx AND e.ay = r.gy),
+         lab AS (SELECT gx, gy, min((rx + 400) * 100000 + (ry + 400)) AS ck FROM r GROUP BY 1, 2),
+         j AS (SELECT c.gx, c.gy, c.n, l.ck FROM cells c JOIN lab l USING (gx, gy))
+         SELECT ck // 100000 - 400 AS comp_gx, ck % 100000 - 400 AS comp_gy,
+                CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n) AS BIGINT) AS n_points,
+                min(gx) AS min_gx, max(gx) AS max_gx, min(gy) AS min_gy, max(gy) AS max_gy
+         FROM j GROUP BY ck ORDER BY comp_gx, comp_gy""",
+    "q_centroid_drift" ->
+      """WITH e AS (SELECT vec_id % 2 = 0 AS half_a, label,
+                           unnest(generate_series(1, 64)) AS dim, embedding
+                    FROM embeddings),
+         m AS (SELECT half_a, label, CAST(dim AS BIGINT) AS dim,
+                      CAST(round(embedding[dim]::DOUBLE * 1000) AS BIGINT) AS milli
+               FROM e),
+         c AS (SELECT label, dim, half_a, CAST(count(*) AS BIGINT) AS n, sum(milli) AS ms
+               FROM m GROUP BY 1, 2, 3),
+         c2 AS (SELECT label, dim, half_a, n,
+                       CAST(round(CAST(ms AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS c
+                FROM c),
+         p AS (SELECT a.label AS label, a.dim AS dim, a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+               FROM c2 a JOIN c2 b ON a.label = b.label AND a.dim = b.dim
+               WHERE a.half_a AND NOT b.half_a)
+         SELECT label, max(na) AS n_a, max(nb) AS n_b,
+                CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS dist2,
+                sqrt(CAST(sum((ca - cb) * (ca - cb)) AS DOUBLE)) / 1000.0 AS drift
+         FROM p GROUP BY label ORDER BY label""",
+    "q_seq_gini" ->
+      """WITH seq AS (SELECT event_type AS curr,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS prev
+               FROM events),
+         c AS (SELECT prev, curr, CAST(count(*) AS BIGINT) AS c
+               FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT prev, CAST(count(*) AS BIGINT) AS n_successors,
+                      CAST(sum(c) AS BIGINT) AS n, CAST(sum(c * c) AS BIGINT) AS s2
+               FROM c GROUP BY 1)
+         SELECT prev AS event_type, n_successors, n,
+                CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS collision_prob,
+                (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE) AS eff_branching
+         FROM m ORDER BY event_type""",
+    "q_ab_power" ->
+      """WITH u AS (SELECT user_id,
+                           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+                    FROM events GROUP BY 1),
+         a AS (SELECT converted,
+                      CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 2 AS arm
+               FROM u),
+         m AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c2
+               FROM a)
+         SELECT n1, c1, n2, c2,
+                (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rate1,
+                (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS rate2,
+                CASE WHEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) = (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) THEN NULL ELSE
+                  (1.96 + 0.8416) * (1.96 + 0.8416)
+                  * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (1 - (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                     + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * (1 - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                  / (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                     * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))) END AS n_per_arm
+         FROM m""",
+    "q_dedup_prf" ->
+      s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
+         truth AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+                FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+         mh AS (SELECT doc_a, doc_b FROM sj
+                WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5),
+         pred AS (SELECT doc_a, doc_b FROM mh
+                  JOIN documents da ON da.doc_id = doc_a
+                  JOIN documents db ON db.doc_id = doc_b
+                  WHERE da.source = db.source),
+         ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM truth),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+         nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM truth JOIN pred USING (doc_a, doc_b))
+         SELECT n_gold, n_pred, n_hit,
+                CASE WHEN n_pred = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+                CASE WHEN n_gold = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE) END AS recall,
+                CASE WHEN n_pred = 0 OR n_gold = 0 OR n_hit = 0 THEN NULL
+                     ELSE 2.0 * (CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                          * (CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE))
+                          / (CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                             + CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE)) END AS f1
+         FROM ng, np, nh""",
+    "q_kcenter" -> {
+      def sqd(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a.mv[i] - $b.mv[i]) * ($a.mv[i] - $b.mv[i]))) AS BIGINT)"
+      s"""WITH m AS (SELECT vec_id,
+                     list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS mv
+              FROM embeddings),
+         c0 AS (SELECT vec_id, mv FROM m ORDER BY vec_id LIMIT 1),
+         d0 AS (SELECT m.vec_id, m.mv, ${sqd("m", "c")} AS d FROM m, c0 c),
+         p1 AS (SELECT vec_id, mv, d FROM d0 ORDER BY d DESC, vec_id ASC LIMIT 1),
+         d1 AS (SELECT a.vec_id, a.mv, least(a.d, ${sqd("a", "c")}) AS d FROM d0 a, p1 c),
+         p2 AS (SELECT vec_id, mv, d FROM d1 ORDER BY d DESC, vec_id ASC LIMIT 1),
+         d2 AS (SELECT a.vec_id, a.mv, least(a.d, ${sqd("a", "c")}) AS d FROM d1 a, p2 c),
+         p3 AS (SELECT vec_id, mv, d FROM d2 ORDER BY d DESC, vec_id ASC LIMIT 1),
+         d3 AS (SELECT a.vec_id, a.mv, least(a.d, ${sqd("a", "c")}) AS d FROM d2 a, p3 c),
+         p4 AS (SELECT vec_id, mv, d FROM d3 ORDER BY d DESC, vec_id ASC LIMIT 1)
+         SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(0 AS BIGINT) AS sq_dist FROM c0
+         UNION ALL SELECT 1, vec_id, d FROM p1
+         UNION ALL SELECT 2, vec_id, d FROM p2
+         UNION ALL SELECT 3, vec_id, d FROM p3
+         UNION ALL SELECT 4, vec_id, d FROM p4
+         ORDER BY rank"""
+    },
+    "q_cv_linreg" -> {
+      val linreg = Stages.linregSql.toMap
+      s"""WITH b AS (SELECT CAST(CAST(concat('0x', substring(md5(concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) % 5 AS fold,
+                            CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         pf AS (SELECT fold, CAST(count(*) AS BIGINT) AS fn,
+                       CAST(sum(x) AS BIGINT) AS fsx, CAST(sum(y) AS BIGINT) AS fsy,
+                       CAST(sum(x * y) AS BIGINT) AS fsxy, CAST(sum(x * x) AS BIGINT) AS fsxx,
+                       CAST(sum(y * y) AS BIGINT) AS fsyy
+                FROM b GROUP BY 1),
+         g AS (SELECT CAST(sum(fn) AS BIGINT) AS gn, CAST(sum(fsx) AS BIGINT) AS gsx,
+                      CAST(sum(fsy) AS BIGINT) AS gsy, CAST(sum(fsxy) AS BIGINT) AS gsxy,
+                      CAST(sum(fsxx) AS BIGINT) AS gsxx, CAST(sum(fsyy) AS BIGINT) AS gsyy
+               FROM pf),
+         tr AS (SELECT fold, fn AS n_test, gn - fn AS n, gsx - fsx AS sx, gsy - fsy AS sy,
+                       gsxy - fsxy AS sxy, gsxx - fsxx AS sxx, gsyy - fsyy AS syy
+                FROM pf, g),
+         e AS (SELECT b.fold AS fold, tr.n AS n, tr.n_test AS n_test,
+                      tr.sx AS sx, tr.sy AS sy, tr.sxy AS sxy, tr.sxx AS sxx, tr.syy AS syy,
+                      CAST(round(${Stages.residualSql} * ${Stages.residualSql}) AS BIGINT) AS r2q
+               FROM b JOIN tr USING (fold)),
+         a AS (SELECT fold, max(n) AS n, max(n_test) AS n_test,
+                      max(sx) AS sx, max(sy) AS sy, max(sxy) AS sxy,
+                      max(sxx) AS sxx, max(syy) AS syy,
+                      CAST(sum(r2q) AS BIGINT) AS sr2
+               FROM e GROUP BY 1)
+         SELECT fold, n AS n_train, n_test,
+                ${linreg("slope")} AS slope,
+                ${linreg("intercept")} AS intercept,
+                CAST(sr2 AS DOUBLE) / CAST(n_test AS DOUBLE) AS test_mse
+         FROM a ORDER BY fold"""
+    },
+    "q_assortativity" -> {
+      val corr = Stages.momentStatsSql.toMap.apply("corr_xy")
+      s"""WITH baskets AS (SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+                          FROM lineitem GROUP BY 1),
+         pe AS (SELECT unnest(flatten(list_transform(ps, (x, i) ->
+                         list_transform(ps[i+1:], y -> {'pa': x, 'pb': y})))) AS e
+                FROM baskets),
+         ec AS (SELECT e.pa AS pa, e.pb AS pb, count(*) AS w FROM pe GROUP BY 1, 2),
+         edges AS (SELECT pa, pb FROM ec WHERE w >= 2),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+                 GROUP BY 1),
+         sym AS (SELECT pa, pb FROM edges UNION ALL SELECT pb, pa FROM edges),
+         j AS (SELECT da.deg AS x, db.deg AS y
+               FROM sym JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+               FROM j)
+         SELECT n, $corr AS assortativity FROM m"""
+    },
+    "q_partial_corr" -> {
+      val (rxy, rxz, ryz) =
+        (Analytics.pairwiseCorrSql("x", "y"), Analytics.pairwiseCorrSql("x", "z"),
+          Analytics.pairwiseCorrSql("y", "z"))
+      s"""WITH b AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+                            (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 + 3) % 7 + 1 AS z,
+                            CAST(round(value * 100) AS BIGINT) AS y
+                     FROM events),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y, CAST(sum(z) AS BIGINT) AS s_z,
+                      CAST(sum(x * x) AS BIGINT) AS s_xx, CAST(sum(y * y) AS BIGINT) AS s_yy,
+                      CAST(sum(z * z) AS BIGINT) AS s_zz,
+                      CAST(sum(x * y) AS BIGINT) AS s_xy, CAST(sum(x * z) AS BIGINT) AS s_xz,
+                      CAST(sum(y * z) AS BIGINT) AS s_yz
+               FROM b)
+         SELECT n, $rxy AS r_xy, $rxz AS r_xz, $ryz AS r_yz,
+                ($rxy - $rxz * $ryz) / sqrt((1 - $rxz * $rxz) * (1 - $ryz * $ryz)) AS r_xy_given_z
+         FROM m"""
+    },
+    "q_icc" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ng,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS qg
+                     FROM events GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                      CAST(sum(ng * ng) AS BIGINT) AS n2,
+                      CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+                      CAST(sum(CAST(round((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                            * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) * CAST(ng AS DOUBLE) / 100.0) AS BIGINT)) AS BIGINT) AS ssb_centi
+               FROM pu),
+         x AS (SELECT k, n,
+                      (CAST(ssb_centi AS DOUBLE) * 100.0
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE)) AS ssb,
+                      (CAST(q AS DOUBLE) - CAST(ssb_centi AS DOUBLE) * 100.0) AS ssw,
+                      (CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(k - 1 AS DOUBLE) AS k_bar
+               FROM m),
+         y AS (SELECT k, n, ssb / CAST(k - 1 AS DOUBLE) AS msb,
+                      ssw / CAST(n - k AS DOUBLE) AS msw, k_bar
+               FROM x)
+         SELECT k, n, msb, msw, k_bar,
+                (msb - msw) / (msb + (k_bar - 1) * msw) AS icc1
+         FROM y""",
+    "q_pca2" ->
+      """WITH e AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS dim FROM embeddings),
+         m AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                      CAST(round(embedding[dim]::DOUBLE * 1000) AS BIGINT) AS mm
+               FROM e),
+         cells AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.mm * b.mm) AS BIGINT) AS s
+                   FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         u0 AS (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT) AS udim, CAST(1 AS BIGINT) AS u),
+         w1 AS (SELECT i, CAST(sum(s * u) AS BIGINT) AS w FROM cells JOIN u0 ON j = udim GROUP BY 1),
+         x1 AS (SELECT max(abs(w)) AS mx FROM w1),
+         u1 AS (SELECT i AS udim, CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS u
+                FROM w1, x1),
+         w2 AS (SELECT i, CAST(sum(s * u) AS BIGINT) AS w FROM cells JOIN u1 ON j = udim GROUP BY 1),
+         x2 AS (SELECT max(abs(w)) AS mx FROM w2),
+         u2 AS (SELECT i AS udim, CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS u
+                FROM w2, x2),
+         uc AS (SELECT udim, CAST(round(CAST(u AS DOUBLE) / 10.0) AS BIGINT) AS u FROM u2),
+         nn AS (SELECT CAST(sum(u * u) AS BIGINT) AS uu FROM uc),
+         um AS (SELECT CAST(sum(s * ui.u * uj.u) AS BIGINT) AS umu
+                FROM cells JOIN uc ui ON i = ui.udim JOIN uc uj ON j = uj.udim),
+         d AS (SELECT i, j,
+                      s - CAST(round((CAST(umu AS DOUBLE) / CAST(uu AS DOUBLE))
+                            * (CAST(ui.u * uj.u AS DOUBLE) / CAST(uu AS DOUBLE))) AS BIGINT) AS s
+               FROM cells JOIN uc ui ON i = ui.udim JOIN uc uj ON j = uj.udim, nn, um),
+         v0 AS (SELECT udim, CASE WHEN udim % 2 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS u
+                FROM (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT) AS udim)),
+         y1 AS (SELECT i, CAST(sum(s * u) AS BIGINT) AS w FROM d JOIN v0 ON j = udim GROUP BY 1),
+         z1 AS (SELECT max(abs(w)) AS mx FROM y1),
+         v1 AS (SELECT i AS udim, CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS u
+                FROM y1, z1),
+         y2 AS (SELECT i, CAST(sum(s * u) AS BIGINT) AS w FROM d JOIN v1 ON j = udim GROUP BY 1),
+         z2 AS (SELECT max(abs(w)) AS mx FROM y2),
+         v2 AS (SELECT i AS udim, CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT) AS u
+                FROM y2, z2)
+         SELECT udim AS dim, u AS loading2_milli FROM v2 ORDER BY dim""",
+    "q_lm_eval" ->
+      """WITH seq AS (SELECT event_type AS curr,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS prev,
+                      day(CAST(ts AS TIMESTAMP)) <= 15 AS is_train
+               FROM events),
+         p AS (SELECT * FROM seq WHERE prev IS NOT NULL),
+         tr AS (SELECT prev, curr, CAST(count(*) AS BIGINT) AS cnt
+                FROM p WHERE is_train GROUP BY 1, 2),
+         pr AS (SELECT prev, curr AS pred
+                FROM (SELECT prev, curr,
+                             row_number() OVER (PARTITION BY prev ORDER BY cnt DESC, curr ASC) AS rn
+                      FROM tr)
+                WHERE rn = 1),
+         ev AS (SELECT p.prev, p.curr, pr.pred FROM p LEFT JOIN pr USING (prev)
+                WHERE NOT is_train)
+         SELECT prev AS event_type, min(pred) AS pred,
+                CAST(count(*) AS BIGINT) AS n_eval,
+                CAST(sum(CASE WHEN curr = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                CAST(sum(CASE WHEN curr = pred THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         FROM ev GROUP BY 1 ORDER BY event_type""",
+    "q_join_card" ->
+      """WITH oc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na FROM orders GROUP BY 1),
+         lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb FROM lineitem GROUP BY 1),
+         j AS (SELECT k, na * nb AS pairs,
+                      CAST(CAST(concat('0x', substring(md5(CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 AS b
+               FROM oc JOIN lc USING (k))
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(pairs) AS BIGINT) AS actual_pairs,
+                CAST(sum(CASE WHEN b = 0 THEN pairs ELSE 0 END) * 10 AS BIGINT) AS est_pairs,
+                CAST(sum(CASE WHEN b = 0 THEN pairs ELSE 0 END) * 10 AS DOUBLE) / CAST(sum(pairs) AS DOUBLE) AS ratio
+         FROM j""",
+    "q_absorption" -> {
+      val det = Stages.det3Sql("a", "b", "c", "d", "e", "f", "g", "h", "i")
+      val d1 = Stages.det3Sql("r1", "b", "c", "r2", "e", "f", "r3", "h", "i")
+      val d2 = Stages.det3Sql("a", "r1", "c", "d", "r2", "f", "g", "r3", "i")
+      val d3 = Stages.det3Sql("a", "b", "r1", "d", "e", "r2", "g", "h", "r3")
+      def q(i: String, j: String) =
+        s"CAST(sum(CASE WHEN prev = '$i' AND curr = '$j' THEN p_ppm ELSE 0 END) AS BIGINT)"
+      s"""WITH seq AS (SELECT event_type AS curr,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS prev
+               FROM events),
+         pairs AS (SELECT prev, curr, CAST(count(*) AS BIGINT) AS cnt
+                   FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         rsum AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot FROM pairs GROUP BY 1),
+         p AS (SELECT pairs.prev, pairs.curr, cnt,
+                      CAST(round(1000000.0 * CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS p_ppm
+               FROM pairs JOIN rsum USING (prev)),
+         m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_transitions,
+                      ${q("click", "click")} AS q_cc, ${q("click", "signup")} AS q_cs, ${q("click", "view")} AS q_cv,
+                      ${q("signup", "click")} AS q_sc, ${q("signup", "signup")} AS q_ss, ${q("signup", "view")} AS q_sv,
+                      ${q("view", "click")} AS q_vc, ${q("view", "signup")} AS q_vs, ${q("view", "view")} AS q_vv,
+                      ${q("click", "purchase")} AS b_c, ${q("signup", "purchase")} AS b_s, ${q("view", "purchase")} AS b_v
+               FROM p),
+         x AS (SELECT n_transitions,
+                      CAST(1000000 - q_cc AS DOUBLE) AS a, CAST(0 - q_cs AS DOUBLE) AS b, CAST(0 - q_cv AS DOUBLE) AS c,
+                      CAST(0 - q_sc AS DOUBLE) AS d, CAST(1000000 - q_ss AS DOUBLE) AS e, CAST(0 - q_sv AS DOUBLE) AS f,
+                      CAST(0 - q_vc AS DOUBLE) AS g, CAST(0 - q_vs AS DOUBLE) AS h, CAST(1000000 - q_vv AS DOUBLE) AS i,
+                      CAST(b_c AS DOUBLE) AS r1, CAST(b_s AS DOUBLE) AS r2, CAST(b_v AS DOUBLE) AS r3
+               FROM m)
+         SELECT n_transitions,
+                $d1 / $det AS p_click,
+                $d2 / $det AS p_signup,
+                $d3 / $det AS p_view
+         FROM x"""
+    },
+    "q_nn_match" ->
+      """WITH u AS (SELECT user_id,
+                           CAST(coalesce(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS x,
+                           CAST(coalesce(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS y,
+                           CAST(CASE WHEN 100 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                                          >= 25 * count(*) THEN 1 ELSE 0 END AS BIGINT) AS treated
+                    FROM events GROUP BY 1),
+         w AS (SELECT user_id, x, y, treated,
+                      last_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
+                        OVER (ORDER BY x ASC, user_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS px,
+                      last_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+                        OVER (ORDER BY x ASC, user_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS py,
+                      first_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
+                        OVER (ORDER BY x ASC, user_id ASC ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx,
+                      first_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+                        OVER (ORDER BY x ASC, user_id ASC ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ny
+               FROM u),
+         t AS (SELECT x, y,
+                      CASE WHEN px IS NULL THEN ny
+                           WHEN nx IS NULL THEN py
+                           WHEN x - px <= nx - x THEN py
+                           ELSE ny END AS cy
+               FROM w WHERE treated = 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_treated, sum(y - cy) AS s_diff
+                 FROM t WHERE cy IS NOT NULL),
+         ctl AS (SELECT CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_controls FROM u)
+         SELECT n_treated, n_controls,
+                (CAST(s_diff AS DOUBLE) / CAST(n_treated AS DOUBLE)) / 100.0 AS att_dollars
+         FROM agg, ctl""",
+    "q_modularity" ->
+      """WITH baskets AS (SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+                          FROM lineitem GROUP BY 1),
+         pe AS (SELECT unnest(flatten(list_transform(ps, (x, i) ->
+                         list_transform(ps[i+1:], y -> {'pa': x, 'pb': y})))) AS e
+                FROM baskets),
+         ec AS (SELECT e.pa AS pa, e.pb AS pb, count(*) AS w FROM pe GROUP BY 1, 2),
+         edges AS (SELECT pa, pb FROM ec WHERE w >= 2),
+         wb AS (SELECT pa, pb, ba.p_brand AS brand_a, bb.p_brand AS brand_b
+                FROM edges JOIN part ba ON ba.p_partkey = pa
+                           JOIN part bb ON bb.p_partkey = pb),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM wb),
+         ie AS (SELECT brand_a AS p_brand, CAST(count(*) AS BIGINT) AS in_edges
+                FROM wb WHERE brand_a = brand_b GROUP BY 1),
+         deg AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS deg_sum,
+                        CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+                 FROM (SELECT pa AS node, brand_a AS p_brand FROM wb
+                       UNION ALL SELECT pb, brand_b FROM wb)
+                 GROUP BY 1)
+         SELECT deg.p_brand AS p_brand, n_nodes,
+                CAST(coalesce(in_edges, 0) AS BIGINT) AS in_edges, deg_sum,
+                CAST(coalesce(in_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                - (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                  * (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) AS contribution
+         FROM deg LEFT JOIN ie USING (p_brand), m ORDER BY p_brand""",
+    "q_blocking_eval" ->
+      s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
+         truth AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         hh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM truth JOIN cand USING (doc_a, doc_b))
+         SELECT n_docs, n_true, n_cand, n_hit,
+                CASE WHEN n_true = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS completeness,
+                1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) AS reduction_ratio
+         FROM nn, tt, cc, hh""",
+    "q_paired_shift" ->
+      """WITH h AS (SELECT user_id, day(CAST(ts AS TIMESTAMP)) <= 15 AS first_half,
+                           CAST(count(*) AS BIGINT) AS n,
+                           sum(CAST(round(value * 100) AS BIGINT)) AS s
+                    FROM events GROUP BY 1, 2),
+         d AS (SELECT CAST(round(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) -
+                                 CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) AS BIGINT) AS d
+               FROM h a JOIN h b ON a.user_id = b.user_id
+               WHERE a.first_half AND NOT b.first_half),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS s, sum(d * d) AS q FROM d)
+         SELECT n AS n_users,
+                (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_shift_dollars,
+                CASE WHEN n < 2 OR ((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) <= 0 THEN NULL
+                     ELSE (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt(((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) / CAST(n AS DOUBLE)) END AS t_stat
+         FROM m""",
+    "q_ess" ->
+      """WITH b AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w * w) AS BIGINT) AS sum_w2
+               FROM b GROUP BY 1)
+         SELECT l_returnflag, n, sum_w, sum_w2,
+                (CAST(sum_w AS DOUBLE) / CAST(sum_w2 AS DOUBLE)) * CAST(sum_w AS DOUBLE) AS ess,
+                (CAST(n AS DOUBLE) * (CAST(sum_w2 AS DOUBLE) / CAST(sum_w AS DOUBLE))) / CAST(sum_w AS DOUBLE) AS deff
+         FROM m ORDER BY l_returnflag""",
+    "q_anova" -> {
+      val types = Analytics.AnovaTypes
+      val perType = types.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i, " +
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN cents ELSE 0 END) AS BIGINT) AS s_$i"
+      }.mkString(",\n                  ")
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS s, sum(cents * cents) AS q,
+                  $perType
+               FROM base),
+         x AS (SELECT n, ${Analytics.anovaSsbSql(types.length)} AS ssb,
+                      ${Analytics.anovaSstSql} AS sst
+               FROM m)
+         SELECT n, CAST(${types.length} AS BIGINT) AS k, ssb, sst - ssb AS ssw,
+                (ssb / ${types.length - 1}.0) / ((sst - ssb) / CAST(n - ${types.length} AS DOUBLE)) AS f_stat,
+                ssb / sst AS eta2
+         FROM x"""
+    },
+    "q_welch" ->
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+               FROM base)
+         SELECT n1, n2,
+                (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0 AS mean1,
+                (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0 AS mean2,
+                ${Analytics.welchTSql} AS t_stat,
+                ${Analytics.welchDfSql} AS df
+         FROM m""",
+    "q_poisson_boot" -> {
+      val mult = Analytics.PoissonThresholds.zipWithIndex
+        .map { case (t, k) =>
+          s"WHEN CAST(CAST(concat('0x', substring(md5(concat(CAST(event_id AS VARCHAR), '_', CAST(r AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) < $t THEN $k"
+        }
+        .mkString("CASE ", " ", s" ELSE ${Analytics.PoissonThresholds.length} END")
+      s"""WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                            unnest(generate_series(0, 19)) AS r
+                     FROM events),
+         d AS (SELECT CAST(r AS BIGINT) AS resample, $mult AS m, cents FROM e),
+         g AS (SELECT resample, CAST(sum(m) AS BIGINT) AS n_eff, CAST(sum(m * cents) AS BIGINT) AS s_cents
+               FROM d GROUP BY 1)
+         SELECT resample, n_eff, s_cents,
+                CASE WHEN n_eff = 0 THEN NULL
+                     ELSE (CAST(s_cents AS DOUBLE) / CAST(n_eff AS DOUBLE)) / 100.0 END AS mean_dollars
+         FROM g ORDER BY resample"""
+    },
+    "q_apdex" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+                CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                               AND CAST(round(value * 100) AS BIGINT) <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+                CAST(2 * sum(CASE WHEN CAST(round(value * 100) AS BIGINT) <= 5000 THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                                 AND CAST(round(value * 100) AS BIGINT) <= 20000 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(2 * count(*) AS DOUBLE) AS apdex
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_post_strat" ->
       """WITH s AS (SELECT event_type,
                            CAST(count(*) AS BIGINT) AS n_pop,

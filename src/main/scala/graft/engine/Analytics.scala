@@ -2867,4 +2867,589 @@ object Analytics {
         col("n_train"), col("n_cal"), col("n_test"),
         col("slope"), col("intercept"), col("qhat_dollars"), col("coverage"))
   }
+
+  /** Apdex score per event type — the SRE satisfaction index over a
+    * latency-like value: satisfied ≤ T, tolerating ≤ 4T, apdex =
+    * (satisfied + tolerating/2) / n, computed as the exact rational
+    * (2·sat + tol) / (2n) so the only float op is one final division of
+    * exact integers. Thresholds compare in integer cents (no float
+    * boundary ambiguity); one map-combined aggregate, |event types|
+    * rows out.
+    */
+  def apdex(events: DataFrame, tDollars: Long = 50L): DataFrame = {
+    val cents = Stages.centsSql("value")
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(expr(s"$cents <= ${tDollars * 100}"), 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(
+          expr(s"$cents > ${tDollars * 100} AND $cents <= ${4 * tDollars * 100}"),
+          1L).otherwise(0L)).as("n_tolerating"))
+      .withColumn(
+        "apdex",
+        expr("CAST(2 * n_satisfied + n_tolerating AS DOUBLE) / CAST(2 * n AS DOUBLE)"))
+  }
+
+  /** One-way ANOVA of event value across the five event types, from
+    * exact integer sufficient statistics only: per-type count and cents
+    * sum plus the global squared-cents sum. Between-group and total sum
+    * of squares expand divisions-first ((s/n)·(s/n)·n — never s², which
+    * leaves binary64 exactness once sums pass 2^53) and the five
+    * per-type terms are written out in fixed alphabetical order, so the
+    * whole F statistic and η² are ONE fixed IEEE expression tree over
+    * exact integers — bit-identical on any engine, where a float
+    * `sum()` over group terms would be partition-order nondeterministic.
+    * One map-combined aggregate; Q = Σcents² stays under 2^53 to ~10⁹
+    * rows of 4-digit values (past that, quantize to whole dollars).
+    */
+  def anovaByType(events: DataFrame, types: Seq[String] = AnovaTypes): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val perType = types.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s_$i"))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(expr(cents)).as("s"),
+      sum(expr(s"$cents * $cents")).as("q")) ++ perType
+    val ssb = anovaSsbSql(types.length)
+    val sst = anovaSstSql
+    val k = types.length
+    events
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ssb", expr(ssb))
+      .withColumn("sst", expr(sst))
+      .select(
+        col("n"), lit(k.toLong).as("k"),
+        col("ssb"), (col("sst") - col("ssb")).as("ssw"),
+        expr(s"(ssb / ${k - 1}.0) / ((sst - ssb) / CAST(n - $k AS DOUBLE))").as("f_stat"),
+        expr("ssb / sst").as("eta2"))
+  }
+
+  /** The fixed stratum order [[anovaByType]] writes its expression in —
+    * alphabetical, matching the oracle text position for position.
+    */
+  val AnovaTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Between-group sum-of-squares text over per-stratum integer columns
+    * `n_i, s_i` plus global `n, s` — shared verbatim with the oracle.
+    */
+  def anovaSsbSql(k: Int): String =
+    (0 until k)
+      .map(i => s"(CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * " +
+        s"(CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * CAST(n_$i AS DOUBLE)")
+      .mkString("(", " + ", ")") +
+      " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)"
+
+  /** Total sum-of-squares text over global `n, s, q` — shared verbatim
+    * with the oracle.
+    */
+  val anovaSstSql: String =
+    "CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)"
+
+  /** Welch's unequal-variance t-test between two event types' values,
+    * from exact integer moments (n, Σcents, Σcents² per side): sample
+    * variance expands divisions-first ((q − (s/n)·s)/(n−1)), the t
+    * statistic and Welch–Satterthwaite degrees of freedom are fixed IEEE
+    * trees over those exact integers, and sqrt is correctly rounded — so
+    * the result is bit-identical on any engine (the ln-based p-value is
+    * exactly what this library never emits; t and df are the portable
+    * part). One map-combined aggregate, one output row.
+    */
+  def welchTTest(events: DataFrame, typeA: String = "purchase", typeB: String = "view"): DataFrame = {
+    val cents = Stages.centsSql("value")
+    def side(t: String, sfx: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
+      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
+      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L))).as(s"q$sfx"))
+    val aggs = side(typeA, "1") ++ side(typeB, "2")
+    events
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n1"), col("n2"),
+        expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0").as("mean1"),
+        expr("(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0").as("mean2"),
+        expr(welchTSql).as("t_stat"),
+        expr(welchDfSql).as("df"))
+  }
+
+  /** Welch sample-variance fragment over `n<sfx>, s<sfx>, q<sfx>`. */
+  private def welchVarSql(sfx: String): String =
+    s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE))"
+
+  private def welchSe2Sql: String =
+    s"(${welchVarSql("1")} / CAST(n1 AS DOUBLE) + ${welchVarSql("2")} / CAST(n2 AS DOUBLE))"
+
+  /** Welch t text over the six integer moment columns — shared verbatim
+    * with the oracle.
+    */
+  def welchTSql: String =
+    s"""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / sqrt($welchSe2Sql)"""
+
+  /** Welch–Satterthwaite df text — shared verbatim with the oracle. */
+  def welchDfSql: String =
+    s"""($welchSe2Sql * $welchSe2Sql) /
+              ((${welchVarSql("1")} / CAST(n1 AS DOUBLE)) * (${welchVarSql("1")} / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
+               + (${welchVarSql("2")} / CAST(n2 AS DOUBLE)) * (${welchVarSql("2")} / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))"""
+
+  /** Cumulative Poisson(1) inverse-CDF thresholds on the 32-bit md5
+    * bucket scale — floor(CDF(k)·2³²) for k = 0..4, multiplicities past
+    * 5 collapse into 5 (P ≈ 0.04%). The SAME literals are interpolated
+    * into the oracle text, so resampling is reproducible anywhere.
+    */
+  val PoissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0)
+    val cdf = fact.indices.map(k => (0 to k).map(j => e1 / fact(j)).sum)
+    cdf.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Distributed (Poisson) bootstrap of the mean event value: resample
+    * `b` draws each row with multiplicity m ~ Poisson(1), decided by a
+    * deterministic md5 hash of (event_id, resample) against the
+    * [[PoissonThresholds]] — the bootstrap that needs NO global n and no
+    * row materialization, which is why it is the only bootstrap that
+    * runs at 100 TB (each row contributes m·x to a partial sum,
+    * map-side). `numResamples` output rows of exact integer (n_eff,
+    * Σm·cents) with one final division; the spread across rows IS the
+    * bootstrap standard error of the mean.
+    */
+  def poissonBootstrap(events: DataFrame, numResamples: Int = 20): DataFrame = {
+    val h =
+      "CAST(conv(substring(md5(concat(cast(event_id as string), '_', cast(r as string))), 1, 8), 16, 10) AS BIGINT)"
+    val mult = PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonThresholds.length} END")
+    events
+      .select(col("event_id"), expr(Stages.centsSql("value")).as("cents"))
+      .withColumn("r", explode(expr(s"sequence(0, ${numResamples - 1})")))
+      .withColumn("m", expr(mult))
+      .groupBy(col("r").cast("long").as("resample"))
+      .agg(sum(col("m")).as("n_eff"), sum(col("m") * col("cents")).as("s_cents"))
+      .withColumn(
+        "mean_dollars",
+        expr("CASE WHEN n_eff = 0 THEN NULL ELSE " +
+          "(CAST(s_cents AS DOUBLE) / CAST(n_eff AS DOUBLE)) / 100.0 END"))
+      .select(col("resample"), col("n_eff"), col("s_cents"), col("mean_dollars"))
+  }
+
+  /** Paired pre/post shift test: per user, mean event value in the first
+    * half of the month (day ≤ 15) vs the second, the difference
+    * quantized to whole cents (the per-user means are fixed IEEE
+    * divisions of exact integers, so the rounded difference is
+    * bit-identical anywhere — and once integer, the cross-user moment
+    * sums are order-free). Over users active in BOTH halves: n, mean
+    * shift in dollars, and the paired t statistic from the quantized
+    * moments — the within-subject design that removes between-user
+    * variance a two-sample test would drown in. Two map-combined
+    * aggregates, one self-join at user grain, one output row.
+    */
+  def pairedShift(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val halves = events
+      .groupBy(col("user_id"), (dayofmonth(col("ts")) <= 15).as("first_half"))
+      .agg(count(lit(1)).as("n"), sum(expr(cents)).as("s"))
+    val a = halves.filter(col("first_half"))
+      .select(col("user_id"), col("n").as("n1"), col("s").as("s1"))
+    val b = halves.filter(!col("first_half"))
+      .select(col("user_id"), col("n").as("n2"), col("s").as("s2"))
+    val d = a.join(b, Seq("user_id"))
+      .select(
+        expr("CAST(round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) - " +
+          "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS BIGINT)").as("d"))
+    val vSql =
+      "((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    d.agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).as("s"),
+        sum(col("d") * col("d")).as("q"))
+      .select(
+        col("n").as("n_users"),
+        expr("(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0").as("mean_shift_dollars"),
+        expr(
+          s"""CASE WHEN n < 2 OR $vSql <= 0 THEN NULL
+              ELSE (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt($vSql / CAST(n AS DOUBLE)) END""")
+          .as("t_stat"))
+  }
+
+  /** Effective sample size and design effect of a weighted sample
+    * (weights = order quantities), per return flag: ESS = (Σw)²/Σw²
+    * and deff = n/ESS — how many equal-weight rows the weighted rows are
+    * actually worth, the first thing to check before trusting a
+    * weighted estimate. Both expand divisions-first ((Σw/Σw²)·Σw — the
+    * squared sums themselves would leave binary64 exactness at corpus
+    * scale). One map-combined aggregate, |flags| rows.
+    */
+  def effectiveSampleSize(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("w")).as("sum_w"),
+        sum(col("w") * col("w")).as("sum_w2"))
+      .withColumn(
+        "ess",
+        expr("(CAST(sum_w AS DOUBLE) / CAST(sum_w2 AS DOUBLE)) * CAST(sum_w AS DOUBLE)"))
+      .withColumn(
+        "deff",
+        expr("(CAST(n AS DOUBLE) * (CAST(sum_w2 AS DOUBLE) / CAST(sum_w AS DOUBLE))) / CAST(sum_w AS DOUBLE)"))
+
+  /** Absorption probabilities of the event-type Markov chain: with
+    * 'purchase' and 'error' as absorbing states, the probability that a
+    * walk starting from each transient state (click / signup / view)
+    * reaches purchase first. The transition matrix is the same
+    * ppm-quantized bigram table as [[markovStationary]]; the 3×3 linear
+    * system (10⁶·I − Q_ppm)·x = b_ppm is solved in closed form by
+    * Cramer's rule over [[Stages.det3Sql]] — the [[ridgeRegression]]
+    * convention, four fixed IEEE determinant trees over exact integers
+    * shared textually with the oracle. One corpus pass for the bigram
+    * counts; everything after is a 12-cell pivot on one row.
+    */
+  def absorptionProbabilities(events: DataFrame): DataFrame = {
+    val trans = Seq("click", "signup", "view")
+    val pairs = events
+      .select(
+        col("event_type").as("curr"),
+        lag(col("event_type"), 1).over(userOrder).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("curr"))
+      .agg(count(lit(1)).as("cnt"))
+    val rows = pairs.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    val det = Stages.det3Sql("a", "b", "c", "d", "e", "f", "g", "h", "i")
+    val d1 = Stages.det3Sql("r1", "b", "c", "r2", "e", "f", "r3", "h", "i")
+    val d2 = Stages.det3Sql("a", "r1", "c", "d", "r2", "f", "g", "r3", "i")
+    val d3 = Stages.det3Sql("a", "b", "r1", "d", "e", "r2", "g", "h", "r3")
+    val withCnt = pairs.join(broadcast(rows), Seq("prev"))
+      .select(col("prev"), col("curr"), col("cnt"),
+        expr("CAST(round(1000000.0 * CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT)")
+          .as("p_ppm"))
+    withCnt
+      .agg(
+        sum(col("cnt")).as("n_transitions"),
+        (for { i <- trans; j <- trans } yield
+          sum(when(col("prev") === i && col("curr") === j, col("p_ppm")).otherwise(0L))
+            .as(s"q_${i}_$j")) ++
+          trans.map(i =>
+            sum(when(col("prev") === i && col("curr") === "purchase", col("p_ppm")).otherwise(0L))
+              .as(s"b_$i")): _*)
+      .select(
+        col("n_transitions"),
+        expr("CAST(1000000 - q_click_click AS DOUBLE)").as("a"),
+        expr("CAST(0 - q_click_signup AS DOUBLE)").as("b"),
+        expr("CAST(0 - q_click_view AS DOUBLE)").as("c"),
+        expr("CAST(0 - q_signup_click AS DOUBLE)").as("d"),
+        expr("CAST(1000000 - q_signup_signup AS DOUBLE)").as("e"),
+        expr("CAST(0 - q_signup_view AS DOUBLE)").as("f"),
+        expr("CAST(0 - q_view_click AS DOUBLE)").as("g"),
+        expr("CAST(0 - q_view_signup AS DOUBLE)").as("h"),
+        expr("CAST(1000000 - q_view_view AS DOUBLE)").as("i"),
+        expr("CAST(b_click AS DOUBLE)").as("r1"),
+        expr("CAST(b_signup AS DOUBLE)").as("r2"),
+        expr("CAST(b_view AS DOUBLE)").as("r3"))
+      .select(
+        col("n_transitions"),
+        expr(s"$d1 / $det").as("p_click"),
+        expr(s"$d2 / $det").as("p_signup"),
+        expr(s"$d3 / $det").as("p_view"))
+  }
+
+  /** Nearest-neighbor matching estimator (ATT) for the effect of being
+    * error-prone: treated users (error share ≥ 25% of their events — an
+    * integer cross-multiplication, no float boundary) each match the
+    * control user with the closest first-half spend, and the average
+    * treated-minus-matched second-half spend difference estimates the
+    * effect with the spend confounder matched away. The 1-D
+    * nearest-neighbor is two IGNORE-NULLS window passes (previous /
+    * closer-of-next control by (x, user_id) order — the LOCF shape, no
+    * pair join); per-user covariates are one map-combined aggregate, and
+    * the matched differences are exact integer cents (order-free sum,
+    * one final division). The window runs at user grain over an
+    * aggregate — at corpus scale it range-partitions on x like any
+    * global sort.
+    */
+  def nnMatchAtt(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, expr(cents)).otherwise(lit(0L))).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, expr(cents)).otherwise(lit(0L))).as("y"),
+        when(
+          lit(100L) * sum(when(col("event_type") === "error", 1L).otherwise(0L)) >=
+            lit(25L) * count(lit(1)),
+          1L).otherwise(0L).as("treated"))
+    val ord = Window.orderBy(col("x").asc, col("user_id").asc)
+    val prevF = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextF = ord.rowsBetween(1, Window.unboundedFollowing)
+    val ctrl = when(col("treated") === 0L, col("x"))
+    val ctry = when(col("treated") === 0L, col("y"))
+    val matched = users
+      .withColumn("px", last(ctrl, ignoreNulls = true).over(prevF))
+      .withColumn("py", last(ctry, ignoreNulls = true).over(prevF))
+      .withColumn("nx", first(ctrl, ignoreNulls = true).over(nextF))
+      .withColumn("ny", first(ctry, ignoreNulls = true).over(nextF))
+      .filter(col("treated") === 1L)
+      .withColumn(
+        "cy",
+        when(col("px").isNull, col("ny"))
+          .when(col("nx").isNull, col("py"))
+          .when(col("x") - col("px") <= col("nx") - col("x"), col("py"))
+          .otherwise(col("ny")))
+      .filter(col("cy").isNotNull)
+    matched
+      .agg(
+        count(lit(1)).as("n_treated"),
+        sum(col("y") - col("cy")).as("s_diff"))
+      .crossJoin(broadcast(
+        users.agg(sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_controls"))))
+      .select(
+        col("n_treated"), col("n_controls"),
+        expr("(CAST(s_diff AS DOUBLE) / CAST(n_treated AS DOUBLE)) / 100.0")
+          .as("att_dollars"))
+  }
+
+  /** Held-out evaluation of the bigram next-event predictor: transition
+    * counts from the first half of the month (split on the CURRENT
+    * event's day) train an argmax table (count desc, event-type asc on
+    * ties — a deterministic total order), and accuracy is measured on
+    * the second-half transitions. Per previous-state rows: n_eval, hits,
+    * accuracy — integer counts, one division. The train/test loop of a
+    * sequence model collapsed to two map-combined aggregates, a 25-row
+    * rank, and one broadcast join back to the eval pairs.
+    */
+  def bigramEval(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(
+        col("event_type").as("curr"),
+        lag(col("event_type"), 1).over(userOrder).as("prev"),
+        (dayofmonth(col("ts")) <= 15).as("is_train"))
+      .filter(col("prev").isNotNull)
+    val rank = Window.partitionBy(col("prev")).orderBy(col("cnt").desc, col("curr").asc)
+    val pred = pairs
+      .filter(col("is_train"))
+      .groupBy(col("prev"), col("curr"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("curr").as("pred"))
+    pairs
+      .filter(!col("is_train"))
+      .join(broadcast(pred), Seq("prev"), "left")
+      .groupBy(col("prev").as("event_type"))
+      .agg(
+        first(col("pred")).as("pred"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("curr") === col("pred"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn(
+        "accuracy", expr("CAST(n_hit AS DOUBLE) / CAST(n_eval AS DOUBLE)"))
+  }
+
+  /** Partial correlation of event value with hour-of-day, controlling
+    * for weekday: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    * each pairwise r the divisions-first closed form over one pass of
+    * exact integer moments (the [[ridgeRegression]] design triple:
+    * y = cents, x = hour, z = portable Monday-1 weekday). The
+    * seasonality question "does the hour effect survive the weekday
+    * confound" answered with zero float accumulation — one map-combined
+    * aggregate, one fixed IEEE tree, one row.
+    */
+  def partialCorrelation(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr("CAST(hour(ts) AS BIGINT)").as("x"),
+      expr("(CAST(ts AS LONG) div 86400 + 3) % 7 + 1").as("z"),
+      expr(Stages.centsSql("value")).as("y"))
+    val (rxy, rxz, ryz) =
+      (pairwiseCorrSql("x", "y"), pairwiseCorrSql("x", "z"), pairwiseCorrSql("y", "z"))
+    base
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s_x"), sum(col("y")).as("s_y"), sum(col("z")).as("s_z"),
+        sum(col("x") * col("x")).as("s_xx"), sum(col("y") * col("y")).as("s_yy"),
+        sum(col("z") * col("z")).as("s_zz"),
+        sum(col("x") * col("y")).as("s_xy"), sum(col("x") * col("z")).as("s_xz"),
+        sum(col("y") * col("z")).as("s_yz"))
+      .select(
+        col("n"),
+        expr(rxy).as("r_xy"),
+        expr(rxz).as("r_xz"),
+        expr(ryz).as("r_yz"),
+        expr(s"($rxy - $rxz * $ryz) / sqrt((1 - $rxz * $rxz) * (1 - $ryz * $ryz))")
+          .as("r_xy_given_z"))
+  }
+
+  /** Pairwise divisions-first correlation text over the moment columns
+    * `n, s_<a>, s_<b>, s_<a><b>, s_<a><a>, s_<b><b>` — shared verbatim
+    * with the oracle (note s_ab means Σa·b; the a<b naming order of the
+    * caller's aggregate must match).
+    */
+  def pairwiseCorrSql(a: String, b: String): String = {
+    val (n, sa, sb, sab, saa, sbb) =
+      ("CAST(n AS DOUBLE)", s"CAST(s_$a AS DOUBLE)", s"CAST(s_$b AS DOUBLE)",
+        s"CAST(s_$a$b AS DOUBLE)", s"CAST(s_$a$a AS DOUBLE)", s"CAST(s_$b$b AS DOUBLE)")
+    val varA = s"($saa / $n - ($sa / $n) * ($sa / $n))"
+    val varB = s"($sbb / $n - ($sb / $n) * ($sb / $n))"
+    val cov = s"($sab / $n - ($sa / $n) * ($sb / $n))"
+    s"($cov / sqrt($varA * $varB))"
+  }
+
+  /** Intraclass correlation ICC(1) of event value within users — how
+    * much of the spend variance is BETWEEN users (the clustering that
+    * decides whether you can treat events as independent or must
+    * cluster-correct): (MSB − MSW)/(MSB + (k̄−1)·MSW) with the unequal-
+    * size k̄ correction. The between-group sum Σ(s_g/n_g)²·n_g crosses
+    * groups, so each per-user term — a fixed IEEE tree over that user's
+    * exact integers — is quantized to centi-cents² and the cross-user
+    * sums run as order-free BIGINTs; everything after is one closed
+    * form. Two map-combined aggregates, one row.
+    */
+  def intraclassCorrelation(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ng"), sum(expr(cents)).as("sg"), sum(expr(s"$cents * $cents")).as("qg"))
+    perUser
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("ng") * col("ng")).as("n2"),
+        sum(col("sg")).as("s"),
+        sum(col("qg")).as("q"),
+        sum(expr(
+          """CAST(round((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+              * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) * CAST(ng AS DOUBLE) / 100.0) AS BIGINT)"""))
+          .as("ssb_centi"))
+      .select(
+        col("k"), col("n"),
+        expr("""(CAST(ssb_centi AS DOUBLE) * 100.0
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))""").as("ssb"),
+        expr("""(CAST(q AS DOUBLE) - CAST(ssb_centi AS DOUBLE) * 100.0)""").as("ssw"),
+        expr("""(CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(k - 1 AS DOUBLE)""").as("k_bar"))
+      .select(
+        col("k"), col("n"),
+        expr("ssb / CAST(k - 1 AS DOUBLE)").as("msb"),
+        expr("ssw / CAST(n - k AS DOUBLE)").as("msw"),
+        col("k_bar"))
+      .select(
+        col("k"), col("n"), col("msb"), col("msw"), col("k_bar"),
+        expr("(msb - msw) / (msb + (k_bar - 1) * msw)").as("icc1"))
+  }
+
+  /** 5-fold cross-validated OLS by sufficient-statistic subtraction:
+    * per-fold integer moments come from ONE corpus pass, each fold's
+    * TRAINING stats are global − fold (mergeable aggregates run
+    * backwards — no second scan, the identity that makes CV free at
+    * 100 TB), the fit is [[Stages.linregSql]]'s fixed tree, and the
+    * held-out MSE quantizes each squared residual to whole dollars² so
+    * the per-fold error sums are order-free BIGINTs. Per fold: train/
+    * test sizes, coefficients, test MSE.
+    */
+  def crossValidatedLinreg(lineitem: DataFrame): DataFrame = {
+    val bucket =
+      "cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
+        "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 5"
+    val base = lineitem.select(
+      expr(bucket).as("fold"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+    val perFold = base
+      .groupBy(col("fold"))
+      .agg(
+        count(lit(1)).as("fn"),
+        sum(col("x")).as("fsx"), sum(col("y")).as("fsy"),
+        sum(col("x") * col("y")).as("fsxy"),
+        sum(col("x") * col("x")).as("fsxx"),
+        sum(col("y") * col("y")).as("fsyy"))
+    val global = perFold.agg(
+      sum(col("fn")).as("gn"), sum(col("fsx")).as("gsx"), sum(col("fsy")).as("gsy"),
+      sum(col("fsxy")).as("gsxy"), sum(col("fsxx")).as("gsxx"), sum(col("fsyy")).as("gsyy"))
+    val train = perFold
+      .crossJoin(broadcast(global))
+      .select(
+        col("fold"), col("fn").as("n_test"),
+        (col("gn") - col("fn")).as("n"),
+        (col("gsx") - col("fsx")).as("sx"), (col("gsy") - col("fsy")).as("sy"),
+        (col("gsxy") - col("fsxy")).as("sxy"), (col("gsxx") - col("fsxx")).as("sxx"),
+        (col("gsyy") - col("fsyy")).as("syy"))
+    val linreg = Stages.linregSql.toMap
+    base
+      .join(broadcast(train), Seq("fold"))
+      .withColumn("r2q", expr(s"CAST(round(${Stages.residualSql} * ${Stages.residualSql}) AS BIGINT)"))
+      .groupBy(col("fold"))
+      .agg(
+        max(col("n")).as("n_train"),
+        max(col("n_test")).as("n_test2"),
+        max(col("sx")).as("sx"), max(col("sy")).as("sy"), max(col("sxy")).as("sxy"),
+        max(col("sxx")).as("sxx"), max(col("syy")).as("syy"),
+        sum(col("r2q")).as("sr2"))
+      .withColumn("n", col("n_train"))
+      .select(
+        col("fold"), col("n_train"), col("n_test2").as("n_test"),
+        expr(linreg("slope")).as("slope"),
+        expr(linreg("intercept")).as("intercept"),
+        expr("CAST(sr2 AS DOUBLE) / CAST(n_test2 AS DOUBLE)").as("test_mse"))
+  }
+
+  /** Sequence predictability per state, log-free: for each previous
+    * event type, the collision probability Σc²/n² of its next-event
+    * distribution (the Gini–Simpson complement — Σc² is ONE exact
+    * BIGINT, so unlike entropy there is no cross-category float sum to
+    * order) and the effective branching factor n²/Σc² — how many
+    * equally-likely successors the state behaves as having. One
+    * map-combined bigram count, |types| rows.
+    */
+  def sequencePredictability(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type").as("curr"),
+        lag(col("event_type"), 1).over(userOrder).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("curr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("prev"))
+      .agg(count(lit(1)).as("n_successors"), sum(col("c")).as("n"), sum(col("c") * col("c")).as("s2"))
+      .select(
+        col("prev").as("event_type"), col("n_successors"), col("n"),
+        expr("CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))").as("collision_prob"),
+        expr("(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE)").as("eff_branching"))
+
+  /** Power analysis from the observed A/B rates: the per-arm sample
+    * size that would detect the purchase-rate difference between the
+    * two md5-hash arms at α = 0.05 / power = 0.80 —
+    * n = (z_α/2+z_β)²·(p₁q₁+p₂q₂)/Δ², with 1.96 and 0.8416 as pinned
+    * literals (the one place a normal quantile enters, as a constant,
+    * not a computed `ln`). Rates are divisions of exact integers, the
+    * whole formula one fixed IEEE tree; NULL when the observed Δ is
+    * zero. The experiment-design readout that pairs with the q_abtest
+    * z-score.
+    */
+  def abPowerAnalysis(events: DataFrame): DataFrame = {
+    val arm =
+      "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2"
+    val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    val p2 = "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .select(col("converted"), expr(arm).as("arm"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(lit(0L))).as("c1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(lit(0L))).as("c2"))
+      .select(
+        col("n1"), col("c1"), col("n2"), col("c2"),
+        expr(p1).as("rate1"),
+        expr(p2).as("rate2"),
+        expr(
+          s"""CASE WHEN $p1 = $p2 THEN NULL ELSE
+              (1.96 + 0.8416) * (1.96 + 0.8416)
+              * ($p1 * (1 - $p1) + $p2 * (1 - $p2))
+              / (($p1 - $p2) * ($p1 - $p2)) END""").as("n_per_arm"))
+  }
 }

@@ -278,4 +278,79 @@ object Graph {
       .rankedTopK(scored, k, col("jaccard").desc, col("a").asc, col("b").asc)
       .select(col("rank"), col("a"), col("b"), col("cn"), col("jaccard"))
   }
+
+  /** Modularity decomposition of the co-order part graph under the
+    * p_brand partition: per brand-community, its node count, internal
+    * edge count, total degree, and the community's modularity
+    * contribution e_in/m − (deg/2m)² — Σ contributions is Newman's Q
+    * for the brand grouping (kept per-row: the cross-community float sum
+    * is the one op whose order an engine could choose). Edges are the
+    * [[coOrderEdges]] pairs with support ≥ `minSupport`; all counts are
+    * exact integers off two map-combined aggregates of the edge list,
+    * and each contribution is one fixed IEEE tree.
+    */
+  def brandModularity(lineitem: DataFrame, part: DataFrame, minSupport: Int = 2): DataFrame = {
+    val edges = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+      .cache()
+    val brands = part.select(col("p_partkey"), col("p_brand"))
+    val withBrands = edges
+      .join(broadcast(brands.select(col("p_partkey").as("pa"), col("p_brand").as("brand_a"))), Seq("pa"))
+      .join(broadcast(brands.select(col("p_partkey").as("pb"), col("p_brand").as("brand_b"))), Seq("pb"))
+    val m = withBrands.agg(count(lit(1)).as("m"))
+    val inEdges = withBrands
+      .filter(col("brand_a") === col("brand_b"))
+      .groupBy(col("brand_a").as("p_brand"))
+      .agg(count(lit(1)).as("in_edges"))
+    val degrees = withBrands
+      .select(col("pa").as("node"), col("brand_a").as("p_brand"))
+      .union(withBrands.select(col("pb").as("node"), col("brand_b").as("p_brand")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("deg_sum"), countDistinct(col("node")).as("n_nodes"))
+    degrees
+      .join(inEdges, Seq("p_brand"), "left")
+      .crossJoin(broadcast(m))
+      .select(
+        col("p_brand"), col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        col("deg_sum"),
+        expr("""CAST(coalesce(in_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                - (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                  * (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))""")
+          .as("contribution"))
+  }
+
+  /** Degree assortativity of the co-order part graph: the Pearson
+    * correlation of endpoint degrees across edges (both orientations, the
+    * standard symmetrization) — positive when hubs co-occur with hubs,
+    * the single number that says whether the basket graph is hub-clustered
+    * or hub-bridged. Degrees and the six moment sums are exact BIGINTs off
+    * the [[coOrderEdges]] aggregate (degree ≤ |parts|, sums < 2^53), and
+    * the correlation is the divisions-first fixed IEEE tree of
+    * [[Stages.momentStatsSql]] — bit-identical anywhere, unlike a builtin
+    * corr over doubles.
+    */
+  def degreeAssortativity(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val edges = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val deg = edges
+      .select(col("pa").as("node")).union(edges.select(col("pb").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val sym = edges
+      .union(edges.select(col("pb").as("pa"), col("pa").as("pb")))
+      .join(deg.select(col("node").as("pa"), col("deg").as("x")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("y")), Seq("pb"))
+    val corr = Stages.momentStatsSql.toMap.apply("corr_xy")
+    sym
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"), expr(corr).as("assortativity"))
+  }
 }

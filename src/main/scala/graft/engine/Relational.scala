@@ -1776,4 +1776,30 @@ object Relational {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("reason") === "ok", col("k")).otherwise(0L)).as("k_sum"))
+
+  /** Join-cardinality estimation quality — the optimizer-style readout
+    * that tells you whether a 10% key sample can size orders⋈lineitem
+    * before running it: the TRUE join cardinality Σ_k n_a(k)·n_b(k)
+    * computed from the two per-key count tables (key-grain aggregates —
+    * the join itself never materializes), the estimate from keys with
+    * md5-hash bucket 0 scaled ×10 (sampling the KEY domain on both
+    * sides keeps the per-key product intact, so the estimator is
+    * unbiased — row-sampling each side independently would bias the
+    * product down), and their ratio. Integer counts; one division.
+    */
+  def joinCardinalityEstimate(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bucket =
+      "cast(conv(substring(md5(cast(k as string)), 1, 8), 16, 10) as bigint) % 10"
+    val oc = orders.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("na"))
+    val lc = lineitem.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+    val joined = oc.join(lc, Seq("k"))
+      .select(col("k"), (col("na") * col("nb")).as("pairs"), expr(bucket).as("b"))
+    joined
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("pairs")).as("actual_pairs"),
+        (sum(when(col("b") === 0, col("pairs")).otherwise(lit(0L))) * 10L).as("est_pairs"))
+      .withColumn(
+        "ratio", expr("CAST(est_pairs AS DOUBLE) / CAST(actual_pairs AS DOUBLE)"))
+  }
 }

@@ -645,6 +645,110 @@ object Similarity {
       .select(col("label"), col("va"), col("vb"), col("cos_sim"))
   }
 
+  /** Density-grid clustering (a DBSCAN-shaped screen on the cheap): the
+    * first two embedding dimensions quantize to a fixed integer grid
+    * (`binMilli` thousandths per cell, shifted positive so truncating
+    * `div` IS floor division on any engine), cells with ≥ `minPts`
+    * points are dense, and 8-neighbor-adjacent dense cells merge into
+    * components. The corpus never shuffles — one map-combined aggregate
+    * compresses it to the ≤(20000/binMilli)² cell table, a CONSTANT
+    * bound independent of corpus size, so the component step runs
+    * driver-side union-find on the aggregate (the [[graft.text.Dedup]]
+    * small-graph fast path; the distributed min-label loop is the
+    * fallback if the grid were ever refined past driver memory).
+    * Assumes |component| ≤ 10 per dimension (the fixture embeddings are
+    * unit-ball). Per component: min-cell id, cell/point counts, and the
+    * bounding box.
+    */
+  def gridDensityClusters(
+      embeddings: DataFrame,
+      binMilli: Int = 50,
+      minPts: Int = 5): DataFrame = {
+    val off = 10000 / binMilli
+    def grid(i: Int) =
+      expr(s"(CAST(round(CAST(embedding[$i] AS DOUBLE) * 1000) AS BIGINT) + 10000) " +
+        s"div $binMilli - $off")
+    val cells = embeddings
+      .select(grid(0).as("gx"), grid(1).as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts)
+    val rows = cells.collect()
+      .map(r => (r.getAs[Long]("gx"), r.getAs[Long]("gy"), r.getAs[Long]("n")))
+    def key(c: (Long, Long)): Long = (c._1 + 2L * off) * 100000L + (c._2 + 2L * off)
+    val present = rows.map(r => (r._1, r._2)).toSet
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for {
+      (gx, gy, _) <- rows
+      dx <- -1L to 1L; dy <- -1L to 1L
+      if (dx, dy) != ((0L, 0L)) && present((gx + dx, gy + dy))
+    } {
+      val (ra, rb) = (find(key((gx, gy))), find(key((gx + dx, gy + dy))))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val labels = rows
+      .map { case (gx, gy, _) => (gx, gy, find(key((gx, gy)))) }
+      .toSeq.toDF("gx", "gy", "ck")
+    cells
+      .join(broadcast(labels), Seq("gx", "gy"))
+      .groupBy(col("ck"))
+      .agg(
+        count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"),
+        min(col("gx")).as("min_gx"), max(col("gx")).as("max_gx"),
+        min(col("gy")).as("min_gy"), max(col("gy")).as("max_gy"))
+      .select(
+        expr(s"ck div 100000 - ${2 * off}").as("comp_gx"),
+        expr(s"ck % 100000 - ${2 * off}").as("comp_gy"),
+        col("n_cells"), col("n_points"),
+        col("min_gx"), col("max_gx"), col("min_gy"), col("max_gy"))
+  }
+
+  /** Per-label embedding-centroid drift between two deterministic corpus
+    * halves (vec_id parity — at ingest this is "yesterday's shard vs
+    * today's"): each half's centroid on the integer-milli grid (the
+    * [[embedOutliers]] rounding convention, so accumulation is exact and
+    * order-free), squared distance between the halves as a pure BIGINT
+    * sum over dims, and the drift in embedding units via one
+    * correctly-rounded sqrt. The monitoring readout that catches an
+    * upstream encoder change before it poisons the index; |labels| rows
+    * out, one shuffle at |labels|·dims granularity.
+    */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    val cents = embeddings
+      .select(
+        (col("vec_id") % 2 === 0).as("half_a"),
+        col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(
+        col("half_a"), col("label"),
+        (col("dim0") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("milli"))
+      .groupBy(col("label"), col("dim"), col("half_a"))
+      .agg(count(lit(1)).as("n"), sum(col("milli")).as("ms"))
+      .withColumn("c", expr("CAST(round(CAST(ms AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+    val a = cents.filter(col("half_a"))
+      .select(col("label"), col("dim"), col("c").as("ca"), col("n").as("na"))
+    val b = cents.filter(!col("half_a"))
+      .select(col("label"), col("dim"), col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("dist2"))
+      .withColumn("drift", expr("sqrt(CAST(dist2 AS DOUBLE)) / 1000.0"))
+      .select(col("label"), col("n_a"), col("n_b"), col("dist2"), col("drift"))
+  }
+
   /** Per-label centroids with EXACT accumulation: each component
     * quantizes to integer millis per row, the per-(label, dim) sums are
     * plain BIGINT aggregation (order-independent — a raw double mean
@@ -879,6 +983,66 @@ object Similarity {
     step(step(u0)).select(col("udim").as("dim"), col("u").as("loading_milli"))
   }
 
+  /** Second principal direction by deflation: after [[powerIteration]]'s
+    * two quantized steps give the dominant loading u, the Gram matrix
+    * deflates cell-wise — d_ij = s_ij − round((uᵀMu/uᵀu)·(u_i·u_j/uᵀu)),
+    * the rank-1 Rayleigh removal with every float op a fixed IEEE tree
+    * over exact integers and one rounding back to the BIGINT grid — and
+    * two more power steps run on d from an alternating ±1 start. u is
+    * re-quantized to centi scale before deflation so uᵀMu stays inside
+    * BIGINT at corpus scale (milli loadings overflow 2⁶³ past ~2k
+    * vectors). Everything distributed is the [[covMatrix]] cell shape;
+    * the 64-row vector iterates by broadcast join, exactly the
+    * [[powerIteration]] loop.
+    */
+  def powerIterationDeflated(embeddings: DataFrame): DataFrame = {
+    val m = milliLong(embeddings)
+    val cells = m.as("a")
+      .join(m.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.m") * col("b.m")).as("s"))
+    def step(mat: DataFrame, v: DataFrame): DataFrame = {
+      val w = mat
+        .join(broadcast(v), col("j") === col("udim"))
+        .groupBy(col("i"))
+        .agg(sum(col("s") * col("u")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(
+          col("i").as("udim"),
+          expr("CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT)")
+            .as("u"))
+    }
+    val u0 = embeddings.sparkSession
+      .range(1)
+      .select(explode(expr("sequence(1, 64)")).as("udim"), lit(1L).as("u"))
+    val u1 = step(cells, step(cells, u0))
+      .select(col("udim"), expr("CAST(round(CAST(u AS DOUBLE) / 10.0) AS BIGINT)").as("u"))
+    val norms = u1.agg(sum(col("u") * col("u")).as("uu"))
+    val umu = cells
+      .join(broadcast(u1.select(col("udim").as("i"), col("u").as("ui"))), Seq("i"))
+      .join(broadcast(u1.select(col("udim").as("j"), col("u").as("uj"))), Seq("j"))
+      .agg(sum(col("s") * col("ui") * col("uj")).as("umu"))
+    val deflated = cells
+      .join(broadcast(u1.select(col("udim").as("i"), col("u").as("ui"))), Seq("i"))
+      .join(broadcast(u1.select(col("udim").as("j"), col("u").as("uj"))), Seq("j"))
+      .crossJoin(broadcast(norms))
+      .crossJoin(broadcast(umu))
+      .select(
+        col("i"), col("j"),
+        expr("""s - CAST(round((CAST(umu AS DOUBLE) / CAST(uu AS DOUBLE))
+                * (CAST(ui * uj AS DOUBLE) / CAST(uu AS DOUBLE))) AS BIGINT)""").as("s"))
+    val w0 = embeddings.sparkSession
+      .range(1)
+      .select(explode(expr("sequence(1, 64)")).as("udim"))
+      .select(
+        col("udim"),
+        expr("CASE WHEN udim % 2 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
+          .as("u"))
+    step(deflated, step(deflated, w0))
+      .select(col("udim").as("dim"), col("u").as("loading2_milli"))
+  }
+
   /** Histogram of query-to-corpus cosine similarity (0.05-wide bins on
     * the cent-rounded value) — the similarity-landscape profile that
     * sizes ANN thresholds before an index build. Bin count is bounded
@@ -976,5 +1140,41 @@ object Similarity {
       .select(
         col("k"), col("n_hits"),
         expr(s"CAST(n_hits AS DOUBLE) / CAST($numQueries * k AS DOUBLE)").as("recall"))
+  }
+
+  /** Farthest-point (k-center greedy) seeding over the milli-quantized
+    * embedding grid: start from the lowest vec_id, repeatedly pick the
+    * vector farthest (integer squared L2, vec_id tie-break) from the
+    * chosen set — the 2-approximation k-center seeding that
+    * initializes a codebook without an RNG. Emits `k` center rows plus
+    * one witness row: the next-farthest point, whose distance IS the
+    * coverage radius of the chosen set. Each round is one corpus scan
+    * against a broadcast 1-row pick (the driver loop only grows the
+    * plan, no data moves through the driver), and every distance is a
+    * BIGINT — bit-identical anywhere.
+    */
+  def kcenterSeeds(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    val m = embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
+        .as("mv"))
+    val sqd =
+      "aggregate(zip_with(mv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    val c0 = m.orderBy(col("vec_id").asc).limit(1)
+    var dists = m
+      .crossJoin(broadcast(c0.select(col("vec_id").as("cid"), col("mv").as("cv"))))
+      .select(col("vec_id"), col("mv"), expr(sqd).as("d"))
+    var picks = c0.select(col("vec_id"), lit(0L).as("rank"), lit(0L).as("sq_dist"))
+    for (r <- 1 until (k + 1)) {
+      val next = dists.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+      picks = picks.unionByName(
+        next.select(col("vec_id"), lit(r.toLong).as("rank"), col("d").as("sq_dist")))
+      if (r < k) {
+        dists = dists
+          .crossJoin(broadcast(next.select(col("mv").as("cv"))))
+          .select(col("vec_id"), col("mv"), least(col("d"), expr(sqd)).as("d"))
+      }
+    }
+    picks.select(col("rank"), col("vec_id"), col("sq_dist"))
   }
 }

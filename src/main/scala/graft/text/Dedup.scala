@@ -431,6 +431,54 @@ object Dedup {
       .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Blocking-quality evaluation — the two numbers that justify an LSH
+    * blocking scheme before a corpus-scale dedup run: pairs completeness
+    * (fraction of TRUE near-dup pairs, exact n-gram Jaccard ≥
+    * `minJaccard`, that the MinHash banding surfaces as candidates) and
+    * reduction ratio (fraction of the all-pairs quadratic the blocking
+    * never has to look at). Truth comes from [[ngramJaccard]]'s PPJoin
+    * (exact, prefix-indexed — itself never all-pairs); candidates from
+    * the same band-bucket join [[minhashNearDups]] uses, WITHOUT the
+    * estimate filter (blocking recall is about buckets, not scores).
+    * Single-row output of exact integer counts and two fixed-tree
+    * divisions.
+    */
+  def blockingQuality(
+      documents: DataFrame,
+      minJaccard: Double = 0.5,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val truth = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b"))
+    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
+    val withBands = sigs
+      .select(
+        col("doc_id"),
+        posexplode(
+          array((0 until numBands).map(b =>
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+          .as(Seq("band", "band_sig")))
+    val a = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
+    nDocs
+      .crossJoin(broadcast(nTrue))
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nHit))
+      .select(
+        col("n_docs"), col("n_true"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_true = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END")
+          .as("completeness"),
+        expr("1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0)")
+          .as("reduction_ratio"))
+  }
+
   /** Sketch-quality evaluation: for every MinHash band candidate with
     * estimated Jaccard ≥ `minEst`, the EXACT n-gram Jaccard and the
     * estimation error — the agreement report that justifies (or
@@ -504,5 +552,42 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("source"), col("doc_a"), col("doc_b"),
         col("n_inter").cast("long").as("n_inter"), col("containment"))
+  }
+
+  /** Precision / recall / F1 of the MinHash near-dup DECISIONS (banded
+    * candidates passing est ≥ 0.5) against the exact n-gram-Jaccard
+    * gold pairs — where [[blockingQuality]] scores the candidate
+    * generator, this scores the final classifier the sketch implements.
+    * Gold restricts to within-source pairs (the [[ngramJaccard]]
+    * blocking), so sketch pairs are filtered to the same universe
+    * before comparing. Exact integer counts; three fixed-tree
+    * divisions; NULL-safe when either side is empty.
+    */
+  def dedupPrf(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val gold = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b"))
+    val srcs = documents.select(col("doc_id"), col("source"))
+    val pred = minhashNearDups(documents)
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .filter(col("src_a") === col("src_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val nGold = gold.agg(count(lit(1)).as("n_gold"))
+    val nPred = pred.agg(count(lit(1)).as("n_pred"))
+    val nHit = gold.join(pred, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
+    nGold
+      .crossJoin(broadcast(nPred))
+      .crossJoin(broadcast(nHit))
+      .select(
+        col("n_gold"), col("n_pred"), col("n_hit"),
+        expr("CASE WHEN n_pred = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) END")
+          .as("precision"),
+        expr("CASE WHEN n_gold = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE) END")
+          .as("recall"),
+        expr(
+          """CASE WHEN n_pred = 0 OR n_gold = 0 OR n_hit = 0 THEN NULL
+              ELSE 2.0 * (CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                   * (CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE))
+                   / (CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                      + CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE)) END""").as("f1"))
   }
 }
