@@ -692,6 +692,24 @@ object SparkEntry {
       Analytics.abPowerAnalysis(Tables.events(s, dir))),
     "q_dedup_prf" -> ((s, dir) =>
       Dedup.dedupPrf(Tables.documents(s, dir))),
+    "q_logrank" -> ((s, dir) =>
+      Analytics.logRankTest(Tables.events(s, dir))),
+    "q_durbin_watson" -> ((s, dir) =>
+      Analytics.durbinWatson(Tables.events(s, dir))),
+    "q_cooks" -> ((s, dir) =>
+      Analytics.cooksDistanceTopK(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_acf" -> ((s, dir) =>
+      Analytics.acfLadder(Tables.events(s, dir)).orderBy("lag")),
+    "q_skew_kurt" -> ((s, dir) =>
+      Analytics.skewKurtosis(Tables.events(s, dir)).orderBy("event_type")),
+    "q_wls" -> ((s, dir) =>
+      Analytics.weightedLinreg(Tables.lineitem(s, dir))),
+    "q_price_index" -> ((s, dir) =>
+      Relational.priceIndex(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_qte" -> ((s, dir) =>
+      Analytics.quantileTreatmentEffects(Tables.events(s, dir)).orderBy("decile")),
+    "q_backtest" -> ((s, dir) =>
+      Analytics.seasonalNaiveBacktest(Tables.events(s, dir))),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -4084,6 +4102,206 @@ object SparkEntry {
                 CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS dist2,
                 sqrt(CAST(sum((ca - cb) * (ca - cb)) AS DOUBLE)) / 1000.0 AS drift
          FROM p GROUP BY label ORDER BY label""",
+    "q_price_index" ->
+      """WITH y0 AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c0,
+                            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+                     GROUP BY 1),
+         y1 AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c1,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q1
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1),
+         j AS (SELECT c0, c1,
+                      CAST(round((CAST(c1 AS DOUBLE) / CAST(q1 AS DOUBLE)) * CAST(q0 AS DOUBLE)) AS BIGINT) AS p1q0,
+                      CAST(round((CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * CAST(q1 AS DOUBLE)) AS BIGINT) AS p0q1
+               FROM y0 JOIN y1 USING (l_partkey)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                      CAST(sum(c0) AS BIGINT) AS sc0, CAST(sum(c1) AS BIGINT) AS sc1,
+                      CAST(sum(p1q0) AS BIGINT) AS sp1q0, CAST(sum(p0q1) AS BIGINT) AS sp0q1
+               FROM j)
+         SELECT n_parts,
+                CAST(sp1q0 AS DOUBLE) / CAST(sc0 AS DOUBLE) AS laspeyres,
+                CAST(sc1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE) AS paasche,
+                sqrt((CAST(sp1q0 AS DOUBLE) / CAST(sc0 AS DOUBLE))
+                     * (CAST(sc1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE))) AS fisher
+         FROM m""",
+    "q_qte" ->
+      """WITH v AS (SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 2 AS arm,
+                           CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events),
+         c AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+         cc AS (SELECT arm, v, sum(cnt) OVER (PARTITION BY arm ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM c),
+         t AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         d AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS decile),
+         q AS (SELECT arm, decile, min(v) AS q
+               FROM cc JOIN t USING (arm), d
+               WHERE cum >= (decile * n + 9) // 10
+               GROUP BY 1, 2)
+         SELECT a.decile AS decile,
+                CAST(a.q AS DOUBLE) / 100.0 AS q_a_dollars,
+                CAST(b.q AS DOUBLE) / 100.0 AS q_b_dollars,
+                CAST(b.q - a.q AS DOUBLE) / 100.0 AS shift_dollars
+         FROM q a JOIN q b ON a.decile = b.decile AND a.arm = 0 AND b.arm = 1
+         ORDER BY decile""",
+    "q_backtest" ->
+      """WITH hourly AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS h,
+                                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                         FROM events GROUP BY 1),
+         j AS (SELECT t.y AS y, f.y AS f FROM hourly t JOIN hourly f ON t.h = f.h + 168),
+         e AS (SELECT CAST(round(1000000.0 * abs(CAST(y - f AS DOUBLE)) / CAST(y AS DOUBLE)) AS BIGINT) AS ape_micro,
+                      CAST(round(1000000.0 * 2.0 * abs(CAST(y - f AS DOUBLE))
+                        / CAST(y + f AS DOUBLE)) AS BIGINT) AS sape_micro
+               FROM j)
+         SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                (CAST(sum(ape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mape,
+                (CAST(sum(sape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS smape
+         FROM e""",
+    "q_acf" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                        FROM events GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily),
+         dm AS (SELECT d, n * y - s AS e FROM daily, tot),
+         den AS (SELECT CAST(sum(e * e) AS BIGINT) AS see FROM dm),
+         lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+         p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(a.e * b.e) AS BIGINT) AS num
+               FROM dm a, lags, dm b
+               WHERE a.d + lag = b.d GROUP BY 1)
+         SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(see AS DOUBLE) AS acf
+         FROM p, den ORDER BY lag""",
+    "q_skew_kurt" -> {
+      val (n, s1, s2, s3, s4) =
+        ("CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+          "CAST(s3 AS DOUBLE)", "CAST(s4 AS DOUBLE)")
+      val mu = s"($s1 / $n)"
+      val m2 = s"($s2 / $n - $mu * $mu)"
+      val m3 = s"($s3 / $n - 3 * $mu * ($s2 / $n) + 2 * $mu * $mu * $mu)"
+      val m4 =
+        s"($s4 / $n - 4 * $mu * ($s3 / $n) + 6 * $mu * $mu * ($s2 / $n) - 3 * $mu * $mu * $mu * $mu)"
+      s"""WITH b AS (SELECT event_type, CAST(round(value) AS BIGINT) AS y FROM events),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2,
+                      CAST(sum(y * y * y) AS BIGINT) AS s3,
+                      CAST(sum(y * y * y * y) AS BIGINT) AS s4
+               FROM b GROUP BY 1)
+         SELECT event_type, n, $mu AS mean_dollars,
+                CASE WHEN $m2 <= 0 THEN NULL ELSE $m3 / ($m2 * sqrt($m2)) END AS skewness,
+                CASE WHEN $m2 <= 0 THEN NULL ELSE $m4 / ($m2 * $m2) - 3 END AS excess_kurtosis
+         FROM m ORDER BY event_type"""
+    },
+    "q_wls" -> {
+      val (sw, swx, swy, swxx, swxy) =
+        ("CAST(sw AS DOUBLE)", "CAST(swx AS DOUBLE)", "CAST(swy AS DOUBLE)",
+          "CAST(swxx AS DOUBLE)", "CAST(swxy AS DOUBLE)")
+      val mx = s"($swx / $sw)"
+      val my = s"($swy / $sw)"
+      val varX = s"($swxx / $sw - $mx * $mx)"
+      val covar = s"($swxy / $sw - $mx * $my)"
+      s"""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sw,
+                      CAST(sum(x * x) AS BIGINT) AS swx, CAST(sum(x * y) AS BIGINT) AS swy,
+                      CAST(sum(x * x * x) AS BIGINT) AS swxx,
+                      CAST(sum(x * x * y) AS BIGINT) AS swxy
+               FROM b)
+         SELECT n, sw,
+                CASE WHEN $varX = 0 THEN NULL ELSE $covar / $varX END AS slope,
+                CASE WHEN $varX = 0 THEN NULL ELSE $my - ($covar / $varX) * $mx END AS intercept
+         FROM m"""
+    },
+    "q_logrank" ->
+      """WITH pu AS (SELECT user_id,
+                            min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS first_s,
+                            max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_s,
+                            CAST(CASE WHEN 100 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                                           >= 25 * count(*) THEN 1 ELSE 0 END AS BIGINT) AS grp_a
+                     FROM events GROUP BY 1),
+         mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS max_s FROM events),
+         u AS (SELECT (last_s - first_s) // 86400 AS dur_day,
+                      last_s >= max_s - 86400 AS censored, grp_a
+               FROM pu, mx),
+         tot AS (SELECT CAST(sum(grp_a) AS BIGINT) AS na,
+                        CAST(sum(1 - grp_a) AS BIGINT) AS nb FROM u),
+         bd AS (SELECT dur_day,
+                       CAST(sum(CASE WHEN NOT censored AND grp_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                       CAST(sum(CASE WHEN NOT censored AND grp_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS db,
+                       CAST(sum(CASE WHEN grp_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                       CAST(sum(CASE WHEN grp_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+                FROM u GROUP BY 1),
+         cum AS (SELECT dur_day, da, db,
+                        coalesce(sum(xa) OVER (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exa,
+                        coalesce(sum(xb) OVER (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exb
+                 FROM bd),
+         t AS (SELECT da, db, na - exa AS n1, nb - exb AS n2 FROM cum, tot
+               WHERE da + db > 0 AND na - exa + nb - exb > 1),
+         q AS (SELECT da,
+                      CAST(round((CAST(da AS DOUBLE)
+                        - CAST(da + db AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS oe_micro,
+                      CAST(round(CAST(da + db AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                        * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                        * (CAST(n1 + n2 - da - db AS DOUBLE) / CAST(n1 + n2 - 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS v_micro
+               FROM t),
+         agg AS (SELECT CAST(sum(da) AS BIGINT) AS o_a, CAST(sum(oe_micro) AS BIGINT) AS oe_sum,
+                        CAST(sum(v_micro) AS BIGINT) AS v_sum
+                 FROM q)
+         SELECT na AS n_a, nb AS n_b, o_a,
+                CAST(oe_sum AS DOUBLE) / 1000000.0 AS o_minus_e,
+                CAST(v_sum AS DOUBLE) / 1000000.0 AS variance,
+                CASE WHEN v_sum = 0 THEN NULL ELSE
+                  (CAST(oe_sum AS DOUBLE) / 1000000.0) * (CAST(oe_sum AS DOUBLE) / 1000000.0)
+                  / (CAST(v_sum AS DOUBLE) / 1000000.0) END AS chi2
+         FROM agg, tot""",
+    "q_durbin_watson" ->
+      s"""WITH hourly AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS h,
+                                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                          FROM events GROUP BY 1),
+         i AS (SELECT min(h) AS h0 FROM hourly),
+         s AS (SELECT h - h0 AS x, cents AS y FROM hourly, i),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM s),
+         r AS (SELECT x, CAST(round(${Stages.residualSql}) AS BIGINT) AS e FROM s, m),
+         l AS (SELECT e, lag(e, 1) OVER (ORDER BY x) AS e_prev FROM r)
+         SELECT CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(CASE WHEN e_prev IS NOT NULL THEN (e - e_prev) * (e - e_prev) ELSE 0 END) AS DOUBLE)
+                / CAST(sum(e * e) AS DOUBLE) AS dw
+         FROM l""",
+    "q_cooks" -> {
+      val (nD, sxD, syD, sxyD, sxxD, syyD) =
+        ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+          "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+      val varX = s"($sxxD / $nD - ($sxD / $nD) * ($sxD / $nD))"
+      val varY = s"($syyD / $nD - ($syD / $nD) * ($syD / $nD))"
+      val covar = s"($sxyD / $nD - ($sxD / $nD) * ($syD / $nD))"
+      val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / ($nD * $varX))"
+      val s2 = s"(($varY - $covar * $covar / $varX) * $nD / ($nD - 2))"
+      val cooks =
+        s"((${Stages.residualSql} * ${Stages.residualSql}) / (2.0 * $s2) * $h / ((1.0 - $h) * (1.0 - $h)))"
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+                            CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM b),
+         d AS (SELECT l_orderkey, l_linenumber, x, y, $cooks AS cooks_d FROM b, m),
+         r AS (SELECT l_orderkey, l_linenumber, x, y, cooks_d,
+                      CAST(row_number() OVER (ORDER BY cooks_d DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rank
+               FROM d)
+         SELECT rank, l_orderkey, l_linenumber, x, y, cooks_d
+         FROM r WHERE rank <= 20 ORDER BY rank"""
+    },
     "q_seq_gini" ->
       """WITH seq AS (SELECT event_type AS curr,
                       lag(event_type, 1) OVER (PARTITION BY user_id

@@ -3452,4 +3452,318 @@ object Analytics {
               * ($p1 * (1 - $p1) + $p2 * (1 - $p2))
               / (($p1 - $p2) * ($p1 - $p2)) END""").as("n_per_arm"))
   }
+
+  /** Log-rank test comparing churn timing between error-prone users
+    * (error share ≥ 25%, the [[nnMatchAtt]] treatment) and the rest:
+    * per churn day, observed-minus-expected group-A churns and the
+    * hypergeometric variance, each a fixed IEEE tree over that day's
+    * exact at-risk/churn integers, QUANTIZED to micro so the cross-day
+    * sums run as order-free BIGINTs; χ² = (ΣO−E)²/ΣV divides once at
+    * the end. The day table is the [[lifeTable]] aggregate (≤|days|
+    * rows), so nothing user-scale ever enters a window.
+    */
+  def logRankTest(events: DataFrame, censorSec: Long = 86400L): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts").cast("long")).as("first_s"),
+        max(col("ts").cast("long")).as("last_s"),
+        when(
+          lit(100L) * sum(when(col("event_type") === "error", 1L).otherwise(0L)) >=
+            lit(25L) * count(lit(1)),
+          1L).otherwise(0L).as("grp_a"))
+    val maxS = events.agg(max(col("ts").cast("long")).as("max_s"))
+    val u = perUser
+      .crossJoin(broadcast(maxS))
+      .select(
+        expr("(last_s - first_s) div 86400").as("dur_day"),
+        (col("last_s") >= col("max_s") - lit(censorSec)).as("censored"),
+        col("grp_a"))
+    val totals = u.agg(
+      sum(col("grp_a")).as("na"),
+      sum(lit(1L) - col("grp_a")).as("nb"))
+    val byDay = u
+      .groupBy(col("dur_day"))
+      .agg(
+        sum(when(!col("censored") && col("grp_a") === 1L, 1L).otherwise(0L)).as("da"),
+        sum(when(!col("censored") && col("grp_a") === 0L, 1L).otherwise(0L)).as("db"),
+        sum(when(col("grp_a") === 1L, 1L).otherwise(0L)).as("xa"),
+        sum(when(col("grp_a") === 0L, 1L).otherwise(0L)).as("xb"))
+    val before = Window.orderBy(col("dur_day")).rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byDay
+      .withColumn("exa", coalesce(sum(col("xa")).over(before), lit(0L)))
+      .withColumn("exb", coalesce(sum(col("xb")).over(before), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("n1", col("na") - col("exa"))
+      .withColumn("n2", col("nb") - col("exb"))
+      .filter(col("da") + col("db") > 0 && col("n1") + col("n2") > 1)
+      .withColumn(
+        "oe_micro",
+        expr("""CAST(round((CAST(da AS DOUBLE)
+                 - CAST(da + db AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * 1000000.0) AS BIGINT)"""))
+      .withColumn(
+        "v_micro",
+        expr("""CAST(round(CAST(da + db AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(n1 + n2 - da - db AS DOUBLE) / CAST(n1 + n2 - 1 AS DOUBLE)) * 1000000.0) AS BIGINT)"""))
+    terms
+      .agg(
+        sum(col("da")).as("o_a"),
+        sum(col("oe_micro")).as("oe_sum"),
+        sum(col("v_micro")).as("v_sum"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"), col("o_a"),
+        expr("CAST(oe_sum AS DOUBLE) / 1000000.0").as("o_minus_e"),
+        expr("CAST(v_sum AS DOUBLE) / 1000000.0").as("variance"),
+        expr("""CASE WHEN v_sum = 0 THEN NULL ELSE
+                (CAST(oe_sum AS DOUBLE) / 1000000.0) * (CAST(oe_sum AS DOUBLE) / 1000000.0)
+                / (CAST(v_sum AS DOUBLE) / 1000000.0) END""").as("chi2"))
+  }
+
+  /** Durbin–Watson statistic of the hourly-revenue trend residuals: one
+    * map-combined pass builds the ≤|hours| series and its exact integer
+    * OLS moments, residuals quantize to whole cents (the shared
+    * [[Stages.residualSql]] tree, then one round), and
+    * DW = Σ(e_t − e_{t−1})²/Σe_t² is a ratio of two exact BIGINTs. The
+    * serial-correlation alarm for any forecast built on this series;
+    * the lag window runs over the aggregate-bounded hour table only.
+    */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("cents"))
+      .select(col("h"), col("cents"))
+    val idx = hourly.agg(min(col("h")).as("h0"))
+    val series = hourly
+      .crossJoin(broadcast(idx))
+      .select((col("h") - col("h0")).as("x"), col("cents").as("y"))
+    val stats = series.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val resid = series
+      .crossJoin(broadcast(stats))
+      .withColumn("e", expr(s"CAST(round(${Stages.residualSql}) AS BIGINT)"))
+      .select(col("x"), col("e"))
+    val lagW = Window.orderBy(col("x"))
+    resid
+      .withColumn("e_prev", lag(col("e"), 1).over(lagW))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("e") * col("e")).as("see"),
+        sum(when(col("e_prev").isNotNull,
+          (col("e") - col("e_prev")) * (col("e") - col("e_prev"))).otherwise(lit(0L)))
+          .as("sdd"))
+      .select(
+        col("n_hours"),
+        expr("CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)").as("dw"))
+  }
+
+  /** Top-k most influential lineitem rows by Cook's distance under the
+    * price-vs-quantity OLS: leverage, residual, and D_i are all fixed
+    * IEEE trees over the one-pass global integer moments broadcast back
+    * to the rows, and the ranking is a distributed TakeOrdered (D desc,
+    * key asc — never a corpus-scale window). The regression-diagnostics
+    * pass that finds the rows steering the fit at any scale.
+    */
+  def cooksDistanceTopK(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val base = lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val (nD, sxD, syD, sxyD, sxxD, syyD) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    val varX = s"($sxxD / $nD - ($sxD / $nD) * ($sxD / $nD))"
+    val varY = s"($syyD / $nD - ($syD / $nD) * ($syD / $nD))"
+    val covar = s"($sxyD / $nD - ($sxD / $nD) * ($syD / $nD))"
+    val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / ($nD * $varX))"
+    val s2 = s"(($varY - $covar * $covar / $varX) * $nD / ($nD - 2))"
+    val cooks =
+      s"((${Stages.residualSql} * ${Stages.residualSql}) / (2.0 * $s2) * $h / ((1.0 - $h) * (1.0 - $h)))"
+    Relational.rankedTopK(
+      base.crossJoin(broadcast(stats)).withColumn("cooks_d", expr(cooks)),
+      k, col("cooks_d").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(
+        col("rank"), col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("y"), col("cooks_d"))
+  }
+
+  /** Autocorrelation ladder (lags 1..`maxLag`) of daily revenue, exact
+    * to the final division: daily totals demean by the SCALED residual
+    * d_t = n·y_t − Σy (an integer — no float mean ever enters), and
+    * r_k = Σ d_t·d_{t+k} / Σ d_t² is a ratio of two exact BIGINTs per
+    * lag. The seasonality fingerprint (weekly data shows the lag-7
+    * echo) off one ≤|days|-row aggregate; the lag joins run on that
+    * bounded table.
+    */
+  def acfLadder(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dm = daily
+      .crossJoin(broadcast(tot))
+      .select(col("d"), (col("n") * col("y") - col("s")).as("e"))
+    val den = dm.agg(sum(col("e") * col("e")).as("see"))
+    val lags = dm.sparkSession
+      .range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    dm.as("a")
+      .crossJoin(broadcast(lags))
+      .join(
+        broadcast(dm.select(col("d").as("d2"), col("e").as("e2"))),
+        col("a.d") + col("lag") === col("d2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("a.e") * col("e2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(
+        col("lag"), col("n_pairs"),
+        expr("CAST(num AS DOUBLE) / CAST(see AS DOUBLE)").as("acf"))
+  }
+
+  /** Skewness and excess kurtosis of event value per type, from ONE
+    * pass of exact integer power sums (whole-dollar grid — Σy⁴ stays
+    * inside BIGINT to ~10⁹ rows of 3-digit values; past that the next
+    * coarser grid buys 10⁴× headroom per step): central moments expand
+    * divisions-first from Σy..Σy⁴ and g1 = m3/m2^1.5,
+    * g2 = m4/m2² − 3 are fixed IEEE trees — the shape audit that says
+    * which metrics need a robust estimator, bit-identical anywhere.
+    */
+  def skewKurtosis(events: DataFrame): DataFrame = {
+    val y = "CAST(round(value) AS BIGINT)"
+    val (n, s1, s2, s3, s4) =
+      ("CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+        "CAST(s3 AS DOUBLE)", "CAST(s4 AS DOUBLE)")
+    val mu = s"($s1 / $n)"
+    val m2 = s"($s2 / $n - $mu * $mu)"
+    val m3 = s"($s3 / $n - 3 * $mu * ($s2 / $n) + 2 * $mu * $mu * $mu)"
+    val m4 =
+      s"($s4 / $n - 4 * $mu * ($s3 / $n) + 6 * $mu * $mu * ($s2 / $n) - 3 * $mu * $mu * $mu * $mu)"
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(y)).as("s1"),
+        sum(expr(s"$y * $y")).as("s2"),
+        sum(expr(s"$y * $y * $y")).as("s3"),
+        sum(expr(s"$y * $y * $y * $y")).as("s4"))
+      .select(
+        col("event_type"), col("n"),
+        expr(s"$mu").as("mean_dollars"),
+        expr(s"CASE WHEN $m2 <= 0 THEN NULL ELSE $m3 / ($m2 * sqrt($m2)) END").as("skewness"),
+        expr(s"CASE WHEN $m2 <= 0 THEN NULL ELSE $m4 / ($m2 * $m2) - 3 END").as("excess_kurtosis"))
+  }
+
+  /** Weighted least squares of line-item unit economics: dollars on
+    * quantity with quantity itself as the weight (bigger lots count
+    * proportionally), from one pass of exact integer weighted moments —
+    * slope/intercept expand divisions-first through Σw (the same
+    * overflow discipline as [[Stages.linregSql]]), so the fit is one
+    * fixed IEEE tree over BIGINTs. The heteroscedasticity-aware
+    * companion to q_linreg.
+    */
+  def weightedLinreg(lineitem: DataFrame): DataFrame = {
+    val (sw, swx, swy, swxx, swxy) =
+      ("CAST(sw AS DOUBLE)", "CAST(swx AS DOUBLE)", "CAST(swy AS DOUBLE)",
+        "CAST(swxx AS DOUBLE)", "CAST(swxy AS DOUBLE)")
+    val mx = s"($swx / $sw)"
+    val my = s"($swy / $sw)"
+    val varX = s"($swxx / $sw - $mx * $mx)"
+    val covar = s"($swxy / $sw - $mx * $my)"
+    lineitem
+      .select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+      .withColumn("w", col("x"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("w")).as("sw"),
+        sum(col("w") * col("x")).as("swx"),
+        sum(col("w") * col("y")).as("swy"),
+        sum(col("w") * col("x") * col("x")).as("swxx"),
+        sum(col("w") * col("x") * col("y")).as("swxy"))
+      .select(
+        col("n"), col("sw"),
+        expr(s"CASE WHEN $varX = 0 THEN NULL ELSE $covar / $varX END").as("slope"),
+        expr(s"CASE WHEN $varX = 0 THEN NULL ELSE $my - ($covar / $varX) * $mx END")
+          .as("intercept"))
+  }
+
+  /** Quantile treatment effects between the two md5-hash arms: the
+    * exact d/10-quantile of event value per arm (the ⌈d·n/10⌉-th order
+    * statistic off a value→count table — a per-arm-bounded cumulative,
+    * never a row-scale sort) and the per-decile shift. Where a mean
+    * test collapses the distribution to one number, this shows WHERE
+    * the arms differ; every quantile is an exact integer cents value,
+    * the shift a subtraction.
+    */
+  def quantileTreatmentEffects(events: DataFrame): DataFrame = {
+    val arm =
+      "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2"
+    val vals = events.select(expr(arm).as("arm"), expr(Stages.centsSql("value")).as("v"))
+    val counts = vals.groupBy(col("arm"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("arm")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = vals.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val deciles = events.sparkSession.range(1, 10).select(col("id").as("decile"))
+    val qs = counts
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .join(broadcast(totals), Seq("arm"))
+      .crossJoin(broadcast(deciles))
+      .filter(col("cum") >= expr("(decile * n + 9) div 10"))
+      .groupBy(col("arm"), col("decile"))
+      .agg(min(col("v")).as("q"))
+    qs.filter(col("arm") === 0).select(col("decile"), col("q").as("q_a"))
+      .join(
+        qs.filter(col("arm") === 1).select(col("decile"), col("q").as("q_b")),
+        Seq("decile"))
+      .select(
+        col("decile"),
+        expr("CAST(q_a AS DOUBLE) / 100.0").as("q_a_dollars"),
+        expr("CAST(q_b AS DOUBLE) / 100.0").as("q_b_dollars"),
+        expr("CAST(q_b - q_a AS DOUBLE) / 100.0").as("shift_dollars"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each hour's revenue by
+    * the same hour one week earlier (f_t = y_{t−168}) and score MAPE
+    * and sMAPE over every hour with a seasonal ancestor — the baseline
+    * any real forecaster must beat, measured with zero model state.
+    * Per-hour error ratios quantize to micro so the cross-hour means
+    * are order-free integer sums; the lag join runs on the
+    * ≤|hours|-row aggregate.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, seasonHours: Long = 168L): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val joined = hourly.as("t")
+      .join(
+        hourly.select((col("h") + lit(seasonHours)).as("h"), col("y").as("f")),
+        Seq("h"))
+    joined
+      .select(
+        expr("CAST(round(1000000.0 * abs(CAST(y - f AS DOUBLE)) / CAST(y AS DOUBLE)) AS BIGINT)")
+          .as("ape_micro"),
+        expr("""CAST(round(1000000.0 * 2.0 * abs(CAST(y - f AS DOUBLE))
+                 / CAST(y + f AS DOUBLE)) AS BIGINT)""").as("sape_micro"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(col("ape_micro")).as("sa"),
+        sum(col("sape_micro")).as("ss"))
+      .select(
+        col("n_eval"),
+        expr("(CAST(sa AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 1000000.0").as("mape"),
+        expr("(CAST(ss AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 1000000.0").as("smape"))
+  }
 }

@@ -1802,4 +1802,50 @@ object Relational {
       .withColumn(
         "ratio", expr("CAST(est_pairs AS DOUBLE) / CAST(actual_pairs AS DOUBLE)"))
   }
+
+  /** Laspeyres / Paasche / Fisher price indices between two order-date
+    * years over the parts traded in both: per part-year, exact integer
+    * (Σcents, Σqty); the cross-price terms p₁·q₀ and p₀·q₁ are the only
+    * rationals, each quantized to cents per part so the cross-part sums
+    * run as order-free BIGINTs — while the OWN-price terms need no
+    * division at all (p_y·q_y ≡ Σcents_y exactly, the identity that
+    * makes half of each index free). Fisher = √(L·P) via one correctly-
+    * rounded sqrt. Two map-combined aggregates and a part-grain join.
+    */
+  def priceIndex(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      year0: String = "1996",
+      year1: String = "1997"): DataFrame = {
+    def yearAgg(y: String) =
+      lineitem
+        .join(
+          orders.filter(
+            col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${y.toInt + 1}-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(expr(Stages.centsSql("l_extendedprice"))).as("c"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"))
+    val a = yearAgg(year0).select(col("l_partkey"), col("c").as("c0"), col("q").as("q0"))
+    val b = yearAgg(year1).select(col("l_partkey"), col("c").as("c1"), col("q").as("q1"))
+    a.join(b, Seq("l_partkey"))
+      .select(
+        col("c0"), col("c1"),
+        expr("""CAST(round((CAST(c1 AS DOUBLE) / CAST(q1 AS DOUBLE)) * CAST(q0 AS DOUBLE)) AS BIGINT)""")
+          .as("p1q0"),
+        expr("""CAST(round((CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * CAST(q1 AS DOUBLE)) AS BIGINT)""")
+          .as("p0q1"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("c0")).as("sc0"), sum(col("c1")).as("sc1"),
+        sum(col("p1q0")).as("sp1q0"), sum(col("p0q1")).as("sp0q1"))
+      .select(
+        col("n_parts"),
+        expr("CAST(sp1q0 AS DOUBLE) / CAST(sc0 AS DOUBLE)").as("laspeyres"),
+        expr("CAST(sc1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE)").as("paasche"),
+        expr("""sqrt((CAST(sp1q0 AS DOUBLE) / CAST(sc0 AS DOUBLE))
+                 * (CAST(sc1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE)))""").as("fisher"))
+  }
 }
