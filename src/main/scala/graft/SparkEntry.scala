@@ -710,6 +710,12 @@ object SparkEntry {
       Analytics.quantileTreatmentEffects(Tables.events(s, dir)).orderBy("decile")),
     "q_backtest" -> ((s, dir) =>
       Analytics.seasonalNaiveBacktest(Tables.events(s, dir))),
+    "q_theil_u" -> ((s, dir) =>
+      Analytics.theilU(Tables.events(s, dir))),
+    "q_segmented" -> ((s, dir) =>
+      Analytics.segmentedRegression(Tables.lineitem(s, dir))),
+    "q_ccf" -> ((s, dir) =>
+      Analytics.crossCorrelationLadder(Tables.events(s, dir)).orderBy("lag")),
     "q_concurrency" -> ((s, dir) =>
       Analytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_peaks" -> ((s, dir) =>
@@ -4102,6 +4108,67 @@ object SparkEntry {
                 CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS dist2,
                 sqrt(CAST(sum((ca - cb) * (ca - cb)) AS DOUBLE)) / 1000.0 AS drift
          FROM p GROUP BY label ORDER BY label""",
+    "q_theil_u" ->
+      """WITH hourly AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS h,
+                                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                         FROM events GROUP BY 1),
+         j AS (SELECT t.y AS y, fs.y AS fs, fp.y AS fp
+               FROM hourly t JOIN hourly fs ON t.h = fs.h + 168
+                             JOIN hourly fp ON t.h = fp.h + 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                      CAST(sum((y - fs) * (y - fs)) AS BIGINT) AS se_seasonal,
+                      CAST(sum((y - fp) * (y - fp)) AS BIGINT) AS se_persist
+               FROM j)
+         SELECT n_eval, se_seasonal, se_persist,
+                CASE WHEN se_persist = 0 THEN NULL
+                     ELSE sqrt(CAST(se_seasonal AS DOUBLE) / CAST(se_persist AS DOUBLE)) END AS theil_u
+         FROM m""",
+    "q_segmented" -> {
+      def side(sfx: String, cond: String) =
+        s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$sfx,
+            CAST(sum(CASE WHEN $cond THEN x ELSE 0 END) AS BIGINT) AS sx_$sfx,
+            CAST(sum(CASE WHEN $cond THEN y ELSE 0 END) AS BIGINT) AS sy_$sfx,
+            CAST(sum(CASE WHEN $cond THEN x * y ELSE 0 END) AS BIGINT) AS sxy_$sfx,
+            CAST(sum(CASE WHEN $cond THEN x * x ELSE 0 END) AS BIGINT) AS sxx_$sfx,
+            CAST(sum(CASE WHEN $cond THEN y * y ELSE 0 END) AS BIGINT) AS syy_$sfx"""
+      s"""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                            ${Stages.centsSql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+         c AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM b),
+         s AS (SELECT min(x) AS x_split
+               FROM (SELECT x, sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c), t
+               WHERE cum >= (n_all + 1) // 2),
+         m AS (SELECT ${side("lo", "x <= x_split")},
+                      ${side("hi", "x > x_split")}
+               FROM b, s)
+         SELECT s.x_split AS x_split, n_lo, n_hi,
+                ${Analytics.linregSideSql("slope", "lo")} AS slope_lo,
+                ${Analytics.linregSideSql("slope", "hi")} AS slope_hi,
+                (${Analytics.linregSideSql("slope", "hi")}) - (${Analytics.linregSideSql("slope", "lo")}) AS slope_diff
+         FROM m, s"""
+    },
+    "q_ccf" ->
+      """WITH pa AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM pa),
+         ea AS (SELECT d, n * y - s AS e FROM pa, ta),
+         pb AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         tb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM pb),
+         eb AS (SELECT d, n * y - s AS e FROM pb, tb),
+         saa AS (SELECT CAST(sum(e * e) AS BIGINT) AS saa FROM ea),
+         sbb AS (SELECT CAST(sum(e * e) AS BIGINT) AS sbb FROM eb),
+         lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT) AS lag),
+         p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(a.e * b.e) AS BIGINT) AS sab
+               FROM ea a, lags, eb b
+               WHERE a.d + lag = b.d GROUP BY 1)
+         SELECT lag, n_pairs,
+                CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)) AS ccf
+         FROM p, saa, sbb ORDER BY lag""",
     "q_price_index" ->
       """WITH y0 AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c0,
                             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q0

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3765,5 +3765,123 @@ object Analytics {
         col("n_eval"),
         expr("(CAST(sa AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 1000000.0").as("mape"),
         expr("(CAST(ss AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 1000000.0").as("smape"))
+  }
+
+  /** Theil's U₂ forecast-skill ratio: seasonal-naive (lag-168) forecast
+    * error against the persistence (lag-1) baseline over hours where
+    * both exist — U < 1 means the weekly pattern genuinely beats "same
+    * as last hour". Both error terms are squared integer differences of
+    * exact hourly cents, so U is √(BIGINT/BIGINT) with one correctly-
+    * rounded sqrt; the lag joins run on the ≤|hours| aggregate.
+    */
+  def theilU(events: DataFrame, seasonHours: Long = 168L): DataFrame = {
+    val hourly = events
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    hourly.as("t")
+      .join(hourly.select((col("h") + lit(seasonHours)).as("h"), col("y").as("fs")), Seq("h"))
+      .join(hourly.select((col("h") + lit(1L)).as("h"), col("y").as("fp")), Seq("h"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum((col("y") - col("fs")) * (col("y") - col("fs"))).as("se_seasonal"),
+        sum((col("y") - col("fp")) * (col("y") - col("fp"))).as("se_persist"))
+      .select(
+        col("n_eval"), col("se_seasonal"), col("se_persist"),
+        expr("""CASE WHEN se_persist = 0 THEN NULL
+                ELSE sqrt(CAST(se_seasonal AS DOUBLE) / CAST(se_persist AS DOUBLE)) END""")
+          .as("theil_u"))
+  }
+
+  /** Segmented (two-piece) price-vs-quantity regression split at the
+    * median quantity: independent OLS fits on each side from one pass
+    * of CONDITIONAL integer moments (the split point is the exact
+    * order statistic, computed first from a value→count table), plus
+    * the slope difference — the cheapest test for a kinked
+    * relationship. Every fit is the [[Stages.linregSql]] fixed tree
+    * over per-side sums; two map-combined aggregates total.
+    */
+  def segmentedRegression(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+    val counts = base.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = base.agg(count(lit(1)).as("n_all"))
+    val split = counts
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n_all + 1) div 2"))
+      .agg(min(col("x")).as("x_split"))
+    def sideAggs(sfx: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$sfx"),
+      sum(when(cond, col("x")).otherwise(lit(0L))).as(s"sx_$sfx"),
+      sum(when(cond, col("y")).otherwise(lit(0L))).as(s"sy_$sfx"),
+      sum(when(cond, col("x") * col("y")).otherwise(lit(0L))).as(s"sxy_$sfx"),
+      sum(when(cond, col("x") * col("x")).otherwise(lit(0L))).as(s"sxx_$sfx"),
+      sum(when(cond, col("y") * col("y")).otherwise(lit(0L))).as(s"syy_$sfx"))
+    val aggs = sideAggs("lo", col("x") <= col("x_split")) ++
+      sideAggs("hi", col("x") > col("x_split"))
+    def fit(sfx: String, name: String) = expr(linregSideSql(name, sfx))
+    base
+      .crossJoin(broadcast(split))
+      .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(split))
+      .select(
+        col("x_split"), col("n_lo"), col("n_hi"),
+        fit("lo", "slope").as("slope_lo"),
+        fit("hi", "slope").as("slope_hi"),
+        (fit("hi", "slope") - fit("lo", "slope")).as("slope_diff"))
+  }
+
+  /** [[Stages.linregSql]] fragment rewritten onto suffixed moment
+    * columns `n_<sfx>, sx_<sfx>, …` — shared verbatim between
+    * [[segmentedRegression]] and its oracle so both engines evaluate
+    * the identical per-side expression text.
+    */
+  def linregSideSql(name: String, sfx: String): String =
+    Stages.linregSql.toMap
+      .apply(name)
+      .replace("sxy", s"sxy_$sfx")
+      .replace("sxx", s"sxx_$sfx")
+      .replace("syy", s"syy_$sfx")
+      .replace("CAST(sx ", s"CAST(sx_$sfx ")
+      .replace("CAST(sy ", s"CAST(sy_$sfx ")
+      .replace("CAST(n ", s"CAST(n_$sfx ")
+
+  /** Cross-correlation ladder between the daily purchase and click
+    * revenue series at leads/lags −3..3 — the lead–lag discovery pass
+    * (does click volume anticipate purchases?). Both series demean by
+    * the scaled-integer residual of [[acfLadder]] (n·y − Σy), and each
+    * lag's correlation is Σda·db / √(Σda²·Σdb²) over exact BIGINTs with
+    * one sqrt. Bounded day-table joins only.
+    */
+  def crossCorrelationLadder(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    def series(t: String) = {
+      val daily = events
+        .filter(col("event_type") === t)
+        .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+        .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      daily.crossJoin(broadcast(tot)).select(col("d"), (col("n") * col("y") - col("s")).as("e"))
+    }
+    val a = series("purchase")
+    val b = series("click")
+    val da = a.agg(sum(col("e") * col("e")).as("saa"))
+    val db = b.agg(sum(col("e") * col("e")).as("sbb"))
+    val lags = events.sparkSession
+      .range(-maxLag, maxLag + 1)
+      .select(col("id").as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(
+        broadcast(b.select(col("d").as("d2"), col("e").as("e2"))),
+        col("d") + col("lag") === col("d2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e") * col("e2")).as("sab"))
+      .crossJoin(broadcast(da))
+      .crossJoin(broadcast(db))
+      .select(
+        col("lag"), col("n_pairs"),
+        expr("CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))")
+          .as("ccf"))
   }
 }
