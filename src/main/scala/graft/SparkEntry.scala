@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Analytics, AsOfJoin, Graph, Joins, RefPipelines, Relational, Stages, Tables}
+import graft.engine.{Analytics, AsOfJoin, Graph, Inference, Joins, RefPipelines, Relational, Stages, Tables}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
@@ -755,7 +755,49 @@ object SparkEntry {
           purchases, "user_id", "ts", "p_user", "p_ts")
         .select(col("event_id"), col("user_id"), col("purchase_id"), col("p_cents"))
         .orderBy("event_id")
-    })
+    }),
+    "q_levene" -> ((s, dir) =>
+      Inference.brownForsythe(Tables.events(s, dir))),
+    "q_kruskal" -> ((s, dir) =>
+      Inference.kruskalWallis(Tables.events(s, dir))),
+    "q_tukey" -> ((s, dir) =>
+      Inference.tukeyContrasts(Tables.events(s, dir)).orderBy("type_a", "type_b")),
+    "q_effect_size" -> ((s, dir) =>
+      Inference.cohensD(Tables.events(s, dir))),
+    "q_odds_ratio" -> ((s, dir) =>
+      Inference.oddsRatio(Tables.events(s, dir))),
+    "q_binom_test" -> ((s, dir) =>
+      Inference.binomialTest(Tables.events(s, dir)).orderBy("event_type")),
+    "q_eb_shrink" -> ((s, dir) =>
+      Inference.ebShrinkage(Tables.lineitem(s, dir)).orderBy("l_partkey")),
+    "q_rolling_corr" -> ((s, dir) =>
+      Inference.rollingCorr(Tables.lineitem(s, dir)).orderBy("l_returnflag", "day_epoch")),
+    "q_math_funcs" -> ((s, dir) =>
+      Relational.mathFuncs(Tables.lineitem(s, dir)).orderBy("l_orderkey", "l_linenumber")),
+    "q_bit_funcs" -> ((s, dir) =>
+      Relational.bitFuncs(Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    "q_posexplode" -> ((s, dir) =>
+      TextAnalysis.posExplode(Tables.documents(s, dir)).orderBy("doc_id", "pos")),
+    "q_doclen_hist" -> ((s, dir) =>
+      TextAnalysis.docLengthHistogram(Tables.documents(s, dir)).orderBy("lang", "len_bits")),
+    "q_clustering_coeff" -> ((s, dir) =>
+      Graph.clusteringCoefficient(Tables.lineitem(s, dir)).orderBy("part")),
+    "q_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_jarque_bera" -> ((s, dir) =>
+      Analytics.jarqueBera(Tables.events(s, dir)).orderBy("event_type")),
+    "q_quantile_disc" -> ((s, dir) =>
+      Relational.discQuantiles(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_cramers_v" -> ((s, dir) =>
+      TextAnalysis.cramersV(Tables.documents(s, dir))),
+    "q_two_prop" -> ((s, dir) =>
+      Inference.twoProportionTest(Tables.events(s, dir))),
+    "q_mcnemar" -> ((s, dir) =>
+      TextAnalysis.mcnemar(Tables.documents(s, dir))),
+    "q_hellinger" -> ((s, dir) =>
+      Inference.hellingerDistance(Tables.events(s, dir))),
+    "q_prefix_dedup" -> ((s, dir) =>
+      Dedup.prefixClusters(Tables.documents(s, dir)).orderBy("prefix_md5"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5241,6 +5283,295 @@ object SparkEntry {
                   / CAST(p.n_tokens + z.n_tokens - coalesce(c.n_common, 0) AS DOUBLE) AS jaccard
          FROM z JOIN (SELECT batch + 1 AS batch, n_tokens FROM z) p USING (batch)
               LEFT JOIN c USING (batch)
-         ORDER BY batch"""
+         ORDER BY batch""",
+    "q_levene" ->
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         med AS (SELECT event_type, CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+                 FROM base GROUP BY 1),
+         dev AS (SELECT base.event_type, abs(2 * cents - med2) AS d
+                 FROM base JOIN med USING (event_type)),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s,
+                      CAST(sum(d * d) AS BIGINT) AS q
+               FROM dev GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(s) AS BIGINT) AS ss,
+                      CAST(sum(${Inference.rayleighQSql("n", "s")}) AS BIGINT) AS rbq,
+                      CAST(sum(q) AS BIGINT) AS qq
+               FROM g)
+         SELECT k, nn AS n, ${Inference.fStatSql} AS f_stat FROM t""",
+    "q_kruskal" ->
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+         gx AS (SELECT x, event_type, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+         tx0 AS (SELECT x, CAST(sum(cnt) AS BIGINT) AS t FROM gx GROUP BY 1),
+         tx AS (SELECT x, t,
+                       CAST(coalesce(sum(t) OVER (ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+                FROM tx0),
+         pg AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(cnt * (2 * c + t + 1)) AS BIGINT) AS s
+                FROM gx JOIN tx USING (x) GROUP BY 1),
+         ties AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+                         CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM tx),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                        CAST(sum(${Inference.rayleighQSql("n", "s")}) AS BIGINT) AS r2q
+                 FROM pg)
+         SELECT k, nn AS n, ${Inference.kwHSql} AS h_stat FROM agg, ties""",
+    "q_tukey" ->
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+                      CAST(sum(cents * cents) AS BIGINT) AS q
+               FROM base GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(${Inference.rayleighQSql("n", "s")}) AS BIGINT) AS rbq,
+                      CAST(sum(q) AS BIGINT) AS qq
+               FROM g)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / 100.0 AS mean_a,
+                (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0 AS mean_b,
+                ${Inference.tukeyQSql("a.n", "a.s", "b.n", "b.s")} AS q_stat
+         FROM g a JOIN g b ON a.event_type < b.event_type, m
+         ORDER BY type_a, type_b""",
+    "q_effect_size" ->
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+               FROM base)
+         SELECT n1, n2, ${Inference.cohenDSql} AS cohen_d,
+                (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) * (${Inference.cohenDSql}) AS hedges_g
+         FROM m""",
+    "q_odds_ratio" ->
+      """WITH base AS (SELECT ((CAST(ts AS DATE) - DATE '1970-01-05') % 7) >= 5 AS wk,
+                              CAST(round(value * 100) AS BIGINT) > 10000 AS hi
+                       FROM events),
+         m AS (SELECT CAST(sum(CASE WHEN wk AND hi THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                      CAST(sum(CASE WHEN wk AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                      CAST(sum(CASE WHEN NOT wk AND hi THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                      CAST(sum(CASE WHEN NOT wk AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS d
+               FROM base)
+         SELECT a, b, c, d,
+                (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * (CAST(d AS DOUBLE) / CAST(c AS DOUBLE)) AS odds_ratio,
+                (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                  / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) AS risk_ratio,
+                1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                  + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE) AS se2_log_or
+         FROM m""",
+    "q_binom_test" ->
+      s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000
+                                          THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM events GROUP BY 1)
+         SELECT event_type, n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+                ${Inference.binomZSql(0.25)} AS z
+         FROM g ORDER BY event_type""",
+    "q_eb_shrink" ->
+      s"""WITH pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+                      FROM lineitem GROUP BY 1),
+         pq AS (SELECT *, CAST(round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ppm
+                FROM pp),
+         pr AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS sn,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(ppm) AS BIGINT) AS sp,
+                       CAST(sum(ppm * ppm) AS BIGINT) AS spp
+                FROM pq),
+         pm AS (SELECT ${Inference.ebMuSql} AS mu, ${Inference.ebMSql} AS m_prior FROM pr)
+         SELECT l_partkey, n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_raw, mu, m_prior,
+                (CAST(x AS DOUBLE) + m_prior * mu) / (CAST(n AS DOUBLE) + m_prior) AS p_shrunk
+         FROM pq, pm ORDER BY l_partkey""",
+    "q_rolling_corr" ->
+      s"""WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+                               CAST(count(*) AS BIGINT) AS x,
+                               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+                        FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT l_returnflag, d,
+                      CAST(count(*) OVER win AS BIGINT) AS wn,
+                      CAST(sum(x) OVER win AS BIGINT) AS sx,
+                      CAST(sum(y) OVER win AS BIGINT) AS sy,
+                      CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+                      CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+                      CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+               FROM daily
+               WINDOW win AS (PARTITION BY l_returnflag ORDER BY d
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT l_returnflag, CAST(d - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+                wn AS n_days, ${Inference.rollingCorrSql} AS r
+         FROM w ORDER BY l_returnflag, d""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                abs(l_quantity - 25.0) AS q_abs,
+                CAST(sign(l_quantity - 25.0) AS BIGINT) AS q_sign,
+                CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS p_floor_k,
+                (CAST(round(l_extendedprice * 100) AS BIGINT) + 99999) // 100000 AS p_ceil_k,
+                l_orderkey % 7 AS k_mod7,
+                l_quantity * l_quantity AS q_sq,
+                sqrt(l_quantity) AS q_sqrt,
+                greatest(l_quantity, 25.0) AS q_hi,
+                least(l_quantity, 25.0) AS q_lo,
+                CAST(length(bin(CAST(round(l_extendedprice * 100) AS BIGINT))) AS BIGINT) AS p_bits
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_bit_funcs" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+                CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+                CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+                CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS popcount_sum,
+                CAST(sum(l_orderkey & 255) AS BIGINT) AS low_byte_sum,
+                CAST(sum(l_linenumber << 3) AS BIGINT) AS shifted_sum
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_posexplode" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         e AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+                      unnest(toks) AS token
+               FROM t)
+         SELECT doc_id, pos, token FROM e WHERE pos < 8 ORDER BY doc_id, pos""",
+    "q_doclen_hist" ->
+      """SELECT lang, CAST(length(bin(n_chars)) AS BIGINT) AS len_bits,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(n_chars) AS BIGINT) AS min_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT part, count(*) AS d
+               FROM (SELECT pa AS part FROM e UNION ALL SELECT pb FROM e) GROUP BY part),
+         o AS (SELECT CASE WHEN da < db OR (da = db AND pa < pb) THEN pa ELSE pb END AS src,
+                      CASE WHEN da < db OR (da = db AND pa < pb) THEN pb ELSE pa END AS dst
+               FROM (SELECT e.pa, e.pb, x.d AS da, y.d AS db
+                     FROM e JOIN d x ON x.part = e.pa JOIN d y ON y.part = e.pb)),
+         t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               FROM o e1 JOIN o e2 ON e1.dst = e2.src
+               JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         pn AS (SELECT part, count(*) AS n_tri
+                FROM (SELECT a AS part FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+                GROUP BY part)
+         SELECT d.part, CAST(d.d AS BIGINT) AS degree,
+                CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+                2.0 * CAST(coalesce(pn.n_tri, 0) AS DOUBLE)
+                  / (CAST(d.d AS DOUBLE) * CAST(d.d - 1 AS DOUBLE)) AS coeff
+         FROM d LEFT JOIN pn ON pn.part = d.part
+         WHERE d.d >= 2 ORDER BY d.part""",
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         b0 AS (SELECT doc_id, CAST(unnest(range(1, len(toks))) AS BIGINT) AS i, toks
+                FROM t WHERE len(toks) >= 2),
+         bg AS (SELECT DISTINCT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM b0),
+         f AS (SELECT w1, w2, min(doc_id) AS first_doc FROM bg GROUP BY 1, 2)
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS novelty
+         FROM bg JOIN f USING (w1, w2) GROUP BY 1 ORDER BY doc_id""",
+    "q_jarque_bera" -> {
+      val (n, s1, s2, s3, s4) =
+        ("CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+          "CAST(s3 AS DOUBLE)", "CAST(s4 AS DOUBLE)")
+      val mu = s"($s1 / $n)"
+      val m2 = s"($s2 / $n - $mu * $mu)"
+      val m3 = s"($s3 / $n - 3 * $mu * ($s2 / $n) + 2 * $mu * $mu * $mu)"
+      val m4 =
+        s"($s4 / $n - 4 * $mu * ($s3 / $n) + 6 * $mu * $mu * ($s2 / $n) - 3 * $mu * $mu * $mu * $mu)"
+      val skew = s"($m3 / ($m2 * sqrt($m2)))"
+      val exk = s"($m4 / ($m2 * $m2) - 3)"
+      s"""WITH b AS (SELECT event_type, CAST(round(value) AS BIGINT) AS y FROM events),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2,
+                      CAST(sum(y * y * y) AS BIGINT) AS s3,
+                      CAST(sum(y * y * y * y) AS BIGINT) AS s4
+               FROM b GROUP BY 1)
+         SELECT event_type, n,
+                CASE WHEN $m2 <= 0 THEN NULL ELSE $skew END AS skewness,
+                CASE WHEN $m2 <= 0 THEN NULL ELSE $exk END AS excess_kurtosis,
+                CASE WHEN $m2 <= 0 THEN NULL ELSE $n / 6.0 * ($skew * $skew + $exk * $exk / 4.0) END AS jb
+         FROM m ORDER BY event_type"""
+    },
+    "q_quantile_disc" ->
+      """WITH g AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT l_returnflag, x, c,
+                      CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM g),
+         n AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n_rows FROM g GROUP BY 1)
+         SELECT w.l_returnflag, n.n_rows,
+                CAST(min(CASE WHEN 100 * cum >= 25 * n_rows THEN x END) AS DOUBLE) / 100.0 AS p25,
+                CAST(min(CASE WHEN 100 * cum >= 50 * n_rows THEN x END) AS DOUBLE) / 100.0 AS p50,
+                CAST(min(CASE WHEN 100 * cum >= 75 * n_rows THEN x END) AS DOUBLE) / 100.0 AS p75,
+                CAST(min(CASE WHEN 100 * cum >= 95 * n_rows THEN x END) AS DOUBLE) / 100.0 AS p95
+         FROM w JOIN n USING (l_returnflag)
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+                        FROM documents GROUP BY 1, 2),
+         rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         j AS (SELECT source, lang, obs, rt, ct, n
+               FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot),
+         t AS (SELECT CAST(max(n) AS BIGINT) AS nn,
+                      CAST(count(DISTINCT source) AS BIGINT) AS r,
+                      CAST(count(DISTINCT lang) AS BIGINT) AS c,
+                      CAST(sum(CAST(round(
+                        ((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS chi2_micro
+               FROM j)
+         SELECT nn AS n, r, c,
+                CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
+                sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+                     / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS v
+         FROM t""",
+    "q_two_prop" ->
+      s"""WITH base AS (SELECT ((CAST(ts AS DATE) - DATE '1970-01-05') % 7) >= 5 AS wk,
+                               CAST(round(value * 100) AS BIGINT) > 10000 AS hi
+                        FROM events),
+         m AS (SELECT CAST(sum(CASE WHEN NOT wk THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN NOT wk AND hi THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                      CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN wk AND hi THEN 1 ELSE 0 END) AS BIGINT) AS x2
+               FROM base)
+         SELECT n1, x1, n2, x2,
+                CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                ${Inference.twoPropZSql} AS z
+         FROM m""",
+    "q_mcnemar" ->
+      s"""WITH p AS (SELECT n_chars > 300 AS p1,
+                            len(string_split_regex(trim(text), '\\s+')) > 55 AS p2
+                     FROM documents),
+         m AS (SELECT CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                      CAST(sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                      CAST(sum(CASE WHEN NOT p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                      CAST(sum(CASE WHEN NOT p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+               FROM p)
+         SELECT a, b, c, d, ${TextAnalysis.mcnemarSql} AS stat FROM m""",
+    "q_hellinger" ->
+      s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+                     FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                      CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+                      CAST(sum(CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) * 1000)
+                        AS BIGINT)) AS BIGINT) AS bc_milli
+               FROM g)
+         SELECT n_buckets, na, nb,
+                ${Inference.hellingerBcSql} AS bc,
+                sqrt(greatest(1.0 - (${Inference.hellingerBcSql}), 0.0)) AS hellinger
+         FROM t""",
+    "q_prefix_dedup" ->
+      """WITH t AS (SELECT doc_id,
+                           md5(array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ')) AS prefix_md5
+                    FROM documents)
+         SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs,
+                min(doc_id) AS keeper_doc_id, max(doc_id) AS last_doc_id
+         FROM t GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_md5"""
   )
 }

@@ -3665,6 +3665,41 @@ object Analytics {
         expr(s"CASE WHEN $m2 <= 0 THEN NULL ELSE $m4 / ($m2 * $m2) - 3 END").as("excess_kurtosis"))
   }
 
+  /** Jarque–Bera normality statistic per event type, from the same
+    * whole-dollar integer power sums as [[skewKurtosis]] (cents⁴ would
+    * overflow BIGINT; dollars⁴ keeps 100× headroom): JB = n/6·(S² +
+    * K²/4) over the sample skewness and excess kurtosis. The statistic
+    * is the portable part — its χ²₂ p-value needs exp and is deliberately
+    * not emitted (see [[Inference]]). One map-combined pass, k rows.
+    */
+  def jarqueBera(events: DataFrame): DataFrame = {
+    val y = "CAST(round(value) AS BIGINT)"
+    val (n, s1, s2, s3, s4) =
+      ("CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)",
+        "CAST(s3 AS DOUBLE)", "CAST(s4 AS DOUBLE)")
+    val mu = s"($s1 / $n)"
+    val m2 = s"($s2 / $n - $mu * $mu)"
+    val m3 = s"($s3 / $n - 3 * $mu * ($s2 / $n) + 2 * $mu * $mu * $mu)"
+    val m4 =
+      s"($s4 / $n - 4 * $mu * ($s3 / $n) + 6 * $mu * $mu * ($s2 / $n) - 3 * $mu * $mu * $mu * $mu)"
+    val skew = s"($m3 / ($m2 * sqrt($m2)))"
+    val exk = s"($m4 / ($m2 * $m2) - 3)"
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(y)).as("s1"),
+        sum(expr(s"$y * $y")).as("s2"),
+        sum(expr(s"$y * $y * $y")).as("s3"),
+        sum(expr(s"$y * $y * $y * $y")).as("s4"))
+      .select(
+        col("event_type"), col("n"),
+        expr(s"CASE WHEN $m2 <= 0 THEN NULL ELSE $skew END").as("skewness"),
+        expr(s"CASE WHEN $m2 <= 0 THEN NULL ELSE $exk END").as("excess_kurtosis"),
+        expr(s"CASE WHEN $m2 <= 0 THEN NULL ELSE $n / 6.0 * ($skew * $skew + $exk * $exk / 4.0) END")
+          .as("jb"))
+  }
+
   /** Weighted least squares of line-item unit economics: dollars on
     * quantity with quantity itself as the weight (bigger lots count
     * proportionally), from one pass of exact integer weighted moments —

@@ -117,6 +117,22 @@ object Graph {
     * ranks robust associations instead of one-off basket noise.
     */
   def triangleTopK(lineitem: DataFrame, k: Int, minSupport: Int = 2): DataFrame = {
+    val (deg, perNode) = trianglesPerNode(lineitem, minSupport)
+    Relational
+      .rankedTopK(
+        perNode.join(deg, "part"),
+        k, col("n_tri").desc, col("part").asc)
+      .select(col("rank"), col("part"), col("n_tri"), col("d").as("degree"))
+  }
+
+  /** Shared degree table + per-node triangle tally on the thresholded
+    * co-order graph (see [[triangleTopK]] for why thresholding keeps the
+    * wedge join bounded). Returns (degrees, per-node triangle counts);
+    * nodes in no triangle are absent from the second frame.
+    */
+  private def trianglesPerNode(
+      lineitem: DataFrame,
+      minSupport: Int): (DataFrame, DataFrame) = {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
@@ -146,11 +162,27 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_tri"))
-    Relational
-      .rankedTopK(
-        perNode.join(deg, "part"),
-        k, col("n_tri").desc, col("part").asc)
-      .select(col("rank"), col("part"), col("n_tri"), col("d").as("degree"))
+    (deg, perNode)
+  }
+
+  /** Local clustering coefficient per node of the thresholded co-order
+    * graph: C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — how
+    * tightly each part's co-purchase neighborhood closes on itself. The
+    * triangle tally is the same degree-oriented wedge join as
+    * [[triangleTopK]]; nodes outside any triangle left-join to 0. Output
+    * is node-bounded.
+    */
+  def clusteringCoefficient(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val (deg, perNode) = trianglesPerNode(lineitem, minSupport)
+    deg
+      .filter(col("d") >= 2)
+      .join(perNode, Seq("part"), "left")
+      .select(
+        col("part"),
+        col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("""2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+                / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE))""").as("coeff"))
   }
 
   /** Item-to-item recommendations from co-order evidence: for every

@@ -1,0 +1,418 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistical inference over grouped event values — the
+  * variance-homogeneity / rank-ANOVA / post-hoc-contrast family that sits
+  * beside the reference's detector queries (spark_streaming.py:155-239
+  * compares group behavior; these are the testable versions of "is this
+  * group different"). Everything follows the library's cross-engine
+  * discipline: values quantize to integer cents, group moments are
+  * BIGINT-exact map-combined sums, the only transcendental is the
+  * correctly-rounded `sqrt`, and any per-group DOUBLE term that must be
+  * summed across groups is quantized to a BIGINT first so the cross-group
+  * sum is order-free (floating addition is not associative; integer
+  * addition is). Statistics are emitted WITHOUT p-values by design — the
+  * ln/erf they'd need is not bit-portable across engines; t/F/H/q values
+  * are.
+  */
+object Inference {
+
+  /** Between-group Rayleigh term for one group's (n, s) integer moments:
+    * round((s/n)·s), i.e. s²/n computed divisions-first in DOUBLE (s² can
+    * overflow BIGINT at corpus scale; s/n cannot) and quantized back to a
+    * BIGINT so the Σ over groups is order-free. Unit: (input unit)².
+    */
+  def rayleighQSql(n: String, s: String): String =
+    s"CAST(round((CAST($s AS DOUBLE) / CAST($n AS DOUBLE)) * CAST($s AS DOUBLE)) AS BIGINT)"
+
+  /** One-way ANOVA F over the single row (k, nn, ss, rbq, qq) = (#groups,
+    * N, ΣΣx, Σ round(s_g²/n_g), ΣΣx²) — shared verbatim with the oracle.
+    * SSB = rbq − S²/N, SSW = qq − rbq; F = (SSB/(k−1)) / (SSW/(N−k)).
+    */
+  def fStatSql: String =
+    """((CAST(rbq AS DOUBLE) - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ss AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+       / ((CAST(qq AS DOUBLE) - CAST(rbq AS DOUBLE)) / CAST(nn - k AS DOUBLE))"""
+
+  /** Brown–Forsythe homogeneity-of-variance test (Levene with median
+    * centers — the robust default): one exact per-group median pass, a
+    * broadcast join of the k medians back onto the facts, then one-way
+    * ANOVA on the absolute deviations. Deviations live in HALF-cents
+    * (2·cents − round(2·median) — the ·2 makes the .5-interpolated median
+    * integral, so |dev| is BIGINT-exact). The exact `percentile` is
+    * value-domain bounded (Spark's percentile aggregate holds a
+    * counts-map per group, not the rows), so the pass scales with
+    * distinct cents, not row count. Output: one row (k, n, f_stat).
+    */
+  def brownForsythe(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val med = events
+      .groupBy(col("event_type"))
+      .agg(expr(s"CAST(round(2 * percentile($cents, 0.5)) AS BIGINT)").as("med2"))
+    val dev = events
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), expr(s"abs(2 * $cents - med2)").as("d"))
+    val g = dev
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"), sum(col("d") * col("d")).as("q"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"),
+      sum(col("s")).as("ss"),
+      sum(expr(rayleighQSql("n", "s"))).as("rbq"),
+      sum(col("q")).as("qq"))
+      .select(col("k"), col("nn").as("n"), expr(fStatSql).as("f_stat"))
+  }
+
+  /** Kruskal–Wallis rank ANOVA with the tie correction, computed on the
+    * VALUE GRID rather than per-row ranks (the same trick as
+    * [[Analytics.mannWhitney]]): group counts collapse onto distinct
+    * cents values, the rank arithmetic runs over that value-domain-
+    * bounded grid, and the one unpartitioned running window is over the
+    * grid — safe at any row count because the grid is bounded by the
+    * value domain, not the corpus. Doubled rank sums (2R_g = Σ cnt·(2c +
+    * t + 1)) stay BIGINT-exact; the per-group R²/n term is
+    * divisions-first and quantized via [[rayleighQSql]] before the
+    * cross-group sum. H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / C with
+    * C = 1 − Σ(t³−t)/(N³−N). Output: one row (k, n, h_stat).
+    */
+  def kruskalWallis(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val gx = events
+      .select(col("event_type"), expr(cents).as("x"))
+      .groupBy(col("x"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tx = gx
+      .groupBy(col("x"))
+      .agg(sum(col("cnt")).as("t"))
+      .select(col("x"), col("t"), coalesce(sum(col("t")).over(below), lit(0L)).as("c"))
+    val perGroup = gx
+      .join(tx, "x")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cnt") * (lit(2L) * col("c") + col("t") + lit(1L))).as("s"))
+    val ties = tx.agg(
+      sum(col("t")).as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    perGroup
+      .agg(
+        count(lit(1)).as("k"),
+        sum(expr(rayleighQSql("n", "s"))).as("r2q"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("nn").as("n"), expr(kwHSql).as("h_stat"))
+  }
+
+  /** Kruskal–Wallis H over (r2q, nn, tie3) — r2q holds Σ round((2R)²/n),
+    * i.e. 4·ΣR²/n, hence the /4. Shared verbatim with the oracle.
+    */
+  def kwHSql: String =
+    """((12.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))) * (CAST(r2q AS DOUBLE) / 4.0)
+        - 3.0 * CAST(nn + 1 AS DOUBLE))
+       / (1.0 - CAST(tie3 AS DOUBLE) /
+          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))"""
+
+  /** Tukey-style post-hoc pairwise contrasts after one-way ANOVA: for
+    * every unordered pair of groups, the studentized-range statistic
+    * q = |mean_i − mean_j| / sqrt((MSE/2)·(1/n_i + 1/n_j)) with MSE from
+    * the pooled within-group variance. One map-combined moments pass;
+    * the k-row group table then self-joins into k(k−1)/2 pair rows —
+    * post-aggregation, so the pair join is group-count-bounded, never
+    * corpus-bounded. Output per pair: types, dollar means, q_stat.
+    */
+  def tukeyContrasts(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val g = events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(cents)).as("s"),
+        sum(expr(s"$cents * $cents")).as("q"))
+    val mse = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"),
+      sum(expr(rayleighQSql("n", "s"))).as("rbq"),
+      sum(col("q")).as("qq"))
+    val pairs = g.as("a")
+      .join(g.as("b"), col("a.event_type") < col("b.event_type"))
+      .crossJoin(broadcast(mse))
+    pairs.select(
+      col("a.event_type").as("type_a"),
+      col("b.event_type").as("type_b"),
+      expr("(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / 100.0").as("mean_a"),
+      expr("(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0").as("mean_b"),
+      expr(tukeyQSql("a.n", "a.s", "b.n", "b.s")).as("q_stat"))
+  }
+
+  /** Studentized-range statistic text over two groups' (n, s) and the
+    * single-row (nn, k, rbq, qq) MSE moments — shared with the oracle.
+    */
+  def tukeyQSql(na: String, sa: String, nb: String, sb: String): String =
+    s"""abs(CAST($sa AS DOUBLE) / CAST($na AS DOUBLE) - CAST($sb AS DOUBLE) / CAST($nb AS DOUBLE))
+        / sqrt(((CAST(qq AS DOUBLE) - CAST(rbq AS DOUBLE)) / CAST(nn - k AS DOUBLE)) / 2.0
+               * (1.0 / CAST($na AS DOUBLE) + 1.0 / CAST($nb AS DOUBLE)))"""
+
+  /** Cohen's d / Hedges' g standardized mean difference between two event
+    * types, from the same six integer moments as [[Analytics.welchTTest]]
+    * but with the POOLED standard deviation (the effect size convention):
+    * d = (m1−m2)/s_p, s_p² = ((n1−1)v1 + (n2−1)v2)/(n1+n2−2), and
+    * Hedges' small-sample correction J = 1 − 3/(4(n1+n2)−9), g = J·d.
+    * Scale-free (cents cancel). One map-combined pass, one row out.
+    */
+  def cohensD(
+      events: DataFrame,
+      typeA: String = "purchase",
+      typeB: String = "view"): DataFrame = {
+    val cents = Stages.centsSql("value")
+    def side(t: String, sfx: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
+      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
+      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L)))
+        .as(s"q$sfx"))
+    val aggs = side(typeA, "1") ++ side(typeB, "2")
+    events
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n1"), col("n2"),
+        expr(cohenDSql).as("cohen_d"),
+        expr(s"(1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) * ($cohenDSql)")
+          .as("hedges_g"))
+  }
+
+  /** Pooled-SD standardized difference over (n1,s1,q1,n2,s2,q2) — shared
+    * verbatim with the oracle. Sample variances expand divisions-first.
+    */
+  def cohenDSql: String = {
+    def v(sfx: String) =
+      s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE))"
+    s"""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        / sqrt((CAST(n1 - 1 AS DOUBLE) * ${v("1")} + CAST(n2 - 1 AS DOUBLE) * ${v("2")})
+               / CAST(n1 + n2 - 2 AS DOUBLE))"""
+  }
+
+  /** 2×2 cohort contingency: exposure = weekend event (day-of-week from
+    * pure date arithmetic — `(date − Monday-epoch) mod 7 ≥ 5` — because
+    * engines disagree on dayofweek numbering), outcome = high-value
+    * event. Emits the four BIGINT cells plus odds ratio, risk ratio and
+    * the Woolf variance of log-OR (1/a+1/b+1/c+1/d) — the CI building
+    * block that needs no ln. Ratios expand divisions-first ((a/b)·(d/c))
+    * so the cross products never overflow at corpus scale. One
+    * map-combined pass, one row.
+    */
+  def oddsRatio(events: DataFrame, caseCents: Long = 10000L): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val wkend = "pmod(datediff(CAST(ts AS DATE), DATE'1970-01-05'), 7) >= 5"
+    events
+      .agg(
+        sum(when(expr(s"$wkend AND $cents > $caseCents"), 1L).otherwise(0L)).as("a"),
+        sum(when(expr(s"$wkend AND NOT ($cents > $caseCents)"), 1L).otherwise(0L)).as("b"),
+        sum(when(expr(s"NOT ($wkend) AND $cents > $caseCents"), 1L).otherwise(0L)).as("c"),
+        sum(when(expr(s"NOT ($wkend) AND NOT ($cents > $caseCents)"), 1L).otherwise(0L))
+          .as("d"))
+      .select(
+        col("a"), col("b"), col("c"), col("d"),
+        expr("(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * (CAST(d AS DOUBLE) / CAST(c AS DOUBLE))")
+          .as("odds_ratio"),
+        expr("""(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))""").as("risk_ratio"),
+        expr("""1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)""").as("se2_log_or"))
+  }
+
+  /** One-sample binomial proportion z-test per group with continuity
+    * correction: is the share of high-value events p0? z = (x − n·p0 −
+    * ½·sgn(x − n·p0)) / sqrt(n·p0·(1−p0)). Map-combined counts, k rows
+    * out, arithmetic + one sqrt.
+    */
+  def binomialTest(events: DataFrame, p0: Double = 0.25, caseCents: Long = 10000L): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(expr(s"${Stages.centsSql("value")} > $caseCents"), 1L).otherwise(0L)).as("x"))
+      .select(
+        col("event_type"), col("n"), col("x"),
+        expr("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)").as("p_hat"),
+        expr(binomZSql(p0)).as("z"))
+
+  /** Continuity-corrected binomial z text over (n, x) — shared with the
+    * oracle. `p0` is interpolated as a literal so both engines see the
+    * identical constant.
+    */
+  def binomZSql(p0: Double): String =
+    s"""(CAST(x AS DOUBLE) - CAST(n AS DOUBLE) * $p0
+         - 0.5 * CAST(sign(CAST(x AS DOUBLE) - CAST(n AS DOUBLE) * $p0) AS DOUBLE))
+        / sqrt(CAST(n AS DOUBLE) * $p0 * (1.0 - $p0))"""
+
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    * per-part high-quantity rates toward the corpus rate: prior strength
+    * M = μ(1−μ)/s² − 1 from the between-part variance of raw rates, and
+    * each part's posterior rate is (x + Mμ)/(n + M) — the standard
+    * small-n stabilizer for per-key rate tables. Raw rates are quantized
+    * to parts-per-million BIGINTs before the cross-part variance sum so
+    * it is order-free (DuckDB sums BIGINT in 128-bit, Spark in 64-bit —
+    * both exact at these magnitudes). Two aggregates (per-part, then
+    * k-row global) + one broadcast of the 1-row prior.
+    */
+  def ebShrinkage(lineitem: DataFrame, qtyThreshold: Double = 25.0): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") >= qtyThreshold, 1L).otherwise(0L)).as("x"))
+      .withColumn(
+        "ppm",
+        expr("CAST(round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val prior = perPart.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("sn"),
+      sum(col("x")).as("sx"),
+      sum(col("ppm")).as("sp"),
+      sum(col("ppm") * col("ppm")).as("spp"))
+    perPart
+      .crossJoin(broadcast(prior.select(expr(ebMuSql).as("mu"), expr(ebMSql).as("m_prior"))))
+      .select(
+        col("l_partkey"), col("n"), col("x"),
+        expr("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)").as("p_raw"),
+        col("mu"), col("m_prior"),
+        expr("(CAST(x AS DOUBLE) + m_prior * mu) / (CAST(n AS DOUBLE) + m_prior)")
+          .as("p_shrunk"))
+  }
+
+  /** Corpus rate μ over (sn, sx) — shared with the oracle. */
+  def ebMuSql: String = "CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE)"
+
+  /** MoM prior strength over (k, sp, spp, sn, sx): sample variance of the
+    * ppm-quantized rates, rescaled to rate², then M = max(μ(1−μ)/s² − 1,
+    * 0) — clamped so a near-zero between-part variance cannot emit a
+    * negative prior. Shared with the oracle.
+    */
+  def ebMSql: String = {
+    val s2 =
+      """(((CAST(spp AS DOUBLE) - (CAST(sp AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(sp AS DOUBLE))
+           / CAST(k - 1 AS DOUBLE)) / 1000000000000.0)"""
+    s"""greatest(($ebMuSql) * (1.0 - ($ebMuSql)) / $s2 - 1.0, 0.0)"""
+  }
+
+  /** Two-proportion z-test: does the high-value share differ between
+    * weekday and weekend events? Pooled-variance z over four
+    * map-combined counts (same weekend definition as [[oddsRatio]]).
+    * One pass, one row, arithmetic + one sqrt.
+    */
+  def twoProportionTest(events: DataFrame, caseCents: Long = 10000L): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val wkend = "pmod(datediff(CAST(ts AS DATE), DATE'1970-01-05'), 7) >= 5"
+    events
+      .agg(
+        sum(when(expr(s"NOT ($wkend)"), 1L).otherwise(0L)).as("n1"),
+        sum(when(expr(s"NOT ($wkend) AND $cents > $caseCents"), 1L).otherwise(0L)).as("x1"),
+        sum(when(expr(wkend), 1L).otherwise(0L)).as("n2"),
+        sum(when(expr(s"$wkend AND $cents > $caseCents"), 1L).otherwise(0L)).as("x2"))
+      .select(
+        col("n1"), col("x1"), col("n2"), col("x2"),
+        expr("CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("p1"),
+        expr("CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("p2"),
+        expr(twoPropZSql).as("z"))
+  }
+
+  /** Pooled two-proportion z text over (n1, x1, n2, x2) — shared
+    * verbatim with the oracle.
+    */
+  def twoPropZSql: String =
+    """(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"""
+
+  /** Hellinger distance between the purchase and view value histograms
+    * on $10 buckets: H = sqrt(1 − BC), BC = Σ√(aᵢbᵢ)/√(na·nb). The
+    * per-bucket √(aᵢbᵢ) terms are milli-quantized to BIGINT before the
+    * cross-bucket sum (√ is correctly rounded; the SUM of roots is the
+    * order-sensitive part), so BC is identical on any engine. One
+    * histogram aggregate over the value grid, one row out.
+    */
+  def hellingerDistance(
+      events: DataFrame,
+      typeA: String = "purchase",
+      typeB: String = "view"): DataFrame = {
+    val cents = Stages.centsSql("value")
+    events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr(s"$cents div 1000").as("bucket"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        sum(expr(
+          "CAST(round(sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) * 1000) AS BIGINT)"))
+          .as("bc_milli"))
+      .select(
+        col("n_buckets"), col("na"), col("nb"),
+        expr(hellingerBcSql).as("bc"),
+        expr(s"sqrt(greatest(1.0 - ($hellingerBcSql), 0.0))").as("hellinger"))
+  }
+
+  /** Bhattacharyya coefficient text over (bc_milli, na, nb) — shared
+    * verbatim with the oracle.
+    */
+  def hellingerBcSql: String =
+    """(CAST(bc_milli AS DOUBLE) / 1000.0
+        / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"""
+
+  /** Rolling 7-day Pearson correlation between daily order count and
+    * daily revenue, per return flag: the co-movement monitor. The daily
+    * rollup is map-combined; the trailing window runs per (flag) over
+    * the DAY grid — calendar-bounded, so the sort is tiny at any scale —
+    * and the correlation is one fixed expression over six integer window
+    * sums. Emits NULL until the window holds ≥3 days or when either
+    * series is locally constant.
+    */
+  def rollingCorr(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(col("l_returnflag"), expr("CAST(l_shipdate AS DATE)").as("d"))
+      .agg(
+        count(lit(1)).as("x"),
+        sum(expr(Stages.centsSql("l_extendedprice"))).as("y"))
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("d"))
+      .rowsBetween(-6, 0)
+    daily
+      .select(
+        col("l_returnflag"), col("d"),
+        count(lit(1)).over(w).as("wn"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        // epoch-day key, not a raw DATE — cross-engine dtype-stable
+        expr("CAST(datediff(d, DATE'1970-01-01') AS BIGINT)").as("day_epoch"),
+        col("wn").as("n_days"),
+        expr(rollingCorrSql).as("r"))
+  }
+
+  /** Pearson r over the six window sums (wn, sx, sy, sxx, syy, sxy) —
+    * NULL when degenerate. Shared verbatim with the oracle.
+    */
+  def rollingCorrSql: String =
+    """CASE WHEN wn < 3
+              OR CAST(wn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+              OR CAST(wn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+            THEN NULL
+            ELSE (CAST(wn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(wn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(wn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END"""
+}

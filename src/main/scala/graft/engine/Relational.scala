@@ -132,6 +132,81 @@ object Relational {
       regexp_replace(substring(col("text"), 1, 30), "\\s+", "-").as("dashed30"),
       col("text").rlike("spark").as("mentions_spark"))
 
+  /** Exact DISCRETE quantiles (type-1: smallest value whose CDF reaches
+    * q) per return flag, computed on the value grid: distinct cents with
+    * per-flag cumulative counts, then `min(x : 100·cum ≥ q·n)` — pure
+    * integer comparisons, so there is no interpolation-convention or FP
+    * ambiguity to disagree on across engines (the reason this exists
+    * beside the `percentile_cont`-based q_percentiles). The cumulative
+    * window runs per flag over the VALUE GRID — value-domain bounded,
+    * never corpus-bounded — and the quantile picks are one map-combined
+    * conditional-min aggregate.
+    */
+  def discQuantiles(lineitem: DataFrame): DataFrame = {
+    val grid = lineitem
+      .groupBy(col("l_returnflag"), expr(Stages.centsSql("l_extendedprice")).as("x"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cum", sum(col("c")).over(w))
+    val n = grid.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n_rows"))
+    def pick(q: Int) =
+      (min(when(expr(s"100 * cum >= $q * n_rows"), col("x"))).cast("double") / 100.0)
+        .as(s"p$q")
+    cum
+      .join(n, "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n_rows"))
+      .agg(pick(25), pick(50), pick(75), pick(95))
+  }
+
+  /** Math scalar battery over line items, restricted to operations with
+    * bit-portable results: |x|, sign, integer div/mod, exact small-int
+    * powers, the correctly-rounded `sqrt`, greatest/least, and the
+    * binary-magnitude trick `length(bin(n))` = ⌊log2 n⌋+1 — the
+    * log-function-free way to read a value's order of magnitude (both
+    * engines print identical binary strings; no libm involved). Floors
+    * and ceilings run on integer cents (`div`), never on a double
+    * quotient, so no value can straddle an FP rounding boundary.
+    */
+  def mathFuncs(lineitem: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("l_extendedprice")
+    lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      expr("abs(l_quantity - 25.0)").as("q_abs"),
+      expr("CAST(sign(l_quantity - 25.0) AS BIGINT)").as("q_sign"),
+      // div truncates on Spark but // floors on DuckDB — identical only
+      // for non-negative operands, so ceil is the +denom-1 form, never
+      // the negate-floor-negate trick
+      expr(s"$cents div 100000").as("p_floor_k"),
+      expr(s"($cents + 99999) div 100000").as("p_ceil_k"),
+      expr("l_orderkey % 7").as("k_mod7"),
+      expr("l_quantity * l_quantity").as("q_sq"),
+      expr("sqrt(l_quantity)").as("q_sqrt"),
+      expr("greatest(l_quantity, 25.0)").as("q_hi"),
+      expr("least(l_quantity, 25.0)").as("q_lo"),
+      expr(s"CAST(length(bin($cents)) AS BIGINT)").as("p_bits"))
+  }
+
+  /** Bitwise-function battery: per (returnflag, linestatus) group, the
+    * bit_and/bit_or/bit_xor aggregates over order keys plus scalar
+    * AND/OR/XOR/shift/popcount folds — integer-exact on any engine. One
+    * map-combined aggregate over the 6-ish flag pairs.
+    */
+  def bitFuncs(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_and(l_orderkey)").as("key_and"),
+        expr("bit_or(l_orderkey)").as("key_or"),
+        expr("bit_xor(l_orderkey)").as("key_xor"),
+        sum(expr("bit_count(l_orderkey)").cast("long")).as("popcount_sum"),
+        sum(expr("l_orderkey & 255")).as("low_byte_sum"),
+        sum(expr("CAST(shiftleft(l_linenumber, 3) AS BIGINT)")).as("shifted_sum"))
+
   /** Datetime scalar battery over event time — every extraction is an
     * int cast to long (cross-engine width parity) and dayofweek is
     * normalized to Spark's Sunday=1 convention.

@@ -48,6 +48,26 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Prefix dedup — cluster documents sharing the same first-`k`-token
+    * prefix (md5 of the space-joined head), the cheap first-stage screen
+    * that catches boilerplate-headed and truncated-tail duplicates full
+    * exact dedup misses. One tokenize+hash projection and one
+    * map-combined groupBy on the 128-bit key; only clusters with ≥2
+    * members survive. Output is cluster-bounded.
+    */
+  def prefixClusters(documents: DataFrame, k: Int = 8): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, k)).cast("binary"))
+          .as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc_id"),
+        max(col("doc_id")).as("last_doc_id"))
+      .filter(col("n_docs") >= 2)
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum `xxhash64(shingle, seed)` over the document's distinct
     * 3-gram shingles. Computed entirely map-side.

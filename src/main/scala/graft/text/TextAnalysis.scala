@@ -124,6 +124,70 @@ object TextAnalysis {
         nTokens.cast("long").as("n_tokens"))
   }
 
+  /** Ordinal token explosion — `posexplode` with the position preserved,
+    * the lateral-view building block every sequence-aware text op
+    * (n-grams, positional vocabularies, attention-window prep) starts
+    * from. Emitted capped to the first `maxPos` positions per doc so the
+    * verify surface stays bounded; the uncapped explode is the same plan
+    * without the filter.
+    */
+  def posExplode(documents: DataFrame, maxPos: Int = 8): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("pos") < maxPos)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
+  /** Document-length magnitude histogram per language: bucket =
+    * `length(bin(n_chars))` (⌊log2⌋+1 — the log-free magnitude read, see
+    * [[graft.engine.Relational.mathFuncs]]), with count and per-bucket
+    * char-length extrema. The curation dashboard that shows each
+    * language's length distribution on a doubling scale. One
+    * map-combined aggregate; output is |langs|·64-bounded.
+    */
+  def docLengthHistogram(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(
+        col("lang"),
+        expr("CAST(length(bin(n_chars)) AS BIGINT)").as("len_bits"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Bigram novelty per document: the share of a document's DISTINCT
+    * token bigrams whose corpus-wide first appearance (min doc_id over
+    * the bigram's postings) IS this document — the contribution-scoring
+    * pass that separates fresh text from recombinations during corpus
+    * curation. Two vocabulary-keyed aggregates (distinct doc-bigrams,
+    * then first-doc per bigram) and one co-partitioned join back on the
+    * bigram key; no corpus-scale window anywhere. Single-token docs have
+    * no bigrams and drop out, as in [[bigramPmi]].
+    */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toksDf
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(
+            element_at(col("t"), i).as("w1"),
+            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .distinct()
+    val first = bigrams.groupBy(col("w1"), col("w2")).agg(min(col("doc_id")).as("first_doc"))
+    bigrams
+      .join(first, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)").as("novelty"))
+  }
+
   /** String-function battery over documents — the scalar string surface
     * (substr/upper/reverse/lpad/replace/levenshtein/concat_ws) exercised
     * as one narrow projection.
@@ -915,6 +979,71 @@ object TextAnalysis {
                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))""")
           .as("contrib"))
   }
+
+  /** Cramér's V for the (source × lang) association — the normalized
+    * effect size on top of [[chi2Independence]]'s cells: V = sqrt(χ² /
+    * (N·min(r−1, c−1))). Per-cell χ² contributions are micro-quantized
+    * to BIGINT before the cross-cell sum (the library's order-free-sum
+    * rule — cell iteration order differs between engines). One cells
+    * aggregate + broadcast margins, single row out.
+    */
+  def cramersV(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy(col("source")).agg(sum(col("obs")).as("rt"))
+    val colTot = cells.groupBy(col("lang")).agg(sum(col("obs")).as("ct"))
+    val total = cells.agg(sum(col("obs")).as("n"))
+    val contrib =
+      """(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"""
+    cells
+      .join(broadcast(rowTot), "source")
+      .join(broadcast(colTot), "lang")
+      .crossJoin(broadcast(total))
+      .agg(
+        max(col("n")).as("nn"),
+        countDistinct(col("source")).as("r"),
+        countDistinct(col("lang")).as("c"),
+        sum(expr(s"CAST(round(($contrib) * 1000000) AS BIGINT)")).as("chi2_micro"))
+      .select(
+        col("nn").as("n"), col("r"), col("c"),
+        expr("CAST(chi2_micro AS DOUBLE) / 1000000.0").as("chi2"),
+        expr("""sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+                / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))""").as("v"))
+  }
+
+  /** McNemar's paired-proportion statistic over two curation predicates
+    * evaluated on the SAME documents (long: n_chars > 2000·scale vs
+    * wordy: n_tokens > threshold): the discordant cells b (long-only)
+    * and c (wordy-only) drive (|b−c|−1)²/(b+c) — the test that the two
+    * screens disagree symmetrically. One map-combined pass, one row.
+    */
+  def mcnemar(
+      documents: DataFrame,
+      charThreshold: Long = 300L,
+      tokenThreshold: Long = 55L): DataFrame =
+    documents
+      .select(
+        (col("n_chars") > charThreshold).as("p1"),
+        (size(tokens(col("text"))).cast("long") > tokenThreshold).as("p2"))
+      .agg(
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("p1") && !col("p2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("p1") && col("p2"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("p1") && !col("p2"), 1L).otherwise(0L)).as("d"))
+      .select(
+        col("a"), col("b"), col("c"), col("d"),
+        expr(mcnemarSql).as("stat"))
+
+  /** Continuity-corrected McNemar text over (b, c) — NULL when no
+    * discordant pairs. Shared verbatim with the oracle.
+    */
+  def mcnemarSql: String =
+    """CASE WHEN b + c = 0 THEN NULL
+            ELSE (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                 * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                 / CAST(b + c AS DOUBLE) END"""
 
   /** Distinctive vocabulary per source by LIFT — share of the token
     * within its source over its share in the whole corpus, `cnt·N /

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Relational, Tables}
+import graft.text.TextAnalysis
+
+/** Round 4: math/bitwise scalar batteries, ordinal explode, and the
+  * binary-magnitude length histogram — brute-force checks on sf0.001.
+  */
+class FuncParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("mathFuncs scalar identities hold row-wise") {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
+    // so identities are checked from each output row itself (q recovers
+    // from q_hi + q_lo − 25) plus a multiset cross-check for the
+    // cents-derived columns.
+    val rows = Relational.mathFuncs(Tables.lineitem(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val q = r.getAs[Double]("q_hi") + r.getAs[Double]("q_lo") - 25.0
+      assert(r.getAs[Double]("q_abs") == math.abs(q - 25.0))
+      assert(r.getAs[Double]("q_abs") == r.getAs[Double]("q_hi") - r.getAs[Double]("q_lo"))
+      assert(r.getAs[Long]("q_sign") == math.signum(q - 25.0).toLong)
+      assert(r.getAs[Double]("q_sq") == q * q)
+      assert(r.getAs[Double]("q_sqrt") == math.sqrt(q))
+      val d = r.getAs[Long]("p_ceil_k") - r.getAs[Long]("p_floor_k")
+      assert(d == 0L || d == 1L)
+    }
+    val got = rows.map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_linenumber"),
+      r.getAs[Long]("p_floor_k"), r.getAs[Long]("p_bits"), r.getAs[Long]("k_mod7"))).sorted
+    val expected = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")).collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(2) * 100)
+        (r.getLong(0), r.getInt(1).toLong, cents / 100000,
+          java.lang.Long.toBinaryString(cents).length.toLong, r.getLong(0) % 7)
+      }.sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("bitFuncs aggregates match a direct fold per group") {
+    val rows = Relational.bitFuncs(Tables.lineitem(spark, sfDir)).collect()
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_linenumber"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(3))))
+      .groupBy(_._1)
+    assert(rows.length == base.size)
+    for (r <- rows) {
+      val xs = base((r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")))
+        .map(_._2)
+      assert(r.getAs[Long]("n_rows") == xs.length.toLong)
+      assert(r.getAs[Long]("key_and") == xs.map(_._1).reduce(_ & _))
+      assert(r.getAs[Long]("key_or") == xs.map(_._1).reduce(_ | _))
+      assert(r.getAs[Long]("key_xor") == xs.map(_._1).reduce(_ ^ _))
+      assert(r.getAs[Long]("popcount_sum") ==
+        xs.map(t => java.lang.Long.bitCount(t._1).toLong).sum)
+      assert(r.getAs[Long]("low_byte_sum") == xs.map(_._1 & 255L).sum)
+      assert(r.getAs[Long]("shifted_sum") == xs.map(t => (t._2 << 3).toLong).sum)
+    }
+  }
+
+  test("posExplode preserves token order and caps position") {
+    val rows = TextAnalysis.posExplode(Tables.documents(spark, sfDir))
+      .orderBy("doc_id", "pos").collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq)).toMap
+    assert(rows.forall(_.getAs[Long]("pos") < 8L))
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    for ((id, rs) <- byDoc) {
+      val expect = docs(id).take(8)
+      assert(rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("token")).toSeq == expect)
+    }
+  }
+
+  test("docLengthHistogram buckets by binary magnitude and covers all docs") {
+    val rows = TextAnalysis.docLengthHistogram(Tables.documents(spark, sfDir)).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    for (r <- rows) {
+      val (lang, bits) = (r.getAs[String]("lang"), r.getAs[Long]("len_bits"))
+      val members = docs.filter(d =>
+        d._1 == lang && java.lang.Long.toBinaryString(d._2).length.toLong == bits)
+      assert(members.length.toLong == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_chars") == members.map(_._2).min)
+      assert(r.getAs[Long]("max_chars") == members.map(_._2).max)
+      // every member sits inside the doubling bucket [2^(bits-1), 2^bits)
+      assert(members.forall(d => d._2 >= (1L << (bits - 1)) && d._2 < (1L << bits)))
+    }
+  }
+}
