@@ -797,7 +797,13 @@ object SparkEntry {
     "q_hellinger" -> ((s, dir) =>
       Inference.hellingerDistance(Tables.events(s, dir))),
     "q_prefix_dedup" -> ((s, dir) =>
-      Dedup.prefixClusters(Tables.documents(s, dir)).orderBy("prefix_md5"))
+      Dedup.prefixClusters(Tables.documents(s, dir)).orderBy("prefix_md5")),
+    "q_full_outer" -> ((s, dir) =>
+      Joins.fullOuterActivity(Tables.orders(s, dir), Tables.events(s, dir)).orderBy("key")),
+    "q_kmv" -> ((s, dir) =>
+      TextAnalysis.kmvIntersect(Tables.documents(s, dir))),
+    "q_brier" -> ((s, dir) =>
+      Analytics.brierDecomposition(Tables.events(s, dir)))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5572,6 +5578,64 @@ object SparkEntry {
                     FROM documents)
          SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs,
                 min(doc_id) AS keeper_doc_id, max(doc_id) AS last_doc_id
-         FROM t GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_md5"""
+         FROM t GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_md5""",
+    "q_full_outer" ->
+      """WITH o AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders,
+                           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+                    FROM orders GROUP BY 1),
+         e AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1)
+         SELECT coalesce(o.key, e.key) AS key,
+                coalesce(n_orders, 0) AS n_orders,
+                coalesce(order_cents, 0) AS order_cents,
+                coalesce(n_events, 0) AS n_events,
+                CASE WHEN o.key IS NOT NULL AND e.key IS NOT NULL THEN 'both'
+                     WHEN o.key IS NOT NULL THEN 'orders_only'
+                     ELSE 'events_only' END AS side
+         FROM o FULL JOIN e ON o.key = e.key ORDER BY key""",
+    "q_kmv" ->
+      """WITH tk AS (SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                     FROM documents WHERE source IN ('src0', 'src1')),
+         hs AS (SELECT CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS h,
+                       CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM tk GROUP BY 1),
+         th AS (SELECT max(h) AS theta FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+         m AS (SELECT max(theta) AS theta,
+                      CAST(count(*) AS BIGINT) AS n_union_exact,
+                      CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact,
+                      CAST(sum(CASE WHEN h < theta THEN 1 ELSE 0 END) AS BIGINT) AS below_union,
+                      CAST(sum(CASE WHEN h < theta AND ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS below_inter
+               FROM hs CROSS JOIN th)
+         SELECT CAST(64 AS BIGINT) AS k, theta, n_union_exact, n_inter_exact,
+                CAST(below_union AS DOUBLE) * 4294967296.0 / CAST(theta AS DOUBLE) AS est_union,
+                CAST(below_inter AS DOUBLE) * 4294967296.0 / CAST(theta AS DOUBLE) AS est_inter
+         FROM m""",
+    "q_brier" ->
+      """WITH bins AS (SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+                              CAST(count(*) AS BIGINT) AS nk,
+                              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yk
+                       FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(yk) AS BIGINT) AS y,
+                        CAST(count(*) AS BIGINT) AS nb
+                 FROM bins),
+         m AS (SELECT max(nb) AS n_bins, max(n) AS n, max(y) AS y,
+                      CAST(sum(CAST(round(CAST(nk AS DOUBLE)
+                        * ((CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE)) - (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * ((CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE)) - (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * 1000000) AS BIGINT)) AS BIGINT) AS res_micro,
+                      CAST(sum(CAST(round((CAST(yk AS DOUBLE)
+                        * (1.0 - (CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE)))
+                        * (1.0 - (CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE)))
+                        + CAST(nk - yk AS DOUBLE)
+                        * (CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE))
+                        * (CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT) AS brier_micro
+               FROM bins CROSS JOIN tot)
+         SELECT n_bins, n,
+                CAST(y AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                CAST(res_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS res,
+                (CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) AS unc,
+                CAST(brier_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS brier
+         FROM m"""
   )
 }

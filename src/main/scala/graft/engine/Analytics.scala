@@ -3700,6 +3700,47 @@ object Analytics {
           .as("jb"))
   }
 
+  /** Murphy decomposition of the Brier score for the in-sample
+    * hour-of-day purchase predictor: with p̂ₖ = each hour-bin's observed
+    * purchase rate, reliability is zero BY CONSTRUCTION and the score
+    * splits as brier = uncertainty − resolution — the calibration
+    * identity this query exhibits (and the spec asserts). Per-bin terms
+    * are micro-quantized BIGINTs before the cross-bin sums (order-free
+    * rule); the whole thing is one 24-row aggregate over map-combined
+    * counts.
+    */
+  def brierDecomposition(events: DataFrame): DataFrame = {
+    val bins = events
+      .groupBy(hour(col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("nk"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yk"))
+    val tot = bins.agg(
+      sum(col("nk")).as("n"), sum(col("yk")).as("y"), count(lit(1)).as("nb"))
+    val pk = "(CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE))"
+    val ybar = "(CAST(y AS DOUBLE) / CAST(n AS DOUBLE))"
+    val resTerm =
+      s"CAST(round(CAST(nk AS DOUBLE) * ($pk - $ybar) * ($pk - $ybar) * 1000000) AS BIGINT)"
+    val brierTerm =
+      s"""CAST(round((CAST(yk AS DOUBLE) * (1.0 - $pk) * (1.0 - $pk)
+           + CAST(nk - yk AS DOUBLE) * $pk * $pk) * 1000000) AS BIGINT)"""
+    bins
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("nb")).as("n_bins"),
+        max(col("n")).as("n"),
+        max(col("y")).as("y"),
+        sum(expr(resTerm)).as("res_micro"),
+        sum(expr(brierTerm)).as("brier_micro"))
+      .select(
+        col("n_bins"), col("n"),
+        expr("CAST(y AS DOUBLE) / CAST(n AS DOUBLE)").as("ybar"),
+        expr("CAST(res_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)").as("res"),
+        expr("""(CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE))""").as("unc"),
+        expr("CAST(brier_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)").as("brier"))
+  }
+
   /** Weighted least squares of line-item unit economics: dollars on
     * quantity with quantity itself as the weight (bigger lots count
     * proportionally), from one pass of exact integer weighted moments —

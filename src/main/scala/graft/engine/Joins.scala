@@ -192,4 +192,32 @@ object Joins {
           WHERE c_nationkey NOT IN
             (SELECT s_nationkey FROM graft_naaj_supplier WHERE s_acctbal >= $minAcctbal)""")
   }
+
+  /** FULL OUTER reconciliation of two activity ledgers keyed on the same
+    * id domain (orders per customer key vs events per user id): every
+    * key from either side survives, absent sides coalesce to zero, and a
+    * `side` marker labels the disagreement class — the two-way audit
+    * behind "who ordered but never showed up in the event stream".
+    * Both inputs pre-aggregate to key-bounded frames BEFORE the join, so
+    * the full-outer shuffle moves one row per key, not per fact.
+    */
+  def fullOuterActivity(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders
+      .groupBy(col("o_custkey").as("key"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr(Stages.centsSql("o_totalprice"))).as("order_cents"))
+    val e = events
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("order_cents"), lit(0L)).as("order_cents"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_orders").isNotNull && col("n_events").isNotNull, lit("both"))
+          .when(col("n_orders").isNotNull, lit("orders_only"))
+          .otherwise(lit("events_only")).as("side"))
+  }
 }

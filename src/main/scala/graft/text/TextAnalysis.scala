@@ -1045,6 +1045,49 @@ object TextAnalysis {
                  * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
                  / CAST(b + c AS DOUBLE) END"""
 
+  /** KMV / θ-sketch distinct-set intersection between two sources'
+    * vocabularies, with the exact answer beside it (the sketch-accuracy
+    * readout, companion to the MinHash and HLL accuracy queries): token
+    * hashes are 32-bit md5 prefixes (deterministic on any engine), θ is
+    * the k-th smallest hash of the UNION, and any set expressible over
+    * the retained hashes < θ estimates as count/θ_norm — here the union
+    * and the intersection. Work is two vocabulary-sized aggregates and a
+    * bottom-k (TakeOrdered, k rows to the driver side of the plan);
+    * nothing corpus-scale is sorted.
+    */
+  def kmvIntersect(
+      documents: DataFrame,
+      srcA: String = "src0",
+      srcB: String = "src1",
+      k: Int = 64): DataFrame = {
+    val hSql = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+    val hs = documents
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(col("source"), expr(hSql).as("h"))
+      .groupBy(col("h"))
+      .agg(
+        sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val theta = hs.orderBy(col("h")).limit(k).agg(max(col("h")).as("theta"))
+    hs.crossJoin(broadcast(theta))
+      .agg(
+        max(col("theta")).as("theta"),
+        count(lit(1)).as("n_union_exact"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("n_inter_exact"),
+        sum(when(col("h") < col("theta"), 1L).otherwise(0L)).as("below_union"),
+        sum(when(col("h") < col("theta") && col("ca") > 0 && col("cb") > 0, 1L)
+          .otherwise(0L)).as("below_inter"))
+      .select(
+        lit(k.toLong).as("k"), col("theta"),
+        col("n_union_exact"), col("n_inter_exact"),
+        expr(s"CAST(below_union AS DOUBLE) * 4294967296.0 / CAST(theta AS DOUBLE)")
+          .as("est_union"),
+        expr(s"CAST(below_inter AS DOUBLE) * 4294967296.0 / CAST(theta AS DOUBLE)")
+          .as("est_inter"))
+  }
+
   /** Distinctive vocabulary per source by LIFT — share of the token
     * within its source over its share in the whole corpus, `cnt·N /
     * (sn·tc)` — the ln-free cousin of TF-IDF (pure counts, one
