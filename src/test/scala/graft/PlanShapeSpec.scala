@@ -187,4 +187,61 @@ class PlanShapeSpec extends AnyFunSuite {
     val edges = Analytics.pageRank(Tables.events(spark, sfDir), 5)
     assert(edges.collect().length > 0) // driver path executes (no iterative lineage)
   }
+
+  // ---- round 4 ----
+
+  test("mathFuncs is a pure per-row projection: no exchange anywhere") {
+    val p = plan(Relational.mathFuncs(Tables.lineitem(spark, sfDir)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("brownForsythe broadcasts the k medians onto the facts, no corpus window") {
+    val p = plan(graft.engine.Inference.brownForsythe(Tables.events(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ebShrinkage ships the 1-row prior by broadcast, never a shuffle join") {
+    val p = plan(graft.engine.Inference.ebShrinkage(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("rollingCorr windows per return flag — never an unpartitioned window") {
+    val df = graft.engine.Inference.rollingCorr(Tables.lineitem(spark, sfDir))
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    // partition spec present: the window operator lists l_returnflag in
+    // its partitionBy clause (an empty spec would move all data to one
+    // partition, the WindowExec warning)
+    val winLine = p.linesIterator.find(_.contains("Window")).get
+    assert(winLine.contains("l_returnflag"), winLine)
+  }
+
+  test("discQuantiles windows over the value grid per flag, not the corpus") {
+    val p = plan(Relational.discQuantiles(Tables.lineitem(spark, sfDir)))
+    // grid aggregate (partial+final) sits below the cumulative window
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && p.indexOf("HashAggregate", winAt) > winAt,
+      s"expected the value-grid aggregate below the cumulative window:\n$p")
+  }
+
+  test("fullOuterActivity pre-aggregates both sides below the full-outer join") {
+    val p = plan(Joins.fullOuterActivity(
+      Tables.orders(spark, sfDir), Tables.events(spark, sfDir)))
+    assert(p.contains("FullOuter"), p)
+    val joinAt = p.indexOf("FullOuter")
+    // both inputs reach the join already aggregated: aggregate operators
+    // appear below (after, in text order) the join node
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p.substring(joinAt)).size >= 2,
+      s"expected per-key aggregates below the full-outer join:\n$p")
+  }
+
+  test("prefixClusters is two aggregate layers and no join or window") {
+    val p = plan(graft.text.Dedup.prefixClusters(Tables.documents(spark, sfDir)))
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("Window"), p)
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
