@@ -803,7 +803,15 @@ object SparkEntry {
     "q_kmv" -> ((s, dir) =>
       TextAnalysis.kmvIntersect(Tables.documents(s, dir))),
     "q_brier" -> ((s, dir) =>
-      Analytics.brierDecomposition(Tables.events(s, dir)))
+      Analytics.brierDecomposition(Tables.events(s, dir))),
+    "q_delta_method" -> ((s, dir) =>
+      Inference.deltaMethodRatio(Tables.events(s, dir))),
+    "q_tost" -> ((s, dir) =>
+      Inference.tost(Tables.events(s, dir))),
+    "q_did" -> ((s, dir) =>
+      Inference.diffInDiff(Tables.events(s, dir))),
+    "q_wald_iv" -> ((s, dir) =>
+      Inference.waldIV(Tables.events(s, dir)))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5636,6 +5644,77 @@ object SparkEntry {
                 (CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
                   * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) AS unc,
                 CAST(brier_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS brier
+         FROM m""",
+    "q_delta_method" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+                               CAST(count(*) AS BIGINT) AS y
+                        FROM events GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+               FROM daily)
+         SELECT n AS n_days,
+                CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio_cents,
+                ${Inference.deltaSe2Sql} AS se2_ratio
+         FROM m""",
+    "q_tost" ->
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+               FROM base)
+         SELECT n1, n2,
+                (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0 AS diff_dollars,
+                ${Inference.tostTSql(500L, lower = true)} AS t_lower,
+                ${Inference.tostTSql(500L, lower = false)} AS t_upper
+         FROM m""",
+    "q_did" ->
+      s"""WITH span AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS t0,
+                               max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS t1
+                        FROM events),
+         b AS (SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 2 AS arm,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 2 >= t0 + t1 AS late,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events CROSS JOIN span),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN arm = 0 AND NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                 CAST(sum(CASE WHEN arm = 0 AND NOT late THEN cents ELSE 0 END) AS BIGINT) AS s00,
+                 CAST(sum(CASE WHEN arm = 0 AND NOT late THEN cents * cents ELSE 0 END) AS BIGINT) AS q00,
+                 CAST(sum(CASE WHEN arm = 0 AND late THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN arm = 0 AND late THEN cents ELSE 0 END) AS BIGINT) AS s01,
+                 CAST(sum(CASE WHEN arm = 0 AND late THEN cents * cents ELSE 0 END) AS BIGINT) AS q01,
+                 CAST(sum(CASE WHEN arm = 1 AND NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN arm = 1 AND NOT late THEN cents ELSE 0 END) AS BIGINT) AS s10,
+                 CAST(sum(CASE WHEN arm = 1 AND NOT late THEN cents * cents ELSE 0 END) AS BIGINT) AS q10,
+                 CAST(sum(CASE WHEN arm = 1 AND late THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(sum(CASE WHEN arm = 1 AND late THEN cents ELSE 0 END) AS BIGINT) AS s11,
+                 CAST(sum(CASE WHEN arm = 1 AND late THEN cents * cents ELSE 0 END) AS BIGINT) AS q11
+               FROM b)
+         SELECT n00, n01, n10, n11,
+                ${Inference.didSql} AS did_cents,
+                ${Inference.didSe2Sql} AS se2_did
+         FROM m""",
+    "q_wald_iv" ->
+      s"""WITH b AS (SELECT ((CAST(ts AS DATE) - DATE '1970-01-05') % 7) >= 5 AS wk,
+                            CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000 THEN 1 ELSE 0 END AS x,
+                            coalesce(CAST(nullif(json_extract_string(props, '$$.k'), '') AS BIGINT), 0) AS y
+                     FROM events),
+         m AS (SELECT CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS nz1,
+                      CAST(sum(CASE WHEN wk THEN x ELSE 0 END) AS BIGINT) AS sx1,
+                      CAST(sum(CASE WHEN wk THEN y ELSE 0 END) AS BIGINT) AS sy1,
+                      CAST(sum(CASE WHEN NOT wk THEN 1 ELSE 0 END) AS BIGINT) AS nz0,
+                      CAST(sum(CASE WHEN NOT wk THEN x ELSE 0 END) AS BIGINT) AS sx0,
+                      CAST(sum(CASE WHEN NOT wk THEN y ELSE 0 END) AS BIGINT) AS sy0
+               FROM b)
+         SELECT nz1, nz0,
+                CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE) AS first_stage,
+                CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE) AS reduced_form,
+                ${Inference.waldSql} AS wald
          FROM m"""
   )
 }

@@ -368,6 +368,163 @@ object Inference {
     """(CAST(bc_milli AS DOUBLE) / 1000.0
         / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"""
 
+  /** Delta-method variance for a RATIO metric (revenue per event), the
+    * estimator experimentation platforms need because ratio metrics
+    * violate the iid-unit assumption: days are the units, R = Σx/Σy, and
+    * var(R) ≈ (s²_x − 2R·s_xy + R²·s²_y) / (n·ȳ²) from one pass of exact
+    * integer day moments. Emits the ratio and its delta-method variance
+    * (cents scale); everything expands divisions-first.
+    */
+  def deltaMethodRatio(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS DATE)").as("d"))
+      .agg(
+        sum(expr(Stages.centsSql("value"))).as("x"),
+        count(lit(1)).as("y"))
+    daily
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("n").as("n_days"),
+        expr("CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)").as("ratio_cents"),
+        expr(deltaSe2Sql).as("se2_ratio"))
+  }
+
+  /** Delta-method variance text over (n, sx, sy, sxx, sxy, syy) — shared
+    * verbatim with the oracle. R and the sample (co)variances expand
+    * divisions-first from the BIGINT moments.
+    */
+  def deltaSe2Sql: String = {
+    val r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    val vx = "((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    val vy = "((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    val cxy = "((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    val ybar = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"(($vx - 2.0 * $r * $cxy + $r * $r * $vy) / (CAST(n AS DOUBLE) * $ybar * $ybar))"
+  }
+
+  /** TOST equivalence test (two one-sided t statistics) for the
+    * purchase-vs-view mean difference against a ±`marginCents`
+    * equivalence band, on the Welch standard error: t_lower tests
+    * diff > −δ, t_upper tests diff < +δ; equivalence holds when both
+    * clear their one-sided critical values. Same six integer moments as
+    * [[cohensD]].
+    */
+  def tost(
+      events: DataFrame,
+      typeA: String = "purchase",
+      typeB: String = "view",
+      marginCents: Long = 500L): DataFrame = {
+    val cents = Stages.centsSql("value")
+    def side(t: String, sfx: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
+      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
+      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L)))
+        .as(s"q$sfx"))
+    val aggs = side(typeA, "1") ++ side(typeB, "2")
+    events
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n1"), col("n2"),
+        expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0")
+          .as("diff_dollars"),
+        expr(tostTSql(marginCents, lower = true)).as("t_lower"),
+        expr(tostTSql(marginCents, lower = false)).as("t_upper"))
+  }
+
+  /** One-sided TOST t text over the six moments; `lower` adds +δ, upper
+    * −δ. Shares the Welch standard error shape with [[Analytics]].
+    */
+  def tostTSql(marginCents: Long, lower: Boolean): String = {
+    def v(sfx: String) =
+      s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE))"
+    val se = s"sqrt(${v("1")} / CAST(n1 AS DOUBLE) + ${v("2")} / CAST(n2 AS DOUBLE))"
+    val sign = if (lower) "+" else "-"
+    s"""((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         $sign $marginCents.0) / $se"""
+  }
+
+  /** Difference-in-differences over a hashed arm (md5 of user id, the
+    * library's deterministic assignment) and an early/late period split
+    * at the observed time midpoint: DiD = (m̄ arm1,late − m̄ arm1,early) −
+    * (m̄ arm0,late − m̄ arm0,early), with the four-cell variance
+    * Σ vᵢ/nᵢ. The midpoint broadcasts from a 1-row min/max aggregate;
+    * cells are one map-combined pass of integer moments.
+    */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val arm = "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2"
+    val span = events.agg(
+      min(expr("CAST(ts AS LONG)")).as("t0"), max(expr("CAST(ts AS LONG)")).as("t1"))
+    def cell(a: Int, late: Boolean, sfx: String) = {
+      val period = if (late) "CAST(ts AS LONG) * 2 >= t0 + t1" else "CAST(ts AS LONG) * 2 < t0 + t1"
+      Seq(
+        sum(when(expr(s"$arm = $a AND $period"), 1L).otherwise(0L)).as(s"n$sfx"),
+        sum(when(expr(s"$arm = $a AND $period"), expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
+        sum(when(expr(s"$arm = $a AND $period"), expr(s"$cents * $cents")).otherwise(lit(0L)))
+          .as(s"q$sfx"))
+    }
+    val aggs = cell(0, late = false, "00") ++ cell(0, late = true, "01") ++
+      cell(1, late = false, "10") ++ cell(1, late = true, "11")
+    events
+      .crossJoin(broadcast(span))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n00"), col("n01"), col("n10"), col("n11"),
+        expr(didSql).as("did_cents"),
+        expr(didSe2Sql).as("se2_did"))
+  }
+
+  /** DiD point estimate over the four cells' (n, s) — shared verbatim. */
+  def didSql: String = {
+    def m(sfx: String) = s"(CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE))"
+    s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
+  }
+
+  /** DiD variance Σ vᵢ/nᵢ over the four cells — shared verbatim. */
+  def didSe2Sql: String = {
+    def v(sfx: String) =
+      s"(((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE)) / CAST(n$sfx AS DOUBLE))"
+    s"(${v("00")} + ${v("01")} + ${v("10")} + ${v("11")})"
+  }
+
+  /** Wald instrumental-variable estimate: instrument z = weekend (date
+    * arithmetic, as in [[oddsRatio]]), treatment x = high-value event,
+    * outcome y = the numeric props payload. Wald = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) —
+    * the ratio of the reduced form to the first stage, from six integer
+    * sums in one pass. Null props count as zero exposure.
+    */
+  def waldIV(events: DataFrame, caseCents: Long = 10000L): DataFrame = {
+    val wkend = "pmod(datediff(CAST(ts AS DATE), DATE'1970-01-05'), 7) >= 5"
+    val x = s"CASE WHEN ${Stages.centsSql("value")} > $caseCents THEN 1 ELSE 0 END"
+    val y = "coalesce(CAST(nullif(get_json_object(props, '$.k'), '') AS BIGINT), 0)"
+    events
+      .agg(
+        sum(when(expr(wkend), 1L).otherwise(0L)).as("nz1"),
+        sum(when(expr(wkend), expr(x)).otherwise(lit(0L))).as("sx1"),
+        sum(when(expr(wkend), expr(y)).otherwise(lit(0L))).as("sy1"),
+        sum(when(!expr(wkend), 1L).otherwise(0L)).as("nz0"),
+        sum(when(!expr(wkend), expr(x)).otherwise(lit(0L))).as("sx0"),
+        sum(when(!expr(wkend), expr(y)).otherwise(lit(0L))).as("sy0"))
+      .select(
+        col("nz1"), col("nz0"),
+        expr("CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE)")
+          .as("first_stage"),
+        expr("CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE)")
+          .as("reduced_form"),
+        expr(waldSql).as("wald"))
+  }
+
+  /** Wald ratio text over (nz1, sx1, sy1, nz0, sx0, sy0) — shared. */
+  def waldSql: String =
+    """(CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE))
+       / (CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE))"""
+
   /** Rolling 7-day Pearson correlation between daily order count and
     * daily revenue, per return flag: the co-movement monitor. The daily
     * rollup is map-combined; the trailing window runs per (flag) over

@@ -328,6 +328,75 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("deltaMethodRatio matches the direct day-level delta formula") {
+    val row = Inference.deltaMethodRatio(Tables.events(spark, sfDir)).collect().head
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("CAST(ts AS DATE)").as("d"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("d").agg(sum("c").as("x"), count(lit(1)).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val n = daily.length.toDouble
+    val (sx, sy) = (daily.map(_._1).sum.toDouble, daily.map(_._2).sum.toDouble)
+    val r0 = sx / sy
+    val vx = (daily.map(t => t._1.toDouble * t._1).sum - (sx / n) * sx) / (n - 1)
+    val vy = (daily.map(t => t._2.toDouble * t._2).sum - (sy / n) * sy) / (n - 1)
+    val cxy = (daily.map(t => t._1.toDouble * t._2).sum - (sx / n) * sy) / (n - 1)
+    val se2 = (vx - 2 * r0 * cxy + r0 * r0 * vy) / (n * (sy / n) * (sy / n))
+    assert(row.getAs[Long]("n_days") == daily.length.toLong)
+    assert(math.abs(row.getAs[Double]("ratio_cents") - r0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("se2_ratio") - se2) < math.abs(se2) * 1e-9)
+  }
+
+  test("tost t statistics bracket the Welch difference by the margin") {
+    val row = Inference.tost(Tables.events(spark, sfDir)).collect().head
+    val byType = centsByType()
+    def stats(xs: Seq[Long]): (Double, Double, Double) = {
+      val n = xs.size.toDouble
+      val m = xs.sum.toDouble / n
+      val v = (xs.map(x => x.toDouble * x).sum - (xs.sum / n) * xs.sum.toDouble) / (n - 1)
+      (n, m, v)
+    }
+    val (n1, m1, v1) = stats(byType("purchase"))
+    val (n2, m2, v2) = stats(byType("view"))
+    val se = math.sqrt(v1 / n1 + v2 / n2)
+    val diff = m1 - m2
+    assert(math.abs(row.getAs[Double]("t_lower") - (diff + 500.0) / se) < 1e-9)
+    assert(math.abs(row.getAs[Double]("t_upper") - (diff - 500.0) / se) < 1e-9)
+    // identity: t_lower - t_upper = 2*margin/se
+    assert(math.abs(
+      row.getAs[Double]("t_lower") - row.getAs[Double]("t_upper") - 1000.0 / se) < 1e-9)
+  }
+
+  test("diffInDiff cells partition the events and the estimate matches") {
+    val row = Inference.diffInDiff(Tables.events(spark, sfDir)).collect().head
+    val total = Tables.events(spark, sfDir).count()
+    assert(row.getAs[Long]("n00") + row.getAs[Long]("n01") +
+      row.getAs[Long]("n10") + row.getAs[Long]("n11") == total)
+    val cells = Tables.events(spark, sfDir)
+      .select(
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2").as("arm"),
+        expr("CAST(ts AS LONG)").as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (t0, t1) = (cells.map(_._2).min, cells.map(_._2).max)
+    def mean(a: Long, late: Boolean): Double = {
+      val xs = cells.filter(c => c._1 == a && ((c._2 * 2 >= t0 + t1) == late)).map(_._3)
+      xs.sum.toDouble / xs.length
+    }
+    val did = (mean(1, late = true) - mean(1, late = false)) -
+      (mean(0, late = true) - mean(0, late = false))
+    assert(math.abs(row.getAs[Double]("did_cents") - did) < 1e-9)
+    assert(row.getAs[Double]("se2_did") > 0.0)
+  }
+
+  test("waldIV is the reduced form over the first stage") {
+    val row = Inference.waldIV(Tables.events(spark, sfDir)).collect().head
+    val fs = row.getAs[Double]("first_stage")
+    val rf = row.getAs[Double]("reduced_form")
+    assert(math.abs(row.getAs[Double]("wald") - rf / fs) < 1e-9)
+    assert(row.getAs[Long]("nz1") + row.getAs[Long]("nz0") ==
+      Tables.events(spark, sfDir).count())
+  }
+
   test("cohensD matches the pooled-SD closed form") {
     val row = Inference.cohensD(Tables.events(spark, sfDir)).collect().head
     val byType = centsByType()
