@@ -811,7 +811,13 @@ object SparkEntry {
     "q_did" -> ((s, dir) =>
       Inference.diffInDiff(Tables.events(s, dir))),
     "q_wald_iv" -> ((s, dir) =>
-      Inference.waldIV(Tables.events(s, dir)))
+      Inference.waldIV(Tables.events(s, dir))),
+    "q_top2_agg" -> ((s, dir) =>
+      Relational.topTwoAgg(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_argminmax" -> ((s, dir) =>
+      Relational.argMinMax(Tables.events(s, dir)).orderBy("event_type")),
+    "q_bool_aggs" -> ((s, dir) =>
+      Relational.boolAggs(Tables.events(s, dir)).orderBy("event_type"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5715,6 +5721,32 @@ object SparkEntry {
                 CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE) AS first_stage,
                 CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE) AS reduced_form,
                 ${Inference.waldSql} AS wald
-         FROM m"""
+         FROM m""",
+    "q_top2_agg" ->
+      """WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+         m1 AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, max(c) AS m1
+                FROM b GROUP BY 1)
+         SELECT b.l_returnflag, CAST(max(n_rows) AS BIGINT) AS n_rows,
+                CAST(max(m1) AS DOUBLE) / 100.0 AS max_price,
+                CAST(max(CASE WHEN c < m1 THEN c END) AS DOUBLE) / 100.0 AS second_price
+         FROM b JOIN m1 USING (l_returnflag) GROUP BY 1 ORDER BY 1""",
+    "q_argminmax" ->
+      """WITH b AS (SELECT event_type, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           CAST(round(value * 100) AS BIGINT) * 100000000 + event_id AS key
+                    FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                arg_max(event_id, key) AS max_event_id,
+                arg_min(event_id, key) AS min_event_id,
+                CAST(max(c) AS BIGINT) AS max_cents,
+                CAST(min(c) AS BIGINT) AS min_cents
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q_bool_aggs" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                bool_and(value > 0) AS all_positive,
+                bool_or(value > 100) AS any_large,
+                CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -132,6 +132,54 @@ object Relational {
       regexp_replace(substring(col("text"), 1, 30), "\\s+", "-").as("dashed30"),
       col("text").rlike("spark").as("mentions_spark"))
 
+  /** Top-2 distinct price maxima per flag through the custom typed
+    * [[graft.functions.TopTwoAggregator]] — the `Aggregator`/`udaf` API
+    * surface exercised end-to-end: two-long state, partial aggregation
+    * on every executor, partials merged after the k-key shuffle exactly
+    * like a built-in aggregate.
+    */
+  def topTwoAgg(lineitem: DataFrame): DataFrame = {
+    val top2 = org.apache.spark.sql.functions.udaf(graft.functions.TopTwoAggregator)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        top2(expr(Stages.centsSql("l_extendedprice"))).as("t2"))
+      .select(
+        col("l_returnflag"), col("n_rows"),
+        (col("t2._1").cast("double") / 100.0).as("max_price"),
+        (col("t2._2").cast("double") / 100.0).as("second_price"))
+  }
+
+  /** max_by / min_by battery with a DETERMINISTIC composite ordering key
+    * (cents·10⁸ + event id) — argmin/argmax ties on the raw value would
+    * otherwise make the picked id engine-dependent. One map-combined
+    * aggregate per type.
+    */
+  def argMinMax(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("event_id"), expr(Stages.centsSql("value")).as("c"))
+      .withColumn("key", expr("c * 100000000 + event_id"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("max_by(event_id, key)").as("max_event_id"),
+        expr("min_by(event_id, key)").as("min_event_id"),
+        max(col("c")).as("max_cents"),
+        min(col("c")).as("min_cents"))
+
+  /** Boolean-aggregate battery (every / any / count_if) per event type —
+    * the predicate-aggregation surface, map-combined.
+    */
+  def boolAggs(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("every(value > 0)").as("all_positive"),
+        expr("any(value > 100)").as("any_large"),
+        expr("count_if(value > 100)").as("n_large"))
+
   /** Exact DISCRETE quantiles (type-1: smallest value whose CDF reaches
     * q) per return flag, computed on the value grid: distinct cents with
     * per-flag cumulative counts, then `min(x : 100·cum ≥ q·n)` — pure

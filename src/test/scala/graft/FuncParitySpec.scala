@@ -64,6 +64,63 @@ class FuncParitySpec extends AnyFunSuite {
     }
   }
 
+  test("topTwoAgg returns the two largest distinct prices per flag") {
+    val rows = Relational.topTwoAgg(Tables.lineitem(spark, sfDir)).collect()
+    val byFlag = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(rows.length == byFlag.size)
+    for (r <- rows) {
+      val xs = byFlag(r.getAs[String]("l_returnflag")).map(_._2)
+      val distinctSorted = xs.distinct.sorted.reverse
+      assert(r.getAs[Long]("n_rows") == xs.length.toLong)
+      assert(r.getAs[Double]("max_price") == distinctSorted(0) / 100.0)
+      assert(r.getAs[Double]("second_price") == distinctSorted(1) / 100.0)
+    }
+  }
+
+  test("TopTwoAggregator merge is associative across arbitrary splits") {
+    val agg = graft.functions.TopTwoAggregator
+    val xs = Seq(5L, 9L, 9L, 3L, 7L, 9L, 1L)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 1 until xs.length) {
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(m == whole)
+    }
+    assert(whole == ((9L, 7L)))
+  }
+
+  test("argMinMax picks deterministic extreme ids via the composite key") {
+    val rows = Relational.argMinMax(Tables.events(spark, sfDir)).collect()
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    for (r <- rows) {
+      val xs = byType(r.getAs[String]("event_type"))
+      val maxRow = xs.maxBy(t => t._3 * 100000000L + t._2)
+      val minRow = xs.minBy(t => t._3 * 100000000L + t._2)
+      assert(r.getAs[Long]("max_event_id") == maxRow._2)
+      assert(r.getAs[Long]("min_event_id") == minRow._2)
+      assert(r.getAs[Long]("max_cents") == xs.map(_._3).max)
+      assert(r.getAs[Long]("min_cents") == xs.map(_._3).min)
+    }
+  }
+
+  test("boolAggs every/any/count_if agree with direct predicates") {
+    val rows = Relational.boolAggs(Tables.events(spark, sfDir)).collect()
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    for (r <- rows) {
+      val xs = byType(r.getAs[String]("event_type")).map(_._2)
+      assert(r.getAs[Boolean]("all_positive") == xs.forall(_ > 0))
+      assert(r.getAs[Boolean]("any_large") == xs.exists(_ > 100))
+      assert(r.getAs[Long]("n_large") == xs.count(_ > 100).toLong)
+    }
+  }
+
   test("posExplode preserves token order and caps position") {
     val rows = TextAnalysis.posExplode(Tables.documents(spark, sfDir))
       .orderBy("doc_id", "pos").collect()
