@@ -817,7 +817,19 @@ object SparkEntry {
     "q_argminmax" -> ((s, dir) =>
       Relational.argMinMax(Tables.events(s, dir)).orderBy("event_type")),
     "q_bool_aggs" -> ((s, dir) =>
-      Relational.boolAggs(Tables.events(s, dir)).orderBy("event_type"))
+      Relational.boolAggs(Tables.events(s, dir)).orderBy("event_type")),
+    "q_neyman" -> ((s, dir) =>
+      Inference.neymanAllocation(Tables.events(s, dir)).orderBy("event_type")),
+    "q_fdr" -> ((s, dir) =>
+      Inference.fdrScreen(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_dow_strength" -> ((s, dir) =>
+      Inference.dowSeasonalityStrength(Tables.events(s, dir))),
+    "q_capture_recapture" -> ((s, dir) =>
+      Inference.captureRecapture(Tables.events(s, dir))),
+    "q_lift" -> ((s, dir) =>
+      Analytics.liftDeciles(Tables.events(s, dir)).orderBy("decile")),
+    "q_burstiness" -> ((s, dir) =>
+      Analytics.burstiness(Tables.events(s, dir)).orderBy("event_type"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5747,6 +5759,110 @@ object SparkEntry {
                 bool_and(value > 0) AS all_positive,
                 bool_or(value > 100) AS any_large,
                 CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_neyman" -> {
+      val sd =
+        """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))"""
+      s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+                      CAST(sum(cents * cents) AS BIGINT) AS q
+               FROM b GROUP BY 1),
+         g2 AS (SELECT *, CAST(round(CAST(n AS DOUBLE) * $sd) AS BIGINT) AS term FROM g),
+         t AS (SELECT CAST(sum(term) AS BIGINT) AS term_total FROM g2)
+         SELECT event_type, n, $sd / 100.0 AS sd_dollars,
+                CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE) AS share,
+                CAST(round(1000.0 * CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE)) AS BIGINT) AS n_alloc
+         FROM g2, t ORDER BY event_type"""
+    },
+    "q_fdr" -> {
+      val mu = "(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))"
+      val z =
+        s"""((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - $mu)
+           / sqrt($mu * (1.0 - $mu) / CAST(n AS DOUBLE)))"""
+      s"""WITH pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(CASE WHEN l_quantity >= 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+                      FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS sn, CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM pp),
+         r AS (SELECT l_partkey, n, x, m, $z AS z FROM pp, t),
+         r2 AS (SELECT *, least(1.0, 1.0 / (z * z)) AS p_cheb FROM r),
+         r3 AS (SELECT *, CAST(row_number() OVER (ORDER BY p_cheb, l_partkey) AS BIGINT) AS rank
+                FROM r2),
+         r4 AS (SELECT *, p_cheb <= 0.1 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) AS bh_ok FROM r3),
+         km AS (SELECT CAST(coalesce(max(CASE WHEN bh_ok THEN rank END), 0) AS BIGINT) AS k_max
+                FROM r4)
+         SELECT l_partkey, n, x, z, p_cheb, rank, rank <= k_max AS discovered
+         FROM r4, km ORDER BY rank"""
+    },
+    "q_dow_strength" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+                        FROM events GROUP BY 1),
+         dw AS (SELECT ((d - DATE '1970-01-05') % 7) AS dow, rev FROM daily),
+         g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+                      CAST(sum(rev * rev) AS BIGINT) AS q
+               FROM dw GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(s) AS BIGINT) AS ss,
+                      CAST(sum(${Inference.rayleighQSql("n", "s")}) AS BIGINT) AS rbq,
+                      CAST(sum(q) AS BIGINT) AS qq
+               FROM g)
+         SELECT k, nn AS n_days, ${Inference.fStatSql} AS f_stat, ${Inference.etaSqSql} AS eta2
+         FROM t""",
+    "q_capture_recapture" ->
+      s"""WITH span AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS t0,
+                               max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS t1
+                        FROM events),
+         pu AS (SELECT user_id,
+                       CAST(max(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 2 < t0 + t1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+                       CAST(max(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 2 >= t0 + t1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+                FROM events CROSS JOIN span GROUP BY 1),
+         agg AS (SELECT CAST(sum(in_a) AS BIGINT) AS na, CAST(sum(in_b) AS BIGINT) AS nb,
+                        CAST(sum(in_a * in_b) AS BIGINT) AS m
+                 FROM pu)
+         SELECT na, nb, m, ${Inference.chapmanSql} AS n_hat, ${Inference.chapmanVarSql} AS var_n_hat
+         FROM agg""",
+    "q_lift" ->
+      """WITH r AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                           row_number() OVER (ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                              event_id ASC) AS rn
+                    FROM events),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+         d AS (SELECT CAST(CAST(rn - 1 AS BIGINT) * 10 // n AS BIGINT) + 1 AS decile,
+                      CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(y) AS BIGINT) AS n_pos
+               FROM r, n GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS pp FROM d),
+         c AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+               FROM d)
+         SELECT decile, n_rows, n_pos,
+                CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS rate,
+                (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                  / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) AS lift,
+                CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE) AS cum_gain
+         FROM c, t ORDER BY decile""",
+    "q_burstiness" -> {
+      val sd =
+        """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * CAST(s AS DOUBLE))
+            / CAST(n_gaps - 1 AS DOUBLE))"""
+      s"""WITH b AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t, event_id
+                     FROM events),
+         g AS (SELECT event_type,
+                      t - lag(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS gap
+               FROM b),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                      CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS q
+               FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_gaps,
+                CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+                $sd AS sd_gap_s,
+                ($sd - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  / ($sd + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+         FROM m ORDER BY event_type"""
+    }
   )
 }

@@ -3741,6 +3741,78 @@ object Analytics {
         expr("CAST(brier_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)").as("brier"))
   }
 
+  /** Decile lift / gains table for "does event value predict purchase":
+    * rows rank by (value, id) descending into ten equal-count deciles,
+    * and each decile reports its purchase rate, lift over the base rate,
+    * and the cumulative gains share. The global rank is the ONE op class
+    * that needs a total order (same as q_global_rank); deciles then
+    * reduce to a 10-row table, and the cumulative column windows over
+    * those 10 rows only. Rates expand from integer counts.
+    */
+  def liftDeciles(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Stages.centsSql("value")
+    val ranked = events
+      .select(
+        (col("event_type") === "purchase").cast("long").as("y"),
+        expr(cents).as("c"), col("event_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("c").desc, col("event_id").asc)))
+    val n = events.count()
+    val dec = ranked
+      .withColumn("decile", expr(s"CAST(CAST(rn - 1 AS BIGINT) * 10 div $n AS BIGINT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"))
+    val tot = dec.agg(sum(col("n_rows")).as("nn"), sum(col("n_pos")).as("pp"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(
+        col("decile"), col("n_rows"), col("n_pos"),
+        expr("CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)").as("rate"),
+        expr("""(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))""").as("lift"),
+        expr("CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE)").as("cum_gain"))
+  }
+
+  /** Burstiness index per event type: B = (σ−μ)/(σ+μ) of the
+    * inter-arrival gaps (−1 = perfectly regular, 0 = Poisson, →1 =
+    * bursty), from integer second gaps via a per-type lag window (each
+    * partition is one type's timeline) and one moment pass. The
+    * temporal-clumpiness readout next to [[Analytics]]'s interarrival
+    * histogram.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    val gaps = events
+      .select(col("event_type"), expr("CAST(ts AS LONG)").as("t"), col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s"),
+        sum(col("gap") * col("gap")).as("q"))
+      .select(
+        col("event_type"), col("n_gaps"),
+        expr("CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)").as("mean_gap_s"),
+        expr(burstSdSql).as("sd_gap_s"),
+        expr(s"($burstSdSql - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / ($burstSdSql + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))")
+          .as("burstiness"))
+  }
+
+  /** Sample SD of gaps over (n_gaps, s, q) — shared verbatim. */
+  def burstSdSql: String =
+    """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * CAST(s AS DOUBLE))
+            / CAST(n_gaps - 1 AS DOUBLE))"""
+
   /** Weighted least squares of line-item unit economics: dollars on
     * quantity with quantity itself as the weight (bigger lots count
     * proportionally), from one pass of exact integer weighted moments —

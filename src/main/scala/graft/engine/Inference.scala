@@ -525,6 +525,141 @@ object Inference {
     """(CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE))
        / (CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE))"""
 
+  /** Neyman allocation for stratified sampling: given a total budget,
+    * each stratum's optimal share is ∝ N_h·S_h (size × within-stratum
+    * SD). Per-stratum terms come from one pass of integer moments, are
+    * quantized to BIGINT cents before the cross-stratum total (order-free
+    * rule), and the 1-row total broadcasts back. The planning query a
+    * sampling pipeline runs BEFORE drawing.
+    */
+  def neymanAllocation(events: DataFrame, budget: Long = 1000L): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val sdSql =
+      """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))"""
+    val g = events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(cents)).as("s"),
+        sum(expr(s"$cents * $cents")).as("q"))
+      .withColumn("term", expr(s"CAST(round(CAST(n AS DOUBLE) * $sdSql) AS BIGINT)"))
+    val tot = g.agg(sum(col("term")).as("term_total"))
+    g.crossJoin(broadcast(tot))
+      .select(
+        col("event_type"), col("n"),
+        expr(s"$sdSql / 100.0").as("sd_dollars"),
+        expr("CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE)").as("share"),
+        expr(s"CAST(round($budget.0 * CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE)) AS BIGINT)")
+          .as("n_alloc"))
+  }
+
+  /** Benjamini–Hochberg discovery screen over per-part high-quantity
+    * rates with CHEBYSHEV-bounded p-values: p̃ = min(1, 1/z²) is a valid
+    * (conservative) p-value bound for ANY null distribution, and — unlike
+    * the normal tail — needs no erf, so it is bit-portable across
+    * engines. BH then finds k = max{i : p̃₍ᵢ₎ ≤ α·i/m} and flags ranks ≤
+    * k. The rank window is part-domain bounded (dimension-scale, never
+    * fact-scale); the global k comes from a 1-row aggregate broadcast
+    * back. α is interpolated as a literal.
+    */
+  def fdrScreen(lineitem: DataFrame, qtyThreshold: Double = 45.0, alpha: Double = 0.1): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") >= qtyThreshold, 1L).otherwise(0L)).as("x"))
+    val tot = perPart.agg(
+      sum(col("n")).as("sn"), sum(col("x")).as("sx"), count(lit(1)).as("m"))
+    val mu = "(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))"
+    val z =
+      s"""((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - $mu)
+           / sqrt($mu * (1.0 - $mu) / CAST(n AS DOUBLE)))"""
+    val w = Window.partitionBy(lit(1)).orderBy(col("p_cheb").asc, col("l_partkey").asc)
+    val ranked = perPart
+      .crossJoin(broadcast(tot))
+      .withColumn("z", expr(z))
+      .withColumn("p_cheb", expr("least(1.0, 1.0 / (z * z))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("bh_ok", expr(s"p_cheb <= $alpha * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)"))
+    val kMax = ranked.agg(coalesce(max(when(col("bh_ok"), col("rank"))), lit(0L)).as("k_max"))
+    ranked
+      .crossJoin(broadcast(kMax))
+      .select(
+        col("l_partkey"), col("n"), col("x"), col("z"), col("p_cheb"), col("rank"),
+        (col("rank") <= col("k_max")).as("discovered"))
+  }
+
+  /** Day-of-week seasonality strength of daily revenue: one-way ANOVA of
+    * the daily totals across the 7 weekday groups — F via [[fStatSql]]
+    * and the variance share η² = SSB/SST. Runs on the DAY grid
+    * (calendar-bounded); weekday indexes use the portable date
+    * arithmetic of [[oddsRatio]].
+    */
+  def dowSeasonalityStrength(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS DATE)").as("d"))
+      .agg(sum(expr(Stages.centsSql("value"))).as("rev"))
+      .select(
+        expr("pmod(datediff(d, DATE'1970-01-05'), 7)").as("dow"), col("rev"))
+    val g = daily
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+        sum(col("rev") * col("rev")).as("q"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"),
+      sum(col("s")).as("ss"),
+      sum(expr(rayleighQSql("n", "s"))).as("rbq"),
+      sum(col("q")).as("qq"))
+      .select(
+        col("k"), col("nn").as("n_days"),
+        expr(fStatSql).as("f_stat"),
+        expr(etaSqSql).as("eta2"))
+  }
+
+  /** η² = SSB/SST over (nn, ss, rbq, qq) — shared verbatim. */
+  def etaSqSql: String =
+    """((CAST(rbq AS DOUBLE) - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ss AS DOUBLE))
+        / (CAST(qq AS DOUBLE) - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ss AS DOUBLE)))"""
+
+  /** Chapman capture–recapture estimate of the active-user population
+    * from two "capture occasions" (early vs late half of the observed
+    * span, split as in [[diffInDiff]]): N̂ = (nA+1)(nB+1)/(m+1) − 1 with
+    * the usual variance, where m is the users seen in BOTH periods. One
+    * per-user aggregate (two boolean presence flags), one 1-row count
+    * pass — the "how many users exist that we never saw" estimator.
+    */
+  def captureRecapture(events: DataFrame): DataFrame = {
+    val span = events.agg(
+      min(expr("CAST(ts AS LONG)")).as("t0"), max(expr("CAST(ts AS LONG)")).as("t1"))
+    val perUser = events
+      .crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(expr("CAST(ts AS LONG) * 2 < t0 + t1"), 1L).otherwise(0L)).as("in_a"),
+        max(when(expr("CAST(ts AS LONG) * 2 >= t0 + t1"), 1L).otherwise(0L)).as("in_b"))
+    perUser
+      .agg(
+        sum(col("in_a")).as("na"),
+        sum(col("in_b")).as("nb"),
+        sum(col("in_a") * col("in_b")).as("m"))
+      .select(
+        col("na"), col("nb"), col("m"),
+        expr(chapmanSql).as("n_hat"),
+        expr(chapmanVarSql).as("var_n_hat"))
+  }
+
+  /** Chapman estimator text over (na, nb, m) — shared verbatim. */
+  def chapmanSql: String =
+    """(CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0)"""
+
+  /** Chapman variance text over (na, nb, m) — shared verbatim. */
+  def chapmanVarSql: String =
+    """(CAST(na + 1 AS DOUBLE) * CAST(nb + 1 AS DOUBLE)
+        * CAST(na - m AS DOUBLE) * CAST(nb - m AS DOUBLE)
+        / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE)))"""
+
   /** Rolling 7-day Pearson correlation between daily order count and
     * daily revenue, per return flag: the co-movement monitor. The daily
     * rollup is map-combined; the trailing window runs per (flag) over

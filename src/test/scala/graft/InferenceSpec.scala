@@ -397,6 +397,123 @@ class InferenceSpec extends AnyFunSuite {
       Tables.events(spark, sfDir).count())
   }
 
+  test("neymanAllocation shares are proportional to n*sd and sum to ~1") {
+    val rows = Inference.neymanAllocation(Tables.events(spark, sfDir)).collect()
+    val byType = centsByType()
+    val terms = byType.map { case (t, xs) =>
+      val n = xs.size.toDouble
+      val m = xs.sum.toDouble / n
+      val v = (xs.map(x => x.toDouble * x).sum - (xs.sum / n) * xs.sum.toDouble) / (n - 1)
+      (t, math.round(n * math.sqrt(v)))
+    }
+    val total = terms.values.sum.toDouble
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    for (r <- rows) {
+      val t = terms(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("share") - t / total) < 1e-12)
+      assert(r.getAs[Long]("n_alloc") == math.round(1000.0 * t / total))
+    }
+  }
+
+  test("fdrScreen BH cutoff flags exactly the prefix ranks") {
+    val rows = Inference.fdrScreen(Tables.lineitem(spark, sfDir))
+      .orderBy("rank").collect()
+    val m = rows.length
+    // ranks are 1..m, discoveries form a prefix
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to m.toLong))
+    val flags = rows.map(_.getAs[Boolean]("discovered"))
+    val k = flags.count(identity)
+    assert(flags.take(k).forall(identity) && flags.drop(k).forall(!_))
+    // the BH condition holds at rank k and fails for every rank beyond
+    val okAt = rows.map(r => r.getAs[Double]("p_cheb") <=
+      0.1 * r.getAs[Long]("rank").toDouble / m)
+    if (k > 0) assert(okAt(k - 1))
+    assert(!okAt.drop(k).exists(identity))
+    // Chebyshev bound: p = min(1, 1/z^2)
+    for (r <- rows) {
+      val z = r.getAs[Double]("z")
+      assert(math.abs(r.getAs[Double]("p_cheb") - math.min(1.0, 1.0 / (z * z))) < 1e-15)
+    }
+  }
+
+  test("dowSeasonalityStrength eta2 is SSB/SST over the weekday groups") {
+    val row = Inference.dowSeasonalityStrength(Tables.events(spark, sfDir)).collect().head
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("CAST(ts AS DATE)").as("d"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("d").agg(sum("c").as("rev"))
+      .select(expr("pmod(datediff(d, DATE'1970-01-05'), 7)").as("dow"), col("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val groups = daily.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val f = fStat(groups.map(_.toSeq))
+    assert(row.getAs[Long]("k") == groups.size.toLong)
+    assert(row.getAs[Long]("n_days") == daily.length.toLong)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < math.abs(f) * 1e-9)
+    val e = row.getAs[Double]("eta2")
+    assert(e >= 0.0 && e <= 1.0)
+    // identity: F = (eta2/(k-1)) / ((1-eta2)/(n-k))
+    val k = groups.size
+    val n = daily.length
+    val fFromEta = (e / (k - 1)) / ((1 - e) / (n - k))
+    assert(math.abs(fFromEta - row.getAs[Double]("f_stat")) < math.abs(f) * 1e-6)
+  }
+
+  test("captureRecapture matches the direct period-overlap counts") {
+    val row = Inference.captureRecapture(Tables.events(spark, sfDir)).collect().head
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (t0, t1) = (users.map(_._2).min, users.map(_._2).max)
+    val a = users.filter(_._2 * 2 < t0 + t1).map(_._1).toSet
+    val b = users.filter(_._2 * 2 >= t0 + t1).map(_._1).toSet
+    val m = (a & b).size.toLong
+    assert(row.getAs[Long]("na") == a.size.toLong)
+    assert(row.getAs[Long]("nb") == b.size.toLong)
+    assert(row.getAs[Long]("m") == m)
+    val nHat = (a.size + 1.0) * (b.size + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(row.getAs[Double]("n_hat") - nHat) < 1e-9)
+    // the estimate can never be below the observed union
+    assert(nHat >= (a ++ b).size.toDouble - 1e-9)
+  }
+
+  test("liftDeciles gains are monotone and the base rate recovers") {
+    val rows = graft.engine.Analytics.liftDeciles(Tables.events(spark, sfDir))
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    val n = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n)
+    // equal-count deciles within 1
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1)
+    val gains = rows.map(_.getAs[Double]("cum_gain"))
+    assert(gains.zip(gains.tail).forall { case (a2, b2) => b2 >= a2 - 1e-12 })
+    assert(math.abs(gains.last - 1.0) < 1e-12)
+    // weighted mean of rates == base rate
+    val pos = rows.map(_.getAs[Long]("n_pos")).sum.toDouble
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("lift") -
+        r.getAs[Double]("rate") / (pos / n)) < 1e-9)
+  }
+
+  test("burstiness matches the direct gap moments per type") {
+    val rows = graft.engine.Analytics.burstiness(Tables.events(spark, sfDir)).collect()
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("CAST(ts AS LONG)").as("t"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for (r <- rows) {
+      val xs = byType(r.getAs[String]("event_type")).sortBy(t => (t._2, t._3))
+      val gaps = xs.zip(xs.tail).map { case (p, q2) => (q2._2 - p._2).toDouble }
+      assert(r.getAs[Long]("n_gaps") == gaps.length.toLong)
+      val m = gaps.sum / gaps.length
+      val sd = math.sqrt(
+        (gaps.map(g => g * g).sum - (gaps.sum / gaps.length) * gaps.sum) / (gaps.length - 1))
+      assert(math.abs(r.getAs[Double]("mean_gap_s") - m) < 1e-9)
+      assert(math.abs(r.getAs[Double]("sd_gap_s") - sd) < 1e-6)
+      assert(math.abs(r.getAs[Double]("burstiness") - (sd - m) / (sd + m)) < 1e-9)
+      assert(r.getAs[Double]("burstiness") > -1.0 && r.getAs[Double]("burstiness") < 1.0)
+    }
+  }
+
   test("cohensD matches the pooled-SD closed form") {
     val row = Inference.cohensD(Tables.events(spark, sfDir)).collect().head
     val byType = centsByType()
