@@ -829,7 +829,13 @@ object SparkEntry {
     "q_lift" -> ((s, dir) =>
       Analytics.liftDeciles(Tables.events(s, dir)).orderBy("decile")),
     "q_burstiness" -> ((s, dir) =>
-      Analytics.burstiness(Tables.events(s, dir)).orderBy("event_type"))
+      Analytics.burstiness(Tables.events(s, dir)).orderBy("event_type")),
+    "q_bayes_ab" -> ((s, dir) =>
+      Inference.bayesAB(Tables.events(s, dir))),
+    "q_trimmed_mean" -> ((s, dir) =>
+      Inference.trimmedMean(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_avg_precision" -> ((s, dir) =>
+      Inference.averagePrecision(Tables.events(s, dir)))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5863,6 +5869,49 @@ object SparkEntry {
                 ($sd - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
                   / ($sd + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
          FROM m ORDER BY event_type"""
-    }
+    },
+    "q_bayes_ab" ->
+      s"""WITH pu AS (SELECT user_id,
+                            CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+                     FROM events GROUP BY 1),
+         a AS (SELECT converted,
+                      CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 2 AS arm
+               FROM pu),
+         m AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+                      CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c2
+               FROM a)
+         SELECT n1, c1, n2, c2,
+                ${Inference.betaMeanSql("c1", "n1")} AS mu1,
+                ${Inference.betaMeanSql("c2", "n2")} AS mu2,
+                ${Inference.bayesZSql} AS z
+         FROM m""",
+    "q_trimmed_mean" ->
+      """WITH g AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+                           CAST(count(*) AS BIGINT) AS t
+                    FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT *, CAST(sum(t) OVER (PARTITION BY l_returnflag ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM g),
+         n AS (SELECT l_returnflag, CAST(sum(t) AS BIGINT) AS n FROM g GROUP BY 1),
+         e AS (SELECT w.l_returnflag, w.x, w.t, w.cum, n.n, n.n * 10 // 100 AS lo
+               FROM w JOIN n USING (l_returnflag)),
+         c AS (SELECT *, greatest(least(cum, n - lo) - greatest(cum - t, lo), 0) AS c_eff FROM e)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n, CAST(sum(c_eff) AS BIGINT) AS n_kept,
+                (CAST(sum(c_eff * x) AS DOUBLE) / CAST(sum(c_eff) AS DOUBLE)) / 100.0 AS trimmed_mean
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "q_avg_precision" ->
+      """WITH r AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                           CAST(row_number() OVER (ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                                   event_id ASC) AS BIGINT) AS rn
+                    FROM events),
+         c AS (SELECT y, rn, CAST(sum(y) OVER (ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+               FROM r)
+         SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                CAST(sum(CAST(round(CAST(cum_pos AS DOUBLE) / CAST(rn AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_precision
+         FROM c WHERE y = 1"""
   )
 }

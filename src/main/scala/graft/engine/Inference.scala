@@ -660,6 +660,106 @@ object Inference {
         * CAST(na - m AS DOUBLE) * CAST(nb - m AS DOUBLE)
         / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE)))"""
 
+  /** Bayesian A/B readout with Beta(1,1) priors on per-user conversion:
+    * posterior means and the normal-approximation z between the two arm
+    * posteriors (exact Beta moments — α/(α+β) and αβ/((α+β)²(α+β+1)) —
+    * are plain arithmetic; P(A>B) itself needs the Beta CDF and is
+    * deliberately not emitted). Arms are the md5 hash split used across
+    * the library. One per-user aggregate, one 1-row pass.
+    */
+  def bayesAB(events: DataFrame): DataFrame = {
+    val arm = "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2"
+    events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .select(col("converted"), expr(arm).as("arm"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(lit(0L))).as("c1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(lit(0L))).as("c2"))
+      .select(
+        col("n1"), col("c1"), col("n2"), col("c2"),
+        expr(betaMeanSql("c1", "n1")).as("mu1"),
+        expr(betaMeanSql("c2", "n2")).as("mu2"),
+        expr(bayesZSql).as("z"))
+  }
+
+  /** Beta(1+c, 1+n−c) posterior mean text — shared verbatim. */
+  def betaMeanSql(c: String, n: String): String =
+    s"(CAST($c + 1 AS DOUBLE) / CAST($n + 2 AS DOUBLE))"
+
+  /** Beta posterior variance text — αβ/((α+β)²(α+β+1)). */
+  def betaVarSql(c: String, n: String): String =
+    s"""(CAST($c + 1 AS DOUBLE) * CAST($n - $c + 1 AS DOUBLE)
+        / (CAST($n + 2 AS DOUBLE) * CAST($n + 2 AS DOUBLE) * CAST($n + 3 AS DOUBLE)))"""
+
+  /** Normal-approx z between the two arm posteriors — shared verbatim. */
+  def bayesZSql: String =
+    s"""((${betaMeanSql("c1", "n1")} - ${betaMeanSql("c2", "n2")})
+        / sqrt(${betaVarSql("c1", "n1")} + ${betaVarSql("c2", "n2")}))"""
+
+  /** Exact 10%-trimmed mean per return flag WITHOUT sorting the facts:
+    * on the per-flag value grid, each distinct price's contribution to
+    * the trimmed window (ranks lo < r ≤ n−lo) is the integer overlap
+    * min(cum, n−lo) − max(cum−t, lo) clamped at 0 — so ties straddling a
+    * trim boundary contribute exactly their in-window multiplicity. The
+    * robust-location cousin of q_winsor_mean (winsorizing clamps; the
+    * trim DROPS). Value-domain-bounded window, integer arithmetic until
+    * the closing division.
+    */
+  def trimmedMean(lineitem: DataFrame, trimPct: Int = 10): DataFrame = {
+    val grid = lineitem
+      .groupBy(col("l_returnflag"), expr(Stages.centsSql("l_extendedprice")).as("x"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = grid.groupBy(col("l_returnflag")).agg(sum(col("t")).as("n"))
+    grid
+      .withColumn("cum", sum(col("t")).over(w))
+      .join(n, "l_returnflag")
+      .withColumn("lo", expr(s"n * $trimPct div 100"))
+      .withColumn(
+        "c_eff",
+        expr("greatest(least(cum, n - lo) - greatest(cum - t, lo), 0)"))
+      .groupBy(col("l_returnflag"), col("n"), col("lo"))
+      .agg(sum(expr("c_eff * x")).as("sx"), sum(col("c_eff")).as("n_kept"))
+      .select(
+        col("l_returnflag"), col("n"), col("n_kept"),
+        expr("(CAST(sx AS DOUBLE) / CAST(n_kept AS DOUBLE)) / 100.0").as("trimmed_mean"))
+  }
+
+  /** Average precision (area under the precision–recall curve, by the
+    * standard AP sum) of the value→purchase ranking: at each positive's
+    * rank k, precision@k = cum_pos/k; AP is their mean. Per-position
+    * precision terms are micro-quantized BIGINTs before the cross-rank
+    * sum (order-free rule). Uses the same ONE global-rank window as
+    * q_lift / q_global_rank — the op class that genuinely needs a total
+    * order.
+    */
+  def averagePrecision(events: DataFrame): DataFrame = {
+    val cents = Stages.centsSql("value")
+    val wRank = Window.partitionBy(lit(1)).orderBy(col("c").desc, col("event_id").asc)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(
+        (col("event_type") === "purchase").cast("long").as("y"),
+        expr(cents).as("c"), col("event_id"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("cum_pos", sum(col("y")).over(wCum))
+      .filter(col("y") === 1L)
+      .agg(
+        count(lit(1)).as("n_pos"),
+        sum(expr(
+          "CAST(round(CAST(cum_pos AS DOUBLE) / CAST(rn AS DOUBLE) * 1000000) AS BIGINT)"))
+          .as("ap_micro"))
+      .select(
+        col("n_pos"),
+        expr("CAST(ap_micro AS DOUBLE) / 1000000.0 / CAST(n_pos AS DOUBLE)").as("avg_precision"))
+  }
+
   /** Rolling 7-day Pearson correlation between daily order count and
     * daily revenue, per return flag: the co-movement monitor. The daily
     * rollup is map-combined; the trailing window runs per (flag) over

@@ -514,6 +514,61 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("bayesAB posterior moments match the Beta closed forms") {
+    val row = Inference.bayesAB(Tables.events(spark, sfDir)).collect().head
+    val (n1, c1, n2, c2) = (row.getAs[Long]("n1"), row.getAs[Long]("c1"),
+      row.getAs[Long]("n2"), row.getAs[Long]("c2"))
+    def mean(c: Long, n: Long) = (c + 1.0) / (n + 2.0)
+    def v(c: Long, n: Long) =
+      (c + 1.0) * (n - c + 1.0) / ((n + 2.0) * (n + 2.0) * (n + 3.0))
+    assert(math.abs(row.getAs[Double]("mu1") - mean(c1, n1)) < 1e-15)
+    assert(math.abs(row.getAs[Double]("mu2") - mean(c2, n2)) < 1e-15)
+    val z = (mean(c1, n1) - mean(c2, n2)) / math.sqrt(v(c1, n1) + v(c2, n2))
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-9)
+    // arms partition the users
+    val users = Tables.events(spark, sfDir).select(countDistinct("user_id")).head.getLong(0)
+    assert(n1 + n2 == users)
+  }
+
+  test("trimmedMean equals the sort-and-drop definition per flag") {
+    val rows = Inference.trimmedMean(Tables.lineitem(spark, sfDir)).collect()
+    val byFlag = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    for (r <- rows) {
+      val xs = byFlag(r.getAs[String]("l_returnflag")).map(_._2).sorted
+      val lo = xs.length / 10
+      val kept = xs.slice(lo, xs.length - lo)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(r.getAs[Long]("n_kept") == kept.length.toLong)
+      val tm = kept.sum.toDouble / kept.length / 100.0
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - tm) < 1e-9)
+    }
+  }
+
+  test("averagePrecision matches the direct ranked computation") {
+    val row = Inference.averagePrecision(Tables.events(spark, sfDir)).collect().head
+    val ranked = Tables.events(spark, sfDir)
+      .select((col("event_type") === "purchase").as("y"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"), col("event_id"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._3))
+    var cum = 0L
+    var apMicro = 0L
+    var nPos = 0L
+    for ((r2, i) <- ranked.zipWithIndex) {
+      if (r2._1) {
+        cum += 1; nPos += 1
+        apMicro += math.round(cum.toDouble / (i + 1) * 1e6)
+      }
+    }
+    assert(row.getAs[Long]("n_pos") == nPos)
+    assert(math.abs(row.getAs[Double]("avg_precision") - apMicro / 1e6 / nPos) < 1e-12)
+    // AP of a random-ish ranking sits near the base rate
+    val base = nPos.toDouble / ranked.length
+    assert(row.getAs[Double]("avg_precision") >= base * 0.5)
+  }
+
   test("cohensD matches the pooled-SD closed form") {
     val row = Inference.cohensD(Tables.events(spark, sfDir)).collect().head
     val byType = centsByType()
