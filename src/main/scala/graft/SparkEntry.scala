@@ -835,7 +835,13 @@ object SparkEntry {
     "q_trimmed_mean" -> ((s, dir) =>
       Inference.trimmedMean(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_avg_precision" -> ((s, dir) =>
-      Inference.averagePrecision(Tables.events(s, dir)))
+      Inference.averagePrecision(Tables.events(s, dir))),
+    "q_cpk" -> ((s, dir) =>
+      Inference.processCapability(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_abc" -> ((s, dir) =>
+      Inference.abcClassification(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_rbo" -> ((s, dir) =>
+      Inference.rankBiasedOverlap(Tables.lineitem(s, dir)))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -5912,6 +5918,53 @@ object SparkEntry {
          SELECT CAST(count(*) AS BIGINT) AS n_pos,
                 CAST(sum(CAST(round(CAST(cum_pos AS DOUBLE) / CAST(rn AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
                   / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_precision
-         FROM c WHERE y = 1"""
+         FROM c WHERE y = 1""",
+    "q_cpk" -> {
+      val sd =
+        """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))"""
+      val mu = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                     FROM lineitem),
+         g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+                      CAST(sum(cents * cents) AS BIGINT) AS q
+               FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+                $mu / 100.0 AS mean_dollars,
+                $sd / 100.0 AS sd_dollars,
+                ((100000.0 - 10000.0) / (6.0 * $sd)) AS cp,
+                (least(100000.0 - $mu, $mu - 10000.0) / (3.0 * $sd)) AS cpk
+         FROM g ORDER BY l_returnflag"""
+    },
+    "q_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+                      FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+         r AS (SELECT l_partkey, rev,
+                      CAST(row_number() OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS rank,
+                      CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM rev)
+         SELECT l_partkey, rank, CAST(rev AS DOUBLE) / 100.0 AS revenue_dollars,
+                CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+                CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                     WHEN 20 * cum <= 19 * tot THEN 'B'
+                     ELSE 'C' END AS abc_class
+         FROM r, t ORDER BY rank""",
+    "q_rbo" ->
+      s"""WITH ga AS (SELECT l_partkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+                      FROM lineitem GROUP BY 1),
+         ta AS (SELECT l_partkey, CAST(row_number() OVER (ORDER BY v DESC, l_partkey) AS BIGINT) AS ra
+                FROM ga ORDER BY v DESC, l_partkey LIMIT 10),
+         gb AS (SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
+                FROM lineitem GROUP BY 1),
+         tb AS (SELECT l_partkey, CAST(row_number() OVER (ORDER BY v DESC, l_partkey) AS BIGINT) AS rb
+                FROM gb ORDER BY v DESC, l_partkey LIMIT 10),
+         m AS (SELECT ra, rb FROM ta JOIN tb USING (l_partkey))
+         SELECT CAST(10 AS BIGINT) AS k, 0.9 AS p, CAST(count(*) AS BIGINT) AS n_matched,
+                coalesce(sum(${Inference.rboSuffixCaseSql(10, 0.9)}), 0.0) AS rbo
+         FROM m"""
   )
 }

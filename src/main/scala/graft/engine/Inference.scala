@@ -760,6 +760,100 @@ object Inference {
         expr("CAST(ap_micro AS DOUBLE) / 1000000.0 / CAST(n_pos AS DOUBLE)").as("avg_precision"))
   }
 
+  /** Process-capability indices per return flag against fixed price spec
+    * limits: Cp = (USL−LSL)/6σ (potential) and Cpk = min(USL−μ, μ−LSL)/3σ
+    * (actual, penalizing off-center). The SPC readout over the same
+    * integer moments as every location/scale op here.
+    */
+  def processCapability(
+      lineitem: DataFrame,
+      lslCents: Long = 10000L,
+      uslCents: Long = 100000L): DataFrame = {
+    val cents = Stages.centsSql("l_extendedprice")
+    val sd =
+      """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE))"""
+    val mu = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr(cents)).as("s"),
+        sum(expr(s"$cents * $cents")).as("q"))
+      .select(
+        col("l_returnflag"), col("n"),
+        expr(s"$mu / 100.0").as("mean_dollars"),
+        expr(s"$sd / 100.0").as("sd_dollars"),
+        expr(s"(($uslCents.0 - $lslCents.0) / (6.0 * $sd))").as("cp"),
+        expr(s"(least($uslCents.0 - $mu, $mu - $lslCents.0) / (3.0 * $sd))").as("cpk"))
+  }
+
+  /** ABC inventory classification of parts by cumulative revenue share,
+    * with the class boundaries tested in INTEGER cents (5·cum ≤ 4·total
+    * for the 80 % A-line, 20·cum ≤ 19·total for 95 %) so no float
+    * comparison can flip a boundary part between engines. The rank
+    * window is part-domain bounded; revenue totals are one map-combined
+    * aggregate.
+    */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(Stages.centsSql("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("rev").desc, col("l_partkey").asc)
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    rev
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn(
+        "cum",
+        sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("l_partkey"), col("rank"),
+        expr("CAST(rev AS DOUBLE) / 100.0").as("revenue_dollars"),
+        expr("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)").as("cum_share"),
+        expr("""CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                     WHEN 20 * cum <= 19 * tot THEN 'B'
+                     ELSE 'C' END""").as("abc_class"))
+  }
+
+  /** Rank-biased overlap (RBO, truncated at depth k, p = 0.9) between
+    * the revenue-ranked and quantity-ranked top-k part lists. Uses the
+    * suffix-weight identity RBO = Σ_matched W_max(ra,rb) with the weights
+    * W_m = Σ_{d=m..k} (1−p)p^{d−1}/d PRECOMPUTED as literals (both
+    * engines see identical constants — no runtime pow). The two top-k
+    * lists are TakeOrdered results; the match join is k-bounded.
+    */
+  def rankBiasedOverlap(lineitem: DataFrame, k: Int = 10, p: Double = 0.9): DataFrame = {
+    val caseW = rboSuffixCaseSql(k, p)
+    def topBy(agg: org.apache.spark.sql.Column, rname: String) =
+      Relational.rankedTopK(
+        lineitem.groupBy(col("l_partkey")).agg(agg.as("v")),
+        k, col("v").desc, col("l_partkey").asc)
+        .select(col("l_partkey"), col("rank").as(rname))
+    val a = topBy(sum(expr(Stages.centsSql("l_extendedprice"))), "ra")
+    val b = topBy(sum(expr("CAST(round(l_quantity) AS BIGINT)")), "rb")
+    a.join(b, "l_partkey")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        coalesce(sum(expr(caseW)), lit(0.0)).as("rbo"))
+      .select(lit(k.toLong).as("k"), lit(p).as("p"), col("n_matched"), col("rbo"))
+  }
+
+  /** Suffix-weight CASE text over greatest(ra, rb): W_m = Σ_{d=m..k}
+    * (1−p)p^{d−1}/d, computed HERE once and interpolated as decimal
+    * literals into both engines' SQL (shortest-round-trip doubles parse
+    * identically everywhere; no runtime pow).
+    */
+  def rboSuffixCaseSql(k: Int, p: Double): String = {
+    val weights = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    val suffix = (1 to k).map(m => weights.drop(m - 1).sum)
+    // CAST wrapper: both engines parse bare decimal literals as DECIMAL;
+    // the cast pins the arithmetic to DOUBLE on each side identically
+    (1 to k)
+      .map(m => s"WHEN $m THEN ${suffix(m - 1)}")
+      .mkString("CAST(CASE greatest(ra, rb) ", " ", " ELSE 0.0 END AS DOUBLE)")
+  }
+
   /** Rolling 7-day Pearson correlation between daily order count and
     * daily revenue, per return flag: the co-movement monitor. The daily
     * rollup is map-combined; the trailing window runs per (flag) over

@@ -569,6 +569,65 @@ class InferenceSpec extends AnyFunSuite {
     assert(row.getAs[Double]("avg_precision") >= base * 0.5)
   }
 
+  test("processCapability indices match the SPC closed forms") {
+    val rows = Inference.processCapability(Tables.lineitem(spark, sfDir)).collect()
+    val byFlag = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    for (r <- rows) {
+      val xs = byFlag(r.getAs[String]("l_returnflag")).map(_._2)
+      val n = xs.size.toDouble
+      val mu = xs.map(_.toDouble).sum / n
+      val sd = math.sqrt(
+        (xs.map(x => x.toDouble * x).sum - (xs.map(_.toDouble).sum / n) * xs.map(_.toDouble).sum) / (n - 1))
+      assert(math.abs(r.getAs[Double]("cp") - 90000.0 / (6 * sd)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("cpk") -
+        math.min(100000 - mu, mu - 10000) / (3 * sd)) < 1e-9)
+      // centered-or-worse: cpk <= cp always
+      assert(r.getAs[Double]("cpk") <= r.getAs[Double]("cp") + 1e-12)
+    }
+  }
+
+  test("abcClassification boundaries respect the integer 80/95 lines") {
+    val rows = Inference.abcClassification(Tables.lineitem(spark, sfDir))
+      .orderBy("rank").collect()
+    val revs = rows.map(r => math.round(r.getAs[Double]("revenue_dollars") * 100))
+    // ranks descend by revenue
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val tot = revs.sum
+    var cum = 0L
+    for ((r, i) <- rows.zipWithIndex) {
+      cum += revs(i)
+      val expected = if (5 * cum <= 4 * tot) "A" else if (20 * cum <= 19 * tot) "B" else "C"
+      assert(r.getAs[String]("abc_class") == expected)
+      assert(math.abs(r.getAs[Double]("cum_share") - cum.toDouble / tot) < 1e-9)
+    }
+    // classes are a monotone partition A* B* C*
+    val cls = rows.map(_.getAs[String]("abc_class")).mkString
+    assert("^A*B*C*$".r.findFirstIn(cls).isDefined)
+  }
+
+  test("rankBiasedOverlap equals the direct depth-sum definition") {
+    val row = Inference.rankBiasedOverlap(Tables.lineitem(spark, sfDir)).collect().head
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def topK(score: ((Long, Long, Long)) => Long): Seq[Long] =
+      li.groupBy(_._1).view.mapValues(_.map(score).sum).toSeq
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1)
+    val (ta, tb) = (topK(_._2), topK(_._3))
+    val p = 0.9
+    var rbo = 0.0
+    for (d <- 1 to 10) {
+      val ov = (ta.take(d).toSet & tb.take(d).toSet).size
+      rbo += (1 - p) * math.pow(p, d - 1) * ov / d
+    }
+    assert(math.abs(row.getAs[Double]("rbo") - rbo) < 1e-9)
+    assert(row.getAs[Long]("n_matched") == (ta.toSet & tb.toSet).size.toLong)
+    assert(row.getAs[Double]("rbo") >= 0.0 && row.getAs[Double]("rbo") <= 1.0)
+  }
+
   test("cohensD matches the pooled-SD closed form") {
     val row = Inference.cohensD(Tables.events(spark, sfDir)).collect().head
     val byType = centsByType()
