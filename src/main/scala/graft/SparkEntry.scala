@@ -563,6 +563,12 @@ object SparkEntry {
       Dedup.dedupAgreement(Tables.documents(s, dir)).orderBy("n_pairs")),
     "q_mannwhitney" -> ((s, dir) =>
       Analytics.mannWhitney(Tables.events(s, dir), "purchase", "click").orderBy("na")),
+    "q_mood_median" -> ((s, dir) =>
+      Inference.moodMedian(Tables.events(s, dir), "purchase", "click").orderBy("median_cents")),
+    "q_cochran_q" -> ((s, dir) =>
+      Inference.cochranQ(Tables.events(s, dir)).orderBy("n_users")),
+    "q_ams_f2" -> ((s, dir) =>
+      TextAnalysis.amsF2(Tables.documents(s, dir)).orderBy("n_tokens")),
     "q_cms" -> ((s, dir) =>
       TextAnalysis.cmsAccuracy(Tables.documents(s, dir)).orderBy("rank")),
     "q_rrf" -> ((s, dir) =>
@@ -3520,6 +3526,52 @@ object SparkEntry {
                              CAST(tie3 AS DOUBLE) /
                              (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))) AS z
          FROM u ORDER BY na""",
+    "q_mood_median" ->
+      s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+         cumt AS (SELECT x, CAST(sum(a + b) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c FROM g),
+         nn AS (SELECT CAST(sum(a + b) AS BIGINT) AS n FROM g),
+         med AS (SELECT CAST(min(x) AS BIGINT) AS median_cents
+                 FROM cumt CROSS JOIN nn WHERE 2 * c >= n),
+         tab AS (SELECT max(median_cents) AS median_cents,
+                        CAST(sum(CASE WHEN x > median_cents THEN a ELSE 0 END) AS BIGINT) AS a_above,
+                        CAST(sum(CASE WHEN x <= median_cents THEN a ELSE 0 END) AS BIGINT) AS a_below,
+                        CAST(sum(CASE WHEN x > median_cents THEN b ELSE 0 END) AS BIGINT) AS b_above,
+                        CAST(sum(CASE WHEN x <= median_cents THEN b ELSE 0 END) AS BIGINT) AS b_below
+                 FROM g CROSS JOIN med)
+         SELECT median_cents, a_above, a_below, b_above, b_below,
+                ${Inference.moodChi2Sql} AS chi2
+         FROM tab ORDER BY median_cents""",
+    "q_cochran_q" ->
+      s"""WITH pres AS (SELECT user_id, event_type,
+                        CASE WHEN max(CAST(round(value * 100) AS BIGINT)) >= 10000
+                             THEN 1 ELSE 0 END AS v
+                        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+                        GROUP BY 1, 2),
+         r AS (SELECT user_id, CAST(sum(v) AS BIGINT) AS r FROM pres GROUP BY 1),
+         rs AS (SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(r) AS BIGINT) AS t,
+                       CAST(sum(r * r) AS BIGINT) AS sum_r2 FROM r),
+         c AS (SELECT event_type, CAST(sum(v) AS BIGINT) AS c FROM pres GROUP BY 1),
+         cs AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM c)
+         SELECT n_users, t, sum_r2, sum_c2, ${Inference.cochranQSql(3)} AS q_stat
+         FROM rs CROSS JOIN cs ORDER BY n_users""",
+    "q_ams_f2" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+         sg AS (SELECT cnt,
+                  CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket,
+                  CAST(CAST(concat('0x', substring(md5(tok), 17, 1)) AS UBIGINT) AS BIGINT) % 2 * 2 - 1 AS sgn
+                FROM cnt),
+         sk AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(s * s) AS BIGINT) AS f2_est
+                FROM (SELECT bucket, CAST(sum(sgn * cnt) AS BIGINT) AS s FROM sg GROUP BY 1)),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM cnt)
+         SELECT n_tokens, n_buckets, f2_exact, f2_est,
+                CAST(f2_est - f2_exact AS DOUBLE) / CAST(f2_exact AS DOUBLE) AS rel_err
+         FROM ex CROSS JOIN sk ORDER BY n_tokens""",
     "q_cms" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
          cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM t GROUP BY 1),

@@ -901,4 +901,120 @@ object Inference {
                  / (sqrt(CAST(wn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * sqrt(CAST(wn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
        END"""
+
+  /** Mood's median test between the value distributions of two event
+    * types — the coarser, more outlier-robust sibling of
+    * [[graft.engine.Analytics.mannWhitney]] (which shares its value→count
+    * grid). The grand median is the exact lower median of the MERGED
+    * distribution, read off the bounded cent grid (min x with
+    * 2·cum(x) ≥ N — pure integer, no percentile buffer); the 2×2 table
+    * (above / not-above × group) is four BIGINT sums, and the
+    * Yates-corrected χ² is one fixed IEEE tree over them (shared verbatim
+    * with the oracle via [[moodChi2Sql]]). One fact shuffle to the grid;
+    * everything after runs on the domain-bounded distribution.
+    */
+  def moodMedian(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val grid = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr(Stages.centsSql("value")).as("x"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val cum = Window.partitionBy(lit(1)).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = grid
+      .select(col("x"), sum(col("a") + col("b")).over(cum).as("c"))
+      .crossJoin(broadcast(grid.agg(sum(col("a") + col("b")).as("n"))))
+      .filter(lit(2L) * col("c") >= col("n"))
+      .agg(min(col("x")).as("median_cents"))
+    grid
+      .crossJoin(broadcast(med))
+      .agg(
+        max(col("median_cents")).as("median_cents"),
+        sum(when(col("x") > col("median_cents"), col("a")).otherwise(0L)).as("a_above"),
+        sum(when(col("x") <= col("median_cents"), col("a")).otherwise(0L)).as("a_below"),
+        sum(when(col("x") > col("median_cents"), col("b")).otherwise(0L)).as("b_above"),
+        sum(when(col("x") <= col("median_cents"), col("b")).otherwise(0L)).as("b_below"))
+      .select(
+        col("median_cents"), col("a_above"), col("a_below"),
+        col("b_above"), col("b_below"),
+        expr(moodChi2Sql).as("chi2"))
+  }
+
+  /** Yates-continuity-corrected 2×2 χ² over (a_above, a_below, b_above,
+    * b_below) BIGINTs: N·(max(|ad−bc|−N/2, 0))² / (row/col margins).
+    * Divisions-first so no product exceeds DOUBLE-exact range at corpus
+    * scale; NULL when any margin is empty. Shared verbatim with the
+    * oracle.
+    */
+  def moodChi2Sql: String =
+    """CASE WHEN (a_above + a_below) = 0 OR (b_above + b_below) = 0
+              OR (a_above + b_above) = 0 OR (a_below + b_below) = 0 THEN NULL
+            ELSE CAST(a_above + a_below + b_above + b_below AS DOUBLE)
+                 * greatest(abs(CAST(a_above AS DOUBLE) * CAST(b_below AS DOUBLE)
+                                - CAST(a_below AS DOUBLE) * CAST(b_above AS DOUBLE))
+                            - CAST(a_above + a_below + b_above + b_below AS DOUBLE) / 2.0, 0.0)
+                 / CAST(a_above + a_below AS DOUBLE)
+                 * (greatest(abs(CAST(a_above AS DOUBLE) * CAST(b_below AS DOUBLE)
+                                 - CAST(a_below AS DOUBLE) * CAST(b_above AS DOUBLE))
+                             - CAST(a_above + a_below + b_above + b_below AS DOUBLE) / 2.0, 0.0)
+                    / CAST(b_above + b_below AS DOUBLE))
+                 / CAST(a_above + b_above AS DOUBLE)
+                 / CAST(a_below + b_below AS DOUBLE)
+       END"""
+
+  /** Cochran's Q test for equality of proportions across k related
+    * binary treatments — here "did the user emit a high-value (≥
+    * `caseCents`) event of type j", the repeated-measures sibling of
+    * [[graft.text.TextAnalysis.mcnemar]]'s 2-treatment case. (Bare
+    * presence is degenerate on real activity data — every active user
+    * touches every type — so the indicator thresholds on value, like the
+    * library's other caseCents case definitions.) One map-combined
+    * (user × type) max aggregate, then the per-user row sums R_i and
+    * per-type column sums C_j; the closed form
+    * Q = (k−1)(k·ΣC_j² − T²)/(k·T − ΣR_i²) is pure BIGINT until one
+    * division (T = ΣR_i = ΣC_j). ΣC_j² is a k-term integer sum —
+    * order-free by construction; no per-user data survives the second
+    * aggregate, so the output is one row at any corpus size.
+    */
+  def cochranQ(
+      events: DataFrame,
+      types: Seq[String] = Seq("view", "click", "purchase"),
+      caseCents: Long = 10000L): DataFrame = {
+    val k = types.length
+    val pres = events
+      .filter(col("event_type").isin(types: _*))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(expr(Stages.centsSql("value"))).as("mx"))
+      .select(
+        col("user_id"), col("event_type"),
+        when(col("mx") >= caseCents, 1L).otherwise(0L).as("v"))
+    val rows = pres
+      .groupBy(col("user_id"))
+      .agg(sum(col("v")).as("r"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("r")).as("t"),
+        sum(col("r") * col("r")).as("sum_r2"))
+    val cols2 = pres
+      .groupBy(col("event_type"))
+      .agg(sum(col("v")).as("c"))
+      .agg(sum(col("c") * col("c")).as("sum_c2"))
+    rows
+      .crossJoin(broadcast(cols2))
+      .select(
+        col("n_users"), col("t"), col("sum_r2"), col("sum_c2"),
+        expr(cochranQSql(k)).as("q_stat"))
+  }
+
+  /** Q = (k−1)(k·ΣC² − T²)/(kT − ΣR²) over BIGINTs; NULL when the
+    * denominator degenerates (every user hit all k types, or none).
+    * Shared verbatim with the oracle.
+    */
+  def cochranQSql(k: Int): String =
+    s"""CASE WHEN $k * t - sum_r2 = 0 THEN NULL
+             ELSE CAST(($k - 1) * ($k * sum_c2 - t * t) AS DOUBLE)
+                  / CAST($k * t - sum_r2 AS DOUBLE)
+        END"""
 }

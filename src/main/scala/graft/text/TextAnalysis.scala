@@ -1232,4 +1232,40 @@ object TextAnalysis {
         col("rank"), col("tok"), col("true_cnt"), col("cms_est"),
         (col("cms_est") - col("true_cnt")).as("err"))
   }
+
+  /** AMS / CountSketch estimate of the corpus token second frequency
+    * moment F₂ = Σ c(tok)² — the self-join-size statistic that prices
+    * every similarity self-join in this library before running it. Each
+    * token gets a ±1 sign (parity of md5 hex digit 17 — disjoint from
+    * the 16 digits the bucket hash consumes) and one of `buckets`
+    * counters; the sketch S_b = Σ sign·count is a map-side-combinable
+    * BIGINT sum down to `buckets` cells at any corpus size, and
+    * Σ S_b² is the unbiased F₂ estimate — pure integers end to end
+    * (E[estimate] = F₂ because cross-token sign products cancel). The
+    * exact F₂ alongside is the test harness; at 100 TB only the sketch
+    * runs. Signed relative error is the one DOUBLE, shared verbatim
+    * with the oracle.
+    */
+  def amsF2(documents: DataFrame, buckets: Int = 256): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val signed = counts.select(
+      col("cnt"),
+      expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $buckets").as("bucket"),
+      expr("CAST(conv(substring(md5(tok), 17, 1), 16, 10) AS BIGINT) % 2 * 2 - 1").as("sgn"))
+    val sketch = signed
+      .groupBy(col("bucket"))
+      .agg(sum(col("sgn") * col("cnt")).as("s"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("s") * col("s")).as("f2_est"))
+    val exact = counts.agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("cnt") * col("cnt")).as("f2_exact"))
+    exact
+      .crossJoin(broadcast(sketch))
+      .select(
+        col("n_tokens"), col("n_buckets"), col("f2_exact"), col("f2_est"),
+        expr("CAST(f2_est - f2_exact AS DOUBLE) / CAST(f2_exact AS DOUBLE)").as("rel_err"))
+  }
 }
