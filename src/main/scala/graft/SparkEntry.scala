@@ -706,6 +706,10 @@ object SparkEntry {
       Analytics.cooksDistanceTopK(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_acf" -> ((s, dir) =>
       Analytics.acfLadder(Tables.events(s, dir)).orderBy("lag")),
+    "q_pacf" -> ((s, dir) =>
+      Analytics.pacf(Tables.events(s, dir)).orderBy("n_days")),
+    "q_ljung_box" -> ((s, dir) =>
+      Analytics.ljungBox(Tables.events(s, dir)).orderBy("n_days")),
     "q_skew_kurt" -> ((s, dir) =>
       Analytics.skewKurtosis(Tables.events(s, dir)).orderBy("event_type")),
     "q_wls" -> ((s, dir) =>
@@ -862,6 +866,27 @@ object SparkEntry {
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), " +
       "i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+
+  /** DuckDB CTE chain producing the one-row ACF sufficient-statistics
+    * table `ss(n, see, num1..num{maxLag})` — the oracle twin of
+    * [[graft.engine.Analytics.acfSuffStats]].
+    */
+  private def duckAcfSuffCtes(maxLag: Int): String = {
+    val wide = (1 to maxLag)
+      .map(k => s"CAST(coalesce(sum(CASE WHEN lag = $k THEN num END), 0) AS BIGINT) AS num$k")
+      .mkString(", ")
+    s"""daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily),
+        dm AS (SELECT d, n, n * y - s AS e FROM daily, tot),
+        den AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(e * e) AS BIGINT) AS see FROM dm),
+        lags AS (SELECT CAST(unnest(generate_series(1, $maxLag)) AS BIGINT) AS lag),
+        p AS (SELECT lag, CAST(sum(a.e * b.e) AS BIGINT) AS num
+              FROM dm a, lags, dm b WHERE a.d + lag = b.d GROUP BY 1),
+        w AS (SELECT $wide FROM p),
+        ss AS (SELECT den.n, den.see, w.* FROM den, w)"""
+  }
 
   /** DuckDB k-core peel, generated: the co-order edge build followed by
     * `rounds` unrolled (degree → keep → prune) CTE stages with a
@@ -4365,6 +4390,18 @@ object SparkEntry {
                 (CAST(sum(ape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mape,
                 (CAST(sum(sape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS smape
          FROM e""",
+    "q_pacf" ->
+      s"""WITH ${duckAcfSuffCtes(3)}
+         SELECT n AS n_days, see, num1, num2, num3,
+                ${Analytics.rSql(1)} AS pacf1,
+                ${Analytics.pacf2Sql} AS pacf2,
+                ${Analytics.pacf3Sql} AS pacf3
+         FROM ss ORDER BY n_days""",
+    "q_ljung_box" ->
+      s"""WITH ${duckAcfSuffCtes(7)},
+         ss2 AS (SELECT n AS n_days, see, num1, num2, num3, num4, num5, num6, num7 FROM ss)
+         SELECT n_days, see, ${Analytics.ljungBoxSql(7)} AS q_lb
+         FROM ss2 ORDER BY n_days""",
     "q_acf" ->
       """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y

@@ -3632,6 +3632,105 @@ object Analytics {
         expr("CAST(num AS DOUBLE) / CAST(see AS DOUBLE)").as("acf"))
   }
 
+  /** One-row ACF sufficient statistics of daily revenue: day count `n`,
+    * scaled-residual energy `see` = Σd², and per-lag cross products
+    * `num1..num{maxLag}` — the same integer construction as
+    * [[acfLadder]] (d_t = n·y_t − Σy, so no float mean enters), pivoted
+    * wide by a conditional integer aggregate (order-free). Everything
+    * downstream ([[pacf]], [[ljungBox]]) is a fixed IEEE tree over this
+    * one row; all joins run on the calendar-bounded daily table.
+    */
+  def acfSuffStats(events: DataFrame, maxLag: Int): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dm = daily
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), (col("n") * col("y") - col("s")).as("e"))
+    val den = dm.agg(max(col("n")).as("n"), sum(col("e") * col("e")).as("see"))
+    val lags = dm.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    val nums = dm.as("a")
+      .crossJoin(broadcast(lags))
+      .join(
+        broadcast(dm.select(col("d").as("d2"), col("e").as("e2"))),
+        col("a.d") + col("lag") === col("d2"))
+      .groupBy(col("lag"))
+      .agg(sum(col("a.e") * col("e2")).as("num"))
+    val wide = (1 to maxLag).map(k =>
+      coalesce(sum(when(col("lag") === k.toLong, col("num"))), lit(0L))
+        .as(s"num$k"))
+    den.crossJoin(broadcast(nums.agg(wide.head, wide.tail: _*)))
+  }
+
+  /** Partial autocorrelation at lags 1–3 by the Durbin–Levinson
+    * recursion in closed form over the [[acfSuffStats]] row — each φ_kk
+    * one shared-text IEEE tree over the exact BIGINT ratios
+    * r_k = num_k/see (NULL where a denominator degenerates). PACF is
+    * the AR-order fingerprint the ACF ladder can't show (an AR(1)'s ACF
+    * decays forever; its PACF cuts off after lag 1).
+    */
+  def pacf(events: DataFrame): DataFrame =
+    acfSuffStats(events, 3)
+      .select(
+        col("n").as("n_days"), col("see"),
+        col("num1"), col("num2"), col("num3"),
+        expr(s"${rSql(1)}").as("pacf1"),
+        expr(pacf2Sql).as("pacf2"),
+        expr(pacf3Sql).as("pacf3"))
+
+  /** r_k as DOUBLE — shared verbatim with the oracle. */
+  def rSql(k: Int): String = s"(CAST(num$k AS DOUBLE) / CAST(see AS DOUBLE))"
+
+  /** φ22 = (r2 − r1²)/(1 − r1²). */
+  def pacf2Sql: String = {
+    val (r1, r2) = (rSql(1), rSql(2))
+    s"""CASE WHEN 1.0 - $r1 * $r1 = 0 THEN NULL
+             ELSE ($r2 - $r1 * $r1) / (1.0 - $r1 * $r1) END"""
+  }
+
+  /** φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2) with
+    * φ21 = r1·(1 − φ22) — the lag-3 Durbin–Levinson step expanded to
+    * one expression.
+    */
+  def pacf3Sql: String = {
+    val (r1, r2, r3) = (rSql(1), rSql(2), rSql(3))
+    val p2 = s"(($r2 - $r1 * $r1) / (1.0 - $r1 * $r1))"
+    val p21 = s"($r1 * (1.0 - $p2))"
+    s"""CASE WHEN 1.0 - $r1 * $r1 = 0
+              OR 1.0 - $p21 * $r1 - $p2 * $r2 = 0 THEN NULL
+             ELSE ($r3 - $p21 * $r2 - $p2 * $r1)
+                  / (1.0 - $p21 * $r1 - $p2 * $r2) END"""
+  }
+
+  /** Ljung–Box portmanteau statistic over lags 1..7 of the daily
+    * revenue ACF: Q = n(n+2)·Σ r_k²/(n−k), the "is there ANY serial
+    * structure" gate run before fitting a forecaster. The Σ is a
+    * FIXED-ORDER seven-term expression over the [[acfSuffStats]] row
+    * (never a float aggregate an engine could reorder); the χ² p-value
+    * needs exp and is deliberately not emitted, like the rest of
+    * [[graft.engine.Inference]].
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 7): DataFrame =
+    acfSuffStats(events, maxLag)
+      .withColumnRenamed("n", "n_days")
+      .select(
+        col("n_days"), col("see"),
+        expr(ljungBoxSql(maxLag)).as("q_lb"))
+
+  /** n(n+2)·(((t1 + t2) + ...) + tm), t_k = r_k²/(n−k). Shared verbatim
+    * with the oracle; uses output column name n_days.
+    */
+  def ljungBoxSql(maxLag: Int): String = {
+    val terms = (1 to maxLag)
+      .map { k =>
+        val r = s"(CAST(num$k AS DOUBLE) / CAST(see AS DOUBLE))"
+        s"($r * $r / CAST(n_days - $k AS DOUBLE))"
+      }
+      .reduce((a, b) => s"($a + $b)")
+    s"CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) * $terms"
+  }
+
   /** Skewness and excess kurtosis of event value per type, from ONE
     * pass of exact integer power sums (whole-dollar grid — Σy⁴ stays
     * inside BIGINT to ~10⁹ rows of 3-digit values; past that the next
