@@ -635,6 +635,12 @@ object SparkEntry {
       Similarity.jlDistortion(Tables.embeddings(s, dir)).orderBy("va", "vb")),
     "q_link_predict" -> ((s, dir) =>
       Graph.linkPrediction(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_harmonic" -> ((s, dir) =>
+      Graph.harmonicTopK(Tables.lineitem(s, dir)).orderBy("seed")),
+    "q_hits" -> ((s, dir) =>
+      Graph.hitsTopK(Tables.lineitem(s, dir), Tables.orders(s, dir)).orderBy("rank")),
+    "q_resource_alloc" -> ((s, dir) =>
+      Graph.resourceAllocationTopK(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_local_volume" -> ((s, dir) =>
       Relational.localSupplierVolume(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -5085,6 +5091,62 @@ object SparkEntry {
                       CAST(row_number() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS BIGINT) AS rank
                FROM sc)
          SELECT rank, a, b, cn, jaccard FROM r WHERE rank <= 10 ORDER BY rank""",
+    "q_harmonic" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         bidir AS (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+         deg AS (SELECT src AS node, count(*) AS deg FROM bidir GROUP BY 1),
+         seeds AS (SELECT node AS seed FROM deg ORDER BY deg DESC, node ASC LIMIT 10),
+         f1 AS (SELECT DISTINCT s.seed, b.dst AS node FROM seeds s JOIN bidir b ON b.src = s.seed
+                WHERE b.dst <> s.seed),
+         f2 AS (SELECT DISTINCT f.seed, b.dst AS node FROM f1 f JOIN bidir b ON b.src = f.node
+                WHERE b.dst <> f.seed
+                  AND NOT EXISTS (SELECT 1 FROM f1 x WHERE x.seed = f.seed AND x.node = b.dst)),
+         f3 AS (SELECT DISTINCT f.seed, b.dst AS node FROM f2 f JOIN bidir b ON b.src = f.node
+                WHERE b.dst <> f.seed
+                  AND NOT EXISTS (SELECT 1 FROM f1 x WHERE x.seed = f.seed AND x.node = b.dst)
+                  AND NOT EXISTS (SELECT 1 FROM f2 x WHERE x.seed = f.seed AND x.node = b.dst)),
+         u AS (SELECT seed, node, 1 AS hop FROM f1
+               UNION ALL SELECT seed, node, 2 FROM f2
+               UNION ALL SELECT seed, node, 3 FROM f3)
+         SELECT seed,
+                CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(6 // hop) AS BIGINT) AS h6
+         FROM u GROUP BY 1 ORDER BY seed""",
+    "q_hits" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         h1r AS (SELECT c, CAST(count(*) * 1000 AS BIGINT) AS raw FROM edges GROUP BY 1),
+         h1 AS (SELECT c, CAST(round(CAST(raw AS DOUBLE) * 1000 / CAST((SELECT max(raw) FROM h1r) AS DOUBLE)) AS BIGINT) AS v FROM h1r),
+         a1r AS (SELECT p, CAST(sum(v) AS BIGINT) AS raw FROM edges JOIN h1 USING (c) GROUP BY 1),
+         a1 AS (SELECT p, CAST(round(CAST(raw AS DOUBLE) * 1000 / CAST((SELECT max(raw) FROM a1r) AS DOUBLE)) AS BIGINT) AS a FROM a1r),
+         h2r AS (SELECT c, CAST(sum(a) AS BIGINT) AS raw FROM edges JOIN a1 USING (p) GROUP BY 1),
+         h2 AS (SELECT c, CAST(round(CAST(raw AS DOUBLE) * 1000 / CAST((SELECT max(raw) FROM h2r) AS DOUBLE)) AS BIGINT) AS v FROM h2r),
+         a2 AS (SELECT p, CAST(sum(v) AS BIGINT) AS auth_raw FROM edges JOIN h2 USING (c) GROUP BY 1),
+         r AS (SELECT p AS p_partkey, auth_raw,
+                      CAST(row_number() OVER (ORDER BY auth_raw DESC, p ASC) AS BIGINT) AS rank
+               FROM a2)
+         SELECT rank, p_partkey, auth_raw FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q_resource_alloc" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         adj AS (SELECT pa AS node, pb AS nb FROM e0 UNION ALL SELECT pb, pa FROM e0),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         adjq AS (SELECT adj.node, adj.nb, 1000000 // d.deg AS q
+                  FROM adj JOIN deg d ON d.node = adj.nb),
+         sc AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cn,
+                       CAST(sum(x.q) AS BIGINT) AS ra_micro
+                FROM adjq x JOIN adjq y ON x.nb = y.nb AND x.node < y.node GROUP BY 1, 2),
+         ne AS (SELECT sc.a, sc.b, sc.cn, sc.ra_micro FROM sc
+                WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE pa = sc.a AND pb = sc.b)),
+         r AS (SELECT a, b, cn, ra_micro,
+                      CAST(row_number() OVER (ORDER BY ra_micro DESC, a ASC, b ASC) AS BIGINT) AS rank
+               FROM ne)
+         SELECT rank, a, b, cn, ra_micro FROM r WHERE rank <= 10 ORDER BY rank""",
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id, event_id,
                       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 900 AS start_sec,

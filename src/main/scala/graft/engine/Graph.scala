@@ -385,4 +385,126 @@ object Graph {
         sum(col("y") * col("y")).as("syy"))
       .select(col("n"), expr(corr).as("assortativity"))
   }
+
+  /** Truncated harmonic centrality for the `k` highest-degree seeds of
+    * the support-thresholded co-order graph: Σ 1/d over nodes within
+    * `maxHops`, with 1/d on the SIXTHS grid (6/1, 6/2, 6/3 = 6, 3, 2 —
+    * pure integers, so the cross-node sum is order-free). All-pairs
+    * harmonic centrality is |V|·BFS and off the table at corpus scale;
+    * seeding at the top-k degree nodes bounds the work to k bounded-hop
+    * frontier expansions (each hop one join + anti-join on the edge
+    * list), the ego-network probe an analyst actually runs. Frontiers
+    * carry (seed, node) pairs — k× the single-source cost, never |V|×.
+    */
+  def harmonicTopK(
+      lineitem: DataFrame,
+      k: Int = 10,
+      maxHops: Int = 3,
+      minSupport: Int = 2): DataFrame = {
+    val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
+    val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      .cache()
+    val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seeds = Relational
+      .rankedTopK(deg, k, col("deg").desc, col("node").asc)
+      .select(col("node").as("seed"))
+    var reached = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hop"))
+      .cache()
+    var frontier = reached.select(col("seed"), col("node"))
+    for (h <- 1 to maxHops) {
+      val next = frontier
+        .join(bidir, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+        .join(reached.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .cache()
+      reached = reached.union(next.withColumn("hop", lit(h.toLong))).cache()
+      frontier = next
+    }
+    reached
+      .filter(col("hop") > 0L)
+      .groupBy(col("seed"))
+      .agg(
+        sum(when(col("hop") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("hop") === 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("hop") === 3L, 1L).otherwise(0L)).as("n3"),
+        sum(expr("6 div hop")).as("h6"))
+  }
+
+  /** Two quantized HITS iterations on the customer→part purchase
+    * bipartite graph (hubs = customers, authorities = parts), reporting
+    * the top-`k` authorities. Each half-step is ONE edge aggregation
+    * (score mass flows along the |E|-bounded distinct edge list — the
+    * shape that survives any corpus size), and the iterate re-quantizes
+    * to the milli grid (round(1000·v/max)) after every half-step so all
+    * flowing mass is BIGINT-exact — the same discipline as
+    * [[graft.similarity.Similarity.powerIteration]]; floating point
+    * exists only inside the per-step rounding division, on
+    * oracle-identical text.
+    */
+  def hitsTopK(lineitem: DataFrame, orders: DataFrame, k: Int = 20): DataFrame = {
+    val edges = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .cache()
+    def renorm(df: DataFrame, key: String, raw: String): DataFrame = {
+      val mx = df.agg(max(col(raw)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(
+          col(key),
+          expr(s"CAST(round(CAST($raw AS DOUBLE) * 1000 / CAST(mx AS DOUBLE)) AS BIGINT)")
+            .as("v"))
+    }
+    // auth0 = 1000 for every part; hub1 = Σ auth0 over the customer's parts
+    val hub1 = renorm(
+      edges.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("raw")), "c", "raw")
+    val auth1 = renorm(
+      edges.join(hub1, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("v")).as("raw")), "p", "raw")
+    val hub2 = renorm(
+      edges.join(auth1.withColumnRenamed("v", "a"), Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c", "raw")
+    val auth2 = edges
+      .join(hub2, Seq("c"))
+      .groupBy(col("p"))
+      .agg(sum(col("v")).as("auth_raw"))
+    Relational
+      .rankedTopK(auth2, k, col("auth_raw").desc, col("p").asc)
+      .select(col("rank"), col("p").as("p_partkey"), col("auth_raw"))
+  }
+
+  /** Resource-allocation link prediction: score non-adjacent part pairs
+    * by Σ_z 1/deg(z) over common neighbors z — Adamic–Adar without the
+    * non-portable ln, each 1/deg on the MICRO grid (10⁶ div deg, an
+    * integer) so the per-pair sum is order-free. Same wedge-join shape
+    * as [[linkPrediction]] (bounded by the thresholded degree), with
+    * the weight joined onto the wedge CENTER before pairing; top-k via
+    * distributed TakeOrdered.
+    */
+  def resourceAllocationTopK(
+      lineitem: DataFrame,
+      k: Int = 10,
+      minSupport: Int = 2): DataFrame = {
+    val e = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+      .cache()
+    val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
+      .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adjq = adj.join(
+      deg.select(col("node").as("nb"), expr("1000000 div deg").as("q")),
+      Seq("nb"))
+    val scored = adjq.as("x")
+      .join(adjq.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("x.q")).as("ra_micro"))
+    val nonEdge = scored.join(e, scored("a") === e("pa") && scored("b") === e("pb"), "left_anti")
+    Relational
+      .rankedTopK(nonEdge, k, col("ra_micro").desc, col("a").asc, col("b").asc)
+      .select(col("rank"), col("a"), col("b"), col("cn"), col("ra_micro"))
+  }
 }
