@@ -641,6 +641,12 @@ object SparkEntry {
       Graph.hitsTopK(Tables.lineitem(s, dir), Tables.orders(s, dir)).orderBy("rank")),
     "q_resource_alloc" -> ((s, dir) =>
       Graph.resourceAllocationTopK(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_holt" -> ((s, dir) =>
+      Analytics.holtLinear(Tables.events(s, dir)).orderBy("n_days")),
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfAudit(Tables.documents(s, dir)).orderBy("rank")),
+    "q_incr_dedup" -> ((s, dir) =>
+      Dedup.incrementalDedup(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_local_volume" -> ((s, dir) =>
       Relational.localSupplierVolume(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -4396,6 +4402,51 @@ object SparkEntry {
                 (CAST(sum(ape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mape,
                 (CAST(sum(sape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS smape
          FROM e""",
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                        FROM events GROUP BY 1),
+         days AS (SELECT y, row_number() OVER (ORDER BY d) AS i FROM daily),
+         rec AS (
+           SELECT i, y * 4 AS l, CAST(0 AS BIGINT) AS b FROM days WHERE i = 1
+           UNION ALL
+           SELECT dd.i,
+                  (2 * dd.y * 4 + 2 * (rec.l + rec.b)) // 4,
+                  ((2 * dd.y * 4 + 2 * (rec.l + rec.b)) // 4 - rec.l + 3 * rec.b) // 4
+           FROM rec JOIN days dd ON dd.i = rec.i + 1)
+         SELECT CAST((SELECT max(i) FROM days) AS BIGINT) AS n_days,
+                l AS level_q, b AS trend_q,
+                CAST(l + 7 * b AS DOUBLE) / 400.0 AS forecast7_dollars
+         FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days""",
+    "q_zipf" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         c1 AS (SELECT CAST(max(n) AS BIGINT) AS c1 FROM c),
+         r AS (SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c)
+         SELECT rank, token, n, rank * n AS rf,
+                CAST(rank * n AS DOUBLE) / CAST(c1 AS DOUBLE) AS rf_ratio
+         FROM r, c1 WHERE rank <= 30 ORDER BY rank""",
+    "q_incr_dedup" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         sp AS (SELECT doc_id, sig,
+                  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 5 = 0 AS is_batch
+                FROM sig),
+         bands AS (SELECT doc_id, is_batch, sig, unnest(generate_series(0,7)) AS band FROM sp),
+         keyed AS (SELECT doc_id, is_batch, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         batch AS (SELECT DISTINCT doc_id FROM keyed WHERE is_batch),
+         dup AS (SELECT DISTINCT k.doc_id FROM keyed k
+                 WHERE k.is_batch AND EXISTS (SELECT 1 FROM keyed h2
+                   WHERE NOT h2.is_batch AND h2.band = k.band AND h2.bsig = k.bsig))
+         SELECT b.doc_id, b.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+         FROM batch b ORDER BY doc_id""",
     "q_pacf" ->
       s"""WITH ${duckAcfSuffCtes(3)}
          SELECT n AS n_days, see, num1, num2, num3,

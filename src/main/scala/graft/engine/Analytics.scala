@@ -3718,6 +3718,44 @@ object Analytics {
         col("n_days"), col("see"),
         expr(ljungBoxSql(maxLag)).as("q_lb"))
 
+  /** Holt linear-trend exponential smoothing of daily revenue with
+    * α = 1/2, β = 1/4, run entirely on the quarter-cent integer grid:
+    * level/trend live as BIGINTs scaled ×4, each update is
+    * l' = (2·4y + 2(l+b)) div 4, b' = (l'−l+3b) div 4 — truncating
+    * integer division, identical on any engine, so the whole recursion
+    * is bit-exact with no shared-text discipline needed. The recursion
+    * is inherently sequential, but its domain is the CALENDAR (the
+    * daily rollup is map-combined and |days|-bounded at any corpus
+    * size), so one `aggregate` fold over the collected day array is the
+    * honest distributed shape — the corpus never serializes, only the
+    * bounded series does. The only float is the final forecast
+    * division, shared verbatim with the oracle.
+    */
+  def holtLinear(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    daily
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      .select(expr("CAST(size(xs) AS BIGINT)").as("n_days"), expr(holtFoldSql).as("st"))
+      .select(
+        col("n_days"),
+        col("st.l").as("level_q"),
+        col("st.b").as("trend_q"),
+        expr("CAST(st.l + 7 * st.b AS DOUBLE) / 400.0").as("forecast7_dollars"))
+  }
+
+  /** The Holt fold: init (l, b) = (4·y₁, 0), then the α=1/2, β=1/4
+    * integer update over the day-sorted tail.
+    */
+  def holtFoldSql: String =
+    """aggregate(
+         slice(xs, 2, size(xs) - 1),
+         named_struct('l', element_at(xs, 1).y * 4, 'b', CAST(0 AS BIGINT)),
+         (acc, x) -> named_struct(
+           'l', (2 * x.y * 4 + 2 * (acc.l + acc.b)) div 4,
+           'b', ((2 * x.y * 4 + 2 * (acc.l + acc.b)) div 4 - acc.l + 3 * acc.b) div 4))"""
+
   /** n(n+2)·(((t1 + t2) + ...) + tm), t_k = r_k²/(n−k). Shared verbatim
     * with the oracle; uses output column name n_days.
     */

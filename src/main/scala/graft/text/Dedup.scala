@@ -610,4 +610,44 @@ object Dedup {
                    / (CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)
                       + CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE)) END""").as("f1"))
   }
+
+  /** Incremental (batch-vs-history) dedup — the streaming face of
+    * MinHash dedup: an arriving batch (docs with md5(doc_id) ≡ 0 mod 5,
+    * the library's deterministic hash-split convention) is screened
+    * against the historical corpus by LSH band buckets, and each batch
+    * doc is flagged dup iff ANY of its bands collides with a history
+    * doc's bucket. The screen is a left-SEMI join on (band, band_sig) —
+    * history signatures stream through the join without materializing
+    * candidate pairs, which is what makes per-batch dedup affordable
+    * when history is 100 TB (in production the history side is a
+    * pre-built band-bucket index; here it derives from the same corpus).
+    */
+  def incrementalDedup(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
+      .withColumn(
+        "is_batch",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 5 = 0"))
+    val withBands = sigs.select(
+      col("doc_id"),
+      col("is_batch"),
+      posexplode(
+        array((0 until numBands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+        .as(Seq("band", "band_sig")))
+    val hist = withBands.filter(!col("is_batch")).select(col("band"), col("band_sig"))
+    val batchBands = withBands.filter(col("is_batch"))
+    val dup = batchBands
+      .join(hist, Seq("band", "band_sig"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    batchBands
+      .select(col("doc_id"))
+      .distinct()
+      .join(dup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+  }
 }

@@ -1246,6 +1246,28 @@ object TextAnalysis {
     * runs. Signed relative error is the one DOUBLE, shared verbatim
     * with the oracle.
     */
+  /** Zipf's-law audit of the corpus token distribution: for the top-`n`
+    * tokens, rank·count (Zipf predicts ≈ constant = the top count) and
+    * its ratio to the rank-1 count. Entirely integer until the one
+    * shared-text ratio — no logs, no log-log fit (ln isn't correctly
+    * rounded across engines; the rank·frequency product reads the same
+    * law without it). One map-combined count + distributed TakeOrdered.
+    */
+  def zipfAudit(documents: DataFrame, topN: Int = 30): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val c1 = counts.agg(max(col("n")).as("c1"))
+    graft.engine.Relational
+      .rankedTopK(counts, topN, col("n").desc, col("token").asc)
+      .crossJoin(broadcast(c1))
+      .select(
+        col("rank"), col("token"), col("n"),
+        (col("rank") * col("n")).as("rf"),
+        expr("CAST(rank * n AS DOUBLE) / CAST(c1 AS DOUBLE)").as("rf_ratio"))
+  }
+
   def amsF2(documents: DataFrame, buckets: Int = 256): DataFrame = {
     val counts = documents
       .select(explode(tokens(col("text"))).as("tok"))
