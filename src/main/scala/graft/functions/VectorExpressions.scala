@@ -208,6 +208,48 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Squared L2 distance to the NEAREST of the literal `centroids` — the
+  * value [[NearestCentroid]] minimizes, exposed for quantizer-distortion
+  * audits. Identical accumulation order (per-element fold, then
+  * `vv − 2·dp + cc`), so the double is reproducible by any engine that
+  * evaluates the same three dot products left-to-right.
+  */
+case class NearestCentroidDist(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ivf_dist"
+
+  private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  private lazy val cc: Array[Double] = cs.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { vv += v.getDouble(i) * v.getDouble(i); i += 1 }
+    var best = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cd = cs(c)
+      val m = math.min(n, cd.length)
+      var dp = 0.0
+      var j = 0
+      while (j < m) { dp += v.getDouble(j) * cd(j); j += 1 }
+      val d = vv - 2.0 * dp + cc(c)
+      if (d < best) { best = d }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column API for [[DotProduct]]. Arguments must be `array<double>`
@@ -234,6 +276,12 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(NearestCentroid(ColumnShim.expression(vec), centroids.map(_.toSeq)))
+  }
+
+  /** Column API for [[NearestCentroidDist]]. */
+  def nearestCentroidDist(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(NearestCentroidDist(ColumnShim.expression(vec), centroids.map(_.toSeq)))
   }
 
   /** Column API for [[Winnow]]. Argument: a string column. */
