@@ -4169,4 +4169,1092 @@ object Analytics {
         expr("CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))")
           .as("ccf"))
   }
+
+  /** Hodges–Lehmann pseudo-median of the daily revenue series: the exact
+    * median of all n(n+1)/2 Walsh averages (yᵢ+yⱼ)/2, i ≤ j. The robust
+    * location estimate behind the Wilcoxon signed-rank test — unlike the
+    * plain median it has ~96% Gaussian efficiency while keeping a 29%
+    * breakdown point. Everything is integer until one shared final
+    * division: Walsh sums s = yᵢ+yⱼ are 2× the average, and the median
+    * is spelled as explicit order statistics (lower+upper middle of the
+    * sorted multiset, summed → 4× the pseudo-median), so both engines
+    * agree bit-for-bit. The corpus collapses to the |days|-bounded daily
+    * rollup before the O(days²) pair join — calendar-bounded at any
+    * corpus scale, so the single-partition rank over ~n²/2 rows is a
+    * constant-size epilogue, not a data-scale window.
+    */
+  def hodgesLehmann(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val a = daily.select(col("d").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("d").as("d2"), col("y").as("y2"))
+    val ranked = a
+      .join(b, col("d1") <= col("d2"))
+      .select((col("y1") + col("y2")).as("s"))
+      .withColumn("r", row_number().over(Window.partitionBy(lit(1)).orderBy(col("s").asc)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val nDays = daily.agg(count(lit(1)).cast("long").as("n_days"))
+    ranked
+      .agg(
+        max(col("m")).cast("long").as("m_pairs"),
+        expr("sum(CASE WHEN r = (m + 1) div 2 THEN s ELSE CAST(0 AS BIGINT) END)").as("v1"),
+        expr("sum(CASE WHEN r = (m + 2) div 2 THEN s ELSE CAST(0 AS BIGINT) END)").as("v2"))
+      .crossJoin(nDays)
+      .select(
+        col("n_days"),
+        col("m_pairs"),
+        (col("v1") + col("v2")).as("hl_x4"),
+        expr("CAST(v1 + v2 AS DOUBLE) / 400.0").as("hl_dollars"))
+  }
+
+  /** Mandelbrot's rescaled-range statistic R/S of the daily revenue
+    * series — the single-window building block of Hurst-exponent
+    * estimation (long-range dependence audit for time-series features).
+    * The range of mean-centred prefix sums is kept integer by scaling
+    * by n: z_k = n·P_k − k·T is BIGINT-exact (P_k the k-day prefix sum,
+    * T the total), and R = (max z − min z)/n with z₀ = 0 included per
+    * the classical definition. S is the population σ from one pass of
+    * integer moments (divide-first form — the n·sxx−sx² product
+    * overflows at scale). The corpus reduces map-side to the
+    * calendar-bounded daily rollup; the prefix window runs over that
+    * bounded series only.
+    */
+  def rescaledRange(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("d").asc)
+    val prefixed = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("t", sum(col("y")).over(Window.partitionBy(lit(1))))
+      .withColumn("z", col("n") * col("p") - col("k") * col("t"))
+    prefixed
+      .agg(
+        max(col("n")).as("n_days"),
+        expr("greatest(max(z), CAST(0 AS BIGINT)) - least(min(z), CAST(0 AS BIGINT))").as("r_scaled"),
+        sum(col("y") * col("y")).as("sxx"),
+        max(col("t")).as("sx"))
+      .select(
+        col("n_days"),
+        col("r_scaled"),
+        expr(
+          """sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
+          .as("sigma"),
+        expr(
+          """(CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
+          .as("rs_stat"))
+  }
+
+  /** Friedman's block rank test plus Page's L trend statistic over the
+    * (day × event_type) design: each complete day is a block, the k
+    * event types are treatments, and the daily revenue cells are ranked
+    * within each day. Ranks use `row_number` with the (value,
+    * event_type) tie-break — the deterministic rank variant, documented
+    * rather than mid-rank averaging, so every rank is an integer and the
+    * rank sums R_j, ΣR_j² and L = Σ j·R_j are BIGINT-exact (j is the
+    * treatment's alphabetical index, the fixed hypothesized ordering).
+    * Only complete blocks (days observing all k treatments) enter, per
+    * the test's definition. The within-day ranking partitions by day —
+    * fully distributed; the final aggregate is k rows.
+    */
+  def friedmanPage(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"), col("event_type"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val k = cells.agg(countDistinct(col("event_type")).cast("long").as("k_treatments"))
+    val complete = cells
+      .withColumn("day_n", count(lit(1)).over(Window.partitionBy(col("d"))).cast("long"))
+      .crossJoin(k)
+      .filter(col("day_n") === col("k_treatments"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(col("d")).orderBy(col("y").asc, col("event_type").asc))
+          .cast("long"))
+    val perTreatment = complete
+      .groupBy(col("event_type"))
+      .agg(sum(col("rank")).as("rj"), count(lit(1)).cast("long").as("n_blocks"))
+      .withColumn(
+        "j",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("event_type").asc)).cast("long"))
+    perTreatment
+      .crossJoin(k)
+      .agg(
+        max(col("n_blocks")).as("n_blocks"),
+        max(col("k_treatments")).as("k_treatments"),
+        sum(col("rj") * col("rj")).as("sum_r2"),
+        sum(col("j") * col("rj")).as("page_l"))
+      .select(
+        col("n_blocks"),
+        col("k_treatments"),
+        col("sum_r2"),
+        expr(
+          """CAST(12 * sum_r2 AS DOUBLE)
+             / CAST(n_blocks * k_treatments * (k_treatments + 1) AS DOUBLE)
+             - CAST(3 * n_blocks * (k_treatments + 1) AS DOUBLE)""").as("friedman_stat"),
+        col("page_l"))
+  }
+
+  /** Isotonic regression of the daily revenue series on the day index,
+    * by the exact minimax characterization of the PAVA solution:
+    * ŷᵢ = max_{j≤i} min_{k≥i} avg(y[j..k]). Averages come from integer
+    * prefix sums (avg = (P_k − P_{j−1})/(k−j+1), one shared double
+    * division), and min/max over IEEE doubles are order-free — so the
+    * O(days³) triple enumeration is bit-exact on both engines with no
+    * sequential pooling loop. The corpus collapses map-side to the
+    * calendar-bounded daily rollup before any join; the cubic epilogue
+    * is constant-bound (days ≤ tens of thousands even at a century of
+    * data, and the monotone fit is usually wanted at coarse grain).
+    * This is the monotone-calibration primitive (score→probability
+    * calibration, dose-response fits) of the training pipeline.
+    */
+  def isotonicDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("d").asc)
+    val idx = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val jk = idx.select(col("i").as("j"), (col("p") - col("y")).as("pj1"))
+      .join(idx.select(col("i").as("k"), col("p").as("pk")), col("j") <= col("k"))
+      .select(
+        col("j"),
+        col("k"),
+        expr("CAST(pk - pj1 AS DOUBLE) / CAST(k - j + 1 AS DOUBLE)").as("avg_jk"))
+    val fitted = jk
+      .join(idx.select(col("i"), col("d"), col("y")), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("d"), col("y"), col("j"))
+      .agg(min(col("avg_jk")).as("mn"))
+      .groupBy(col("i"), col("d"), col("y"))
+      .agg(max(col("mn")).as("fitted_cents"))
+    fitted.select(
+      col("i").as("day_idx"),
+      col("d").as("day_epoch"),
+      col("y").as("y_cents"),
+      col("fitted_cents"),
+      expr("fitted_cents / 100.0").as("fitted_dollars"))
+  }
+
+  /** Deming (orthogonal, δ=1) total-least-squares fit of daily revenue
+    * against daily event count — the errors-in-both-variables regression
+    * (major-axis slope of the centred scatter). Raw moments are one
+    * exact integer pass; centering happens in the divide-first double
+    * form (the n·syy − sy² product overflows BIGINT at scale), and the
+    * closed form slope = (cyy − cxx + √((cyy−cxx)² + 4c²xy)) / (2cxy)
+    * is a fixed expression tree shared verbatim with the oracle.
+    */
+  def demingDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(
+        count(lit(1)).cast("long").as("x"),
+        expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    daily
+      .agg(
+        count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("n_days"),
+        expr(demingSlopeSql).as("slope"),
+        expr(
+          s"""CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - ($demingSlopeSql) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))""").as("intercept"))
+  }
+
+  /** Shared text with the oracle: centred moments in divide-first form,
+    * then the positive-root major-axis slope.
+    */
+  def demingSlopeSql: String = {
+    val mx = "(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    val my = "(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    val cxx = s"(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE) - $mx * $mx)"
+    val cyy = s"(CAST(syy AS DOUBLE) / CAST(n_days AS DOUBLE) - $my * $my)"
+    val cxy = s"(CAST(sxy AS DOUBLE) / CAST(n_days AS DOUBLE) - $mx * $my)"
+    s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) + 4.0 * $cxy * $cxy)) / (2.0 * $cxy))"
+  }
+
+  /** Gumbel extreme-value fit of the daily block maxima by the method of
+    * moments, and the 30-day return level — the tail-risk readout
+    * (capacity planning / anomaly thresholds) of the daily series.
+    * Block maxima are exact integer cents; their mean and σ come from
+    * one integer-moment pass (divide-first). The Gumbel constants √6/π,
+    * Euler's γ, and −ln(−ln(1−1/30)) enter as shared decimal literals —
+    * `ln` is not correctly rounded across engines, but a literal is
+    * parsed to the same IEEE double by both — so β = σ·√6/π,
+    * μ = mean − γβ, and x₃₀ = μ + β·k₃₀ are bit-exact.
+    */
+  def gumbelReturnLevel(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"max(${Stages.centsSql("value")})").as("m"))
+    daily
+      .agg(
+        count(lit(1)).cast("long").as("n_blocks"),
+        sum(col("m")).as("sm"),
+        sum(col("m") * col("m")).as("smm"))
+      .select(
+        col("n_blocks"),
+        expr(s"$gumbelMeanSql / 100.0").as("mean_max_dollars"),
+        expr(s"$gumbelSigmaSql / 100.0").as("sigma_max_dollars"),
+        expr(s"($gumbelMeanSql - 0.5772156649015329 * ($gumbelSigmaSql * 0.779696801233676)) / 100.0")
+          .as("gumbel_mu_dollars"),
+        expr(s"($gumbelSigmaSql * 0.779696801233676) / 100.0").as("gumbel_beta_dollars"),
+        expr(
+          s"""(($gumbelMeanSql - 0.5772156649015329 * ($gumbelSigmaSql * 0.779696801233676))
+              + ($gumbelSigmaSql * 0.779696801233676) * 3.3842944934992527) / 100.0""")
+          .as("return_level30_dollars"))
+  }
+
+  def gumbelMeanSql: String = "(CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE))"
+  def gumbelSigmaSql: String =
+    s"""sqrt(CAST(smm AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+        - $gumbelMeanSql * $gumbelMeanSql)"""
+
+  /** Siegel's repeated-median slope of the daily revenue series — the
+    * 50%-breakdown robust trend (vs 29% for Theil–Sen): the median over
+    * days i of the median over j≠i of pairwise slopes, plus the matching
+    * repeated-median intercept (median of yᵢ − slope·i). Medians use the
+    * LOWER-median order statistic (rank ⌈m/2⌉), the deterministic rule
+    * both engines spell identically — order statistics over IEEE doubles
+    * whose values come from one shared division of exact integers, so
+    * selection is bit-exact even under tied sort orders. The inner
+    * median partitions by i (distributed); the outer passes run on the
+    * |days|-bounded series.
+    */
+  def siegelSlope(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val idx = daily
+      .withColumn("i", row_number().over(Window.partitionBy(lit(1)).orderBy(col("d").asc)).cast("long"))
+    val a = idx.select(col("i").as("i1"), col("y").as("y1"))
+    val b = idx.select(col("i").as("i2"), col("y").as("y2"))
+    val slopes = a
+      .join(b, col("i1") =!= col("i2"))
+      .select(col("i1").as("i"), expr("CAST(y2 - y1 AS DOUBLE) / CAST(i2 - i1 AS DOUBLE)").as("s"))
+    val wI = Window.partitionBy(col("i"))
+    val inner = slopes
+      .withColumn("r", row_number().over(wI.orderBy(col("s").asc)))
+      .withColumn("c", count(lit(1)).over(wI))
+      .filter(expr("r = (c + 1) div 2"))
+      .select(col("i"), col("s").as("med"))
+    val w1 = Window.partitionBy(lit(1))
+    val outer = inner
+      .withColumn("r", row_number().over(w1.orderBy(col("med").asc)))
+      .withColumn("c", count(lit(1)).over(w1))
+      .filter(expr("r = (c + 1) div 2"))
+      .select(col("med").as("slope"))
+    val resid = idx
+      .crossJoin(outer)
+      .select(col("slope"), expr("CAST(y AS DOUBLE) - slope * CAST(i AS DOUBLE)").as("res"))
+    val interceptRow = resid
+      .withColumn("r", row_number().over(w1.orderBy(col("res").asc)))
+      .withColumn("c", count(lit(1)).over(w1))
+      .filter(expr("r = (c + 1) div 2"))
+    val n = daily.agg(count(lit(1)).cast("long").as("n_days"))
+    interceptRow
+      .crossJoin(n)
+      .select(col("n_days"), col("slope"), col("res").as("intercept"))
+  }
+
+  /** Tukey median polish of the (day-of-week × week) revenue matrix —
+    * the robust two-way decomposition (seasonality row effects × weekly
+    * level column effects) that median-based STL variants build on.
+    * Two full iterations of (row sweep, column sweep), each sweep
+    * subtracting the LOWER median of the current residuals — and because
+    * lower medians of integers are integers, the whole polish runs in
+    * exact BIGINT cents: no float discipline needed anywhere. Effects
+    * are emitted long-form (component, key, effect); the grid is 7×weeks
+    * — calendar-bounded — so every sweep is a tiny partitioned window
+    * over an already map-combined aggregate.
+    */
+  def medianPolish(events: DataFrame): DataFrame = {
+    val cells0 = events
+      .groupBy(
+        expr("(CAST(ts AS LONG) div 86400) % 7").as("i"),
+        expr("(CAST(ts AS LONG) div 86400) div 7").as("j"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("r"))
+      .withColumn("a", lit(0L))
+      .withColumn("b", lit(0L))
+    def lowerMed(c: Column, part: Column): Column = {
+      // lower median via sorted frame array — element (cnt+1) div 2
+      val arr = sort_array(collect_list(c).over(Window.partitionBy(part)))
+      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+    }
+    def rowSweep(df: DataFrame): DataFrame = df
+      .withColumn("m", lowerMed(col("r"), col("i")))
+      .select(col("i"), col("j"), (col("r") - col("m")).as("r"), (col("a") + col("m")).as("a"), col("b"))
+    def colSweep(df: DataFrame): DataFrame = df
+      .withColumn("m", lowerMed(col("r"), col("j")))
+      .select(col("i"), col("j"), (col("r") - col("m")).as("r"), col("a"), (col("b") + col("m")).as("b"))
+    val polished = colSweep(rowSweep(colSweep(rowSweep(cells0))))
+    val rowEff = polished.groupBy(col("i").as("key")).agg(max(col("a")).as("effect_cents"))
+      .select(lit("row_dow").as("component"), col("key"), col("effect_cents"))
+    val colEff = polished.groupBy(col("j").as("key")).agg(max(col("b")).as("effect_cents"))
+      .select(lit("col_week").as("component"), col("key"), col("effect_cents"))
+    rowEff
+      .unionAll(colEff)
+      .select(
+        col("component"),
+        col("key"),
+        col("effect_cents"),
+        expr("CAST(effect_cents AS DOUBLE) / 100.0").as("effect_dollars"))
+  }
+
+  /** Hampel filter over the daily revenue series: 7-day centred rolling
+    * LOWER median and rolling MAD (both exact integers — medians of
+    * integer cents), flagging days where |y − med| > 3·MAD. The robust
+    * despiking pass that survives level shifts where z-scores don't.
+    * Frames truncate identically at the series edges on both engines
+    * (ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING). Daily grain — the
+    * window runs over the calendar-bounded rollup, and at stream time
+    * the same frame is a sliding event-time window.
+    */
+  def hampelFilter(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("d").asc).rowsBetween(-3, 3)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("y")).over(w)))
+      .withColumn("med7", expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"))
+      .withColumn("devs", expr("sort_array(transform(arr, x -> abs(x - med7)))"))
+      .withColumn("mad7", expr("element_at(devs, CAST((size(devs) + 1) div 2 AS INT))"))
+      .select(
+        col("d").as("day_epoch"),
+        col("y").as("y_cents"),
+        col("med7"),
+        col("mad7"),
+        (abs(col("y") - col("med7")) > lit(3) * col("mad7")).as("is_outlier"))
+  }
+
+  /** Grubbs' statistic for the daily revenue series: the maximum
+    * studentized deviation G = max|y − ȳ|/σ and the day attaining it
+    * (ties broken by earliest day — selection over shared-text doubles
+    * derived from exact integer moments, so the argmax is bit-portable).
+    * Emitted without the t-based critical value by design — erf/t
+    * quantiles are not cross-engine bit-portable; G itself is.
+    */
+  def grubbsOutlier(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val moments = daily.agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(col("y")).as("sx"),
+      sum(col("y") * col("y")).as("sxx"))
+    val dev = daily
+      .crossJoin(moments)
+      .withColumn(
+        "dev",
+        expr("abs(CAST(y AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))"))
+    dev
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("dev").desc, col("d").asc)))
+      .filter(col("rk") === 1)
+      .select(
+        col("n_days"),
+        col("d").as("day_epoch"),
+        col("y").as("y_cents"),
+        col("dev").as("abs_dev"),
+        expr(
+          """dev / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
+          .as("grubbs_g"))
+  }
+
+  /** Centred-moment SQL text: cov(a,b) in the divide-first form (the
+    * n·s_ab − s_a·s_b product overflows BIGINT at scale). Shared
+    * verbatim between the Spark expressions and the DuckDB oracle so
+    * every downstream double is bit-identical.
+    */
+  def cmomSql(sab: String, sa: String, sb: String): String =
+    s"""(CAST($sab AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST($sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST($sb AS DOUBLE) / CAST(n AS DOUBLE)))"""
+
+  /** Dickey–Fuller unit-root regression (lag 0, with intercept) on the
+    * daily revenue series: Δy_t = α + γ·y_{t−1} + ε. Emits γ̂ and its
+    * t-statistic (the DF test statistic — compared against DF critical
+    * values, not t; no p-value by the library's no-ln/no-erf rule).
+    * Pairs come from the |days|-bounded daily rollup joined to itself on
+    * d+1; all sums are one exact integer pass, every double a
+    * shared-text expression.
+    */
+  def dickeyFuller(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val pairs = daily.select(col("d").as("d1"), col("y").as("l"))
+      .join(daily.select((col("d") - 1).as("d1"), col("y").as("cur")), Seq("d1"))
+      .select(col("l"), (col("cur") - col("l")).as("dy"))
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val cxy = cmomSql("sxy", "sx", "sy")
+    val cyy = cmomSql("syy", "sy", "sy")
+    val gamma = s"($cxy / $cxx)"
+    pairs
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("l")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("l") * col("l")).as("sxx"),
+        sum(col("l") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(
+        col("n").as("n_pairs"),
+        expr(gamma).as("gamma"),
+        expr(
+          s"""$gamma / sqrt((($cyy - $gamma * $cxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * $cxx))""").as("t_stat"))
+  }
+
+  /** Granger-causality F test (lag 1) of daily click counts on daily
+    * purchase revenue: the restricted model y_t ~ y_{t−1} against the
+    * unrestricted y_t ~ y_{t−1} + x_{t−1}, F = (RSS_r − RSS_u)·(n−3) /
+    * RSS_u with both residual sums in closed form (Cramer's rule on the
+    * 2×2 centred-moment system — determinants of shared-text doubles).
+    * The two daily series come from ONE map-combined pass over events
+    * (conditional aggregates), then a |days|-bounded self-join builds
+    * the lag triples.
+    */
+  def grangerF(events: DataFrame): DataFrame = {
+    val daily = dailyClickPurchase(events)
+    val triples = daily.select(col("d").as("d1"), col("y").as("l"), col("x").as("xl"))
+      .join(
+        daily.select((col("d") - 1).as("d1"), col("y").as("cur")),
+        Seq("d1"))
+    val cll = cmomSql("sll", "sl", "sl")
+    val clx = cmomSql("slx", "sl", "sx")
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val cly = cmomSql("sly", "sl", "sy")
+    val cxy = cmomSql("sxy", "sx", "sy")
+    val cyy = cmomSql("syy", "sy", "sy")
+    val det = s"($cll * $cxx - $clx * $clx)"
+    val b1 = s"(($cly * $cxx - $cxy * $clx) / $det)"
+    val b2 = s"(($cll * $cxy - $clx * $cly) / $det)"
+    val rssU = s"($cyy - $b1 * $cly - $b2 * $cxy)"
+    val rssR = s"($cyy - $cly * $cly / $cll)"
+    triples
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("l")).as("sl"),
+        sum(col("xl")).as("sx"),
+        sum(col("cur")).as("sy"),
+        sum(col("l") * col("l")).as("sll"),
+        sum(col("l") * col("xl")).as("slx"),
+        sum(col("xl") * col("xl")).as("sxx"),
+        sum(col("l") * col("cur")).as("sly"),
+        sum(col("xl") * col("cur")).as("sxy"),
+        sum(col("cur") * col("cur")).as("syy"))
+      .select(
+        col("n").as("n_triples"),
+        expr(b1).as("b_lag"),
+        expr(b2).as("b_click"),
+        expr(rssU).as("rss_u_over_n"),
+        expr(rssR).as("rss_r_over_n"),
+        expr(s"(($rssR - $rssU) * CAST(n - 3 AS DOUBLE)) / $rssU").as("f_stat"))
+  }
+
+  /** Baron–Kenny mediation decomposition on the daily grid: does the
+    * click→revenue effect route through view volume? a = slope(m ~ x),
+    * total = slope(y ~ x), and from the two-predictor OLS y ~ x + m the
+    * direct effect and b path; indirect = a·b, and OLS guarantees
+    * total = direct + indirect EXACTLY — the identity the spec pins
+    * (up to shared-expression rounding). Same Cramer-on-centred-moments
+    * machinery as [[grangerF]]; x = clicks, m = views, y = purchase
+    * revenue cents, all three series from one conditional-aggregate
+    * pass.
+    */
+  def mediation(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("m"),
+        sum(when(col("event_type") === "purchase", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("y"))
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val cxm = cmomSql("sxm", "sx", "sm")
+    val cmm = cmomSql("smm", "sm", "sm")
+    val cxy = cmomSql("sxy", "sx", "sy")
+    val cmy = cmomSql("smy", "sm", "sy")
+    val aPath = s"($cxm / $cxx)"
+    val total = s"($cxy / $cxx)"
+    val det = s"($cxx * $cmm - $cxm * $cxm)"
+    val direct = s"(($cxy * $cmm - $cmy * $cxm) / $det)"
+    val bPath = s"(($cxx * $cmy - $cxm * $cxy) / $det)"
+    daily
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("m")).as("sm"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("m") * col("m")).as("smm"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("m") * col("y")).as("smy"))
+      .select(
+        col("n").as("n_days"),
+        expr(aPath).as("a_path"),
+        expr(bPath).as("b_path"),
+        expr(total).as("total_effect"),
+        expr(direct).as("direct_effect"),
+        expr(s"($aPath * $bPath)").as("indirect_effect"))
+  }
+
+  /** Longest increasing and longest decreasing subsequence lengths of
+    * the daily revenue series — the monotone-run complexity features
+    * (trend persistence vs churn) of a sequence. The O(n²) DP runs as
+    * one `aggregate` fold over the day-sorted array: state is the list
+    * of (value, best-length-ending-here) pairs, and each step takes
+    * 1 + max length over smaller (resp. larger) predecessors. Like
+    * [[holtLinear]], the fold's domain is the CALENDAR — the corpus
+    * reduces map-side to the bounded daily series, which alone is
+    * collected into the fold. Pure integer arithmetic: bit-exact with
+    * no float discipline.
+    */
+  def monotoneSubseq(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    def foldSql(cmp: String): String =
+      s"""array_max(transform(
+            aggregate(
+              transform(xs, p -> p.y),
+              CAST(array() AS ARRAY<STRUCT<y: BIGINT, l: BIGINT>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'y', x,
+                'l', 1 + coalesce(array_max(transform(filter(acc, p -> p.y $cmp x), p -> p.l)), CAST(0 AS BIGINT))))),
+            p -> p.l))"""
+    daily
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      .select(
+        expr("CAST(size(xs) AS BIGINT)").as("n_days"),
+        expr(foldSql("<")).as("lis_len"),
+        expr(foldSql(">")).as("lds_len"))
+  }
+
+  /** Seasonal Mann–Kendall trend test: the MK statistic computed WITHIN
+    * each day-of-week series (so weekly seasonality cannot masquerade as
+    * trend), seasons then combined by S = Σ S_g and Var = Σ Var_g
+    * (Hirsch–Slack without the cross-season covariance term, the
+    * standard independent-seasons form). Everything to the final z is
+    * BIGINT-exact: per-season sign sums from a day-pair join partitioned
+    * by season (each side calendar-bounded), per-season tie terms, and
+    * the 18·Var sums. Same continuity correction and shared expression
+    * text as [[mannKendall]].
+    */
+  def seasonalMannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("x"))
+      .withColumn("g", expr("d % 7"))
+    val s = daily.as("i")
+      .join(daily.as("j"), col("i.g") === col("j.g") && col("i.d") < col("j.d"))
+      .agg(coalesce(sum(expr("CAST(sign(j.x - i.x) AS BIGINT)")), lit(0L)).as("s_stat"))
+    val perSeason = daily
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(
+        sum(lit(1L)).as("n_g"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_g"))
+      .agg(
+        count(lit(1)).cast("long").as("n_seasons"),
+        sum(col("n_g")).as("n_days"),
+        sum(col("n_g") * (col("n_g") - 1L) * (lit(2L) * col("n_g") + 5L) - col("tie_g"))
+          .as("var18"))
+    s.crossJoin(broadcast(perSeason))
+      .select(
+        col("n_days"),
+        col("n_seasons"),
+        col("s_stat"),
+        expr("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0)""").as("z"))
+  }
+
+  /** White's heteroskedasticity statistic n·R² for the daily trend
+    * regression: squared residuals of y ~ day-index, regressed on
+    * (i, i²). The residual e is a shared-text double from the
+    * first-stage integer moments; e² is quantized PER ROW to the 1e9-
+    * cents² grid (deterministic — both engines apply the identical
+    * round), so the second-stage sums are order-free BIGINTs (raw Σe⁴
+    * would overflow any integer; a float Σe² would be partition-order-
+    * dependent). The auxiliary R² is then Cramer's rule on centred
+    * moments, divide-first, shared text — the same machinery as
+    * [[grangerF]].
+    */
+  def whiteTest(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+      .withColumn(
+        "i",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("d").asc)).cast("long"))
+    val first = daily.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("i")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("i") * col("i")).as("sxx"),
+      sum(col("i") * col("y")).as("sxy"))
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val cxy = cmomSql("sxy", "sx", "sy")
+    val bTxt = s"($cxy / $cxx)"
+    val aTxt =
+      s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    val eTxt = s"(CAST(y AS DOUBLE) - ($aTxt + $bTxt * CAST(i AS DOUBLE)))"
+    val resid = daily
+      .crossJoin(first)
+      .withColumn("w", expr(s"CAST(round(($eTxt * $eTxt) / 1000000000.0) AS BIGINT)"))
+      .select(col("i"), col("w"))
+    val cuu = cmomSql("suu", "su", "su")
+    val cuv = cmomSql("suv", "su", "sv")
+    val cvv = cmomSql("svv", "sv", "sv")
+    val cuw = cmomSql("suw", "su", "sw")
+    val cvw = cmomSql("svw", "sv", "sw")
+    val cww = cmomSql("sww", "sw", "sw")
+    val det = s"($cuu * $cvv - $cuv * $cuv)"
+    val b1 = s"(($cuw * $cvv - $cvw * $cuv) / $det)"
+    val b2 = s"(($cuu * $cvw - $cuv * $cuw) / $det)"
+    val r2 = s"(($b1 * $cuw + $b2 * $cvw) / $cww)"
+    resid
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("i")).as("su"),
+        sum(col("i") * col("i")).as("sv"),
+        sum(col("w")).as("sw"),
+        sum(col("i") * col("i")).as("suu"),
+        sum(col("i") * col("i") * col("i")).as("suv"),
+        sum(col("i") * col("i") * col("i") * col("i")).as("svv"),
+        sum(col("i") * col("w")).as("suw"),
+        sum(col("i") * col("i") * col("w")).as("svw"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(
+        col("n").as("n_days"),
+        expr(r2).as("r2_aux"),
+        expr(s"CAST(n AS DOUBLE) * $r2").as("white_stat"))
+  }
+
+  /** Turning-point test for randomness of the daily revenue series: T =
+    * #{i : (yᵢ−yᵢ₋₁)(yᵢ₊₁−yᵢ) < 0} (strict local extrema), with the
+    * exact null moments E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90.
+    * Everything is integer until the z — the sign product comes from
+    * lag/lead over the calendar-bounded daily rollup.
+    */
+  def turningPoints(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("d").asc)
+    daily
+      .withColumn("pv", lag(col("y"), 1).over(w))
+      .withColumn("nx", lead(col("y"), 1).over(w))
+      .agg(
+        count(lit(1)).cast("long").as("n_days"),
+        sum(
+          when(col("pv").isNotNull && col("nx").isNotNull
+            && (col("y") - col("pv")) * (col("nx") - col("y")) < 0, 1L).otherwise(0L))
+          .as("t_stat"))
+      .select(
+        col("n_days"),
+        col("t_stat"),
+        expr("CAST(2 * (n_days - 2) AS DOUBLE) / 3.0").as("e_t"),
+        expr(
+          """(CAST(t_stat AS DOUBLE) - CAST(2 * (n_days - 2) AS DOUBLE) / 3.0)
+             / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0)""").as("z"))
+  }
+
+  /** Discrete-Fourier power of the daily revenue series at the weekly
+    * frequency (period 7): A = Σ yₜ·cos(2πt/7), B = Σ yₜ·sin(2πt/7),
+    * P₇ = (A² + B²)/n, plus P₇'s share of n·Var(y) — the spectral
+    * seasonality readout. cos/sin enter as SEVEN fixed decimal literals
+    * (both engines parse them to identical doubles; the angle only
+    * depends on t mod 7), so A and B are integer residue-class sums ×
+    * literals in a FIXED 7-term expression — order-free and bit-exact.
+    */
+  val cos7: Seq[String] = Seq(
+    "1.0", "0.6234898018587336", "-0.22252093395631434", "-0.900968867902419",
+    "-0.9009688679024191", "-0.2225209339563146", "0.6234898018587334")
+  val sin7: Seq[String] = Seq(
+    "0.0", "0.7818314824680298", "0.9749279121818236", "0.43388373911755823",
+    "-0.433883739117558", "-0.9749279121818236", "-0.7818314824680299")
+
+  /** Shared DFT texts over residue-class sums s0..s6. */
+  def periodogram7ATxt: String =
+    (0 until 7).map(r => s"CAST(s$r AS DOUBLE) * ${cos7(r)}").mkString("(", " + ", ")")
+  def periodogram7BTxt: String =
+    (0 until 7).map(r => s"CAST(s$r AS DOUBLE) * ${sin7(r)}").mkString("(", " + ", ")")
+
+  def periodogram7(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val aggCols =
+      (0 until 7).map(r => sum(when(expr(s"d % 7 = $r"), col("y")).otherwise(0L)).as(s"s$r")) ++
+        Seq(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+    val aTxt = periodogram7ATxt
+    val bTxt = periodogram7BTxt
+    val cssTxt =
+      """(CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE))"""
+    daily
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        col("n").as("n_days"),
+        expr(aTxt).as("a_re"),
+        expr(bTxt).as("b_im"),
+        expr(s"($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)").as("power7"),
+        expr(s"(($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)) / $cssTxt").as("share7"))
+  }
+
+  /** Matrix profile (window m=5, exclusion zone 2) of the daily revenue
+    * series: for every 5-day window, the z-normalized Euclidean distance
+    * to its nearest non-trivial match and that match's index — the
+    * motif/discord primitive of time-series mining. Window arrays are
+    * collected IN TIME ORDER (struct-sort, since collect_list frames
+    * are unordered), dots are BIGINT-exact folds, and the distance
+    * d² = 2m(1 − (dot/m − μμ')/(σσ')) is one shared expression over
+    * integer window moments, so the argmin (tie → smaller index) is
+    * bit-portable. The O(days²) pair join runs on the calendar-bounded
+    * daily rollup, not the corpus.
+    */
+  def matrixProfile(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("d").asc)
+    val frame = ord.rowsBetween(0, 4)
+    // built twice (def, not val): the pair join below is a self-join, and
+    // two independently constructed plans carry distinct attribute ids —
+    // sharing one `val` can misresolve the join sides
+    // all frame aggregates BEFORE the cnt filter — a window computed on
+    // the filtered rows would see truncated frames near the series end
+    def prepared(): DataFrame = daily
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("arr0", sort_array(collect_list(struct(col("d"), col("y"))).over(frame)))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("s", sum(col("y")).over(frame))
+      .withColumn("ss", sum(col("y") * col("y")).over(frame))
+      .filter(col("cnt") === 5)
+      .select(
+        col("i"),
+        col("d"),
+        expr("transform(arr0, p -> p.y)").as("arr"),
+        col("s"),
+        col("ss"))
+    val a = prepared().select(
+      col("i").as("ia"), col("d").as("da"), col("arr").as("aa"),
+      col("s").as("sa"), col("ss").as("ssa"))
+    val b = prepared().select(
+      col("i").as("ib"), col("arr").as("ab"),
+      col("s").as("sb"), col("ss").as("ssb"))
+    val ma = "(CAST(sa AS DOUBLE) / 5.0)"
+    val mb = "(CAST(sb AS DOUBLE) / 5.0)"
+    val sda = s"sqrt(CAST(ssa AS DOUBLE) / 5.0 - $ma * $ma)"
+    val sdb = s"sqrt(CAST(ssb AS DOUBLE) / 5.0 - $mb * $mb)"
+    val d2 =
+      s"(10.0 * (1.0 - ((CAST(dot AS DOUBLE) / 5.0 - $ma * $mb) / ($sda * $sdb))))"
+    val pairs = a
+      .join(b, abs(col("ia") - col("ib")) > 2)
+      .withColumn(
+        "dot",
+        expr("aggregate(zip_with(aa, ab, (x, yy) -> x * yy), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("d2", expr(d2))
+    pairs
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("ia")).orderBy(col("d2").asc, col("ib").asc)))
+      .filter(col("rk") === 1)
+      .select(
+        col("ia").as("day_idx"),
+        col("da").as("day_epoch"),
+        expr("sqrt(greatest(d2, 0.0))").as("mp_dist"),
+        col("ib").as("match_idx"))
+  }
+
+  /** Engle–Granger cointegration screen for the daily (click count,
+    * purchase revenue) pair: stage 1 regresses y on x (closed-form OLS
+    * over integer moments), stage 2 runs the Dickey–Fuller regression on
+    * the cointegrating residuals. Residuals are quantized PER ROW to
+    * whole cents (identical round on both engines) so the second-stage
+    * moments are order-free BIGINTs — the same two-stage discipline as
+    * [[whiteTest]]. Emits the stage-1 slope and the DF t on residuals
+    * (compare against Engle–Granger critical values; no p by the no-ln
+    * rule).
+    */
+  def cointegration(events: DataFrame): DataFrame = {
+    val daily = dailyClickPurchase(events)
+    val first = daily.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val cxy = cmomSql("sxy", "sx", "sy")
+    val bTxt = s"($cxy / $cxx)"
+    val aTxt =
+      s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    val resid = daily
+      .crossJoin(first)
+      .select(
+        col("d"),
+        expr(s"CAST(round(CAST(y AS DOUBLE) - ($aTxt + $bTxt * CAST(x AS DOUBLE))) AS BIGINT)")
+          .as("e"),
+        expr(bTxt).as("beta"))
+    val pairs = resid.select(col("d").as("d1"), col("e").as("l"), col("beta"))
+      .join(resid.select((col("d") - 1).as("d1"), col("e").as("cur")), Seq("d1"))
+      .select(col("l"), (col("cur") - col("l")).as("dy"), col("beta"))
+    val rxx = cmomSql("sxx", "sx", "sx")
+    val rxy = cmomSql("sxy", "sx", "sy")
+    val ryy = cmomSql("syy", "sy", "sy")
+    val gamma = s"($rxy / $rxx)"
+    pairs
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        max(col("beta")).as("beta"),
+        sum(col("l")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("l") * col("l")).as("sxx"),
+        sum(col("l") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(
+        col("n").as("n_pairs"),
+        col("beta").as("coint_beta"),
+        expr(gamma).as("gamma"),
+        expr(
+          s"""$gamma / sqrt((($ryy - $gamma * $rxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * $rxx))""").as("eg_t_stat"))
+  }
+
+  /** Top-k multivariate outlier days by Mahalanobis distance in the
+    * (click count, purchase revenue) plane: the 2×2 covariance inverts
+    * in closed form (divide-first centred moments, shared text), so
+    * d²(v) = [cyy(x−μx)² − 2cxy(x−μx)(y−μy) + cxx(y−μy)²] / det needs
+    * no linear-algebra library and stays bit-portable. Ranking is a
+    * distributed TakeOrdered (desc d², day asc tie-break), not a global
+    * window.
+    */
+  def mahalanobisOutliers(events: DataFrame, k: Int = 10): DataFrame = {
+    val daily = dailyClickPurchase(events)
+    val m = daily.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val cxy = cmomSql("sxy", "sx", "sy")
+    val cyy = cmomSql("syy", "sy", "sy")
+    val mx = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val my = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    val det = s"($cxx * $cyy - $cxy * $cxy)"
+    val dx = s"(CAST(x AS DOUBLE) - $mx)"
+    val dy = s"(CAST(y AS DOUBLE) - $my)"
+    val d2 = s"(($cyy * $dx * $dx - 2.0 * $cxy * $dx * $dy + $cxx * $dy * $dy) / $det)"
+    val scored = daily.crossJoin(m).withColumn("md2", expr(d2))
+    Relational
+      .rankedTopK(scored, k, col("md2").desc, col("d").asc)
+      .select(
+        col("rank"),
+        col("d").as("day_epoch"),
+        col("x").as("clicks"),
+        col("y").as("purchase_cents"),
+        col("md2"))
+  }
+
+  /** Dynamic-time-warping distance between the purchase and click
+    * weekly profiles (7 day-of-week buckets, each value the per-bucket
+    * total scaled to per-mille of its series total so the two series
+    * are comparable): the classic 7×7 DP with |a−b| cost, run as ONE
+    * aggregate fold over the collected row sequence carrying the
+    * previous DP row as array state — all integers, bit-exact. The
+    * profiles are DOMAIN-bounded (7 cells each) however large the
+    * corpus; only they enter the fold.
+    */
+  def dtwWeekly(events: DataFrame): DataFrame = {
+    val profiles = events
+      .groupBy(expr("(CAST(ts AS LONG) div 86400) % 7").as("r"))
+      .agg(
+        sum(when(col("event_type") === "purchase", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("pa"),
+        sum(when(col("event_type") === "click", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("pb"))
+    val scaled = profiles
+      .crossJoin(profiles.agg(sum(col("pa")).as("ta"), sum(col("pb")).as("tb")))
+      .select(
+        col("r"),
+        expr("(pa * 1000) div ta").as("a"),
+        expr("(pb * 1000) div tb").as("b"))
+    scaled
+      .agg(sort_array(collect_list(struct(col("r"), col("a"), col("b")))).as("xs"))
+      .select(
+        expr("CAST(size(xs) AS BIGINT)").as("n_buckets"),
+        expr(dtwFoldSql).as("dtw_permille"))
+  }
+
+  /** The DTW fold: state = previous DP row (array of BIGINT, 1-indexed
+    * over the b-profile); row i computes cell-by-cell with an inner
+    * fold carrying (previous row, current row prefix). Initialization
+    * row 0 is the standard +∞ band encoded as a large sentinel (the
+    * per-mille grid keeps real costs ≤ 7000, so 10⁹ is safely inert).
+    */
+  def dtwFoldSql: String =
+    """element_at(
+         aggregate(
+           xs,
+           transform(sequence(0, size(xs)), j -> IF(j = 0, CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT))),
+           (prev, xrow) -> aggregate(
+             xs,
+             CAST(array(CAST(1000000000 AS BIGINT)) AS ARRAY<BIGINT>),
+             (cur, yrow) -> array_append(
+               cur,
+               abs(xrow.a - yrow.b) + least(
+                 element_at(prev, size(cur)),
+                 element_at(prev, size(cur) + 1),
+                 element_at(cur, size(cur))))),
+           final -> final),
+         -1)"""
+
+  /** VAR(1) fit of the daily (clicks x, purchase-revenue y) system:
+    * each equation is the same 2-predictor closed-form OLS as
+    * [[grangerF]] (Cramer on centred moments, both regressors the two
+    * lags), giving the 2×2 transition matrix A, plus its spectral
+    * radius in closed form — real branch (tr²−4det ≥ 0) takes
+    * max|eigenvalue|, complex branch √det — and the stability verdict
+    * radius < 1. One lag join on the calendar-bounded daily rollup, one
+    * integer moment pass, every double shared text.
+    */
+  def var1(events: DataFrame): DataFrame = {
+    val daily = dailyClickPurchase(events)
+    val triples = daily.select(col("d").as("d1"), col("y").as("ly"), col("x").as("lx"))
+      .join(
+        daily.select((col("d") - 1).as("d1"), col("y").as("cy"), col("x").as("cx")),
+        Seq("d1"))
+    val cll = cmomSql("sll", "sl", "sl")
+    val clx = cmomSql("slx", "sl", "sx")
+    val cxx = cmomSql("sxx", "sx", "sx")
+    val det0 = s"($cll * $cxx - $clx * $clx)"
+    def eq(cy: String, cxy: String): (String, String) = {
+      // coefficients on (ly, lx) for target column with centred moments cy (vs ly), cxy (vs lx)
+      val b1 = s"(($cy * $cxx - $cxy * $clx) / $det0)"
+      val b2 = s"(($cll * $cxy - $clx * $cy) / $det0)"
+      (b1, b2)
+    }
+    val cyl = cmomSql("syl", "sl", "sy")
+    val cyx = cmomSql("syx", "sx", "sy")
+    val czl = cmomSql("szl", "sl", "sz")
+    val czx = cmomSql("szx", "sx", "sz")
+    val (a11, a12) = eq(cyl, cyx) // y_t ~ y_{t-1}, x_{t-1}
+    val (a21, a22) = eq(czl, czx) // x_t ~ y_{t-1}, x_{t-1}
+    val tr = s"($a11 + $a22)"
+    val dA = s"($a11 * $a22 - $a12 * $a21)"
+    val disc = s"($tr * $tr - 4.0 * $dA)"
+    val radius =
+      s"""(CASE WHEN $disc >= 0.0
+            THEN greatest(abs(($tr + sqrt($disc)) / 2.0), abs(($tr - sqrt($disc)) / 2.0))
+            ELSE sqrt($dA)
+          END)"""
+    triples
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("ly")).as("sl"),
+        sum(col("lx")).as("sx"),
+        sum(col("cy")).as("sy"),
+        sum(col("cx")).as("sz"),
+        sum(col("ly") * col("ly")).as("sll"),
+        sum(col("ly") * col("lx")).as("slx"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("cy")).as("syl"),
+        sum(col("lx") * col("cy")).as("syx"),
+        sum(col("ly") * col("cx")).as("szl"),
+        sum(col("lx") * col("cx")).as("szx"))
+      .select(
+        col("n").as("n_triples"),
+        expr(a11).as("a11"),
+        expr(a12).as("a12"),
+        expr(a21).as("a21"),
+        expr(a22).as("a22"),
+        expr(radius).as("spectral_radius"),
+        expr(s"$radius < 1.0").as("stable"))
+  }
+
+  /** Total-variation distance between the hour-of-day distributions of
+    * purchase and click events: TV = ½·Σₕ|p₁ₕ − p₂ₕ|, kept EXACT as the
+    * integer Σ|c₁ₕ·n₂ − c₂ₕ·n₁| over the common denominator 2·n₁·n₂
+    * (the log-free, rational twin of KL/JS divergence — pairs with the
+    * existing Hellinger op). One conditional aggregate over the
+    * 24-bucket grid; one shared final division.
+    */
+  def tvDistance(events: DataFrame): DataFrame = {
+    val hours = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(expr("(CAST(ts AS LONG) div 3600) % 24").as("h"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+    hours
+      .crossJoin(broadcast(hours.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+      .agg(
+        max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("tv_num"))
+      .select(
+        col("n1"),
+        col("n2"),
+        col("tv_num"),
+        expr("CAST(tv_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))").as("tv"))
+  }
+
+  /** Pinball (quantile) loss of the seasonal-naive forecast at τ = 0.9,
+    * scaled ×10 so it stays an exact integer: per evaluation day the
+    * loss is 9·(y−f) when under-forecast, 1·(f−y) when over — the
+    * asymmetric score quantile forecasts are graded with. Forecast =
+    * the value 7 days earlier (join on d−7 over the bounded daily
+    * rollup). Integer total; one shared division for the mean.
+    */
+  def pinballLoss(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val joined = daily.select(col("d").as("d1"), col("y").as("f"))
+      .join(daily.select((col("d") - 7).as("d1"), col("y")), Seq("d1"))
+    joined
+      .agg(
+        count(lit(1)).cast("long").as("n_eval"),
+        sum(
+          when(col("y") >= col("f"), lit(9L) * (col("y") - col("f")))
+            .otherwise(col("f") - col("y")))
+          .as("loss10_total"))
+      .select(
+        col("n_eval"),
+        col("loss10_total"),
+        expr("(CAST(loss10_total AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 10.0 / 100.0")
+          .as("mean_pinball_dollars"))
+  }
+
+  /** One pass over events → (day, purchase-revenue cents, click count). */
+  private def dailyClickPurchase(events: DataFrame): DataFrame =
+    events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(
+        sum(when(col("event_type") === "purchase", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("y"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the part co-order graph (parts are linked when
@@ -506,5 +507,44 @@ object Graph {
     Relational
       .rankedTopK(nonEdge, k, col("ra_micro").desc, col("a").asc, col("b").asc)
       .select(col("rank"), col("a"), col("b"), col("cn"), col("ra_micro"))
+  }
+
+  /** Synchronous label propagation (2 fixed rounds) on the
+    * support-thresholded co-order graph, with the deterministic update
+    * rule: a node adopts the most frequent label among itself and its
+    * neighbors, ties broken by SMALLEST label — async LPA is
+    * run-order-dependent, so the engine pins the synchronous variant
+    * both engines can replay exactly. Labels start as part keys;
+    * isolated parts (no edge ≥ minSupport) are out of scope. Each round
+    * is one co-partitioned join on the edge key plus one (node, label)
+    * count — the standard distributed LPA shape, |E| work per round.
+    * Output: community label → member count.
+    */
+  def labelPropagation(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val e = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
+    var labels = sym.select(col("pa").as("v")).distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to 2) {
+      // labels shares lineage with sym — qualify the self-join through
+      // explicit aliases or Spark resolves both `pb`s to one attribute
+      val votes = sym.as("s")
+        .join(labels.as("l"), col("s.pb") === col("l.v"))
+        .select(col("s.pa").as("v"), col("l.lbl").as("lbl"))
+        .unionAll(labels)
+      labels = votes
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn(
+          "rk",
+          row_number().over(
+            Window.partitionBy(col("v")).orderBy(col("n").desc, col("lbl").asc)))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("lbl"))
+    }
+    labels
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
   }
 }

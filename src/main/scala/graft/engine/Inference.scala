@@ -1017,4 +1017,279 @@ object Inference {
              ELSE CAST(($k - 1) * ($k * sum_c2 - t * t) AS DOUBLE)
                   / CAST($k * t - sum_r2 AS DOUBLE)
         END"""
+
+  /** Kitagawa–Oaxaca–Blinder decomposition of the BUILDING-vs-MACHINERY
+    * gap in mean order value, stratified by nation: per nation g the gap
+    * contribution splits into a composition term (w_Ag − w_Bg)·ȳ_Bg
+    * (segment A buys from different nations) and a rate term
+    * w_Ag·(ȳ_Ag − ȳ_Bg) (segment A pays differently within a nation).
+    * Only nations observed in BOTH segments enter, and the segment
+    * totals are taken over those common nations so the per-nation terms
+    * sum exactly to the (common-nation) mean gap — the identity the spec
+    * pins. All counts/sums are one integer pass; every double is a
+    * shared-text division of exact BIGINTs, emitted PER NATION (no
+    * cross-group float sum — the 25-row reduction happens driver-side in
+    * the spec, not in the engine, so nothing order-dependent ships).
+    * Two broadcast-sized dimension joins; the fact table aggregates
+    * map-side to (segment × nation) before anything else.
+    */
+  /** Jonckheere–Terpstra test for an ORDERED alternative across the
+    * event types (alphabetical order as the hypothesized ordering, the
+    * same fixed ordering Page's L uses): JT = Σ_{i<j} U_ij, each U_ij
+    * the Mann–Whitney count between ordered group pair (i, j), ties
+    * counted half. Doubled to stay integer (2·JT = Σ 2·gt + eq), and
+    * computed WITHOUT any group-pair join: one pass builds the
+    * value-grid with per-type counts pivoted to columns, one bounded
+    * window takes cumulative counts below each value, and the Σ_{i<j}
+    * expansion is generated per grid row — the grid is value-domain-
+    * bounded, so this is O(|grid|·k²) after a map-combined aggregate,
+    * at any corpus size. z uses the no-tie JT variance (documented —
+    * cent values are almost surely distinct) in shared expression text.
+    */
+  def jonckheereTerpstra(events: DataFrame, types: Seq[String]): DataFrame = {
+    val k = types.length
+    val grid = events
+      .filter(col("event_type").isin(types: _*))
+      .select(col("event_type"), expr(Stages.centsSql("value")).as("x"))
+      .groupBy(col("x"))
+      .agg(
+        types.zipWithIndex.map { case (t, i) =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+        }.head,
+        types.zipWithIndex.drop(1).map { case (t, i) =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+        }: _*)
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cummed = (0 until k).foldLeft(grid) { (df, i) =>
+      df.withColumn(s"cum$i", coalesce(sum(col(s"c$i")).over(below), lit(0L)))
+    }
+    val rowTerm = (for {
+      i <- 0 until k
+      j <- i + 1 until k
+    } yield lit(2L) * col(s"cum$i") * col(s"c$j") + col(s"c$i") * col(s"c$j"))
+      .reduce(_ + _)
+    val aggCols = sum(rowTerm).as("jt2") +: (0 until k).map(i => sum(col(s"c$i")).as(s"n$i"))
+    val agged = cummed.agg(aggCols.head, aggCols.tail: _*)
+    val nTotal = (0 until k).map(i => col(s"n$i")).reduce(_ + _)
+    val sumSq = (0 until k).map(i => col(s"n$i") * col(s"n$i")).reduce(_ + _)
+    val sumSq23 = (0 until k)
+      .map(i => col(s"n$i") * col(s"n$i") * (lit(2L) * col(s"n$i") + lit(3L)))
+      .reduce(_ + _)
+    agged
+      .withColumn("n_total", nTotal)
+      .withColumn("sum_sq", sumSq)
+      .withColumn("sum_sq23", sumSq23)
+      .select(
+        col("n_total"),
+        col("jt2"),
+        expr("(n_total * n_total - sum_sq) div 2").as("e2"),
+        expr(
+          """CAST(jt2 - (n_total * n_total - sum_sq) div 2 AS DOUBLE)
+             / (2.0 * sqrt(CAST(n_total * n_total * (2 * n_total + 3) - sum_sq23 AS DOUBLE) / 72.0))""")
+          .as("z"))
+  }
+
+  /** Cliff's delta effect size between purchase and click values:
+    * δ = (#{a>b} − #{a<b}) / (n_a·n_b), the ordinal dominance measure
+    * behind Mann–Whitney, with the conventional |δ| magnitude bands
+    * (0.147 / 0.33 / 0.474). gt/lt come from the same value-grid +
+    * bounded cumulative window as [[Analytics.mannWhitney]] — no pair
+    * join — and stay BIGINT-exact; δ is one shared division.
+    */
+  def cliffsDelta(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val grid = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr(Stages.centsSql("value")).as("x"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cb", coalesce(sum(col("b")).over(below), lit(0L)))
+      .withColumn("ca", coalesce(sum(col("a")).over(below), lit(0L)))
+      .agg(
+        sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        sum(col("a") * col("cb")).as("gt"),
+        sum(col("b") * col("ca")).as("lt"))
+      .select(
+        col("na"), col("nb"), col("gt"), col("lt"),
+        expr("CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))").as("delta"),
+        expr(
+          """CASE WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.147 THEN 'negligible'
+                  WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.33 THEN 'small'
+                  WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.474 THEN 'medium'
+                  ELSE 'large' END""").as("magnitude"))
+  }
+
+  /** Closed-form Σ_{r=lo..hi} min(r, N+1−r) — the Ansari–Bradley score
+    * mass of a contiguous rank range, split at the midpoint m=(N+1) div 2
+    * into two arithmetic series. Shared verbatim with the oracle.
+    */
+  def abScoreRangeSql(lo: String, hi: String): String = {
+    val m = "((nn + 1) div 2)"
+    val b1 = s"least($hi, $m)"
+    val a2 = s"greatest($lo, $m + 1)"
+    s"""(CASE WHEN $b1 >= $lo THEN (($lo + $b1) * ($b1 - $lo + 1)) div 2 ELSE CAST(0 AS BIGINT) END
+       + CASE WHEN $hi >= $a2 THEN (nn + 1) * ($hi - $a2 + 1) - (($a2 + $hi) * ($hi - $a2 + 1)) div 2 ELSE CAST(0 AS BIGINT) END)"""
+  }
+
+  /** Ansari–Bradley scale test between purchase and click values — the
+    * rank test for dispersion differences that pairs with Mann–Whitney's
+    * location test. Scores min(r, N+1−r) assign from both ends of the
+    * pooled ordering; ties break deterministically with sample B before
+    * sample A within a value (documented variant — both engines replay
+    * it). There is NO corpus-scale sort: each value-grid cell occupies a
+    * contiguous known rank range (from cumulative grid counts), and the
+    * score mass of sample A's sub-range is the closed-form arithmetic
+    * series [[abScoreRangeSql]] — O(|grid|) after a map-combined
+    * aggregate. Null mean/variance use the exact even/odd-N formulas in
+    * shared expression text.
+    */
+  def ansariBradley(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val grid = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr(Stages.centsSql("value")).as("x"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = grid
+      .withColumn("p", coalesce(sum(col("a") + col("b")).over(below), lit(0L)))
+      .crossJoin(grid.agg((sum(col("a")) + sum(col("b"))).as("nn")))
+      .withColumn("lo", col("p") + col("b") + lit(1L))
+      .withColumn("hi", col("p") + col("b") + col("a"))
+      .withColumn(
+        "sa",
+        expr(s"CASE WHEN a > 0 THEN ${abScoreRangeSql("lo", "hi")} ELSE CAST(0 AS BIGINT) END"))
+    scored
+      .agg(
+        sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        max(col("nn")).as("nn"),
+        sum(col("sa")).as("ab_stat"))
+      .select(
+        col("na"), col("nb"), col("ab_stat"),
+        expr(
+          """CASE WHEN nn % 2 = 0
+               THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+               ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+             END""").as("e_ab"),
+        expr(
+          """CAST(ab_stat AS DOUBLE) -
+             (CASE WHEN nn % 2 = 0
+               THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+               ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+             END)""").cast("double").as("dev_ab"),
+        expr(
+          """(CAST(ab_stat AS DOUBLE) -
+             (CASE WHEN nn % 2 = 0
+               THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+               ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+             END)) /
+             sqrt(CASE WHEN nn % 2 = 0
+               THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
+                    / (48.0 * CAST(nn - 1 AS DOUBLE))
+               ELSE CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 1 AS DOUBLE) * CAST(3 + nn * nn AS DOUBLE)
+                    / (48.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             END)""").as("z"))
+  }
+
+  /** Goodman–Kruskal γ, Somers' d_yx, and Kendall τ-a between order
+    * quantity and extended-price bucket (10-dollar bins) — the ordinal-
+    * association battery over a DOMAIN-BOUNDED 2-D grid: concordant /
+    * discordant / tied-pair counts come from a grid×grid join (each
+    * unordered pair counted once at its lexicographically lower cell),
+    * so the work is O(|grid|²) regardless of corpus size, and every
+    * count is BIGINT-exact. The three coefficients differ only in their
+    * denominators (γ drops all ties, d_yx keeps y-ties, τ-a uses all
+    * pairs) — one pass emits all three as shared divisions.
+    */
+  def ordinalAssociation(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem
+      .groupBy(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100000").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val c1 = cells.select(col("q").as("q1"), col("p").as("p1"), col("n").as("n1"))
+    val c2 = cells.select(col("q").as("q2"), col("p").as("p2"), col("n").as("n2"))
+    val pairCounts = c1
+      .crossJoin(c2)
+      .agg(
+        sum(when(col("q2") > col("q1") && col("p2") > col("p1"), col("n1") * col("n2"))
+          .otherwise(0L)).as("conc"),
+        sum(when(col("q2") > col("q1") && col("p2") < col("p1"), col("n1") * col("n2"))
+          .otherwise(0L)).as("disc"),
+        sum(when(col("q2") === col("q1") && col("p2") > col("p1"), col("n1") * col("n2"))
+          .otherwise(0L)).as("tie_x"),
+        sum(when(col("p2") === col("p1") && col("q2") > col("q1"), col("n1") * col("n2"))
+          .otherwise(0L)).as("tie_y"))
+    val totals = cells.agg(
+      sum(col("n")).as("n_rows"),
+      sum(expr("(n * (n - 1)) div 2")).as("tie_xy"))
+    pairCounts
+      .crossJoin(totals)
+      .select(
+        col("n_rows"),
+        col("conc"),
+        col("disc"),
+        col("tie_x"),
+        col("tie_y"),
+        col("tie_xy"),
+        expr("CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE)").as("gamma"),
+        expr("CAST(conc - disc AS DOUBLE) / CAST(conc + disc + tie_y AS DOUBLE)").as("somers_d_yx"),
+        expr("CAST(conc - disc AS DOUBLE) / CAST((n_rows * (n_rows - 1)) div 2 AS DOUBLE)").as("tau_a"))
+  }
+
+  def oaxacaDecomposition(
+      customer: DataFrame,
+      orders: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val base = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name"))
+      .agg(
+        count(lit(1)).cast("long").as("cnt"),
+        expr(s"sum(${Stages.centsSql("o_totalprice")})").as("s"))
+    val aSide = base.filter(col("seg") === "BUILDING")
+      .select(col("n_name"), col("cnt").as("n_a"), col("s").as("sum_a"))
+    val bSide = base.filter(col("seg") === "MACHINERY")
+      .select(col("n_name"), col("cnt").as("n_b"), col("s").as("sum_b"))
+    val common = aSide.join(bSide, Seq("n_name"))
+    val totals = common.agg(
+      sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    common
+      .crossJoin(totals)
+      .select(
+        col("n_name"),
+        col("n_a"),
+        col("n_b"),
+        col("sum_a"),
+        col("sum_b"),
+        expr("CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0").as("mean_a_dollars"),
+        expr("CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0").as("mean_b_dollars"),
+        expr("CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)").as("w_a"),
+        expr("CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)").as("w_b"),
+        expr(
+          """(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+             * (CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)""").as("explained"),
+        expr(
+          """(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+             * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)""").as("unexplained"))
+  }
 }

@@ -1177,4 +1177,77 @@ object Similarity {
     }
     picks.select(col("rank"), col("vec_id"), col("sq_dist"))
   }
+
+  /** IVF inverted-list balance audit: occupancy per coarse cell plus
+    * each cell's load factor n_cell·k/N (1.0 = perfectly balanced).
+    * Skewed cells are THE operational failure of IVF at scale — a hot
+    * cell turns single-probe search back into brute force — so the
+    * index build pipeline watches this table. One map-side assignment
+    * pass (native [[graft.functions.NearestCentroid]]), one
+    * |cells|-bounded aggregate.
+    */
+  def ivfBalance(embeddings: DataFrame, numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    val celled = embeddings
+      .select(cellId(col("embedding"), cs).cast("long").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    celled
+      .crossJoin(broadcast(celled.agg(sum(col("n_vecs")).as("n_total"))))
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        col("n_total"),
+        expr(s"CAST(n_vecs * $numCells AS DOUBLE) / CAST(n_total AS DOUBLE)").as("load_factor"))
+  }
+
+  /** IVF quantizer distortion: each vector's squared L2 distance to its
+    * assigned centroid (the value the coarse quantizer minimizes —
+    * native kernel [[graft.functions.NearestCentroidDist]], identical
+    * fold order to the oracle's dot products), micro-quantized PER ROW
+    * so the corpus-wide sum is an order-free BIGINT. Emits total, mean
+    * and max distortion — the k-means objective the Lloyd iteration
+    * ([[kmeansIterate]]) descends, now measurable per build.
+    */
+  def ivfDistortion(embeddings: DataFrame, numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    embeddings
+      .select(
+        graft.functions.VectorFunctions
+          .nearestCentroidDist(asDouble(col("embedding")), cs)
+          .as("d"))
+      .select(expr("CAST(round(d * 1000000.0) AS BIGINT)").as("dq"))
+      .agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("dq")).as("total_micro"),
+        max(col("dq")).as("max_micro"))
+      .select(
+        col("n_vecs"),
+        col("total_micro"),
+        col("max_micro"),
+        expr("(CAST(total_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0")
+          .as("mean_distortion"))
+  }
+
+  /** Embedding-norm QA histogram: corpus count, zero-vector count, and
+    * the distribution of squared norms in 0.5-wide buckets (norms come
+    * from the same sequential-fold dot product as every ANN operator,
+    * bucketed per row — deterministic, order-free). The hygiene check
+    * before any cosine-space index build: zero vectors break cosine,
+    * and a bimodal norm histogram betrays mixed embedding versions.
+    */
+  def embeddingNorms(embeddings: DataFrame): DataFrame = {
+    val nn = embeddings
+      .select(dot(asDouble(col("embedding")), asDouble(col("embedding"))).as("nsq"))
+    nn.select(
+        expr("CAST(floor(nsq * 2.0) AS BIGINT)").as("bucket"),
+        expr("CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END").as("z"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("z")).cast("long").as("n_zero"))
+      .select(
+        col("bucket"),
+        expr("CAST(bucket AS DOUBLE) / 2.0").as("norm_sq_lo"),
+        col("n_vecs"),
+        col("n_zero"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -1289,5 +1290,99 @@ object TextAnalysis {
       .select(
         col("n_tokens"), col("n_buckets"), col("f2_exact"), col("f2_est"),
         expr("CAST(f2_est - f2_exact AS DOUBLE) / CAST(f2_exact AS DOUBLE)").as("rel_err"))
+  }
+
+  /** SpaceSaving heavy hitters over the corpus token stream, pinned by
+    * its theoretical guarantees — the self-validating-sketch pattern
+    * (like q_approx_distinct / q_hll): the k-counter sketch is the
+    * structure that runs at 100 TB (O(k) state per partial, one merge
+    * tree, never a full vocabulary groupBy), and the exact counts that
+    * validate it here are test-scale scaffolding. Raw counter values
+    * depend on the merge order, so the deterministic output surface is
+    * the guarantee booleans: estimates never undercount, overestimates
+    * stay within 2n/k, and every token with true frequency above 4n/k
+    * is tracked (see [[graft.functions.SpaceSavingAggregator]] for why
+    * those slacks survive any merge tree).
+    */
+  def spaceSavingHeavyHitters(documents: DataFrame): DataFrame = {
+    val k = graft.functions.SpaceSavingAggregator.Capacity.toLong
+    // bigram stream, not unigrams: the fixture vocabulary (31 tokens) is
+    // smaller than the sketch capacity, but its ~31² bigram space
+    // overfills it, so eviction and merge-pruning actually run
+    val toks = documents
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(
+            " ",
+            element_at(col("t"), i),
+            element_at(col("t"), (i + lit(1)).cast("int"))))).as("token"))
+    val sketch = udaf(graft.functions.SpaceSavingAggregator)
+    val est = toks
+      .agg(sketch(col("token")).as("sk"))
+      .select(explode(col("sk.counts")))
+      .toDF("token", "est")
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("f"))
+    val n = toks.agg(count(lit(1)).cast("long").as("n_tokens"))
+    val candChecks = est
+      .join(exact, Seq("token"), "left")
+      .crossJoin(n)
+      .agg(
+        count(lit(1)).cast("long").as("n_candidates"),
+        expr("bool_and(est >= f)").as("est_geq_exact"),
+        expr("bool_and(est - f <= (2 * n_tokens) div 64)").as("overest_within_bound"))
+    val heavyMissing = exact
+      .crossJoin(n)
+      .filter(expr("f > (4 * n_tokens) div 64"))
+      .join(est, Seq("token"), "left_anti")
+      .agg(count(lit(1)).as("missing"))
+    candChecks
+      .crossJoin(heavyMissing)
+      .crossJoin(n)
+      .select(
+        lit(k).as("k"),
+        col("n_tokens"),
+        col("n_candidates"),
+        col("est_geq_exact"),
+        col("overest_within_bound"),
+        (col("missing") === lit(0L)).as("heavy_all_present"))
+  }
+
+  /** Robust scaling of document length per source: (n_chars − median) /
+    * IQR with per-source exact order statistics — the outlier-immune
+    * feature normalization (RobustScaler) for length-aware curation.
+    * Quartiles use explicit 1-indexed ranks — median ⌈n/2⌉ (lower
+    * median), Q1 at (n+3) div 4, Q3 at (3n+1) div 4 — the deterministic
+    * rule both engines spell identically; no interpolation, so
+    * everything is integer until the one shared final division. The
+    * ranking partitions by source (distributed); a zero IQR yields NULL
+    * by an integer-condition CASE.
+    */
+  def robustScale(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    val ranked = documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("r", row_number().over(w.orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+    val stats = ranked
+      .groupBy(col("source"))
+      .agg(
+        expr("sum(CASE WHEN r = (n + 1) div 2 THEN n_chars ELSE CAST(0 AS BIGINT) END)").as("med"),
+        expr("sum(CASE WHEN r = (n + 3) div 4 THEN n_chars ELSE CAST(0 AS BIGINT) END)").as("q1"),
+        expr("sum(CASE WHEN r = (3 * n + 1) div 4 THEN n_chars ELSE CAST(0 AS BIGINT) END)").as("q3"))
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(stats, Seq("source"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        col("med"),
+        (col("q3") - col("q1")).as("iqr"),
+        expr(
+          """CASE WHEN q3 - q1 = 0 THEN NULL
+             ELSE CAST(n_chars - med AS DOUBLE) / CAST(q3 - q1 AS DOUBLE) END""").as("scaled"))
   }
 }
