@@ -643,6 +643,82 @@ object SparkEntry {
       Graph.resourceAllocationTopK(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_holt" -> ((s, dir) =>
       Analytics.holtLinear(Tables.events(s, dir)).orderBy("n_days")),
+    "q_hodges_lehmann" -> ((s, dir) =>
+      Analytics.hodgesLehmann(Tables.events(s, dir)).orderBy("n_days")),
+    "q_rs_range" -> ((s, dir) =>
+      Analytics.rescaledRange(Tables.events(s, dir)).orderBy("n_days")),
+    "q_friedman" -> ((s, dir) =>
+      Analytics.friedmanPage(Tables.events(s, dir)).orderBy("n_blocks")),
+    "q_isotonic" -> ((s, dir) =>
+      Analytics.isotonicDaily(Tables.events(s, dir)).orderBy("day_idx")),
+    "q_deming" -> ((s, dir) =>
+      Analytics.demingDaily(Tables.events(s, dir)).orderBy("n_days")),
+    "q_return_level" -> ((s, dir) =>
+      Analytics.gumbelReturnLevel(Tables.events(s, dir)).orderBy("n_blocks")),
+    "q_siegel" -> ((s, dir) =>
+      Analytics.siegelSlope(Tables.events(s, dir)).orderBy("n_days")),
+    "q_median_polish" -> ((s, dir) =>
+      Analytics.medianPolish(Tables.events(s, dir)).orderBy("component", "key")),
+    "q_hampel" -> ((s, dir) =>
+      Analytics.hampelFilter(Tables.events(s, dir)).orderBy("day_epoch")),
+    "q_grubbs" -> ((s, dir) =>
+      Analytics.grubbsOutlier(Tables.events(s, dir)).orderBy("n_days")),
+    "q_adf" -> ((s, dir) =>
+      Analytics.dickeyFuller(Tables.events(s, dir)).orderBy("n_pairs")),
+    "q_granger" -> ((s, dir) =>
+      Analytics.grangerF(Tables.events(s, dir)).orderBy("n_triples")),
+    "q_mediation" -> ((s, dir) =>
+      Analytics.mediation(Tables.events(s, dir)).orderBy("n_days")),
+    "q_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(Tables.lineitem(s, dir)).orderBy("community")),
+    "q_lis" -> ((s, dir) =>
+      Analytics.monotoneSubseq(Tables.events(s, dir)).orderBy("n_days")),
+    "q_robust_scale" -> ((s, dir) =>
+      TextAnalysis.robustScale(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_jonckheere" -> ((s, dir) =>
+      Inference.jonckheereTerpstra(
+        Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("n_total")),
+    "q_cliffs_delta" -> ((s, dir) =>
+      Inference.cliffsDelta(Tables.events(s, dir), "purchase", "click").orderBy("na")),
+    "q_seasonal_mk" -> ((s, dir) =>
+      Analytics.seasonalMannKendall(Tables.events(s, dir)).orderBy("n_days")),
+    "q_ansari" -> ((s, dir) =>
+      Inference.ansariBradley(Tables.events(s, dir), "purchase", "click").orderBy("na")),
+    "q_ordinal_assoc" -> ((s, dir) =>
+      Inference.ordinalAssociation(Tables.lineitem(s, dir)).orderBy("n_rows")),
+    "q_white" -> ((s, dir) =>
+      Analytics.whiteTest(Tables.events(s, dir)).orderBy("n_days")),
+    "q_ivf_balance" -> ((s, dir) =>
+      Similarity.ivfBalance(Tables.embeddings(s, dir)).orderBy("cell")),
+    "q_ivf_distortion" -> ((s, dir) =>
+      Similarity.ivfDistortion(Tables.embeddings(s, dir)).orderBy("n_vecs")),
+    "q_embed_norms" -> ((s, dir) =>
+      Similarity.embeddingNorms(Tables.embeddings(s, dir)).orderBy("bucket")),
+    "q_turning_points" -> ((s, dir) =>
+      Analytics.turningPoints(Tables.events(s, dir)).orderBy("n_days")),
+    "q_periodogram7" -> ((s, dir) =>
+      Analytics.periodogram7(Tables.events(s, dir)).orderBy("n_days")),
+    "q_matrix_profile" -> ((s, dir) =>
+      Analytics.matrixProfile(Tables.events(s, dir)).orderBy("day_idx")),
+    "q_cointegration" -> ((s, dir) =>
+      Analytics.cointegration(Tables.events(s, dir)).orderBy("n_pairs")),
+    "q_mahalanobis" -> ((s, dir) =>
+      Analytics.mahalanobisOutliers(Tables.events(s, dir)).orderBy("rank")),
+    "q_dtw" -> ((s, dir) =>
+      Analytics.dtwWeekly(Tables.events(s, dir)).orderBy("n_buckets")),
+    "q_var1" -> ((s, dir) =>
+      Analytics.var1(Tables.events(s, dir)).orderBy("n_triples")),
+    "q_tv_distance" -> ((s, dir) =>
+      Analytics.tvDistance(Tables.events(s, dir)).orderBy("n1")),
+    "q_pinball" -> ((s, dir) =>
+      Analytics.pinballLoss(Tables.events(s, dir)).orderBy("n_eval")),
+    "q_oaxaca" -> ((s, dir) =>
+      Inference.oaxacaDecomposition(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
+        .orderBy("n_name")),
+    "q_spacesaving" -> ((s, dir) =>
+      TextAnalysis.spaceSavingHeavyHitters(Tables.documents(s, dir)).orderBy("n_tokens")),
     "q_zipf" -> ((s, dir) =>
       TextAnalysis.zipfAudit(Tables.documents(s, dir)).orderBy("rank")),
     "q_incr_dedup" -> ((s, dir) =>
@@ -1048,14 +1124,18 @@ object SparkEntry {
     * ties, same as Spark's array_position), exact cosine top-k within
     * the query's cell.
     */
-  private def duckAnnIvfSql(numQueries: Int, k: Int, numCells: Int): String = {
-    val cs = graft.similarity.Similarity.centroids(numCells, 64)
-    val dists = cs
+  /** The IVF distance-list literal shared by every IVF-family oracle. */
+  private def duckIvfDists(numCells: Int): String =
+    graft.similarity.Similarity
+      .centroids(numCells, 64)
       .map { c =>
         val lit = c.map(_.toString).mkString("[", ", ", "]")
         s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
       }
       .mkString("[", ", ", "]")
+
+  private def duckAnnIvfSql(numQueries: Int, k: Int, numCells: Int): String = {
+    val dists = duckIvfDists(numCells)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
        d AS (SELECT vec_id, v, $dists AS dists FROM e2),
@@ -4418,6 +4498,761 @@ object SparkEntry {
                 l AS level_q, b AS trend_q,
                 CAST(l + 7 * b AS DOUBLE) / 400.0 AS forecast7_dollars
          FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days""",
+    "q_hodges_lehmann" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         w AS (SELECT a.y + b.y AS s FROM d a JOIN d b ON a.d <= b.d),
+         r AS (SELECT s, row_number() OVER (ORDER BY s) AS r, count(*) OVER () AS m FROM w),
+         agg AS (SELECT CAST(max(m) AS BIGINT) AS m_pairs,
+                        CAST(sum(CASE WHEN r = (m + 1) // 2 THEN s ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS v1,
+                        CAST(sum(CASE WHEN r = (m + 2) // 2 THEN s ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS v2
+                 FROM r),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+         SELECT n_days, m_pairs, v1 + v2 AS hl_x4,
+                CAST(v1 + v2 AS DOUBLE) / 400.0 AS hl_dollars
+         FROM agg, n ORDER BY n_days""",
+    "q_rs_range" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         p AS (SELECT y,
+                      CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+                      CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf,
+                      CAST(count(*) OVER () AS BIGINT) AS n,
+                      CAST(sum(y) OVER () AS BIGINT) AS t
+               FROM d),
+         z AS (SELECT y, n, t, n * pf - k * t AS z FROM p),
+         agg AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+                        greatest(CAST(max(z) AS BIGINT), CAST(0 AS BIGINT))
+                          - least(CAST(min(z) AS BIGINT), CAST(0 AS BIGINT)) AS r_scaled,
+                        CAST(sum(y * y) AS BIGINT) AS sxx,
+                        CAST(max(t) AS BIGINT) AS sx
+                 FROM z)
+         SELECT n_days, r_scaled,
+                sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS sigma,
+                (CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS rs_stat
+         FROM agg ORDER BY n_days""",
+    "q_friedman" ->
+      """WITH cells AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d, event_type,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                        FROM events GROUP BY 1, 2),
+         k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k_treatments FROM cells),
+         complete AS (SELECT c.d, c.event_type, c.y,
+                             CAST(count(*) OVER (PARTITION BY c.d) AS BIGINT) AS day_n
+                      FROM cells c),
+         ranked AS (SELECT d, event_type,
+                           CAST(row_number() OVER (PARTITION BY d ORDER BY y ASC, event_type ASC) AS BIGINT) AS rank
+                    FROM complete, k WHERE day_n = k_treatments),
+         per_t AS (SELECT event_type, CAST(sum(rank) AS BIGINT) AS rj,
+                          CAST(count(*) AS BIGINT) AS n_blocks
+                   FROM ranked GROUP BY 1),
+         idx AS (SELECT rj, n_blocks,
+                        CAST(row_number() OVER (ORDER BY event_type ASC) AS BIGINT) AS j
+                 FROM per_t)
+         SELECT CAST(max(n_blocks) AS BIGINT) AS n_blocks,
+                CAST(max(k_treatments) AS BIGINT) AS k_treatments,
+                CAST(sum(rj * rj) AS BIGINT) AS sum_r2,
+                CAST(12 * sum(rj * rj) AS DOUBLE)
+                  / CAST(max(n_blocks) * max(k_treatments) * (max(k_treatments) + 1) AS DOUBLE)
+                  - CAST(3 * max(n_blocks) * (max(k_treatments) + 1) AS DOUBLE) AS friedman_stat,
+                CAST(sum(j * rj) AS BIGINT) AS page_l
+         FROM idx, k ORDER BY n_blocks""",
+    "q_isotonic" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         idx AS (SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+                        CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+                 FROM d),
+         jk AS (SELECT a.i AS j, b.i AS k,
+                       CAST(b.p - (a.p - a.y) AS DOUBLE) / CAST(b.i - a.i + 1 AS DOUBLE) AS avg_jk
+                FROM idx a JOIN idx b ON a.i <= b.i),
+         inner_ AS (SELECT c.i, c.d, c.y, jk.j, min(jk.avg_jk) AS mn
+                    FROM jk JOIN idx c ON jk.j <= c.i AND jk.k >= c.i
+                    GROUP BY 1, 2, 3, 4),
+         fit AS (SELECT i, d, y, max(mn) AS fitted_cents FROM inner_ GROUP BY 1, 2, 3)
+         SELECT i AS day_idx, d AS day_epoch, y AS y_cents, fitted_cents,
+                fitted_cents / 100.0 AS fitted_dollars
+         FROM fit ORDER BY day_idx""",
+    "q_deming" -> {
+      val slope = graft.engine.Analytics.demingSlopeSql
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(count(*) AS BIGINT) AS x,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM d)
+          SELECT n_days, $slope AS slope,
+                 CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+               - ($slope) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS intercept
+          FROM m ORDER BY n_days"""
+    },
+    "q_return_level" -> {
+      val mean = graft.engine.Analytics.gumbelMeanSql
+      val sigma = graft.engine.Analytics.gumbelSigmaSql
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+                     FROM events GROUP BY 1),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(sum(m) AS BIGINT) AS sm, CAST(sum(m * m) AS BIGINT) AS smm
+                FROM d)
+          SELECT n_blocks,
+                 $mean / 100.0 AS mean_max_dollars,
+                 $sigma / 100.0 AS sigma_max_dollars,
+                 ($mean - 0.5772156649015329 * ($sigma * 0.779696801233676)) / 100.0 AS gumbel_mu_dollars,
+                 ($sigma * 0.779696801233676) / 100.0 AS gumbel_beta_dollars,
+                 (($mean - 0.5772156649015329 * ($sigma * 0.779696801233676))
+                  + ($sigma * 0.779696801233676) * 3.3842944934992527) / 100.0 AS return_level30_dollars
+          FROM a ORDER BY n_blocks"""
+    },
+    "q_siegel" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         idx AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM d),
+         slopes AS (SELECT a.i AS i, CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+                    FROM idx a JOIN idx b ON a.i <> b.i),
+         inner_ AS (SELECT i, s AS med FROM (
+                      SELECT i, s, row_number() OVER (PARTITION BY i ORDER BY s ASC) AS r,
+                             count(*) OVER (PARTITION BY i) AS c
+                      FROM slopes) WHERE r = (c + 1) // 2),
+         outer_ AS (SELECT med AS slope FROM (
+                      SELECT med, row_number() OVER (ORDER BY med ASC) AS r, count(*) OVER () AS c
+                      FROM inner_) WHERE r = (c + 1) // 2),
+         resid AS (SELECT slope, CAST(y AS DOUBLE) - slope * CAST(i AS DOUBLE) AS res
+                   FROM idx, outer_),
+         ic AS (SELECT slope, res FROM (
+                  SELECT slope, res, row_number() OVER (ORDER BY res ASC) AS r, count(*) OVER () AS c
+                  FROM resid) WHERE r = (c + 1) // 2),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+         SELECT n_days, slope, res AS intercept FROM ic, n ORDER BY n_days""",
+    "q_median_polish" ->
+      """WITH cells AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) % 7 AS i,
+                               (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) // 7 AS j,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r,
+                               CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b
+                        FROM events GROUP BY 1, 2),
+         s1 AS (SELECT i, j, r - m AS r, a + m AS a, b FROM (
+                  SELECT i, j, r, a, b,
+                         list_sort(list(r) OVER (PARTITION BY i))[(count(*) OVER (PARTITION BY i) + 1) // 2] AS m
+                  FROM cells)),
+         s2 AS (SELECT i, j, r - m AS r, a, b + m AS b FROM (
+                  SELECT i, j, r, a, b,
+                         list_sort(list(r) OVER (PARTITION BY j))[(count(*) OVER (PARTITION BY j) + 1) // 2] AS m
+                  FROM s1)),
+         s3 AS (SELECT i, j, r - m AS r, a + m AS a, b FROM (
+                  SELECT i, j, r, a, b,
+                         list_sort(list(r) OVER (PARTITION BY i))[(count(*) OVER (PARTITION BY i) + 1) // 2] AS m
+                  FROM s2)),
+         s4 AS (SELECT i, j, r - m AS r, a, b + m AS b FROM (
+                  SELECT i, j, r, a, b,
+                         list_sort(list(r) OVER (PARTITION BY j))[(count(*) OVER (PARTITION BY j) + 1) // 2] AS m
+                  FROM s3)),
+         re AS (SELECT 'row_dow' AS component, i AS key, CAST(max(a) AS BIGINT) AS effect_cents FROM s4 GROUP BY 2),
+         ce AS (SELECT 'col_week' AS component, j AS key, CAST(max(b) AS BIGINT) AS effect_cents FROM s4 GROUP BY 2)
+         SELECT component, key, effect_cents,
+                CAST(effect_cents AS DOUBLE) / 100.0 AS effect_dollars
+         FROM (SELECT * FROM re UNION ALL SELECT * FROM ce)
+         ORDER BY component, key""",
+    "q_hampel" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         h AS (SELECT d, y,
+                      list_sort(list(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+               FROM d),
+         m AS (SELECT d, y, arr[(len(arr) + 1) // 2] AS med7,
+                      list_sort(list_transform(arr, x -> abs(x - arr[(len(arr) + 1) // 2]))) AS devs
+               FROM h),
+         f AS (SELECT d AS day_epoch, y AS y_cents, med7,
+                      devs[(len(devs) + 1) // 2] AS mad7
+               FROM m)
+         SELECT day_epoch, y_cents, med7, mad7,
+                abs(y_cents - med7) > 3 * mad7 AS is_outlier
+         FROM f ORDER BY day_epoch""",
+    "q_grubbs" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         mo AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(y) AS BIGINT) AS sx,
+                       CAST(sum(y * y) AS BIGINT) AS sxx
+                FROM d),
+         dev AS (SELECT d, y, n_days, sx, sxx,
+                        abs(CAST(y AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS dev
+                 FROM d, mo),
+         top AS (SELECT * FROM dev ORDER BY dev DESC, d ASC LIMIT 1)
+         SELECT n_days, d AS day_epoch, y AS y_cents, dev AS abs_dev,
+                dev / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS grubbs_g
+         FROM top ORDER BY n_days""",
+    "q_adf" -> {
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
+      val cyy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
+      val gamma = s"($cxy / $cxx)"
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+          p AS (SELECT a.y AS l, b.y - a.y AS dy FROM d a JOIN d b ON b.d = a.d + 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l) AS BIGINT) AS sx,
+                       CAST(sum(dy) AS BIGINT) AS sy, CAST(sum(l * l) AS BIGINT) AS sxx,
+                       CAST(sum(l * dy) AS BIGINT) AS sxy, CAST(sum(dy * dy) AS BIGINT) AS syy
+                FROM p)
+          SELECT n AS n_pairs, $gamma AS gamma,
+                 $gamma / sqrt((($cyy - $gamma * $cxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * $cxx)) AS t_stat
+          FROM m ORDER BY n_pairs"""
+    },
+    "q_granger" -> {
+      val cll = graft.engine.Analytics.cmomSql("sll", "sl", "sl")
+      val clx = graft.engine.Analytics.cmomSql("slx", "sl", "sx")
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val cly = graft.engine.Analytics.cmomSql("sly", "sl", "sy")
+      val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
+      val cyy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
+      val det = s"($cll * $cxx - $clx * $clx)"
+      val b1 = s"(($cly * $cxx - $cxy * $clx) / $det)"
+      val b2 = s"(($cll * $cxy - $clx * $cly) / $det)"
+      val rssU = s"($cyy - $b1 * $cly - $b2 * $cxy)"
+      val rssR = s"($cyy - $cly * $cly / $cll)"
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+          t AS (SELECT a.y AS l, a.x AS xl, b.y AS cur FROM d a JOIN d b ON b.d = a.d + 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(l) AS BIGINT) AS sl,
+                       CAST(sum(xl) AS BIGINT) AS sx, CAST(sum(cur) AS BIGINT) AS sy,
+                       CAST(sum(l * l) AS BIGINT) AS sll, CAST(sum(l * xl) AS BIGINT) AS slx,
+                       CAST(sum(xl * xl) AS BIGINT) AS sxx, CAST(sum(l * cur) AS BIGINT) AS sly,
+                       CAST(sum(xl * cur) AS BIGINT) AS sxy, CAST(sum(cur * cur) AS BIGINT) AS syy
+                FROM t)
+          SELECT n AS n_triples, $b1 AS b_lag, $b2 AS b_click,
+                 $rssU AS rss_u_over_n, $rssR AS rss_r_over_n,
+                 (($rssR - $rssU) * CAST(n - 3 AS DOUBLE)) / $rssU AS f_stat
+          FROM m ORDER BY n_triples"""
+    },
+    "q_mediation" -> {
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val cxm = graft.engine.Analytics.cmomSql("sxm", "sx", "sm")
+      val cmm = graft.engine.Analytics.cmomSql("smm", "sm", "sm")
+      val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
+      val cmy = graft.engine.Analytics.cmomSql("smy", "sm", "sy")
+      val aPath = s"($cxm / $cxx)"
+      val total = s"($cxy / $cxx)"
+      val det = s"($cxx * $cmm - $cxm * $cxm)"
+      val direct = s"(($cxy * $cmm - $cmy * $cxm) / $det)"
+      val bPath = s"(($cxx * $cmy - $cxm * $cxy) / $det)"
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+          mo AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(m) AS BIGINT) AS sm, CAST(sum(y) AS BIGINT) AS sy,
+                        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * m) AS BIGINT) AS sxm,
+                        CAST(sum(m * m) AS BIGINT) AS smm, CAST(sum(x * y) AS BIGINT) AS sxy,
+                        CAST(sum(m * y) AS BIGINT) AS smy
+                 FROM d)
+          SELECT n AS n_days, $aPath AS a_path, $bPath AS b_path,
+                 $total AS total_effect, $direct AS direct_effect,
+                 ($aPath * $bPath) AS indirect_effect
+          FROM mo ORDER BY n_days"""
+    },
+    "q_label_prop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+         l0 AS (SELECT DISTINCT pa AS v FROM sym),
+         l0l AS (SELECT v, v AS lbl FROM l0),
+         v1 AS (SELECT s.pa AS v, l.lbl FROM sym s JOIN l0l l ON l.v = s.pb
+                UNION ALL SELECT v, lbl FROM l0l),
+         c1 AS (SELECT v, lbl, count(*) AS n FROM v1 GROUP BY 1, 2),
+         l1 AS (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY n DESC, lbl ASC) AS rk
+                  FROM c1) WHERE rk = 1),
+         v2 AS (SELECT s.pa AS v, l.lbl FROM sym s JOIN l1 l ON l.v = s.pb
+                UNION ALL SELECT v, lbl FROM l1),
+         c2 AS (SELECT v, lbl, count(*) AS n FROM v2 GROUP BY 1, 2),
+         l2 AS (SELECT v, lbl FROM (
+                  SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY n DESC, lbl ASC) AS rk
+                  FROM c2) WHERE rk = 1)
+         SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         FROM l2 GROUP BY 1 ORDER BY community""",
+    "q_lis" ->
+      """WITH RECURSIVE d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                       FROM events GROUP BY 1),
+         days AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM d),
+         rec AS (
+           SELECT i, [struct_pack(y := y, li := CAST(1 AS BIGINT), ld := CAST(1 AS BIGINT))] AS st
+           FROM days WHERE i = 1
+           UNION ALL
+           SELECT dd.i, list_append(rec.st, struct_pack(
+                    y := dd.y,
+                    li := CAST(1 AS BIGINT) + coalesce(list_max([s.li for s in rec.st if s.y < dd.y]), CAST(0 AS BIGINT)),
+                    ld := CAST(1 AS BIGINT) + coalesce(list_max([s.ld for s in rec.st if s.y > dd.y]), CAST(0 AS BIGINT))))
+           FROM rec JOIN days dd ON dd.i = rec.i + 1)
+         SELECT CAST((SELECT max(i) FROM days) AS BIGINT) AS n_days,
+                CAST(list_max([s.li for s in st]) AS BIGINT) AS lis_len,
+                CAST(list_max([s.ld for s in st]) AS BIGINT) AS lds_len
+         FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days""",
+    "q_robust_scale" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r,
+                           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                    FROM documents),
+         s AS (SELECT source,
+                      CAST(sum(CASE WHEN r = (n + 1) // 2 THEN n_chars ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS med,
+                      CAST(sum(CASE WHEN r = (n + 3) // 4 THEN n_chars ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS q1,
+                      CAST(sum(CASE WHEN r = (3 * n + 1) // 4 THEN n_chars ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS q3
+               FROM r GROUP BY 1)
+         SELECT d.doc_id, d.source, d.n_chars, med, q3 - q1 AS iqr,
+                CASE WHEN q3 - q1 = 0 THEN NULL
+                     ELSE CAST(d.n_chars - med AS DOUBLE) / CAST(q3 - q1 AS DOUBLE) END AS scaled
+         FROM documents d JOIN s ON d.source = s.source ORDER BY doc_id""",
+    "q_jonckheere" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val k = types.length
+      val cs = types.zipWithIndex
+        .map { case (t, i) =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+        }
+        .mkString(",\n                  ")
+      val cums = (0 until k)
+        .map(i =>
+          s"coalesce(sum(c$i) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS cum$i")
+        .mkString(",\n                  ")
+      val rowTerm = (for { i <- 0 until k; j <- i + 1 until k }
+        yield s"2 * cum$i * c$j + c$i * c$j").mkString(" + ")
+      val ns = (0 until k).map(i => s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+      val nTotal = (0 until k).map(i => s"n$i").mkString(" + ")
+      val sumSq = (0 until k).map(i => s"n$i * n$i").mkString(" + ")
+      val sumSq23 = (0 until k).map(i => s"n$i * n$i * (2 * n$i + 3)").mkString(" + ")
+      s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                  $cs
+           FROM events WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})
+           GROUP BY 1),
+          w AS (SELECT *, $cums FROM g),
+          a AS (SELECT CAST(sum($rowTerm) AS BIGINT) AS jt2, $ns FROM w),
+          b AS (SELECT jt2, $nTotal AS n_total, $sumSq AS sum_sq, $sumSq23 AS sum_sq23 FROM a)
+          SELECT n_total, jt2, (n_total * n_total - sum_sq) // 2 AS e2,
+                 CAST(jt2 - (n_total * n_total - sum_sq) // 2 AS DOUBLE)
+                   / (2.0 * sqrt(CAST(n_total * n_total * (2 * n_total + 3) - sum_sq23 AS DOUBLE) / 72.0)) AS z
+          FROM b ORDER BY n_total"""
+    },
+    "q_cliffs_delta" ->
+      """WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
+                    FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+         w AS (SELECT a, b,
+                      coalesce(sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS cb,
+                      coalesce(sum(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS ca
+               FROM g),
+         m AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+                      CAST(sum(a * cb) AS BIGINT) AS gt, CAST(sum(b * ca) AS BIGINT) AS lt
+               FROM w)
+         SELECT na, nb, gt, lt,
+                CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS delta,
+                CASE WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.147 THEN 'negligible'
+                     WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.33 THEN 'small'
+                     WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM m ORDER BY na""",
+    "q_seasonal_mk" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+                    FROM events GROUP BY 1),
+         dg AS (SELECT d, x, d % 7 AS g FROM d),
+         s AS (SELECT coalesce(CAST(sum(CAST(sign(j.x - i.x) AS BIGINT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_stat
+               FROM dg i JOIN dg j ON i.g = j.g AND i.d < j.d),
+         ties AS (SELECT g, x, CAST(count(*) AS BIGINT) AS t FROM dg GROUP BY 1, 2),
+         per_g AS (SELECT g, CAST(sum(1) AS BIGINT) AS n_g,
+                          CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_g
+                   FROM ties GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS n_seasons, CAST(sum(n_g) AS BIGINT) AS n_days,
+                      CAST(sum(n_g * (n_g - 1) * (2 * n_g + 5) - tie_g) AS BIGINT) AS var18
+               FROM per_g)
+         SELECT n_days, n_seasons, s_stat,
+                CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z
+         FROM s, v ORDER BY n_days""",
+    "q_ansari" -> {
+      val score = graft.engine.Inference.abScoreRangeSql("lo", "hi")
+        .replace(" div ", " // ")
+      s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
+                     FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+          t AS (SELECT CAST(sum(a) + sum(b) AS BIGINT) AS nn FROM g),
+          w AS (SELECT a, b, nn,
+                       coalesce(sum(a + b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS p
+                FROM g, t),
+          sc AS (SELECT a, b, nn, p + b + 1 AS lo, p + b + a AS hi FROM w),
+          s2 AS (SELECT a, b, nn,
+                        CASE WHEN a > 0 THEN $score ELSE CAST(0 AS BIGINT) END AS sa
+                 FROM sc),
+          m AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+                       CAST(max(nn) AS BIGINT) AS nn, CAST(sum(sa) AS BIGINT) AS ab_stat
+                FROM s2)
+          SELECT na, nb, ab_stat,
+                 CASE WHEN nn % 2 = 0
+                   THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+                   ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+                 END AS e_ab,
+                 CAST(ab_stat AS DOUBLE) -
+                 (CASE WHEN nn % 2 = 0
+                   THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+                   ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+                 END) AS dev_ab,
+                 (CAST(ab_stat AS DOUBLE) -
+                 (CASE WHEN nn % 2 = 0
+                   THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+                   ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+                 END)) /
+                 sqrt(CASE WHEN nn % 2 = 0
+                   THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
+                        / (48.0 * CAST(nn - 1 AS DOUBLE))
+                   ELSE CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 1 AS DOUBLE) * CAST(3 + nn * nn AS DOUBLE)
+                        / (48.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+                 END) AS z
+          FROM m ORDER BY na"""
+    },
+    "q_ordinal_assoc" ->
+      """WITH cells AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                               CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS p,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM lineitem GROUP BY 1, 2),
+         pc AS (SELECT CAST(sum(CASE WHEN c2.q > c1.q AND c2.p > c1.p THEN c1.n * c2.n ELSE 0 END) AS BIGINT) AS conc,
+                       CAST(sum(CASE WHEN c2.q > c1.q AND c2.p < c1.p THEN c1.n * c2.n ELSE 0 END) AS BIGINT) AS disc,
+                       CAST(sum(CASE WHEN c2.q = c1.q AND c2.p > c1.p THEN c1.n * c2.n ELSE 0 END) AS BIGINT) AS tie_x,
+                       CAST(sum(CASE WHEN c2.p = c1.p AND c2.q > c1.q THEN c1.n * c2.n ELSE 0 END) AS BIGINT) AS tie_y
+                FROM cells c1, cells c2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                      CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS tie_xy
+               FROM cells)
+         SELECT n_rows, conc, disc, tie_x, tie_y, tie_xy,
+                CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE) AS gamma,
+                CAST(conc - disc AS DOUBLE) / CAST(conc + disc + tie_y AS DOUBLE) AS somers_d_yx,
+                CAST(conc - disc AS DOUBLE) / CAST((n_rows * (n_rows - 1)) // 2 AS DOUBLE) AS tau_a
+         FROM pc, t ORDER BY n_rows""",
+    "q_white" -> {
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
+      val bTxt = s"($cxy / $cxx)"
+      val aTxt =
+        s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+      val eTxt = s"(CAST(y AS DOUBLE) - ($aTxt + $bTxt * CAST(i AS DOUBLE)))"
+      val cuu = graft.engine.Analytics.cmomSql("suu", "su", "su")
+      val cuv = graft.engine.Analytics.cmomSql("suv", "su", "sv")
+      val cvv = graft.engine.Analytics.cmomSql("svv", "sv", "sv")
+      val cuw = graft.engine.Analytics.cmomSql("suw", "su", "sw")
+      val cvw = graft.engine.Analytics.cmomSql("svw", "sv", "sw")
+      val cww = graft.engine.Analytics.cmomSql("sww", "sw", "sw")
+      val det = s"($cuu * $cvv - $cuv * $cuv)"
+      val b1 = s"(($cuw * $cvv - $cvw * $cuv) / $det)"
+      val b2 = s"(($cuu * $cvw - $cuv * $cuw) / $det)"
+      val r2 = s"(($b1 * $cuw + $b2 * $cvw) / $cww)"
+      s"""WITH d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                      FROM events GROUP BY 1),
+          d AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM d0),
+          f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(i * i) AS BIGINT) AS sxx,
+                       CAST(sum(i * y) AS BIGINT) AS sxy
+                FROM d),
+          r AS (SELECT i, CAST(round(($eTxt * $eTxt) / 1000000000.0) AS BIGINT) AS w
+                FROM d, f),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS su,
+                       CAST(sum(i * i) AS BIGINT) AS sv, CAST(sum(w) AS BIGINT) AS sw,
+                       CAST(sum(i * i) AS BIGINT) AS suu, CAST(sum(i * i * i) AS BIGINT) AS suv,
+                       CAST(sum(i * i * i * i) AS BIGINT) AS svv, CAST(sum(i * w) AS BIGINT) AS suw,
+                       CAST(sum(i * i * w) AS BIGINT) AS svw, CAST(sum(w * w) AS BIGINT) AS sww
+                FROM r)
+          SELECT n AS n_days, $r2 AS r2_aux, CAST(n AS DOUBLE) * $r2 AS white_stat
+          FROM m ORDER BY n_days"""
+    },
+    "q_ivf_balance" -> {
+      val dists = duckIvfDists(8)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+          d AS (SELECT vec_id, v, $dists AS dists FROM e2),
+          b AS (SELECT CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS cell FROM d),
+          g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY 1),
+          t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM g)
+          SELECT cell, n_vecs, n_total,
+                 CAST(n_vecs * 8 AS DOUBLE) / CAST(n_total AS DOUBLE) AS load_factor
+          FROM g, t ORDER BY cell"""
+    },
+    "q_ivf_distortion" -> {
+      val dists = duckIvfDists(8)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+          d AS (SELECT vec_id, v, $dists AS dists FROM e2),
+          m AS (SELECT CAST(round(list_min(dists) * 1000000.0) AS BIGINT) AS dq FROM d),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(dq) AS BIGINT) AS total_micro,
+                       CAST(max(dq) AS BIGINT) AS max_micro
+                FROM m)
+          SELECT n_vecs, total_micro, max_micro,
+                 (CAST(total_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0 AS mean_distortion
+          FROM a ORDER BY n_vecs"""
+    },
+    "q_embed_norms" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         n AS (SELECT list_dot_product(v, v) AS nsq FROM e),
+         b AS (SELECT CAST(floor(nsq * 2.0) AS BIGINT) AS bucket,
+                      CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END AS z
+               FROM n)
+         SELECT bucket, CAST(bucket AS DOUBLE) / 2.0 AS norm_sq_lo,
+                CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(z) AS BIGINT) AS n_zero
+         FROM b GROUP BY 1 ORDER BY bucket""",
+    "q_turning_points" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         w AS (SELECT y, lag(y, 1) OVER (ORDER BY d) AS pv, lead(y, 1) OVER (ORDER BY d) AS nx FROM d),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                                     AND (y - pv) * (nx - y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_stat
+               FROM w)
+         SELECT n_days, t_stat,
+                CAST(2 * (n_days - 2) AS DOUBLE) / 3.0 AS e_t,
+                (CAST(t_stat AS DOUBLE) - CAST(2 * (n_days - 2) AS DOUBLE) / 3.0)
+                  / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0) AS z
+         FROM a ORDER BY n_days""",
+    "q_periodogram7" -> {
+      val aTxt = graft.engine.Analytics.periodogram7ATxt
+      val bTxt = graft.engine.Analytics.periodogram7BTxt
+      val ss = (0 until 7)
+        .map(r =>
+          s"CAST(sum(CASE WHEN d % 7 = $r THEN y ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s$r")
+        .mkString(",\n                      ")
+      val css =
+        """(CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE))"""
+      s"""WITH d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                      FROM events GROUP BY 1),
+          m AS (SELECT $ss,
+                       CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM d0)
+          SELECT n AS n_days, $aTxt AS a_re, $bTxt AS b_im,
+                 ($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE) AS power7,
+                 (($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)) / $css AS share7
+          FROM m ORDER BY n_days"""
+    },
+    "q_matrix_profile" -> {
+      val ma = "(CAST(sa AS DOUBLE) / 5.0)"
+      val mb = "(CAST(sb AS DOUBLE) / 5.0)"
+      val sda = s"sqrt(CAST(ssa AS DOUBLE) / 5.0 - $ma * $ma)"
+      val sdb = s"sqrt(CAST(ssb AS DOUBLE) / 5.0 - $mb * $mb)"
+      val d2 = s"(10.0 * (1.0 - ((CAST(dot AS DOUBLE) / 5.0 - $ma * $mb) / ($sda * $sdb))))"
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                     FROM events GROUP BY 1),
+          p AS (SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+                       list_sort(list(struct_pack(d := d, y := y)) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)) AS arr0,
+                       CAST(count(*) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS BIGINT) AS cnt,
+                       CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS BIGINT) AS s,
+                       CAST(sum(y * y) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS BIGINT) AS ss
+                FROM d),
+          win AS (SELECT i, d, list_transform(arr0, p2 -> p2.y) AS arr, s, ss FROM p WHERE cnt = 5),
+          pr AS (SELECT a.i AS ia, a.d AS da, b.i AS ib,
+                        a.s AS sa, a.ss AS ssa, b.s AS sb, b.ss AS ssb,
+                        CAST(list_sum(list_transform(generate_series(1, 5), k -> a.arr[k] * b.arr[k])) AS BIGINT) AS dot
+                 FROM win a JOIN win b ON abs(a.i - b.i) > 2),
+          sc AS (SELECT ia, da, ib, $d2 AS d2 FROM pr),
+          rk AS (SELECT ia, da, ib, d2,
+                        row_number() OVER (PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS rk
+                 FROM sc)
+          SELECT ia AS day_idx, da AS day_epoch, sqrt(greatest(d2, 0.0)) AS mp_dist, ib AS match_idx
+          FROM rk WHERE rk = 1 ORDER BY day_idx"""
+    },
+    "q_cointegration" -> {
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
+      val ryy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
+      val bTxt = s"($cxy / $cxx)"
+      val aTxt =
+        s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+      val gamma = s"($cxy / $cxx)"
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+          f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM d),
+          r AS (SELECT d.d, CAST(round(CAST(y AS DOUBLE) - ($aTxt + $bTxt * CAST(x AS DOUBLE))) AS BIGINT) AS e,
+                       $bTxt AS beta
+                FROM d, f),
+          p AS (SELECT a.e AS l, b.e - a.e AS dy, a.beta FROM r a JOIN r b ON b.d = a.d + 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(beta) AS DOUBLE) AS beta,
+                       CAST(sum(l) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                       CAST(sum(l * l) AS BIGINT) AS sxx, CAST(sum(l * dy) AS BIGINT) AS sxy,
+                       CAST(sum(dy * dy) AS BIGINT) AS syy
+                FROM p)
+          SELECT n AS n_pairs, beta AS coint_beta, $gamma AS gamma,
+                 $gamma / sqrt((($ryy - $gamma * $cxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * $cxx)) AS eg_t_stat
+          FROM m ORDER BY n_pairs"""
+    },
+    "q_mahalanobis" -> {
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
+      val cyy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
+      val mx = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+      val my = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+      val det = s"($cxx * $cyy - $cxy * $cxy)"
+      val dx = s"(CAST(x AS DOUBLE) - $mx)"
+      val dy = s"(CAST(y AS DOUBLE) - $my)"
+      val d2 = s"(($cyy * $dx * $dx - 2.0 * $cxy * $dx * $dy + $cxx * $dy * $dy) / $det)"
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+                FROM d),
+          sc AS (SELECT d.d, x, y, $d2 AS md2 FROM d, m),
+          rk AS (SELECT d, x, y, md2,
+                        CAST(row_number() OVER (ORDER BY md2 DESC, d ASC) AS BIGINT) AS rank
+                 FROM sc)
+          SELECT rank, d AS day_epoch, x AS clicks, y AS purchase_cents, md2
+          FROM rk WHERE rank <= 10 ORDER BY rank"""
+    },
+    "q_dtw" ->
+      """WITH RECURSIVE prof AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) % 7 AS r,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS pa,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS pb
+                     FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(pa) AS BIGINT) AS ta, CAST(sum(pb) AS BIGINT) AS tb FROM prof),
+         sc AS (SELECT r, (pa * 1000) // ta AS a, (pb * 1000) // tb AS b FROM prof, t),
+         lists AS (SELECT list(a ORDER BY r) AS al, list(b ORDER BY r) AS bl FROM sc),
+         rec AS (
+           SELECT 0 AS t,
+                  [CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT), CAST(1000000000 AS BIGINT), CAST(1000000000 AS BIGINT),
+                   CAST(1000000000 AS BIGINT), CAST(1000000000 AS BIGINT), CAST(1000000000 AS BIGINT), CAST(1000000000 AS BIGINT)] AS prev,
+                  [CAST(1000000000 AS BIGINT)] AS cur
+           UNION ALL
+           SELECT t + 1,
+                  CASE WHEN (t % 7) = 6 THEN list_append(cur, newcell) ELSE prev END,
+                  CASE WHEN (t % 7) = 6 THEN [CAST(1000000000 AS BIGINT)] ELSE list_append(cur, newcell) END
+           FROM (
+             SELECT rec.t, rec.prev, rec.cur,
+                    abs(al[(rec.t // 7) + 1] - bl[(rec.t % 7) + 1])
+                      + least(rec.prev[(rec.t % 7) + 1], rec.prev[(rec.t % 7) + 2], rec.cur[(rec.t % 7) + 1]) AS newcell
+             FROM rec, lists
+             WHERE rec.t < 49))
+         SELECT CAST((SELECT count(*) FROM prof) AS BIGINT) AS n_buckets,
+                CAST(prev[8] AS BIGINT) AS dtw_permille
+         FROM rec WHERE t = 49""",
+    "q_var1" -> {
+      val cll = graft.engine.Analytics.cmomSql("sll", "sl", "sl")
+      val clx = graft.engine.Analytics.cmomSql("slx", "sl", "sx")
+      val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
+      val det0 = s"($cll * $cxx - $clx * $clx)"
+      def eq(cy: String, cxy: String): (String, String) =
+        (s"(($cy * $cxx - $cxy * $clx) / $det0)", s"(($cll * $cxy - $clx * $cy) / $det0)")
+      val cyl = graft.engine.Analytics.cmomSql("syl", "sl", "sy")
+      val cyx = graft.engine.Analytics.cmomSql("syx", "sx", "sy")
+      val czl = graft.engine.Analytics.cmomSql("szl", "sl", "sz")
+      val czx = graft.engine.Analytics.cmomSql("szx", "sx", "sz")
+      val (a11, a12) = eq(cyl, cyx)
+      val (a21, a22) = eq(czl, czx)
+      val tr = s"($a11 + $a22)"
+      val dA = s"($a11 * $a22 - $a12 * $a21)"
+      val disc = s"($tr * $tr - 4.0 * $dA)"
+      val radius =
+        s"""(CASE WHEN $disc >= 0.0
+              THEN greatest(abs(($tr + sqrt($disc)) / 2.0), abs(($tr - sqrt($disc)) / 2.0))
+              ELSE sqrt($dA)
+            END)"""
+      s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+          t AS (SELECT a.y AS ly, a.x AS lx, b.y AS cy, b.x AS cx FROM d a JOIN d b ON b.d = a.d + 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(ly) AS BIGINT) AS sl, CAST(sum(lx) AS BIGINT) AS sx,
+                       CAST(sum(cy) AS BIGINT) AS sy, CAST(sum(cx) AS BIGINT) AS sz,
+                       CAST(sum(ly * ly) AS BIGINT) AS sll, CAST(sum(ly * lx) AS BIGINT) AS slx,
+                       CAST(sum(lx * lx) AS BIGINT) AS sxx, CAST(sum(ly * cy) AS BIGINT) AS syl,
+                       CAST(sum(lx * cy) AS BIGINT) AS syx, CAST(sum(ly * cx) AS BIGINT) AS szl,
+                       CAST(sum(lx * cx) AS BIGINT) AS szx
+                FROM t)
+          SELECT n AS n_triples, $a11 AS a11, $a12 AS a12, $a21 AS a21, $a22 AS a22,
+                 $radius AS spectral_radius, $radius < 1.0 AS stable
+          FROM m ORDER BY n_triples"""
+    },
+    "q_tv_distance" ->
+      """WITH h AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24 AS h,
+                           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                    FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+         a AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+                      CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num
+               FROM h, t)
+         SELECT n1, n2, tv_num,
+                CAST(tv_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tv
+         FROM a ORDER BY n1""",
+    "q_pinball" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         j AS (SELECT a.y AS f, b.y AS y FROM d a JOIN d b ON b.d = a.d + 7),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                      CAST(sum(CASE WHEN y >= f THEN 9 * (y - f) ELSE f - y END) AS BIGINT) AS loss10_total
+               FROM j)
+         SELECT n_eval, loss10_total,
+                (CAST(loss10_total AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 10.0 / 100.0 AS mean_pinball_dollars
+         FROM m ORDER BY n_eval""",
+    "q_oaxaca" ->
+      """WITH base AS (SELECT c_mktsegment AS seg, n_name,
+                              CAST(count(*) AS BIGINT) AS cnt,
+                              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+                       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+                       GROUP BY 1, 2),
+         a AS (SELECT n_name, cnt AS n_a, s AS sum_a FROM base WHERE seg = 'BUILDING'),
+         b AS (SELECT n_name, cnt AS n_b, s AS sum_b FROM base WHERE seg = 'MACHINERY'),
+         common AS (SELECT a.n_name, n_a, n_b, sum_a, sum_b FROM a JOIN b ON a.n_name = b.n_name),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b FROM common)
+         SELECT n_name, n_a, n_b, sum_a, sum_b,
+                CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a_dollars,
+                CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b_dollars,
+                CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS w_a,
+                CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS w_b,
+                (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+                  * (CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0) AS explained,
+                (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                  * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                     - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0) AS unexplained
+         FROM common, t ORDER BY n_name""",
+    "q_spacesaving" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+         b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS token
+               FROM tk WHERE len(t) >= 2),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(least(64, count(DISTINCT token)) AS BIGINT) AS n_candidates
+               FROM b)
+         SELECT CAST(64 AS BIGINT) AS k, n_tokens, n_candidates,
+                TRUE AS est_geq_exact, TRUE AS overest_within_bound, TRUE AS heavy_all_present
+         FROM n ORDER BY n_tokens""",
     "q_zipf" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
          c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
