@@ -713,6 +713,23 @@ object SparkEntry {
       Analytics.tvDistance(Tables.events(s, dir)).orderBy("n1")),
     "q_pinball" -> ((s, dir) =>
       Analytics.pinballLoss(Tables.events(s, dir)).orderBy("n_eval")),
+    "q_nation_trade" -> ((s, dir) =>
+      Relational.nationTrade(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), "NATION_1", "NATION_2")
+        .orderBy("supp_nation", "cust_nation", "l_year")),
+    "q_market_share" -> ((s, dir) =>
+      Relational.marketShare(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+        "ASIA", "NATION_3")
+        .orderBy("o_year")),
+    "q_promo_share" -> ((s, dir) =>
+      Relational.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy("ship_month")),
+    "q_bracket_revenue" -> ((s, dir) =>
+      Relational.bracketRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy("n_rows")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5219,6 +5236,63 @@ object SparkEntry {
          SELECT n_eval, loss10_total,
                 (CAST(loss10_total AS DOUBLE) / CAST(n_eval AS DOUBLE)) / 10.0 / 100.0 AS mean_pinball_dollars
          FROM m ORDER BY n_eval""",
+    "q_nation_trade" ->
+      """WITH ru AS (SELECT l_suppkey, l_orderkey, year(l_shipdate) AS l_year,
+                            CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+                     FROM lineitem),
+         s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_1', 'NATION_2')),
+         c AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+               JOIN nation ON c_nationkey = n_nationkey WHERE n_name IN ('NATION_1', 'NATION_2')),
+         j AS (SELECT supp_nation, cust_nation, l_year, r
+               FROM ru JOIN s ON ru.l_suppkey = s.s_suppkey
+               JOIN orders ON ru.l_orderkey = o_orderkey
+               JOIN c ON o_custkey = c_custkey
+               WHERE supp_nation <> cust_nation)
+         SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+                CAST(sum(r) AS BIGINT) AS rev_units,
+                CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue_dollars
+         FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_market_share" ->
+      """WITH mn AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'ASIA'),
+         c AS (SELECT c_custkey FROM customer JOIN mn ON c_nationkey = n_nationkey),
+         s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey),
+         j AS (SELECT year(o_orderdate) AS o_year, supp_nation,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+               FROM lineitem
+               JOIN s ON l_suppkey = s_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN c ON o_custkey = c_custkey)
+         SELECT CAST(o_year AS BIGINT) AS o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS num_units,
+                CAST(sum(r) AS BIGINT) AS den_units,
+                CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) AS mkt_share
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q_promo_share" ->
+      """WITH j AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_month, p_type,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+                    FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT CAST(ship_month AS BIGINT) AS ship_month,
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS promo_units,
+                CAST(sum(r) AS BIGINT) AS total_units,
+                100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) AS promo_share
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q_bracket_revenue" ->
+      """WITH j AS (SELECT l_quantity, p_brand, p_size,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+                    FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(r) AS BIGINT) AS rev_units,
+                CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue_dollars
+         FROM j
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)
+         ORDER BY n_rows""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

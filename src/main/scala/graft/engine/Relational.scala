@@ -1971,4 +1971,137 @@ object Relational {
         expr("""sqrt((CAST(sp1q0 AS DOUBLE) / CAST(sc0 AS DOUBLE))
                  * (CAST(sc1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE)))""").as("fisher"))
   }
+
+  private val revUnitsSql =
+    s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** TPC-H Q7-shaped volume shipping: bilateral trade between two
+    * nations (supplier's nation × customer's nation, both directions)
+    * by ship year. Both nation legs broadcast (dimension-sized); the
+    * fact table joins once to each key and aggregates to the
+    * (nation, nation, year) grid. Revenue in exact integer
+    * cents×(100−disc) units, dollars one shared division.
+    */
+  def nationTrade(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      nationA: String,
+      nationB: String): DataFrame = {
+    val supp = supplier
+      .join(
+        broadcast(nation.filter(col("n_name").isin(nationA, nationB))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(
+        broadcast(nation.filter(col("n_name").isin(nationA, nationB))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), Seq("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(expr(s"sum($revUnitsSql)").as("rev_units"))
+      .select(
+        col("supp_nation"),
+        col("cust_nation"),
+        col("l_year").cast("long").as("l_year"),
+        col("rev_units"),
+        expr("CAST(rev_units AS DOUBLE) / 10000.0").as("revenue_dollars"))
+  }
+
+  /** TPC-H Q8-shaped market share: within a region's customer market,
+    * the yearly revenue share supplied by one nation — numerator and
+    * denominator are exact integer revenue units per year, share one
+    * shared division. Dimension legs broadcast; one aggregation grid
+    * keyed by order year with a conditional numerator (no second scan).
+    */
+  def marketShare(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String,
+      supplierNation: String): DataFrame = {
+    val marketNations = nation
+      .join(
+        broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = customer
+      .join(broadcast(marketNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = supplier
+      .join(
+        broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        expr(s"sum(CASE WHEN supp_nation = '$supplierNation' THEN $revUnitsSql ELSE CAST(0 AS BIGINT) END)")
+          .as("num_units"),
+        expr(s"sum($revUnitsSql)").as("den_units"))
+      .select(
+        col("o_year").cast("long").as("o_year"),
+        col("num_units"),
+        col("den_units"),
+        expr("CAST(num_units AS DOUBLE) / CAST(den_units AS DOUBLE)").as("mkt_share"))
+  }
+
+  /** TPC-H Q14-shaped promo revenue share per ship month: conditional
+    * vs total integer revenue units over a broadcast part join, share
+    * scaled ×100 in one shared division.
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(
+        broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_type"))),
+        Seq("l_partkey"))
+      .groupBy(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ship_month"))
+      .agg(
+        expr(s"sum(CASE WHEN p_type = 'PROMO' THEN $revUnitsSql ELSE CAST(0 AS BIGINT) END)")
+          .as("promo_units"),
+        expr(s"sum($revUnitsSql)").as("total_units"))
+      .select(
+        col("ship_month"),
+        col("promo_units"),
+        col("total_units"),
+        expr("100.0 * CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE)")
+          .as("promo_share"))
+
+  /** TPC-H Q19-shaped bracket revenue: an OR of three (brand, size
+    * range, quantity range) brackets evaluated in ONE pass — the
+    * predicate pushes into the join output, no union of three scans.
+    * Exact integer revenue units; one shared final division.
+    */
+  def bracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val cond =
+      """(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
+         OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)"""
+    lineitem
+      .join(
+        broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))),
+        Seq("l_partkey"))
+      .filter(expr(cond))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        expr(s"sum($revUnitsSql)").as("rev_units"))
+      .select(
+        col("n_rows"),
+        col("rev_units"),
+        expr("CAST(rev_units AS DOUBLE) / 10000.0").as("revenue_dollars"))
+  }
 }
