@@ -730,6 +730,12 @@ object SparkEntry {
     "q_bracket_revenue" -> ((s, dir) =>
       Relational.bracketRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))
         .orderBy("n_rows")),
+    "q_ndcg" -> ((s, dir) =>
+      Graph.ndcgAt5(Tables.lineitem(s, dir)).orderBy("n_parts")),
+    "q_rec_coverage" -> ((s, dir) =>
+      Graph.recCoverage(Tables.lineitem(s, dir)).orderBy("n_catalog")),
+    "q_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(Tables.embeddings(s, dir)).orderBy("n_vecs")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5293,6 +5299,79 @@ object SparkEntry {
             OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
             OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)
          ORDER BY n_rows""",
+    "q_ndcg" -> {
+      val dcgD = graft.engine.Graph.dcg5Sql("d")
+      val dcgI = graft.engine.Graph.dcg5Sql("i")
+      val dSums = (1 to 5)
+        .map(i => s"CAST(sum(CASE WHEN rk = $i THEN coalesce(t.w, CAST(0 AS BIGINT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d$i")
+        .mkString(", ")
+      val iSums = (1 to 5)
+        .map(i => s"CAST(sum(CASE WHEN rk = $i THEN w ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS i$i")
+        .mkString(", ")
+      s"""WITH ope AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 2 = 0),
+          ee AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+                 FROM ope a JOIN ope b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+          train AS (SELECT pa AS src, pb AS dst, w FROM ee UNION ALL SELECT pb AS src, pa AS dst, w FROM ee),
+          opo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 2 = 1),
+          eo AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+                 FROM opo a JOIN opo b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+          test AS (SELECT pa AS src, pb AS dst, w FROM eo UNION ALL SELECT pb AS src, pa AS dst, w FROM eo),
+          recs AS (SELECT src, dst, rk FROM (
+                     SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+                     FROM train) WHERE rk <= 5),
+          graded AS (SELECT r.src, $dSums
+                     FROM recs r LEFT JOIN test t ON t.src = r.src AND t.dst = r.dst
+                     GROUP BY 1),
+          ideal AS (SELECT src, $iSums FROM (
+                      SELECT src, w, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+                      FROM test) WHERE rk <= 5 GROUP BY 1),
+          nd AS (SELECT g.src, CAST(round($dcgD / $dcgI * 1000000.0) AS BIGINT) AS m
+                 FROM graded g JOIN ideal i ON g.src = i.src)
+          SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(m) AS BIGINT) AS sum_micro,
+                 (CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_ndcg
+          FROM nd ORDER BY n_parts"""
+    },
+    "q_rec_coverage" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS w
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         sym AS (SELECT pa AS src, pb AS dst, w FROM e UNION ALL SELECT pb AS src, pa AS dst, w FROM e),
+         recs AS (SELECT src, dst FROM (
+                    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+                    FROM sym) WHERE rk <= 5),
+         expo AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_slots FROM recs GROUP BY 1),
+         cat AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_catalog FROM sym),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total_slots FROM recs),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended, CAST(max(n_slots) AS BIGINT) AS max_exposure FROM expo)
+         SELECT n_catalog, n_recommended, total_slots, max_exposure,
+                CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS coverage,
+                CAST(max_exposure AS DOUBLE) / CAST(total_slots AS DOUBLE) AS max_share
+         FROM cat, tot, ex ORDER BY n_catalog""",
+    "q_pq_distortion" -> {
+      val m = 8
+      val subDim = 8
+      val books = graft.similarity.Similarity.pqCodebooks(m, 16, subDim)
+      def subVec(j: Int) = s"v[${j * subDim + 1}:${(j + 1) * subDim}]"
+      val distLists = (0 until m).map { j =>
+        books(j)
+          .map { c =>
+            val lit = c.map(_.toString).mkString("[", ", ", "]")
+            s"list_dot_product(${subVec(j)}, ${subVec(j)}) - 2.0*list_dot_product(${subVec(j)}, $lit) + ${c.map(x => x * x).sum}"
+          }
+          .mkString("[", ", ", "]")
+      }
+      val dCols = (0 until m).map(j => s"${distLists(j)} AS d$j").mkString(", ")
+      val total = (0 until m).map(j => s"list_min(d$j)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          d AS (SELECT vec_id, $dCols FROM e),
+          r AS (SELECT CAST(round(($total) * 1000000.0) AS BIGINT) AS dq FROM d),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(dq) AS BIGINT) AS total_micro,
+                       CAST(max(dq) AS BIGINT) AS max_micro
+                FROM r)
+          SELECT n_vecs, total_micro, max_micro,
+                 (CAST(total_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0 AS mean_distortion
+          FROM a ORDER BY n_vecs"""
+    },
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

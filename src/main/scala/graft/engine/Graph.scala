@@ -547,4 +547,111 @@ object Graph {
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).cast("long").as("n_members"))
   }
+
+  /** 1/log₂(rank+1) nDCG discounts for ranks 1..5 — decimal literals
+    * both engines parse to identical doubles (ln itself is not
+    * bit-portable; a parsed literal is).
+    */
+  val ndcgW: Seq[String] = Seq(
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306", "0.38685280723454163")
+
+  /** Weighted 5-term DCG text over per-rank integer relevance columns
+    * r1..r5 — a FIXED-order expression, never a float sum aggregate.
+    */
+  def dcg5Sql(prefix: String): String =
+    (1 to 5).map(i => s"CAST(${prefix}$i AS DOUBLE) * ${ndcgW(i - 1)}").mkString("(", " + ", ")")
+
+  /** nDCG@5 of co-order item recommendations under a train/test split by
+    * order-key parity: recommendations rank train-half co-order weight,
+    * graded relevance is the test-half co-order count, and the ideal
+    * ranking is the test half's own top-5. Per-part DCG/IDCG are
+    * fixed-order 5-term expressions over pivoted INTEGER rank columns
+    * (a float `sum()` would be partition-order-dependent); per-part
+    * nDCG micro-quantizes before the corpus mean so the cross-part sum
+    * is an order-free BIGINT. This is the evaluation loop every
+    * recommender retrain runs — entirely joins + windows on the
+    * |parts|²-bounded edge aggregates.
+    */
+  def ndcgAt5(lineitem: DataFrame): DataFrame = {
+    def half(parity: Int): DataFrame =
+      coOrderEdges(lineitem.filter(col("l_orderkey") % 2 === parity))
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val train = sym(half(0))
+    val test = sym(half(1))
+    val recs = train
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("src"), col("dst"), col("rk"))
+    val graded = recs
+      .join(
+        test.select(col("src"), col("dst"), col("w").as("rel")),
+        Seq("src", "dst"),
+        "left")
+      .na.fill(0L, Seq("rel"))
+      .groupBy(col("src"))
+      .agg(
+        sum(when(col("rk") === 1, col("rel")).otherwise(0L)).as("d1"),
+        (2 to 5).map(i =>
+          sum(when(col("rk") === i, col("rel")).otherwise(0L)).as(s"d$i")): _*)
+    val ideal = test
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rk") <= 5)
+      .groupBy(col("src"))
+      .agg(
+        sum(when(col("rk") === 1, col("w")).otherwise(0L)).as("i1"),
+        (2 to 5).map(i =>
+          sum(when(col("rk") === i, col("w")).otherwise(0L)).as(s"i$i")): _*)
+    graded
+      .join(ideal, Seq("src"))
+      .select(
+        col("src"),
+        expr(s"CAST(round(${dcg5Sql("d")} / ${dcg5Sql("i")} * 1000000.0) AS BIGINT)")
+          .as("ndcg_micro"))
+      .agg(
+        count(lit(1)).cast("long").as("n_parts"),
+        sum(col("ndcg_micro")).as("sum_micro"))
+      .select(
+        col("n_parts"),
+        col("sum_micro"),
+        expr("(CAST(sum_micro AS DOUBLE) / CAST(n_parts AS DOUBLE)) / 1000000.0")
+          .as("mean_ndcg"))
+  }
+
+  /** Catalog-coverage and exposure-concentration audit of the top-5
+    * co-order recommendations: how much of the catalog ever gets
+    * recommended, and how unequal slot exposure is (max and top-part
+    * share) — the health metrics that catch popularity collapse. Pure
+    * integer counts over the rec table; one shared division each.
+    */
+  def recCoverage(lineitem: DataFrame): DataFrame = {
+    val e = coOrderEdges(lineitem)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val recs = sym
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rk") <= 5)
+    val exposure = recs.groupBy(col("dst")).agg(count(lit(1)).as("n_slots"))
+    val catalog = sym.select(col("src")).distinct().count()
+    recs
+      .agg(count(lit(1)).cast("long").as("total_slots"))
+      .crossJoin(
+        exposure.agg(
+          count(lit(1)).cast("long").as("n_recommended"),
+          max(col("n_slots")).as("max_exposure")))
+      .select(
+        lit(catalog).as("n_catalog"),
+        col("n_recommended"),
+        col("total_slots"),
+        col("max_exposure"),
+        expr(s"CAST(n_recommended AS DOUBLE) / CAST($catalog AS DOUBLE)").as("coverage"),
+        expr("CAST(max_exposure AS DOUBLE) / CAST(total_slots AS DOUBLE)").as("max_share"))
+  }
 }

@@ -1229,6 +1229,39 @@ object Similarity {
           .as("mean_distortion"))
   }
 
+  /** PQ quantizer distortion: each vector's total squared reconstruction
+    * error Σⱼ min-dist over subspace j's codebook — the objective PQ
+    * training minimizes, per-build measurable like [[ivfDistortion]].
+    * Per-subspace minima are array_min over the same expanded
+    * `s·s − 2·s·c + c·c` distance lists as [[pqTopK]], summed in FIXED
+    * subspace order, then micro-quantized per row so the corpus sum is
+    * an order-free BIGINT.
+    */
+  def pqDistortion(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val subDim = 64 / m
+    val books = pqCodebooks(m, codebookSize, subDim)
+    val emb = embeddings.withColumn("v", asDouble(col("embedding")))
+    val total = (0 until m)
+      .map { j =>
+        val sub = slice(col("v"), j * subDim + 1, subDim)
+        array_min(array(books(j).map { c =>
+          val cLit = typedLit(c.toSeq)
+          dot(sub, sub) - lit(2.0) * dot(sub, cLit) + lit(c.map(x => x * x).sum)
+        }: _*))
+      }
+      .reduce(_ + _)
+    emb
+      .select(total.as("d"))
+      .select(expr("CAST(round(d * 1000000.0) AS BIGINT)").as("dq"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dq")).as("total_micro"), max(col("dq")).as("max_micro"))
+      .select(
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("total_micro"),
+        col("max_micro"),
+        expr("(CAST(total_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0")
+          .as("mean_distortion"))
+  }
+
   /** Embedding-norm QA histogram: corpus count, zero-vector count, and
     * the distribution of squared norms in 0.5-wide buckets (norms come
     * from the same sequential-fold dot product as every ANN operator,
