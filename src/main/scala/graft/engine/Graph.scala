@@ -524,7 +524,7 @@ object Graph {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
+    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb"))).cache()
     var labels = sym.select(col("pa").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to 2) {
       // labels shares lineage with sym — qualify the self-join through
@@ -578,8 +578,8 @@ object Graph {
     def sym(e: DataFrame): DataFrame =
       e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
-    val train = sym(half(0))
-    val test = sym(half(1))
+    val train = sym(half(0)).cache()
+    val test = sym(half(1)).cache()
     val recs = train
       .withColumn(
         "rk",
@@ -633,6 +633,7 @@ object Graph {
     val e = coOrderEdges(lineitem)
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+      .cache()
     val recs = sym
       .withColumn(
         "rk",
