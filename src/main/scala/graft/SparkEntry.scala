@@ -736,6 +736,13 @@ object SparkEntry {
       Graph.recCoverage(Tables.lineitem(s, dir)).orderBy("n_catalog")),
     "q_pq_distortion" -> ((s, dir) =>
       Similarity.pqDistortion(Tables.embeddings(s, dir)).orderBy("n_vecs")),
+    "q_arc_elasticity" -> ((s, dir) =>
+      Relational.arcElasticity(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy("p_brand")),
+    "q_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhood(Tables.documents(s, dir)).orderBy("n_candidates")),
+    "q_qq" -> ((s, dir) =>
+      Inference.qqTable(Tables.events(s, dir), "purchase", "click").orderBy("p")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5372,6 +5379,67 @@ object SparkEntry {
                  (CAST(total_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0 AS mean_distortion
           FROM a ORDER BY n_vecs"""
     },
+    "q_arc_elasticity" ->
+      """WITH sp AS (SELECT p_partkey, p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+                            row_number() OVER (PARTITION BY p_brand ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) ASC, p_partkey ASC) AS r,
+                            count(*) OVER (PARTITION BY p_brand) AS n
+                     FROM part),
+         split AS (SELECT p_partkey, p_brand, pc, r <= (n + 1) // 2 AS cheap FROM sp),
+         agg AS (SELECT p_brand,
+                        CAST(sum(CASE WHEN cheap THEN CAST(round(l_quantity) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS q1,
+                        CAST(sum(CASE WHEN NOT cheap THEN CAST(round(l_quantity) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS q2,
+                        CAST(sum(CASE WHEN cheap THEN pc ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ps1,
+                        CAST(sum(CASE WHEN cheap THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN NOT cheap THEN pc ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ps2,
+                        CAST(sum(CASE WHEN NOT cheap THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                 FROM lineitem JOIN split ON l_partkey = p_partkey
+                 GROUP BY 1)
+         SELECT p_brand, q1, q2, ps1, n1, ps2, n2,
+                (CAST(q2 - q1 AS DOUBLE) * (CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                  / (CAST(q1 + q2 AS DOUBLE) * (CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) - CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS arc_elasticity
+         FROM agg ORDER BY p_brand""",
+    "q_sorted_neighborhood" ->
+      """WITH k AS (SELECT doc_id, n_chars, md5(text) AS h, n_chars // 16 AS bucket FROM documents),
+         l AS (SELECT doc_id, h,
+                      lead(doc_id, 1) OVER w AS nid1, lead(h, 1) OVER w AS nh1,
+                      lead(doc_id, 2) OVER w AS nid2, lead(h, 2) OVER w AS nh2,
+                      lead(doc_id, 3) OVER w AS nid3, lead(h, 3) OVER w AS nh3,
+                      lead(doc_id, 4) OVER w AS nid4, lead(h, 4) OVER w AS nh4
+               FROM k WINDOW w AS (PARTITION BY bucket ORDER BY n_chars ASC, doc_id ASC)),
+         cand AS (SELECT doc_id, h, u.nid AS nid, u.nh AS nh
+                  FROM l, unnest([struct_pack(nid := nid1, nh := nh1), struct_pack(nid := nid2, nh := nh2),
+                                  struct_pack(nid := nid3, nh := nh3), struct_pack(nid := nid4, nh := nh4)]) AS t(u)
+                  WHERE u.nid IS NOT NULL),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                       CAST(sum(CASE WHEN h = nh THEN 1 ELSE 0 END) AS BIGINT) AS dup_caught
+                FROM cand),
+         tot AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS dup_total,
+                        CAST(sum(c) AS BIGINT) AS n_docs
+                 FROM (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1))
+         SELECT n_candidates, dup_caught, dup_total, n_docs,
+                CASE WHEN dup_total = 0 THEN NULL
+                     ELSE CAST(dup_caught AS DOUBLE) / CAST(dup_total AS DOUBLE) END AS pairs_completeness,
+                1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) AS reduction_ratio
+         FROM st, tot ORDER BY n_candidates""",
+    "q_qq" ->
+      """WITH ga AS (SELECT CAST(round(value * 100) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ca AS (SELECT x, c, coalesce(CAST(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cb,
+                       CAST(sum(c) OVER () AS BIGINT) AS n
+                FROM ga),
+         pa AS (SELECT p, x AS qa_cents
+                FROM ca, unnest(generate_series(5, 95, 5)) AS t(p)
+                WHERE cb < (p * (n - 1)) // 100 + 1 AND (p * (n - 1)) // 100 + 1 <= cb + c),
+         gb AS (SELECT CAST(round(value * 100) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         cbl AS (SELECT x, c, coalesce(CAST(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cb,
+                        CAST(sum(c) OVER () AS BIGINT) AS n
+                 FROM gb),
+         pb AS (SELECT p, x AS qb_cents
+                FROM cbl, unnest(generate_series(5, 95, 5)) AS t(p)
+                WHERE cb < (p * (n - 1)) // 100 + 1 AND (p * (n - 1)) // 100 + 1 <= cb + c)
+         SELECT CAST(pa.p AS BIGINT) AS p, qa_cents, qb_cents, qa_cents - qb_cents AS gap_cents
+         FROM pa JOIN pb ON pa.p = pb.p ORDER BY p""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

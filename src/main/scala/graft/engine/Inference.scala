@@ -1252,6 +1252,43 @@ object Inference {
         expr("CAST(conc - disc AS DOUBLE) / CAST((n_rows * (n_rows - 1)) div 2 AS DOUBLE)").as("tau_a"))
   }
 
+  /** Q–Q table between purchase and click value distributions: both
+    * empirical quantile functions evaluated at p = 5%..95% (step 5)
+    * with the explicit type-1 rank rule r = (p·(n−1)) div 100 + 1 —
+    * exact order statistics over each group's value→count grid (one
+    * bounded cumulative window per group, never a corpus sort), so
+    * every emitted quantile is an exact integer both engines agree on.
+    * The scatter of (qa, qb) against the diagonal is the
+    * distribution-shift diagnostic Q–Q plots draw.
+    */
+  def qqTable(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    def quantiles(t: String, alias: String): DataFrame = {
+      val grid = events
+        .filter(col("event_type") === t)
+        .groupBy(expr(Stages.centsSql("value")).as("x"))
+        .agg(count(lit(1)).as("c"))
+      val below = Window
+        .partitionBy(lit(1))
+        .orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+        .crossJoin(broadcast(grid.agg(sum(col("c")).as("n"))))
+        .crossJoin(
+          events.sparkSession.range(1)
+            .select(explode(expr("sequence(5, 95, 5)")).as("p")))
+        .filter(expr("cb < (p * (n - 1)) div 100 + 1 AND (p * (n - 1)) div 100 + 1 <= cb + c"))
+        .select(col("p").cast("long").as("p"), col("x").as(alias))
+    }
+    quantiles(typeA, "qa_cents")
+      .join(quantiles(typeB, "qb_cents"), Seq("p"))
+      .select(
+        col("p"),
+        col("qa_cents"),
+        col("qb_cents"),
+        (col("qa_cents") - col("qb_cents")).as("gap_cents"))
+  }
+
   def oaxacaDecomposition(
       customer: DataFrame,
       orders: DataFrame,

@@ -2081,6 +2081,48 @@ object Relational {
         expr("100.0 * CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE)")
           .as("promo_share"))
 
+  /** Arc (midpoint) price elasticity of demand per brand, cheap-vs-
+    * expensive halves split at the brand's LOWER-median retail price:
+    * e = (Q₂−Q₁)(P̄₁+P̄₂) / ((Q₁+Q₂)(P̄₂−P̄₁)). The midpoint formula needs
+    * no logarithm — quantities are exact integers, mean prices exact
+    * integer sums over counts, and the elasticity is one fixed double
+    * expression — so unlike log-log elasticity it is bit-portable. The
+    * median split is a per-brand order statistic on the part dimension
+    * (broadcast-sized); facts aggregate once per (brand, half).
+    */
+  def arcElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    val split = part
+      .select(col("p_partkey"), col("p_brand"), expr(Stages.centsSql("p_retailprice")).as("pc"))
+      .withColumn("r", row_number().over(w.orderBy(col("pc").asc, col("p_partkey").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med_r", expr("(n + 1) div 2"))
+      .select(
+        col("p_partkey").as("l_partkey"),
+        col("p_brand"),
+        col("pc"),
+        (col("r") <= col("med_r")).as("cheap"))
+    lineitem
+      .join(broadcast(split), Seq("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        expr("sum(CASE WHEN cheap THEN CAST(round(l_quantity) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .as("q1"),
+        expr("sum(CASE WHEN NOT cheap THEN CAST(round(l_quantity) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .as("q2"),
+        expr("sum(CASE WHEN cheap THEN pc ELSE CAST(0 AS BIGINT) END)").as("ps1"),
+        expr("sum(CASE WHEN cheap THEN 1 ELSE 0 END)").as("n1"),
+        expr("sum(CASE WHEN NOT cheap THEN pc ELSE CAST(0 AS BIGINT) END)").as("ps2"),
+        expr("sum(CASE WHEN NOT cheap THEN 1 ELSE 0 END)").as("n2"))
+      .select(
+        col("p_brand"),
+        col("q1"), col("q2"), col("ps1"), col("n1"), col("ps2"), col("n2"),
+        expr(
+          """(CAST(q2 - q1 AS DOUBLE) * (CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / (CAST(q1 + q2 AS DOUBLE) * (CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) - CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE)))""")
+          .as("arc_elasticity"))
+  }
+
   /** TPC-H Q19-shaped bracket revenue: an OR of three (brand, size
     * range, quantity range) brackets evaluated in ONE pass — the
     * predicate pushes into the join output, no union of three scans.

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline — exact,
@@ -649,5 +650,59 @@ object Dedup {
       .distinct()
       .join(dup, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+  }
+
+  /** Blocked sorted-neighborhood candidate generation — the third
+    * classical ER blocking family beside LSH banding and prefix
+    * filtering: documents sort by length within 16-char length buckets
+    * (the blocking turns the global sorted scan into per-bucket
+    * partitions — fully distributed, unlike textbook SNM's single
+    * sorted pass), and each doc pairs with its next `w`=4 neighbors.
+    * Emits the audit row every blocking scheme gets here: candidate
+    * count, exact-duplicate pairs caught, total exact-duplicate pairs
+    * (from a text-hash groupBy), pairs completeness, and the reduction
+    * ratio vs the n(n−1)/2 full comparison space.
+    */
+  def sortedNeighborhood(documents: DataFrame): DataFrame = {
+    val keyed = documents
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+      .withColumn("bucket", expr("n_chars div 16"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("n_chars").asc, col("doc_id").asc)
+    val withLeads = keyed
+      .select(
+        col("doc_id") +: col("h") +:
+          (1 to 4).flatMap(i =>
+            Seq(
+              lead(col("doc_id"), i).over(w).as(s"nid$i"),
+              lead(col("h"), i).over(w).as(s"nh$i"))): _*)
+    val cand = withLeads
+      .select(
+        col("doc_id"),
+        col("h"),
+        explode(array((1 to 4).map(i =>
+          struct(col(s"nid$i").as("nid"), col(s"nh$i").as("nh"))): _*)).as("nb"))
+      .filter(col("nb.nid").isNotNull)
+      .select(col("doc_id"), col("h"), col("nb.nid").as("nid"), col("nb.nh").as("nh"))
+    val stats = cand.agg(
+      count(lit(1)).cast("long").as("n_candidates"),
+      sum(when(col("h") === col("nh"), 1L).otherwise(0L)).as("dup_caught"))
+    val totals = documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(expr("(c * (c - 1)) div 2")).as("dup_total"),
+        sum(col("c")).as("n_docs"))
+    stats
+      .crossJoin(totals)
+      .select(
+        col("n_candidates"),
+        col("dup_caught"),
+        col("dup_total"),
+        col("n_docs"),
+        expr("""CASE WHEN dup_total = 0 THEN NULL
+             ELSE CAST(dup_caught AS DOUBLE) / CAST(dup_total AS DOUBLE) END""")
+          .as("pairs_completeness"),
+        expr("1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0)")
+          .as("reduction_ratio"))
   }
 }
