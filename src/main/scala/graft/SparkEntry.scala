@@ -743,6 +743,12 @@ object SparkEntry {
       Dedup.sortedNeighborhood(Tables.documents(s, dir)).orderBy("n_candidates")),
     "q_qq" -> ((s, dir) =>
       Inference.qqTable(Tables.events(s, dir), "purchase", "click").orderBy("p")),
+    "q_map_funcs" -> ((s, dir) =>
+      Analytics.mapFuncs(Tables.events(s, dir)).orderBy("event_type", "h")),
+    "q_l_diversity" -> ((s, dir) =>
+      Analytics.lDiversity(Tables.orders(s, dir)).orderBy("priority", "o_year")),
+    "q_session_percentiles" -> ((s, dir) =>
+      Analytics.sessionPercentiles(Tables.events(s, dir)).orderBy("n_sessions")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5440,6 +5446,46 @@ object SparkEntry {
                 WHERE cb < (p * (n - 1)) // 100 + 1 AND (p * (n - 1)) // 100 + 1 <= cb + c)
          SELECT CAST(pa.p AS BIGINT) AS p, qa_cents, qb_cents, qa_cents - qb_cents AS gap_cents
          FROM pa JOIN pb ON pa.p = pb.p ORDER BY p""",
+    "q_map_funcs" ->
+      """WITH h AS (SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24 AS h,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+         kept AS (SELECT event_type, h, 2 * c AS doubled_count FROM h WHERE 2 * c >= 20),
+         nk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+         SELECT k.event_type, k.h, k.doubled_count, nk.n_kept
+         FROM kept k JOIN nk ON k.event_type = nk.event_type
+         ORDER BY k.event_type, k.h""",
+    "q_l_diversity" ->
+      """SELECT o_orderpriority AS priority,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_div,
+                count(DISTINCT o_orderstatus) >= 2 AS is_diverse
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_session_percentiles" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t FROM events),
+         s AS (SELECT user_id, t,
+                      CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                             OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+               FROM e),
+         sid AS (SELECT user_id, t,
+                        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                 FROM s),
+         d AS (SELECT CAST(max(t) - min(t) AS BIGINT) AS dur FROM sid GROUP BY user_id, session_id),
+         g AS (SELECT dur, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+         cum AS (SELECT dur, c,
+                        coalesce(CAST(sum(c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cb,
+                        CAST(sum(c) OVER () AS BIGINT) AS n,
+                        CAST(sum(dur * c) OVER () AS BIGINT) AS sd
+                 FROM g),
+         p50 AS (SELECT dur AS p50_seconds, n, sd FROM cum
+                 WHERE cb < (50 * (n - 1)) // 100 + 1 AND (50 * (n - 1)) // 100 + 1 <= cb + c),
+         p90 AS (SELECT dur AS p90_seconds FROM cum
+                 WHERE cb < (90 * (n - 1)) // 100 + 1 AND (90 * (n - 1)) // 100 + 1 <= cb + c)
+         SELECT n AS n_sessions, p50_seconds, p90_seconds,
+                CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_seconds
+         FROM p50, p90 ORDER BY n_sessions""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -5249,6 +5249,94 @@ object Analytics {
           .as("mean_pinball_dollars"))
   }
 
+  /** Map-column higher-order-function battery: per event type, the
+    * hour-of-day count map built with `map_from_entries` over a SORTED
+    * entry array (map building is order-sensitive — the sort pins it),
+    * doubled with `transform_values`, thresholded with `map_filter`,
+    * then exploded back to rows with the per-type surviving-key count.
+    * Exercises the MapType HOF surface the array battery doesn't; all
+    * values exact integers, the output a plain sorted row set any
+    * engine can reproduce.
+    */
+  def mapFuncs(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), expr("(CAST(ts AS LONG) div 3600) % 24").as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("c")))).as("entries"))
+      .withColumn("m", expr("map_from_entries(entries)"))
+      .withColumn("doubled", expr("transform_values(m, (k, v) -> v * 2)"))
+      .withColumn("kept", expr("map_filter(doubled, (k, v) -> v >= 20)"))
+      .select(
+        col("event_type"),
+        expr("CAST(size(kept) AS BIGINT)").as("n_kept"),
+        explode(col("kept")).as(Seq("h", "doubled_count")))
+      .select(col("event_type"), col("h"), col("doubled_count"), col("n_kept"))
+  }
+
+  /** l-diversity audit over the (order priority × order year)
+    * quasi-identifier grid with order status as the sensitive
+    * attribute: per QI group the row count and the number of DISTINCT
+    * sensitive values l, plus the l ≥ 2 verdict — the release-safety
+    * check that k-anonymity alone misses (a large group whose sensitive
+    * value is constant still leaks). Two map-combined aggregates.
+    */
+  def lDiversity(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("o_orderstatus")).cast("long").as("l_div"))
+      .select(
+        col("priority"),
+        col("o_year"),
+        col("n_rows"),
+        col("l_div"),
+        (col("l_div") >= 2).as("is_diverse"))
+
+  /** Session-duration distribution: 30-minute-gap sessions per user
+    * (the [[sessionizeBatch]] shape), durations in whole seconds, then
+    * exact p50/p90 order statistics (lower rule) over the duration
+    * value→count grid — corpus-scale sessions reduce to a bounded
+    * distribution before any ranking — plus count and a shared-division
+    * mean.
+    */
+  def sessionPercentiles(events: DataFrame): DataFrame = {
+    val prevTs = lag(col("ts"), 1).over(userOrder)
+    val isNew = when(
+      prevTs.isNull || (col("ts").cast("long") - prevTs.cast("long")) > 1800L,
+      1L).otherwise(0L)
+    val durations = events
+      .withColumn("is_new", isNew)
+      .withColumn(
+        "session_id",
+        sum(col("is_new")).over(userOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur"))
+    val grid = durations.groupBy(col("dur")).agg(count(lit(1)).as("c"))
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+      .crossJoin(broadcast(grid.agg(sum(col("c")).as("n"), sum(col("dur") * col("c")).as("sd"))))
+    def pick(p: Int, alias: String): DataFrame =
+      cum
+        .filter(expr(s"cb < ($p * (n - 1)) div 100 + 1 AND ($p * (n - 1)) div 100 + 1 <= cb + c"))
+        .select(col("dur").as(alias), col("n"), col("sd"))
+    pick(50, "p50_seconds")
+      .crossJoin(pick(90, "p90_seconds").select(col("p90_seconds")))
+      .select(
+        col("n").as("n_sessions"),
+        col("p50_seconds"),
+        col("p90_seconds"),
+        expr("CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_seconds"))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events
