@@ -749,6 +749,12 @@ object SparkEntry {
       Analytics.lDiversity(Tables.orders(s, dir)).orderBy("priority", "o_year")),
     "q_session_percentiles" -> ((s, dir) =>
       Analytics.sessionPercentiles(Tables.events(s, dir)).orderBy("n_sessions")),
+    "q_boot_median" -> ((s, dir) =>
+      Analytics.poissonBootstrapMedian(Tables.events(s, dir)).orderBy("resample")),
+    "q_cdc_chunking" -> ((s, dir) =>
+      Analytics.cdcChunking(Tables.documents(s, dir)).orderBy("n_docs")),
+    "q_merkle" -> ((s, dir) =>
+      Analytics.merkleDigest(Tables.documents(s, dir)).orderBy("bucket")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5486,6 +5492,62 @@ object SparkEntry {
          SELECT n AS n_sessions, p50_seconds, p90_seconds,
                 CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_seconds
          FROM p50, p90 ORDER BY n_sessions""",
+    "q_boot_median" -> {
+      val mult = graft.engine.Analytics.PoissonThresholds.zipWithIndex
+        .map { case (t, k) =>
+          s"WHEN CAST(CAST(concat('0x', substring(md5(concat(CAST(event_id AS VARCHAR), '_', CAST(r AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) < $t THEN $k"
+        }
+        .mkString("CASE ", " ", s" ELSE ${graft.engine.Analytics.PoissonThresholds.length} END")
+      s"""WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x,
+                            unnest(generate_series(0, 7)) AS r
+                     FROM events),
+          d AS (SELECT CAST(r AS BIGINT) AS resample, $mult AS m, x FROM e),
+          g AS (SELECT resample, x, CAST(sum(m) AS BIGINT) AS w FROM d GROUP BY 1, 2 HAVING sum(m) > 0),
+          cum AS (SELECT resample, x, w,
+                         coalesce(CAST(sum(w) OVER (PARTITION BY resample ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cb,
+                         CAST(sum(w) OVER (PARTITION BY resample) AS BIGINT) AS n
+                  FROM g)
+          SELECT resample, n AS n_eff, x AS median_cents, CAST(x AS DOUBLE) / 100.0 AS median_dollars
+          FROM cum
+          WHERE cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + w
+          ORDER BY resample"""
+    },
+    "q_cdc_chunking" -> {
+      val weights = (0 to 7).map(k => math.pow(31.0, k).toLong)
+      val rolling = (0 to 7).map(k => s"CAST(ch[p - $k] AS BIGINT) * ${weights(k)}").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+                               list_transform(string_split(text, ''), c -> ascii(c)) AS ch
+                        FROM documents),
+          b2 AS (SELECT doc_id, text, len,
+                        CASE WHEN len < 8 THEN CAST([] AS INTEGER[])
+                             ELSE [p FOR p IN generate_series(8, len) IF ($rolling) % 64 = 0] END AS bl
+                 FROM base),
+          b3 AS (SELECT doc_id, text,
+                        list_prepend(1, list_transform(bl, p -> p + 1)) AS starts,
+                        list_append(bl, len) AS ends
+                 FROM b2),
+          ch AS (SELECT doc_id,
+                        CAST(ends[i] - starts[i] + 1 AS BIGINT) AS chunk_len,
+                        md5(substring(text, starts[i], ends[i] - starts[i] + 1)) AS chunk_md5
+                 FROM b3, unnest(generate_series(1, len(starts))) AS t(i)
+                 WHERE ends[i] >= starts[i]),
+          a AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS total_chunks,
+                       CAST(count(DISTINCT chunk_md5) AS BIGINT) AS distinct_chunks,
+                       CAST(sum(chunk_len) AS BIGINT) AS total_chars
+                FROM ch)
+          SELECT n_docs, total_chunks, distinct_chunks, total_chars,
+                 CAST(distinct_chunks AS DOUBLE) / CAST(total_chunks AS DOUBLE) AS unique_ratio,
+                 CAST(total_chars AS DOUBLE) / CAST(total_chunks AS DOUBLE) AS mean_chunk_len
+          FROM a ORDER BY n_docs"""
+    },
+    "q_merkle" ->
+      """WITH l AS (SELECT doc_id % 16 AS bucket, md5(text) AS leaf FROM documents),
+         b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                      md5(list_aggregate(list_sort(list(leaf)), 'string_agg', '')) AS bucket_hash
+               FROM l GROUP BY 1),
+         r AS (SELECT md5(list_aggregate(list_sort(list(bucket_hash)), 'string_agg', '')) AS root_hash FROM b)
+         SELECT bucket, n_docs, bucket_hash, root_hash FROM b, r ORDER BY bucket""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

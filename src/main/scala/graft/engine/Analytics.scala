@@ -5337,6 +5337,113 @@ object Analytics {
         expr("CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_seconds"))
   }
 
+  /** Deterministic Poisson bootstrap of the MEDIAN: the same
+    * hash-thresholded Poisson(1) multiplicities as [[poissonBootstrap]]
+    * (the only bootstrap that runs at 100 TB — no global n, no
+    * sampling-without-replacement state), but the per-replica statistic
+    * is the exact LOWER-median over the replica's weighted value→count
+    * grid, found by a cumulative window PARTITIONED BY replica (each
+    * replica's grid is value-domain-bounded). The spread of the
+    * replica medians is the nonparametric CI the mean bootstrap can't
+    * give for skewed values.
+    */
+  def poissonBootstrapMedian(events: DataFrame, numResamples: Int = 8): DataFrame = {
+    val h =
+      "CAST(conv(substring(md5(concat(cast(event_id as string), '_', cast(r as string))), 1, 8), 16, 10) AS BIGINT)"
+    val mult = PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonThresholds.length} END")
+    val grid = events
+      .select(col("event_id"), expr(Stages.centsSql("value")).as("x"))
+      .withColumn("r", explode(expr(s"sequence(0, ${numResamples - 1})")))
+      .withColumn("m", expr(mult))
+      .groupBy(col("r").cast("long").as("resample"), col("x"))
+      .agg(sum(col("m")).as("w"))
+      .filter(col("w") > 0)
+    val below = Window
+      .partitionBy(col("resample"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cb", coalesce(sum(col("w")).over(below), lit(0L)))
+      .withColumn("n", sum(col("w")).over(Window.partitionBy(col("resample"))))
+      .filter(expr("cb < (n + 1) div 2 AND (n + 1) div 2 <= cb + w"))
+      .select(
+        col("resample"),
+        col("n").as("n_eff"),
+        col("x").as("median_cents"),
+        expr("CAST(x AS DOUBLE) / 100.0").as("median_dollars"))
+  }
+
+  /** Content-defined chunking (CDC) storage-dedup audit over the
+    * document payloads: chunk boundaries fall where an 8-byte rolling
+    * polynomial hash (Σ c[p−k]·31ᵏ over char codes) is ≡ 0 mod 64 —
+    * content-keyed, so identical passages chunk identically whatever
+    * their offset, which is what makes CDC dedup-stable where
+    * fixed-size chunking isn't. Per-document chunking is one
+    * array-lambda pass (char codes computed once); the corpus-level
+    * readout counts distinct chunk hashes vs total — the storage dedup
+    * ratio. Everything integer/hash; no floats but two shared
+    * divisions.
+    */
+  def cdcChunking(documents: DataFrame): DataFrame = {
+    val weights = (0 to 7).map(k => math.pow(31.0, k).toLong)
+    val rolling = (0 to 7)
+      .map(k => s"element_at(ch, CAST(p - $k AS INT)) * ${weights(k)}L")
+      .mkString(" + ")
+    val chunks = documents
+      .select(col("doc_id"), col("text"), expr("length(text)").cast("int").as("len"))
+      .withColumn("ch", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn(
+        "bl",
+        expr(s"CASE WHEN len < 8 THEN CAST(array() AS ARRAY<INT>) ELSE filter(sequence(8, len), p -> ($rolling) % 64 = 0) END"))
+      .withColumn("starts", expr("concat(array(1), transform(bl, p -> p + 1))"))
+      .withColumn("ends", expr("concat(bl, array(len))"))
+      .select(
+        col("doc_id"),
+        explode(expr("filter(zip_with(starts, ends, (s, e) -> struct(s AS s, e AS e)), z -> z.e >= z.s)"))
+          .as("z"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        (col("z.e") - col("z.s") + 1).cast("long").as("chunk_len"),
+        md5(expr("substring(text, z.s, z.e - z.s + 1)")).as("chunk_md5"))
+    chunks.agg(
+      countDistinct(col("doc_id")).cast("long").as("n_docs"),
+      count(lit(1)).cast("long").as("total_chunks"),
+      countDistinct(col("chunk_md5")).cast("long").as("distinct_chunks"),
+      sum(col("chunk_len")).as("total_chars"))
+      .select(
+        col("n_docs"),
+        col("total_chunks"),
+        col("distinct_chunks"),
+        col("total_chars"),
+        expr("CAST(distinct_chunks AS DOUBLE) / CAST(total_chunks AS DOUBLE)").as("unique_ratio"),
+        expr("CAST(total_chars AS DOUBLE) / CAST(total_chunks AS DOUBLE)").as("mean_chunk_len"))
+  }
+
+  /** Two-level Merkle digest of the documents table: leaf = md5(text),
+    * 16 buckets by doc_id mod 16, bucket hash = md5 of the SORTED
+    * concatenated leaves (sorting makes the digest content-defined, not
+    * order-defined), root = md5 of the sorted concatenated bucket
+    * hashes. The incremental-verification primitive: a changed doc
+    * flips exactly one bucket hash, so replicas compare 16 hashes
+    * instead of the table. Bucket hashing is a map-combined
+    * collect+sort per bucket (buckets are corpus/16-sized — the sort is
+    * the one honest cost, same as any content-addressed digest).
+    */
+  def merkleDigest(documents: DataFrame): DataFrame = {
+    val buckets = documents
+      .select(expr("doc_id % 16").as("bucket"), md5(col("text")).as("leaf"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        md5(expr("CAST(concat_ws('', sort_array(collect_list(leaf))) AS BINARY)")).as("bucket_hash"))
+    val root = buckets
+      .agg(md5(expr("CAST(concat_ws('', sort_array(collect_list(bucket_hash))) AS BINARY)")).as("root_hash"))
+    buckets.crossJoin(broadcast(root))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events
