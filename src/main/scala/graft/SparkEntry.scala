@@ -755,6 +755,12 @@ object SparkEntry {
       Analytics.cdcChunking(Tables.documents(s, dir)).orderBy("n_docs")),
     "q_merkle" -> ((s, dir) =>
       Analytics.merkleDigest(Tables.documents(s, dir)).orderBy("bucket")),
+    "q_holt_winters" -> ((s, dir) =>
+      Analytics.holtWinters(Tables.events(s, dir)).orderBy("n_days")),
+    "q_mase" -> ((s, dir) =>
+      Analytics.maseWape(Tables.events(s, dir)).orderBy("n_eval")),
+    "q_inventory" -> ((s, dir) =>
+      Relational.inventoryPlan(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5548,6 +5554,64 @@ object SparkEntry {
                FROM l GROUP BY 1),
          r AS (SELECT md5(list_aggregate(list_sort(list(bucket_hash)), 'string_agg', '')) AS root_hash FROM b)
          SELECT bucket, n_docs, bucket_hash, root_hash FROM b, r ORDER BY bucket""",
+    "q_holt_winters" -> {
+      val l2 =
+        "(2 * (dd.y * 4 - rec.s[CAST(dd.d % 7 + 1 AS INT)]) + 2 * (rec.l + rec.b)) // 4"
+      s"""WITH RECURSIVE daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                        FROM events GROUP BY 1),
+         days AS (SELECT d, y, row_number() OVER (ORDER BY d) AS i FROM daily),
+         rec AS (
+           SELECT i, d, y * 4 AS l, CAST(0 AS BIGINT) AS b,
+                  [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)] AS s
+           FROM days WHERE i = 1
+           UNION ALL
+           SELECT dd.i, dd.d,
+                  $l2,
+                  (($l2) - rec.l + 3 * rec.b) // 4,
+                  [CASE WHEN j = dd.d % 7 + 1
+                        THEN (2 * (dd.y * 4 - ($l2)) + 2 * rec.s[CAST(j AS INT)]) // 4
+                        ELSE rec.s[CAST(j AS INT)] END
+                   FOR j IN generate_series(1, 7)]
+           FROM rec JOIN days dd ON dd.i = rec.i + 1)
+         SELECT CAST((SELECT max(i) FROM days) AS BIGINT) AS n_days,
+                l AS level_q, b AS trend_q,
+                s[1] AS s0_q, s[4] AS s3_q, s[7] AS s6_q,
+                CAST(l + b + s[CAST((d + 1) % 7 + 1 AS INT)] AS DOUBLE) / 400.0 AS forecast1_dollars
+         FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days"""
+    },
+    "q_mase" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         e7 AS (SELECT CAST(count(*) AS BIGINT) AS n7, CAST(sum(abs(b.y - a.y)) AS BIGINT) AS sae7,
+                       CAST(sum(b.y - a.y) AS BIGINT) AS se7, CAST(sum(b.y) AS BIGINT) AS sy7
+                FROM d a JOIN d b ON b.d = a.d + 7),
+         e1 AS (SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(abs(b.y - a.y)) AS BIGINT) AS sae1
+                FROM d a JOIN d b ON b.d = a.d + 1)
+         SELECT n7 AS n_eval, sae7, sae1, n1,
+                (CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase,
+                CAST(sae7 AS DOUBLE) / CAST(sy7 AS DOUBLE) AS wape,
+                CAST(se7 AS DOUBLE) / CAST(sy7 AS DOUBLE) AS bias
+         FROM e7, e1 ORDER BY n_eval""",
+    "q_inventory" ->
+      """WITH pd AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+                            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+                     FROM lineitem GROUP BY 1, 2),
+         st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(q) AS BIGINT) AS d_total, CAST(sum(q * q) AS BIGINT) AS d_sq
+                FROM pd GROUP BY 1),
+         rk AS (SELECT *, CAST(row_number() OVER (ORDER BY d_total DESC, l_partkey ASC) AS BIGINT) AS rank
+                FROM st)
+         SELECT rank, l_partkey, n_days, d_total,
+                (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS mean_daily,
+                sqrt(CAST(d_sq AS DOUBLE) / CAST(n_days AS DOUBLE) - (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE))) AS sigma_daily,
+                sqrt(2.0 * CAST(d_total AS DOUBLE) * 100.0 / 20.0) AS eoq,
+                1.6448536269514722 * sqrt(CAST(d_sq AS DOUBLE) / CAST(n_days AS DOUBLE) - (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE))) * 2.6457513110645907 AS safety_stock,
+                (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) * 7.0
+                  + 1.6448536269514722 * sqrt(CAST(d_sq AS DOUBLE) / CAST(n_days AS DOUBLE) - (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE))) * 2.6457513110645907 AS reorder_point
+         FROM rk WHERE rank <= 20 ORDER BY rank""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -5444,6 +5444,94 @@ object Analytics {
     buckets.crossJoin(broadcast(root))
   }
 
+  /** Additive Holt–Winters (period 7) on the daily revenue series with
+    * the same ×4 integer quantization as [[holtLinear]] (α=½, β=¼ on the
+    * trend, γ=½ on the seasonal): the recursion is bit-exact with no
+    * float anywhere — level/trend/seasonal updates are integer
+    * divisions — and the fold's domain is the calendar (the corpus
+    * reduces map-side to the day-sorted array). State carries the
+    * 7-slot seasonal array; the one-step-ahead forecast adds the next
+    * day's seasonal slot. Initialization: l=4·y₁, b=0, s≡0, documented
+    * as part of the operator's contract.
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    daily
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      .select(expr("CAST(size(xs) AS BIGINT)").as("n_days"), expr(hwFoldSql).as("st"),
+        expr("element_at(xs, size(xs)).d").as("last_d"))
+      .select(
+        col("n_days"),
+        col("st.l").as("level_q"),
+        col("st.b").as("trend_q"),
+        col("st.s").as("seasonal_q"),
+        expr("CAST(st.l + st.b + element_at(st.s, CAST((last_d + 1) % 7 + 1 AS INT)) AS DOUBLE) / 400.0")
+          .as("forecast1_dollars"))
+      .select(
+        col("n_days"), col("level_q"), col("trend_q"),
+        expr("element_at(seasonal_q, 1)").as("s0_q"),
+        expr("element_at(seasonal_q, 4)").as("s3_q"),
+        expr("element_at(seasonal_q, 7)").as("s6_q"),
+        col("forecast1_dollars"))
+  }
+
+  /** The Holt–Winters fold: struct state (l, b, s[7]); the day's
+    * seasonal slot is d%7 (calendar-keyed, so gaps in the series stay
+    * aligned). l' = (2(4y − s_r) + 2(l+b)) div 4; b' = (l'−l+3b) div 4;
+    * s_r' = (2(4y − l') + 2 s_r) div 4.
+    */
+  def hwFoldSql: String =
+    """aggregate(
+         xs,
+         named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                      's', transform(sequence(1, 7), i -> CAST(0 AS BIGINT)),
+                      'init', CAST(0 AS BIGINT)),
+         (acc, x) -> CASE WHEN acc.init = 0
+           THEN named_struct('l', x.y * 4, 'b', CAST(0 AS BIGINT), 's', acc.s, 'init', CAST(1 AS BIGINT))
+           ELSE named_struct(
+             'l', (2 * (x.y * 4 - element_at(acc.s, CAST(x.d % 7 + 1 AS INT))) + 2 * (acc.l + acc.b)) div 4,
+             'b', ((2 * (x.y * 4 - element_at(acc.s, CAST(x.d % 7 + 1 AS INT))) + 2 * (acc.l + acc.b)) div 4
+                   - acc.l + 3 * acc.b) div 4,
+             's', transform(acc.s, (v, i) -> CASE WHEN i = CAST(x.d % 7 AS INT) THEN
+                    (2 * (x.y * 4 - (2 * (x.y * 4 - element_at(acc.s, CAST(x.d % 7 + 1 AS INT))) + 2 * (acc.l + acc.b)) div 4)
+                     + 2 * v) div 4
+                  ELSE v END),
+             'init', CAST(1 AS BIGINT))
+         END)"""
+
+  /** Forecast-error metric battery for the seasonal-naive forecast
+    * (f_t = y_{t−7}): MASE (scaled by the in-sample naive-1 MAE — the
+    * scale-free standard), WAPE, and bias, every one a ratio of exact
+    * integer error sums (|e| in cents) — no float accumulates anywhere.
+    */
+  def maseWape(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val e7 = daily.select(col("d").as("d1"), col("y").as("f"))
+      .join(daily.select((col("d") - 7).as("d1"), col("y")), Seq("d1"))
+      .agg(
+        count(lit(1)).cast("long").as("n7"),
+        sum(abs(col("y") - col("f"))).as("sae7"),
+        sum(col("y") - col("f")).as("se7"),
+        sum(col("y")).as("sy7"))
+    val e1 = daily.select(col("d").as("d1"), col("y").as("f"))
+      .join(daily.select((col("d") - 1).as("d1"), col("y")), Seq("d1"))
+      .agg(count(lit(1)).cast("long").as("n1"), sum(abs(col("y") - col("f"))).as("sae1"))
+    e7.crossJoin(e1)
+      .select(
+        col("n7").as("n_eval"),
+        col("sae7"),
+        col("sae1"),
+        col("n1"),
+        expr("(CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE))")
+          .as("mase"),
+        expr("CAST(sae7 AS DOUBLE) / CAST(sy7 AS DOUBLE)").as("wape"),
+        expr("CAST(se7 AS DOUBLE) / CAST(sy7 AS DOUBLE)").as("bias"))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events

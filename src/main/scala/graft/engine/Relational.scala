@@ -2123,6 +2123,42 @@ object Relational {
           .as("arc_elasticity"))
   }
 
+  /** Inventory-planning readout for the top-20 parts by demand: per
+    * part, daily-demand stats over its active ship days (integer
+    * moments, divide-first σ), EOQ = √(2·D·S/H) with ordering cost
+    * S=100 and holding cost H=20 as literals (√ of an exact integer
+    * times a literal — bit-portable), 95% safety stock z·σ·√LT with
+    * z = 1.6448536269514722 and lead time LT = 7 days embedded as
+    * literals, and the reorder point μ·LT + SS. The classical
+    * square-root OR formulas are exactly the transcendental-free shape
+    * this engine can pin cross-engine. TakeOrdered top-20, no global
+    * window.
+    */
+  def inventoryPlan(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val perDay = lineitem
+      .groupBy(col("l_partkey"), expr("CAST(l_shipdate AS DATE)").as("day"))
+      .agg(expr("sum(CAST(round(l_quantity) AS BIGINT))").as("q"))
+    val stats = perDay
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).cast("long").as("n_days"),
+        sum(col("q")).as("d_total"),
+        sum(col("q") * col("q")).as("d_sq"))
+    val mu = "(CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    val sigma = s"sqrt(CAST(d_sq AS DOUBLE) / CAST(n_days AS DOUBLE) - $mu * $mu)"
+    rankedTopK(stats, k, col("d_total").desc, col("l_partkey").asc)
+      .select(
+        col("rank"),
+        col("l_partkey"),
+        col("n_days"),
+        col("d_total"),
+        expr(s"$mu").as("mean_daily"),
+        expr(s"$sigma").as("sigma_daily"),
+        expr("sqrt(2.0 * CAST(d_total AS DOUBLE) * 100.0 / 20.0)").as("eoq"),
+        expr(s"1.6448536269514722 * $sigma * 2.6457513110645907").as("safety_stock"),
+        expr(s"$mu * 7.0 + 1.6448536269514722 * $sigma * 2.6457513110645907").as("reorder_point"))
+  }
+
   /** TPC-H Q19-shaped bracket revenue: an OR of three (brand, size
     * range, quantity range) brackets evaluated in ONE pass — the
     * predicate pushes into the join output, no union of three scans.
