@@ -761,6 +761,12 @@ object SparkEntry {
       Analytics.maseWape(Tables.events(s, dir)).orderBy("n_eval")),
     "q_inventory" -> ((s, dir) =>
       Relational.inventoryPlan(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_shapley_attr" -> ((s, dir) =>
+      Analytics.shapleyAttribution(Tables.events(s, dir)).orderBy("n00")),
+    "q_markov_attr" -> ((s, dir) =>
+      Analytics.markovAttribution(Tables.events(s, dir)).orderBy("p_conv")),
+    "q_next_event_acc" -> ((s, dir) =>
+      Analytics.nextEventAccuracy(Tables.events(s, dir)).orderBy("n_test")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5612,6 +5618,82 @@ object SparkEntry {
                 (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) * 7.0
                   + 1.6448536269514722 * sqrt(CAST(d_sq AS DOUBLE) / CAST(n_days AS DOUBLE) - (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(d_total AS DOUBLE) / CAST(n_days AS DOUBLE))) * 2.6457513110645907 AS reorder_point
          FROM rk WHERE rank <= 20 ORDER BY rank""",
+    "q_shapley_attr" -> {
+      def r(c: Int, v: Int): String =
+        s"(CASE WHEN n$c$v = 0 THEN 0.0 ELSE CAST(k$c$v AS DOUBLE) / CAST(n$c$v AS DOUBLE) END)"
+      val cellCols = (for { c <- 0 to 1; v <- 0 to 1 } yield Seq(
+        s"CAST(sum(CASE WHEN c = $c AND v = $v THEN n ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS n$c$v",
+        s"CAST(sum(CASE WHEN c = $c AND v = $v THEN k ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS k$c$v")).flatten.mkString(", ")
+      s"""WITH u AS (SELECT user_id,
+                            CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                            CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                            CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+                     FROM events GROUP BY 1),
+          cells AS (SELECT c, v, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS k
+                    FROM u GROUP BY 1, 2),
+          w AS (SELECT $cellCols FROM cells)
+          SELECT n00, n10, n01, n11, k00, k10, k01, k11,
+                 0.5 * ((${r(1, 0)} - ${r(0, 0)}) + (${r(1, 1)} - ${r(0, 1)})) AS phi_click,
+                 0.5 * ((${r(0, 1)} - ${r(0, 0)}) + (${r(1, 1)} - ${r(1, 0)})) AS phi_view
+          FROM w ORDER BY n00"""
+    },
+    "q_markov_attr" -> {
+      def p(s: String, d: String): String = {
+        val tot = s"(c_${s}_cl + c_${s}_vi + c_${s}_pu + c_${s}_nu)"
+        s"(CASE WHEN $tot = 0 THEN 0.0 ELSE CAST(c_${s}_${d} AS DOUBLE) / CAST($tot AS DOUBLE) END)"
+      }
+      val det = s"((1.0 - ${p("cl", "cl")}) * (1.0 - ${p("vi", "vi")}) - ${p("cl", "vi")} * ${p("vi", "cl")})"
+      val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / $det)"
+      val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / $det)"
+      val xs = s"(${p("st", "cl")} * $xc + ${p("st", "vi")} * $xv + ${p("st", "pu")})"
+      val xvNoC = s"(${p("vi", "pu")} / (1.0 - ${p("vi", "vi")}))"
+      val xsNoC = s"(${p("st", "vi")} * $xvNoC + ${p("st", "pu")})"
+      val xcNoV = s"(${p("cl", "pu")} / (1.0 - ${p("cl", "cl")}))"
+      val xsNoV = s"(${p("st", "cl")} * $xcNoV + ${p("st", "pu")})"
+      val reC = s"(1.0 - $xsNoC / $xs)"
+      val reV = s"(1.0 - $xsNoV / $xs)"
+      val transCols = (for {
+        s <- Seq("start", "click", "view")
+        d <- Seq("click", "view", "purchase", "null")
+      } yield s"CAST(sum(CASE WHEN src = '$s' AND dst = '$d' THEN n ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c_${s.take(2)}_${d.take(2)}")
+        .mkString(",\n                       ")
+      s"""WITH rel0 AS (SELECT user_id, event_id, ts, event_type
+                        FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+          pm AS (SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN ts END) AS pmin
+                 FROM rel0 GROUP BY 1),
+          rel AS (SELECT r.user_id, r.event_id, r.ts, r.event_type
+                  FROM rel0 r JOIN pm ON r.user_id = pm.user_id
+                  WHERE pm.pmin IS NULL OR r.ts <= pm.pmin),
+          seq AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+                  FROM rel),
+          fwd AS (SELECT coalesce(prev, 'start') AS src, event_type AS dst FROM seq),
+          ends AS (SELECT event_type AS src, 'null' AS dst FROM seq
+                   WHERE rn_desc = 1 AND event_type <> 'purchase'),
+          trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT * FROM fwd UNION ALL SELECT * FROM ends) GROUP BY 1, 2),
+          w AS (SELECT $transCols FROM trans)
+          SELECT $xs AS p_conv, $reC AS removal_click, $reV AS removal_view,
+                 ($reC / ($reC + $reV)) AS attr_click,
+                 ($reV / ($reC + $reV)) AS attr_view
+          FROM w ORDER BY p_conv"""
+    },
+    "q_next_event_acc" ->
+      """WITH pairs AS (SELECT user_id, event_type AS src,
+                              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+                       FROM events),
+         p2 AS (SELECT user_id, src, nxt FROM pairs WHERE nxt IS NOT NULL),
+         model AS (SELECT src, nxt AS pred FROM (
+                     SELECT src, nxt, count(*) AS n,
+                            row_number() OVER (PARTITION BY src ORDER BY count(*) DESC, nxt ASC) AS rk
+                     FROM p2 WHERE user_id % 2 = 0 GROUP BY src, nxt) WHERE rk = 1),
+         test AS (SELECT t.src, t.nxt, m.pred FROM p2 t LEFT JOIN model m ON t.src = m.src
+                  WHERE t.user_id % 2 = 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         FROM test ORDER BY n_test""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -5532,6 +5532,135 @@ object Analytics {
         expr("CAST(se7 AS DOUBLE) / CAST(sy7 AS DOUBLE)").as("bias"))
   }
 
+  /** Exact 2-channel Shapley attribution of purchase conversion: users
+    * partition into the four exposure cells {}, {click}, {view},
+    * {click,view}; each channel's Shapley value is the average of its
+    * two marginal contributions ½[(r₁₀−r₀₀)+(r₁₁−r₀₁)] over the exact
+    * cell conversion rates. With two players the Shapley decomposition
+    * is CLOSED FORM over integer cell counts — no permutation sampling
+    * — and every rate is a shared-text division. Empty cells
+    * contribute a 0 rate by an integer-condition CASE.
+    */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .groupBy(col("c"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("k"))
+    val aggCols = (for { c <- 0 to 1; v <- 0 to 1 } yield Seq(
+      sum(when(col("c") === c && col("v") === v, col("n")).otherwise(0L)).as(s"n$c$v"),
+      sum(when(col("c") === c && col("v") === v, col("k")).otherwise(0L)).as(s"k$c$v"))).flatten
+    val wide = cells.agg(aggCols.head, aggCols.tail: _*)
+    def r(c: Int, v: Int): String =
+      s"(CASE WHEN n$c$v = 0 THEN 0.0 ELSE CAST(k$c$v AS DOUBLE) / CAST(n$c$v AS DOUBLE) END)"
+    wide.select(
+      col("n00"), col("n10"), col("n01"), col("n11"),
+      col("k00"), col("k10"), col("k01"), col("k11"),
+      expr(s"0.5 * ((${r(1, 0)} - ${r(0, 0)}) + (${r(1, 1)} - ${r(0, 1)}))").as("phi_click"),
+      expr(s"0.5 * ((${r(0, 1)} - ${r(0, 0)}) + (${r(1, 1)} - ${r(1, 0)}))").as("phi_view"))
+  }
+
+  /** Markov-chain (removal-effect) attribution over the
+    * start→{click,view}→{purchase,null} journey graph: transition
+    * counts come from per-user event sequences truncated at the first
+    * purchase (lag pairs + a start edge + a null edge for
+    * non-converting ends), conversion probability from start solves the
+    * 2×2 transient system in closed form (Cramer), and each channel's
+    * removal effect re-solves the chain with that channel's paths
+    * broken — 1 − P(conv without c)/P(conv). The data-driven
+    * alternative to position-based attribution; at corpus scale
+    * everything reduces to a handful of integer transition counts.
+    */
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val rel = events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("pmin", min(when(col("event_type") === "purchase", col("ts"))).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("pmin").isNull || col("ts") <= col("pmin"))
+    val ordered = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = rel
+      .withColumn("prev", lag(col("event_type"), 1).over(ordered))
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+      .select(
+        coalesce(col("prev"), lit("start")).as("src"),
+        col("event_type").as("dst"),
+        col("rn_desc"),
+        col("event_type"))
+    val fwd = pairs.select(col("src"), col("dst"))
+    val ends = pairs
+      .filter(col("rn_desc") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("null").as("dst"))
+    val trans = fwd.unionAll(ends)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val transCols = for {
+      s <- Seq("start", "click", "view")
+      d <- Seq("click", "view", "purchase", "null")
+    } yield sum(when(col("src") === s && col("dst") === d, col("n")).otherwise(0L))
+      .as(s"c_${s.take(2)}_${d.take(2)}")
+    val wide = trans.agg(transCols.head, transCols.tail: _*)
+    def p(s: String, d: String): String = {
+      val tot = s"(c_${s}_cl + c_${s}_vi + c_${s}_pu + c_${s}_nu)"
+      s"(CASE WHEN $tot = 0 THEN 0.0 ELSE CAST(c_${s}_${d} AS DOUBLE) / CAST($tot AS DOUBLE) END)"
+    }
+    // full chain: solve (1-pcc)xc - pcv xv = pcp ; -pvc xc + (1-pvv)xv = pvp
+    val det = s"((1.0 - ${p("cl", "cl")}) * (1.0 - ${p("vi", "vi")}) - ${p("cl", "vi")} * ${p("vi", "cl")})"
+    val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / $det)"
+    val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / $det)"
+    val xs = s"(${p("st", "cl")} * $xc + ${p("st", "vi")} * $xv + ${p("st", "pu")})"
+    // remove click: view-only chain
+    val xvNoC = s"(${p("vi", "pu")} / (1.0 - ${p("vi", "vi")}))"
+    val xsNoC = s"(${p("st", "vi")} * $xvNoC + ${p("st", "pu")})"
+    val xcNoV = s"(${p("cl", "pu")} / (1.0 - ${p("cl", "cl")}))"
+    val xsNoV = s"(${p("st", "cl")} * $xcNoV + ${p("st", "pu")})"
+    val reC = s"(1.0 - $xsNoC / $xs)"
+    val reV = s"(1.0 - $xsNoV / $xs)"
+    wide.select(
+      expr(xs).as("p_conv"),
+      expr(reC).as("removal_click"),
+      expr(reV).as("removal_view"),
+      expr(s"($reC / ($reC + $reV))").as("attr_click"),
+      expr(s"($reV / ($reC + $reV))").as("attr_view"))
+  }
+
+  /** Next-event-type prediction accuracy of the majority-class bigram
+    * model under a user-parity split: transitions from even users train
+    * the per-state argmax (ties → alphabetical), odd-user transitions
+    * score it. The baseline every sequence model must beat, and an
+    * integer-exact evaluation: counts, argmax by (count desc, type
+    * asc), accuracy one shared division.
+    */
+  def nextEventAccuracy(events: DataFrame): DataFrame = {
+    val ordered = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events
+      .withColumn("nxt", lead(col("event_type"), 1).over(ordered))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("event_type").as("src"), col("nxt"))
+    val model = pairs
+      .filter(col("user_id") % 2 === 0)
+      .groupBy(col("src"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("n").desc, col("nxt").asc)))
+      .filter(col("rk") === 1)
+      .select(col("src"), col("nxt").as("pred"))
+    pairs
+      .filter(col("user_id") % 2 === 1)
+      .join(broadcast(model), Seq("src"), "left")
+      .agg(
+        count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("nxt") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("n_test"),
+        col("n_correct"),
+        expr("CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)").as("accuracy"))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events
