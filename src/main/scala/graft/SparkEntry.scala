@@ -716,7 +716,7 @@ object SparkEntry {
     "q_nation_trade" -> ((s, dir) =>
       Relational.nationTrade(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
-        Tables.supplier(s, dir), Tables.nation(s, dir), "NATION_1", "NATION_2")
+        Tables.supplier(s, dir), Tables.nation(s, dir), "NATION_18", "NATION_19")
         .orderBy("supp_nation", "cust_nation", "l_year")),
     "q_market_share" -> ((s, dir) =>
       Relational.marketShare(
@@ -767,6 +767,26 @@ object SparkEntry {
       Analytics.markovAttribution(Tables.events(s, dir)).orderBy("p_conv")),
     "q_next_event_acc" -> ((s, dir) =>
       Analytics.nextEventAccuracy(Tables.events(s, dir)).orderBy("n_test")),
+    "q_lof" -> ((s, dir) =>
+      Similarity.lofOutliers(Tables.embeddings(s, dir)).orderBy("rank")),
+    "q_knn_reg" -> ((s, dir) =>
+      Similarity.knnRegression(Tables.embeddings(s, dir)).orderBy("qid")),
+    "q_rocchio" -> ((s, dir) =>
+      Similarity.rocchioAccuracy(Tables.embeddings(s, dir)).orderBy("label")),
+    "q_classical_decomp" -> ((s, dir) =>
+      Analytics.classicalDecomposition(Tables.events(s, dir)).orderBy("day_epoch")),
+    "q_paradox" -> ((s, dir) =>
+      Analytics.simpsonParadox(
+        Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy("n_strata")),
+    "q_abc_xyz" -> ((s, dir) =>
+      Relational.abcXyzMatrix(Tables.lineitem(s, dir)).orderBy("abc", "xyz")),
+    "q_adstock" -> ((s, dir) =>
+      Analytics.adstockRegression(Tables.events(s, dir)).orderBy("n_days")),
+    "q_graph_census" -> ((s, dir) =>
+      Graph.graphCensus(Tables.lineitem(s, dir)).orderBy("n_nodes")),
+    "q_knee" -> ((s, dir) =>
+      Relational.kneePoint(Tables.lineitem(s, dir)).orderBy("n_parts")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5278,9 +5298,9 @@ object SparkEntry {
                             CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
                      FROM lineitem),
          s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
-               JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_1', 'NATION_2')),
+               JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_18', 'NATION_19')),
          c AS (SELECT c_custkey, n_name AS cust_nation FROM customer
-               JOIN nation ON c_nationkey = n_nationkey WHERE n_name IN ('NATION_1', 'NATION_2')),
+               JOIN nation ON c_nationkey = n_nationkey WHERE n_name IN ('NATION_18', 'NATION_19')),
          j AS (SELECT supp_nation, cust_nation, l_year, r
                FROM ru JOIN s ON ru.l_suppkey = s.s_suppkey
                JOIN orders ON ru.l_orderkey = o_orderkey
@@ -5694,6 +5714,181 @@ object SparkEntry {
                 CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
                 CAST(sum(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
          FROM test ORDER BY n_test""",
+    "q_lof" -> {
+      val sumB = (1 to 5).map(i => s"arr[$i].lb").mkString("(", " + ", ")")
+      s"""WITH m AS (SELECT vec_id, list_transform(embedding::DOUBLE[], v -> CAST(round(v * 1000) AS BIGINT)) AS mm
+                     FROM embeddings WHERE vec_id % 4 = 0),
+          pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                        CAST(list_sum(list_transform(generate_series(1, 64), i -> (a.mm[i] - b.mm[i]) * (a.mm[i] - b.mm[i]))) AS BIGINT) AS d2
+                 FROM m a JOIN m b ON a.vec_id <> b.vec_id),
+          knn AS (SELECT a, b, d2, rk FROM (
+                    SELECT a, b, d2, row_number() OVER (PARTITION BY a ORDER BY d2 ASC, b ASC) AS rk
+                    FROM pr) WHERE rk <= 5),
+          kd AS (SELECT a AS node, d2 AS kdist FROM knn WHERE rk = 5),
+          reach AS (SELECT k.a, greatest(k.d2, kd.kdist) AS reach FROM knn k JOIN kd ON kd.node = k.b),
+          lrd AS (SELECT a, CAST(5 AS DOUBLE) / CAST(sum_reach AS DOUBLE) AS lrd FROM (
+                    SELECT a, CAST(sum(reach) AS BIGINT) AS sum_reach FROM reach GROUP BY 1)),
+          nb AS (SELECT k.a, list_sort(list(struct_pack(rk := k.rk, lb := l.lrd))) AS arr
+                 FROM knn k JOIN lrd l ON l.a = k.b GROUP BY 1),
+          lofv AS (SELECT nb.a, $sumB / (CAST(5 AS DOUBLE) * lrd.lrd) AS lof
+                   FROM nb JOIN lrd ON lrd.a = nb.a),
+          rk2 AS (SELECT a, lof, CAST(row_number() OVER (ORDER BY lof DESC, a ASC) AS BIGINT) AS rank FROM lofv)
+          SELECT rank, a AS vec_id, lof FROM rk2 WHERE rank <= 10 ORDER BY rank"""
+    },
+    "q_knn_reg" -> {
+      val inner = duckCosineTopKSql(20, 5)
+      s"""WITH topk AS ($inner),
+          lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+          agg AS (SELECT qid, CAST(sum(l.label) AS BIGINT) AS label_sum, CAST(count(*) AS BIGINT) AS kk
+                  FROM topk t JOIN lab l ON l.vec_id = t.nid GROUP BY 1)
+          SELECT a.qid, tl.label AS true_label, a.label_sum,
+                 CAST(a.label_sum AS DOUBLE) / CAST(a.kk AS DOUBLE) AS pred,
+                 abs(CAST(a.label_sum AS DOUBLE) / CAST(a.kk AS DOUBLE) - CAST(tl.label AS DOUBLE)) AS abs_err
+          FROM agg a JOIN lab tl ON tl.vec_id = a.qid
+          ORDER BY a.qid"""
+    },
+    "q_rocchio" ->
+      """WITH ex AS (SELECT vec_id, label, i AS dim0,
+                            CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS mv
+                     FROM embeddings, unnest(generate_series(0, 63)) AS t(i)),
+         cents AS (SELECT label AS clabel, dim0,
+                          CAST(round(CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cv
+                   FROM ex GROUP BY 1, 2),
+         dists AS (SELECT e.vec_id, e.label, c.clabel,
+                          CAST(sum((e.mv - c.cv) * (e.mv - c.cv)) AS BIGINT) AS d2
+                   FROM ex e JOIN cents c ON e.dim0 = c.dim0
+                   GROUP BY 1, 2, 3),
+         asg AS (SELECT vec_id, label, clabel FROM (
+                   SELECT vec_id, label, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC) AS rk
+                   FROM dists) WHERE rk = 1)
+         SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         FROM asg GROUP BY 1 ORDER BY 1""",
+    "q_classical_decomp" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         t AS (SELECT d, y,
+                      CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+                      CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS cnt
+               FROM d),
+         tr AS (SELECT d, y, t7, 7 * y - t7 AS detr_x7, d % 7 AS dow FROM t WHERE cnt = 7),
+         s AS (SELECT dow, CAST(sum(detr_x7) AS BIGINT) AS s_sum, CAST(count(*) AS BIGINT) AS s_n
+               FROM tr GROUP BY 1)
+         SELECT tr.d AS day_epoch, tr.y AS y_cents, tr.t7,
+                CAST(tr.t7 AS DOUBLE) / 7.0 AS trend_cents,
+                CAST(s.s_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE) / 7.0 AS seasonal_cents,
+                CAST(tr.detr_x7 AS DOUBLE) / 7.0 - CAST(s.s_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE) / 7.0 AS remainder_cents
+         FROM tr JOIN s ON tr.dow = s.dow ORDER BY day_epoch""",
+    "q_paradox" ->
+      """WITH base AS (SELECT n_name,
+                             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a,
+                             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      FROM orders
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         strata AS (SELECT n_name,
+                           CAST(sum(CASE WHEN is_a = 1 THEN cents ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sa,
+                           CAST(sum(is_a) AS BIGINT) AS na,
+                           CAST(sum(CASE WHEN is_a = 0 THEN cents ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sb,
+                           CAST(sum(1 - is_a) AS BIGINT) AS nb
+                    FROM base GROUP BY 1 HAVING sum(is_a) > 0 AND sum(1 - is_a) > 0),
+         ss AS (SELECT n_name, CAST(sign(sa * nb - sb * na) AS BIGINT) AS stratum_sign, sa, na, sb, nb FROM strata),
+         ov AS (SELECT CAST(sign(sum(sa) * sum(nb) - sum(sb) * sum(na)) AS BIGINT) AS overall_sign FROM ss)
+         SELECT max(overall_sign) AS overall_sign,
+                CAST(count(*) AS BIGINT) AS n_strata,
+                CAST(sum(CASE WHEN stratum_sign * overall_sign < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+                CAST(sum(CASE WHEN stratum_sign * overall_sign < 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS flip_share
+         FROM ss, ov ORDER BY n_strata""",
+    "q_abc_xyz" ->
+      """WITH monthly AS (SELECT l_partkey, year(l_shipdate) * 100 + month(l_shipdate) AS m,
+                                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+                          FROM lineitem GROUP BY 1, 2),
+         pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS nm, CAST(sum(q) AS BIGINT) AS sq,
+                       CAST(sum(q * q) AS BIGINT) AS sqq
+                FROM monthly GROUP BY 1),
+         rev AS (SELECT l_partkey,
+                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
+                 FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM rev),
+         rk AS (SELECT l_partkey, r,
+                       CAST(sum(r) OVER (ORDER BY r DESC, l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM rev),
+         abc AS (SELECT l_partkey, r,
+                        CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                             WHEN cum * 100 <= tot * 95 THEN 'B'
+                             ELSE 'C' END AS abc
+                 FROM rk, tot),
+         xyz AS (SELECT l_partkey,
+                        CASE WHEN 4 * (nm * sqq - sq * sq) < sq * sq THEN 'X'
+                             WHEN nm * sqq - sq * sq < sq * sq THEN 'Y'
+                             ELSE 'Z' END AS xyz
+                 FROM pp)
+         SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(r) AS BIGINT) AS rev_units,
+                CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) / CAST((SELECT tot FROM tot) AS DOUBLE) AS rev_share
+         FROM abc JOIN xyz ON abc.l_partkey = xyz.l_partkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_adstock" -> {
+      val cxx = graft.engine.Analytics.cmomSql("saa", "sa", "sa")
+      val cxy = graft.engine.Analytics.cmomSql("say", "sa", "sy")
+      val cyy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
+      s"""WITH RECURSIVE d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
+                            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+          days AS (SELECT x, y, row_number() OVER (ORDER BY d) AS i FROM d0),
+          rec AS (
+            SELECT i, x AS a, CAST(1 AS BIGINT) AS n, x AS sa, x * x AS saa,
+                   y AS sy, y * y AS syy, x * y AS say
+            FROM days WHERE i = 1
+            UNION ALL
+            SELECT dd.i,
+                   dd.x + rec.a // 2,
+                   rec.n + 1,
+                   rec.sa + (dd.x + rec.a // 2),
+                   rec.saa + (dd.x + rec.a // 2) * (dd.x + rec.a // 2),
+                   rec.sy + dd.y,
+                   rec.syy + dd.y * dd.y,
+                   rec.say + (dd.x + rec.a // 2) * dd.y
+            FROM rec JOIN days dd ON dd.i = rec.i + 1)
+          SELECT n AS n_days,
+                 ($cxy / $cxx) AS beta,
+                 (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - ($cxy / $cxx) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))) AS intercept,
+                 (($cxy * $cxy) / ($cxx * $cyy)) AS r2
+          FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days"""
+    },
+    "q_graph_census" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT part, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT pa AS part FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+         ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         dc AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, CAST(max(d) AS BIGINT) AS max_degree FROM deg),
+         cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem)
+         SELECT n_nodes, n_edges, n_catalog, max_degree,
+                CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)) AS density,
+                CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_degree,
+                CAST(n_nodes AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS participation
+         FROM ec, dc, cat ORDER BY n_nodes""",
+    "q_knee" ->
+      """WITH rev AS (SELECT l_partkey,
+                            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
+                     FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(r) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM rev),
+         rk AS (SELECT l_partkey, r,
+                       CAST(row_number() OVER (ORDER BY r DESC, l_partkey ASC) AS BIGINT) AS i,
+                       CAST(sum(r) OVER (ORDER BY r DESC, l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM rev),
+         dev AS (SELECT rk.*, t.t, t.n, cum * n - t * i AS dev FROM rk, t),
+         top AS (SELECT * FROM dev ORDER BY dev DESC, i ASC LIMIT 1)
+         SELECT n AS n_parts, i AS knee_rank, l_partkey AS knee_partkey, dev AS dev_scaled,
+                CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share_at_knee,
+                CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS rank_share_at_knee
+         FROM top ORDER BY n_parts""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

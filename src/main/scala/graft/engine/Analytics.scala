@@ -5661,6 +5661,137 @@ object Analytics {
         expr("CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)").as("accuracy"))
   }
 
+  /** Classical additive decomposition of the daily revenue series:
+    * trend = centered 7-day moving average (kept as the INTEGER 7-day
+    * window sum t7 — only complete windows qualify), detrended = 7y −
+    * t7 (integer), seasonal = the day-of-week mean of the detrended
+    * values (one shared division per dow), remainder = detrended/7 −
+    * seasonal. The moving-average twin of [[medianPolish]]; everything
+    * is integer until the two shared final divisions per row.
+    */
+  def classicalDecomposition(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("d").asc).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("t7", sum(col("y")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === 7)
+      .withColumn("detr_x7", lit(7L) * col("y") - col("t7"))
+      .withColumn("dow", expr("d % 7"))
+    val seasonal = trended
+      .groupBy(col("dow"))
+      .agg(sum(col("detr_x7")).as("s_sum"), count(lit(1)).as("s_n"))
+    trended
+      .join(broadcast(seasonal), Seq("dow"))
+      .select(
+        col("d").as("day_epoch"),
+        col("y").as("y_cents"),
+        col("t7"),
+        expr("CAST(t7 AS DOUBLE) / 7.0").as("trend_cents"),
+        expr("CAST(s_sum AS DOUBLE) / CAST(s_n AS DOUBLE) / 7.0").as("seasonal_cents"),
+        expr("CAST(detr_x7 AS DOUBLE) / 7.0 - CAST(s_sum AS DOUBLE) / CAST(s_n AS DOUBLE) / 7.0")
+          .as("remainder_cents"))
+  }
+
+  /** Simpson's-paradox screen on the BUILDING-vs-MACHINERY mean order
+    * value gap: the overall sign of meanA − meanB versus its sign
+    * within every nation stratum, with each comparison done by EXACT
+    * integer cross-multiplication (sA·nB vs sB·nA — no float ever), and
+    * the count of strata whose direction contradicts the aggregate.
+    * A nonzero flip count is the warning that the pooled comparison is
+    * confounded by customer mix — the check [[Inference.oaxacaDecomposition]]
+    * quantifies.
+    */
+  def simpsonParadox(
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val base = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(
+        col("n_name"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("is_a"),
+        expr(Stages.centsSql("o_totalprice")).as("cents"))
+    val strata = base
+      .groupBy(col("n_name"))
+      .agg(
+        sum(when(col("is_a") === 1L, col("cents")).otherwise(0L)).as("sa"),
+        sum(col("is_a")).as("na"),
+        sum(when(col("is_a") === 0L, col("cents")).otherwise(0L)).as("sb"),
+        sum(lit(1L) - col("is_a")).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("stratum_sign", expr("CAST(sign(sa * nb - sb * na) AS BIGINT)"))
+    val overall = strata.agg(
+      sum(col("sa")).as("ta"), sum(col("na")).as("tna"),
+      sum(col("sb")).as("tb"), sum(col("nb")).as("tnb"))
+      .withColumn("overall_sign", expr("CAST(sign(ta * tnb - tb * tna) AS BIGINT)"))
+    strata
+      .crossJoin(broadcast(overall.select(col("overall_sign"))))
+      .agg(
+        max(col("overall_sign")).as("overall_sign"),
+        count(lit(1)).cast("long").as("n_strata"),
+        sum(when(col("stratum_sign") * col("overall_sign") < 0, 1L).otherwise(0L))
+          .as("n_flipped"))
+      .select(
+        col("overall_sign"),
+        col("n_strata"),
+        col("n_flipped"),
+        expr("CAST(n_flipped AS DOUBLE) / CAST(n_strata AS DOUBLE)").as("flip_share"))
+  }
+
+  /** Adstock (geometric-carryover) regression: clicks decay with a
+    * half-life of one day (aₜ = xₜ + aₜ₋₁ div 2 — integer, the
+    * quantized carryover), and purchase revenue regresses on the
+    * adstocked series. ONE aggregate fold over the day-sorted array
+    * computes the adstock recursion AND the OLS sufficient statistics
+    * (Σa, Σa², Σay, ...) in the same pass — integers throughout, the
+    * slope/intercept/R² closed forms shared text. The marketing-mix
+    * building block: carryover means today's clicks explain tomorrow's
+    * revenue, which plain same-day correlation misses.
+    */
+  def adstockRegression(events: DataFrame): DataFrame = {
+    val daily = dailyClickPurchase(events)
+    val fold =
+      """aggregate(
+           xs,
+           named_struct('a', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),
+                        'sa', CAST(0 AS BIGINT), 'saa', CAST(0 AS BIGINT),
+                        'sy', CAST(0 AS BIGINT), 'syy', CAST(0 AS BIGINT),
+                        'say', CAST(0 AS BIGINT)),
+           (acc, e) -> named_struct(
+             'a', e.x + acc.a div 2,
+             'n', acc.n + 1,
+             'sa', acc.sa + (e.x + acc.a div 2),
+             'saa', acc.saa + (e.x + acc.a div 2) * (e.x + acc.a div 2),
+             'sy', acc.sy + e.y,
+             'syy', acc.syy + e.y * e.y,
+             'say', acc.say + (e.x + acc.a div 2) * e.y))"""
+    val cxx = cmomSql("saa", "sa", "sa")
+    val cxy = cmomSql("say", "sa", "sy")
+    val cyy = cmomSql("syy", "sy", "sy")
+    daily
+      .agg(sort_array(collect_list(struct(col("d"), col("x"), col("y")))).as("xs"))
+      .select(expr(fold).as("st"))
+      .select(
+        col("st.n").as("n"),
+        col("st.sa").as("sa"),
+        col("st.saa").as("saa"),
+        col("st.sy").as("sy"),
+        col("st.syy").as("syy"),
+        col("st.say").as("say"))
+      .select(
+        col("n").as("n_days"),
+        expr(s"($cxy / $cxx)").as("beta"),
+        expr(
+          s"""(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - ($cxy / $cxx) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))""").as("intercept"),
+        expr(s"(($cxy * $cxy) / ($cxx * $cyy))").as("r2"))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events

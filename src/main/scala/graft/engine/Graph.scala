@@ -623,6 +623,34 @@ object Graph {
           .as("mean_ndcg"))
   }
 
+  /** Global census of the support-thresholded co-order graph — node and
+    * edge counts, density, average/max degree, and how much of the part
+    * catalog participates at all. The one-row topology summary every
+    * graph pipeline logs per build; three map-combined aggregates.
+    */
+  def graphCensus(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val e = coOrderEdges(lineitem).filter(col("w") >= minSupport).cache()
+    val deg = e
+      .select(explode(array(col("pa"), col("pb"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("d"))
+    val catalog = lineitem.agg(countDistinct(col("l_partkey")).as("n_catalog"))
+    e.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(broadcast(deg.agg(
+        count(lit(1)).cast("long").as("n_nodes"),
+        max(col("d")).as("max_degree"))))
+      .crossJoin(broadcast(catalog))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_catalog"),
+        col("max_degree"),
+        expr("CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))")
+          .as("density"),
+        expr("CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE)").as("avg_degree"),
+        expr("CAST(n_nodes AS DOUBLE) / CAST(n_catalog AS DOUBLE)").as("participation"))
+  }
+
   /** Catalog-coverage and exposure-concentration audit of the top-5
     * co-order recommendations: how much of the catalog ever gets
     * recommended, and how unequal slot exposure is (max and top-part

@@ -2159,6 +2159,95 @@ object Relational {
         expr(s"$mu * 7.0 + 1.6448536269514722 * $sigma * 2.6457513110645907").as("reorder_point"))
   }
 
+  /** ABC×XYZ inventory segmentation matrix: ABC classes by cumulative
+    * revenue share (A ≤ 80%, B ≤ 95%, C — ranked on exact integer
+    * revenue units over the part DIMENSION, so the cumulative window is
+    * domain-bounded), XYZ classes by demand variability over monthly
+    * buckets (CV = σ/μ from integer moments, X < 0.5, Y < 1.0, Z —
+    * classification by integer cross-multiplication 4σ² vs μ², σ² vs
+    * μ², so no float ever decides a class). The 9-cell matrix with
+    * part counts and revenue share drives cycle-count and safety-stock
+    * policy per cell.
+    */
+  def abcXyzMatrix(lineitem: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .groupBy(
+        col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m"))
+      .agg(expr("sum(CAST(round(l_quantity) AS BIGINT))").as("q"))
+    val perPart = monthly
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("nm"),
+        sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+    val rev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(expr(s"sum($revUnitsSql)").as("r"))
+    val ranked = rev
+      .withColumn("cum", sum(col("r")).over(
+        Window.partitionBy(lit(1)).orderBy(col("r").desc, col("l_partkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(rev.agg(sum(col("r")).as("tot"))))
+      .withColumn(
+        "abc",
+        expr("""CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                     WHEN cum * 100 <= tot * 95 THEN 'B'
+                     ELSE 'C' END"""))
+      .select(col("l_partkey"), col("r"), col("abc"))
+    // CV classes by integer cross-multiplication: CV < t  ⇔  σ² < t²μ²
+    // with σ² = (n·sqq − sq²)/n² and μ = sq/n  ⇔  n·sqq − sq² < t²·sq²
+    val xyz = perPart.withColumn(
+      "xyz",
+      expr("""CASE WHEN 4 * (nm * sqq - sq * sq) < sq * sq THEN 'X'
+                   WHEN nm * sqq - sq * sq < sq * sq THEN 'Y'
+                   ELSE 'Z' END"""))
+    ranked
+      .join(xyz.select(col("l_partkey"), col("xyz")), Seq("l_partkey"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).cast("long").as("n_parts"), sum(col("r")).as("rev_units"))
+      .crossJoin(broadcast(rev.agg(sum(col("r")).as("tot"))))
+      .select(
+        col("abc"),
+        col("xyz"),
+        col("n_parts"),
+        col("rev_units"),
+        expr("CAST(rev_units AS DOUBLE) / CAST(tot AS DOUBLE)").as("rev_share"))
+  }
+
+  /** Knee (elbow) point of the cumulative revenue concentration curve —
+    * the Kneedle-style rank maximizing the deviation of the cumulative
+    * share from the straight chord: argmax_i (cᵢ·N − T·i), every term
+    * an exact BIGINT (no normalization divides until the output), tie
+    * to the SMALLER rank. Where ABC's 80/95 cutoffs are policy, the
+    * knee is the data's own "head ends here" point for cache and
+    * hot-tier sizing. The ranking window runs on the part DIMENSION.
+    */
+  def kneePoint(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(expr(s"sum($revUnitsSql)").as("r"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("r").desc, col("l_partkey").asc)
+    val ranked = rev
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("r")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(
+        rev.agg(sum(col("r")).as("t"), count(lit(1)).cast("long").as("n"))))
+      .withColumn("dev", col("cum") * col("n") - col("t") * col("i"))
+    ranked
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("dev").desc, col("i").asc)))
+      .filter(col("rk") === 1)
+      .select(
+        col("n").as("n_parts"),
+        col("i").as("knee_rank"),
+        col("l_partkey").as("knee_partkey"),
+        col("dev").as("dev_scaled"),
+        expr("CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)").as("cum_share_at_knee"),
+        expr("CAST(i AS DOUBLE) / CAST(n AS DOUBLE)").as("rank_share_at_knee"))
+  }
+
   /** TPC-H Q19-shaped bracket revenue: an OR of three (brand, size
     * range, quantity range) brackets evaluated in ONE pass — the
     * predicate pushes into the join output, no union of three scans.

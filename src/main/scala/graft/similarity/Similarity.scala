@@ -1267,6 +1267,134 @@ object Similarity {
           .as("mean_distortion"))
   }
 
+  /** Local Outlier Factor (k=5) over a 25% hash sample of the embedding
+    * corpus — the density-ratio outlier detector that catches points in
+    * locally sparse regions where global distance cutoffs fail. All
+    * base distances are EXACT integers (squared L2 in the milli-
+    * quantized grid — the same convention as [[labelCentroids]]), so
+    * kNN sets, k-distances and reachability maxima are bit-portable;
+    * lrd and LOF are shared-text double ratios on top. Runs on the
+    * deterministic `vec_id % 4 = 0` sample: LOF is O(n²) in any exact
+    * form, and the reference-sample pattern (score against a fixed
+    * sample) is how it deploys at corpus scale. Documented variant:
+    * distances are SQUARED L2 (monotone-equivalent neighbor sets).
+    */
+  def lofOutliers(embeddings: DataFrame, k: Int = 5, topN: Int = 10): DataFrame = {
+    def milli(): DataFrame = embeddings
+      .filter(col("vec_id") % 4 === 0)
+      .select(
+        col("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), v -> CAST(round(v * 1000) AS BIGINT))")
+          .as("m"))
+    val a = milli().select(col("vec_id").as("a"), col("m").as("ma"))
+    val b = milli().select(col("vec_id").as("b"), col("m").as("mb"))
+    val knn = a
+      .join(b, col("a") =!= col("b"))
+      .withColumn(
+        "d2",
+        expr("aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a")).orderBy(col("d2").asc, col("b").asc)))
+      .filter(col("rk") <= k)
+      .select(col("a"), col("b"), col("d2"), col("rk"))
+      .cache()
+    val kdistOf = knn.filter(col("rk") === k).select(col("a").as("node"), col("d2").as("kdist"))
+    val reach = knn
+      .join(kdistOf.select(col("node").as("b"), col("kdist")), Seq("b"))
+      .select(col("a"), col("b"), greatest(col("d2"), col("kdist")).as("reach"))
+    val lrd = reach
+      .groupBy(col("a"))
+      .agg(sum(col("reach")).as("sum_reach"))
+      .select(
+        col("a"),
+        expr(s"CAST($k AS DOUBLE) / CAST(sum_reach AS DOUBLE)").as("lrd"))
+    // Σ lrd_b must NOT be a float sum aggregate (partition-order noise):
+    // collect the k neighbor lrds sorted by rank and add them in a fixed
+    // 5-term expression
+    val sumB = (1 to k).map(i => s"element_at(arr, $i).lb").mkString("(", " + ", ")")
+    val lof = knn
+      .join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+      .groupBy(col("a"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("lrd_b").as("lb")))).as("arr"))
+      .join(lrd, Seq("a"))
+      .select(
+        col("a"),
+        expr(s"$sumB / (CAST($k AS DOUBLE) * lrd)").as("lof"))
+    graft.engine.Relational
+      .rankedTopK(lof, topN, col("lof").desc, col("a").asc)
+      .select(col("rank"), col("a").as("vec_id"), col("lof"))
+  }
+
+  /** kNN regression of the cluster label from the 5 nearest cosine
+    * neighbors: prediction = neighbor-label mean (an exact 5-integer
+    * ratio), error = |pred − true|. The regression twin of
+    * [[knnClassify]], sharing its broadcast-query top-k shape.
+    */
+  def knnRegression(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    cosineTopK(embeddings, numQueries, k)
+      .join(
+        broadcast(labels.select(col("vec_id").as("nid"), col("label").as("n_label"))),
+        Seq("nid"))
+      .groupBy(col("qid"))
+      .agg(sum(col("n_label").cast("long")).as("label_sum"), count(lit(1)).cast("long").as("kk"))
+      .join(
+        broadcast(labels.select(col("vec_id").as("qid"), col("label").as("true_label"))),
+        Seq("qid"))
+      .select(
+        col("qid"),
+        col("true_label").cast("long").as("true_label"),
+        col("label_sum"),
+        expr("CAST(label_sum AS DOUBLE) / CAST(kk AS DOUBLE)").as("pred"),
+        expr("abs(CAST(label_sum AS DOUBLE) / CAST(kk AS DOUBLE) - CAST(true_label AS DOUBLE))")
+          .as("abs_err"))
+  }
+
+  /** Nearest-centroid (Rocchio) classifier accuracy per label: the
+    * per-label centroid rounds to the integer milli grid (the
+    * [[labelCentroids]] convention — a float centroid would poison
+    * every downstream distance with summation-order noise), each
+    * vector's distance to each centroid is then a pure BIGINT sum, and
+    * the argmin (tie → smaller label) is exact. Per-label accuracy
+    * rows; the |labels|×dims centroid table broadcasts.
+    */
+  def rocchioAccuracy(embeddings: DataFrame): DataFrame = {
+    val exploded = embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("dim0"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("mv"))
+    val cents = exploded
+      .groupBy(col("label").as("clabel"), col("dim0"))
+      .agg(expr("CAST(round(CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)").as("cv"))
+    val dists = exploded
+      .join(broadcast(cents), Seq("dim0"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("mv") - col("cv")) * (col("mv") - col("cv"))).as("d2"))
+    val assigned = dists
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("clabel").asc)))
+      .filter(col("rk") === 1)
+    assigned
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        sum(when(col("clabel") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        col("n_correct"),
+        expr("CAST(n_correct AS DOUBLE) / CAST(n_vecs AS DOUBLE)").as("accuracy"))
+  }
+
   /** Embedding-norm QA histogram: corpus count, zero-vector count, and
     * the distribution of squared norms in 0.5-wide buckets (norms come
     * from the same sequential-fold dot product as every ANN operator,

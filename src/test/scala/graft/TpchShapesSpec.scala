@@ -28,14 +28,14 @@ class TpchShapesSpec extends AnyFunSuite {
         .collect()) {
       val sn = supp(r.getLong(1))
       val cn = cust(ordCust(r.getLong(0)))
-      if (Set("NATION_1", "NATION_2")(sn) && Set("NATION_1", "NATION_2")(cn) && sn != cn) {
+      if (Set("NATION_18", "NATION_19")(sn) && Set("NATION_18", "NATION_19")(cn) && sn != cn) {
         val k = (sn, cn, r.getInt(4).toLong)
         expect(k) = expect.getOrElse(k, 0L) + revUnits(r.getDouble(2), r.getDouble(3))
       }
     }
     val got = Relational.nationTrade(
       Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
-      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir), "NATION_1", "NATION_2")
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir), "NATION_18", "NATION_19")
       .collect()
       .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3))).toMap
     assert(got == expect.toMap)
