@@ -787,6 +787,18 @@ object SparkEntry {
       Graph.graphCensus(Tables.lineitem(s, dir)).orderBy("n_nodes")),
     "q_knee" -> ((s, dir) =>
       Relational.kneePoint(Tables.lineitem(s, dir)).orderBy("n_parts")),
+    "q_feature_auc" -> ((s, dir) =>
+      Analytics.featureAuc(Tables.events(s, dir)).orderBy("feature")),
+    "q_roc_points" -> ((s, dir) =>
+      Analytics.rocPoints(Tables.events(s, dir)).orderBy("threshold")),
+    "q_perceptron" -> ((s, dir) =>
+      Analytics.perceptronWeekend(Tables.events(s, dir)).orderBy("n_days")),
+    "q_forecast_recon" -> ((s, dir) =>
+      Analytics.forecastReconciliation(Tables.events(s, dir)).orderBy("event_type")),
+    "q_bandit_replay" -> ((s, dir) =>
+      Analytics.banditReplay(Tables.events(s, dir)).orderBy("n_days")),
+    "q_event_study" -> ((s, dir) =>
+      Analytics.eventStudy(Tables.events(s, dir)).orderBy("offset_days")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -5889,6 +5901,141 @@ object SparkEntry {
                 CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share_at_knee,
                 CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS rank_share_at_knee
          FROM top ORDER BY n_parts""",
+    "q_feature_auc" ->
+      """WITH b AS (SELECT user_id,
+                           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS spend
+                    FROM events GROUP BY 1),
+         g0 AS (SELECT spend, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         md AS (SELECT spend AS med FROM (
+                  SELECT spend, c,
+                         coalesce(CAST(sum(c) OVER (ORDER BY spend ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cb,
+                         CAST(sum(c) OVER () AS BIGINT) AS n
+                  FROM g0)
+                WHERE cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + c),
+         u AS (SELECT user_id, clicks, views, errors,
+                      CASE WHEN spend > med THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+               FROM b, md),
+         lng AS (SELECT 'clicks' AS feature, clicks AS x, label FROM u
+                 UNION ALL SELECT 'views', views, label FROM u
+                 UNION ALL SELECT 'errors', errors, label FROM u),
+         g AS (SELECT feature, x, CAST(sum(label) AS BIGINT) AS p, CAST(sum(1 - label) AS BIGINT) AS q
+               FROM lng GROUP BY 1, 2),
+         c AS (SELECT feature, p, q,
+                      coalesce(CAST(sum(q) OVER (PARTITION BY feature ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cq
+               FROM g)
+         SELECT feature, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
+                CAST(sum(2 * p * cq + p * q) AS BIGINT) AS u2,
+                CAST(CAST(sum(2 * p * cq + p * q) AS BIGINT) AS DOUBLE)
+                  / (2.0 * CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)) AS auc
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "q_roc_points" ->
+      """WITH b AS (SELECT user_id,
+                           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS spend
+                    FROM events GROUP BY 1),
+         g0 AS (SELECT spend, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         md AS (SELECT spend AS med FROM (
+                  SELECT spend, c,
+                         coalesce(CAST(sum(c) OVER (ORDER BY spend ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS cb,
+                         CAST(sum(c) OVER () AS BIGINT) AS n
+                  FROM g0)
+                WHERE cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + c),
+         u AS (SELECT user_id, clicks, views, errors,
+                      CASE WHEN spend > med THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+               FROM b, md),
+         x AS (SELECT clicks, label, unnest(generate_series(0, 19)) AS t FROM u)
+         SELECT CAST(t AS BIGINT) AS threshold,
+                CAST(sum(CASE WHEN clicks >= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN clicks >= t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN clicks >= t AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(CAST(sum(label) AS BIGINT) AS DOUBLE) AS tpr,
+                CAST(sum(CASE WHEN clicks >= t AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(CAST(sum(1 - label) AS BIGINT) AS DOUBLE) AS fpr
+         FROM x GROUP BY 1 ORDER BY 1""",
+    "q_perceptron" ->
+      """WITH RECURSIVE d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+                    FROM events GROUP BY 1),
+         days AS (SELECT x1, x2,
+                         CASE WHEN d % 7 IN (5, 6) THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+                         row_number() OVER (ORDER BY d) AS i
+                  FROM d0),
+         rec AS (
+           SELECT 0 AS i, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b,
+                  CAST(0 AS BIGINT) AS mist
+           UNION ALL
+           SELECT dd.i,
+                  CASE WHEN dd.y * (rec.w1 * dd.x1 + rec.w2 * dd.x2 + rec.b) <= 0 THEN rec.w1 + dd.y * dd.x1 ELSE rec.w1 END,
+                  CASE WHEN dd.y * (rec.w1 * dd.x1 + rec.w2 * dd.x2 + rec.b) <= 0 THEN rec.w2 + dd.y * dd.x2 ELSE rec.w2 END,
+                  CASE WHEN dd.y * (rec.w1 * dd.x1 + rec.w2 * dd.x2 + rec.b) <= 0 THEN rec.b + dd.y ELSE rec.b END,
+                  CASE WHEN dd.y * (rec.w1 * dd.x1 + rec.w2 * dd.x2 + rec.b) <= 0 THEN rec.mist + 1 ELSE rec.mist END
+           FROM rec JOIN days dd ON dd.i = rec.i + 1)
+         SELECT CAST((SELECT max(i) FROM days) AS BIGINT) AS n_days, w1, w2, b, mist AS n_mistakes,
+                1.0 - CAST(mist AS DOUBLE) / CAST((SELECT max(i) FROM days) AS DOUBLE) AS online_accuracy
+         FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days""",
+    "q_forecast_recon" ->
+      """WITH t AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d, event_type,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1, 2),
+         mx AS (SELECT CAST(max(d) AS BIGINT) AS dmax FROM t),
+         w7 AS (SELECT t.event_type, t.d - 7 AS src_d FROM t, mx WHERE t.d > mx.dmax - 7 AND t.d <= mx.dmax),
+         bu AS (SELECT w7.event_type, CAST(sum(t2.y) AS BIGINT) AS bu_forecast
+                FROM w7 JOIN t t2 ON t2.event_type = w7.event_type AND t2.d = w7.src_d
+                GROUP BY 1),
+         hist AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS hist_total FROM t GROUP BY 1),
+         tot AS (SELECT CAST((SELECT sum(bu_forecast) FROM bu) AS BIGINT) AS grand_bu,
+                        CAST((SELECT sum(hist_total) FROM hist) AS BIGINT) AS grand_hist)
+         SELECT bu.event_type, bu_forecast, hist_total,
+                CAST(hist_total AS DOUBLE) / CAST(grand_hist AS DOUBLE) AS hist_share,
+                CAST(grand_bu AS DOUBLE) * (CAST(hist_total AS DOUBLE) / CAST(grand_hist AS DOUBLE)) AS td_forecast,
+                CAST(bu_forecast AS DOUBLE)
+                  - CAST(grand_bu AS DOUBLE) * (CAST(hist_total AS DOUBLE) / CAST(grand_hist AS DOUBLE)) AS coherence_gap
+         FROM bu JOIN hist ON bu.event_type = hist.event_type, tot
+         ORDER BY bu.event_type""",
+    "q_bandit_replay" ->
+      """WITH RECURSIVE d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS rp,
+                           CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS rc
+                    FROM events GROUP BY 1),
+         days AS (SELECT rp, rc, row_number() OVER (ORDER BY d) AS i FROM d0),
+         rec AS (
+           SELECT 0 AS i, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS sp,
+                  CAST(0 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS sc,
+                  CAST(0 AS BIGINT) AS reward, CAST(0 AS BIGINT) AS pulls_p
+           UNION ALL
+           SELECT dd.i,
+                  CASE WHEN rec.sp * rec.nc >= rec.sc * rec.np THEN rec.np + 1 ELSE rec.np END,
+                  CASE WHEN rec.sp * rec.nc >= rec.sc * rec.np THEN rec.sp + dd.rp ELSE rec.sp END,
+                  CASE WHEN rec.sp * rec.nc >= rec.sc * rec.np THEN rec.nc ELSE rec.nc + 1 END,
+                  CASE WHEN rec.sp * rec.nc >= rec.sc * rec.np THEN rec.sc ELSE rec.sc + dd.rc END,
+                  CASE WHEN rec.sp * rec.nc >= rec.sc * rec.np THEN rec.reward + dd.rp ELSE rec.reward + dd.rc END,
+                  CASE WHEN rec.sp * rec.nc >= rec.sc * rec.np THEN rec.pulls_p + 1 ELSE rec.pulls_p END
+           FROM rec JOIN days dd ON dd.i = rec.i + 1),
+         tot AS (SELECT CAST(sum(rp) AS BIGINT) AS tot_p, CAST(sum(rc) AS BIGINT) AS tot_c,
+                        CAST(count(*) AS BIGINT) AS n_days
+                 FROM d0)
+         SELECT n_days, pulls_p AS pulls_purchase, n_days - pulls_p AS pulls_click,
+                reward AS reward_cents,
+                greatest(tot_p, tot_c) AS best_fixed_cents,
+                greatest(tot_p, tot_c) - reward AS regret_cents
+         FROM rec, tot WHERE rec.i = (SELECT max(i) FROM days)
+         ORDER BY n_days""",
+    "q_event_study" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+         pk AS (SELECT d AS peak_d FROM d ORDER BY y DESC, d ASC LIMIT 1),
+         o AS (SELECT d.d, d.y, d.d - pk.peak_d AS off FROM d, pk),
+         base AS (SELECT CAST(sum(y) AS BIGINT) AS base_sum, CAST(count(*) AS BIGINT) AS base_n
+                  FROM o WHERE abs(off) > 3)
+         SELECT off AS offset_days, y AS y_cents,
+                CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE) AS baseline_cents,
+                CAST(y AS DOUBLE) - CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE) AS abnormal_cents
+         FROM o, base WHERE abs(off) <= 3 ORDER BY offset_days""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -5792,6 +5792,257 @@ object Analytics {
         expr(s"(($cxy * $cxy) / ($cxx * $cyy))").as("r2"))
   }
 
+  /** Per-feature ranking power (AUC) battery: for each behavioral count
+    * feature (clicks, views, errors per user), the probability a
+    * converting user outranks a non-converting one — AUC from the
+    * rank-sum identity 2U = 2·#{pos>neg} + #{ties}, computed per
+    * feature over a value-grid cumulative window PARTITIONED BY feature
+    * (one distributed pass for the whole battery, no per-feature job).
+    * Integer to the final division — the model-free feature screen run
+    * before any training job.
+    */
+  /** Per-user behavioral counts plus the median-split spend label
+    * (spend > the corpus lower-median per-user purchase total — both
+    * classes are non-empty at every scale factor, unlike a has-purchase
+    * label, which saturates on small fixtures).
+    */
+  def userFeaturesLabeled(events: DataFrame): DataFrame = {
+    val base = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+        sum(when(col("event_type") === "purchase", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("spend"))
+    val grid = base.groupBy(col("spend")).agg(count(lit(1)).as("c"))
+    val below = Window
+      .partitionBy(lit(1))
+      .orderBy(col("spend"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val med = grid
+      .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+      .filter(expr("cb < (n + 1) div 2 AND (n + 1) div 2 <= cb + c"))
+      .select(col("spend").as("med"))
+    base
+      .crossJoin(broadcast(med))
+      .withColumn("label", when(col("spend") > col("med"), 1L).otherwise(0L))
+  }
+
+  def featureAuc(events: DataFrame): DataFrame = {
+    val users = userFeaturesLabeled(events)
+    val long = users.select(
+      explode(expr(
+        """array(struct('clicks' AS feature, clicks AS x, label),
+                 struct('views' AS feature, views AS x, label),
+                 struct('errors' AS feature, errors AS x, label))""")).as("f"))
+      .select(col("f.feature").as("feature"), col("f.x").as("x"), col("f.label").as("label"))
+    val grid = long
+      .groupBy(col("feature"), col("x"))
+      .agg(
+        sum(col("label")).as("p"),
+        sum(lit(1L) - col("label")).as("q"))
+    val below = Window
+      .partitionBy(col("feature"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cq", coalesce(sum(col("q")).over(below), lit(0L)))
+      .groupBy(col("feature"))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("q")).as("n_neg"),
+        sum(lit(2L) * col("p") * col("cq") + col("p") * col("q")).as("u2"))
+      .select(
+        col("feature"),
+        col("n_pos"),
+        col("n_neg"),
+        col("u2"),
+        expr("CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")
+          .as("auc"))
+  }
+
+  /** ROC curve points for the clicks→conversion classifier at integer
+    * thresholds 0..19: TPR and FPR per threshold from exact user
+    * counts (one conditional aggregate over the user table × the
+    * 20-point threshold grid). The curve q_auc summarizes, emitted for
+    * threshold selection.
+    */
+  def rocPoints(events: DataFrame): DataFrame = {
+    val users = userFeaturesLabeled(events)
+    users
+      .select(col("clicks"), col("label"), explode(expr("sequence(0, 19)")).as("t"))
+      .groupBy(col("t").cast("long").as("threshold"))
+      .agg(
+        sum(when(col("clicks") >= col("t") && col("label") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("clicks") >= col("t") && col("label") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(col("label")).as("n_pos"),
+        sum(lit(1L) - col("label")).as("n_neg"))
+      .select(
+        col("threshold"),
+        col("tp"),
+        col("fp"),
+        expr("CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)").as("tpr"),
+        expr("CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE)").as("fpr"))
+  }
+
+  /** Online perceptron (integer weights) predicting weekend days from
+    * daily (clicks, views): one fold over the day-sorted series with
+    * the classic mistake-driven update w ← w + y·x on
+    * y·(w·x + b) ≤ 0 — every weight an exact integer, the whole model a
+    * bit-portable fold state, online mistakes counted as it learns.
+    * The minimal "ML training as an aggregate fold" witness: the same
+    * shape a distributed SGD epoch has, minus the float nondeterminism.
+    */
+  def perceptronWeekend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"))
+      .withColumn("y", expr("CASE WHEN d % 7 IN (5, 6) THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"))
+    val fold =
+      """aggregate(
+           xs,
+           named_struct('w1', CAST(0 AS BIGINT), 'w2', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                        'n', CAST(0 AS BIGINT), 'mist', CAST(0 AS BIGINT)),
+           (acc, e) -> IF(e.y * (acc.w1 * e.x1 + acc.w2 * e.x2 + acc.b) <= 0,
+             named_struct('w1', acc.w1 + e.y * e.x1, 'w2', acc.w2 + e.y * e.x2,
+                          'b', acc.b + e.y, 'n', acc.n + 1, 'mist', acc.mist + 1),
+             named_struct('w1', acc.w1, 'w2', acc.w2, 'b', acc.b,
+                          'n', acc.n + 1, 'mist', acc.mist)))"""
+    daily
+      .agg(sort_array(collect_list(struct(col("d"), col("x1"), col("x2"), col("y")))).as("xs"))
+      .select(expr(fold).as("st"))
+      .select(
+        col("st.n").as("n_days"),
+        col("st.w1").as("w1"),
+        col("st.w2").as("w2"),
+        col("st.b").as("b"),
+        col("st.mist").as("n_mistakes"),
+        expr("1.0 - CAST(st.mist AS DOUBLE) / CAST(st.n AS DOUBLE)").as("online_accuracy"))
+  }
+
+  /** Hierarchical-forecast reconciliation audit: per event type, the
+    * bottom-up seasonal-naive forecast for the last 7 observed days
+    * (Σ yₜ₋₇ per type) versus the top-down allocation (total forecast ×
+    * the type's historical revenue share), and the coherence gap
+    * between the two — the diagnostic that decides which direction a
+    * forecast hierarchy should reconcile. Shares are exact integer
+    * ratios; the gap is one shared double subtraction per type.
+    */
+  def forecastReconciliation(events: DataFrame): DataFrame = {
+    val typed = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"), col("event_type"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val maxD = typed.agg(max(col("d")).as("dmax"))
+    val window7 = typed
+      .crossJoin(broadcast(maxD))
+      .filter(col("d") > col("dmax") - 7 && col("d") <= col("dmax"))
+    val bu = window7
+      .select(col("event_type"), (col("d") - 7).as("src_d"))
+      .join(
+        typed.select(col("event_type"), col("d").as("src_d"), col("y")),
+        Seq("event_type", "src_d"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("y")).as("bu_forecast"))
+    val hist = typed.groupBy(col("event_type")).agg(sum(col("y")).as("hist_total"))
+    val totals = bu.agg(sum(col("bu_forecast")).as("grand_bu"))
+      .crossJoin(hist.agg(sum(col("hist_total")).as("grand_hist")))
+    bu.join(hist, Seq("event_type"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("event_type"),
+        col("bu_forecast"),
+        col("hist_total"),
+        expr("CAST(hist_total AS DOUBLE) / CAST(grand_hist AS DOUBLE)").as("hist_share"),
+        expr("CAST(grand_bu AS DOUBLE) * (CAST(hist_total AS DOUBLE) / CAST(grand_hist AS DOUBLE))")
+          .as("td_forecast"),
+        expr(
+          """CAST(bu_forecast AS DOUBLE)
+             - CAST(grand_bu AS DOUBLE) * (CAST(hist_total AS DOUBLE) / CAST(grand_hist AS DOUBLE))""")
+          .as("coherence_gap"))
+  }
+
+  /** Offline greedy-bandit replay over the daily (purchase, click)
+    * reward arms: each day the policy pulls the arm with the higher
+    * historical mean reward (ties → purchase), comparing means by
+    * EXACT integer cross-multiplication (s₁·n₂ vs s₂·n₁ — the float-
+    * free argmax), collects that day's realized reward, and updates
+    * its state — one aggregate fold over the day-sorted series. Emits
+    * cumulative reward, per-arm pulls, and regret against the best
+    * fixed arm in hindsight. The evaluation loop any bandit-driven
+    * ranking policy replays before shipping.
+    */
+  def banditReplay(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(
+        sum(when(col("event_type") === "purchase", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("rp"),
+        sum(when(col("event_type") === "click", expr(Stages.centsSql("value"))).otherwise(0L))
+          .as("rc"))
+    val fold =
+      """aggregate(
+           xs,
+           named_struct('np', CAST(0 AS BIGINT), 'sp', CAST(0 AS BIGINT),
+                        'nc', CAST(0 AS BIGINT), 'sc', CAST(0 AS BIGINT),
+                        'reward', CAST(0 AS BIGINT), 'pulls_p', CAST(0 AS BIGINT)),
+           (acc, e) -> IF(acc.sp * acc.nc >= acc.sc * acc.np,
+             named_struct('np', acc.np + 1, 'sp', acc.sp + e.rp, 'nc', acc.nc, 'sc', acc.sc,
+                          'reward', acc.reward + e.rp, 'pulls_p', acc.pulls_p + 1),
+             named_struct('np', acc.np, 'sp', acc.sp, 'nc', acc.nc + 1, 'sc', acc.sc + e.rc,
+                          'reward', acc.reward + e.rc, 'pulls_p', acc.pulls_p)))"""
+    daily
+      .agg(
+        sort_array(collect_list(struct(col("d"), col("rp"), col("rc")))).as("xs"),
+        sum(col("rp")).as("tot_p"),
+        sum(col("rc")).as("tot_c"),
+        count(lit(1)).cast("long").as("n_days"))
+      .select(col("n_days"), col("tot_p"), col("tot_c"), expr(fold).as("st"))
+      .select(
+        col("n_days"),
+        col("st.pulls_p").as("pulls_purchase"),
+        (col("n_days") - col("st.pulls_p")).as("pulls_click"),
+        col("st.reward").as("reward_cents"),
+        greatest(col("tot_p"), col("tot_c")).as("best_fixed_cents"),
+        (greatest(col("tot_p"), col("tot_c")) - col("st.reward")).as("regret_cents"))
+  }
+
+  /** Event study around the peak revenue day: abnormal revenue at
+    * offsets −3..+3 relative to the corpus-wide maximum-revenue day
+    * (ties → earliest), against the all-other-days baseline mean — the
+    * promotion/incident post-mortem shape. The anchor is an exact
+    * integer argmax; the baseline is one shared division.
+    */
+  def eventStudy(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("d"))
+      .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
+    val anchor = daily
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("y").desc, col("d").asc)))
+      .filter(col("rk") === 1)
+      .select(col("d").as("peak_d"))
+    val withOff = daily
+      .crossJoin(broadcast(anchor))
+      .withColumn("off", col("d") - col("peak_d"))
+    val baseline = withOff
+      .filter(abs(col("off")) > 3)
+      .agg(sum(col("y")).as("base_sum"), count(lit(1)).as("base_n"))
+    withOff
+      .filter(abs(col("off")) <= 3)
+      .crossJoin(broadcast(baseline))
+      .select(
+        col("off").as("offset_days"),
+        col("y").as("y_cents"),
+        expr("CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE)").as("baseline_cents"),
+        expr("CAST(y AS DOUBLE) - CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE)")
+          .as("abnormal_cents"))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events

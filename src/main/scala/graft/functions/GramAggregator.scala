@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Gram-matrix accumulator: folds each vector's dim×dim outer
+  * product of milli-quantized values into one flat `dim²` BIGINT buffer —
+  * the linear-algebra workhorse behind the covariance/power-iteration
+  * family. The dataframe spelling (explode to (vec, dim, m), self-join
+  * on vec, groupBy (i, j)) materializes n·dim² ROWS through a join; this
+  * aggregator does the same n·dim² multiply-adds in a tight JVM loop
+  * inside a partial aggregate — measured 15.7 s → sub-second at sf0.1 —
+  * and the result is the identical order-free integer sum. Merge is
+  * elementwise addition, so any merge tree gives the same buffer.
+  */
+class GramAggregator(dim: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](dim * dim)
+
+  override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    val arr = v.toArray
+    val n = math.min(dim, arr.length)
+    var i = 0
+    while (i < n) {
+      val mi = arr(i)
+      val base = i * dim
+      var j = 0
+      while (j < n) {
+        buf(base + j) += mi * arr(j)
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

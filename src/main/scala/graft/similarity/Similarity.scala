@@ -942,12 +942,28 @@ object Similarity {
     * distributed covariance shape whose shuffle is K² cells regardless
     * of corpus size. BIGINT-exact throughout.
     */
-  def covMatrix(embeddings: DataFrame, dims: Int = 8): DataFrame = {
-    val m = milliLong(embeddings).filter(col("dim") <= dims)
-    m.as("a")
-      .join(m.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum(col("a.m") * col("b.m")).as("s"))
+  def covMatrix(embeddings: DataFrame, dims: Int = 8): DataFrame =
+    gramCells(embeddings, dims)
+
+  /** (i, j, s_ij = Σ_v m_i·m_j) cells of the milli-quantized Gram matrix
+    * for the leading `dims` dimensions, via ONE typed-aggregate pass
+    * ([[graft.functions.GramAggregator]] — n·dims² multiply-adds in a
+    * partial aggregate, no row explosion, no self-join; bit-identical
+    * to the join spelling because integer addition is order-free).
+    */
+  def gramCells(embeddings: DataFrame, dims: Int): DataFrame = {
+    val agg = udaf(new graft.functions.GramAggregator(dims))
+    embeddings
+      .select(
+        expr(
+          s"transform(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, $dims), v -> CAST(round(v * 1000) AS BIGINT))")
+          .as("m"))
+      .agg(agg(col("m")).as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "s")))
+      .select(
+        expr(s"CAST(idx div $dims + 1 AS BIGINT)").as("i"),
+        expr(s"CAST(idx % $dims + 1 AS BIGINT)").as("j"),
+        col("s"))
   }
 
   /** Two deterministic power-iteration steps toward the dominant
@@ -960,11 +976,7 @@ object Similarity {
     * broadcast join against a 64-row vector.
     */
   def powerIteration(embeddings: DataFrame): DataFrame = {
-    val m = milliLong(embeddings)
-    val cells = m.as("a")
-      .join(m.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum(col("a.m") * col("b.m")).as("s"))
+    val cells = gramCells(embeddings, 64).cache()
     def step(u: DataFrame): DataFrame = {
       val w = cells
         .join(broadcast(u), col("j") === col("udim"))
@@ -996,15 +1008,9 @@ object Similarity {
     * [[powerIteration]] loop.
     */
   def powerIterationDeflated(embeddings: DataFrame): DataFrame = {
-    val m = milliLong(embeddings)
     // cache: the 64×64 Gram table is referenced by SIX downstream joins
-    // (two power steps, uᵀMu, deflation, two deflated steps) — uncached,
-    // each re-runs the corpus self-join (measured 6.9 s → 1.3 s)
-    val cells = m.as("a")
-      .join(m.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum(col("a.m") * col("b.m")).as("s"))
-      .cache()
+    // (two power steps, uᵀMu, deflation, two deflated steps)
+    val cells = gramCells(embeddings, 64).cache()
     def step(mat: DataFrame, v: DataFrame): DataFrame = {
       val w = mat
         .join(broadcast(v), col("j") === col("udim"))
