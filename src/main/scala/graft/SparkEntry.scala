@@ -799,6 +799,12 @@ object SparkEntry {
       Analytics.banditReplay(Tables.events(s, dir)).orderBy("n_days")),
     "q_event_study" -> ((s, dir) =>
       Analytics.eventStudy(Tables.events(s, dir)).orderBy("offset_days")),
+    "q_temp_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureMix(Tables.documents(s, dir)).orderBy("lang")),
+    "q_waterfill" -> ((s, dir) =>
+      TextAnalysis.tokenWaterfill(Tables.documents(s, dir)).orderBy("source")),
+    "q_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculumSchedule(Tables.documents(s, dir)).orderBy("phase")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -6036,6 +6042,58 @@ object SparkEntry {
                 CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE) AS baseline_cents,
                 CAST(y AS DOUBLE) - CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE) AS abnormal_cents
          FROM o, base WHERE abs(off) <= 3 ORDER BY offset_days""",
+    "q_temp_mix" ->
+      """WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM pl),
+         w AS (SELECT lang, n_docs, n_tokens, tot,
+                      CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+               FROM pl, t),
+         ws AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wsum FROM w)
+         SELECT lang, n_docs, n_tokens,
+                CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+                w_micro,
+                CAST(w_micro AS DOUBLE) / CAST(wsum AS DOUBLE) AS mix_t2,
+                (CAST(w_micro AS DOUBLE) / CAST(wsum AS DOUBLE))
+                  / (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS resample_factor
+         FROM w, ws ORDER BY lang""",
+    "q_waterfill" ->
+      """WITH ps AS (SELECT source,
+                            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM ps),
+         r1 AS (SELECT source, n_tokens, tot // 2 AS budget, ((tot // 2) * 40) // 100 AS cap,
+                       ((tot // 2) * n_tokens) // tot AS prop
+                FROM ps, t),
+         r2 AS (SELECT source, n_tokens, budget, cap, prop,
+                       least(prop, cap) AS alloc1, prop > cap AS capped
+                FROM r1),
+         lf AS (SELECT CAST(max(budget) - sum(alloc1) AS BIGINT) AS leftover,
+                       CAST(sum(CASE WHEN NOT capped THEN n_tokens ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS uncapped_tokens
+                FROM r2)
+         SELECT source, n_tokens, budget, cap, alloc1,
+                CASE WHEN capped OR uncapped_tokens = 0 THEN alloc1
+                     ELSE least(cap, alloc1 + (leftover * n_tokens) // uncapped_tokens) END AS alloc2,
+                CAST(CASE WHEN capped OR uncapped_tokens = 0 THEN alloc1
+                          ELSE least(cap, alloc1 + (leftover * n_tokens) // uncapped_tokens) END AS DOUBLE)
+                  / CAST(n_tokens AS DOUBLE) AS sample_rate
+         FROM r2, lf ORDER BY source""",
+    "q_curriculum" ->
+      """WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY 1),
+         rk AS (SELECT *,
+                       CAST(row_number() OVER w AS BIGINT) AS phase,
+                       CAST(sum(n_docs) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+                       CAST(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM ps
+                WINDOW w AS (ORDER BY CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, source ASC))
+         SELECT phase, source, n_docs, n_tokens,
+                CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+                cum_docs, cum_tokens
+         FROM rk ORDER BY phase""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -459,15 +459,18 @@ object Graph {
           expr(s"CAST(round(CAST($raw AS DOUBLE) * 1000 / CAST(mx AS DOUBLE)) AS BIGINT)")
             .as("v"))
     }
-    // auth0 = 1000 for every part; hub1 = Σ auth0 over the customer's parts
+    // auth0 = 1000 for every part; hub1 = Σ auth0 over the customer's parts.
+    // Each iterate is cached: the next one references it through a
+    // broadcast-renorm, and an uncached chain re-runs every prior
+    // aggregation per step (plan-tree duplication, 6.9 s → ~2 s at sf0.1)
     val hub1 = renorm(
-      edges.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("raw")), "c", "raw")
+      edges.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("raw")), "c", "raw").cache()
     val auth1 = renorm(
       edges.join(hub1, Seq("c"))
-        .groupBy(col("p")).agg(sum(col("v")).as("raw")), "p", "raw")
+        .groupBy(col("p")).agg(sum(col("v")).as("raw")), "p", "raw").cache()
     val hub2 = renorm(
       edges.join(auth1.withColumnRenamed("v", "a"), Seq("p"))
-        .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c", "raw")
+        .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c", "raw").cache()
     val auth2 = edges
       .join(hub2, Seq("c"))
       .groupBy(col("p"))

@@ -1350,6 +1350,110 @@ object TextAnalysis {
         (col("missing") === lit(0L)).as("heavy_all_present"))
   }
 
+  /** Temperature-2 language-balancing mix: per language, the corpus
+    * token share and the T=2 resampling weight ∝ √share (the standard
+    * multilingual-mix temperature — and the ONE temperature whose
+    * power is the correctly-rounded sqrt, hence bit-portable). Each
+    * language's √share quantizes to the micro grid PER ROW before
+    * normalizing, so the denominator is an order-free integer sum and
+    * the final mix is exact rationals. Emits old vs new mix and the
+    * implied up/down-sampling factor.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val perLang = documents
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot"))
+    val weighted = perLang
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "w_micro",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("w_micro")).as("wsum"))))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)").as("share"),
+        col("w_micro"),
+        expr("CAST(w_micro AS DOUBLE) / CAST(wsum AS DOUBLE)").as("mix_t2"),
+        expr(
+          """(CAST(w_micro AS DOUBLE) / CAST(wsum AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))""").as("resample_factor"))
+  }
+
+  /** Capped proportional token-budget allocation (waterfill, two
+    * rounds): a training budget of half the corpus tokens allocates
+    * across sources ∝ size, capped at 40% of the budget per source;
+    * round two redistributes the capped surplus among uncapped sources
+    * by their shares. All integer floor divisions — the residual after
+    * round two is reported, not hidden. The data-mixing allocator a
+    * pretraining run derives its per-source sampling from.
+    */
+  def tokenWaterfill(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("n_tokens"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("tot"))
+    val r1 = perSource
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("cap", expr("(budget * 40) div 100"))
+      .withColumn("prop", expr("(budget * n_tokens) div tot"))
+      .withColumn("alloc1", least(col("prop"), col("cap")))
+      .withColumn("capped", col("prop") > col("cap"))
+    val leftovers = r1.agg(
+      (max(col("budget")) - sum(col("alloc1"))).as("leftover"),
+      sum(when(!col("capped"), col("n_tokens")).otherwise(0L)).as("uncapped_tokens"))
+    r1.crossJoin(broadcast(leftovers))
+      .withColumn(
+        "alloc2",
+        expr("""CASE WHEN capped OR uncapped_tokens = 0 THEN alloc1
+                     ELSE least(cap, alloc1 + (leftover * n_tokens) div uncapped_tokens) END"""))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("budget"),
+        col("cap"),
+        col("alloc1"),
+        col("alloc2"),
+        expr("CAST(alloc2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)").as("sample_rate"))
+  }
+
+  /** Curriculum schedule over sources ordered by mean document quality
+    * (length proxy): rank sources easiest-first (higher mean length =
+    * richer documents last), with cumulative document and token counts
+    * — the phase boundaries a curriculum loader consumes. Means
+    * compared and emitted as exact rationals; the cumulative window
+    * runs over the |sources|-bounded table.
+    */
+  def curriculumSchedule(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .select(col("source"), col("n_chars"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("toks")).as("n_tokens"))
+    val w = Window.partitionBy(lit(1))
+      .orderBy(expr("CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)").asc, col("source").asc)
+    perSource
+      .withColumn("phase", row_number().over(w).cast("long"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("phase"),
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("mean_chars"),
+        col("cum_docs"),
+        col("cum_tokens"))
+  }
+
   /** Robust scaling of document length per source: (n_chars − median) /
     * IQR with per-source exact order statistics — the outlier-immune
     * feature normalization (RobustScaler) for length-aware curation.
