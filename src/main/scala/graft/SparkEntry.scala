@@ -805,6 +805,12 @@ object SparkEntry {
       TextAnalysis.tokenWaterfill(Tables.documents(s, dir)).orderBy("source")),
     "q_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculumSchedule(Tables.documents(s, dir)).orderBy("phase")),
+    "q_rendezvous" -> ((s, dir) =>
+      Relational.rendezvousShards(Tables.documents(s, dir)).orderBy("shard8")),
+    "q_vnodes" -> ((s, dir) =>
+      Relational.vnodeBalance(Tables.documents(s, dir)).orderBy("scheme")),
+    "q_islands" -> ((s, dir) =>
+      Analytics.activityIslands(Tables.events(s, dir)).orderBy("user_id", "island_start")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -6094,6 +6100,60 @@ object SparkEntry {
                 CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
                 cum_docs, cum_tokens
          FROM rk ORDER BY phase""",
+    "q_rendezvous" -> {
+      def h(n: Int): String =
+        s"CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '_', '$n')), 1, 15)) AS UBIGINT) AS BIGINT)"
+      def argmax(n: Int): String =
+        (0 until n)
+          .map(i => s"struct_pack(h := ${h(i)}, s := CAST($i AS BIGINT))")
+          .mkString("(list_max([", ", ", "])).s")
+      s"""WITH a AS (SELECT doc_id, ${argmax(8)} AS shard8, ${argmax(9)} AS shard9 FROM documents)
+          SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+                 CAST(sum(CASE WHEN shard8 <> shard9 AND shard9 <> 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_wrongly,
+                 CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS move_share
+          FROM a GROUP BY 1 ORDER BY 1"""
+    },
+    "q_vnodes" -> {
+      val ring = "1152921504606846976"
+      val docH = "CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+      def pointH(s: Int, v: Int): String =
+        s"CAST(CAST(concat('0x', substring(md5('p_${s}_$v'), 1, 15)) AS UBIGINT) AS BIGINT)"
+      def owner(vnodes: Int): String =
+        (for { sh <- 0 until 8; v <- 0 until vnodes } yield
+          s"struct_pack(d := (((${pointH(sh, v)} - $docH) % $ring) + $ring) % $ring, s := CAST($sh AS BIGINT))")
+          .mkString("(list_min([", ", ", "])).s")
+      s"""WITH a AS (SELECT ${owner(1)} AS plain, ${owner(16)} AS vnode FROM documents),
+          p AS (SELECT plain AS shard, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+          ps AS (SELECT 'plain' AS scheme, CAST(count(*) AS BIGINT) AS n_shards,
+                        CAST(max(n) AS BIGINT) AS max_load, CAST(sum(n) AS BIGINT) AS total
+                 FROM p),
+          v AS (SELECT vnode AS shard, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+          vs AS (SELECT 'vnode16' AS scheme, CAST(count(*) AS BIGINT) AS n_shards,
+                        CAST(max(n) AS BIGINT) AS max_load, CAST(sum(n) AS BIGINT) AS total
+                 FROM v)
+          SELECT scheme, n_shards, max_load, total,
+                 CAST(max_load * n_shards AS DOUBLE) / CAST(total AS DOUBLE) AS imbalance
+          FROM (SELECT * FROM ps UNION ALL SELECT * FROM vs)
+          ORDER BY scheme"""
+    },
+    "q_islands" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d
+                     FROM events),
+         top5 AS (SELECT user_id FROM (
+                    SELECT user_id, count(*) AS n_events,
+                           row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rk
+                    FROM events GROUP BY 1) WHERE rk <= 5),
+         g AS (SELECT ud.user_id, d,
+                      d - row_number() OVER (PARTITION BY ud.user_id ORDER BY d ASC) AS grp
+               FROM ud JOIN top5 ON ud.user_id = top5.user_id),
+         isl AS (SELECT user_id, CAST(min(d) AS BIGINT) AS island_start,
+                        CAST(max(d) AS BIGINT) AS island_end,
+                        CAST(count(*) AS BIGINT) AS island_days
+                 FROM g GROUP BY user_id, grp)
+         SELECT user_id, island_start, island_end, island_days,
+                island_start - lag(island_end) OVER (PARTITION BY user_id ORDER BY island_start ASC) - 1 AS gap_before
+         FROM isl ORDER BY user_id, island_start""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -6043,6 +6043,45 @@ object Analytics {
           .as("abnormal_cents"))
   }
 
+  /** Gaps-and-islands over the top-5 most active users' activity
+    * calendars: contiguous active-day runs via the classic d − rank
+    * grouping key (consecutive days share it), emitting each island's
+    * start, end and length plus the gap to the previous island. The
+    * per-user ranking partitions by user — fully distributed — and the
+    * top-5 selection is a TakeOrdered on the user dimension.
+    */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("d"))
+      .distinct()
+    val top = Relational
+      .rankedTopK(
+        events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events")),
+        5, col("n_events").desc, col("user_id").asc)
+      .select(col("user_id"), col("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+    userDays
+      .join(broadcast(top), Seq("user_id"))
+      .withColumn("grp", col("d") - row_number().over(w).cast("long"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        min(col("d")).as("island_start"),
+        max(col("d")).as("island_end"),
+        count(lit(1)).cast("long").as("island_days"))
+      .withColumn(
+        "gap_before",
+        col("island_start")
+          - lag(col("island_end"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("island_start").asc))
+          - 1)
+      .select(
+        col("user_id"),
+        col("island_start"),
+        col("island_end"),
+        col("island_days"),
+        col("gap_before"))
+  }
+
   /** One pass over events → (day, purchase-revenue cents, click count). */
   private def dailyClickPurchase(events: DataFrame): DataFrame =
     events

@@ -2248,6 +2248,78 @@ object Relational {
         expr("CAST(i AS DOUBLE) / CAST(n AS DOUBLE)").as("rank_share_at_knee"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding audit over documents:
+    * each doc lands on the shard maximizing md5(doc_id ∥ shard) — the
+    * coordination-free assignment scheme — for 8 shards and again for
+    * 9, reporting per-shard-8 counts and how many docs MOVE when the
+    * 9th shard joins. HRW's contract is that only ≈1/9 move (and only
+    * INTO the new shard); the audit measures it exactly. Assignment is
+    * a per-row argmax over 8/9 hash literals — map-side, integer, no
+    * shuffle beyond the count.
+    */
+  def rendezvousShards(documents: DataFrame): DataFrame = {
+    def h(n: Int): String =
+      s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_', '$n')), 1, 15), 16, 10) AS BIGINT)"
+    def argmax(n: Int): String =
+      (0 until n)
+        .map(i => s"named_struct('h', ${h(i)}, 's', CAST($i AS BIGINT))")
+        .mkString("array_max(array(", ", ", ")).s")
+    documents
+      .select(
+        col("doc_id"),
+        expr(argmax(8)).as("shard8"),
+        expr(argmax(9)).as("shard9"))
+      .groupBy(col("shard8"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved"),
+        sum(when(col("shard8") =!= col("shard9") && col("shard9") =!= 8L, 1L).otherwise(0L))
+          .as("n_moved_wrongly"))
+      .select(
+        col("shard8"),
+        col("n_docs"),
+        col("n_moved"),
+        col("n_moved_wrongly"),
+        expr("CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("move_share"))
+  }
+
+  /** Virtual-node smoothing audit for consistent-ring placement: docs
+    * hash onto a ring; with PLAIN placement each of 8 shards owns one
+    * ring point, with VNODES each owns 16 points. Per scheme the audit
+    * reports the max/mean shard-load ratio — the imbalance vnodes exist
+    * to kill. Ring ownership = argmin over point hashes of
+    * (point_hash − doc_hash) mod 2⁶⁰ — all integer; two map-side
+    * assignments, two bounded aggregates.
+    */
+  def vnodeBalance(documents: DataFrame): DataFrame = {
+    val ring = "1152921504606846976" // 2^60
+    def docH = s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    def pointH(s: Int, v: Int): String =
+      s"CAST(conv(substring(md5('p_${s}_$v'), 1, 15), 16, 10) AS BIGINT)"
+    def owner(vnodes: Int): String =
+      (for { sh <- 0 until 8; v <- 0 until vnodes } yield
+        s"named_struct('d', pmod(${pointH(sh, v)} - $docH, $ring), 's', CAST($sh AS BIGINT))")
+        .mkString("array_min(array(", ", ", ")).s")
+    val assigned = documents.select(
+      expr(owner(1)).as("plain"),
+      expr(owner(16)).as("vnode"))
+    def stats(colName: String, scheme: String): DataFrame =
+      assigned
+        .groupBy(col(colName).as("shard"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          max(col("n")).as("max_load"),
+          sum(col("n")).as("total"),
+          count(lit(1)).cast("long").as("n_shards"))
+        .select(
+          lit(scheme).as("scheme"),
+          col("n_shards"),
+          col("max_load"),
+          col("total"),
+          expr("CAST(max_load * n_shards AS DOUBLE) / CAST(total AS DOUBLE)").as("imbalance"))
+    stats("plain", "plain").unionAll(stats("vnode", "vnode16"))
+  }
+
   /** TPC-H Q19-shaped bracket revenue: an OR of three (brand, size
     * range, quantity range) brackets evaluated in ONE pass — the
     * predicate pushes into the join output, no union of three scans.
