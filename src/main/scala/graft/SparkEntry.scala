@@ -811,6 +811,13 @@ object SparkEntry {
       Relational.vnodeBalance(Tables.documents(s, dir)).orderBy("scheme")),
     "q_islands" -> ((s, dir) =>
       Analytics.activityIslands(Tables.events(s, dir)).orderBy("user_id", "island_start")),
+    "q_sql_q1" -> ((s, dir) =>
+      Relational.sqlQ1(s, Tables.lineitem(s, dir)).orderBy("l_returnflag", "l_linestatus")),
+    "q_sql_nation_share" -> ((s, dir) =>
+      Relational.sqlNationYearShare(
+        s, Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy("o_year", "year_rank")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -6154,6 +6161,32 @@ object SparkEntry {
          SELECT user_id, island_start, island_end, island_days,
                 island_start - lag(island_end) OVER (PARTITION BY user_id ORDER BY island_start ASC) - 1 AS gap_before
          FROM isl ORDER BY user_id, island_start""",
+    "q_sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_units,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_sql_nation_share" ->
+      """WITH rev AS (
+           SELECT n_name, year(o_orderdate) AS o_year,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_units
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, year(o_orderdate))
+         SELECT n_name, CAST(o_year AS BIGINT) AS o_year, rev_units,
+                CAST(rev_units AS DOUBLE)
+                  / CAST(sum(rev_units) OVER (PARTITION BY o_year) AS DOUBLE) AS year_share,
+                CAST(row_number() OVER (PARTITION BY o_year ORDER BY rev_units DESC, n_name ASC) AS BIGINT)
+                  AS year_rank
+         FROM rev ORDER BY o_year, year_rank""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

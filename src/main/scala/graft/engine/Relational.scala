@@ -2320,6 +2320,61 @@ object Relational {
     stats("plain", "plain").unionAll(stats("vnode", "vnode16"))
   }
 
+  /** TPC-H Q1 through the SQL-STRING surface: the same engine queries
+    * are reachable as ANSI text via `spark.sql` over registered temp
+    * views — the API-completeness witness that a SQL-first user of the
+    * reference can drive this engine without touching the DataFrame
+    * API. Aggregates stay exact integers (cents / cents×(100−disc)
+    * units); Catalyst plans the text identically to the DataFrame
+    * spelling.
+    */
+  def sqlQ1(spark: org.apache.spark.sql.SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_units,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM graft_sql_lineitem
+         GROUP BY l_returnflag, l_linestatus""")
+  }
+
+  /** Window functions + CTE through the SQL-string surface: yearly
+    * revenue by customer nation with each nation's share of its year
+    * and year-over-year rank — `spark.sql` text over a THREE-view
+    * stack (lineitem→orders→customer), proving CTEs, windows and the
+    * temp-view catalog compose exactly like the DataFrame API.
+    */
+  def sqlNationYearShare(
+      spark: org.apache.spark.sql.SparkSession,
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_sql_l")
+    orders.createOrReplaceTempView("graft_sql_o")
+    customer.createOrReplaceTempView("graft_sql_c")
+    nation.createOrReplaceTempView("graft_sql_n")
+    spark.sql(
+      """WITH rev AS (
+           SELECT n_name, year(o_orderdate) AS o_year,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_units
+           FROM graft_sql_l
+           JOIN graft_sql_o ON l_orderkey = o_orderkey
+           JOIN graft_sql_c ON o_custkey = c_custkey
+           JOIN graft_sql_n ON c_nationkey = n_nationkey
+           GROUP BY n_name, year(o_orderdate))
+         SELECT n_name, CAST(o_year AS BIGINT) AS o_year, rev_units,
+                CAST(rev_units AS DOUBLE)
+                  / CAST(sum(rev_units) OVER (PARTITION BY o_year) AS DOUBLE) AS year_share,
+                CAST(row_number() OVER (PARTITION BY o_year ORDER BY rev_units DESC, n_name ASC) AS BIGINT)
+                  AS year_rank
+         FROM rev""")
+  }
+
   /** TPC-H Q19-shaped bracket revenue: an OR of three (brand, size
     * range, quantity range) brackets evaluated in ONE pass — the
     * predicate pushes into the join output, no union of three scans.
