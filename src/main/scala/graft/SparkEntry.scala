@@ -818,6 +818,15 @@ object SparkEntry {
         s, Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.nation(s, dir))
         .orderBy("o_year", "year_rank")),
+    "q_roundtrip_parquet" -> ((s, dir) =>
+      graft.engine.Sources.roundtripAudit(s, Tables.documents(s, dir), "parquet")
+        .orderBy("n_rows")),
+    "q_roundtrip_csv" -> ((s, dir) =>
+      graft.engine.Sources.roundtripAudit(s, Tables.documents(s, dir), "csv")
+        .orderBy("n_rows")),
+    "q_roundtrip_json" -> ((s, dir) =>
+      graft.engine.Sources.roundtripAudit(s, Tables.documents(s, dir), "json")
+        .orderBy("n_rows")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -6187,6 +6196,24 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY o_year ORDER BY rev_units DESC, n_name ASC) AS BIGINT)
                   AS year_rank
          FROM rev ORDER BY o_year, year_rank""",
+    "q_roundtrip_parquet" ->
+      """WITH src AS (SELECT doc_id, md5(text) AS h FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+                min(h) AS min_h, max(h) AS max_h
+         FROM src ORDER BY n_rows""",
+    "q_roundtrip_csv" ->
+      """WITH src AS (SELECT doc_id, md5(text) AS h FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+                min(h) AS min_h, max(h) AS max_h
+         FROM src ORDER BY n_rows""",
+    "q_roundtrip_json" ->
+      """WITH src AS (SELECT doc_id, md5(text) AS h FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+                min(h) AS min_h, max(h) AS max_h
+         FROM src ORDER BY n_rows""",
     "q_oaxaca" ->
       """WITH base AS (SELECT c_mktsegment AS seg, n_name,
                               CAST(count(*) AS BIGINT) AS cnt,

@@ -42,6 +42,41 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Write→read roundtrip proof for a batch sink format: projects
+    * documents to (doc_id, md5 hash), writes them through the format's
+    * sink, reads them back with an EXPLICIT schema (the library's
+    * schema-as-contract rule), and aggregates order-free invariants
+    * (row count, id sum, distinct/min/max hash) that must equal the
+    * same aggregates over the original table. This is the §2.2 sink
+    * surface exercised end-to-end, not just constructed — the oracle
+    * checks the invariants against the source table directly, so any
+    * corruption in the write or read path breaks the hash match.
+    */
+  def roundtripAudit(
+      spark: SparkSession,
+      documents: org.apache.spark.sql.DataFrame,
+      fmt: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"/tmp/graft_roundtrip_$fmt"
+    documents
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("overwrite").option("header", "true").format(fmt).save(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType)))
+    val back = fmt match {
+      case "csv" => spark.read.schema(schema).option("header", "true").csv(path)
+      case "json" => spark.read.schema(schema).json(path)
+      case other => spark.read.format(other).load(path)
+    }
+    back.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(col("doc_id")).as("sum_ids"),
+      countDistinct(col("h")).cast("long").as("n_distinct_h"),
+      min(col("h")).as("min_h"),
+      max(col("h")).as("max_h"))
+  }
+
   /** JDBC batch read with partitioned parallelism — the reverse of the
     * reference's JDBC sink; `numPartitions` concurrent connections each
     * read one stride of `partitionColumn`. Requires the driver jar on the
