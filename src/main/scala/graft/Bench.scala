@@ -50,7 +50,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail first (its own line — can be large), then a compact
+    // summary line LAST so the driver's bounded tail capture always sees a
+    // complete, parsable JSON object (round-3 lesson: one ~15 KB line
+    // exceeded the driver's ~2 KB tail window → "parsed": null).
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Analytics, AsOfJoin, Graph, Inference, Joins, RefPipelines, Relational, Stages, Tables}
+import graft.engine.{Analytics, AsOfJoin, Graph, Inference, Joins, RefPipelines, Relational, Stages, Tables, TpcH}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
@@ -19,8 +19,8 @@ import graft.text.{Dedup, TextAnalysis}
   * streaming-composable. All hash-based operators (MinHash, SimHash,
   * winnowing) run on md5-derived hashes, and LSH/IVF on deterministic
   * constants embedded in the oracle SQL, precisely so the oracle can
-  * reproduce them; only q_frame_features (mapPartitions decode) remains
-  * a rows-only check.
+  * reproduce them — including q_frame_features, whose fake decode is
+  * integer-exact so the oracle recomputes it from the payload text.
   */
 object SparkEntry {
 
@@ -1053,7 +1053,53 @@ object SparkEntry {
     "q_abc" -> ((s, dir) =>
       Inference.abcClassification(Tables.lineitem(s, dir)).orderBy("rank")),
     "q_rbo" -> ((s, dir) =>
-      Inference.rankBiasedOverlap(Tables.lineitem(s, dir)))
+      Inference.rankBiasedOverlap(Tables.lineitem(s, dir))),
+    // ---- TPC-H remainder (TpcH.scala; Q1/3/5/7/8/14/19 live elsewhere) ----
+    "q_tpch_q4" -> ((s, dir) =>
+      TpcH.orderPriorityCheck(
+        Tables.orders(s, dir), Tables.lineitem(s, dir), "1996-01-01", "1996-04-01")
+        .orderBy("o_orderpriority")),
+    "q_tpch_q6" -> ((s, dir) =>
+      TpcH.forecastRevenueChange(Tables.lineitem(s, dir), "1996-01-01", "1997-01-01")),
+    "q_tpch_q9" -> ((s, dir) =>
+      TpcH.productTypeProfit(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), "red")
+        .orderBy("nation", "o_year")),
+    "q_tpch_q10" -> ((s, dir) =>
+      TpcH.returnedItemReport(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir), "1996-01-01", "1996-04-01")
+        .orderBy("rank")),
+    "q_tpch_q12" -> ((s, dir) =>
+      TpcH.shippingPriorityAudit(
+        Tables.orders(s, dir), Tables.lineitem(s, dir), "1996-01-01", "1997-01-01")
+        .orderBy("o_orderstatus")),
+    "q_tpch_q13" -> ((s, dir) =>
+      TpcH.customerDistribution(Tables.customer(s, dir), Tables.orders(s, dir))
+        .orderBy("c_count")),
+    "q_tpch_q15" -> ((s, dir) =>
+      TpcH.topSupplier(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), "1996-01-01", "1996-04-01")
+        .orderBy("s_suppkey")),
+    "q_tpch_q16" -> ((s, dir) =>
+      TpcH.partSupplierRelationship(Tables.part(s, dir), Tables.lineitem(s, dir))
+        .orderBy("p_brand", "p_type", "p_size")),
+    "q_tpch_q17" -> ((s, dir) =>
+      TpcH.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_tpch_q18" -> ((s, dir) =>
+      TpcH.largeVolumeCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))
+        .orderBy("rank")),
+    "q_tpch_q21" -> ((s, dir) =>
+      TpcH.suppliersKeptWaiting(
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))
+        .orderBy("rank")),
+    "q_tpch_q22" -> ((s, dir) =>
+      TpcH.globalSalesOpportunity(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
+        .orderBy("nation"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1562,10 +1608,176 @@ object SparkEntry {
          FROM best ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for the one non-SQL-expressible
-    * op (q_frame_features, a mapPartitions binary decode).
+    * the same parquet tables — every query, including q_frame_features
+    * (the fake decode is integer-exact arithmetic over payload bytes, so
+    * SQL recomputes frames from ascii() over the text).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_frame_features" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+                (octet_length(encode(text)) + 15) // 16 AS chunks
+              FROM documents),
+         f AS (SELECT doc_id, blen, text,
+                unnest(generate_series(0, chunks - 1, 2)) AS fi
+              FROM m WHERE chunks > 0),
+         ch AS (SELECT doc_id, fi, text, fi * 16 AS off,
+                unnest(generate_series(1, CAST(least(16, blen - fi * 16) AS BIGINT))) AS j
+              FROM f),
+         cs AS (SELECT doc_id, fi,
+                CAST(sum(ascii(substring(text, CAST(off + j AS INTEGER), 1))) AS BIGINT) AS s,
+                count(*) AS l
+              FROM ch GROUP BY doc_id, fi),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(s * (720720 // l)) AS BIGINT) AS isum
+              FROM cs GROUP BY doc_id)
+         SELECT m.doc_id,
+                COALESCE(agg.n, 0) AS n_frames,
+                CASE WHEN m.blen = 0 THEN 0
+                     ELSE 16 + ascii(substring(m.text, 1, 1)) % 128 END AS width,
+                CASE WHEN m.blen = 0 THEN 0
+                     WHEN m.blen < 2 THEN 9
+                     ELSE 9 + ascii(substring(m.text, 2, 1)) % 64 END AS height,
+                CASE WHEN COALESCE(agg.n, 0) = 0 THEN 0.0
+                     ELSE CAST((2 * isum * 100 + 720720 * agg.n) // (2 * 720720 * agg.n) AS DOUBLE) / 100.0
+                END AS mean_intensity
+         FROM m LEFT JOIN agg ON m.doc_id = agg.doc_id
+         ORDER BY m.doc_id""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND epoch_us(l_shipdate) // 86400000000 > epoch_us(o_orderdate) // 86400000000 + 30)
+         GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_tpch_q6" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    CAST(round(l_discount * 100) AS BIGINT)) / CAST(10000 AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+           AND CAST(round(l_quantity) AS BIGINT) < 24""",
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT) * 60 *
+                      CAST(round(l_quantity) AS BIGINT)) / CAST(10000 AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY nation, o_year""",
+    "q_tpch_q10" ->
+      """WITH per AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_units
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1),
+         r AS (SELECT o_custkey, rev_units, c_name, c_acctbal, n_name,
+                      row_number() OVER (ORDER BY rev_units DESC, o_custkey ASC) AS rk
+               FROM per JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey)
+         SELECT CAST(rk AS BIGINT) AS rank, o_custkey AS c_custkey, c_name, n_name, c_acctbal,
+                CAST(rev_units AS DOUBLE) / 10000.0 AS revenue
+         FROM r WHERE rk <= 20 ORDER BY rank""",
+    "q_tpch_q12" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND epoch_us(l_shipdate) // 86400000000 > epoch_us(o_orderdate) // 86400000000 + 60
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    "q_tpch_q13" ->
+      """WITH per AS (
+           SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM per GROUP BY 1 ORDER BY c_count""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_units
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT l_suppkey AS s_suppkey, s_name,
+                CAST(rev_units AS DOUBLE) / 10000.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_units = (SELECT max(rev_units) FROM rev)
+         ORDER BY s_suppkey""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         GROUP BY 1, 2, 3 ORDER BY p_brand, p_type, p_size""",
+    "q_tpch_q17" ->
+      """WITH branded AS (
+           SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#23'),
+         per AS (SELECT l_partkey AS ap_partkey, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(q) AS BIGINT) AS sq
+                 FROM branded GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+                sum(cents) / 700.0 AS avg_yearly
+         FROM branded JOIN per ON l_partkey = ap_partkey
+         WHERE 5 * q * n < sq""",
+    "q_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250),
+         r AS (SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty,
+                      row_number() OVER (ORDER BY total_qty DESC, o_orderkey ASC) AS rk
+               FROM big JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey)
+         SELECT CAST(rk AS BIGINT) AS rank, c_custkey, c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS total_price_cents,
+                total_qty
+         FROM r WHERE rk <= 10 ORDER BY rank""",
+    "q_tpch_q21" ->
+      """WITH l AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk,
+                  epoch_us(l_shipdate) // 86400000000 > epoch_us(o_orderdate) // 86400000000 + 90 AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         w AS (SELECT a.sk, CAST(count(DISTINCT a.ok) AS BIGINT) AS numwait
+               FROM l a
+               WHERE a.late
+                 AND EXISTS (SELECT 1 FROM l b WHERE b.ok = a.ok AND b.sk <> a.sk)
+                 AND NOT EXISTS (SELECT 1 FROM l c WHERE c.ok = a.ok AND c.sk <> a.sk AND c.late)
+               GROUP BY 1),
+         r AS (SELECT sk, numwait, row_number() OVER (ORDER BY numwait DESC, sk ASC) AS rk FROM w)
+         SELECT CAST(rk AS BIGINT) AS rank, sk AS s_suppkey, s_name, n_name, numwait
+         FROM r JOIN supplier ON sk = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+         WHERE rk <= 10 ORDER BY rank""",
+    "q_tpch_q22" ->
+      """WITH a AS (
+           SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_cents,
+                  CAST(count(*) AS BIGINT) AS n_pos
+           FROM customer WHERE c_acctbal > 0)
+         SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         CROSS JOIN a
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > s_cents
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1 ORDER BY nation""",
     "q_full_table" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
          CASE WHEN event_type = '' THEN NULL ELSE event_type END AS event_type,

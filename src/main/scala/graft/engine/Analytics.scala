@@ -1634,13 +1634,15 @@ object Analytics {
   /** RFM (recency / frequency / monetary) segmentation over purchase
     * events: one per-user aggregate (map-combined shuffle on user_id)
     * yields last-purchase epoch-day, purchase count, and exact
-    * integer-cents spend; each metric is then scored into quartiles with
-    * `ntile(4)` ordered ascending with a user_id tie-break (deterministic,
-    * identical NTILE semantics on any ANSI engine). The ntile windows are
-    * global but run over the ALREADY-AGGREGATED per-user table — for a
-    * user base too large for one partition, swap each ntile for
-    * [[Relational.scalableGlobalRank]] + `ceil(4·rank/n)`, which computes
-    * the same quartile without a single-partition sort.
+    * integer-cents spend; each metric is then scored into quartiles,
+    * ordered ascending with a user_id tie-break. The quartile does NOT
+    * use an `ntile` window (a single-partition global sort): each metric
+    * gets a [[Relational.scalableGlobalRank]] (all stages parallel) and
+    * the bucket is recovered from (rank, n) with the exact ANSI NTILE
+    * fill rule — the first `n mod 4` buckets take `n div 4 + 1` rows,
+    * the rest `n div 4` — in pure integer arithmetic, so the scores are
+    * bit-identical to `NTILE(4) OVER (ORDER BY …)` on any ANSI engine
+    * while the per-user table never funnels through one partition.
     */
   def rfmSegments(events: DataFrame): DataFrame = {
     val perUser = events
@@ -1650,16 +1652,33 @@ object Analytics {
         max(expr("CAST(ts AS LONG) div 86400")).as("recency_day"),
         count(lit(1)).as("frequency"),
         sum(expr(Stages.centsSql("value"))).as("monetary_cents"))
-    def quartile(metric: String) =
-      ntile(4).over(Window.orderBy(col(metric).asc, col("user_id").asc)).cast("long")
-    perUser.select(
-      col("user_id"),
-      col("recency_day"),
-      col("frequency"),
-      col("monetary_cents"),
-      quartile("recency_day").as("r_score"),
-      quartile("frequency").as("f_score"),
-      quartile("monetary_cents").as("m_score"))
+    val nRows = perUser.agg(count(lit(1)).cast("long").as("n"))
+    // NTILE(4) from a global rank: q = n div 4 rows per bucket, the first
+    // rem = n mod 4 buckets hold one extra; ceil via (a + b - 1) div b.
+    val ntile4 =
+      """CASE WHEN rank <= (n % 4) * (n div 4 + 1)
+              THEN (rank + (n div 4 + 1) - 1) div (n div 4 + 1)
+              ELSE (n % 4) + (rank - (n % 4) * (n div 4 + 1) + (n div 4) - 1) div (n div 4)
+         END"""
+    def scored(metric: String, out: String): DataFrame =
+      Relational
+        .scalableGlobalRank(
+          perUser.select(col("user_id"), col(metric)),
+          col(metric).asc, col("user_id").asc)
+        .crossJoin(broadcast(nRows))
+        .select(col("user_id"), expr(ntile4).cast("long").as(out))
+    perUser
+      .join(scored("recency_day", "r_score"), Seq("user_id"))
+      .join(scored("frequency", "f_score"), Seq("user_id"))
+      .join(scored("monetary_cents", "m_score"), Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("recency_day"),
+        col("frequency"),
+        col("monetary_cents"),
+        col("r_score"),
+        col("f_score"),
+        col("m_score"))
   }
 
   /** Time-weighted average value (TWAP) per user: each observation is
@@ -3889,14 +3908,16 @@ object Analytics {
   def liftDeciles(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = Stages.centsSql("value")
-    val ranked = events
-      .select(
-        (col("event_type") === "purchase").cast("long").as("y"),
-        expr(cents).as("c"), col("event_id"))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("c").desc, col("event_id").asc)))
+    // the total-order rank comes from the distributed range-sort
+    // (scalableGlobalRank), NOT a single-partition row_number window —
+    // the ranked input here is the CORPUS, not an aggregate
+    val ranked = Relational
+      .scalableGlobalRank(
+        events.select(
+          (col("event_type") === "purchase").cast("long").as("y"),
+          expr(cents).as("c"), col("event_id")),
+        col("c").desc, col("event_id").asc)
+      .withColumnRenamed("rank", "rn")
     val n = events.count()
     val dec = ranked
       .withColumn("decile", expr(s"CAST(CAST(rn - 1 AS BIGINT) * 10 div $n AS BIGINT) + 1"))

@@ -234,7 +234,10 @@ object Graph {
         .distinct()
         .join(reached.select(col("node")), Seq("node"), "left_anti")
         .cache()
-      reached = reached.union(next.withColumn("hop", lit(h.toLong))).cache()
+      // `next` is cached; the running union of cached pieces is cheap to
+      // re-derive, so re-caching `reached` each hop would only add
+      // materialization barriers and memory pressure.
+      reached = reached.union(next.withColumn("hop", lit(h.toLong)))
       frontier = next
     }
     reached
@@ -421,7 +424,10 @@ object Graph {
         .distinct()
         .join(reached.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
         .cache()
-      reached = reached.union(next.withColumn("hop", lit(h.toLong))).cache()
+      // `next` is cached; the running union of cached pieces is cheap to
+      // re-derive, so re-caching `reached` each hop would only add
+      // materialization barriers and memory pressure.
+      reached = reached.union(next.withColumn("hop", lit(h.toLong)))
       frontier = next
     }
     reached
@@ -451,26 +457,32 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .cache()
-    def renorm(df: DataFrame, key: String, raw: String): DataFrame = {
-      val mx = df.agg(max(col(raw)).as("mx"))
-      df.crossJoin(broadcast(mx))
-        .select(
-          col(key),
-          expr(s"CAST(round(CAST($raw AS DOUBLE) * 1000 / CAST(mx AS DOUBLE)) AS BIGINT)")
-            .as("v"))
+    // Each half-step: cache the RAW aggregate once, read its max back as
+    // ONE driver-side scalar (bounded collect — a single long), and apply
+    // the renorm as a pure projection with the max as a literal. The
+    // earlier spelling (agg(max) + crossJoin(broadcast)) planned the
+    // half-step's aggregation TWICE — once to feed the broadcast max,
+    // once on the probe side — doubling every iterate's shuffle work.
+    def renorm(dfRaw: DataFrame, key: String): DataFrame = {
+      val raw = dfRaw.cache()
+      val mx = raw.agg(max(col("raw"))).head() match {
+        case r if r.isNullAt(0) => 1L // empty input: no mass to scale
+        case r => r.getLong(0)
+      }
+      raw.select(
+        col(key),
+        expr(s"CAST(round(CAST(raw AS DOUBLE) * 1000 / CAST(${mx}L AS DOUBLE)) AS BIGINT)")
+          .as("v"))
     }
     // auth0 = 1000 for every part; hub1 = Σ auth0 over the customer's parts.
-    // Each iterate is cached: the next one references it through a
-    // broadcast-renorm, and an uncached chain re-runs every prior
-    // aggregation per step (plan-tree duplication, 6.9 s → ~2 s at sf0.1)
     val hub1 = renorm(
-      edges.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("raw")), "c", "raw").cache()
+      edges.groupBy(col("c")).agg((count(lit(1)) * 1000L).as("raw")), "c")
     val auth1 = renorm(
       edges.join(hub1, Seq("c"))
-        .groupBy(col("p")).agg(sum(col("v")).as("raw")), "p", "raw").cache()
+        .groupBy(col("p")).agg(sum(col("v")).as("raw")), "p")
     val hub2 = renorm(
       edges.join(auth1.withColumnRenamed("v", "a"), Seq("p"))
-        .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c", "raw").cache()
+        .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c")
     val auth2 = edges
       .join(hub2, Seq("c"))
       .groupBy(col("p"))
@@ -536,6 +548,9 @@ object Graph {
         .join(labels.as("l"), col("s.pb") === col("l.v"))
         .select(col("s.pa").as("v"), col("l.lbl").as("lbl"))
         .unionAll(labels)
+      // cache each round's labels (|V|-bounded): the next round reads
+      // them TWICE (vote join + self-vote union) — uncached, round N
+      // would recompute the whole round-N−1 join/window tree per read
       labels = votes
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("n"))
@@ -545,6 +560,7 @@ object Graph {
             Window.partitionBy(col("v")).orderBy(col("n").desc, col("lbl").asc)))
         .filter(col("rk") === 1)
         .select(col("v"), col("lbl"))
+        .cache()
     }
     labels
       .groupBy(col("lbl").as("community"))

@@ -735,20 +735,21 @@ object Inference {
     * standard AP sum) of the value→purchase ranking: at each positive's
     * rank k, precision@k = cum_pos/k; AP is their mean. Per-position
     * precision terms are micro-quantized BIGINTs before the cross-rank
-    * sum (order-free rule). Uses the same ONE global-rank window as
-    * q_lift / q_global_rank — the op class that genuinely needs a total
-    * order.
+    * sum (order-free rule). The total-order rank AND the running
+    * positive count both come from [[Relational.scalableCumSum]] (the
+    * blocked prefix sum) — no single-partition window ever sees the
+    * corpus.
     */
   def averagePrecision(events: DataFrame): DataFrame = {
     val cents = Stages.centsSql("value")
-    val wRank = Window.partitionBy(lit(1)).orderBy(col("c").desc, col("event_id").asc)
-    val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0)
-    events
-      .select(
-        (col("event_type") === "purchase").cast("long").as("y"),
-        expr(cents).as("c"), col("event_id"))
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .withColumn("cum_pos", sum(col("y")).over(wCum))
+    Relational
+      .scalableCumSum(
+        events.select(
+          (col("event_type") === "purchase").cast("long").as("y"),
+          expr(cents).as("c"), col("event_id")),
+        "y", col("c").desc, col("event_id").asc)
+      .withColumnRenamed("rank", "rn")
+      .withColumnRenamed("cum", "cum_pos")
       .filter(col("y") === 1L)
       .agg(
         count(lit(1)).as("n_pos"),
@@ -791,21 +792,17 @@ object Inference {
   /** ABC inventory classification of parts by cumulative revenue share,
     * with the class boundaries tested in INTEGER cents (5·cum ≤ 4·total
     * for the 80 % A-line, 20·cum ≤ 19·total for 95 %) so no float
-    * comparison can flip a boundary part between engines. The rank
-    * window is part-domain bounded; revenue totals are one map-combined
-    * aggregate.
+    * comparison can flip a boundary part between engines. Rank and
+    * running sum come from [[Relational.scalableCumSum]] (blocked
+    * prefix sum — parallel even when |parts| outgrows one partition);
+    * revenue totals are one map-combined aggregate.
     */
   def abcClassification(lineitem: DataFrame): DataFrame = {
     val rev = lineitem
       .groupBy(col("l_partkey"))
       .agg(sum(expr(Stages.centsSql("l_extendedprice"))).as("rev"))
-    val w = Window.partitionBy(lit(1)).orderBy(col("rev").desc, col("l_partkey").asc)
     val tot = rev.agg(sum(col("rev")).as("tot"))
-    rev
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn(
-        "cum",
-        sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    Relational.scalableCumSum(rev, "rev", col("rev").desc, col("l_partkey").asc)
       .crossJoin(broadcast(tot))
       .select(
         col("l_partkey"), col("rank"),

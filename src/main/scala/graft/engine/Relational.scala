@@ -1047,6 +1047,48 @@ object Relational {
     spark.createDataFrame(withIdx, schema)
   }
 
+  /** EXACT global running sum over a total order WITHOUT a corpus-scale
+    * single-partition window — the two-level (blocked) prefix sum:
+    *
+    *   1. [[scalableGlobalRank]] assigns the global rank (all stages
+    *      parallel);
+    *   2. rows bucket into fixed-size blocks of 2²⁰ ranks; per-block sums
+    *      aggregate map-side, and ONLY the block-sum table (corpus/2²⁰
+    *      rows — a 10⁶× compression, so an effectively-bounded input)
+    *      takes a constant-key running-sum window to become block offsets;
+    *   3. offsets broadcast-join back and each block computes its local
+    *      running sum under a per-block window — ≤2²⁰ rows per partition,
+    *      all blocks in parallel.
+    *
+    * Produces `rank` and `cum` (= running sum of `valueCol` in rank
+    * order), bit-identical to `SUM() OVER (ORDER BY …)` because the sort
+    * is a total order and the values are exact integers.
+    */
+  def scalableCumSum(df: DataFrame, valueCol: String, sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    val block = 1L << 20
+    val ranked = scalableGlobalRank(df, sortCols: _*)
+      .withColumn("_blk", expr(s"(rank - 1) div ${block}L"))
+    val offsets = ranked
+      .groupBy(col("_blk"))
+      .agg(sum(col(valueCol)).as("_bsum"))
+      .withColumn(
+        "_off",
+        coalesce(
+          sum(col("_bsum")).over(
+            Window.partitionBy(lit(1)).orderBy(col("_blk").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_blk"), col("_off"))
+    ranked
+      .join(broadcast(offsets), Seq("_blk"))
+      .withColumn(
+        "cum",
+        col("_off") + sum(col(valueCol)).over(
+          Window.partitionBy(col("_blk")).orderBy(col("rank").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_blk", "_off")
+  }
+
   /** One-pass data-quality profile — the schema-health scan a pipeline
     * runs before training: row/null/distinct tallies and time bounds in
     * a single aggregate over one corpus scan (distincts partial-combine;
@@ -2161,8 +2203,9 @@ object Relational {
 
   /** ABC×XYZ inventory segmentation matrix: ABC classes by cumulative
     * revenue share (A ≤ 80%, B ≤ 95%, C — ranked on exact integer
-    * revenue units over the part DIMENSION, so the cumulative window is
-    * domain-bounded), XYZ classes by demand variability over monthly
+    * revenue units via [[scalableCumSum]], so the running sum stays
+    * parallel even when |parts| outgrows one partition at corpus
+    * scale), XYZ classes by demand variability over monthly
     * buckets (CV = σ/μ from integer moments, X < 0.5, Y < 1.0, Z —
     * classification by integer cross-multiplication 4σ² vs μ², σ² vs
     * μ², so no float ever decides a class). The 9-cell matrix with
@@ -2184,10 +2227,7 @@ object Relational {
     val rev = lineitem
       .groupBy(col("l_partkey"))
       .agg(expr(s"sum($revUnitsSql)").as("r"))
-    val ranked = rev
-      .withColumn("cum", sum(col("r")).over(
-        Window.partitionBy(lit(1)).orderBy(col("r").desc, col("l_partkey").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = scalableCumSum(rev, "r", col("r").desc, col("l_partkey").asc)
       .crossJoin(broadcast(rev.agg(sum(col("r")).as("tot"))))
       .withColumn(
         "abc",
@@ -2221,24 +2261,24 @@ object Relational {
     * an exact BIGINT (no normalization divides until the output), tie
     * to the SMALLER rank. Where ABC's 80/95 cutoffs are policy, the
     * knee is the data's own "head ends here" point for cache and
-    * hot-tier sizing. The ranking window runs on the part DIMENSION.
+    * hot-tier sizing. The ranking and running sum come from
+    * [[scalableCumSum]] (blocked prefix sum — every stage parallel) and
+    * the argmax is an `orderBy().limit(1)` → TakeOrderedAndProject
+    * (per-partition heaps, driver merges one row), so nothing in the
+    * plan funnels the part dimension through a single partition.
     */
   def kneePoint(lineitem: DataFrame): DataFrame = {
     val rev = lineitem
       .groupBy(col("l_partkey"))
       .agg(expr(s"sum($revUnitsSql)").as("r"))
-    val w = Window.partitionBy(lit(1)).orderBy(col("r").desc, col("l_partkey").asc)
-    val ranked = rev
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("r")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = scalableCumSum(rev, "r", col("r").desc, col("l_partkey").asc)
+      .withColumnRenamed("rank", "i")
       .crossJoin(broadcast(
         rev.agg(sum(col("r")).as("t"), count(lit(1)).cast("long").as("n"))))
       .withColumn("dev", col("cum") * col("n") - col("t") * col("i"))
     ranked
-      .withColumn(
-        "rk",
-        row_number().over(Window.partitionBy(lit(1)).orderBy(col("dev").desc, col("i").asc)))
-      .filter(col("rk") === 1)
+      .orderBy(col("dev").desc, col("i").asc)
+      .limit(1)
       .select(
         col("n").as("n_parts"),
         col("i").as("knee_rank"),

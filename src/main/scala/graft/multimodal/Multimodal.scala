@@ -114,9 +114,18 @@ object Multimodal {
     * row per document inside the SAME partition pass as the decode —
     * frames of one payload never leave their partition, so there is no
     * shuffle at all (vs. decode → explode frames → groupBy(doc)).
+    *
+    * The mean intensity accumulates EXACTLY: each frame's byte mean
+    * S/L is scaled by LCM(1..16)=720720 (L ≤ [[FakeCodec.FrameBytes]])
+    * into an integer, so the cross-frame sum is order-free and the
+    * single half-up rounding to 2 decimals is pure integer arithmetic
+    * ((2a+b) div 2b) — which is what lets a SQL engine recompute this
+    * "decode" bit-identically from the payload text (the DuckDB oracle
+    * for q_frame_features does exactly that via ascii()).
     */
   def frameFeatures(spark: SparkSession, media: DataFrame, every: Int): DataFrame = {
     import spark.implicits._
+    val Lcm = 720720L // LCM(1..16): exact common denominator for chunk means
     media
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -125,19 +134,22 @@ object Multimodal {
           var n = 0L
           var w = 0
           var h = 0
-          var meanSum = 0.0
+          var isum = 0L // Σ frames S_i · (LCM / L_i) — exact Σ S_i/L_i × LCM
           FakeCodec.decode(payload).foreach { case (i, fw, fh, bytes) =>
             if (i % every == 0) {
               n += 1
               w = math.max(w, fw)
               h = math.max(h, fh)
-              if (bytes.nonEmpty)
-                meanSum += bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+              var s = 0L
+              var j = 0
+              while (j < bytes.length) { s += (bytes(j) & 0xff); j += 1 }
+              if (bytes.nonEmpty) isum += s * (Lcm / bytes.length)
             }
           }
+          // mean = isum / (LCM·n); ×100 and round half-up in integers
           val mean =
             if (n == 0) 0.0
-            else BigDecimal(meanSum / n).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else ((2L * isum * 100L + Lcm * n) / (2L * Lcm * n)) / 100.0
           (id, n, w, h, mean)
         }
       }

@@ -71,6 +71,45 @@ final class LoggingAlerter extends Alerter {
   def alert(subject: String, body: String): Unit = log.warn(s"ALERT: $subject — $body")
 }
 
+/** Concrete SMTP alerter — the executable twin of the reference's
+  * `send_email` (`utils.py:11-30`): speaks the plain SMTP command
+  * sequence (HELO / MAIL FROM / RCPT TO / DATA / QUIT) directly over a
+  * socket so it carries zero mail-library dependencies. STARTTLS and
+  * AUTH (the reference's `starttls()`/`login()` lines) are a deployment
+  * concern — the engine owns the protocol framing and message shape.
+  * Transparency (dot-stuffing) is applied to the body so payload lines
+  * beginning with '.' cannot terminate DATA early.
+  */
+final class SmtpAlerter(host: String, port: Int, from: String, to: String) extends Alerter {
+  def alert(subject: String, body: String): Unit = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")
+      def expect(code: String): Unit = {
+        var line = in.readLine()
+        // skip multi-line replies ("250-..." continuation lines)
+        while (line != null && line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+        require(line != null && line.startsWith(code), s"SMTP: expected $code, got $line")
+      }
+      def send(cmd: String, code: String): Unit = {
+        out.write(cmd + "\r\n"); out.flush(); expect(code)
+      }
+      expect("220")
+      send("HELO graft", "250")
+      send(s"MAIL FROM:<$from>", "250")
+      send(s"RCPT TO:<$to>", "250")
+      send("DATA", "354")
+      val bodyLines = body.split("\n", -1).map(l => if (l.startsWith(".")) "." + l else l)
+      val msg = (Seq(s"From: $from", s"To: $to", s"Subject: $subject", "") ++ bodyLines)
+        .mkString("", "\r\n", "\r\n.")
+      send(msg, "250")
+      send("QUIT", "221")
+    } finally sock.close()
+  }
+}
+
 /** Collects alerts for assertions (test double). */
 final class CollectingAlerter extends Alerter {
   val alerts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Tables, TpcH}
+
+/** Brute-force recomputation of the TPC-H remainder block on sf0.001
+  * (the DuckDB oracle is the cross-engine gate; these pin the SEMANTICS
+  * against straight-line Scala so a bug can't hide in a mirrored SQL
+  * mistake).
+  */
+class TpcHSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def day(ts: java.sql.Timestamp): Long = ts.getTime / 1000 / 86400
+
+  private lazy val lines = Tables.lineitem(spark, sfDir)
+    .select("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+      "l_shipdate", "l_returnflag", "l_partkey")
+    .collect()
+  private lazy val ordersRows = Tables.orders(spark, sfDir)
+    .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+    .collect()
+
+  test("Q6: filter+sum matches a straight-line recomputation") {
+    val r = TpcH.forecastRevenueChange(Tables.lineitem(spark, sfDir), "1996-01-01", "1997-01-01")
+      .head()
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val sel = lines.filter { x =>
+      val sd = x.getAs[java.sql.Timestamp]("l_shipdate")
+      val dp = math.round(x.getAs[Double]("l_discount") * 100)
+      !sd.before(lo) && sd.before(hi) && dp >= 5 && dp <= 7 &&
+        math.round(x.getAs[Double]("l_quantity")) < 24
+    }
+    val cents = sel.map(x =>
+      math.round(x.getAs[Double]("l_extendedprice") * 100) *
+        math.round(x.getAs[Double]("l_discount") * 100)).sum
+    assert(r.getAs[Long]("n_lines") == sel.length)
+    assert(math.abs(r.getAs[Double]("revenue") - cents / 10000.0) < 1e-9)
+  }
+
+  test("Q4: semi-join counts orders with ≥1 late line, never double-counts") {
+    val rows = TpcH.orderPriorityCheck(
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      "1996-01-01", "1996-04-01").collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("order_count")).toMap
+    val lateByOrder = lines.groupBy(_.getAs[Long]("l_orderkey"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val expected = ordersRows.filter { o =>
+      val od = o.getAs[java.sql.Timestamp]("o_orderdate")
+      !od.before(lo) && od.before(hi) &&
+        lateByOrder.getOrElse(o.getAs[Long]("o_orderkey"), Array.empty[org.apache.spark.sql.Row])
+          .exists(l => day(l.getAs[java.sql.Timestamp]("l_shipdate")) > day(od) + 30)
+    }.groupBy(_.getAs[String]("o_orderpriority")).view.mapValues(_.length.toLong).toMap
+    assert(rows == expected)
+    assert(rows.values.sum > 0)
+  }
+
+  test("Q13: distribution covers every customer exactly once (0 bucket included)") {
+    val dist = TpcH.customerDistribution(Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
+      .collect().map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(dist.values.sum == nCust)
+    val perCust = ordersRows.filter(_.getAs[String]("o_orderpriority") != "1-URGENT")
+      .groupBy(_.getAs[Long]("o_custkey")).view.mapValues(_.length.toLong).toMap
+    val zero = nCust - perCust.size
+    assert(dist.getOrElse(0L, 0L) == zero)
+    val expected = perCust.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    expected.foreach { case (c, n) => assert(dist(c) == n, s"bucket $c") }
+  }
+
+  test("Q21: every reported supplier was the ONLY late supplier on each counted order") {
+    val evid = lines.map { l =>
+      val o = ordersRows.find(_.getAs[Long]("o_orderkey") == l.getAs[Long]("l_orderkey")).get
+      (l.getAs[Long]("l_orderkey"), l.getAs[Long]("l_suppkey"),
+        day(l.getAs[java.sql.Timestamp]("l_shipdate")) >
+          day(o.getAs[java.sql.Timestamp]("o_orderdate")) + 90)
+    }.distinct
+    val byOrder = evid.groupBy(_._1)
+    def numwait(supp: Long): Long = evid.count { case (ok, sk, late) =>
+      sk == supp && late && {
+        val others = byOrder(ok).filter(_._2 != supp)
+        others.nonEmpty && !others.exists(_._3)
+      }
+    }.toLong
+    val out = TpcH.suppliersKeptWaiting(
+      Tables.supplier(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.nation(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("numwait") == numwait(r.getAs[Long]("s_suppkey")),
+        s"supplier ${r.getAs[Long]("s_suppkey")}")
+    }
+    // ranks descend by numwait
+    val nw = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("numwait"))
+    assert(nw.zip(nw.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("Q15: returns exactly the argmax supplier set") {
+    val out = TpcH.topSupplier(
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir),
+      "1996-01-01", "1996-04-01").collect()
+    assert(out.nonEmpty)
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val rev = lines.filter { x =>
+      val sd = x.getAs[java.sql.Timestamp]("l_shipdate"); !sd.before(lo) && sd.before(hi)
+    }.groupBy(_.getAs[Long]("l_suppkey")).view.mapValues(_.map(x =>
+      math.round(x.getAs[Double]("l_extendedprice") * 100) *
+        (100 - math.round(x.getAs[Double]("l_discount") * 100))).sum).toMap
+    val mx = rev.values.max
+    assert(out.map(_.getAs[Long]("s_suppkey")).toSet == rev.filter(_._2 == mx).keySet)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("total_revenue") - mx / 10000.0) < 1e-9))
+  }
+
+  test("Q18/Q22 return rows at sf0.001 (threshold sanity for the rows>0 gate)") {
+    assert(TpcH.largeVolumeCustomers(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)).count() > 0)
+    assert(TpcH.globalSalesOpportunity(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.nation(spark, sfDir)).count() > 0)
+  }
+}
