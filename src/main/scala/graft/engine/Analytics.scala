@@ -4993,8 +4993,8 @@ object Analytics {
     val pairs = a
       .join(b, abs(col("ia") - col("ib")) > 2)
       .withColumn(
-        "dot",
-        expr("aggregate(zip_with(aa, ab, (x, yy) -> x * yy), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        "dot", // native codegen'd integer loop (HOF lambdas stay interpreted)
+        graft.functions.VectorFunctions.dotMilli(col("aa"), col("ab")))
       .withColumn("d2", expr(d2))
     pairs
       .withColumn(

@@ -32,7 +32,11 @@ object Graph {
     * IN-PLAN from the sorted array (`pa < pb` by construction), and one
     * map-combined count keys the pair. Two shuffles total; the
     * self-join spelling costs a third (distinct) shuffle and re-shuffles
-    * the item table twice. Measured 40% faster at sf0.1.
+    * the item table twice. Re-measured round 4 (interleaved 5-pass,
+    * sf0.1): the two shapes are at steady-state parity (min 1.26 s vs
+    * 1.40 s, medians within noise) — this one kept for its lower
+    * shuffle count, which is what matters when the basket table stops
+    * fitting in memory.
     */
   def coOrderEdges(lineitem: DataFrame): DataFrame =
     lineitem
@@ -592,13 +596,27 @@ object Graph {
     * |parts|²-bounded edge aggregates.
     */
   def ndcgAt5(lineitem: DataFrame): DataFrame = {
-    def half(parity: Int): DataFrame =
-      coOrderEdges(lineitem.filter(col("l_orderkey") % 2 === parity))
+    // ONE carried-parity edge build instead of two separate coOrderEdges
+    // passes: parity is a function of the order key, so tagging the
+    // basket row and keying the pair count by (parity, pa, pb) yields
+    // both the train and test graphs from a single scan + two shuffles —
+    // halving the dominant cost of this query.
+    val byPar = lineitem
+      .withColumn("par", (col("l_orderkey") % 2).cast("int"))
+      .groupBy(col("par"), col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("par"), explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("e"))
+      .select(col("par"), col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("par"), col("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+      .cache()
     def sym(e: DataFrame): DataFrame =
       e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
-    val train = sym(half(0)).cache()
-    val test = sym(half(1)).cache()
+    val train = sym(byPar.filter(col("par") === 0).drop("par"))
+    val test = sym(byPar.filter(col("par") === 1).drop("par"))
     val recs = train
       .withColumn(
         "rk",
@@ -687,19 +705,22 @@ object Graph {
         row_number().over(Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
       .filter(col("rk") <= 5)
     val exposure = recs.groupBy(col("dst")).agg(count(lit(1)).as("n_slots"))
-    val catalog = sym.select(col("src")).distinct().count()
+    // catalog size folds into the plan as a broadcast one-row aggregate —
+    // a driver-side .count() here would force an extra eager job over sym
+    val catalog = sym.agg(countDistinct(col("src")).cast("long").as("n_catalog"))
     recs
       .agg(count(lit(1)).cast("long").as("total_slots"))
       .crossJoin(
         exposure.agg(
           count(lit(1)).cast("long").as("n_recommended"),
           max(col("n_slots")).as("max_exposure")))
+      .crossJoin(broadcast(catalog))
       .select(
-        lit(catalog).as("n_catalog"),
+        col("n_catalog"),
         col("n_recommended"),
         col("total_slots"),
         col("max_exposure"),
-        expr(s"CAST(n_recommended AS DOUBLE) / CAST($catalog AS DOUBLE)").as("coverage"),
+        expr("CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE)").as("coverage"),
         expr("CAST(max_exposure AS DOUBLE) / CAST(total_slots AS DOUBLE)").as("max_share"))
   }
 }

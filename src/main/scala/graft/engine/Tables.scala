@@ -10,17 +10,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a one-line change.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events fixture stores TIMESTAMP(NANOS) which Spark's TimestampType
-    // (µs) cannot hold; read nanos as long and rebuild below. Set per-session
-    // here so every entry point (Verify/Bench/tests/driver smoke) is covered.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Read tz-less parquet timestamps as TIMESTAMP (UTC session) rather than
-    // TIMESTAMP_NTZ: NTZ cannot be cast to epoch seconds, and the DuckDB
-    // oracle treats them as plain timestamps anyway.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+
+  // Memoized per (session, dir, table): a DataFrame is an immutable plan,
+  // and re-creating it via spark.read.parquet re-lists the path and
+  // re-reads the footer for schema every time — measurable pure overhead
+  // when hundreds of queries each load a handful of tables. Fixture files
+  // are immutable for a run, so plan reuse is safe; data caching is a
+  // separate concern (catalog.clearCache() does not touch this).
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.computeIfAbsent((spark, dir, name), { _ =>
+      // The events fixture stores TIMESTAMP(NANOS) which Spark's TimestampType
+      // (µs) cannot hold; read nanos as long and rebuild below. Set per-session
+      // here so every entry point (Verify/Bench/tests/driver smoke) is covered.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read tz-less parquet timestamps as TIMESTAMP (UTC session) rather than
+      // TIMESTAMP_NTZ: NTZ cannot be cast to epoch seconds, and the DuckDB
+      // oracle treats them as plain timestamps anyway.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")

@@ -250,6 +250,101 @@ case class NearestCentroidDist(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Native integer squared L2 distance over two `array<bigint>` columns
+  * (milli-quantized embeddings): Σ (x−y)². Replaces the interpreted
+  * higher-order-function spelling `aggregate(zip_with(a, b,
+  * (x,y)->(x−y)*(x−y)), 0L, _+_)` in the all-pairs hot loops — HOF
+  * lambdas do NOT participate in whole-stage codegen and allocate an
+  * intermediate array per pair; this compiles to a tight long loop.
+  * Integer math → result independent of summation order, so swapping
+  * it in cannot change any oracle hash.
+  */
+case class SqDistMilli(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native integer dot product over two `array<bigint>` columns — the
+  * BIGINT twin of [[DotProduct]], for the milli/sign grids where the
+  * engine keeps arithmetic exact. Same codegen rationale as
+  * [[SqDistMilli]].
+  */
+case class DotMilli(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_milli"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column API for [[DotProduct]]. Arguments must be `array<double>`
@@ -258,6 +353,18 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Column API for [[SqDistMilli]]. Arguments: `array<bigint>`. */
+  def sqDistMilli(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SqDistMilli(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Column API for [[DotMilli]]. Arguments: `array<bigint>`. */
+  def dotMilli(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(DotMilli(ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
   /** Column API for [[SimHash64]]. Argument: `array<string>` tokens. */

@@ -31,6 +31,17 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotProduct(a, b)
 
+  /** Integer squared L2 over milli-quantized `array<bigint>` — native
+    * codegen ([[graft.functions.SqDistMilli]]); integer sum, so value-
+    * identical to the HOF fold it replaces in the all-pairs hot loops.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.sqDistMilli(a, b)
+
+  /** Integer dot over `array<bigint>` ([[graft.functions.DotMilli]]). */
+  def dotInt(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotMilli(a, b)
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** cosine(a, b) with the exact association `dot/(sqrt(aa)*sqrt(bb))` —
@@ -975,24 +986,46 @@ object Similarity {
     * 2; the matrix build is the [[covMatrix]] shape, each multiply a
     * broadcast join against a 64-row vector.
     */
-  def powerIteration(embeddings: DataFrame): DataFrame = {
-    val cells = gramCells(embeddings, 64).cache()
-    def step(u: DataFrame): DataFrame = {
-      val w = cells
-        .join(broadcast(u), col("j") === col("udim"))
-        .groupBy(col("i"))
-        .agg(sum(col("s") * col("u")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      w.crossJoin(broadcast(mx))
-        .select(
-          col("i").as("udim"),
-          expr("CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT)")
-            .as("u"))
+  /** Spark/DuckDB `round()` on doubles is HALF_UP (away from zero) —
+    * NOT JVM `math.round` (floor(x+0.5), which differs on negative
+    * halves). Driver-side replication must match the engines bit-for-bit.
+    */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Collect the dims×dims Gram grid to the driver — a BOUNDED constant
+    * (dims² cells, dims=64 → 4096 longs), independent of corpus size.
+    * The corpus-scale work is the distributed Gram AGGREGATION; the
+    * O(dims²) eigen-iteration on top of it belongs on the driver — as a
+    * chain of broadcast-join jobs it costs ~20 scheduler round-trips to
+    * move 64 numbers around.
+    */
+  private def collectGram(cells: DataFrame, dims: Int): Array[Array[Long]] = {
+    val g = Array.ofDim[Long](dims, dims)
+    cells.collect().foreach { r =>
+      g(r.getAs[Long]("i").toInt - 1)(r.getAs[Long]("j").toInt - 1) = r.getAs[Long]("s")
     }
-    val u0 = embeddings.sparkSession
-      .range(1)
-      .select(explode(expr("sequence(1, 64)")).as("udim"), lit(1L).as("u"))
-    step(step(u0)).select(col("udim").as("dim"), col("u").as("loading_milli"))
+    g
+  }
+
+  /** One quantized power step, driver-side: w = M·v exactly in BIGINT,
+    * then re-quantize u_i = round(1000·w_i/max|w|) with the engines'
+    * HALF_UP rule — value-identical to the broadcast-join spelling.
+    */
+  private def stepLocal(m: Array[Array[Long]], v: Array[Long]): Array[Long] = {
+    val dims = v.length
+    val w = Array.tabulate(dims)(i => (0 until dims).map(j => m(i)(j) * v(j)).sum)
+    val mx = w.map(math.abs).max
+    w.map(x => roundHalfUp(1000.0 * x.toDouble / mx.toDouble))
+  }
+
+  def powerIteration(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val g = collectGram(gramCells(embeddings, 64), 64)
+    val u0 = Array.fill(64)(1L)
+    val u2 = stepLocal(g, stepLocal(g, u0))
+    u2.toSeq.zipWithIndex.map { case (u, i) => (i + 1L, u) }
+      .toDF("dim", "loading_milli")
   }
 
   /** Second principal direction by deflation: after [[powerIteration]]'s
@@ -1003,55 +1036,29 @@ object Similarity {
     * two more power steps run on d from an alternating ±1 start. u is
     * re-quantized to centi scale before deflation so uᵀMu stays inside
     * BIGINT at corpus scale (milli loadings overflow 2⁶³ past ~2k
-    * vectors). Everything distributed is the [[covMatrix]] cell shape;
-    * the 64-row vector iterates by broadcast join, exactly the
-    * [[powerIteration]] loop.
+    * vectors). The distributed stage is the [[covMatrix]]-shaped Gram
+    * aggregation (the only corpus-scale work); the dims²-bounded
+    * deflate-and-iterate then runs driver-side in the same exact
+    * integer/HALF_UP arithmetic — identical values, ~2 jobs instead of
+    * ~20 broadcast round-trips.
     */
   def powerIterationDeflated(embeddings: DataFrame): DataFrame = {
-    // cache: the 64×64 Gram table is referenced by SIX downstream joins
-    // (two power steps, uᵀMu, deflation, two deflated steps)
-    val cells = gramCells(embeddings, 64).cache()
-    def step(mat: DataFrame, v: DataFrame): DataFrame = {
-      val w = mat
-        .join(broadcast(v), col("j") === col("udim"))
-        .groupBy(col("i"))
-        .agg(sum(col("s") * col("u")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      w.crossJoin(broadcast(mx))
-        .select(
-          col("i").as("udim"),
-          expr("CAST(round(1000.0 * CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)) AS BIGINT)")
-            .as("u"))
-    }
-    val u0 = embeddings.sparkSession
-      .range(1)
-      .select(explode(expr("sequence(1, 64)")).as("udim"), lit(1L).as("u"))
-    val u1 = step(cells, step(cells, u0))
-      .select(col("udim"), expr("CAST(round(CAST(u AS DOUBLE) / 10.0) AS BIGINT)").as("u"))
-    val norms = u1.agg(sum(col("u") * col("u")).as("uu"))
-    val umu = cells
-      .join(broadcast(u1.select(col("udim").as("i"), col("u").as("ui"))), Seq("i"))
-      .join(broadcast(u1.select(col("udim").as("j"), col("u").as("uj"))), Seq("j"))
-      .agg(sum(col("s") * col("ui") * col("uj")).as("umu"))
-    val deflated = cells
-      .join(broadcast(u1.select(col("udim").as("i"), col("u").as("ui"))), Seq("i"))
-      .join(broadcast(u1.select(col("udim").as("j"), col("u").as("uj"))), Seq("j"))
-      .crossJoin(broadcast(norms))
-      .crossJoin(broadcast(umu))
-      .select(
-        col("i"), col("j"),
-        expr("""s - CAST(round((CAST(umu AS DOUBLE) / CAST(uu AS DOUBLE))
-                * (CAST(ui * uj AS DOUBLE) / CAST(uu AS DOUBLE))) AS BIGINT)""").as("s"))
-      .cache() // two power steps re-read the deflated 64×64 table
-    val w0 = embeddings.sparkSession
-      .range(1)
-      .select(explode(expr("sequence(1, 64)")).as("udim"))
-      .select(
-        col("udim"),
-        expr("CASE WHEN udim % 2 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
-          .as("u"))
-    step(deflated, step(deflated, w0))
-      .select(col("udim").as("dim"), col("u").as("loading2_milli"))
+    import embeddings.sparkSession.implicits._
+    val dims = 64
+    val g = collectGram(gramCells(embeddings, dims), dims)
+    val u2 = stepLocal(g, stepLocal(g, Array.fill(dims)(1L)))
+    // re-quantize milli→centi before deflation (uᵀMu must stay in BIGINT)
+    val u1 = u2.map(x => roundHalfUp(x.toDouble / 10.0))
+    val uu = u1.map(x => x * x).sum
+    val umu = (0 until dims).map(i =>
+      (0 until dims).map(j => g(i)(j) * u1(i) * u1(j)).sum).sum
+    val deflated = Array.tabulate(dims, dims)((i, j) =>
+      g(i)(j) - roundHalfUp(
+        (umu.toDouble / uu.toDouble) * ((u1(i) * u1(j)).toDouble / uu.toDouble)))
+    val w0 = Array.tabulate(dims)(i => if ((i + 1) % 2 == 0) 1L else -1L)
+    val w2 = stepLocal(deflated, stepLocal(deflated, w0))
+    w2.toSeq.zipWithIndex.map { case (u, i) => (i + 1L, u) }
+      .toDF("dim", "loading2_milli")
   }
 
   /** Histogram of query-to-corpus cosine similarity (0.05-wide bins on
@@ -1108,9 +1115,7 @@ object Similarity {
           .as("ma"))
     val withY = signs.zipWithIndex.foldLeft(ma) { case (df, (row, j)) =>
       val arr = row.mkString("array(", "L, ", "L)")
-      df.withColumn(
-        s"y${j + 1}",
-        expr(s"aggregate(zip_with(ma, $arr, (x, s) -> x * s), 0L, (acc, v) -> acc + v)"))
+      df.withColumn(s"y${j + 1}", dotInt(col("ma"), expr(arr)))
     }
     val d8 = (1 to k).map(j => s"(a.y$j - b.y$j) * (a.y$j - b.y$j)").mkString(" + ")
     withY.as("a")
@@ -1118,8 +1123,7 @@ object Similarity {
       .select(
         col("a.vec_id").as("va"),
         col("b.vec_id").as("vb"),
-        expr("aggregate(zip_with(a.ma, b.ma, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-          .as("d64"),
+        sqDist(col("a.ma"), col("b.ma")).as("d64"),
         expr(d8).as("dk"))
       .withColumn("ratio", expr(s"CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE))"))
   }
@@ -1169,12 +1173,10 @@ object Similarity {
       col("vec_id"),
       expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
         .as("mv"))
-    val sqd =
-      "aggregate(zip_with(mv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
     val c0 = m.orderBy(col("vec_id").asc).limit(1)
     var dists = m
       .crossJoin(broadcast(c0.select(col("vec_id").as("cid"), col("mv").as("cv"))))
-      .select(col("vec_id"), col("mv"), expr(sqd).as("d"))
+      .select(col("vec_id"), col("mv"), sqDist(col("mv"), col("cv")).as("d"))
     var picks = c0.select(col("vec_id"), lit(0L).as("rank"), lit(0L).as("sq_dist"))
     for (r <- 1 until (k + 1)) {
       val next = dists.orderBy(col("d").desc, col("vec_id").asc).limit(1)
@@ -1183,7 +1185,7 @@ object Similarity {
       if (r < k) {
         dists = dists
           .crossJoin(broadcast(next.select(col("mv").as("cv"))))
-          .select(col("vec_id"), col("mv"), least(col("d"), expr(sqd)).as("d"))
+          .select(col("vec_id"), col("mv"), least(col("d"), sqDist(col("mv"), col("cv"))).as("d"))
       }
     }
     picks.select(col("rank"), col("vec_id"), col("sq_dist"))
@@ -1298,7 +1300,7 @@ object Similarity {
       .join(b, col("a") =!= col("b"))
       .withColumn(
         "d2",
-        expr("aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        sqDist(col("ma"), col("mb"))) // native codegen'd integer loop
       .withColumn(
         "rk",
         row_number().over(
