@@ -1099,7 +1099,21 @@ object SparkEntry {
     "q_tpch_q22" -> ((s, dir) =>
       TpcH.globalSalesOpportunity(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
-        .orderBy("nation"))
+        .orderBy("nation")),
+    "q_tpch_q2" -> ((s, dir) =>
+      TpcH.minCostSupplier(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), Tables.lineitem(s, dir))
+        .orderBy("rank")),
+    "q_tpch_q11" -> ((s, dir) =>
+      TpcH.importantStock(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
+        .orderBy("ps_partkey")),
+    "q_tpch_q20" -> ((s, dir) =>
+      TpcH.promoSupplyConcentration(
+        Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir))
+        .orderBy("s_suppkey"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1642,6 +1656,60 @@ object SparkEntry {
                 END AS mean_intensity
          FROM m LEFT JOIN agg ON m.doc_id = agg.doc_id
          ORDER BY m.doc_id""",
+    "q_tpch_q2" ->
+      """WITH ps AS (SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
+                CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    // greatest(CAST(round(l_quantity) AS BIGINT), 1)) AS BIGINT) AS ps_cost_cents
+              FROM lineitem GROUP BY 1, 2),
+         sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                              JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+         offers AS (SELECT p_partkey, ps_suppkey, ps_cost_cents, s_name, s_acctbal, n_name
+                    FROM ps JOIN part ON ps_partkey = p_partkey AND p_type = 'ECONOMY'
+                            JOIN sr ON ps_suppkey = s_suppkey),
+         mc AS (SELECT p_partkey AS mc_partkey, min(ps_cost_cents) AS min_cost
+                FROM offers GROUP BY 1),
+         w AS (SELECT o.*, row_number() OVER (
+                   ORDER BY s_acctbal DESC, p_partkey ASC, ps_suppkey ASC) AS rk
+               FROM offers o JOIN mc
+                 ON p_partkey = mc_partkey AND ps_cost_cents = min_cost)
+         SELECT CAST(rk AS BIGINT) AS rank, s_acctbal, s_name, n_name,
+                p_partkey, ps_suppkey AS s_suppkey, ps_cost_cents
+         FROM w WHERE rk <= 20 ORDER BY rank""",
+    "q_tpch_q11" ->
+      """WITH ps AS (SELECT l_suppkey AS sk, l_partkey AS pk,
+                CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    // greatest(CAST(round(l_quantity) AS BIGINT), 1)) AS BIGINT) AS c,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1, 2),
+         v AS (SELECT pk AS ps_partkey, CAST(sum(c * q) AS BIGINT) AS value_units
+               FROM ps JOIN supplier ON sk = s_suppkey
+                       JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+               GROUP BY 1),
+         t AS (SELECT CAST(sum(value_units) AS BIGINT) AS total_units,
+                      CAST(count(*) AS BIGINT) AS n_parts FROM v)
+         SELECT ps_partkey, value_units,
+                CAST(value_units AS DOUBLE) / CAST(total_units AS DOUBLE) AS value_share
+         FROM v CROSS JOIN t
+         WHERE value_units * n_parts > total_units * 2
+         ORDER BY ps_partkey""",
+    "q_tpch_q20" ->
+      """WITH ps AS (SELECT l_suppkey AS sk, l_partkey AS pk,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1, 2),
+         y AS (SELECT l_suppkey AS sk, l_partkey AS pk,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS yq
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+               GROUP BY 1, 2),
+         conc AS (SELECT DISTINCT y.sk
+                  FROM y JOIN ps ON y.sk = ps.sk AND y.pk = ps.pk
+                         JOIN part ON y.pk = p_partkey AND p_name LIKE '%red%'
+                  WHERE y.yq * 2 > ps.q)
+         SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN conc ON s_suppkey = conc.sk
+                       JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_suppkey""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
          FROM orders

@@ -34,6 +34,139 @@ object TpcH {
 
   private def epochDay(c: String) = s"(CAST($c AS LONG) div 86400)"
 
+  /** The fixture's stand-in for `partsupp`: supplier–part offerings
+    * DERIVED from lineitem evidence — one row per (suppkey, partkey)
+    * with a unit-cost proxy (min observed integer-cent unit price,
+    * exact: cents div qty) and the all-time shipped quantity. One
+    * map-combined aggregate; used by the Q2/Q11/Q20 shapes below so
+    * their join/subquery structure matches the spec even without the
+    * table.
+    */
+  def supplyEvidence(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_suppkey").as("ps_suppkey"), col("l_partkey").as("ps_partkey"))
+      .agg(
+        min(expr(s"${Stages.centsSql("l_extendedprice")} div greatest($qtyInt, 1)"))
+          .as("ps_cost_cents"),
+        expr(s"sum($qtyInt)").as("ps_qty"))
+
+  /** Q2-shaped minimum-cost supplier: for parts of one type, the
+    * supplier(s) in one region offering the part at its region-wide
+    * minimum derived cost, top `k` by account balance. The correlated
+    * MIN subquery is a per-part aggregate joined back on
+    * (part, cost=min) — never a per-row probe; part and the
+    * supplier⋈nation⋈region leg broadcast.
+    */
+  def minCostSupplier(
+      part: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      lineitem: DataFrame,
+      regionName: String = "EUROPE",
+      pType: String = "ECONOMY",
+      k: Int = 20): DataFrame = {
+    val suppInRegion = supplier
+      .join(
+        broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = supplyEvidence(lineitem)
+      .join(broadcast(part.filter(col("p_type") === pType).select(col("p_partkey"))),
+        col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(suppInRegion), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("ps_suppkey"), col("ps_cost_cents"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+    val minCost = offers
+      .groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("ps_cost_cents")).as("min_cost"))
+    val winners = offers.join(
+      minCost,
+      col("p_partkey") === col("mc_partkey") && col("ps_cost_cents") === col("min_cost"))
+    Relational
+      .rankedTopK(winners, k,
+        col("s_acctbal").desc, col("p_partkey").asc, col("ps_suppkey").asc)
+      .select(
+        col("rank"), col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("ps_suppkey").as("s_suppkey"), col("ps_cost_cents"))
+  }
+
+  /** Q11-shaped important stock: per-part inventory value (derived
+    * cost × shipped quantity, exact integers) held by one nation's
+    * suppliers, keeping parts whose value exceeds `mult`× the average
+    * part value. The spec's fixed-fraction HAVING scales its threshold
+    * by SF; the above-average form is the scale-free equivalent (a
+    * fixed share-of-total empties as |parts| grows). The
+    * HAVING-against-global-scalar is a one-row broadcast; the value
+    * test is integer cross-multiplication (val·n > mult·total).
+    */
+  def importantStock(
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      nationName: String = "NATION_3",
+      mult: Long = 2L): DataFrame = {
+    val vals = supplyEvidence(lineitem)
+      .join(
+        broadcast(supplier
+          .join(broadcast(nation.filter(col("n_name") === nationName)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))),
+        col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_qty")).as("value_units"))
+    val total = vals.agg(
+      sum(col("value_units")).as("total_units"),
+      count(lit(1)).as("n_parts"))
+    vals
+      .crossJoin(broadcast(total))
+      .filter(col("value_units") * col("n_parts") > col("total_units") * mult)
+      .select(
+        col("ps_partkey"), col("value_units"),
+        expr("CAST(value_units AS DOUBLE) / CAST(total_units AS DOUBLE)").as("value_share"))
+  }
+
+  /** Q20-shaped promotion-part supply concentration: suppliers (with
+    * nation) who shipped more than HALF their all-time quantity of some
+    * promo-named part inside one year — the spec's nested
+    * IN(parts)/IN(partsupp-with-availqty-test) chain re-expressed as a
+    * per-(supplier, part) year-vs-alltime aggregate join plus semi-join
+    * up to the supplier dimension. Integer cross-multiplication decides
+    * the half test.
+    */
+  def promoSupplyConcentration(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      nameToken: String = "red",
+      yearStart: String = "1996-01-01",
+      yearEndExcl: String = "1997-01-01"): DataFrame = {
+    val promoParts = broadcast(
+      part.filter(col("p_name").contains(nameToken)).select(col("p_partkey")))
+    val yearQty = lineitem
+      .filter(
+        col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+          col("l_shipdate") < lit(yearEndExcl).cast("timestamp"))
+      .groupBy(col("l_suppkey").as("y_suppkey"), col("l_partkey").as("y_partkey"))
+      .agg(expr(s"sum($qtyInt)").as("y_qty"))
+    val concentrated = yearQty
+      .join(promoParts, col("y_partkey") === col("p_partkey"), "left_semi")
+      .join(
+        supplyEvidence(lineitem),
+        col("y_suppkey") === col("ps_suppkey") && col("y_partkey") === col("ps_partkey"))
+      .filter(col("y_qty") * 2 > col("ps_qty"))
+      .select(col("y_suppkey")).distinct()
+    supplier
+      .join(concentrated, col("s_suppkey") === col("y_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   /** Q4-shaped order-priority checking: orders placed in one quarter
     * that had at least one line shipped more than `lateDays` after the
     * order date, counted per priority. The EXISTS is a LEFT SEMI join on

@@ -116,6 +116,65 @@ class TpcHSpec extends AnyFunSuite {
     out.foreach(r => assert(math.abs(r.getAs[Double]("total_revenue") - mx / 10000.0) < 1e-9))
   }
 
+  test("Q2: every reported supplier offers its part at the regional minimum cost") {
+    val out = TpcH.minCostSupplier(
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir), Tables.lineitem(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    val offers = TpcH.supplyEvidence(Tables.lineitem(spark, sfDir))
+      .join(Tables.supplier(spark, sfDir), col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY"),
+        col("ps_partkey") === col("p_partkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_cost_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minByPart = offers.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    out.foreach { r =>
+      val (pk, cost) = (r.getAs[Long]("p_partkey"), r.getAs[Long]("ps_cost_cents"))
+      assert(cost == minByPart(pk), s"part $pk: $cost vs min ${minByPart(pk)}")
+    }
+  }
+
+  test("Q20: reported suppliers shipped >half their all-time promo-part qty in the year") {
+    val out = TpcH.promoSupplyConcentration(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    val promo = Tables.part(spark, sfDir).filter(col("p_name").contains("red"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    def qty(rows: Array[org.apache.spark.sql.Row]) = rows.map(x =>
+      math.round(x.getAs[Double]("l_quantity"))).sum
+    val bySuppPart = lines.groupBy(l => (l.getAs[Long]("l_suppkey"), l.getAs[Long]("l_partkey")))
+    val expected = bySuppPart.collect {
+      case ((sk, pk), rs) if promo(pk) && {
+        val inYear = rs.filter { l =>
+          val d = l.getAs[java.sql.Timestamp]("l_shipdate"); !d.before(lo) && d.before(hi)
+        }
+        2 * qty(inYear) > qty(rs)
+      } => sk
+    }.toSet
+    assert(out.map(_.getAs[Long]("s_suppkey")).toSet == expected)
+  }
+
+  test("Q11: kept parts are exactly those above 2x the average nation value") {
+    val out = TpcH.importantStock(
+      Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    val shares = out.map(_.getAs[Double]("value_share"))
+    // every kept part exceeds 2/n of total, and shares are consistent
+    val n = TpcH.supplyEvidence(Tables.lineitem(spark, sfDir))
+      .join(Tables.supplier(spark, sfDir), col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("ps_partkey").distinct().count()
+    shares.foreach(s => assert(s > 2.0 / n))
+  }
+
   test("Q18/Q22 return rows at sf0.001 (threshold sanity for the rows>0 gate)") {
     assert(TpcH.largeVolumeCustomers(
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
