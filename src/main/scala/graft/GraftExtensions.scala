@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, SimHash64, Winnow}
+import graft.functions.{DotMilli, DotProduct, MinHashSignature, SimHash64, SqDistMilli, Winnow}
 
 /** Registers the native graft expressions as SQL functions.
   *
@@ -17,7 +17,8 @@ import graft.functions.{DotProduct, MinHashSignature, SimHash64, Winnow}
   * Runtime ([[GraftExtensions.register]]): for sessions built elsewhere
   * (e.g. the verification driver's).
   *
-  * After either, `SELECT graft_dot(a, b)`, `graft_simhash64(tokens)`,
+  * After either, `SELECT graft_dot(a, b)`, `graft_sqdist(ma, mb)`,
+  * `graft_dot_milli(ma, mb)`, `graft_simhash64(tokens)`,
   * `graft_minhash(shingles, 32)`, `graft_winnow(text, 8, 4)` work from
   * SQL.
   */
@@ -44,6 +45,8 @@ object GraftExtensions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_sqdist" -> (es => SqDistMilli(es(0), es(1))),
+    "graft_dot_milli" -> (es => DotMilli(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))),
     "graft_winnow" -> (es => Winnow(es(0), intLit(es(1)), intLit(es(2)))))

@@ -46,6 +46,31 @@ final class IdempotentParquetSink(baseDir: String) extends BatchSink {
     df.write.mode("overwrite").parquet(s"$baseDir/$table/epoch=$epochId")
 }
 
+/** Idempotent JDBC sink — the JDBC twin of [[IdempotentParquetSink]]:
+  * every row carries its epoch in an `_epoch` column, and a write first
+  * DELETEs the epoch's rows, then appends them. A micro-batch replayed
+  * after a crash between sink write and checkpoint commit therefore
+  * rewrites identical data instead of appending duplicates — upgrading
+  * the reference's at-least-once JDBC contract (SURVEY.md §2.9) to
+  * effective exactly-once for deterministic batches. The delete runs on
+  * its own connection BEFORE the append: if the append dies part-way,
+  * the next replay's delete clears the partial epoch first.
+  */
+final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends BatchSink {
+  def write(df: DataFrame, epochId: Long, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      // Spark's JDBC writer quotes COLUMN names but not the table name
+      try st.executeUpdate(s"""DELETE FROM $table WHERE "_epoch" = $epochId""")
+      catch { case _: java.sql.SQLException => () } // table not created yet
+      finally st.close()
+    } finally conn.close()
+    df.withColumn("_epoch", org.apache.spark.sql.functions.lit(epochId))
+      .write.mode("append").jdbc(url, table, props)
+  }
+}
+
 /** Collects batches in memory for assertions (test double). */
 final class CollectingSink extends BatchSink {
   val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[org.apache.spark.sql.Row])]

@@ -136,6 +136,10 @@ class EngineUtilSpec extends AnyFunSuite {
     GraftExtensions.register(spark)
     val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
     assert(dot == 11.0)
+    val sq = spark.sql("SELECT graft_sqdist(array(1L, 5L), array(4L, 1L)) AS d").head.getLong(0)
+    assert(sq == 9L + 16L)
+    val dm = spark.sql("SELECT graft_dot_milli(array(2L, -3L), array(10L, 10L)) AS d").head.getLong(0)
+    assert(dm == -10L)
     val sh = spark.sql("SELECT graft_simhash64(array('a', 'b', 'a')) AS s").head.getLong(0)
     val sh2 = spark.sql("SELECT graft_simhash64(array('a', 'a', 'b')) AS s").head.getLong(0)
     assert(sh == sh2, "simhash must be order-insensitive")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.{Sources, Tables}
-import graft.streaming.JdbcSink
+import graft.streaming.{IdempotentJdbcSink, JdbcSink}
 
 /** Executes the reference's JDBC sink path (`spark_streaming.py:116-124`,
   * SURVEY.md §2.2 K1) for REAL against an embedded Derby database (the
@@ -60,6 +60,23 @@ class JdbcSpec extends AnyFunSuite {
     // every key appears exactly twice — pure append, nothing dropped
     val dupCounts = back.groupBy("n_nationkey").count().select("count").distinct().collect()
     assert(dupCounts.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("IdempotentJdbcSink: replaying an epoch rewrites it instead of duplicating") {
+    dropIfExists("nation_idem")
+    val nation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+    val n = nation.count()
+    val sink = new IdempotentJdbcSink(url, props)
+    sink.write(nation, epochId = 0L, table = "nation_idem")
+    sink.write(nation, epochId = 0L, table = "nation_idem") // crash-replay of epoch 0
+    val afterReplay = spark.read.jdbc(url, "nation_idem", props)
+    assert(afterReplay.count() == n, "replayed epoch must not duplicate")
+    sink.write(nation, epochId = 1L, table = "nation_idem") // a NEW epoch appends
+    val afterEpoch1 = spark.read.jdbc(url, "nation_idem", props)
+    assert(afterEpoch1.count() == 2 * n)
+    assert(afterEpoch1.select("_epoch").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L))
   }
 
   test("jdbcPartitioned reads stripes in parallel with full-parity union") {
