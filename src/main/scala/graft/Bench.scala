@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce small post-shuffle stages down to SIZE, not parallelism:
+      // with hundreds of sub-second queries the task-launch overhead of 32
+      // near-empty reducers per stage outweighs any parallelism they buy
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

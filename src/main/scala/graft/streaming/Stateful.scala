@@ -259,4 +259,48 @@ object Stateful {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  case class PatternInput(event_type: String, event_id: Long, ts: Timestamp, value: Double)
+  case class PatternState(ring: List[Long])
+  case class PatternHit(event_type: String, event_id: Long, ts: Timestamp, dist2: Long)
+
+  /** Streaming sliding-window pattern similarity (the streaming-systems
+    * time-series-similarity-search shape): per event type, keep the last
+    * |pattern| integer-cent values as a ring buffer and emit the squared
+    * L2 distance between each full window and the fixed query pattern —
+    * the stream twin of the batch matrix-profile ops. State is the
+    * m-value ring — FIXED size per key, never event-volume-bound; the
+    * distance is exact integer arithmetic; in-batch rows process in
+    * (ts, event_id) order so replays are deterministic.
+    */
+  def patternMatchStream(
+      spark: SparkSession,
+      events: DataFrame,
+      pattern: Seq[Long]): Dataset[PatternHit] = {
+    import spark.implicits._
+    val m = pattern.length
+    require(m > 0, "empty pattern")
+
+    def update(
+        key: String,
+        rows: Iterator[PatternInput],
+        state: GroupState[PatternState]): Iterator[PatternHit] = {
+      var ring = state.getOption.map(_.ring).getOrElse(Nil)
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
+        ring = (ring :+ math.round(r.value * 100)).takeRight(m)
+        if (ring.length == m) {
+          val d = ring.lazyZip(pattern).map { (x, p) => val dd = x - p; dd * dd }.sum
+          Some(PatternHit(key, r.event_id, r.ts, d))
+        } else None
+      }
+      state.update(PatternState(ring))
+      out.iterator
+    }
+
+    events
+      .selectExpr("event_type", "event_id", "ts", "value")
+      .as[PatternInput]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }
