@@ -175,6 +175,25 @@ class TpcHSpec extends AnyFunSuite {
     shares.foreach(s => assert(s > 2.0 / n))
   }
 
+  test("physical plans keep the scale shapes: semi/anti joins, broadcasts, TakeOrdered") {
+    def plan(q: String): String =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+    val q4 = plan("q_tpch_q4")
+    assert(q4.contains("LeftSemi"), "Q4 EXISTS must plan as a semi join")
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      "Q21 EXISTS/NOT EXISTS must plan as semi + anti joins")
+    val q22 = plan("q_tpch_q22")
+    assert(q22.contains("LeftAnti"), "Q22 NOT EXISTS must plan as an anti join")
+    val q9 = plan("q_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3,
+      "Q9's part/supplier/nation dimension legs must all broadcast")
+    Seq("q_tpch_q10", "q_tpch_q18", "q_tpch_q2").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q top-k must be a TakeOrdered, not a global sort")
+    }
+  }
+
   test("Q18/Q22 return rows at sf0.001 (threshold sanity for the rows>0 gate)") {
     assert(TpcH.largeVolumeCustomers(
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
