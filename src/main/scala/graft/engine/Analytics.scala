@@ -2838,11 +2838,16 @@ object Analytics {
     val bucket =
       "cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
         "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 10"
+    // cache: the split projection (an md5 per row) feeds FOUR branches
+    // (train stats; cal count, cal residual histogram, test coverage) with
+    // different filters, so exchange reuse cannot deduplicate it — uncached
+    // the corpus would be re-scanned and re-hashed once per branch
     val base = lineitem.select(
       expr(s"CASE WHEN $bucket < 6 THEN 'train' WHEN $bucket < 8 THEN 'cal' ELSE 'test' END")
         .as("split"),
       expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
       expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+      .cache()
     val stats = base
       .filter(col("split") === "train")
       .agg(
@@ -2855,6 +2860,7 @@ object Analytics {
       .filter(col("split") =!= "train")
       .crossJoin(broadcast(stats))
       .withColumn("abs_resid", expr(s"CAST(round(abs(${Stages.residualSql})) AS BIGINT)"))
+      .cache() // three downstream readers (cal count / histogram / test)
     val nCal = holdout.filter(col("split") === "cal").agg(count(lit(1)).as("n_cal"))
     val calCounts = holdout
       .filter(col("split") === "cal")
@@ -3372,10 +3378,14 @@ object Analytics {
     val bucket =
       "cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
         "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 5"
+    // cache: the fold projection (an md5 per row) feeds both the moment
+    // aggregation and the residual probe — uncached the corpus is hashed
+    // twice
     val base = lineitem.select(
       expr(bucket).as("fold"),
       expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
       expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+      .cache()
     val perFold = base
       .groupBy(col("fold"))
       .agg(
