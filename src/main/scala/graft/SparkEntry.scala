@@ -1113,7 +1113,12 @@ object SparkEntry {
       TpcH.promoSupplyConcentration(
         Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir),
         Tables.nation(s, dir))
-        .orderBy("s_suppkey"))
+        .orderBy("s_suppkey")),
+    // ---- curation planning reports ----
+    "q_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(Tables.documents(s, dir)).orderBy("source")),
+    "q_length_sweep" -> ((s, dir) =>
+      TextAnalysis.lengthFilterSweep(Tables.documents(s, dir)))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1710,6 +1715,39 @@ object SparkEntry {
          FROM supplier JOIN conc ON s_suppkey = conc.sk
                        JOIN nation ON s_nationkey = n_nationkey
          ORDER BY s_suppkey""",
+    "q_dedup_savings" ->
+      """WITH t AS (SELECT source, doc_id, md5(text) AS k,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+              FROM documents),
+         b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS tokens_total FROM t GROUP BY 1),
+         kp AS (SELECT k, min_by(source, doc_id) AS source,
+                CAST(min(toks) AS BIGINT) AS toks FROM t GROUP BY 1),
+         a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                CAST(sum(toks) AS BIGINT) AS tokens_kept FROM kp GROUP BY 1)
+         SELECT b.source, n_docs,
+                COALESCE(n_docs_kept, 0) AS n_docs_kept,
+                tokens_total,
+                COALESCE(tokens_kept, 0) AS tokens_kept,
+                1.0 - CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / CAST(tokens_total AS DOUBLE) AS savings
+         FROM b LEFT JOIN a ON b.source = a.source
+         ORDER BY b.source""",
+    "q_length_sweep" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+              FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(t) AS BIGINT) AS tokens_total,
+                CAST(sum(CASE WHEN t >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_10,
+                CAST(sum(CASE WHEN t >= 10 THEN t ELSE 0 END) AS BIGINT) AS toks_ge_10,
+                CAST(sum(CASE WHEN t >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_25,
+                CAST(sum(CASE WHEN t >= 25 THEN t ELSE 0 END) AS BIGINT) AS toks_ge_25,
+                CAST(sum(CASE WHEN t >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_50,
+                CAST(sum(CASE WHEN t >= 50 THEN t ELSE 0 END) AS BIGINT) AS toks_ge_50,
+                CAST(sum(CASE WHEN t >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_100,
+                CAST(sum(CASE WHEN t >= 100 THEN t ELSE 0 END) AS BIGINT) AS toks_ge_100,
+                CAST(sum(CASE WHEN t >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ge_200,
+                CAST(sum(CASE WHEN t >= 200 THEN t ELSE 0 END) AS BIGINT) AS toks_ge_200
+         FROM t""",
     "q_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
          FROM orders

@@ -69,6 +69,41 @@ object Dedup {
         max(col("doc_id")).as("last_doc_id"))
       .filter(col("n_docs") >= 2)
 
+  /** Exact-dedup savings report per source: document and token volume
+    * before vs after keeping one copy of each identical text (keeper =
+    * smallest doc_id, attributed to ITS source) — the first question
+    * every corpus build answers: how much does the cheap dedup pass buy?
+    * Two map-combined aggregates over one tokenize+hash projection; no
+    * pair join anywhere, so the report costs the same one shuffle as
+    * [[exact]] itself.
+    */
+  def dedupSavings(documents: DataFrame): DataFrame = {
+    val t = documents.select(
+      col("source"),
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("k"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    val before = t
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_total"))
+    val keepers = t
+      .groupBy(col("k"))
+      .agg(
+        expr("min_by(source, doc_id)").as("source"),
+        min(col("toks")).as("toks")) // copies share the text → toks equal
+    val after = keepers
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("toks")).as("tokens_kept"))
+    before
+      .join(after, Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs_kept", "tokens_kept"))
+      .select(
+        col("source"), col("n_docs"), col("n_docs_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        expr("1.0 - CAST(tokens_kept AS DOUBLE) / CAST(tokens_total AS DOUBLE)")
+          .as("savings"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum `xxhash64(shingle, seed)` over the document's distinct
     * 3-gram shingles. Computed entirely map-side.

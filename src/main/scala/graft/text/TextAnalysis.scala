@@ -487,6 +487,25 @@ object TextAnalysis {
           .cast("long")
           .as("max_gram_freq"))
 
+  /** Length-filter sweep: document and token counts surviving each
+    * canonical minimum-token cutoff, as conditional sums in ONE corpus
+    * pass — not one filter job per threshold. This is the table a
+    * curation run consults to set its length filter BEFORE running it
+    * over 100 TB (each candidate threshold shows exactly how many
+    * documents and training tokens it would cost).
+    */
+  def lengthFilterSweep(
+      documents: DataFrame,
+      thresholds: Seq[Int] = Seq(10, 25, 50, 100, 200)): DataFrame = {
+    val t = documents.select(size(tokens(col("text"))).cast("long").as("t"))
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens_total")) ++
+        thresholds.flatMap(th => Seq(
+          sum(when(col("t") >= th, 1L).otherwise(0L)).as(s"docs_ge_$th"),
+          sum(when(col("t") >= th, col("t")).otherwise(0L)).as(s"toks_ge_$th")))
+    t.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the document
     * LENGTH distributions of two sources, with the supremum computed in
     * INTEGER arithmetic: D = max |F_a − F_b| = max |ca·nb − cb·na| /
