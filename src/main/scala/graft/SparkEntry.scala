@@ -1118,7 +1118,9 @@ object SparkEntry {
     "q_dedup_savings" -> ((s, dir) =>
       Dedup.dedupSavings(Tables.documents(s, dir)).orderBy("source")),
     "q_length_sweep" -> ((s, dir) =>
-      TextAnalysis.lengthFilterSweep(Tables.documents(s, dir)))
+      TextAnalysis.lengthFilterSweep(Tables.documents(s, dir))),
+    "q_mrl_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir)).orderBy("dims_kept"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1715,6 +1717,39 @@ object SparkEntry {
          FROM supplier JOIN conc ON s_suppkey = conc.sk
                        JOIN nation ON s_nationkey = n_nationkey
          ORDER BY s_suppkey""",
+    "q_mrl_recall" ->
+      """WITH m AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS m
+              FROM embeddings),
+         q AS (SELECT vec_id AS qid, m AS qm FROM m WHERE vec_id < 10),
+         p AS (SELECT qid, m.vec_id,
+                CAST(list_dot_product(m.m[1:8], m.m[1:8]) + list_dot_product(qm[1:8], qm[1:8])
+                     - 2 * list_dot_product(m.m[1:8], qm[1:8]) AS BIGINT) AS d8,
+                CAST(list_dot_product(m.m[1:16], m.m[1:16]) + list_dot_product(qm[1:16], qm[1:16])
+                     - 2 * list_dot_product(m.m[1:16], qm[1:16]) AS BIGINT) AS d16,
+                CAST(list_dot_product(m.m[1:32], m.m[1:32]) + list_dot_product(qm[1:32], qm[1:32])
+                     - 2 * list_dot_product(m.m[1:32], qm[1:32]) AS BIGINT) AS d32,
+                CAST(list_dot_product(m.m, m.m) + list_dot_product(qm, qm)
+                     - 2 * list_dot_product(m.m, qm) AS BIGINT) AS d64
+               FROM m CROSS JOIN q WHERE m.vec_id <> qid),
+         tk AS (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY d8, vec_id) AS r8,
+                row_number() OVER (PARTITION BY qid ORDER BY d16, vec_id) AS r16,
+                row_number() OVER (PARTITION BY qid ORDER BY d32, vec_id) AS r32,
+                row_number() OVER (PARTITION BY qid ORDER BY d64, vec_id) AS r64
+               FROM p)
+         SELECT CAST(8 AS BIGINT) AS dims_kept, CAST(10 AS BIGINT) AS n_queries,
+                CAST(sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / 50.0 AS recall FROM tk
+         UNION ALL
+         SELECT 16, 10,
+                CAST(sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / 50.0 FROM tk
+         UNION ALL
+         SELECT 32, 10,
+                CAST(sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / 50.0 FROM tk
+         ORDER BY dims_kept""",
     "q_dedup_savings" ->
       """WITH t AS (SELECT source, doc_id, md5(text) AS k,
                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks

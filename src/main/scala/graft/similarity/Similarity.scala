@@ -607,6 +607,58 @@ object Similarity {
       .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"))
   }
 
+  /** Matryoshka (prefix-truncation) recall: brute-force top-`k` under
+    * the FIRST 8/16/32 embedding dimensions vs the full-64-dim ground
+    * truth — the evaluation that decides how many dimensions a
+    * deployment actually stores and scans (MRL-style embeddings are
+    * trained so prefixes degrade gracefully; this measures exactly how
+    * gracefully, per truncation). One broadcast-query corpus pass scores
+    * every prefix at once (integer milli squared distances via the
+    * native kernel); the per-(query, dim) top-k are rank-limit windows
+    * over the cached score table; recall is an exact hit ratio. At
+    * corpus scale this runs over an ANN candidate pool instead of the
+    * full corpus — the scoring/eval shape is identical.
+    */
+  def matryoshkaRecall(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val fullDim = 64
+    val m = embeddings.select(
+      col("vec_id"),
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), v -> CAST(round(v * 1000) AS BIGINT))")
+        .as("m"))
+    val q = m.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("m").as("qm"))
+    val allDims = (dims :+ fullDim).distinct // caller may ask for the full dim too
+    val scored = m
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        Seq(col("qid"), col("vec_id")) ++ allDims.map(d =>
+          sqDist(expr(s"slice(m, 1, $d)"), expr(s"slice(qm, 1, $d)")).as(s"d$d")): _*)
+      .cache() // one scoring pass feeds |dims|+1 differently-ordered windows
+    def topk(dcol: String) = scored
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col(dcol).asc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"))
+    val truth = topk(s"d$fullDim")
+    dims.map { d =>
+      topk(s"d$d")
+        .join(truth, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(
+          lit(d.toLong).as("dims_kept"),
+          lit(numQueries.toLong).as("n_queries"),
+          col("n_hits"),
+          expr(s"CAST(n_hits AS DOUBLE) / ${k * numQueries}.0").as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style blocked by `label`
     * (the fixture's cluster id): pairs within a block with similarity ≥
     * `minCos`. At scale the block key comes from a coarse quantizer; the

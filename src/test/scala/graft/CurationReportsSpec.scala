@@ -37,6 +37,28 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum == docs.map(_._3).distinct.length.toLong)
   }
 
+  test("matryoshkaRecall: bounded, 64-dim self-recall is 1, and truncation matches brute force") {
+    val out = graft.similarity.Similarity
+      .matryoshkaRecall(Tables.embeddings(spark, sfDir), numQueries = 5, k = 3, dims = Seq(16, 64))
+      .collect().map(r => r.getAs[Long]("dims_kept") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    // the full-dim "truncation" must reproduce the ground truth exactly
+    assert(out(64L) == ((15L, 1.0)))
+    val (h16, r16) = out(16L)
+    assert(h16 >= 0L && h16 <= 15L && r16 >= 0.0 && r16 <= 1.0)
+    // brute-force the 16-dim recall on the driver
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(CAST(embedding AS ARRAY<DOUBLE>), v -> CAST(round(v * 1000) AS BIGINT)) AS m")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long], d: Int): Long =
+      (0 until d).map(i => { val x = a(i) - b(i); x * x }).sum
+    def topk(qid: Long, d: Int): Set[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .sortBy(v => (d2(vecs(qid), vecs(v), d), v)).take(3).toSet
+    val expected = (0L until 5L).map(q => (topk(q, 16) intersect topk(q, 64)).size).sum
+    assert(h16 == expected.toLong)
+  }
+
   test("lengthFilterSweep: each threshold's survivors match a direct filter") {
     val r = TextAnalysis.lengthFilterSweep(Tables.documents(spark, sfDir)).head()
     val lens = docs.map(d => nToks(d._3))
