@@ -1120,7 +1120,9 @@ object SparkEntry {
     "q_length_sweep" -> ((s, dir) =>
       TextAnalysis.lengthFilterSweep(Tables.documents(s, dir))),
     "q_mrl_recall" -> ((s, dir) =>
-      Similarity.matryoshkaRecall(Tables.embeddings(s, dir)).orderBy("dims_kept"))
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir)).orderBy("dims_kept")),
+    "q_setops_bag" -> ((s, dir) =>
+      Relational.setOpsBag(Tables.events(s, dir)).orderBy("user_id"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1717,6 +1719,15 @@ object SparkEntry {
          FROM supplier JOIN conc ON s_suppkey = conc.sk
                        JOIN nation ON s_nationkey = n_nationkey
          ORDER BY s_suppkey""",
+    "q_setops_bag" ->
+      """WITH bag AS (
+           (SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'view')
+           EXCEPT ALL
+           SELECT user_id FROM events WHERE event_type = 'error')
+         SELECT user_id, CAST(count(*) AS BIGINT) AS multiplicity
+         FROM bag GROUP BY 1 ORDER BY user_id""",
     "q_mrl_recall" ->
       """WITH m AS (SELECT vec_id,
                 list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS m

@@ -74,6 +74,25 @@ object Relational {
     users("purchase", 150).intersect(users("signup", 0)).except(users("error", 150))
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    * multiplicity-aware twins of [[setOps]]: a user appearing 3× in
+    * purchases and 2× in views survives the intersection twice, and
+    * EXCEPT ALL then removes one occurrence per error event. Spark plans
+    * both as count-aggregate-then-replicate (one shuffle per operand,
+    * min/difference arithmetic on the counts — never row matching), the
+    * only shape that scales; the output collapses to (user, multiplicity)
+    * so the result is deterministic and hash-comparable.
+    */
+  def setOpsBag(events: DataFrame): DataFrame = {
+    def users(t: String) =
+      events.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase")
+      .intersectAll(users("view"))
+      .exceptAll(users("error"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
   /** Grouped percentiles (median, p95) of extended price, computed over
     * integer cents with linear interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the `lower + (upper-lower)·frac`

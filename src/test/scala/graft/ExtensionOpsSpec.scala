@@ -15,6 +15,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("setOpsBag multiplicities follow min(purchase, view) − errors per user") {
+    val ev = Tables.events(spark, sfDir)
+    val byUser = ev.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(g => g.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val expected = byUser.flatMap { case (u, c) =>
+      val m = math.min(c.getOrElse("purchase", 0L), c.getOrElse("view", 0L)) -
+        c.getOrElse("error", 0L)
+      if (m > 0) Some(u -> m) else None
+    }
+    val got = Relational.setOpsBag(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("multiplicity")).toMap
+    assert(got == expected)
+  }
+
   test("latestByKey returns exactly one row per user, the (ts, event_id)-max event") {
     val ev = Tables.events(spark, sfDir)
     val latest = Relational.latestByKey(ev)
