@@ -1122,7 +1122,9 @@ object SparkEntry {
     "q_mrl_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir)).orderBy("dims_kept")),
     "q_setops_bag" -> ((s, dir) =>
-      Relational.setOpsBag(Tables.events(s, dir)).orderBy("user_id"))
+      Relational.setOpsBag(Tables.events(s, dir)).orderBy("user_id")),
+    "q_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir)).orderBy("lang"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1719,6 +1721,19 @@ object SparkEntry {
          FROM supplier JOIN conc ON s_suppkey = conc.sk
                        JOIN nation ON s_nationkey = n_nationkey
          ORDER BY s_suppkey""",
+    "q_fertility" ->
+      s"""WITH t AS (SELECT lang,
+                CAST(length(text) AS BIGINT) AS chars,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS words,
+                CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeSplitPattern}')) AS BIGINT) AS bpe
+              FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(chars) AS BIGINT) AS chars_total,
+                CAST(sum(words) AS BIGINT) AS words_total,
+                CAST(sum(bpe) AS BIGINT) AS bpe_total,
+                CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) AS chars_per_token,
+                CAST(sum(bpe) AS DOUBLE) / CAST(sum(words) AS DOUBLE) AS tokens_per_word
+         FROM t GROUP BY 1 ORDER BY lang""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -106,6 +106,32 @@ object TextAnalysis {
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0))).cast("long").as("n_bpe_tokens"))
 
+  /** Tokenizer fertility per language: characters and whitespace words
+    * per BPE-ish token, by `lang` — the multilingual-budget metric (a
+    * language with high chars-per-token costs fewer model tokens per
+    * byte; fertility skews decide per-language sampling weights and
+    * context-length budgeting). One map-combined aggregate; ratios are
+    * single divisions over exact integer sums.
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokens(col("text"))).cast("long").as("words"),
+        size(regexp_extract_all(col("text"), lit(bpeSplitPattern), lit(0))).cast("long")
+          .as("bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars_total"),
+        sum(col("words")).as("words_total"),
+        sum(col("bpe")).as("bpe_total"))
+      .select(
+        col("lang"), col("n_docs"), col("chars_total"), col("words_total"), col("bpe_total"),
+        expr("CAST(chars_total AS DOUBLE) / CAST(bpe_total AS DOUBLE)").as("chars_per_token"),
+        expr("CAST(bpe_total AS DOUBLE) / CAST(words_total AS DOUBLE)").as("tokens_per_word"))
+
   /** Corpus quality filter: the keep/drop decision an LLM-data pipeline
     * applies from the [[qualityScore]] metrics — pure narrow filter,
     * pushed to the scan.
