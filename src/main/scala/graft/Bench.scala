@@ -29,9 +29,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset for isolating a query's timing
+    // (SPARK_GRAFT_QUERIES=q_a,q_b); the driver never sets it
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = subset match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+
     // warm-up: JIT/codegen via a full small-sf pass; file listings + footers
     // for the target scale factor (all untimed)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // operators may cache; don't let entries accumulate
     }
@@ -42,7 +51,7 @@ object Bench {
 
     // best of two measured passes per query — single-shot timings at this
     // scale carry multi-second machine noise
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9

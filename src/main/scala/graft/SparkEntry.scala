@@ -1124,7 +1124,16 @@ object SparkEntry {
     "q_setops_bag" -> ((s, dir) =>
       Relational.setOpsBag(Tables.events(s, dir)).orderBy("user_id")),
     "q_fertility" -> ((s, dir) =>
-      TextAnalysis.tokenizerFertility(Tables.documents(s, dir)).orderBy("lang"))
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir)).orderBy("lang")),
+    "q_kappa" -> ((s, dir) =>
+      TextAnalysis.langIdKappa(Tables.documents(s, dir)).orderBy("n_docs")),
+    "q_dup_matrix" -> ((s, dir) =>
+      TextAnalysis.crossSourceDupMatrix(Tables.documents(s, dir))
+        .orderBy("source_a", "source_b")),
+    "q_ann_binary" -> ((s, dir) =>
+      Similarity.binaryQuantRecall(Tables.embeddings(s, dir), 10, 5).orderBy("qid")),
+    "q_source_entropy" -> ((s, dir) =>
+      TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1734,6 +1743,81 @@ object SparkEntry {
                 CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) AS chars_per_token,
                 CAST(sum(bpe) AS DOUBLE) / CAST(sum(words) AS DOUBLE) AS tokens_per_word
          FROM t GROUP BY 1 ORDER BY lang""",
+    "q_kappa" ->
+      s"""WITH pred AS ($duckLangIdSql),
+         conf AS (SELECT d.lang AS t, p.pred_lang AS pr, CAST(count(*) AS BIGINT) AS n
+                  FROM pred p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1, 2),
+         rs AS (SELECT t AS lbl, CAST(sum(n) AS BIGINT) AS row_n FROM conf GROUP BY 1),
+         cs AS (SELECT pr AS lbl, CAST(sum(n) AS BIGINT) AS col_n FROM conf GROUP BY 1),
+         ch AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS chance
+                FROM rs JOIN cs USING (lbl)),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                        CAST(sum(CASE WHEN t = pr THEN n ELSE 0 END) AS BIGINT) AS n_agree
+                 FROM conf)
+         SELECT n_docs, n_agree,
+                CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+                CAST(chance AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS pe,
+                (CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(chance AS DOUBLE)) /
+                (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - CAST(chance AS DOUBLE)) AS kappa
+         FROM tot, ch ORDER BY n_docs""",
+    "q_dup_matrix" ->
+      """WITH g AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+         u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_uniq FROM g GROUP BY 1),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM g a JOIN g b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+         frame AS (SELECT ua.source AS source_a, ub.source AS source_b,
+                          ua.n_uniq AS uniq_a, ub.n_uniq AS uniq_b
+                   FROM u ua JOIN u ub ON ua.source < ub.source)
+         SELECT f.source_a, f.source_b,
+                CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+                f.uniq_a, f.uniq_b,
+                CAST(coalesce(p.n_shared, 0) AS DOUBLE) /
+                CAST(f.uniq_a + f.uniq_b - coalesce(p.n_shared, 0) AS DOUBLE) AS jaccard
+         FROM frame f LEFT JOIN p ON p.source_a = f.source_a AND p.source_b = f.source_b
+         ORDER BY f.source_a, f.source_b""",
+    "q_ann_binary" ->
+      s"""WITH pk AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN i <= 32 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS b0,
+                  CAST(sum(CASE WHEN i > 32 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT) AS b1
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings)
+           GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, b0 AS q0, b1 AS q1 FROM pk WHERE vec_id < 10),
+         ranked AS (
+           SELECT q.qid, pk.vec_id AS nid,
+                  row_number() OVER (
+                    PARTITION BY q.qid
+                    ORDER BY CAST(bit_count(xor(pk.b0, q.q0)) AS BIGINT) +
+                             CAST(bit_count(xor(pk.b1, q.q1)) AS BIGINT) ASC,
+                             pk.vec_id ASC) AS rk
+           FROM q JOIN pk ON pk.vec_id <> q.qid),
+         ap AS (SELECT qid, nid FROM ranked WHERE rk <= 5),
+         bf AS (SELECT qid, nid FROM (${duckCosineTopKSql(10, 5)})),
+         h AS (SELECT qid, count(*) AS n_hit FROM bf JOIN ap USING (qid, nid) GROUP BY qid),
+         t AS (SELECT qid, count(*) AS n_true FROM bf GROUP BY qid)
+         SELECT t.qid, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+                CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall
+         FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid""",
+    "q_source_entropy" ->
+      """WITH toks AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+                       FROM documents),
+         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n_sw FROM toks GROUP BY 1, 2),
+         cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM toks GROUP BY 1),
+         per AS (
+           SELECT source,
+                  CAST(sum(n_sw) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(sum(CAST(round(n_sw * ln(n_sw) * 1000000) AS BIGINT)) AS BIGINT) AS ent_micro,
+                  CAST(sum(CAST(round(n_sw * (ln(n_sw) - ln(n_w)) * 1000000) AS BIGINT)) AS BIGINT) AS kl_micro
+           FROM sw JOIN cw USING (w) GROUP BY source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per)
+         SELECT source, n_tokens, vocab,
+                ln(CAST(n_tokens AS DOUBLE)) - CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) AS entropy,
+                CAST(kl_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE))
+                  + ln(CAST(n_total AS DOUBLE)) - ln(CAST(n_tokens AS DOUBLE)) AS kl_vs_corpus
+         FROM per, tot ORDER BY source""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -607,6 +607,53 @@ object Similarity {
       .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"))
   }
 
+  /** Sign-bit binary quantization + Hamming recall@k: each 64-dim vector
+    * collapses to TWO packed 32-bit words (bit i = `embedding[i] > 0`),
+    * a 32× memory reduction — the most aggressive quantization a vector
+    * store deploys. Candidate ranking is `bit_count(xor)` over packed
+    * longs — pure codegen'd integer ops, no float math in the scan — and
+    * the recall join scores the binary ranking against the exact-cosine
+    * ground truth ([[cosineTopK]]). The pack step runs once per vector
+    * (interpreted HOF off the hot path); the per-pair work is the two-
+    * word Hamming popcount, which is what makes exhaustive binary scans
+    * viable where float scans are not. Integer distances ⇒ cross-engine
+    * deterministic ranking (ties broken by neighbor id).
+    */
+  def binaryQuantRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    def packWord(offset: Int): Column = expr(
+      s"""aggregate(
+            transform(slice(embedding, $offset, 32),
+                      (v, i) -> IF(v > CAST(0 AS FLOAT),
+                                   shiftleft(CAST(1 AS BIGINT), i),
+                                   CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+    val packed = embeddings.select(
+      col("vec_id"), packWord(1).as("b0"), packWord(33).as("b1"))
+    val q = packed
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("b0").as("q0"), col("b1").as("q1"))
+    val ranked = packed
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id").as("nid"),
+        expr("CAST(bit_count(b0 ^ q0) + bit_count(b1 ^ q1) AS BIGINT)").as("hamming"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("hamming").asc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+    val truth = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
+    val hits = truth.join(ranked, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"))
+  }
+
   /** Matryoshka (prefix-truncation) recall: brute-force top-`k` under
     * the FIRST 8/16/32 embedding dimensions vs the full-64-dim ground
     * truth — the evaluation that decides how many dimensions a

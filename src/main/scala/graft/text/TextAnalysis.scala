@@ -674,6 +674,107 @@ object TextAnalysis {
       .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
+  /** Cohen's kappa of the stopword-vote language identifier against the
+    * labelled `lang` — chance-corrected agreement, the label-quality
+    * number a curation pipeline reports instead of raw accuracy (raw
+    * agreement is inflated by the majority class; kappa subtracts the
+    * agreement two independent raters with these marginals would reach
+    * by luck). One corpus-scale confusion aggregate (map-combined);
+    * everything after runs over the ≤|langs|² matrix. Exact integer
+    * sums; po/pe/kappa are single IEEE divisions at the output.
+    */
+  def langIdKappa(documents: DataFrame): DataFrame = {
+    val conf = langConfusion(documents)
+    val rowS = conf.groupBy(col("true_lang").as("lbl")).agg(sum(col("n")).as("row_n"))
+    val colS = conf.groupBy(col("pred_lang").as("lbl")).agg(sum(col("n")).as("col_n"))
+    // labels missing from one marginal contribute a zero product — inner join drops them
+    val chance = rowS.join(colS, Seq("lbl"))
+      .agg(sum(col("row_n") * col("col_n")).as("chance"))
+    val tot = conf.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L)).as("n_agree"))
+    tot.crossJoin(chance).select(
+      col("n_docs"), col("n_agree"),
+      expr("CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("po"),
+      expr("CAST(chance AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))").as("pe"),
+      expr("""(CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(chance AS DOUBLE)) /
+              (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - CAST(chance AS DOUBLE))""")
+        .as("kappa"))
+  }
+
+  /** Per-source unigram token entropy and KL divergence vs the corpus
+    * distribution — the distributional fingerprint that flags template/
+    * boilerplate farms (low entropy) and off-distribution sources (high
+    * KL) before they skew a training mix. Float logs never cross a
+    * shuffle: each (source, token) term is quantized to INTEGER
+    * micronats (`round(1e6·n·ln…)` — half-away-from-zero on both
+    * engines), so the per-source sums are exact integer arithmetic and
+    * cross-engine deterministic regardless of summation order; the only
+    * shared floats are per-term `ln` of integer counts and two scalar
+    * `ln`s at the output. Plan: token explode → (source, token) counts
+    * (map-combined) → equi-join on token against the corpus counts
+    * (vocab-scale key, never broadcast) → per-source aggregate.
+    *
+    *   H_s  = ln(N_s) − Σ_w round(1e6·n_sw·ln(n_sw)) / (1e6·N_s)
+    *   KL_s = Σ_w round(1e6·n_sw·(ln(n_sw)−ln(n_w))) / (1e6·N_s)
+    *          + ln(N) − ln(N_s)
+    */
+  def sourceEntropy(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("source"), explode(tokens(col("text"))).as("w"))
+    val sw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("n_sw"))
+    val cw = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val joined = sw.join(cw, Seq("w"))
+    val perSource = joined
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_sw")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(expr("CAST(round(n_sw * ln(n_sw) * 1000000) AS BIGINT)")).as("ent_micro"),
+        sum(expr("CAST(round(n_sw * (ln(n_sw) - ln(n_w)) * 1000000) AS BIGINT)"))
+          .as("kl_micro"))
+    val total = perSource.agg(sum(col("n_tokens")).as("n_total"))
+    perSource.crossJoin(broadcast(total)).select(
+      col("source"), col("n_tokens"), col("vocab"),
+      expr("ln(CAST(n_tokens AS DOUBLE)) - CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE))")
+        .as("entropy"),
+      expr("""CAST(kl_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE))
+              + ln(CAST(n_total AS DOUBLE)) - ln(CAST(n_tokens AS DOUBLE))""")
+        .as("kl_vs_corpus"))
+  }
+
+  /** Cross-source exact-duplicate matrix: for every unordered source
+    * pair, how many distinct texts BOTH sources carry — the provenance
+    * report that tells a curation team which sources mirror each other
+    * (and thus which "independent" corpora double-count). Distinct
+    * (md5, source) first (map-combined), then an equi-join ON THE HASH —
+    * group sizes are bounded by |sources|, so the join never degenerates
+    * even when one text is in every source. The |sources|² zero-filled
+    * frame comes from a broadcast nested-loop pair expansion over the
+    * bounded source dimension. Jaccard is one division over exact
+    * integer counts.
+    */
+  def crossSourceDupMatrix(documents: DataFrame): DataFrame = {
+    val g = documents
+      .select(md5(col("text").cast("binary")).as("h"), col("source"))
+      .distinct()
+    val uniq = g.groupBy(col("source")).agg(count(lit(1)).as("n_uniq"))
+    val shared = g.as("a")
+      .join(g.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = uniq.select(col("source").as("source_a"), col("n_uniq").as("uniq_a"))
+      .join(
+        uniq.select(col("source").as("source_b"), col("n_uniq").as("uniq_b")),
+        col("source_a") < col("source_b"))
+    pairs
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(
+        col("source_a"), col("source_b"), col("n_shared"), col("uniq_a"), col("uniq_b"),
+        expr("CAST(n_shared AS DOUBLE) / CAST(uniq_a + uniq_b - n_shared AS DOUBLE)")
+          .as("jaccard"))
+  }
+
   /** Per-source corpus report — the curation dashboard aggregate: doc
     * and token tallies, length extremes, and exact-duplicate mass
     * (docs − distinct text hashes) in one grouped pass. distinct-md5
