@@ -1133,7 +1133,10 @@ object SparkEntry {
     "q_ann_binary" -> ((s, dir) =>
       Similarity.binaryQuantRecall(Tables.embeddings(s, dir), 10, 5).orderBy("qid")),
     "q_source_entropy" -> ((s, dir) =>
-      TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source"))
+      TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source")),
+    "q_near_dup_matrix" -> ((s, dir) =>
+      Dedup.nearDupSourceMatrix(Tables.documents(s, dir))
+        .orderBy("source_a", "source_b"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1600,6 +1603,23 @@ object SparkEntry {
     * q_cosine_topk oracle and the evaluation oracles (q_knn,
     * q_ann_recall) that consume the exact ranking as ground truth.
     */
+  /** Polynomial 8-gram hash mod 2^31−1, base 256 — the exact arithmetic
+    * of [[graft.functions.ExprKernels.winnow]]'s gram hash: per-term
+    * modular products of ascii codes against 256^(7−j) mod p (2^31 ≡ 1
+    * mod p, so the powers collapse to small shifts). `i` is the 1-based
+    * gram start; grams past the text end truncate, mirroring the
+    * kernel's clamp.
+    */
+  private val duckGramHash: String = {
+    val pows = Seq(33554432L, 131072L, 512L, 2L, 16777216L, 65536L, 256L, 1L)
+    val terms = pows.zipWithIndex
+      .map { case (p, j) =>
+        s"CASE WHEN i + $j <= length(text) THEN (CAST(ascii(substring(text, i + $j, 1)) AS BIGINT) * $p) % 2147483647 ELSE 0 END"
+      }
+      .mkString(" + ")
+    s"CAST(($terms) % 2147483647 AS BIGINT)"
+  }
+
   private def duckCosineTopKSql(numQueries: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < $numQueries),
        pairs AS (
@@ -1818,6 +1838,15 @@ object SparkEntry {
                 CAST(kl_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE))
                   + ln(CAST(n_total AS DOUBLE)) - ln(CAST(n_tokens AS DOUBLE)) AS kl_vs_corpus
          FROM per, tot ORDER BY source""",
+    "q_near_dup_matrix" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($duckMinhashPairsSql)),
+         src AS (SELECT doc_id, source FROM documents)
+         SELECT least(sa.source, sb.source) AS source_a,
+                greatest(sa.source, sb.source) AS source_b,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM mh JOIN src sa ON sa.doc_id = mh.doc_a
+                 JOIN src sb ON sb.doc_id = mh.doc_b
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -2994,10 +3023,10 @@ object SparkEntry {
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
          ORDER BY doc_id""",
     "q_winnow" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT doc_id,
                   list_transform(generate_series(1, greatest(length(text) - 7, 1)),
-                    i -> CAST(CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+                    i -> $duckGramHash) AS hs
            FROM documents),
          sel AS (
            SELECT doc_id,
@@ -3007,10 +3036,10 @@ object SparkEntry {
          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps[1] AS min_fp, fps[-1] AS max_fp
          FROM sel ORDER BY doc_id""",
     "q_copy_detect" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT doc_id,
                   list_transform(generate_series(1, greatest(length(text) - 7, 1)),
-                    i -> CAST(CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+                    i -> $duckGramHash) AS hs
            FROM documents),
          sel AS (
            SELECT doc_id,

@@ -88,15 +88,27 @@ object ExprKernels {
 
   def winnow(text: String, k: Int, w: Int): ArrayData = {
     val n = math.max(text.length - k + 1, 1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // Polynomial k-gram hash mod 2^31−1, base 256: per-term modular
+    // reduction keeps every intermediate < 2^40, so the arithmetic is
+    // exact BIGINT on any engine (the oracle mirrors it with ascii() and
+    // precomputed 256^j mod p constants). ~100× cheaper than the md5
+    // digest per position this replaces — the gram hash ran once per
+    // CHARACTER of the corpus and dominated q_copy_detect/q_winnow.
+    val pows = new Array[Long](k) // pows(j) = 256^(k-1-j) mod p
+    pows(k - 1) = 1L
+    var pj = k - 2
+    while (pj >= 0) { pows(pj) = (pows(pj + 1) << 8) % MinHashP; pj -= 1 }
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val gram = text.substring(i, math.min(i + k, text.length))
-      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      hashes(i) =
-        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      md.reset()
+      var s = 0L
+      var j = 0
+      val end = math.min(k, text.length - i)
+      while (j < end) {
+        s += (text.charAt(i + j).toLong * pows(j)) % MinHashP
+        j += 1
+      }
+      hashes(i) = s % MinHashP
       i += 1
     }
     val nWin = math.max(n - w + 1, 1)

@@ -131,8 +131,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
-  * hash every character k-gram (first 32 bits of md5 — portable: any
-  * engine with md5 computes the identical value), slide a window of `w`
+  * hash every character k-gram (polynomial hash mod 2^31−1, base 256 —
+  * portable: exact integer arithmetic any engine reproduces from ascii
+  * codes), slide a window of `w`
   * hashes, keep each window's minimum, return the distinct minima sorted.
   * The selected set is position-independent and robust to local edits —
   * the standard plagiarism/near-dup fingerprint.

@@ -151,6 +151,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
+  /** Near-duplicate provenance matrix: MinHash-LSH candidate pairs
+    * ([[minhashNearDups]]) rolled up to unordered source pairs — the
+    * near-dup complement of the exact-hash cross-source matrix. The
+    * diagonal (source_a = source_b) reports within-source near-dup mass;
+    * off-diagonal cells expose sources paraphrasing or mirroring each
+    * other, which exact hashing misses. Pair generation stays banded
+    * (never a corpus self-join); the rollup joins the bounded pair set
+    * against the doc→source dimension twice and aggregates to at most
+    * |sources|² rows.
+    */
+  def nearDupSourceMatrix(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(documents, numBands, rowsPerBand, minEstJaccard)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** LSH tuning report: per band, the bucket-size distribution the
     * banding induces — bucket count, singleton count, largest bucket and
     * the candidate-pair volume Σ s(s−1)/2 the verifier stage will face.

@@ -301,19 +301,21 @@ object TextAnalysis {
     * map-combine per pair.
     */
   def winnowCopyPairs(documents: DataFrame, minShared: Int): DataFrame = {
-    val sizes = documents
-      .select(
-        col("doc_id"),
-        size(graft.functions.VectorFunctions.winnow(col("text"), 8, 4)).cast("long").as("n_fp"))
+    // One winnow evaluation per doc: materialize the array, then explode
+    // with its size alongside — n_fp rides the postings (two extra longs
+    // per posting row) instead of costing a second fingerprint pass and
+    // two post-aggregation joins.
     val allPostings = documents
+      .withColumn("fps", graft.functions.VectorFunctions.winnow(col("text"), 8, 4))
       .select(
         col("doc_id"),
-        explode(graft.functions.VectorFunctions.winnow(col("text"), 8, 4)).as("fp"))
+        size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("fp"))
     // Ubiquitous fingerprints (df above 5% of the corpus) carry no copy
     // signal and are THE pair-explosion source: a fingerprint in d docs
     // contributes d² join pairs, so capping df bounds the join output by
     // (0.05·N)·|postings| instead of Σd² — measured 37 s → ~4 s at
-    // sf0.1, the remainder being the md5 rolling-hash computation the
+    // sf0.1, the remainder being the gram-hash computation the
     // oracle mirrors. (MOSS itself drops ubiquitous fingerprints for the same
     // reason.) The cap rides in via a 1-row aggregate cross-join.
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
@@ -321,16 +323,14 @@ object TextAnalysis {
       .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .crossJoin(nDocs)
       .filter(col("df") <= col("n_docs") * 0.05)
-      .select(col("doc_id"), col("fp"))
-    val a = postings.select(col("fp"), col("doc_id").as("doc_a"))
-    val b = postings.select(col("fp"), col("doc_id").as("doc_b"))
+      .select(col("doc_id"), col("n_fp"), col("fp"))
+    val a = postings.select(col("fp"), col("doc_id").as("doc_a"), col("n_fp").as("n_a"))
+    val b = postings.select(col("fp"), col("doc_id").as("doc_b"), col("n_fp").as("n_b"))
     a.join(b, "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"), min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
       .filter(col("n_shared") >= minShared)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"), col("n_shared"),
         expr("CAST(n_shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)").as("overlap"))
