@@ -1136,7 +1136,13 @@ object SparkEntry {
       TextAnalysis.sourceEntropy(Tables.documents(s, dir)).orderBy("source")),
     "q_near_dup_matrix" -> ((s, dir) =>
       Dedup.nearDupSourceMatrix(Tables.documents(s, dir))
-        .orderBy("source_a", "source_b"))
+        .orderBy("source_a", "source_b")),
+    "q_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(Tables.documents(s, dir)).orderBy("split_a", "split_b")),
+    "q_ann_rerank" -> ((s, dir) =>
+      Similarity.binaryRerankRecall(Tables.embeddings(s, dir), 10, 5, 20).orderBy("qid")),
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), 25).orderBy("rank"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1847,6 +1853,74 @@ object SparkEntry {
          FROM mh JOIN src sa ON sa.doc_id = mh.doc_a
                  JOIN src sb ON sb.doc_id = mh.doc_b
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_split_leakage" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($duckMinhashPairsSql)),
+         s AS (SELECT doc_id,
+                      CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                            CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 AS b
+                     FROM documents)),
+         cells AS (
+           SELECT least(sa.split, sb.split) AS split_a,
+                  greatest(sa.split, sb.split) AS split_b,
+                  CAST(count(*) AS BIGINT) AS n_pairs
+           FROM mh JOIN s sa ON sa.doc_id = mh.doc_a
+                   JOIN s sb ON sb.doc_id = mh.doc_b
+           GROUP BY 1, 2)
+         SELECT split_a, split_b, n_pairs, split_a <> split_b AS crosses_split
+         FROM cells ORDER BY split_a, split_b""",
+    "q_ann_rerank" ->
+      s"""WITH pk AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN i <= 32 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS b0,
+                  CAST(sum(CASE WHEN i > 32 AND v > 0 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT) AS b1
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings)
+           GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, b0 AS q0, b1 AS q1 FROM pk WHERE vec_id < 10),
+         hranked AS (
+           SELECT q.qid, pk.vec_id AS nid,
+                  row_number() OVER (
+                    PARTITION BY q.qid
+                    ORDER BY CAST(bit_count(xor(pk.b0, q.q0)) AS BIGINT) +
+                             CAST(bit_count(xor(pk.b1, q.q1)) AS BIGINT) ASC,
+                             pk.vec_id ASC) AS rk
+           FROM q JOIN pk ON pk.vec_id <> q.qid),
+         short AS (SELECT qid, nid FROM hranked WHERE rk <= 20),
+         rer AS (
+           SELECT short.qid, short.nid,
+                  round(list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[]))), 3) AS cos_sim
+           FROM short JOIN embeddings eq ON eq.vec_id = short.qid
+                      JOIN embeddings en ON en.vec_id = short.nid),
+         rranked AS (
+           SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rk
+           FROM rer),
+         ap AS (SELECT qid, nid FROM rranked WHERE rk <= 5),
+         bf AS (SELECT qid, nid FROM (${duckCosineTopKSql(10, 5)})),
+         h AS (SELECT qid, count(*) AS n_hit FROM bf JOIN ap USING (qid, nid) GROUP BY qid),
+         t AS (SELECT qid, count(*) AS n_true FROM bf GROUP BY qid)
+         SELECT t.qid, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+                CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall
+         FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid""",
+    "q_bpe_merges" ->
+      """WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+                     FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                           FROM documents)
+                     GROUP BY w HAVING length(w) >= 2),
+         p AS (SELECT w, n_w,
+                      unnest(list_transform(generate_series(1, length(w) - 1),
+                                            i -> substring(w, i, 2))) AS pair
+               FROM wc),
+         g AS (SELECT pair, CAST(sum(n_w) AS BIGINT) AS n_occ,
+                      CAST(count(DISTINCT w) AS BIGINT) AS n_types
+               FROM p GROUP BY pair),
+         r AS (SELECT pair, n_occ, n_types,
+                      CAST(row_number() OVER (ORDER BY n_occ DESC, pair ASC) AS BIGINT) AS rank
+               FROM g)
+         SELECT rank, pair, n_occ, n_types FROM r WHERE rank <= 25 ORDER BY rank""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -177,6 +177,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Train/valid/test leakage audit: MinHash near-dup pairs rolled up by
+    * the split cell they land in — the QA gate that catches evaluation
+    * contamination BEFORE training (a near-duplicate of a test document
+    * sitting in train inflates eval scores exactly like true test
+    * leakage). Splits are the engine's standard md5-bucket 8/1/1 rule on
+    * doc_id (deterministic, engine-reproducible); cells with
+    * `crosses_split` are the leaked mass, the diagonal is benign
+    * within-split duplication. Pair generation stays banded; the rollup
+    * is two dimension joins over the bounded pair set.
+    */
+  def splitLeakage(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val bucket =
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10"
+    val s = documents.select(
+      col("doc_id"),
+      expr(s"CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'valid' ELSE 'test' END")
+        .as("split"))
+    minhashNearDups(documents, numBands, rowsPerBand, minEstJaccard)
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crosses_split", col("split_a") =!= col("split_b"))
+  }
+
   /** LSH tuning report: per band, the bucket-size distribution the
     * banding induces — bucket count, singleton count, largest bucket and
     * the candidate-pair volume Σ s(s−1)/2 the verifier stage will face.

@@ -462,6 +462,34 @@ object TextAnalysis {
       topN, col("n").desc, col("token").asc)
       .select(col("rank"), col("token"), col("n"))
 
+  /** First BPE-training iteration: the top-`k` adjacent character-pair
+    * merge candidates over the word vocabulary, weighted by word
+    * frequency — the inner loop of byte-pair-encoding vocabulary
+    * induction (each training step merges the most frequent pair; this
+    * reports the ranked frontier plus how many distinct word types carry
+    * each pair). The corpus-scale work is ONE token count; pair
+    * explosion runs over the VOCABULARY (distinct words), not the
+    * corpus, so a 100 TB corpus pays |vocab|·avg_len pair rows, and the
+    * top-k is a TakeOrdered. Exact integer counts throughout.
+    */
+  def bpeMergeCandidates(documents: DataFrame, k: Int): DataFrame = {
+    val words = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .filter(length(col("w")) >= 2)
+    graft.engine.Relational.rankedTopK(
+      words
+        .select(
+          col("w"),
+          col("n_w"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n_w")).as("n_occ"), countDistinct(col("w")).as("n_types")),
+      k, col("n_occ").desc, col("pair").asc)
+      .select(col("rank"), col("pair"), col("n_occ"), col("n_types"))
+  }
+
   /** Sequence packing — the LLM-training prep step that fills fixed
     * `contextTokens`-sized windows with consecutive documents: contiguous
     * fill in doc_id order, a document's pack = ⌊tokens-before-it / C⌋

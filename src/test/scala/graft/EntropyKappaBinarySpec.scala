@@ -108,6 +108,51 @@ class EntropyKappaBinarySpec extends AnyFunSuite {
     }
   }
 
+  test("binaryRerankRecall: exact rerank of the shortlist never loses to direct binary ranking") {
+    val direct = Similarity.binaryQuantRecall(Tables.embeddings(spark, sfDir), 10, 5)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_hit")).toMap
+    val reranked = Similarity.binaryRerankRecall(Tables.embeddings(spark, sfDir), 10, 5, 20)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(reranked.size == 10)
+    reranked.foreach { case (q, (nTrue, nHit, recall)) =>
+      assert(nTrue == 5L)
+      // a true top-5 neighbor inside the 20-shortlist always survives the
+      // exact-cosine rerank (same rounded-cosine order as the ground truth)
+      assert(nHit >= direct(q), s"qid $q: rerank $nHit < direct ${direct(q)}")
+      assert(recall == nHit.toDouble / 5.0)
+    }
+  }
+
+  test("splitLeakage: cells match a driver-side md5-bucket recomputation") {
+    import graft.text.Dedup
+    val pairs = Dedup.minhashNearDups(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10 match {
+        case b if b < 8 => "train"
+        case 8 => "valid"
+        case _ => "test"
+      }
+    }
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (split(a), split(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.splitLeakage(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("crosses_split"))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (cell, (n, crosses)) =>
+      assert(n == expected(cell), s"cell $cell")
+      assert(crosses == (cell._1 != cell._2))
+    }
+  }
+
   test("sourceEntropy: micronat-exact entropy and non-negative KL vs corpus") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "text").collect()
