@@ -1142,7 +1142,11 @@ object SparkEntry {
     "q_ann_rerank" -> ((s, dir) =>
       Similarity.binaryRerankRecall(Tables.embeddings(s, dir), 10, 5, 20).orderBy("qid")),
     "q_bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), 25).orderBy("rank"))
+      TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), 25).orderBy("rank")),
+    "q_ivf_purity" -> ((s, dir) =>
+      Similarity.ivfPurity(Tables.embeddings(s, dir)).orderBy("cell")),
+    "q_ann_filtered" -> ((s, dir) =>
+      Similarity.filteredTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1921,6 +1925,41 @@ object SparkEntry {
                       CAST(row_number() OVER (ORDER BY n_occ DESC, pair ASC) AS BIGINT) AS rank
                FROM g)
          SELECT rank, pair, n_occ, n_types FROM r WHERE rank <= 25 ORDER BY rank""",
+    "q_ivf_purity" -> {
+      val dists = duckIvfDists(8)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          e2 AS (SELECT vec_id, label, v, list_dot_product(v, v) AS vv FROM e),
+          d AS (SELECT vec_id, label, $dists AS dists FROM e2),
+          b AS (SELECT CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS cell,
+                       CAST(label AS BIGINT) AS label
+                FROM d),
+          counts AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+          totals AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+                            CAST(count(*) AS BIGINT) AS n_labels
+                     FROM counts GROUP BY 1),
+          major AS (SELECT cell, label AS major_label, n AS n_major
+                    FROM (SELECT cell, label, n,
+                                 row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rk
+                          FROM counts)
+                    WHERE rk = 1)
+          SELECT t.cell, t.n_vecs, t.n_labels, m.major_label, m.n_major,
+                 CAST(m.n_major AS DOUBLE) / CAST(t.n_vecs AS DOUBLE) AS purity
+          FROM totals t JOIN major m ON m.cell = t.cell ORDER BY t.cell"""
+    },
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+                    FROM embeddings WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.qid, e.vec_id AS nid, CAST(e.label AS BIGINT) AS label,
+                  round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(q.qe, q.qe)) *
+                         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 3) AS cos_sim
+           FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid, nid, label, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT qid, rank, nid, label, cos_sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -88,6 +88,38 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos_sim"))
   }
 
+  /** Filtered vector search: [[cosineTopK]]'s contract restricted to
+    * corpus vectors sharing the query's `label` — the metadata-
+    * constrained ANN every production vector store exposes ("top-k
+    * within this tenant/category"). The filter is an EQUI-JOIN key, so
+    * at scale the corpus partitions by label and each query scans one
+    * partition (pre-filtering; post-filtering a global top-k would
+    * return < k rows exactly when the filter is selective). Ranking
+    * arithmetic and tie-breaks are identical to the unfiltered baseline.
+    */
+  def filteredTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val corpus = withNorm(embeddings)
+    val q = corpus
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("qid"), col("emb_d").as("qe"),
+        col("norm").as("qnorm"), col("label").as("qlabel"))
+    val pairs = corpus
+      .join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("nid"),
+        col("label").cast("long").as("label"),
+        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("label"), col("cos_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed LCG — no runtime
     * RNG), one array<double> per plane.
     */
@@ -1370,6 +1402,36 @@ object Similarity {
         col("n_vecs"),
         col("n_total"),
         expr(s"CAST(n_vecs * $numCells AS DOUBLE) / CAST(n_total AS DOUBLE)").as("load_factor"))
+  }
+
+  /** IVF cell label purity: per coarse cell, the share of vectors
+    * carrying the cell's majority label — the external clustering-
+    * quality readout (a partition whose cells mix labels will also mix
+    * semantic neighbors, degrading single-probe recall). One corpus-
+    * scale (cell, label) count; the majority pick and purity run over
+    * the ≤ cells·|labels| aggregate (ties break to the smaller label).
+    */
+  def ivfPurity(embeddings: DataFrame, numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    val counts = embeddings
+      .select(
+        cellId(col("embedding"), cs).cast("long").as("cell"),
+        col("label").cast("long").as("label"))
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_vecs"), count(lit(1)).as("n_labels"))
+    val major = counts
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cell")).orderBy(col("n").desc, col("label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("label").as("major_label"), col("n").as("n_major"))
+    totals.join(major, Seq("cell")).select(
+      col("cell"), col("n_vecs"), col("n_labels"), col("major_label"), col("n_major"),
+      expr("CAST(n_major AS DOUBLE) / CAST(n_vecs AS DOUBLE)").as("purity"))
   }
 
   /** IVF quantizer distortion: each vector's squared L2 distance to its

@@ -153,6 +153,66 @@ class EntropyKappaBinarySpec extends AnyFunSuite {
     }
   }
 
+  test("filteredTopK: every neighbor carries the query's label and ranking matches brute force") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def round3(x: Double): Double =
+      new JBigDecimal(x).setScale(3, RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val out = Similarity.filteredTopK(Tables.embeddings(spark, sfDir), 10, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("nid"), r.getAs[Long]("label"), r.getAs[Double]("cos_sim"))).toMap
+    (0L until 10L).foreach { q =>
+      val qv = vecs(q); val qn = math.sqrt(dot(qv, qv))
+      val expected = vecs.keys
+        .filter(v => v != q && labels(v) == labels(q)).toSeq
+        .map(v => (v, round3(dot(qv, vecs(v)) / (qn * math.sqrt(dot(vecs(v), vecs(v)))))))
+        .sortBy { case (v, c) => (-c, v) }
+        .take(5)
+      expected.zipWithIndex.foreach { case ((nid, cos), i) =>
+        val (gotNid, gotLabel, gotCos) = out((q, i + 1L))
+        assert(gotNid == nid, s"qid $q rank ${i + 1}")
+        assert(gotLabel == labels(q).toLong)
+        assert(gotCos == cos)
+      }
+    }
+  }
+
+  test("ivfPurity: exact recomputation from the native cell assignment") {
+    import org.apache.spark.sql.functions.col
+    val cs = Similarity.centroids(8, 64)
+    val assigned = Tables.embeddings(spark, sfDir)
+      .select(
+        graft.functions.VectorFunctions
+          .nearestCentroid(col("embedding").cast("array<double>"), cs)
+          .cast("long").as("cell"),
+        col("label").cast("long").as("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCell = assigned.groupBy(_._1)
+    val out = Similarity.ivfPurity(Tables.embeddings(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_labels"),
+          r.getAs[Long]("major_label"), r.getAs[Long]("n_major"),
+          r.getAs[Double]("purity"))).toMap
+    assert(out.keySet == byCell.keySet)
+    assert(out.values.map(_._1).sum == assigned.length.toLong)
+    byCell.foreach { case (cell, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (majLabel, majN) = counts.toSeq.minBy { case (l, n) => (-n, l) }
+      val (nVecs, nLabels, gotMaj, gotMajN, purity) = out(cell)
+      assert(nVecs == rows.length.toLong)
+      assert(nLabels == counts.size.toLong)
+      assert(gotMaj == majLabel && gotMajN == majN, s"cell $cell")
+      assert(purity == majN.toDouble / rows.length.toDouble)
+      assert(purity > 0.0 && purity <= 1.0)
+    }
+  }
+
   test("sourceEntropy: micronat-exact entropy and non-negative KL vs corpus") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "text").collect()
