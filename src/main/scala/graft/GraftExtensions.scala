@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotMilli, DotProduct, MinHashSignature, SimHash64, SqDistMilli, Winnow}
+import graft.functions.{DotMilli, DotProduct, FrameEnergy, MinHashSignature, SimHash64, SqDistMilli, Winnow}
 
 /** Registers the native graft expressions as SQL functions.
   *
@@ -49,7 +49,8 @@ object GraftExtensions {
     "graft_dot_milli" -> (es => DotMilli(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))),
-    "graft_winnow" -> (es => Winnow(es(0), intLit(es(1)), intLit(es(2)))))
+    "graft_winnow" -> (es => Winnow(es(0), intLit(es(1)), intLit(es(2)))),
+    "graft_frame_energy" -> (es => FrameEnergy(es(0), intLit(es(1)))))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1146,7 +1146,10 @@ object SparkEntry {
     "q_ivf_purity" -> ((s, dir) =>
       Similarity.ivfPurity(Tables.embeddings(s, dir)).orderBy("cell")),
     "q_ann_filtered" -> ((s, dir) =>
-      Similarity.filteredTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank"))
+      Similarity.filteredTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
+    "q_frame_energy" -> ((s, dir) =>
+      graft.multimodal.Multimodal.frameEnergies(Tables.documents(s, dir))
+        .orderBy("doc_id", "frame_id"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1960,6 +1963,23 @@ object SparkEntry {
                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rank
            FROM pairs)
          SELECT qid, rank, nid, label, cos_sim FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_frame_energy" ->
+      """WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+                unnest(generate_series(0, greatest((length(text) - 1) // 256, 0))) AS frame_id,
+                text
+              FROM documents),
+         per AS (SELECT doc_id, byte_len, frame_id,
+                        substring(text, CAST(frame_id * 256 + 1 AS INTEGER), 256) AS fr
+                 FROM f),
+         e AS (SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+                      least(256, byte_len - frame_id * 256) AS n_bytes,
+                      CAST(coalesce(list_sum(list_transform(generate_series(1, length(fr)),
+                        i -> CAST(ascii(substring(fr, i, 1)) AS BIGINT) *
+                             CAST(ascii(substring(fr, i, 1)) AS BIGINT))), 0) AS BIGINT) AS energy
+               FROM per)
+         SELECT doc_id, frame_id, n_bytes, energy,
+                sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE)) AS rms
+         FROM e ORDER BY doc_id, frame_id""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'

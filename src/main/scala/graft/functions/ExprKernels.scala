@@ -131,4 +131,31 @@ object ExprKernels {
     while (it.hasNext) { out(p) = it.next(); p += 1 }
     ArrayData.toArrayData(out)
   }
+
+  /** Per-frame energy of a payload: Σ code(c)² over consecutive frames
+    * of `frame` chars (last frame may be short). Exact integer sums —
+    * an engine without the kernel reproduces each element from ascii
+    * codes. One tight scalar loop per row; the HOF spelling
+    * (transform+aggregate per frame) interprets ~len lambda calls
+    * per document.
+    */
+  def frameEnergy(text: String, frame: Int): ArrayData = {
+    val len = text.length
+    val n = math.max((len + frame - 1) / frame, 1)
+    val out = new Array[Long](n)
+    var f = 0
+    while (f < n) {
+      var s = 0L
+      var i = f * frame
+      val end = math.min(i + frame, len)
+      while (i < end) {
+        val c = text.charAt(i).toLong
+        s += c * c
+        i += 1
+      }
+      out(f) = s
+      f += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

@@ -160,6 +160,30 @@ case class Winnow(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-frame payload energy (Σ ascii-code² per `frame`-char frame) — the
+  * feature-extraction kernel for the opaque-payload multimodal path: a
+  * codegen'd scalar loop per row in place of the interpreted
+  * transform+aggregate HOF spelling. Exact integer sums, reproducible by
+  * any engine from ascii codes.
+  */
+case class FrameEnergy(child: Expression, frame: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_frame_energy"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.frameEnergy(input.toString, frame)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.frameEnergy($a.toString(), $frame)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid (IVF coarse-quantizer) cell id: index of the L2-
   * nearest centroid, first match on ties. Distances expand as
   * `v·v − 2·v·c + c·c` with sequential folds — the exact arithmetic an
@@ -396,5 +420,11 @@ object VectorFunctions {
   def winnow(text: Column, k: Int, w: Int): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(Winnow(ColumnShim.expression(text), k, w))
+  }
+
+  /** Column API for [[FrameEnergy]]. Argument: a string column. */
+  def frameEnergy(text: Column, frame: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(FrameEnergy(ColumnShim.expression(text), frame))
   }
 }

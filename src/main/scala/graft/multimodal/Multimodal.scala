@@ -47,6 +47,27 @@ object Multimodal {
       lower(hex(substring(payload, 1, 8))).as("header_hex"))
   }
 
+  /** Per-frame signal energy over the payload: Σ code² for consecutive
+    * `frame`-char windows via the native [[graft.functions.FrameEnergy]]
+    * kernel (codegen'd scalar loop — the audio-RMS-style feature pass an
+    * ingest pipeline runs over every blob), plus the RMS amplitude per
+    * frame (one sqrt/division over the exact integer energy). Map-side
+    * only; output rows ≈ corpus_bytes / frame.
+    */
+  def frameEnergies(documents: DataFrame, frame: Int = 256): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("byte_len"),
+        posexplode(graft.functions.VectorFunctions.frameEnergy(col("text"), frame))
+          .as(Seq("frame_id", "energy")))
+      .select(
+        col("doc_id"),
+        col("frame_id").cast("long").as("frame_id"),
+        least(lit(frame.toLong), col("byte_len") - col("frame_id") * frame).as("n_bytes"),
+        col("energy"),
+        expr("sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE))").as("rms"))
+
   /** Frame sampling: decode every `every`-th frame of each payload via
     * the partition-wise batch path. `mapPartitions` keeps one codec
     * context per partition (how a real decoder amortizes init cost); the

@@ -152,6 +152,9 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_minhash(array(CAST(NULL AS STRING)), 4) AS m").head.isNullAt(0))
     val wn = spark.sql("SELECT graft_winnow('abcdefghijklmnop', 8, 4) AS w").head.getSeq[Long](0)
     assert(wn.nonEmpty && wn == wn.sorted)
+    // frame energy: 'abc' in frames of 2 -> [97²+98², 99²]
+    val fe = spark.sql("SELECT graft_frame_energy('abc', 2) AS e").head.getSeq[Long](0)
+    assert(fe == Seq(97L * 97 + 98L * 98, 99L * 99))
   }
 
   test("broadcastLookup plans a BroadcastHashJoin") {
