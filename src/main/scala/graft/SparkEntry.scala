@@ -1149,7 +1149,10 @@ object SparkEntry {
       Similarity.filteredTopK(Tables.embeddings(s, dir), 10, 5).orderBy("qid", "rank")),
     "q_frame_energy" -> ((s, dir) =>
       graft.multimodal.Multimodal.frameEnergies(Tables.documents(s, dir))
-        .orderBy("doc_id", "frame_id"))
+        .orderBy("doc_id", "frame_id")),
+    "q_payload_entropy" -> ((s, dir) =>
+      graft.multimodal.Multimodal.payloadEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1980,6 +1983,25 @@ object SparkEntry {
          SELECT doc_id, frame_id, n_bytes, energy,
                 sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE)) AS rms
          FROM e ORDER BY doc_id, frame_id""",
+    "q_payload_entropy" ->
+      """WITH b AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, length(text)),
+                                      i -> ascii(substring(text, i, 1)))) AS byte
+              FROM documents),
+         counts AS (SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         per AS (SELECT doc_id,
+                        CAST(sum(c) AS BIGINT) AS n_bytes,
+                        CAST(count(*) AS BIGINT) AS n_distinct,
+                        CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS ent_micro
+                 FROM counts GROUP BY doc_id)
+         SELECT doc_id, n_bytes, n_distinct,
+                (ln(CAST(n_bytes AS DOUBLE)) -
+                 CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
+                / 0.6931471805599453 AS bits_per_byte,
+                ((ln(CAST(n_bytes AS DOUBLE)) -
+                  CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
+                 / 0.6931471805599453) > 6.0 AS high_entropy
+         FROM per ORDER BY doc_id""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -68,6 +68,37 @@ object Multimodal {
         col("energy"),
         expr("sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE))").as("rms"))
 
+  /** Per-payload byte entropy — the compressibility probe that separates
+    * text from random/encrypted/binary junk in a mixed dump (text sits
+    * ~4–4.7 bits/byte, compressed media near 8). Per-(doc, byte-value)
+    * counts (≤ 256·N rows, map-combined), each term quantized to integer
+    * MICRONATS (`round(1e6·c·ln c)`, half-away-from-zero on both
+    * engines) so the per-doc sum is exact integer arithmetic; entropy in
+    * BITS is `(ln n − Σ/1e6/n) / ln 2` with the shared ln-2 decimal
+    * literal. Flags `high_entropy` above 6 bits/byte.
+    */
+  def payloadEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+          .as("byte"))
+      .groupBy(col("doc_id"), col("byte"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bytes"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(round(c * ln(c) * 1000000) AS BIGINT)")).as("ent_micro"))
+      .select(
+        col("doc_id"), col("n_bytes"), col("n_distinct"),
+        expr("""(ln(CAST(n_bytes AS DOUBLE)) -
+                 CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
+                / 0.6931471805599453""").as("bits_per_byte"))
+      .withColumn("high_entropy", col("bits_per_byte") > 6.0)
+  }
+
   /** Frame sampling: decode every `every`-th frame of each payload via
     * the partition-wise batch path. `mapPartitions` keeps one codec
     * context per partition (how a real decoder amortizes init cost); the
