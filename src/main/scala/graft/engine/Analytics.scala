@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2650,7 +2651,7 @@ object Analytics {
       .select(col("event_type"), expr(s"${Stages.centsSql("value")} div 100").as("x"))
       .groupBy(col("event_type"), col("x"))
       .agg(count(lit(1)).as("cnt"))
-      .cache()
+      .cacheT()
     val moments = dist
       .groupBy(col("event_type"))
       .agg(
@@ -2847,7 +2848,7 @@ object Analytics {
         .as("split"),
       expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
       expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
-      .cache()
+      .cacheT()
     val stats = base
       .filter(col("split") === "train")
       .agg(
@@ -2860,7 +2861,7 @@ object Analytics {
       .filter(col("split") =!= "train")
       .crossJoin(broadcast(stats))
       .withColumn("abs_resid", expr(s"CAST(round(abs(${Stages.residualSql})) AS BIGINT)"))
-      .cache() // three downstream readers (cal count / histogram / test)
+      .cacheT() // three downstream readers (cal count / histogram / test)
     val nCal = holdout.filter(col("split") === "cal").agg(count(lit(1)).as("n_cal"))
     val calCounts = holdout
       .filter(col("split") === "cal")
@@ -3385,7 +3386,7 @@ object Analytics {
       expr(bucket).as("fold"),
       expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
       expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
-      .cache()
+      .cacheT()
     val perFold = base
       .groupBy(col("fold"))
       .agg(

@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,8 +38,23 @@ object Graph {
     * 1.40 s, medians within noise) — this one kept for its lower
     * shuffle count, which is what matters when the basket table stops
     * fitting in memory.
+    *
+    * The result is MATERIALIZED once per (session, input plan) — ~18
+    * graph queries consume this same edge list, and cross-query plans
+    * share nothing (`ReusedExchange` only dedups within one plan), so
+    * without it every query re-pays the basket build. This is the
+    * "production deployment materializes the co-order view once"
+    * answer, session-scoped: `MEMORY_AND_DISK` (spillable — the edge
+    * list is Σ C(basket,2) rows, corpus-proportional but ~6× smaller
+    * than lineitem), keyed by the CANONICALIZED input plan so
+    * `Tables.load`'s memoized frames hit deterministically and a
+    * different input (test fixtures, other SFs) gets its own entry.
+    * [[Views.clear]] drops the pins.
     */
   def coOrderEdges(lineitem: DataFrame): DataFrame =
+    Views.pinned(lineitem, "coOrderEdges")(buildCoOrderEdges)
+
+  private def buildCoOrderEdges(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -155,7 +171,7 @@ object Graph {
           col("pa")).otherwise(col("pb")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
           col("pb")).otherwise(col("pa")).as("dst"))
-      .cache()
+      .cacheT()
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
@@ -222,14 +238,14 @@ object Graph {
     val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
     val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
-      .cache()
+      .cacheT()
     val seed = bidir
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc)
       .limit(1)
       .select(col("node"))
-    var reached = seed.withColumn("hop", lit(0L)).cache()
+    var reached = seed.withColumn("hop", lit(0L)).cacheT()
     var frontier = reached.select(col("node"))
     for (h <- 1 to maxHops) {
       val next = frontier
@@ -237,7 +253,7 @@ object Graph {
         .select(col("dst").as("node"))
         .distinct()
         .join(reached.select(col("node")), Seq("node"), "left_anti")
-        .cache()
+        .cacheT()
       // `next` is cached; the running union of cached pieces is cheap to
       // re-derive, so re-caching `reached` each hop would only add
       // materialization barriers and memory pressure.
@@ -265,14 +281,14 @@ object Graph {
     val base = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-      .cache()
+      .cacheT()
     var edges = base
     val reports = (1 to rounds).map { r =>
       val deg = edges
         .select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("node")).cache()
+      val keep = deg.filter(col("deg") >= k).select(col("node")).cacheT()
       val pruned = edges
         .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
         .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
@@ -299,7 +315,7 @@ object Graph {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-      .cache()
+      .cacheT()
     val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
       .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -333,7 +349,7 @@ object Graph {
     val edges = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-      .cache()
+      .cacheT()
     val brands = part.select(col("p_partkey"), col("p_brand"))
     val withBrands = edges
       .join(broadcast(brands.select(col("p_partkey").as("pa"), col("p_brand").as("brand_a"))), Seq("pa"))
@@ -412,14 +428,14 @@ object Graph {
     val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
     val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
-      .cache()
+      .cacheT()
     val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val seeds = Relational
       .rankedTopK(deg, k, col("deg").desc, col("node").asc)
       .select(col("node").as("seed"))
     var reached = seeds
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hop"))
-      .cache()
+      .cacheT()
     var frontier = reached.select(col("seed"), col("node"))
     for (h <- 1 to maxHops) {
       val next = frontier
@@ -427,7 +443,7 @@ object Graph {
         .select(col("seed"), col("dst").as("node"))
         .distinct()
         .join(reached.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
-        .cache()
+        .cacheT()
       // `next` is cached; the running union of cached pieces is cheap to
       // re-derive, so re-caching `reached` each hop would only add
       // materialization barriers and memory pressure.
@@ -460,7 +476,7 @@ object Graph {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .cache()
+      .cacheT()
     // Each half-step: cache the RAW aggregate once, read its max back as
     // ONE driver-side scalar (bounded collect — a single long), and apply
     // the renorm as a pure projection with the max as a literal. The
@@ -468,7 +484,7 @@ object Graph {
     // half-step's aggregation TWICE — once to feed the broadcast max,
     // once on the probe side — doubling every iterate's shuffle work.
     def renorm(dfRaw: DataFrame, key: String): DataFrame = {
-      val raw = dfRaw.cache()
+      val raw = dfRaw.cacheT()
       val mx = raw.agg(max(col("raw"))).head() match {
         case r if r.isNullAt(0) => 1L // empty input: no mass to scale
         case r => r.getLong(0)
@@ -511,7 +527,7 @@ object Graph {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-      .cache()
+      .cacheT()
     val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
       .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -543,7 +559,7 @@ object Graph {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb"))).cache()
+    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb"))).cacheT()
     var labels = sym.select(col("pa").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to 2) {
       // labels shares lineage with sym — qualify the self-join through
@@ -564,7 +580,7 @@ object Graph {
             Window.partitionBy(col("v")).orderBy(col("n").desc, col("lbl").asc)))
         .filter(col("rk") === 1)
         .select(col("v"), col("lbl"))
-        .cache()
+        .cacheT()
     }
     labels
       .groupBy(col("lbl").as("community"))
@@ -611,7 +627,7 @@ object Graph {
       .select(col("par"), col("e.pa").as("pa"), col("e.pb").as("pb"))
       .groupBy(col("par"), col("pa"), col("pb"))
       .agg(count(lit(1)).as("w"))
-      .cache()
+      .cacheT()
     def sym(e: DataFrame): DataFrame =
       e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
@@ -666,7 +682,7 @@ object Graph {
     * graph pipeline logs per build; three map-combined aggregates.
     */
   def graphCensus(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
-    val e = coOrderEdges(lineitem).filter(col("w") >= minSupport).cache()
+    val e = coOrderEdges(lineitem).filter(col("w") >= minSupport).cacheT()
     val deg = e
       .select(explode(array(col("pa"), col("pb"))).as("part"))
       .groupBy(col("part"))
@@ -698,7 +714,7 @@ object Graph {
     val e = coOrderEdges(lineitem)
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
-      .cache()
+      .cacheT()
     val recs = sym
       .withColumn(
         "rk",

@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -850,7 +851,7 @@ object Relational {
       .select(expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
       .groupBy(col("x"))
       .agg(count(lit(1)).as("cnt"))
-      .cache()
+      .cacheT()
     val fracs = (1 until nBins).map(i => (i.toDouble / nBins).toString).mkString(", ")
     val bounds = dist.agg(expr(s"percentile(x, array($fracs), cnt)").as("bounds"))
     dist
@@ -909,7 +910,7 @@ object Relational {
       .select(col("l_returnflag"), dollars.as("x"))
       .groupBy(col("l_returnflag"), col("x"))
       .agg(count(lit(1)).as("cnt"))
-      .cache()
+      .cacheT()
     val med = dist
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(x, 0.5, cnt)").as("med"))

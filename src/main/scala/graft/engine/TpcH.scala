@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -465,7 +466,7 @@ object TpcH {
         col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
         expr(s"${epochDay("l_shipdate")} > ${epochDay("o_orderdate")} + $lateDays").as("late"))
       .distinct() // (order, supplier, late) evidence table
-      .cache()
+      .cacheT()
     val lateLines = lines.filter(col("late"))
     val l2 = lines.select(col("ok").as("ok2"), col("sk").as("sk2"))
     val l3 = lateLines.select(col("ok").as("ok3"), col("sk").as("sk3"))

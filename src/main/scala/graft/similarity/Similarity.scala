@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +119,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("label"), col("cos_sim"))
+  }
+
+  /** Margin-based bitext mining (the CCMatrix/LASER parallel-corpus
+    * shape): source-language docs pair with target-language docs INSIDE
+    * their shared IVF cell, each side takes its cosine top-1, and a
+    * pair survives only if MUTUAL (each is the other's best), reported
+    * with the source-side margin over its runner-up (0 when the cell
+    * holds a single candidate). Candidates come from the cell equi-join
+    * — the IVF inverted-list layout, never a cross-language cross join
+    * — so per-cell language populations bound every window; at corpus
+    * scale `numCells` grows with the data and the mining stays
+    * cell-local. Cosines rank at full double precision (bit-identical
+    * across engines — same dot/sqrt association as [[cosineTopK]]);
+    * only the OUTPUT rounds.
+    */
+  def bitextMine(
+      embeddings: DataFrame,
+      documents: DataFrame,
+      srcLang: String = "en",
+      tgtLang: String = "fr",
+      numCells: Int = 8): DataFrame = {
+    val cs = centroids(numCells, 64)
+    val celled = withNorm(embeddings)
+      .join(documents.select(col("doc_id"), col("lang")), col("vec_id") === col("doc_id"))
+      .withColumn("cell", cellId(col("embedding"), cs))
+    val src = celled.filter(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("emb_d").as("sv"), col("norm").as("sn"), col("cell"))
+    val tgt = celled.filter(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("emb_d").as("tv"), col("norm").as("tn"), col("cell"))
+    val pairs = src.join(tgt, Seq("cell"))
+      .select(
+        col("src_id"), col("tgt_id"),
+        (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+      .cacheT()
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
+    val fwd = pairs.withColumn("rf", row_number().over(wf)).filter(col("rf") <= 2)
+      .groupBy(col("src_id"))
+      .agg(
+        max(when(col("rf") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("rf") === 1, col("cos"))).as("cos"),
+        coalesce(max(when(col("rf") === 2, col("cos"))), lit(0.0)).as("cos2"))
+    val bwd = pairs.withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
+      .select(col("tgt_id"), col("src_id").as("b_src"))
+    fwd.join(bwd, Seq("tgt_id"))
+      .filter(col("b_src") === col("src_id"))
+      .select(
+        col("src_id"), col("tgt_id"),
+        round(col("cos"), 3).as("cos_sim"),
+        round(col("cos") - col("cos2"), 6).as("margin"))
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG — no runtime
@@ -775,7 +828,7 @@ object Similarity {
       .select(
         Seq(col("qid"), col("vec_id")) ++ allDims.map(d =>
           sqDist(expr(s"slice(m, 1, $d)"), expr(s"slice(qm, 1, $d)")).as(s"d$d")): _*)
-      .cache() // one scoring pass feeds |dims|+1 differently-ordered windows
+      .cacheT() // one scoring pass feeds |dims|+1 differently-ordered windows
     def topk(dcol: String) = scored
       .withColumn(
         "rk",
@@ -1528,7 +1581,7 @@ object Similarity {
             .partitionBy(col("a")).orderBy(col("d2").asc, col("b").asc)))
       .filter(col("rk") <= k)
       .select(col("a"), col("b"), col("d2"), col("rk"))
-      .cache()
+      .cacheT()
     val kdistOf = knn.filter(col("rk") === k).select(col("a").as("node"), col("d2").as("kdist"))
     val reach = knn
       .join(kdistOf.select(col("node").as("b"), col("kdist")), Seq("b"))

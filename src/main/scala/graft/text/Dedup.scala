@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,11 +36,16 @@ object Dedup {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
-  /** doc_id, source, distinct word-3-gram shingles (tokenize-once). */
+  /** doc_id, source, distinct word-3-gram shingles (tokenize-once).
+    * PINNED per (session, input): every near-dup query in this module
+    * starts from this same derived table, so it materializes once per
+    * corpus instead of re-tokenizing per query — the session analog of
+    * the shingle table a production dedup pipeline writes to parquet.
+    */
   private def withShingles(documents: DataFrame, n: Int): DataFrame =
-    documents
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .withColumn("sh", array_distinct(shinglesFromToks(col("toks"), n)))
+    graft.engine.Views.pinned(documents, s"shingles$n")(
+      _.withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("sh", array_distinct(shinglesFromToks(col("toks"), n))))
 
   /** Exact dedup: group identical texts (md5 key), keep the smallest
     * doc_id as canonical, report the group size.
@@ -109,9 +115,10 @@ object Dedup {
     * 3-gram shingles. Computed entirely map-side.
     */
   def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame =
-    withShingles(documents, 3).select(
-      col("doc_id"),
-      graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
+    graft.engine.Views.pinned(documents, s"minhash$numHashes")(d =>
+      withShingles(d, 3).select(
+        col("doc_id"),
+        graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig")))
 
   /** MinHash + LSH banding: `numBands` bands of `rowsPerBand` signature
     * rows; docs sharing any band bucket become candidates; candidates are
@@ -124,7 +131,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val sigs = minhashSignatures(documents, numHashes).cache()
+    val sigs = minhashSignatures(documents, numHashes) // pinned view — do not re-cache
     // The band bucket key is the raw 4-long signature slice, not a hash of
     // it: Spark equi-joins on array<bigint> directly, so this costs one
     // comparison per probe while eliminating bucket-collision false
@@ -288,17 +295,18 @@ object Dedup {
     * same-vocab/different-frequency documents apart.
     */
   def simhash(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      graft.functions.VectorFunctions
-        .simhash64(TextAnalysis.tokens(col("text")))
-        .as("simhash"))
+    graft.engine.Views.pinned(documents, "simhash")(
+      _.select(
+        col("doc_id"),
+        graft.functions.VectorFunctions
+          .simhash64(TextAnalysis.tokens(col("text")))
+          .as("simhash")))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
     * via 16-bit chunk banding (pigeonhole over 4 chunks ⊢ dist ≤ 3).
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(documents).cache()
+    val sigs = simhash(documents) // pinned view — do not re-cache
     val chunked = sigs.select(
       col("doc_id"),
       col("simhash"),
@@ -329,7 +337,7 @@ object Dedup {
       minJaccard: Double,
       maxIters: Int = 20,
       collectEdgeThreshold: Long = 4L << 20): DataFrame = {
-    val pairs = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b")).cache()
+    val pairs = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b")).cacheT()
     val nEdges = pairs.count()
     if (nEdges <= collectEdgeThreshold) {
       // Small-graph fast path: near-dup edge lists are orders of magnitude
@@ -369,7 +377,7 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src")
       .withColumnRenamed("doc_b", "dst")
-      .cache()
+      .cacheT()
     // Iterate ONLY over edge-touched vertices: a doc with no near-dup edge
     // can never leave its own singleton label, so keeping the full corpus
     // in the loop just re-shuffles dead weight every iteration (at 100 TB
@@ -379,7 +387,7 @@ object Dedup {
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster", col("doc_id"))
-      .cache()
+      .cacheT()
     val dbg = sys.env.contains("GRAFT_DEBUG_CC")
     var t0 = System.nanoTime()
     labels.count() // materialize before looping: iterations must not re-run the pair join
@@ -395,7 +403,7 @@ object Dedup {
         .union(propagated)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
-        .cache()
+        .cacheT()
       val changed = next
         .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .filter(col("cluster") =!= col("prev"))
@@ -477,12 +485,20 @@ object Dedup {
     * Emitted jaccard values are integer-ratio doubles, bit-identical to
     * the oracle's `len(intersect)/len(union)`.
     */
-  def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
+  def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame =
+    // PINNED: the verified pair list is the gold standard four other
+    // dedup evaluators join against ([[nearDupClusters]],
+    // [[dedupedCorpus]], [[blockingQuality]], [[dedupPrf]]) — one
+    // PPJoin pass per (session, corpus, threshold) instead of five.
+    graft.engine.Views.pinned(documents, s"ngramJaccard$minJaccard")(
+      buildNgramJaccard(_, minJaccard))
+
+  private def buildNgramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
     // cached once for the verification join only (doc_id → gram array);
     // the candidate-generation postings are re-derived inline below
     val grams = withShingles(documents, 3)
       .select(col("doc_id"), col("sh").as("grams"))
-      .cache()
+      .cacheT()
 
     // Canonical gram order by ascending global document frequency (gram
     // string as tie-break), so every document's "prefix" holds its rarest
@@ -630,7 +646,7 @@ object Dedup {
   def ngramContainment(documents: DataFrame, minContainment: Double): DataFrame = {
     val grams = withShingles(documents, 3)
       .select(col("doc_id"), col("sh").as("grams"))
-      .cache()
+      .cacheT()
 
     import org.apache.spark.sql.expressions.Window
     val wGram = Window.partitionBy(col("gram"))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.engine.Caches.CacheOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -235,16 +236,23 @@ object TextAnalysis {
     * dedup/overlap key at scale; the summary keeps the verify output
     * scalar.
     */
-  def winnowFingerprint(documents: DataFrame): DataFrame = {
-    val fps = graft.functions.VectorFunctions.winnow(col("text"), 8, 4)
-    documents
-      .withColumn("fps", fps)
+  def winnowFingerprint(documents: DataFrame): DataFrame =
+    winnowArrays(documents)
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         element_at(col("fps"), 1).as("min_fp"),
         element_at(col("fps"), -1).as("max_fp"))
-  }
+
+  /** Per-doc winnowing fingerprint arrays (8-gram hash, window 4) —
+    * PINNED: the winnow kernel evaluation dominates both consumers
+    * ([[winnowFingerprint]], [[winnowCopyPairs]]), so it runs once per
+    * (session, corpus).
+    */
+  private def winnowArrays(documents: DataFrame): DataFrame =
+    graft.engine.Views.pinned(documents, "winnow8x4")(
+      _.withColumn("fps", graft.functions.VectorFunctions.winnow(col("text"), 8, 4))
+        .select(col("doc_id"), col("fps")))
 
   /** Heaps'-law vocabulary growth: cumulative distinct-token count as
     * the corpus grows in doc_id order, reported at each document that
@@ -305,8 +313,7 @@ object TextAnalysis {
     // with its size alongside — n_fp rides the postings (two extra longs
     // per posting row) instead of costing a second fingerprint pass and
     // two post-aggregation joins.
-    val allPostings = documents
-      .withColumn("fps", graft.functions.VectorFunctions.winnow(col("text"), 8, 4))
+    val allPostings = winnowArrays(documents)
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
@@ -372,8 +379,8 @@ object TextAnalysis {
     // One tokenizing pass per n-gram order; the corpus totals come from
     // the vocabulary-sized count tables (cached — they feed both the
     // totals and the join), never a second scan of the corpus.
-    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")).cache()
-    val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("n_w")).cache()
+    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")).cacheT()
+    val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("n_w")).cacheT()
     val nBi = biCounts.agg(sum(col("n_ab"))).head().getLong(0)
     val nUni = uniCounts.agg(sum(col("n_w"))).head().getLong(0)
     val scoreSql =
@@ -1595,6 +1602,42 @@ object TextAnalysis {
         col("alloc1"),
         col("alloc2"),
         expr("CAST(alloc2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)").as("sample_rate"))
+  }
+
+  /** Quality-ranked GLOBAL token-budget cut — the doc-level selection
+    * that [[waterfill]]'s per-source allocation feeds at corpus scale:
+    * rank every document by an integer quality proxy (stopword density
+    * on the MICRO grid, `(10⁶·hits) div tokens` — order-free, ties by
+    * doc_id), run the exact token cumsum in that order, and keep
+    * documents while the running total stays within the budget (half
+    * the corpus tokens — scale-free, no fixed constant to empty at
+    * another SF). The cut is the classic "best docs until the budget is
+    * spent" curation pass; both global stages ride the scalable
+    * primitives ([[graft.engine.Relational.scalableGlobalRank]] /
+    * [[graft.engine.Relational.scalableCumSum]]) — no single-partition
+    * corpus window anywhere. Output is |sources|-bounded: per-source
+    * doc/token totals, kept counts, and the worst kept quality.
+    */
+  def budgetCut(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val perDoc = documents
+      .select(
+        col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        vocabHits(toks, stopwords("en")).cast("long").as("hits"))
+      .withColumn("q_micro", expr("(1000000 * hits) div n_tokens"))
+    val budget = perDoc.agg(expr("sum(n_tokens) div 2").as("budget"))
+    graft.engine.Relational
+      .scalableCumSum(perDoc, "n_tokens", col("q_micro").desc, col("doc_id").asc)
+      .crossJoin(broadcast(budget))
+      .withColumn("kept", col("cum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        min(when(col("kept"), col("q_micro"))).as("cut_q_micro"))
   }
 
   /** Curriculum schedule over sources ordered by mean document quality
