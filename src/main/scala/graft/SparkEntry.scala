@@ -1157,7 +1157,15 @@ object SparkEntry {
       TextAnalysis.budgetCut(Tables.documents(s, dir)).orderBy("source")),
     "q_bitext_mine" -> ((s, dir) =>
       Similarity.bitextMine(Tables.embeddings(s, dir), Tables.documents(s, dir))
-        .orderBy("src_id"))
+        .orderBy("src_id")),
+    "q_t_closeness" -> ((s, dir) =>
+      Analytics.tCloseness(Tables.orders(s, dir)).orderBy("priority", "o_year")),
+    "q_lsh_scurve" -> ((s, dir) =>
+      Dedup.lshSCurve(Tables.documents(s, dir)).orderBy("bucket")),
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, dir)).orderBy("lang")),
+    "q_doc_ppl" -> ((s, dir) =>
+      TextAnalysis.docPpl(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   // Shared SQL fragments (identical text on both engines — see Stages).
@@ -6235,6 +6243,95 @@ object SparkEntry {
          SELECT k.event_type, k.h, k.doubled_count, nk.n_kept
          FROM kept k JOIN nk ON k.event_type = nk.event_type
          ORDER BY k.event_type, k.h""",
+    "q_t_closeness" ->
+      """WITH cell AS (SELECT o_orderpriority AS priority,
+                       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       o_orderstatus AS status, CAST(count(*) AS BIGINT) AS c_gv
+                FROM orders GROUP BY 1, 2, 3),
+         grp AS (SELECT priority, o_year, CAST(sum(c_gv) AS BIGINT) AS n_g FROM cell GROUP BY 1, 2),
+         gm AS (SELECT status, CAST(sum(c_gv) AS BIGINT) AS c_v FROM cell GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_v) AS BIGINT) AS n FROM gm),
+         ex AS (SELECT grp.priority, grp.o_year, grp.n_g, gm.status, gm.c_v, tot.n
+                FROM grp CROSS JOIN gm CROSS JOIN tot),
+         j AS (SELECT ex.priority, ex.o_year, ex.n_g, ex.n, ex.c_v,
+                      coalesce(cell.c_gv, 0) AS c_gv
+               FROM ex LEFT JOIN cell ON cell.priority = ex.priority
+                 AND cell.o_year = ex.o_year AND cell.status = ex.status),
+         agg AS (SELECT priority, o_year, max(n_g) AS n_g, max(n) AS n,
+                        sum(abs(CAST(c_gv AS HUGEINT) * n - CAST(c_v AS HUGEINT) * n_g)) AS tv_num
+                 FROM j GROUP BY 1, 2)
+         SELECT priority, o_year, n_g AS n_rows,
+                CAST(tv_num AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)) AS tv_dist,
+                5 * tv_num <= CAST(2 AS HUGEINT) * n_g * n AS is_close
+         FROM agg ORDER BY priority, o_year""",
+    "q_lsh_scurve" -> {
+      val curve = graft.text.Dedup.analyticDetectProb(8, 4).zipWithIndex
+        .map { case (p, d) => s"WHEN bucket = $d THEN CAST($p AS DOUBLE)" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
+         gold AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         least(CAST(floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                           CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) * 10) AS BIGINT), 9) AS bucket
+                  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+                  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.3),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         det AS (SELECT gold.bucket, CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+                 FROM gold LEFT JOIN cand ON cand.doc_a = gold.doc_a AND cand.doc_b = gold.doc_b)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_detected,
+                CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS detect_rate,
+                $curve AS p_analytic
+         FROM det GROUP BY bucket ORDER BY bucket"""
+    },
+    "q_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+         bk AS (SELECT doc_id, lang,
+                       CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS b
+                FROM tok),
+         counts AS (SELECT b, CAST(count(*) AS BIGINT) AS n_all,
+                           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+                    FROM bk GROUP BY b),
+         tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS t_all, CAST(sum(n_tgt) AS BIGINT) AS t_tgt FROM counts),
+         lam AS (SELECT b, CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE)) - ln(CAST(t_tgt + 256 AS DOUBLE))
+                                     - ln(CAST(n_all + 1 AS DOUBLE)) + ln(CAST(t_all + 256 AS DOUBLE)))
+                                     * 1000000) AS BIGINT) AS lam_micro
+                 FROM counts CROSS JOIN tot),
+         db AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2, 3),
+         dw AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok, CAST(sum(c * lam_micro) AS BIGINT) AS w_micro
+                FROM db JOIN lam USING (b) GROUP BY 1, 2)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_frac,
+                CAST(sum(w_micro) AS DOUBLE) / (1000000.0 * CAST(sum(n_tok) AS DOUBLE)) AS mean_nats_per_tok
+         FROM dw GROUP BY lang ORDER BY lang""",
+    "q_doc_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1, 2),
+         pre AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc GROUP BY w1),
+         vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)),
+         costs AS (SELECT bc.w1, bc.w2,
+                          CAST(round((ln(CAST(n_a + v AS DOUBLE)) - ln(CAST(n_ab + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS cost_micro
+                   FROM bc JOIN pre ON bc.w1 = pre.w1 CROSS JOIN vc),
+         db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                CAST(sum(c * cost_micro) AS DOUBLE) / (1000000.0 * CAST(sum(c) AS DOUBLE)) AS nats_per_bigram
+         FROM db JOIN costs ON db.w1 = costs.w1 AND db.w2 = costs.w2
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_l_diversity" ->
       """SELECT o_orderpriority AS priority,
                 CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -5329,6 +5329,50 @@ object Analytics {
         col("l_div"),
         (col("l_div") >= 2).as("is_diverse"))
 
+  /** t-closeness audit over the same (order priority × order year)
+    * quasi-identifier grid as [[lDiversity]], sensitive attribute =
+    * order status: per QI group the total-variation distance between
+    * the group's sensitive-value distribution and the GLOBAL one,
+    * TV = ½ Σ_v |c_gv/n_g − c_v/n| — the release-safety bound
+    * l-diversity misses (a group can be diverse yet skewed toward one
+    * sensitive value). All mass terms are EXACT DECIMAL(38)
+    * cross-products (|c_gv·n − c_v·n_g| — counts up to ~10¹² square to
+    * ~10²⁴, past BIGINT but inside decimal38 on both engines); the one
+    * division is at the output, and the t ≤ 0.2 verdict is decided by
+    * integer cross-multiplication (5·num ≤ 2·n_g·n), never a float
+    * compare. Plan: one (QI, status) count cube, a broadcast of the
+    * |statuses|-bounded global marginal expanded over the QI grid, a
+    * left join to zero-fill absent statuses, one grouped sum.
+    */
+  def tCloseness(orders: DataFrame): DataFrame = {
+    val cell = orders
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("c_gv"))
+    val group = cell.groupBy(col("priority"), col("o_year")).agg(sum(col("c_gv")).as("n_g"))
+    val global = cell.groupBy(col("status")).agg(sum(col("c_gv")).as("c_v"))
+    val total = global.agg(sum(col("c_v")).as("n"))
+    group
+      .crossJoin(broadcast(global.crossJoin(total)))
+      .join(cell, Seq("priority", "o_year", "status"), "left")
+      .withColumn("c_gv", coalesce(col("c_gv"), lit(0L)))
+      .groupBy(col("priority"), col("o_year"))
+      .agg(
+        max(col("n_g")).as("n_g"),
+        max(col("n")).as("n"),
+        sum(expr("abs(CAST(c_gv AS DECIMAL(38,0)) * n - CAST(c_v AS DECIMAL(38,0)) * n_g)"))
+          .as("tv_num"))
+      .select(
+        col("priority"),
+        col("o_year"),
+        col("n_g").as("n_rows"),
+        expr("CAST(tv_num AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE))")
+          .as("tv_dist"),
+        expr("5 * tv_num <= CAST(2 AS DECIMAL(38,0)) * n_g * n").as("is_close"))
+  }
+
   /** Session-duration distribution: 30-minute-gap sessions per user
     * (the [[sessionizeBatch]] shape), durations in whole seconds, then
     * exact p50/p90 order statistics (lower rule) over the duration

@@ -631,6 +631,61 @@ object Dedup {
         abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
   }
 
+  /** LSH S-curve planning report: per exact-Jaccard decile of the gold
+    * pair set, the OBSERVED band-detection rate of the (b bands × r
+    * rows) MinHash scheme next to the ANALYTIC detection probability
+    * 1 − (1 − s^r)^b at the decile midpoint — the parameter-tuning
+    * table that says which similarity range the configured banding
+    * actually catches before anyone commits to a corpus-wide run.
+    * Gold pairs are the exact PPJoin-verified [[ngramJaccard]] pairs
+    * (pinned view); detection candidates are ALL band-sharing pairs
+    * ([[minhashNearDups]] with the estimate filter at 0 — banded
+    * candidate generation, never an all-pairs matrix). Deciles come
+    * from one shared float multiply+floor; the analytic curve is a
+    * per-decile literal computed once by repeated multiplication and
+    * embedded verbatim in both engines (`Double.toString` round-trips
+    * exactly), so no cross-engine `pow` enters the compare.
+    */
+  def lshSCurve(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.3): DataFrame = {
+    val gold = ngramJaccard(documents, minJaccard)
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("least(CAST(floor(jaccard * 10) AS BIGINT), 9)").as("bucket"))
+    val detected = minhashNearDups(documents, numBands, rowsPerBand, minEstJaccard = 0.0)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val analytic = analyticDetectProb(numBands, rowsPerBand)
+    val curve = analytic.zipWithIndex
+      .map { case (p, d) => s"WHEN bucket = $d THEN CAST($p AS DOUBLE)" }
+      .mkString("CASE ", " ", " END")
+    gold
+      .join(detected, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+      .select(
+        col("bucket"), col("n_pairs"), col("n_detected"),
+        expr("CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)").as("detect_rate"),
+        expr(curve).as("p_analytic"))
+  }
+
+  /** 1 − (1 − s^r)^b at each decile midpoint s = (d+0.5)/10, by plain
+    * repeated double multiplication (no libm `pow`); `Double.toString`
+    * of these values round-trips bit-exactly into both engines' SQL.
+    */
+  private[graft] def analyticDetectProb(numBands: Int, rowsPerBand: Int): IndexedSeq[Double] =
+    (0 to 9).map { d =>
+      val s = (d + 0.5) / 10.0
+      val sr = (1 until rowsPerBand).foldLeft(s)((acc, _) => acc * s)
+      val q = 1.0 - sr
+      val qb = (1 until numBands).foldLeft(q)((acc, _) => acc * q)
+      1.0 - qb
+    }
+
   /** Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ τ —
     * the sub-document overlap detector (quotes, near-subsets) that
     * Jaccard misses when |B| ≫ |A|. Exact prefix filter, one-sided:

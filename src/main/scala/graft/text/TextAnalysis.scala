@@ -875,6 +875,107 @@ object TextAnalysis {
       .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("n_a"), col("p_cond"))
   }
 
+  /** DSIR-style importance weights (hashed-n-gram importance resampling,
+    * Xie et al. 2023): score every document by how much its hashed
+    * unigram distribution looks like a TARGET slice (here `lang =
+    * targetLang`) relative to the raw corpus, λ_b = ln p̂_target(b) −
+    * ln p̂_raw(b) over `buckets` hashed feature slots with add-1
+    * smoothing, per-doc weight = Σ_tokens λ_bucket(token). The bucket
+    * table is |buckets|-bounded (broadcast); per-bucket λ is quantized
+    * to INTEGER micronats before any corpus-scale sum (the
+    * [[sourceEntropy]] discipline — no float crosses a shuffle), so
+    * doc weights are exact integers. Report is |langs|-bounded: docs,
+    * positive-weight share (the resampling acceptance mass), and mean
+    * nats/token — target-language rows should surface positive, which
+    * is the sanity check on the featurizer itself.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en", buckets: Int = 256): DataFrame = {
+    val bucketed = documents
+      .select(col("doc_id"), col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+      .select(
+        col("doc_id"), col("lang"),
+        expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $buckets").as("b"))
+    val counts = bucketed
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+    val tot = counts.agg(sum(col("n_all")).as("t_all"), sum(col("n_tgt")).as("t_tgt"))
+    val lam = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b"),
+        expr(s"""CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE)) - ln(CAST(t_tgt + $buckets AS DOUBLE))
+                           - ln(CAST(n_all + 1 AS DOUBLE)) + ln(CAST(t_all + $buckets AS DOUBLE)))
+                           * 1000000) AS BIGINT)""").as("lam_micro"))
+    bucketed
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tok"), sum(col("c") * col("lam_micro")).as("w_micro"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("w_micro") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("w_micro")).as("sum_micro"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(
+        col("lang"), col("n_docs"), col("n_pos"),
+        expr("CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("pos_frac"),
+        expr("CAST(sum_micro AS DOUBLE) / (1000000.0 * CAST(sum_tok AS DOUBLE))")
+          .as("mean_nats_per_tok"))
+  }
+
+  /** Per-document cross-entropy under the corpus add-1 bigram LM — the
+    * CCNet/perplexity-bucket quality signal without an external model:
+    * cost(w1 w2) = −ln((c(w1,w2)+1)/(c(w1,·)+V)) quantized to INTEGER
+    * micronats per bigram TYPE (vocab²-bounded table), each document
+    * sums cost over its bigram tokens in exact integer arithmetic, and
+    * reports nats/bigram from one output division. High values =
+    * improbable word transitions (gibberish, boilerplate soup); the
+    * standard curation split buckets docs by this number. Plan: corpus
+    * bigram counts (map-combined) → per-doc bigram multiset joins the
+    * cost table on the (w1,w2) key — vocab-scale equi-join, broadcast
+    * scalar V, no corpus self-join anywhere.
+    */
+  def docPpl(documents: DataFrame): DataFrame = {
+    val toksDf = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toksDf
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(
+            element_at(col("t"), i).as("w1"),
+            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val prefix = biCounts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val costs = biCounts
+      .join(prefix, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("w1"), col("w2"),
+        expr("""CAST(round((ln(CAST(n_a + v AS DOUBLE)) - ln(CAST(n_ab + 1 AS DOUBLE)))
+                          * 1000000) AS BIGINT)""").as("cost_micro"))
+    bigrams
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .join(costs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("cost_micro")).as("cost_sum"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        expr("CAST(cost_sum AS DOUBLE) / (1000000.0 * CAST(n_bigrams AS DOUBLE))")
+          .as("nats_per_bigram"))
+  }
+
   /** Fixed-size overlapping chunking — the context-window splitter of an
     * LLM ingest pipeline: windows of `size` chars every `stride` chars
     * (overlap = size − stride), chunk count derived in INTEGER arithmetic
