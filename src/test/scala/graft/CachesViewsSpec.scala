@@ -32,6 +32,27 @@ class CachesViewsSpec extends AnyFunSuite {
     assert(pinned.storageLevel != StorageLevel.NONE, "pin must survive the sweep")
   }
 
+  test("Views.free releases only this session's pins") {
+    val mine = Views.pinned(Tables.region(spark, sfDir), "spec-free")(
+      _.select(col("r_regionkey")))
+    mine.count()
+    assert(mine.storageLevel != StorageLevel.NONE)
+    // a DIFFERENT plan than `mine`: sessions of one SparkContext share
+    // the CacheManager, which uncaches BY PLAN — freeing a same-plan pin
+    // in another session would drop this session's storage too
+    val other = spark.newSession()
+    val theirs = Views.pinned(
+      other.read.parquet(s"$sfDir/nation.parquet"), "spec-free")(
+      _.select(col("n_nationkey")))
+    theirs.count()
+    Views.free(other)
+    assert(theirs.storageLevel == StorageLevel.NONE, "freed session's pin must unpersist")
+    assert(mine.storageLevel != StorageLevel.NONE, "other sessions' pins must survive")
+    val again = Views.pinned(Tables.region(spark, sfDir), "spec-free")(
+      _.select(col("r_regionkey")))
+    assert(again eq mine, "surviving pin still memoized after a foreign free")
+  }
+
   test("pinned returns the SAME materialized frame per (session, input, tag)") {
     val a = Views.pinned(Tables.region(spark, sfDir), "spec-same")(_.select(col("r_regionkey")))
     val b = Views.pinned(Tables.region(spark, sfDir), "spec-same")(_.select(col("r_regionkey")))

@@ -77,6 +77,21 @@ class SmtpSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("CRLF in header values cannot inject headers or terminate DATA early") {
+    val srv = new FakeSmtp
+    try {
+      // a subject carrying an injection attempt: extra header + early
+      // dot-terminator + smuggled body — all must fold into ONE header
+      new SmtpAlerter("127.0.0.1", srv.port, "graft@pipeline", "oncall@example")
+        .alert("Alert\r\nBcc: evil@example\r\n.\r\nsmuggled", "body line")
+      srv.thread.join(5000)
+      val subject = srv.dataLines.filter(_.startsWith("Subject: "))
+      assert(subject.toList == List("Subject: Alert Bcc: evil@example . smuggled"))
+      assert(!srv.dataLines.exists(_.startsWith("Bcc:")), "injected header leaked")
+      assert(srv.dataLines.last == "body line", "DATA terminated early")
+    } finally srv.close()
+  }
+
   test("a rejected recipient surfaces as an error, not a silent drop") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val t = new Thread(() => {

@@ -14,38 +14,65 @@ import sys
 
 
 def load(path):
+    """Returns (best_of_2, noise) maps. noise[q] = |p1-p2| pass spread when
+    the file carries the per_query_passes line (graft.Bench ≥ round 5),
+    else {} — regressions within the spread are machine noise, not change.
+    """
     text = open(path).read()
-    # try proper JSON lines first
+    best, noise = None, {}
     for line in text.splitlines():
         line = line.strip()
-        if '"per_query"' in line or '"queries"' in line:
+        if '"per_query_passes"' in line:
+            try:
+                d = json.loads(line)
+                p1, p2 = d.get("p1", {}), d.get("p2", {})
+                noise = {k: abs(float(p1[k]) - float(p2[k]))
+                         for k in set(p1) & set(p2)}
+            except json.JSONDecodeError:
+                pass
+        elif '"per_query"' in line or '"queries"' in line:
             try:
                 d = json.loads(line)
                 if "queries" in d:
-                    return {k: float(v) for k, v in d["queries"].items()}
+                    best = {k: float(v) for k, v in d["queries"].items()}
             except json.JSONDecodeError:
                 pass
+    if best is not None:
+        return best, noise
     # fall back: scrape "q_name":seconds pairs anywhere (driver tail format)
     # tolerate JSON-escaped quotes (the driver stores the tail re-encoded)
     pairs = re.findall(r'\\?"(q_[a-zA-Z0-9_]+)\\?":([0-9.eE+-]+)', text)
     if not pairs:
         sys.exit(f"no per-query timings found in {path}")
-    return {k: float(v) for k, v in pairs}
+    return {k: float(v) for k, v in pairs}, {}
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old, new = load(old_path), load(new_path)
+    (old, old_noise), (new, new_noise) = load(old_path), load(new_path)
+
+    def noise_of(q):
+        return max(old_noise.get(q, 0.0), new_noise.get(q, 0.0))
+
+    def noise_tag(q, delta):
+        n = noise_of(q)
+        if not old_noise and not new_noise:
+            return ""
+        verdict = "WITHIN NOISE" if abs(delta) <= n else "real"
+        return f" [spread {n:.2f}s: {verdict}]"
+
     common = sorted(set(old) & set(new))
     regressions = [(q, old[q], new[q]) for q in common
                    if new[q] > old[q] * thr and new[q] - old[q] > 0.25]
     for q, o, n in sorted(regressions, key=lambda x: x[1] - x[2]):
-        print(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x)")
+        print(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x)"
+              + noise_tag(q, n - o))
     improved = [(q, old[q], new[q]) for q in common
                 if old[q] > new[q] * thr and old[q] - new[q] > 0.25]
     for q, o, n in sorted(improved, key=lambda x: x[2] - x[1]):
-        print(f"improved  {q}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x)")
+        print(f"improved  {q}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x)"
+              + noise_tag(q, n - o))
     for q in sorted(set(new) - set(old)):
         print(f"new       {q}: {new[q]:.2f}s")
     for q in sorted(set(old) - set(new)):
