@@ -379,6 +379,8 @@ object SparkEntry {
       TextAnalysis.sourceHhi(Tables.documents(s, dir)).orderBy("source")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalBestMatch(Tables.documents(s, dir)).orderBy("new_doc")),
     "q_minhash_acc" -> ((s, dir) =>
       Dedup.minhashAccuracy(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -3440,6 +3442,36 @@ object SparkEntry {
          FROM sj
          WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5
          ORDER BY doc_a, doc_b""",
+    "q_dedup_incremental" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         split AS (SELECT doc_id,
+                   CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 = 0 AS is_new
+                   FROM documents),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+                  FROM keyed a
+                  JOIN split sa ON sa.doc_id = a.doc_id AND sa.is_new
+                  JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig
+                  JOIN split sb ON sb.doc_id = b.doc_id AND NOT sb.is_new),
+         est AS (SELECT new_doc, corpus_doc,
+                 CAST(len(list_filter(generate_series(1,32), i -> sn.sig[i] = sc.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+                 FROM cand JOIN sig sn ON sn.doc_id = new_doc JOIN sig sc ON sc.doc_id = corpus_doc),
+         best AS (SELECT new_doc, corpus_doc, est_jaccard,
+                  row_number() OVER (PARTITION BY new_doc ORDER BY est_jaccard DESC, corpus_doc ASC) AS rk
+                  FROM est WHERE est_jaccard >= 0.5)
+         SELECT s.doc_id AS new_doc, b.corpus_doc, b.est_jaccard, b.corpus_doc IS NULL AS admitted
+         FROM split s LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_doc = s.doc_id
+         WHERE s.is_new
+         ORDER BY new_doc""",
     "q_minhash_acc" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
          h AS (SELECT doc_id,

@@ -215,6 +215,63 @@ object Dedup {
       .withColumn("crosses_split", col("split_a") =!= col("split_b"))
   }
 
+  /** Incremental ingest screening — the production shape for CONTINUOUS
+    * ingestion, where a day's batch is deduped against the standing
+    * corpus without ever re-pairing the corpus with itself: the docs in
+    * md5-bucket 0 of 10 (a deterministic ~10% "today's batch") probe the
+    * banded MinHash index of the remaining 90%. The corpus-side
+    * signature table is the pinned per-snapshot artifact
+    * ([[minhashSignatures]]); candidates come only from band-bucket
+    * equality (index probes, |batch|-driven), never a batch×corpus join;
+    * and the verdict is |batch|-bounded: each new doc reports its
+    * best-matching corpus doc at est-Jaccard ≥ `minEstJaccard` (ties to
+    * the smallest doc id) or `admitted` = true when no index bucket
+    * produced a qualifying match.
+    */
+  def incrementalBestMatch(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket =
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10"
+    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
+      .withColumn("is_new", expr(s"$bucket = 0"))
+    val withBands = sigs
+      .select(
+        col("doc_id"), col("sig"), col("is_new"),
+        posexplode(
+          array((0 until numBands).map(b =>
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+          .as(Seq("band", "band_sig")))
+    val batch = withBands.filter(col("is_new"))
+      .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"), col("sig").as("sig_n"))
+    val corpus = withBands.filter(!col("is_new"))
+      .select(col("band"), col("band_sig"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
+    val best = batch.join(corpus, Seq("band", "band_sig"))
+      .select(col("new_doc"), col("corpus_doc"), col("sig_n"), col("sig_c"))
+      .distinct()
+      .withColumn(
+        "est_jaccard",
+        expr("size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), v -> v)) / cast(size(sig_n) as double)"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("new_doc"))
+            .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)))
+      .filter(col("rk") === 1)
+      .select(col("new_doc"), col("corpus_doc"), col("est_jaccard"))
+    sigs.filter(col("is_new")).select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(
+        col("new_doc"),
+        col("corpus_doc"),
+        col("est_jaccard"),
+        col("corpus_doc").isNull.as("admitted"))
+  }
+
   /** LSH tuning report: per band, the bucket-size distribution the
     * banding induces — bucket count, singleton count, largest bucket and
     * the candidate-pair volume Σ s(s−1)/2 the verifier stage will face.

@@ -73,4 +73,45 @@ class HoltZipfIncrSpec extends AnyFunSuite {
       .toMap
     assert(got == expect)
   }
+
+  test("incrementalBestMatch attributes each batch doc to its best corpus match or admits it") {
+    val sigs = Dedup.minhashSignatures(Tables.documents(spark, sfDir), 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val (batch, corpus) = sigs.partition { case (id, _) => bucket(id) == 0 }
+    val corpusBands: Map[(Int, Seq[Long]), Seq[Long]] = corpus
+      .flatMap { case (id, s) => (0 until 8).map(bd => ((bd, s.slice(bd * 4, bd * 4 + 4)), id)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val corpusSig = corpus.toMap
+    val expect = batch.map { case (id, s) =>
+      val cands = (0 until 8)
+        .flatMap(bd => corpusBands.getOrElse((bd, s.slice(bd * 4, bd * 4 + 4)), Nil))
+        .distinct
+      val scored = cands
+        .map(c => (c, s.zip(corpusSig(c)).count { case (x, y) => x == y } / 32.0))
+        .filter(_._2 >= 0.5)
+      val best = scored.sortBy { case (c, j) => (-j, c) }.headOption
+      id -> best
+    }.toMap
+    val got = Dedup.incrementalBestMatch(Tables.documents(spark, sfDir))
+      .collect()
+      .map { r =>
+        val m =
+          if (r.isNullAt(r.fieldIndex("corpus_doc"))) None
+          else Some((r.getAs[Long]("corpus_doc"), r.getAs[Double]("est_jaccard")))
+        assert(r.getAs[Boolean]("admitted") == m.isEmpty)
+        r.getAs[Long]("new_doc") -> m
+      }.toMap
+    assert(got.keySet == expect.keySet, "batch membership must be the md5 mod-10 split")
+    assert(got == expect)
+    assert(batch.nonEmpty && corpus.nonEmpty, "split must cut both ways")
+    // the matched path (corpus_doc attribution) has no cross-split
+    // near-dup in this fixture; it is exercised by the sf0.01/sf0.1
+    // oracle runs (q_dedup_incremental: 1 and 46 matched pairs)
+  }
 }
