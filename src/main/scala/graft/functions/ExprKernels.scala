@@ -132,6 +132,34 @@ object ExprKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** One-pass byte-histogram entropy stats for a payload: returns
+    * (n_bytes, n_distinct, ent_micro) where ent_micro = Σ over distinct
+    * codes of round(c·ln(c)·10⁶) — the micronat-quantized Σ c·ln c term
+    * of H = ln n − (Σ c·ln c)/n. Iterates CODEPOINTS to mirror
+    * `ascii(substring(text, i, 1))` exactly; `Math.log` is the same
+    * libm call Spark's `ln` makes and c·ln(c) ≥ 0, so `Math.round`
+    * reproduces SQL `round` bit-for-bit here. Replaces an
+    * explode-per-character + two-shuffle plan with zero shuffles — at
+    * corpus scale the explode shuffled |corpus|·avg_len rows.
+    */
+  def byteEntropy(text: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var n = 0L
+    val it = text.codePoints().iterator()
+    while (it.hasNext) {
+      counts.merge(it.next(), 1, (a: Integer, b: Integer) => a + b)
+      n += 1L
+    }
+    var ent = 0L
+    val vs = counts.values().iterator()
+    while (vs.hasNext) {
+      val c = vs.next().toLong
+      ent += Math.round(c.toDouble * Math.log(c.toDouble) * 1000000.0)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size().toLong, ent))
+  }
+
   /** Per-frame energy of a payload: Σ code(c)² over consecutive frames
     * of `frame` chars (last frame may be short). Exact integer sums —
     * an engine without the kernel reproduces each element from ascii

@@ -184,6 +184,32 @@ case class FrameEnergy(child: Expression, frame: Int)
     copy(child = newChild)
 }
 
+/** One-pass byte-entropy sufficient statistics over a text payload —
+  * struct(n_bytes, n_distinct, ent_micro); see
+  * [[ExprKernels.byteEntropy]]. A codegen'd scalar loop per row in
+  * place of an explode-per-character plan (which shuffles corpus×len
+  * rows); exact integers, reproducible by any engine from codepoints.
+  */
+case class ByteEntropyStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ent_micro", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_byte_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.byteEntropy(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.byteEntropy($a.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid (IVF coarse-quantizer) cell id: index of the L2-
   * nearest centroid, first match on ties. Distances expand as
   * `v·v − 2·v·c + c·c` with sequential folds — the exact arithmetic an
@@ -426,5 +452,11 @@ object VectorFunctions {
   def frameEnergy(text: Column, frame: Int): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(FrameEnergy(ColumnShim.expression(text), frame))
+  }
+
+  /** Column API for [[ByteEntropyStats]]. Argument: a string column. */
+  def byteEntropyStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(ByteEntropyStats(ColumnShim.expression(text)))
   }
 }

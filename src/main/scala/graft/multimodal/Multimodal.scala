@@ -78,19 +78,22 @@ object Multimodal {
     * literal. Flags `high_entropy` above 6 bits/byte.
     */
   def payloadEntropy(documents: DataFrame): DataFrame = {
-    val counts = documents
+    // One-pass native histogram kernel per payload (zero shuffles) in
+    // place of the explode-per-character spelling, which shuffled
+    // corpus×len (doc, byte) rows through two aggregations — the
+    // dominant cost here and a scale liability. Identical integer
+    // sufficient statistics (the kernel mirrors ascii(substring)
+    // codepoints, ln via the same libm call, round on a non-negative
+    // argument), so the oracle arithmetic is unchanged.
+    documents
       .select(
         col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
-          .as("byte"))
-      .groupBy(col("doc_id"), col("byte"))
-      .agg(count(lit(1)).as("c"))
-    counts
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_bytes"),
-        count(lit(1)).as("n_distinct"),
-        sum(expr("CAST(round(c * ln(c) * 1000000) AS BIGINT)")).as("ent_micro"))
+        graft.functions.VectorFunctions.byteEntropyStats(col("text")).as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_bytes").as("n_bytes"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.ent_micro").as("ent_micro"))
       .select(
         col("doc_id"), col("n_bytes"), col("n_distinct"),
         expr("""(ln(CAST(n_bytes AS DOUBLE)) -

@@ -755,7 +755,15 @@ object Dedup {
     * then verify exactly on one array intersection. Both directions
     * are emitted (containment is not symmetric).
     */
-  def ngramContainment(documents: DataFrame, minContainment: Double): DataFrame = {
+  def ngramContainment(documents: DataFrame, minContainment: Double): DataFrame =
+    // PINNED like [[ngramJaccard]] (threshold in the tag): the verified
+    // containment pair list is the same per-corpus artifact class, and
+    // its prefix-postings + verification build re-paid ~2.8 s per
+    // invocation at sf0.1.
+    graft.engine.Views.pinned(documents, s"ngramContainment$minContainment")(
+      buildNgramContainment(_, minContainment))
+
+  private def buildNgramContainment(documents: DataFrame, minContainment: Double): DataFrame = {
     val grams = withShingles(documents, 3)
       .select(col("doc_id"), col("sh").as("grams"))
       .cacheT()
