@@ -381,6 +381,8 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalBestMatch(Tables.documents(s, dir)).orderBy("new_doc")),
+    "q_doc_surprisal" -> ((s, dir) =>
+      TextAnalysis.docSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_minhash_acc" -> ((s, dir) =>
       Dedup.minhashAccuracy(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -3472,6 +3474,17 @@ object SparkEntry {
          FROM split s LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_doc = s.doc_id
          WHERE s.is_new
          ORDER BY new_doc""",
+    "q_doc_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                       FROM documents),
+         cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM cw),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(round(ln(n_w) * 1000000) AS BIGINT)) AS BIGINT) AS lp_micro
+                 FROM toks JOIN cw USING (w) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+                ln(CAST(n_total AS DOUBLE)) - CAST(lp_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) AS surprisal
+         FROM per, tot ORDER BY doc_id""",
     "q_minhash_acc" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
          h AS (SELECT doc_id,

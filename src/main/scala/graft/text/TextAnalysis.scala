@@ -799,6 +799,36 @@ object TextAnalysis {
         .as("kl_vs_corpus"))
   }
 
+  /** Per-document mean unigram surprisal against the corpus's own
+    * unigram model — the CCNet-style quality/outlier score a curation
+    * pipeline thresholds (low = boilerplate-ish/common, high = noise or
+    * off-distribution): mean over the doc's token occurrences of
+    * −ln p(w), p(w) = n_w / n_total. Per-occurrence micronats
+    * (round(ln n_w · 10⁶) summed as BIGINT) keep the cross-row sum
+    * order-free and engine-exact, with a single ln(n_total) shift at
+    * the end — the same discipline as [[sourceEntropy]]. Shape: one
+    * postings explode, a vocabulary-bounded count (cached: it feeds the
+    * occurrence join AND the corpus total), one token-keyed join, one
+    * per-doc sum — two postings shuffles, nothing corpus² anywhere.
+    */
+  def docSurprisal(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val cw = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w")).cacheT()
+    val total = cw.agg(sum(col("n_w")).as("n_total"))
+    toks
+      .join(cw, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(expr("CAST(round(ln(n_w) * 1000000) AS BIGINT)")).as("lp_micro"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("""ln(CAST(n_total AS DOUBLE))
+                - CAST(lp_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE))""")
+          .as("surprisal"))
+  }
+
   /** Cross-source exact-duplicate matrix: for every unordered source
     * pair, how many distinct texts BOTH sources carry — the provenance
     * report that tells a curation team which sources mirror each other

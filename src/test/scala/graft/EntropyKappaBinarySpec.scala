@@ -246,4 +246,29 @@ class EntropyKappaBinarySpec extends AnyFunSuite {
       assert(k >= -1e-6) // micronat quantization can dip a hair below zero
     }
   }
+
+  test("docSurprisal: micronat-exact mean unigram surprisal per document") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val cw = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTotal = perDoc.map(_._2.length.toLong).sum
+    def micro(x: Double): Long =
+      new JBigDecimal(x).setScale(0, RoundingMode.HALF_UP).longValueExact()
+    val out = TextAnalysis.docSurprisal(Tables.documents(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("surprisal"))).toMap
+    assert(out.size == perDoc.length)
+    perDoc.foreach { case (id, ws) =>
+      val lpMicro = ws.map(w => micro(math.log(cw(w).toDouble) * 1e6)).sum
+      val expect = math.log(nTotal.toDouble) - lpMicro.toDouble / (1e6 * ws.length.toDouble)
+      val (n, s) = out(id)
+      assert(n == ws.length.toLong, s"doc $id token count")
+      assert(math.abs(s - expect) < 1e-9, s"doc $id surprisal $s vs $expect")
+      assert(s >= -1e-6, s"doc $id negative surprisal") // -ln p is non-negative
+    }
+    // the score must actually discriminate: rare-token docs above common-token docs
+    assert(out.values.map(_._2).toSet.size > 1, "surprisal is constant across the corpus")
+  }
 }

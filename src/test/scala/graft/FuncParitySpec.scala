@@ -12,6 +12,40 @@ import graft.text.TextAnalysis
 class FuncParitySpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("ByteEntropyStats kernel equals the explode-per-character SQL spelling") {
+    // the kernel replaced this exact plan — parity must hold on the real
+    // corpus AND on handcrafted edge rows (repeat-only, single char,
+    // non-ASCII codepoints)
+    import spark.implicits._
+    val edge = Seq("aaaa", "x", "ab ba", "héllo wörld", "๑๒๓", "mixed ascii ﬃ")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val real = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(200)
+    for (df <- Seq(edge, real)) {
+      val viaSql = df
+        .select(
+          col("doc_id"),
+          explode(expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+            .as("byte"))
+        .groupBy(col("doc_id"), col("byte"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_bytes"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("CAST(round(c * ln(c) * 1000000) AS BIGINT)")).as("ent_micro"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val viaKernel = df
+        .select(col("doc_id"), graft.functions.VectorFunctions.byteEntropyStats(col("text")).as("s"))
+        .select(col("doc_id"), col("s.n_bytes"), col("s.n_distinct"), col("s.ent_micro"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(viaKernel == viaSql)
+    }
+  }
+
   test("mathFuncs scalar identities hold row-wise") {
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
     // so identities are checked from each output row itself (q recovers
