@@ -831,6 +831,9 @@ object SparkEntry {
     "q_roundtrip_json" -> ((s, dir) =>
       graft.engine.Sources.roundtripAudit(s, Tables.documents(s, dir), "json")
         .orderBy("n_rows")),
+    "q_roundtrip_orc" -> ((s, dir) =>
+      graft.engine.Sources.roundtripAudit(s, Tables.documents(s, dir), "orc")
+        .orderBy("n_rows")),
     "q_oaxaca" -> ((s, dir) =>
       Inference.oaxacaDecomposition(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))
@@ -7053,6 +7056,12 @@ object SparkEntry {
                 min(h) AS min_h, max(h) AS max_h
          FROM src ORDER BY n_rows""",
     "q_roundtrip_json" ->
+      """WITH src AS (SELECT doc_id, md5(text) AS h FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+                min(h) AS min_h, max(h) AS max_h
+         FROM src ORDER BY n_rows""",
+    "q_roundtrip_orc" ->
       """WITH src AS (SELECT doc_id, md5(text) AS h FROM documents)
          SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                 CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,

@@ -233,21 +233,65 @@ object Dedup {
       numBands: Int = 8,
       rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucket =
       "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10"
     val sigs = minhashSignatures(documents, numBands * rowsPerBand)
       .withColumn("is_new", expr(s"$bucket = 0"))
-    val withBands = sigs
+    screenSigs(
+      sigs.filter(col("is_new")).select(col("doc_id"), col("sig")),
+      sigs.filter(!col("is_new")).select(col("doc_id"), col("sig")),
+      numBands, rowsPerBand, minEstJaccard)
+  }
+
+  /** Screen an ARRIVING batch of documents against a standing corpus's
+    * pinned MinHash band index — the two-input face of
+    * [[incrementalBestMatch]] that composes into streaming ingestion:
+    * inside `foreachBatch`, the micro-batch computes its own signatures
+    * inline (map-side, no pinning of transient data) and probes the
+    * corpus index that was materialized once per snapshot. Same verdict
+    * contract: per batch doc, the best corpus match at est-Jaccard ≥
+    * `minEstJaccard` or `admitted`.
+    */
+  def screenAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val batchSigs = batch
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", array_distinct(shinglesFromToks(col("toks"), 3)))
       .select(
-        col("doc_id"), col("sig"), col("is_new"),
+        col("doc_id"),
+        graft.functions.VectorFunctions.minhashSignature(col("sh"), numBands * rowsPerBand)
+          .as("sig"))
+    screenSigs(
+      batchSigs,
+      minhashSignatures(corpus, numBands * rowsPerBand),
+      numBands, rowsPerBand, minEstJaccard)
+  }
+
+  /** Shared verdict core: band-probe `batchSigs` (doc_id, sig) against
+    * `corpusSigs`, verify candidates by signature-position Jaccard, and
+    * report each batch doc's best match or admission.
+    */
+  private def screenSigs(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      numBands: Int,
+      rowsPerBand: Int,
+      minEstJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bands(sigs: DataFrame): DataFrame = sigs
+      .select(
+        col("doc_id"), col("sig"),
         posexplode(
           array((0 until numBands).map(b =>
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
           .as(Seq("band", "band_sig")))
-    val batch = withBands.filter(col("is_new"))
+    val batch = bands(batchSigs)
       .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"), col("sig").as("sig_n"))
-    val corpus = withBands.filter(!col("is_new"))
+    val corpus = bands(corpusSigs)
       .select(col("band"), col("band_sig"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val best = batch.join(corpus, Seq("band", "band_sig"))
       .select(col("new_doc"), col("corpus_doc"), col("sig_n"), col("sig_c"))
@@ -263,7 +307,7 @@ object Dedup {
             .orderBy(col("est_jaccard").desc, col("corpus_doc").asc)))
       .filter(col("rk") === 1)
       .select(col("new_doc"), col("corpus_doc"), col("est_jaccard"))
-    sigs.filter(col("is_new")).select(col("doc_id").as("new_doc"))
+    batchSigs.select(col("doc_id").as("new_doc"))
       .join(best, Seq("new_doc"), "left")
       .select(
         col("new_doc"),

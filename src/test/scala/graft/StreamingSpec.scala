@@ -17,6 +17,8 @@ import graft.streaming._
   */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: java.lang.Double, props: String)
 
+case class DocRow(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
@@ -234,6 +236,55 @@ class StreamingSpec extends AnyFunSuite {
     Seq(ev(3, 1, 0, 30.0)).toDS().write.mode("append").parquet(srcDir)
     drain() // same checkpoint: only the new file is processed
     assert(sink.rowsFor("cat").size == 3)
+  }
+
+  test("streaming ingest screen: micro-batches probe the pinned corpus dedup index") {
+    // The production ingest-dedup loop: each arriving micro-batch computes
+    // its own MinHash signatures inline and probes the CORPUS's pinned
+    // band index via foreachBatch — verdicts must equal the batch twin,
+    // exact copies must attribute at est_jaccard = 1.0, novel text must
+    // be admitted.
+    val corpus = graft.engine.Tables.documents(spark, sfDir)
+    val copies = corpus.select("doc_id", "text").orderBy("doc_id").limit(3).collect()
+      .map(r => DocRow(r.getLong(0) + 1000000L, r.getString(1)))
+    val novel = DocRow(9999999L, "utterly novel zxqv text stream never in corpus qwpo")
+    val arriving = copies :+ novel
+    val input = MemoryStream[DocRow]
+    val got = scala.collection.mutable.Map.empty[Long, (Option[Long], Boolean)]
+    val q = input.toDF().writeStream
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.Dedup.screenAgainst(b, corpus).collect().foreach { r =>
+          got.synchronized {
+            got(r.getAs[Long]("new_doc")) = (
+              if (r.isNullAt(r.fieldIndex("corpus_doc"))) None
+              else Some(r.getAs[Long]("corpus_doc")),
+              r.getAs[Boolean]("admitted"))
+          }
+        }
+      }
+      .start()
+    try {
+      input.addData(arriving.take(2): _*)
+      q.processAllAvailable()
+      input.addData(arriving.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val twin = graft.text.Dedup
+      .screenAgainst(arriving.toSeq.toDF(), corpus)
+      .collect()
+      .map { r =>
+        r.getAs[Long]("new_doc") -> (
+          if (r.isNullAt(r.fieldIndex("corpus_doc"))) None
+          else Some(r.getAs[Long]("corpus_doc")),
+          r.getAs[Boolean]("admitted"))
+      }.toMap
+    assert(got.toMap == twin, "streamed verdicts must equal the batch twin")
+    copies.foreach { c =>
+      val (m, admitted) = got(c.doc_id)
+      assert(!admitted && m.isDefined, s"exact copy ${c.doc_id} must attribute to the corpus")
+    }
+    assert(got(novel.doc_id) == (None, true), "novel text must be admitted")
   }
 
   test("batch stages run unchanged on a stream: stratified sample matches its batch twin") {
