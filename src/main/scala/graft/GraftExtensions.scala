@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotMilli, DotProduct, FrameEnergy, MinHashSignature, SimHash64, SqDistMilli, Winnow}
+import graft.functions.{ByteEntropyStats, DotMilli, DotProduct, FrameEnergy, MinHashSignature, SimHash64, SqDistMilli, Winnow}
 
 /** Registers the native graft expressions as SQL functions.
   *
@@ -19,8 +19,8 @@ import graft.functions.{DotMilli, DotProduct, FrameEnergy, MinHashSignature, Sim
   *
   * After either, `SELECT graft_dot(a, b)`, `graft_sqdist(ma, mb)`,
   * `graft_dot_milli(ma, mb)`, `graft_simhash64(tokens)`,
-  * `graft_minhash(shingles, 32)`, `graft_winnow(text, 8, 4)` work from
-  * SQL.
+  * `graft_minhash(shingles, 32)`, `graft_winnow(text, 8, 4)`, and
+  * `graft_byte_entropy(text)` work from SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -50,7 +50,8 @@ object GraftExtensions {
     "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))),
     "graft_winnow" -> (es => Winnow(es(0), intLit(es(1)), intLit(es(2)))),
-    "graft_frame_energy" -> (es => FrameEnergy(es(0), intLit(es(1)))))
+    "graft_frame_energy" -> (es => FrameEnergy(es(0), intLit(es(1)))),
+    "graft_byte_entropy" -> (es => ByteEntropyStats(es(0))))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

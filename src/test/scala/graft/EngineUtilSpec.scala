@@ -155,6 +155,10 @@ class EngineUtilSpec extends AnyFunSuite {
     // frame energy: 'abc' in frames of 2 -> [97²+98², 99²]
     val fe = spark.sql("SELECT graft_frame_energy('abc', 2) AS e").head.getSeq[Long](0)
     assert(fe == Seq(97L * 97 + 98L * 98, 99L * 99))
+    // byte entropy: 'aab' -> 3 bytes, 2 distinct, Σ round(c·ln c·10⁶) for c∈{2,1}
+    val be = spark.sql("SELECT graft_byte_entropy('aab') AS s").head.getStruct(0)
+    assert(be.getLong(0) == 3L && be.getLong(1) == 2L)
+    assert(be.getLong(2) == Math.round(2.0 * math.log(2.0) * 1e6))
   }
 
   test("broadcastLookup plans a BroadcastHashJoin") {

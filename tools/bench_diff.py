@@ -78,9 +78,11 @@ def main():
     for q in sorted(set(old) - set(new)):
         print(f"removed   {q}: was {old[q]:.2f}s")
     co, cn = sum(old[q] for q in common), sum(new[q] for q in common)
+    noisy = sum(1 for q, o, n in regressions if abs(n - o) <= noise_of(q)
+                and (old_noise or new_noise))
     print(f"== common {len(common)} queries: {co:.1f}s -> {cn:.1f}s "
-          f"({cn / co:.2f}x); {len(regressions)} regressed >{thr}x, "
-          f"{len(improved)} improved >{thr}x")
+          f"({cn / co:.2f}x); {len(regressions)} regressed >{thr}x "
+          f"({noisy} within pass spread), {len(improved)} improved >{thr}x")
 
 
 if __name__ == "__main__":
