@@ -437,6 +437,10 @@ object SparkEntry {
       Multimodal
         .frameFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)), 2)
         .orderBy("doc_id")),
+    "q_slice_neardup" -> ((s, dir) =>
+      Multimodal.sliceNearDup(Multimodal.mediaTable(Tables.documents(s, dir)))),
+    "q_shard_locality" -> ((s, dir) =>
+      Multimodal.sliceShardLocality(Multimodal.mediaTable(Tables.documents(s, dir)))),
     // ---- data-quality audits & distribution reports ----
     "q_rule_violations" -> ((s, dir) =>
       Relational.ruleViolations(Tables.events(s, dir)).orderBy("rule")),
@@ -3715,6 +3719,42 @@ object SparkEntry {
                 sha256(text) AS sha,
                 lower(hex(encode(substring(text, 1, 8)))) AS header_hex
          FROM documents ORDER BY doc_id""",
+    "q_slice_neardup" ->
+      """WITH s AS (SELECT doc_id,
+                unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
+              FROM documents),
+         sl AS (SELECT DISTINCT doc_id,
+                md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
+              FROM s),
+         nd AS (SELECT doc_id, count(*) AS n_slices FROM sl GROUP BY doc_id),
+         buck AS (SELECT slice_md5 FROM sl GROUP BY slice_md5 HAVING count(*) BETWEEN 2 AND 50),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                   FROM sl a JOIN buck USING (slice_md5) JOIN sl b USING (slice_md5)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT da, db, shared, x.n_slices AS na, y.n_slices AS nb,
+                CAST((2000 * shared + least(x.n_slices, y.n_slices))
+                     // (2 * least(x.n_slices, y.n_slices)) AS BIGINT) AS overlap_permille
+         FROM pairs JOIN nd x ON pairs.da = x.doc_id JOIN nd y ON pairs.db = y.doc_id
+         ORDER BY da, db""",
+    "q_shard_locality" ->
+      """WITH s AS (SELECT doc_id,
+                unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
+              FROM documents),
+         sl AS (SELECT DISTINCT doc_id,
+                md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
+              FROM s),
+         buck AS (SELECT slice_md5 FROM sl GROUP BY slice_md5 HAVING count(*) BETWEEN 2 AND 50),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                   FROM sl a JOIN buck USING (slice_md5) JOIN sl b USING (slice_md5)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2),
+         n AS (SELECT unnest([4, 16, 64]) AS n_shards)
+         SELECT CAST(n_shards AS BIGINT) AS n_shards,
+                count(*) AS dup_pairs,
+                CAST(sum(CASE WHEN da % n_shards = db % n_shards THEN 1 ELSE 0 END) AS BIGINT)
+                  AS intra_shard_pairs,
+                CAST((2000 * CAST(sum(CASE WHEN da % n_shards = db % n_shards THEN 1 ELSE 0 END) AS BIGINT)
+                      + count(*)) // (2 * count(*)) AS BIGINT) AS catch_permille
+         FROM pairs CROSS JOIN n GROUP BY 1 ORDER BY 1""",
     "q_rule_violations" ->
       """WITH a AS (SELECT count(*) AS n_rows,
                 CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_null,

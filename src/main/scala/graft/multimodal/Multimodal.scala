@@ -147,6 +147,81 @@ object Multimodal {
         length(col("slice")).cast("long").as("n_bytes"),
         md5(lower(hex(col("slice")))).as("slice_md5"))
 
+  /** PINNED distinct (doc_id, slice_md5) fingerprint table — the
+    * postings list every cross-payload media-dedup analysis probes.
+    * Parameter-free per corpus (default 64-byte slices every 128), so
+    * a production deployment materializes it once per snapshot next to
+    * the blobs; per-query work is threshold application.
+    */
+  private def sliceFp(media: DataFrame): DataFrame =
+    graft.engine.Views.pinned(media, "sliceFp64x128")(m =>
+      payloadSlices(m).select(col("doc_id"), col("slice_md5")).distinct())
+
+  /** Cross-payload slice-level near-dup: payload pairs sharing at least
+    * `minShared` strided slice fingerprints — the clip-containment /
+    * re-encode screen a media pipeline runs without decoding anything.
+    * Candidates come exclusively from the slice-md5 postings buckets
+    * (never a payload self-join); buckets larger than `maxBucket` are
+    * stop-slices (boilerplate padding shared by everything) and are
+    * dropped, the PPJoin stopword move. Overlap is reported as an exact
+    * half-up integer permille of the smaller payload's slice set, so
+    * the score is hash-stable cross-engine.
+    */
+  def sliceNearDup(media: DataFrame, minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
+    val sl = sliceFp(media)
+    val nd = sl.groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices"))
+    val buckets = sl
+      .groupBy(col("slice_md5"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, maxBucket))
+      .select(col("slice_md5"))
+    val inBucket = sl.join(buckets, Seq("slice_md5"))
+    val pairs = inBucket
+      .select(col("slice_md5"), col("doc_id").as("da"))
+      .join(inBucket.select(col("slice_md5"), col("doc_id").as("db")), Seq("slice_md5"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(nd.select(col("doc_id").as("da"), col("n_slices").as("na")), Seq("da"))
+      .join(nd.select(col("doc_id").as("db"), col("n_slices").as("nb")), Seq("db"))
+      .select(
+        col("da"), col("db"), col("shared"), col("na"), col("nb"),
+        expr("(2000 * shared + least(na, nb)) div (2 * least(na, nb))").as("overlap_permille"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Shard-locality audit over the slice near-dup pairs: for each
+    * candidate shard count, how many duplicate pairs an id-hash-sharded
+    * corpus could catch with SHARD-LOCAL dedup alone (both members land
+    * in the same `doc_id mod n` shard) vs. needing the global pass.
+    * The pair set is bounded (near-dup output, not the corpus), so the
+    * per-shard-count expansion rides a broadcast literal anchor — the
+    * answer every 100 TB dedup deployment wants before choosing between
+    * cheap per-shard dedup and the full shuffle.
+    */
+  def sliceShardLocality(media: DataFrame, shards: Seq[Int] = Seq(4, 16, 64)): DataFrame = {
+    val pairs = sliceNearDup(media).select(col("da"), col("db"))
+    val anchor = broadcast(
+      pairs.sparkSession
+        .range(1)
+        .select(explode(array(shards.map(lit(_)): _*)).as("n_shards")))
+    pairs
+      .crossJoin(anchor)
+      .groupBy(col("n_shards"))
+      .agg(
+        count(lit(1)).as("dup_pairs"),
+        sum(when(col("da") % col("n_shards") === col("db") % col("n_shards"), 1L).otherwise(0L))
+          .as("intra_shard_pairs"))
+      .select(
+        col("n_shards").cast("long").as("n_shards"),
+        col("dup_pairs"),
+        col("intra_shard_pairs"),
+        expr("(2000 * intra_shard_pairs + dup_pairs) div (2 * dup_pairs)").as("catch_permille"))
+      .orderBy(col("n_shards"))
+  }
+
   /** Frame resize: every `factor`-th byte of the payload, halving the
     * fake dimensions accordingly — the stand-in for a real image resample
     * (which would swap in libvips/PIL at deployment). Same partition-wise

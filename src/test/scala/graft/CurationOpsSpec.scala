@@ -456,6 +456,38 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sliceNearDup pairs match a direct slice-set recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+    val media = graft.multimodal.Multimodal.mediaTable(docs)
+    val got = graft.multimodal.Multimodal.sliceNearDup(media).collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")),
+        (r.getAs[Long]("shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("overlap_permille")))).toMap
+    val sets = docs.select("doc_id", "text").collect().map { r =>
+      val (id, t) = (r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      id -> (0 to (t.length - 1) / 128)
+        .map(i => t.substring(i * 128, math.min(i * 128 + 64, t.length))).toSet
+    }.toMap
+    val bySlice = sets.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairShared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    bySlice.values.filter(ds => ds.size >= 2 && ds.size <= 50).foreach { ds =>
+      val sorted = ds.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        val k = (sorted(i), sorted(j))
+        pairShared(k) = pairShared.getOrElse(k, 0L) + 1
+      }
+    }
+    val want = pairShared.filter(_._2 >= 2)
+    assert(got.nonEmpty && got.keySet == want.keySet.toSet)
+    want.foreach { case (k @ (a, b), sh) =>
+      val (gs, na, nb, op) = got(k)
+      assert(gs == sh && na == sets(a).size && nb == sets(b).size, s"pair $k")
+      val m = math.min(na, nb)
+      assert(op == (2000 * sh + m) / (2 * m), s"permille $k")
+    }
+  }
+
   test("dailyTopSpenders ranks exact per-day spend with at most k rows per day") {
     val ev = Tables.events(spark, sfDir)
     val top = Analytics.dailyTopSpenders(ev, 3).collect()
