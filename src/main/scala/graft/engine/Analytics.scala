@@ -2859,11 +2859,16 @@ object Analytics {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-    val holdout = base
-      .filter(col("split") =!= "train")
-      .crossJoin(broadcast(stats))
-      .withColumn("abs_resid", expr(s"CAST(round(abs(${Stages.residualSql})) AS BIGINT)"))
-      .cacheT() // three downstream readers (cal count / histogram / test)
+    // PINNED (not transient): split fractions and the OLS spec are fixed,
+    // so the holdout-with-residuals frame is parameter-free per corpus —
+    // the second table the conformal deployment materializes alongside
+    // the split. Per run only the three bounded aggregates below execute
+    // (cal count / residual histogram / test coverage).
+    val holdout = Views.pinned(lineitem, "conformalResiduals")(_ =>
+      base
+        .filter(col("split") =!= "train")
+        .crossJoin(broadcast(stats))
+        .withColumn("abs_resid", expr(s"CAST(round(abs(${Stages.residualSql})) AS BIGINT)")))
     val nCal = holdout.filter(col("split") === "cal").agg(count(lit(1)).as("n_cal"))
     val calCounts = holdout
       .filter(col("split") === "cal")

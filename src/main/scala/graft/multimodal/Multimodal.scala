@@ -167,22 +167,33 @@ object Multimodal {
     * half-up integer permille of the smaller payload's slice set, so
     * the score is hash-stable cross-engine.
     */
+  /** PINNED unfiltered shared-slice pair-count matrix (same policy as
+    * the winnow fingerprint pair matrix): the stop-slice cap is a
+    * property of the materialized index (in the tag, so a non-default
+    * cap builds its own pin); `minShared` stays per-query parameter
+    * application. Bounded by the postings buckets, not the corpus.
+    */
+  private def slicePairCounts(media: DataFrame, maxBucket: Int): DataFrame =
+    graft.engine.Views.pinned(media, s"slicePairs64x128x$maxBucket") { m =>
+      val sl = sliceFp(m)
+      val buckets = sl
+        .groupBy(col("slice_md5"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, maxBucket))
+        .select(col("slice_md5"))
+      val inBucket = sl.join(buckets, Seq("slice_md5"))
+      inBucket
+        .select(col("slice_md5"), col("doc_id").as("da"))
+        .join(inBucket.select(col("slice_md5"), col("doc_id").as("db")), Seq("slice_md5"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("shared"))
+    }
+
   def sliceNearDup(media: DataFrame, minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
     val sl = sliceFp(media)
     val nd = sl.groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices"))
-    val buckets = sl
-      .groupBy(col("slice_md5"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, maxBucket))
-      .select(col("slice_md5"))
-    val inBucket = sl.join(buckets, Seq("slice_md5"))
-    val pairs = inBucket
-      .select(col("slice_md5"), col("doc_id").as("da"))
-      .join(inBucket.select(col("slice_md5"), col("doc_id").as("db")), Seq("slice_md5"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    val pairs = slicePairCounts(media, maxBucket).filter(col("shared") >= minShared)
     pairs
       .join(nd.select(col("doc_id").as("da"), col("n_slices").as("na")), Seq("da"))
       .join(nd.select(col("doc_id").as("db"), col("n_slices").as("nb")), Seq("db"))
