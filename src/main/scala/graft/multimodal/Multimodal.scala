@@ -157,16 +157,6 @@ object Multimodal {
     graft.engine.Views.pinned(media, "sliceFp64x128")(m =>
       payloadSlices(m).select(col("doc_id"), col("slice_md5")).distinct())
 
-  /** Cross-payload slice-level near-dup: payload pairs sharing at least
-    * `minShared` strided slice fingerprints — the clip-containment /
-    * re-encode screen a media pipeline runs without decoding anything.
-    * Candidates come exclusively from the slice-md5 postings buckets
-    * (never a payload self-join); buckets larger than `maxBucket` are
-    * stop-slices (boilerplate padding shared by everything) and are
-    * dropped, the PPJoin stopword move. Overlap is reported as an exact
-    * half-up integer permille of the smaller payload's slice set, so
-    * the score is hash-stable cross-engine.
-    */
   /** PINNED unfiltered shared-slice pair-count matrix (same policy as
     * the winnow fingerprint pair matrix): the stop-slice cap is a
     * property of the materialized index (in the tag, so a non-default
@@ -190,6 +180,16 @@ object Multimodal {
         .agg(count(lit(1)).as("shared"))
     }
 
+  /** Cross-payload slice-level near-dup: payload pairs sharing at least
+    * `minShared` strided slice fingerprints — the clip-containment /
+    * re-encode screen a media pipeline runs without decoding anything.
+    * Candidates come exclusively from the slice-md5 postings buckets
+    * (never a payload self-join); buckets larger than `maxBucket` are
+    * stop-slices (boilerplate padding shared by everything) and are
+    * dropped, the PPJoin stopword move. Overlap is reported as an exact
+    * half-up integer permille of the smaller payload's slice set, so
+    * the score is hash-stable cross-engine.
+    */
   def sliceNearDup(media: DataFrame, minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
     val sl = sliceFp(media)
     val nd = sl.groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices"))
