@@ -436,6 +436,12 @@ object Graph {
       maxHops: Int = 3,
       minSupport: Int = 2): DataFrame = {
     val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
+    // Filtered-symmetrized TRANSIENT, deliberately not a pinned bidir
+    // view: the hop loop re-reads this small table every round, and a
+    // round-5 measurement of the pinned-unfiltered-bidir alternative
+    // (scan + filter the 2|E| pin per read) was 30-60% slower across
+    // every traversal query. Per-run filter+union+cacheT of the pinned
+    // directed edges is the winning shape for loop consumers.
     val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
       .cacheT()
