@@ -709,9 +709,8 @@ object Inference {
     * the closing division.
     */
   def trimmedMean(lineitem: DataFrame, trimPct: Int = 10): DataFrame = {
-    val grid = lineitem
-      .groupBy(col("l_returnflag"), expr(Stages.centsSql("l_extendedprice")).as("x"))
-      .agg(count(lit(1)).as("t"))
+    // shared pinned cents histogram (see Relational.centsDistByFlag)
+    val grid = Relational.centsDistByFlag(lineitem).withColumnRenamed("cnt", "t")
     val w = Window
       .partitionBy(col("l_returnflag"))
       .orderBy(col("x"))

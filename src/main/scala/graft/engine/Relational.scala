@@ -210,10 +210,19 @@ object Relational {
     * never corpus-bounded — and the quantile picks are one map-combined
     * conditional-min aggregate.
     */
+  /** PINNED (l_returnflag, cents extendedprice) → count distribution —
+    * the cents-grained sibling of [[madOutliers]]' floor-dollar
+    * histogram: [[discQuantiles]] and [[Inference.trimmedMean]] both run
+    * their value-grid windows over it. Bounded by the price grid ×
+    * flags, not the row count.
+    */
+  private[engine] def centsDistByFlag(lineitem: DataFrame): DataFrame =
+    Views.pinned(lineitem, "centsDistByFlag")(
+      _.groupBy(col("l_returnflag"), expr(Stages.centsSql("l_extendedprice")).as("x"))
+        .agg(count(lit(1)).as("cnt")))
+
   def discQuantiles(lineitem: DataFrame): DataFrame = {
-    val grid = lineitem
-      .groupBy(col("l_returnflag"), expr(Stages.centsSql("l_extendedprice")).as("x"))
-      .agg(count(lit(1)).as("c"))
+    val grid = centsDistByFlag(lineitem).withColumnRenamed("cnt", "c")
     val w = Window
       .partitionBy(col("l_returnflag"))
       .orderBy(col("x"))
@@ -623,25 +632,39 @@ object Relational {
       k, col("wilson_lb").desc, col("user_id").asc)
       .select(col("rank"), col("user_id"), col("n"), col("c"), col("wilson_lb"))
 
-  /** Weighted median value per group (weights = order quantity): sort
-    * the group by value, accumulate weights in a running window, and
-    * take the first value whose doubled cumulative weight reaches the
-    * group total — the exact lower weighted median, all in integer
-    * arithmetic. Two shuffles on the group key (window + final min);
-    * per-key window state is one long.
+  /** Weighted median value per group (weights = order quantity):
+    * accumulate weights in a running window over the compressed
+    * (group, value) → Σweight distribution and take the first value
+    * whose doubled cumulative weight reaches the group total — the
+    * exact lower weighted median, all in integer arithmetic. The window
+    * sorts the value grid, never the facts.
     */
   def weightedMedian(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy(col("l_returnflag"))
-      .orderBy(col("y").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    lineitem
-      .select(
-        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+    // One map-combined shuffle compresses the facts to the PINNED
+    // (flag, dollar) → Σweight distribution; the running-weight window
+    // then sorts the value grid, not the corpus. The former spelling
+    // windowed the raw rows partitioned by l_returnflag — THREE distinct
+    // partition keys, so at 100 TB each window partition is corpus/3: a
+    // skew shape the plan audit cannot see (the spec is non-empty). The
+    // first value whose end-of-value doubled cumulative weight reaches
+    // the group total is the same lower weighted median the row-level
+    // window selected (any row of value y crossing the threshold implies
+    // y's end-cum crosses, and conversely the crossing end-cum row IS a
+    // row of y).
+    val dist = Views.pinned(lineitem, "qtyWeightDistByFlag")(
+      _.select(
+        col("l_returnflag"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("wt"),
         expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
+        .groupBy(col("l_returnflag"), col("y"))
+        .agg(sum(col("wt")).as("wt")))
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    dist
       .withColumn("cumw", sum(col("wt")).over(w))
       .withColumn("totw", sum(col("wt")).over(wAll))
       .filter(col("cumw") * 2 >= col("totw"))
