@@ -820,10 +820,11 @@ object Analytics {
   }
 
   /** Week-over-week spend-quartile transition matrix: users are ntile(4)
-    * bucketed WITHIN each of the first and fourth observed weeks
-    * (per-week partitioned windows — no global ordering), and the
-    * |4×4| matrix counts migrations. The week anchors derive from the
-    * data (broadcast 1-row min), so the query is calendar-free.
+    * bucketed WITHIN each of the first and fourth observed weeks (via
+    * value-grid ranks + NTile's exact bucket rule — a two-key per-user
+    * window would sort corpus/2 rows in one task), and the |4×4| matrix
+    * counts migrations. The week anchors derive from the data
+    * (broadcast 1-row min), so the query is calendar-free.
     * Users absent in either week fall out via the inner join — churn
     * accounting belongs to [[retentionCohorts]].
     */
@@ -836,12 +837,38 @@ object Analytics {
       .crossJoin(broadcast(anchor))
       .withColumn("rel_week", col("week") - col("w0"))
       .filter(col("rel_week") === 0L || col("rel_week") === 3L)
-    val q = anchored.withColumn(
-      "quartile",
-      ntile(4)
-        .over(Window.partitionBy(col("rel_week"))
-          .orderBy(col("cents").asc, col("user_id").asc))
-        .cast("long"))
+    // ntile(4) over per-user rows in a TWO-key window is corpus/2 per
+    // task at scale. Scale-free spelling: the running user count windows
+    // over the per-week VALUE GRID (bounded by the cents domain), each
+    // user's within-week rank is grid offset + position inside their tie
+    // run (a window keyed by (week, cents) — tie-run-sized partitions),
+    // and NTile's exact bucket rule (first n mod 4 buckets get size
+    // n div 4 + 1) is applied arithmetically from a 2-row broadcast of
+    // week sizes. Bit-identical to the windowed ntile: the composite
+    // (cents, user_id) order is total.
+    val dist = anchored
+      .groupBy(col("rel_week"), col("cents"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn(
+        "_cum",
+        sum(col("_c")).over(Window.partitionBy(col("rel_week")).orderBy(col("cents").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sizes = dist.groupBy(col("rel_week")).agg(sum(col("_c")).as("_n"))
+    val q = anchored
+      .join(dist, Seq("rel_week", "cents"))
+      .withColumn(
+        "_j",
+        row_number().over(
+          Window.partitionBy(col("rel_week"), col("cents")).orderBy(col("user_id").asc))
+          .cast("long"))
+      .withColumn("_i", col("_cum") - col("_c") + col("_j"))
+      .join(broadcast(sizes), Seq("rel_week"))
+      .withColumn(
+        "quartile",
+        expr("""CASE WHEN _i <= (_n % 4) * (_n div 4 + 1)
+                     THEN (_i - 1) div (_n div 4 + 1) + 1
+                     ELSE (_n % 4) + (_i - (_n % 4) * (_n div 4 + 1) - 1)
+                          div greatest(_n div 4, 1L) + 1 END"""))
     q.filter(col("rel_week") === 0L)
       .select(col("user_id"), col("quartile").as("q_from"))
       .join(
@@ -1761,24 +1788,33 @@ object Analytics {
     * (n+1)·Σx) / (n·Σx) over ascending per-user totals. Every
     * accumulator is an exact integer (ranks × cents), so the one
     * closing division is engine-identical — no sorted-prefix floats.
-    * One per-(type, user) aggregate, one in-partition rank per type,
-    * one per-type aggregate.
+    * One per-(type, user) aggregate, one range-partitioned group rank
+    * ([[Relational.scalableGroupRank]]), one per-type aggregate.
     */
   def giniSpend(events: DataFrame): DataFrame = {
     val perUser = events
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(expr(Stages.centsSql("value"))).as("x"))
-    val ranked = perUser.withColumn(
-      "i",
-      row_number()
-        .over(Window.partitionBy(col("event_type")).orderBy(col("x").asc, col("user_id").asc))
-        .cast("long"))
-    ranked
+    // Σ i·xᵢ WITHOUT ranking per-user rows in a |event types|-key window
+    // (corpus/4 per task at scale): compress to the per-type value
+    // distribution, where a tie run of c users at value x occupies ranks
+    // cum−c+1..cum and contributes x·(c·(cum−c) + c(c+1)/2) — intra-run
+    // order cancels, so the grid sum equals the row-ranked sum exactly.
+    // The running count windows over the value grid, never the users.
+    val dist = perUser
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("cum", sum(col("c")).over(w))
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_users"),
-        sum(col("x")).as("total_cents"),
-        sum(col("i") * col("x")).as("swx"))
+        sum(col("c")).as("n_users"),
+        sum(col("c") * col("x")).as("total_cents"),
+        sum(expr("x * (c * (cum - c) + (c * (c + 1)) div 2)")).as("swx"))
       .select(
         col("event_type"), col("n_users"), col("total_cents"),
         expr("""CASE WHEN total_cents = 0 THEN NULL
