@@ -1234,10 +1234,12 @@ object Relational {
     * the only window is the per-source rank (one shuffle on source), the
     * source→index map is a broadcast-sized dimension, and the output
     * order is total because (rank, source) is unique. At 100 TB there is
-    * no global ordering bottleneck anywhere in the plan. Caveat: the
-    * per-source rank sorts each source inside one partition — a source
-    * owning most of the corpus needs the [[scalableGlobalRank]] shape
-    * (range repartition + offsets) applied per source instead.
+    * no global ordering bottleneck anywhere in the plan: the per-source
+    * rank is the blocked two-level shape (the [[scalableCumSum]] idea,
+    * per group) — local rank inside (source, 2²⁰-wide doc_id block)
+    * partitions, ≤2²⁰ rows each, plus per-source block offsets from an
+    * aggregate-bounded running count — so even a source owning most of
+    * the corpus never sorts inside one task.
     */
   def interleaveSources(documents: DataFrame): DataFrame = {
     val srcIdx = documents
@@ -1247,13 +1249,27 @@ object Relational {
         "src_idx",
         (row_number().over(Window.partitionBy(lit(1)).orderBy(col("source"))) - 1).cast("long"))
     val nDf = srcIdx.agg(count(lit(1)).as("n_sources"))
-    documents
+    val block = 1L << 20
+    val base = documents
       .select(col("doc_id"), col("source"))
+      .withColumn("_blk", expr(s"doc_id div ${block}L"))
+    val offsets = base
+      .groupBy(col("source"), col("_blk"))
+      .agg(count(lit(1)).as("_c"))
       .withColumn(
-        "src_rank",
+        "_off",
+        sum(col("_c")).over(
+          Window.partitionBy(col("source")).orderBy(col("_blk").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("_c"))
+      .select(col("source"), col("_blk"), col("_off"))
+    base
+      .withColumn(
+        "_j",
         row_number()
-          .over(Window.partitionBy(col("source")).orderBy(col("doc_id")))
+          .over(Window.partitionBy(col("source"), col("_blk")).orderBy(col("doc_id").asc))
           .cast("long"))
+      .join(broadcast(offsets), Seq("source", "_blk"))
+      .withColumn("src_rank", col("_off") + col("_j"))
       .join(broadcast(srcIdx), Seq("source"))
       .crossJoin(broadcast(nDf))
       .select(
