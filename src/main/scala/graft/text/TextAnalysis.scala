@@ -523,20 +523,47 @@ object TextAnalysis {
     * `contextTokens`-sized windows with consecutive documents: contiguous
     * fill in doc_id order, a document's pack = ⌊tokens-before-it / C⌋
     * (docs may straddle a boundary, as real packers allow with cross-doc
-    * attention masking). One prefix-sum window per `source` partition —
-    * never an unpartitioned global cumsum; at 100 TB the source (or
-    * shard) key bounds each sort, and packs are globally unique as
-    * (source, pack_id). Output: one row per pack with its doc range and
-    * fill level.
+    * attention masking). The per-source prefix sum is the blocked
+    * two-level shape — never an unpartitioned global cumsum, and no
+    * per-source window ever accumulates more than one 2²⁰-id block in a
+    * task; packs are globally unique as (source, pack_id). Output: one
+    * row per pack with its doc range and fill level.
     */
   def packSequences(documents: DataFrame, contextTokens: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    documents
+    // Blocked two-level per-source prefix sum (the scalableCumSum idea,
+    // per group): a running token count inside (source, 2²⁰-wide doc_id
+    // block) partitions plus per-source block offsets from an
+    // aggregate-bounded running sum — the straight per-source window
+    // would accumulate corpus/|sources| rows in one task at scale.
+    val block = 1L << 20
+    val W = org.apache.spark.sql.expressions.Window
+    // cacheT: the tokenize pass feeds two branches with different shapes
+    // (block-sum aggregate vs per-block window) — no exchange reuse
+    val base = documents
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("_blk", expr(s"doc_id div ${block}L"))
+      .cacheT()
+    val offsets = base
+      .groupBy(col("source"), col("_blk"))
+      .agg(sum(col("n_tokens")).as("_bsum"))
+      .withColumn(
+        "_off",
+        coalesce(
+          sum(col("_bsum")).over(
+            W.partitionBy(col("source")).orderBy(col("_blk").asc)
+              .rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("_blk"), col("_off"))
+    base
+      .withColumn(
+        "_local",
+        coalesce(
+          sum(col("n_tokens")).over(
+            W.partitionBy(col("source"), col("_blk")).orderBy(col("doc_id"))
+              .rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(offsets), Seq("source", "_blk"))
+      .withColumn("cum_before", col("_off") + col("_local"))
       .withColumn("pack_id", expr(s"cum_before div $contextTokens"))
       .groupBy(col("source"), col("pack_id"))
       .agg(
@@ -1830,22 +1857,33 @@ object TextAnalysis {
     * Quartiles use explicit 1-indexed ranks — median ⌈n/2⌉ (lower
     * median), Q1 at (n+3) div 4, Q3 at (3n+1) div 4 — the deterministic
     * rule both engines spell identically; no interpolation, so
-    * everything is integer until the one shared final division. The
-    * ranking partitions by source (distributed); a zero IQR yields NULL
-    * by an integer-condition CASE.
+    * everything is integer until the one shared final division. Ranks
+    * resolve on the per-source value grid (first value whose cumulative
+    * count reaches the target rank); a zero IQR yields NULL by an
+    * integer-condition CASE.
     */
   def robustScale(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-    val ranked = documents
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("r", row_number().over(w.orderBy(col("n_chars").asc, col("doc_id").asc)))
-      .withColumn("n", count(lit(1)).over(w))
-    val stats = ranked
+    // Quartiles off the per-source (n_chars → count) DISTRIBUTION: the
+    // rank-r order statistic is the first value whose cumulative count
+    // reaches r (runs are contiguous), so the cumulative window sorts
+    // the value grid — never per-source document rows, which would put
+    // corpus/|sources| rows in one task at scale.
+    val dist = documents
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cum = dist.withColumn(
+      "cum",
+      sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = dist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val stats = cum
+      .join(broadcast(n), Seq("source"))
       .groupBy(col("source"))
       .agg(
-        expr("sum(CASE WHEN r = (n + 1) div 2 THEN n_chars ELSE CAST(0 AS BIGINT) END)").as("med"),
-        expr("sum(CASE WHEN r = (n + 3) div 4 THEN n_chars ELSE CAST(0 AS BIGINT) END)").as("q1"),
-        expr("sum(CASE WHEN r = (3 * n + 1) div 4 THEN n_chars ELSE CAST(0 AS BIGINT) END)").as("q3"))
+        min(when(expr("cum >= (n + 1) div 2"), col("n_chars"))).as("med"),
+        min(when(expr("cum >= (n + 3) div 4"), col("n_chars"))).as("q1"),
+        min(when(expr("cum >= (3 * n + 1) div 4"), col("n_chars"))).as("q3"))
     documents
       .select(col("doc_id"), col("source"), col("n_chars"))
       .join(stats, Seq("source"))
