@@ -40,11 +40,37 @@ object PlanAudit {
     // `partitionBy(lit(1))` constant-folds to an empty spec, so intent
     // can't be read off the spec itself). Unpartitioned windows straight
     // over scans/joins are the 100 TB bug this audit exists to catch.
+    // Pinned views (InMemoryTableScan) count as bounded when the plan
+    // BEHIND the cache is — the grid histograms are aggregates.
     def boundedBelow(p: SparkPlan): Boolean =
       p.collectFirst {
         case a if a.nodeName.contains("Aggregate") => true
         case l if l.nodeName.contains("Limit") => true
         case t if t.nodeName.contains("TakeOrdered") => true
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+            if boundedBelow(s.relation.cachedPlan) => true
+        case a: AdaptiveSparkPlanExec if boundedBelow(a.executedPlan) => true
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
+            if boundedBelow(q.plan) => true
+      }.isDefined
+
+    // The few-key sibling of the empty-spec check: a window partitioned
+    // ONLY by low-cardinality dimension columns (return flag, event
+    // type, source, …) over un-compressed input puts corpus/|keys| rows
+    // in single tasks at 100 TB — the same skew bug with a non-empty
+    // spec, which the empty-spec check can't see. Exemptions mirror the
+    // sanctioned spellings: aggregate/limit-bounded input (value-grid
+    // windows) and `row_number() <= k` plans, where Catalyst's
+    // WindowGroupLimit pushdown caps what any partition forwards.
+    val lowCardCols = Set(
+      "l_returnflag", "l_linestatus", "event_type", "source", "lang",
+      "rel_week", "rel", "arm", "split", "resample", "feature", "par")
+    def fewKeyOnly(w: WindowExec): Boolean =
+      w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.forall(a => lowCardCols(a.name)))
+    def groupLimited(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case g if g.nodeName.contains("WindowGroupLimit") => true
       }.isDefined
 
     def offenders(p: SparkPlan): Seq[String] = {
@@ -56,6 +82,9 @@ object PlanAudit {
         case _: CartesianProductExec => Seq("CartesianProduct")
         case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
           Seq("UnpartitionedWindowOverUnboundedInput")
+        case w: WindowExec
+            if fewKeyOnly(w) && !boundedBelow(w.child) && !groupLimited(w.child) =>
+          Seq("FewKeyWindowOverUnboundedInput")
         case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
         // See THROUGH pinned materialized views (Views.pinned persists →
         // InMemoryTableScan): the build plan behind the cache must meet

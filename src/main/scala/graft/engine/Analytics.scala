@@ -2425,10 +2425,11 @@ object Analytics {
   /** Distribution-free confidence interval for the per-type median of
     * the value column, by order statistics: the values at ranks
     * n/2 ∓ 1.96·√n/2 bracket the median at ~95% (binomial normal
-    * approximation). Ranks come from a per-type window over a total
-    * order (cents, event_id) — the same per-group sort any exact
-    * percentile pays — and the bracket VALUES are picked by two
-    * conditional aggregates, so the output is |types| rows.
+    * approximation). The rank-r order statistic resolves on the
+    * per-type VALUE GRID (first value whose cumulative count reaches
+    * r) — a per-type row window would sort corpus/|types| rows in one
+    * task — and the bracket VALUES are picked by two conditional
+    * aggregates, so the output is |types| rows.
     */
   def medianCI(events: DataFrame): DataFrame = {
     val base = events.select(
@@ -2446,21 +2447,24 @@ object Analytics {
                 CAST(ceil((CAST(n AS DOUBLE) + 2.0 +
                   CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT))""")
           .as("hi_rank"))
-    val w = Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("c").asc, col("event_id").asc)
-    base
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val dist = base
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = dist.withColumn(
+      "cum",
+      sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("c").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum
       .join(broadcast(ranks), Seq("event_type"))
-      .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
       .groupBy(col("event_type"))
       .agg(
         max(col("n")).as("n"),
         max(col("median_cents")).as("median_cents"),
         max(col("lo_rank")).as("lo_rank"),
         max(col("hi_rank")).as("hi_rank"),
-        min(when(col("rn") === col("lo_rank"), col("c"))).as("lo_cents"),
-        min(when(col("rn") === col("hi_rank"), col("c"))).as("hi_cents"))
+        min(when(col("cum") >= col("lo_rank"), col("c"))).as("lo_cents"),
+        min(when(col("cum") >= col("hi_rank"), col("c"))).as("hi_cents"))
   }
 
   /** Sequence-motif census: how many users' chronologically-ordered
@@ -3993,20 +3997,40 @@ object Analytics {
 
   /** Burstiness index per event type: B = (σ−μ)/(σ+μ) of the
     * inter-arrival gaps (−1 = perfectly regular, 0 = Poisson, →1 =
-    * bursty), from integer second gaps via a per-type lag window (each
-    * partition is one type's timeline) and one moment pass. The
+    * bursty), from integer second gaps and one moment pass. The lag is
+    * HOUR-SEGMENTED: consecutive-event gaps resolve inside (type, hour)
+    * window partitions — each task holds one hour of one type's
+    * timeline, never the type's whole history — and the hour-boundary
+    * gaps stitch from a per-(type, hour) first/last aggregate whose own
+    * lag window is aggregate-bounded (|hours| rows per type). The gap
+    * multiset is identical to a full per-type timeline lag. The
     * temporal-clumpiness readout next to [[Analytics]]'s interarrival
     * histogram.
     */
   def burstiness(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("t").asc, col("event_id").asc)
-    val gaps = events
+    val base = events
       .select(col("event_type"), expr("CAST(ts AS LONG)").as("t"), col("event_id"))
-      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("_hr", expr("t div 3600"))
+    val inHour = base
+      .withColumn(
+        "gap",
+        col("t") - lag(col("t"), 1).over(
+          Window.partitionBy(col("event_type"), col("_hr"))
+            .orderBy(col("t").asc, col("event_id").asc)))
       .filter(col("gap").isNotNull)
-    gaps
+      .select(col("event_type"), col("gap"))
+    val boundary = base
+      .groupBy(col("event_type"), col("_hr"))
+      .agg(min(col("t")).as("first_t"), max(col("t")).as("last_t"))
+      .withColumn(
+        "gap",
+        col("first_t") - lag(col("last_t"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("_hr").asc)))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    inHour
+      .unionAll(boundary)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_gaps"),
