@@ -1685,8 +1685,11 @@ object TextAnalysis {
       .agg(sketch(col("token")).as("sk"))
       .select(explode(col("sk.counts")))
       .toDF("token", "est")
-    val exact = toks.groupBy("token").agg(count(lit(1)).as("f"))
-    val n = toks.agg(count(lit(1)).cast("long").as("n_tokens"))
+    // two stream passes (sketch + exact), not three: the stream length
+    // is the sum of the exact counts, and the vocabulary-bounded exact
+    // table rides a transient cache for its two readers below
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("f")).cacheT()
+    val n = exact.agg(sum(col("f")).cast("long").as("n_tokens"))
     val candChecks = est
       .join(exact, Seq("token"), "left")
       .crossJoin(n)
