@@ -1788,8 +1788,8 @@ object Analytics {
     * (n+1)·Σx) / (n·Σx) over ascending per-user totals. Every
     * accumulator is an exact integer (ranks × cents), so the one
     * closing division is engine-identical — no sorted-prefix floats.
-    * One per-(type, user) aggregate, one range-partitioned group rank
-    * ([[Relational.scalableGroupRank]]), one per-type aggregate.
+    * One per-(type, user) aggregate, one value-grid cumulative window,
+    * one per-type aggregate.
     */
   def giniSpend(events: DataFrame): DataFrame = {
     val perUser = events
