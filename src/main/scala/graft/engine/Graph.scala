@@ -588,7 +588,12 @@ object Graph {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
-    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb"))).cacheT()
+    // hash-partition the cached edge list on the vote-join key: the
+    // cache preserves the partitioning, so BOTH rounds' joins reuse it
+    // and only the (|V|-sized) label side shuffles per round
+    val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
+      .repartition(col("pb"))
+      .cacheT()
     var labels = sym.select(col("pa").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to 2) {
       // labels shares lineage with sym — qualify the self-join through
