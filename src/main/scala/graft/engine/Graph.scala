@@ -246,8 +246,11 @@ object Graph {
     */
   def bfsReach(lineitem: DataFrame, maxHops: Int = 3, minSupport: Int = 2): DataFrame = {
     val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
+    // hash-partitioned on the hop-join key: the cache preserves it, so
+    // the degree aggregate and every hop's join reuse the partitioning
     val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(col("src"))
       .cacheT()
     val seed = bidir
       .groupBy(col("src").as("node"))
@@ -444,6 +447,7 @@ object Graph {
     // directed edges is the winning shape for loop consumers.
     val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(col("src")) // cache keeps it: deg + every hop join reuse
       .cacheT()
     val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val seeds = Relational
