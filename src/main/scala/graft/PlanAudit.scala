@@ -15,12 +15,86 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    to a single partition" shape. Constant-key windows
   *    (`partitionBy(lit(1))`) over pre-bounded inputs are the sanctioned
   *    spelling and pass, because their partitionSpec is non-empty.
+  *  - `WindowExec` partitioned ONLY by low-cardinality dimension columns
+  *    over un-compressed input — corpus/|keys| rows per task, the same
+  *    skew bug with a non-empty spec (see [[PlanAudit.offenders]]).
   *
   * Usage: `runMain graft.PlanAudit [sfDir]`. Exit 1 on any hit — run it
   * per round like Verify; it is the automated form of the
   * `.explain("formatted")` inspection the round notes document.
+  * The checks themselves are pure plan functions ([[offenders]]) so
+  * `PlanAuditSpec` can pin their semantics on synthetic plans.
   */
 object PlanAudit {
+
+  /** A windowed pass with no partition key is sanctioned ONLY when its
+    * input was already compressed below corpus scale — an aggregate,
+    * limit, or TakeOrdered below it bounds the rows reaching the single
+    * partition (the rankedTopK / grid-statistics spelling;
+    * `partitionBy(lit(1))` constant-folds to an empty spec, so intent
+    * can't be read off the spec itself). Pinned views
+    * (InMemoryTableScan) and AQE stages count as bounded when the plan
+    * behind them is — the grid histograms are aggregates.
+    */
+  def boundedBelow(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case a if a.nodeName.contains("Aggregate") => true
+      case l if l.nodeName.contains("Limit") => true
+      case t if t.nodeName.contains("TakeOrdered") => true
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+          if boundedBelow(s.relation.cachedPlan) => true
+      case a: AdaptiveSparkPlanExec if boundedBelow(a.executedPlan) => true
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
+          if boundedBelow(q.plan) => true
+    }.isDefined
+
+  /** Dimension columns whose cardinality does not grow with the corpus:
+    * a window partitioned only by these holds corpus/|keys| rows per
+    * task. Fixture-schema-aware by design — extend alongside the data
+    * model.
+    */
+  val lowCardCols: Set[String] = Set(
+    "l_returnflag", "l_linestatus", "event_type", "source", "lang",
+    "rel_week", "rel", "arm", "split", "resample", "feature", "par")
+
+  def fewKeyOnly(w: WindowExec): Boolean =
+    w.partitionSpec.nonEmpty &&
+      w.partitionSpec.forall(_.references.forall(a => lowCardCols(a.name)))
+
+  /** `row_number() <= k` plans get Catalyst's WindowGroupLimit pushdown,
+    * capping what any partition forwards — exempt.
+    */
+  def groupLimited(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case g if g.nodeName.contains("WindowGroupLimit") => true
+    }.isDefined
+
+  /** The scale anti-patterns present in a physical plan (empty = clean).
+    * Recurses through AQE wrappers and INTO pinned materialized views
+    * (Views.pinned persists → InMemoryTableScan): the build plan behind
+    * the cache must meet the same bar as inline plans, or a scale-killer
+    * could hide inside a pin.
+    */
+  def offenders(p: SparkPlan): Seq[String] = {
+    val root = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    root.collect {
+      case _: CartesianProductExec => Seq("CartesianProduct")
+      case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+        Seq("UnpartitionedWindowOverUnboundedInput")
+      case w: WindowExec
+          if fewKeyOnly(w) && !boundedBelow(w.child) && !groupLimited(w.child) =>
+        Seq("FewKeyWindowOverUnboundedInput")
+      case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+      // executed AQE plans park subtrees inside QueryStageExec leaves
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => offenders(q.plan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        offenders(s.relation.cachedPlan)
+    }.flatten
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,68 +106,6 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    // A windowed pass with no partition key is sanctioned ONLY when its
-    // input was already compressed below corpus scale — an aggregate,
-    // limit, or TakeOrdered below it bounds the rows reaching the single
-    // partition (the rankedTopK / grid-statistics spelling;
-    // `partitionBy(lit(1))` constant-folds to an empty spec, so intent
-    // can't be read off the spec itself). Unpartitioned windows straight
-    // over scans/joins are the 100 TB bug this audit exists to catch.
-    // Pinned views (InMemoryTableScan) count as bounded when the plan
-    // BEHIND the cache is — the grid histograms are aggregates.
-    def boundedBelow(p: SparkPlan): Boolean =
-      p.collectFirst {
-        case a if a.nodeName.contains("Aggregate") => true
-        case l if l.nodeName.contains("Limit") => true
-        case t if t.nodeName.contains("TakeOrdered") => true
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-            if boundedBelow(s.relation.cachedPlan) => true
-        case a: AdaptiveSparkPlanExec if boundedBelow(a.executedPlan) => true
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
-            if boundedBelow(q.plan) => true
-      }.isDefined
-
-    // The few-key sibling of the empty-spec check: a window partitioned
-    // ONLY by low-cardinality dimension columns (return flag, event
-    // type, source, …) over un-compressed input puts corpus/|keys| rows
-    // in single tasks at 100 TB — the same skew bug with a non-empty
-    // spec, which the empty-spec check can't see. Exemptions mirror the
-    // sanctioned spellings: aggregate/limit-bounded input (value-grid
-    // windows) and `row_number() <= k` plans, where Catalyst's
-    // WindowGroupLimit pushdown caps what any partition forwards.
-    val lowCardCols = Set(
-      "l_returnflag", "l_linestatus", "event_type", "source", "lang",
-      "rel_week", "rel", "arm", "split", "resample", "feature", "par")
-    def fewKeyOnly(w: WindowExec): Boolean =
-      w.partitionSpec.nonEmpty &&
-        w.partitionSpec.forall(_.references.forall(a => lowCardCols(a.name)))
-    def groupLimited(p: SparkPlan): Boolean =
-      p.collectFirst {
-        case g if g.nodeName.contains("WindowGroupLimit") => true
-      }.isDefined
-
-    def offenders(p: SparkPlan): Seq[String] = {
-      val root = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other => other
-      }
-      root.collect {
-        case _: CartesianProductExec => Seq("CartesianProduct")
-        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
-          Seq("UnpartitionedWindowOverUnboundedInput")
-        case w: WindowExec
-            if fewKeyOnly(w) && !boundedBelow(w.child) && !groupLimited(w.child) =>
-          Seq("FewKeyWindowOverUnboundedInput")
-        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
-        // See THROUGH pinned materialized views (Views.pinned persists →
-        // InMemoryTableScan): the build plan behind the cache must meet
-        // the same bar as inline plans, or a scale-killer could hide
-        // inside a pin.
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          offenders(s.relation.cachedPlan)
-      }.flatten
-    }
 
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+
+/** Pins the semantics of the [[PlanAudit]] checks on synthetic plans so
+  * a refactor can't silently weaken the gate: each anti-pattern must
+  * FLAG, and each sanctioned spelling of the same computation must pass.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def flags(df: DataFrame): Seq[String] =
+    PlanAudit.offenders(df.queryExecution.executedPlan).distinct
+
+  test("cartesian product flags; broadcast scalar anchor passes") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    // the tiny fixture auto-broadcasts a cross join into BNLJ; force the
+    // corpus-scale planning outcome to exercise the CartesianProduct case
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bad = li.as("a").crossJoin(li.as("b")).filter(expr("a.l_quantity < b.l_quantity"))
+      assert(flags(bad).contains("CartesianProduct"), flags(bad).toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    val anchor = li.agg(sum(col("l_quantity")).as("total"))
+    assert(flags(li.crossJoin(broadcast(anchor))).isEmpty)
+  }
+
+  test("unpartitioned window over raw rows flags; over an aggregate passes") {
+    val li = Tables.lineitem(spark, sfDir)
+    val bad = li.withColumn(
+      "rn", row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+    assert(flags(bad).contains("UnpartitionedWindowOverUnboundedInput"))
+    val grid = li.groupBy(col("l_quantity")).agg(count(lit(1)).as("c"))
+    val ok = grid.withColumn("rn", row_number().over(Window.orderBy(col("l_quantity"))))
+    assert(flags(ok).isEmpty, flags(ok).toString)
+  }
+
+  test("few-key window over raw rows flags; grid, group-limit, and high-card keys pass") {
+    val li = Tables.lineitem(spark, sfDir)
+    val fewKey = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val bad = li.withColumn("rn", row_number().over(fewKey))
+    assert(flags(bad).contains("FewKeyWindowOverUnboundedInput"), flags(bad).toString)
+    // rank<=k gets WindowGroupLimit pushdown -> exempt
+    val limited = li.withColumn("rn", row_number().over(fewKey)).filter(col("rn") <= 3)
+    assert(flags(limited).isEmpty, flags(limited).toString)
+    // the value-grid spelling windows over an aggregate -> exempt
+    val grid = li.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+    val gridWin = grid.withColumn(
+      "cum",
+      sum(col("c")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+    assert(flags(gridWin).isEmpty, flags(gridWin).toString)
+    // a corpus-cardinality partition key is not few-key
+    val perKey = li.withColumn(
+      "rn",
+      row_number().over(Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+    assert(flags(perKey).isEmpty, flags(perKey).toString)
+  }
+
+  test("a few-key window hiding inside a pinned view still flags") {
+    val li = Tables.lineitem(spark, sfDir)
+    val pinned = graft.engine.Views.pinned(li, "auditSpecBadPin")(
+      _.withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))))
+    try {
+      pinned.count() // materialize so the scan resolves to the cached plan
+      val downstream = pinned.groupBy(col("l_returnflag")).agg(max(col("rn")).as("m"))
+      assert(flags(downstream).contains("FewKeyWindowOverUnboundedInput"))
+    } finally graft.engine.Views.free(spark)
+  }
+}
