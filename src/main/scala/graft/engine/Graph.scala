@@ -302,9 +302,11 @@ object Graph {
         .groupBy(col("node"))
         .agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node")).cacheT()
+      // keep is |V|-bounded (catalog dimension): broadcast both semi-
+      // joins so each peel round is a map-side scan of the edge table
       val pruned = edges
-        .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
-        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "pa")), Seq("pa"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "pb")), Seq("pb"), "left_semi")
         .select(col("pa"), col("pb"))
       edges = pruned
       pruned
@@ -404,14 +406,19 @@ object Graph {
     val edges = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
+    // |V| is catalog-bounded (part keys — a dimension), so the degree
+    // table broadcasts: both endpoint joins go map-side and the 2|E|
+    // edge stream never shuffles. cacheT because the two broadcast legs
+    // join on DIFFERENT keys (pa / pb) — no exchange reuse between them.
     val deg = edges
       .select(col("pa").as("node")).union(edges.select(col("pb").as("node")))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("deg"))
+      .cacheT()
     val sym = edges
       .union(edges.select(col("pb").as("pa"), col("pa").as("pb")))
-      .join(deg.select(col("node").as("pa"), col("deg").as("x")), Seq("pa"))
-      .join(deg.select(col("node").as("pb"), col("deg").as("y")), Seq("pb"))
+      .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("x"))), Seq("pa"))
+      .join(broadcast(deg.select(col("node").as("pb"), col("deg").as("y"))), Seq("pb"))
     val corr = Stages.momentStatsSql.toMap.apply("corr_xy")
     sym
       .agg(
