@@ -157,14 +157,18 @@ object Graph {
     val e = coOrderEdges(lineitem)
       .filter(col("w") >= minSupport)
       .select(col("pa"), col("pb"))
+    // |V|-bounded degree table broadcasts onto both endpoints (different
+    // keys — no exchange reuse without the cacheT), so the edge stream
+    // reaches orientation without shuffling
     val deg = e
       .select(explode(array(col("pa"), col("pb"))).as("part"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("d"))
+      .cacheT()
     // orient: src = (degree, id)-smaller endpoint
     val withDegs = e
-      .join(deg.select(col("part").as("pa"), col("d").as("da")), "pa")
-      .join(deg.select(col("part").as("pb"), col("d").as("db")), "pb")
+      .join(broadcast(deg.select(col("part").as("pa"), col("d").as("da"))), "pa")
+      .join(broadcast(deg.select(col("part").as("pb"), col("d").as("db"))), "pb")
     val oriented = withDegs
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
