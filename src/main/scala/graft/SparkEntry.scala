@@ -441,6 +441,8 @@ object SparkEntry {
       Multimodal.sliceNearDup(Multimodal.mediaTable(Tables.documents(s, dir)))),
     "q_shard_locality" -> ((s, dir) =>
       Multimodal.sliceShardLocality(Multimodal.mediaTable(Tables.documents(s, dir)))),
+    "q_slice_containment" -> ((s, dir) =>
+      Multimodal.sliceContainment(Multimodal.mediaTable(Tables.documents(s, dir)))),
     // ---- data-quality audits & distribution reports ----
     "q_rule_violations" -> ((s, dir) =>
       Relational.ruleViolations(Tables.events(s, dir)).orderBy("rule")),
@@ -3736,6 +3738,28 @@ object SparkEntry {
                      // (2 * least(x.n_slices, y.n_slices)) AS BIGINT) AS overlap_permille
          FROM pairs JOIN nd x ON pairs.da = x.doc_id JOIN nd y ON pairs.db = y.doc_id
          ORDER BY da, db""",
+    "q_slice_containment" ->
+      """WITH s AS (SELECT doc_id,
+                unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
+              FROM documents),
+         sl AS (SELECT DISTINCT doc_id,
+                md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
+              FROM s),
+         nd AS (SELECT doc_id, count(*) AS n_slices FROM sl GROUP BY doc_id),
+         buck AS (SELECT slice_md5 FROM sl GROUP BY slice_md5 HAVING count(*) BETWEEN 2 AND 50),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                   FROM sl a JOIN buck USING (slice_md5) JOIN sl b USING (slice_md5)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         sided AS (SELECT pairs.da, pairs.db, shared,
+                          x.n_slices AS na, y.n_slices AS nb
+                   FROM pairs JOIN nd x ON pairs.da = x.doc_id JOIN nd y ON pairs.db = y.doc_id),
+         dir AS (SELECT da AS inner_doc, db AS outer_doc, shared, na AS n_inner, nb AS n_outer
+                 FROM sided WHERE 1000 * shared >= 800 * na
+                 UNION ALL
+                 SELECT db, da, shared, nb, na FROM sided WHERE 1000 * shared >= 800 * nb)
+         SELECT inner_doc, outer_doc, shared, n_inner, n_outer,
+                CAST((2000 * shared + n_inner) // (2 * n_inner) AS BIGINT) AS containment_permille
+         FROM dir ORDER BY inner_doc, outer_doc""",
     "q_shard_locality" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text

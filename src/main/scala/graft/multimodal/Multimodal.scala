@@ -203,6 +203,39 @@ object Multimodal {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Directional slice containment — the clip-in-video screen: a payload
+    * is "contained" in another when at least `minPermille` of its slice
+    * fingerprints also appear in the other (shared slices from the
+    * pinned pair matrix). Unlike [[sliceNearDup]]'s symmetric overlap,
+    * each qualifying pair emits with the CONTAINED side as `inner_doc`
+    * (both directions when mutual) — the asymmetric relation a media
+    * dedup keeps the longer artifact for. Same pinned postings; pure
+    * parameter application per query.
+    */
+  def sliceContainment(media: DataFrame, minPermille: Int = 800, maxBucket: Int = 50): DataFrame = {
+    val sl = sliceFp(media)
+    val nd = sl.groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices"))
+    val pairs = slicePairCounts(media, maxBucket)
+      .join(nd.select(col("doc_id").as("da"), col("n_slices").as("na")), Seq("da"))
+      .join(nd.select(col("doc_id").as("db"), col("n_slices").as("nb")), Seq("db"))
+    val aInB = pairs
+      .filter(expr(s"1000 * shared >= $minPermille * na"))
+      .select(
+        col("da").as("inner_doc"), col("db").as("outer_doc"), col("shared"),
+        col("na").as("n_inner"), col("nb").as("n_outer"))
+    val bInA = pairs
+      .filter(expr(s"1000 * shared >= $minPermille * nb"))
+      .select(
+        col("db").as("inner_doc"), col("da").as("outer_doc"), col("shared"),
+        col("nb").as("n_inner"), col("na").as("n_outer"))
+    aInB
+      .unionAll(bInA)
+      .withColumn(
+        "containment_permille",
+        expr("(2000 * shared + n_inner) div (2 * n_inner)"))
+      .orderBy(col("inner_doc"), col("outer_doc"))
+  }
+
   /** Shard-locality audit over the slice near-dup pairs: for each
     * candidate shard count, how many duplicate pairs an id-hash-sharded
     * corpus could catch with SHARD-LOCAL dedup alone (both members land
