@@ -443,6 +443,8 @@ object SparkEntry {
       Multimodal.sliceShardLocality(Multimodal.mediaTable(Tables.documents(s, dir)))),
     "q_slice_containment" -> ((s, dir) =>
       Multimodal.sliceContainment(Multimodal.mediaTable(Tables.documents(s, dir)))),
+    "q_slice_dedup_ratio" -> ((s, dir) =>
+      Multimodal.sliceDedupRatio(Multimodal.mediaTable(Tables.documents(s, dir)))),
     // ---- data-quality audits & distribution reports ----
     "q_rule_violations" -> ((s, dir) =>
       Relational.ruleViolations(Tables.events(s, dir)).orderBy("rule")),
@@ -3738,6 +3740,22 @@ object SparkEntry {
                      // (2 * least(x.n_slices, y.n_slices)) AS BIGINT) AS overlap_permille
          FROM pairs JOIN nd x ON pairs.da = x.doc_id JOIN nd y ON pairs.db = y.doc_id
          ORDER BY da, db""",
+    "q_slice_dedup_ratio" ->
+      """WITH s AS (SELECT doc_id,
+                unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
+              FROM documents),
+         sl AS (SELECT octet_length(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))) AS nb,
+                md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS h
+              FROM s),
+         per AS (SELECT h, count(*) AS copies, max(nb) AS nb FROM sl GROUP BY h)
+         SELECT CAST(sum(copies) AS BIGINT) AS total_slices,
+                count(*) AS distinct_slices,
+                CAST(sum(copies * nb) AS BIGINT) AS total_bytes,
+                CAST(sum(nb) AS BIGINT) AS distinct_bytes,
+                CAST((2000 * (CAST(sum(copies * nb) AS BIGINT) - CAST(sum(nb) AS BIGINT))
+                      + CAST(sum(copies * nb) AS BIGINT))
+                     // (2 * CAST(sum(copies * nb) AS BIGINT)) AS BIGINT) AS savings_permille
+         FROM per""",
     "q_slice_containment" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text

@@ -203,6 +203,31 @@ object Multimodal {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Slice-level storage dedup estimate — the content-addressed chunk
+    * store sizing number: how many bytes a CAS keeping one copy of each
+    * distinct slice saves versus storing every occurrence. One
+    * map-combined shuffle on the fingerprint compresses the slice
+    * stream to the distinct-slice table; the report is a 1-row
+    * aggregate, savings as exact half-up permille.
+    */
+  def sliceDedupRatio(media: DataFrame, sliceBytes: Int = 64, strideBytes: Int = 128): DataFrame = {
+    val per = payloadSlices(media, sliceBytes, strideBytes)
+      .groupBy(col("slice_md5"))
+      // identical content → identical length, so max == the length
+      .agg(count(lit(1)).as("copies"), max(col("n_bytes")).as("nb"))
+    per
+      .agg(
+        sum(col("copies")).as("total_slices"),
+        count(lit(1)).as("distinct_slices"),
+        sum(col("copies") * col("nb")).as("total_bytes"),
+        sum(col("nb")).as("distinct_bytes"))
+      .select(
+        col("total_slices"), col("distinct_slices"),
+        col("total_bytes"), col("distinct_bytes"),
+        expr("(2000 * (total_bytes - distinct_bytes) + total_bytes) div (2 * total_bytes)")
+          .as("savings_permille"))
+  }
+
   /** Directional slice containment — the clip-in-video screen: a payload
     * is "contained" in another when at least `minPermille` of its slice
     * fingerprints also appear in the other (shared slices from the
