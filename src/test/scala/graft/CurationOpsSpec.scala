@@ -488,6 +488,48 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sliceContainment and sliceDedupRatio match direct recomputations") {
+    val docs = Tables.documents(spark, sfDir)
+    val media = graft.multimodal.Multimodal.mediaTable(docs)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def sliceList(t: String): Seq[String] =
+      (0 to (t.length - 1) / 128).map(i => t.substring(i * 128, math.min(i * 128 + 64, t.length)))
+    val sets = texts.map { case (id, t) => id -> sliceList(t).toSet }
+    // containment: >=80% of the smaller side's distinct slices shared
+    val bySlice = sets.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    bySlice.values.filter(ds => ds.size >= 2 && ds.size <= 50).foreach { ds =>
+      val sorted = ds.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        val k = (sorted(i), sorted(j))
+        shared(k) = shared.getOrElse(k, 0L) + 1
+      }
+    }
+    val want = shared.toSeq.flatMap { case ((a, b), sh) =>
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      Seq(
+        if (1000 * sh >= 800 * na) Some((a, b, sh, na, nb)) else None,
+        if (1000 * sh >= 800 * nb) Some((b, a, sh, nb, na)) else None).flatten
+    }.toSet
+    val got = graft.multimodal.Multimodal.sliceContainment(media).collect()
+      .map(r => (r.getAs[Long]("inner_doc"), r.getAs[Long]("outer_doc"),
+        r.getAs[Long]("shared"), r.getAs[Long]("n_inner"), r.getAs[Long]("n_outer"))).toSet
+    assert(got.nonEmpty && got == want)
+    // dedup ratio: one copy of each distinct slice (per-occurrence counts)
+    val all = texts.values.flatMap(sliceList).toSeq
+    val distinctBytes = all.distinct.map(_.getBytes("UTF-8").length.toLong).sum
+    val totalBytes = all.map(_.getBytes("UTF-8").length.toLong).sum
+    val row = graft.multimodal.Multimodal.sliceDedupRatio(media).head()
+    assert(row.getAs[Long]("total_slices") == all.size.toLong)
+    assert(row.getAs[Long]("distinct_slices") == all.distinct.size.toLong)
+    assert(row.getAs[Long]("total_bytes") == totalBytes)
+    assert(row.getAs[Long]("distinct_bytes") == distinctBytes)
+    assert(row.getAs[Long]("savings_permille") ==
+      (2000 * (totalBytes - distinctBytes) + totalBytes) / (2 * totalBytes))
+  }
+
   test("dailyTopSpenders ranks exact per-day spend with at most k rows per day") {
     val ev = Tables.events(spark, sfDir)
     val top = Analytics.dailyTopSpenders(ev, 3).collect()
