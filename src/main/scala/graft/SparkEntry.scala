@@ -445,6 +445,8 @@ object SparkEntry {
       Multimodal.sliceContainment(Multimodal.mediaTable(Tables.documents(s, dir)))),
     "q_slice_dedup_ratio" -> ((s, dir) =>
       Multimodal.sliceDedupRatio(Multimodal.mediaTable(Tables.documents(s, dir)))),
+    "q_slice_screen" -> ((s, dir) =>
+      Multimodal.sliceScreen(Tables.documents(s, dir))),
     // ---- data-quality audits & distribution reports ----
     "q_rule_violations" -> ((s, dir) =>
       Relational.ruleViolations(Tables.events(s, dir)).orderBy("rule")),
@@ -3756,6 +3758,30 @@ object SparkEntry {
                       + CAST(sum(copies * nb) AS BIGINT))
                      // (2 * CAST(sum(copies * nb) AS BIGINT)) AS BIGINT) AS savings_permille
          FROM per""",
+    "q_slice_screen" ->
+      """WITH s AS (SELECT doc_id,
+                unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
+              FROM documents),
+         sl AS (SELECT DISTINCT doc_id,
+                md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
+              FROM s),
+         split AS (SELECT doc_id,
+                   CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 5 = 0 AS is_new
+                   FROM documents),
+         hits AS (SELECT b.doc_id AS new_doc, c.doc_id AS best_match, count(*) AS shared
+                  FROM sl b JOIN split sb ON b.doc_id = sb.doc_id AND sb.is_new
+                  JOIN sl c ON b.slice_md5 = c.slice_md5
+                  JOIN split sc ON c.doc_id = sc.doc_id AND NOT sc.is_new
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+         best AS (SELECT new_doc, best_match, shared,
+                         row_number() OVER (PARTITION BY new_doc ORDER BY shared DESC, best_match ASC) AS rk
+                  FROM hits)
+         SELECT d.doc_id AS new_doc, best.best_match,
+                COALESCE(best.shared, 0) AS shared,
+                best.best_match IS NOT NULL AS is_dup
+         FROM documents d JOIN split ON d.doc_id = split.doc_id AND split.is_new
+         LEFT JOIN best ON d.doc_id = best.new_doc AND best.rk = 1
+         ORDER BY new_doc""",
     "q_slice_containment" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text

@@ -261,6 +261,59 @@ object Multimodal {
       .orderBy(col("inner_doc"), col("outer_doc"))
   }
 
+  /** Ingest screening for media — the slice-index analog of
+    * [[graft.text.Dedup.screenAgainst]]: an incoming batch of payloads
+    * computes its slice fingerprints INLINE (transient data is never
+    * pinned) and probes the corpus's PINNED postings table; each batch
+    * payload reports whether it hits the corpus (≥ `minShared` shared
+    * slices) and its best-matching corpus document (most shared slices,
+    * ties to the smallest id — a rank-1 window per batch doc, which is
+    * high-cardinality-keyed and WindowGroupLimit-pruned). Works inside
+    * `foreachBatch`; a production index would also drop stop-slices
+    * (the [[sliceNearDup]] bucket cap) at index-build time.
+    */
+  def screenSlicesAgainst(batch: DataFrame, corpus: DataFrame, minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusFp = sliceFp(corpus)
+    val batchFp = payloadSlices(batch)
+      .select(col("doc_id").as("new_doc"), col("slice_md5"))
+      .distinct()
+    val best = batchFp
+      .join(
+        corpusFp.select(col("slice_md5"), col("doc_id").as("best_match")),
+        Seq("slice_md5"))
+      .groupBy(col("new_doc"), col("best_match"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("new_doc")).orderBy(col("shared").desc, col("best_match").asc)))
+      .filter(col("rk") === 1)
+      .drop("rk")
+    batch
+      .select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left_outer")
+      .select(
+        col("new_doc"),
+        col("best_match"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("best_match").isNotNull.as("is_dup"))
+      .orderBy(col("new_doc"))
+  }
+
+  /** The batch-vs-corpus split form over one documents table (md5 of the
+    * doc id, every fifth doc is "incoming") — the oracle-checkable face
+    * of [[screenSlicesAgainst]], mirroring
+    * [[graft.text.Dedup.incrementalBestMatch]]'s split rule.
+    */
+  def sliceScreen(documents: DataFrame, minShared: Int = 2): DataFrame = {
+    val isBatch =
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 5 = 0"
+    val media = mediaTable(documents)
+    screenSlicesAgainst(media.filter(expr(isBatch)), media.filter(!expr(isBatch)), minShared)
+  }
+
   /** Shard-locality audit over the slice near-dup pairs: for each
     * candidate shard count, how many duplicate pairs an id-hash-sharded
     * corpus could catch with SHARD-LOCAL dedup alone (both members land
