@@ -157,6 +157,14 @@ object Multimodal {
     graft.engine.Views.pinned(media, "sliceFp64x128")(m =>
       payloadSlices(m).select(col("doc_id"), col("slice_md5")).distinct())
 
+  /** PINNED per-document distinct-slice counts — the size column every
+    * overlap/containment score divides by, materialized once next to
+    * the postings instead of re-aggregated per query.
+    */
+  private def sliceDocCounts(media: DataFrame): DataFrame =
+    graft.engine.Views.pinned(media, "sliceDocCounts64x128")(m =>
+      sliceFp(m).groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices")))
+
   /** PINNED unfiltered shared-slice pair-count matrix (same policy as
     * the winnow fingerprint pair matrix): the stop-slice cap is a
     * property of the materialized index (in the tag, so a non-default
@@ -191,8 +199,7 @@ object Multimodal {
     * the score is hash-stable cross-engine.
     */
   def sliceNearDup(media: DataFrame, minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
-    val sl = sliceFp(media)
-    val nd = sl.groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices"))
+    val nd = sliceDocCounts(media)
     val pairs = slicePairCounts(media, maxBucket).filter(col("shared") >= minShared)
     pairs
       .join(nd.select(col("doc_id").as("da"), col("n_slices").as("na")), Seq("da"))
@@ -238,8 +245,7 @@ object Multimodal {
     * parameter application per query.
     */
   def sliceContainment(media: DataFrame, minPermille: Int = 800, maxBucket: Int = 50): DataFrame = {
-    val sl = sliceFp(media)
-    val nd = sl.groupBy(col("doc_id")).agg(count(lit(1)).as("n_slices"))
+    val nd = sliceDocCounts(media)
     val pairs = slicePairCounts(media, maxBucket)
       .join(nd.select(col("doc_id").as("da"), col("n_slices").as("na")), Seq("da"))
       .join(nd.select(col("doc_id").as("db"), col("n_slices").as("nb")), Seq("db"))
