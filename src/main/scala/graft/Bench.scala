@@ -58,7 +58,14 @@ object Bench {
       graft.engine.Caches.freeTransient(spark) // (untimed) free transients; pinned views survive
       name -> elapsed
     }
+    // Pins at sfDir build fresh inside pass 1 and are free in pass 2, so
+    // best-of-2 reports warm-index economics; book the build seconds
+    // separately (eager materialization inside Views.pinned, Bench-only)
+    // so the amortization claim is a measured number.
+    graft.engine.Views.resetBuildTimer()
+    graft.engine.Views.timeBuilds = true
     val (p1, p2) = (timedPass(), timedPass())
+    graft.engine.Views.timeBuilds = false
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -72,6 +79,7 @@ object Bench {
     // separate machine noise (|p1−p2| spread) from real per-query change.
     println(s"""{"metric":"per_query_passes","unit":"sec","p1":${jmap(p1)},"p2":${jmap(p2)},"sf":"$sfDir"}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"pin_build","value":${graft.engine.Views.buildSeconds},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -36,17 +36,36 @@ object PlanAudit {
     * (InMemoryTableScan) and AQE stages count as bounded when the plan
     * behind them is — the grid histograms are aggregates.
     */
-  def boundedBelow(p: SparkPlan): Boolean =
-    p.collectFirst {
-      case a if a.nodeName.contains("Aggregate") => true
-      case l if l.nodeName.contains("Limit") => true
-      case t if t.nodeName.contains("TakeOrdered") => true
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-          if boundedBelow(s.relation.cachedPlan) => true
-      case a: AdaptiveSparkPlanExec if boundedBelow(a.executedPlan) => true
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
-          if boundedBelow(q.plan) => true
-    }.isDefined
+  def boundedBelow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    p match {
+      case _ if p.nodeName.contains("Aggregate") ||
+        p.nodeName.contains("Limit") ||
+        p.nodeName.contains("TakeOrdered") => true
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        boundedBelow(s.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        boundedBelow(q.plan)
+      // A bounding node only counts when it dominates the row count: the
+      // build side of a broadcast join is a dimension leg (this codebase
+      // cross-joins 1-row aggregate anchors onto corpus-scale facts all
+      // over), so an Aggregate sitting THERE says nothing about the
+      // streamed side's size — recurse into the streamed side only.
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        boundedBelow(j.buildSide match { case BuildLeft => j.right; case BuildRight => j.left })
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        boundedBelow(j.buildSide match { case BuildLeft => j.right; case BuildRight => j.left })
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      // Literal-cardinality leaves never grow with the corpus: a small
+      // Range (the generated 0..255 bucket grids) or a LocalTableScan
+      // (literal rows) bounds the window input like an aggregate does.
+      case r: org.apache.spark.sql.execution.RangeExec
+          if r.numElements <= BigInt(1L << 20) => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case other => other.children.exists(boundedBelow)
+    }
+  }
 
   /** Dimension columns whose cardinality does not grow with the corpus:
     * a window partitioned only by these holds corpus/|keys| rows per

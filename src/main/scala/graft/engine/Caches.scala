@@ -77,8 +77,29 @@ object Views {
     // is lazy, so a losing duplicate unpins without ever materializing.
     val built = build(input).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raced = pins.putIfAbsent(key, built)
-    if (raced != null) { built.unpersist(); raced } else built
+    if (raced != null) { built.unpersist(); raced }
+    else {
+      // Opt-in (Bench only) build-cost accounting: materialize the fresh
+      // pin eagerly and book the wall seconds, so the "pins amortize"
+      // claim is a measured number instead of a best-of-2 blind spot.
+      // Lazy by default — PlanAudit/Verify/tests build plans without
+      // executing, and must keep doing so.
+      if (timeBuilds) {
+        val t0 = System.nanoTime()
+        built.count()
+        buildNanos.addAndGet(System.nanoTime() - t0)
+      }
+      built
+    }
   }
+
+  /** When true, [[pinned]] materializes fresh pins eagerly and books the
+    * build seconds into [[buildSeconds]]. Set ONLY by Bench.
+    */
+  @volatile var timeBuilds: Boolean = false
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  def buildSeconds: Double = buildNanos.get / 1e9
+  def resetBuildTimer(): Unit = buildNanos.set(0L)
 
   /** Unpersist and forget every pinned view (all sessions). */
   def clear(): Unit = {

@@ -396,6 +396,57 @@ case class DotMilli(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native signature-agreement count over two `array<bigint>` MinHash
+  * signatures: the number of positions carrying the same value — the
+  * numerator of the LSH Jaccard estimate. Replaces the interpreted
+  * `size(filter(zip_with(a, b, (x,y) -> x = y), v -> v))` spelling on
+  * the per-candidate verify hot path: HOF lambdas do not participate in
+  * whole-stage codegen and allocate one intermediate boolean array per
+  * candidate pair; this compiles to a tight long-compare loop. Integer
+  * count → swapping it in cannot change any oracle hash. Signatures are
+  * fixed-length per pipeline; a length mismatch would count agreements
+  * over the shorter prefix (same as zip_with's null-padded tail, whose
+  * null ≠ long comparisons are filtered out).
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) s += 1
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column API for [[DotProduct]]. Arguments must be `array<double>`
@@ -458,5 +509,11 @@ object VectorFunctions {
   def byteEntropyStats(text: Column): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(ByteEntropyStats(ColumnShim.expression(text)))
+  }
+
+  /** Column API for [[SigAgree]]. Arguments: two `array<bigint>`. */
+  def sigAgree(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SigAgree(ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 }

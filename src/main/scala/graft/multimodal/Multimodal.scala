@@ -84,7 +84,11 @@ object Multimodal {
     // dominant cost here and a scale liability. Identical integer
     // sufficient statistics (the kernel mirrors ascii(substring)
     // codepoints, ln via the same libm call, round on a non-negative
-    // argument), so the oracle arithmetic is unchanged.
+    // argument), so the oracle arithmetic is unchanged — with ONE
+    // deliberate divergence: the empty payload yields (0, 0, 0) and a
+    // NULL bits_per_byte, where the old spelling's sequence(1, 0)
+    // artifact reported n_bytes=2/n_distinct=1 (pinned in
+    // FuncParitySpec "empty payload").
     documents
       .select(
         col("doc_id"),

@@ -83,9 +83,26 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
         // table exists, the failure was real — propagate so the replay
         // retries the whole write.
         case e: java.sql.SQLException =>
-          val tables = conn.getMetaData.getTables(
-            null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-          val exists = try tables.next() finally tables.close()
+          // The lookup must match the database's identifier fold for the
+          // UNQUOTED name the DELETE used: Derby folds to upper case,
+          // Postgres (the reference's production target,
+          // spark_streaming.py:116-124) to lower. Ask the driver which,
+          // falling back to probing both folds plus the literal — a
+          // wrong-case probe would report an existing table missing and
+          // swallow a REAL delete failure (lock timeout, dropped
+          // connection), duplicating the epoch on replay.
+          val md = conn.getMetaData
+          val candidates =
+            if (md.storesUpperCaseIdentifiers()) Seq(table.toUpperCase(java.util.Locale.ROOT))
+            else if (md.storesLowerCaseIdentifiers()) Seq(table.toLowerCase(java.util.Locale.ROOT))
+            else Seq(
+              table,
+              table.toUpperCase(java.util.Locale.ROOT),
+              table.toLowerCase(java.util.Locale.ROOT)).distinct
+          val exists = candidates.exists { name =>
+            val tables = md.getTables(null, null, name, null)
+            try tables.next() finally tables.close()
+          }
           if (exists) throw e
       } finally st.close()
     } finally conn.close()

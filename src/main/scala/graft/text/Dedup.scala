@@ -153,7 +153,13 @@ object Dedup {
       .distinct()
       .withColumn(
         "est_jaccard",
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast(size(sig_a) as double)"))
+        // native codegen agreement count (graft.functions.SigAgree) in
+        // place of the interpreted zip_with/filter HOF — integer
+        // numerator, so the estimate (and every downstream hash) is
+        // unchanged while the per-candidate loop stays inside
+        // whole-stage codegen
+        graft.functions.VectorFunctions.sigAgree(col("sig_a"), col("sig_b"))
+          / size(col("sig_a")).cast("double"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
@@ -298,7 +304,10 @@ object Dedup {
       .distinct()
       .withColumn(
         "est_jaccard",
-        expr("size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), v -> v)) / cast(size(sig_n) as double)"))
+        // same native SigAgree swap as minhashNearDups — this is the
+        // per-candidate hot path of the ingest screen
+        graft.functions.VectorFunctions.sigAgree(col("sig_n"), col("sig_c"))
+          / size(col("sig_n")).cast("double"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .withColumn(
         "rk",

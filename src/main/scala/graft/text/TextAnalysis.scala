@@ -323,13 +323,18 @@ object TextAnalysis {
     // replaces the former postings self-join (a second corpus-postings
     // shuffle) with one map-side explode over the bucketed index.
     val buckets = graft.engine.Views.pinned(documents, "winnowFpBuckets") { docs =>
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // max_id rides the existing 1-row stats anchor to enforce the
+      // packed-key precondition in-plan (see the packing note below)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))
       winnowArrays(docs)
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy(col("fp"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .crossJoin(broadcast(nDocs))
         .filter(size(col("ds")).cast("long") <= col("n_docs") * 0.05)
+        .filter(expr(
+          "ifnull(assert_true(max_id >= 0 AND max_id < 4294967296L, " +
+            "'winnowCopyPairs packs doc pairs as doc_a*2^32+doc_b: doc_id must fit in 32 unsigned bits'), true)"))
         .select(col("ds"))
     }
     // Per-doc fingerprint counts (|docs| rows) join onto the AGGREGATED
@@ -341,8 +346,11 @@ object TextAnalysis {
     // by construction from the sorted array): the lambda emits a
     // primitive-long array instead of millions of struct rows, and the
     // pair aggregate hashes a single long key. Valid while doc ids fit
-    // 32 bits — corpus-snapshot-scoped ids do; at larger id spaces the
-    // packing falls back to the two-column struct key. The aggregated
+    // 32 unsigned bits — a HARD precondition (doc_a·2³² overflows Long
+    // past that), enforced in-plan by the assert_true guard on
+    // max(doc_id) in the bucket build above; an id space beyond 2³²
+    // fails loudly there and must switch to a two-column struct key
+    // (not implemented — corpus-snapshot-scoped ids fit). The aggregated
     // shared-fingerprint matrix is PINNED (parameter-free — `minShared`
     // only thresholds it at read time): it is the pairwise-overlap view
     // a plagiarism service materializes per corpus snapshot, and the

@@ -46,6 +46,62 @@ class FuncParitySpec extends AnyFunSuite {
     }
   }
 
+  test("ByteEntropyStats pins (0,0,0) for the empty payload") {
+    // Deliberate divergence from the explode SQL spelling the kernel
+    // replaced: `sequence(1, length(''))` = sequence(1, 0) defaults to
+    // step −1 and yields [1, 0], so the old plan reported
+    // n_bytes=2 / n_distinct=1 for "" — a sequence artifact, not a
+    // statistic. The kernel returns the true sufficient statistics of
+    // the empty byte multiset; downstream bits_per_byte is NULL (ln 0).
+    import spark.implicits._
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val s = df
+      .select(graft.functions.VectorFunctions.byteEntropyStats(col("text")).as("s"))
+      .select(col("s.n_bytes"), col("s.n_distinct"), col("s.ent_micro"))
+      .head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((0L, 0L, 0L)))
+    val ent = graft.multimodal.Multimodal.payloadEntropy(df).head
+    assert(ent.isNullAt(ent.fieldIndex("bits_per_byte")))
+  }
+
+  test("SigAgree kernel equals the zip_with/filter spelling") {
+    import spark.implicits._
+    // handcrafted edges: disagreement, empty signatures, self-agreement
+    val edge = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(7L), Seq(7L)),
+      (Seq(-1L, 0L, Long.MaxValue), Seq(-1L, 1L, Long.MaxValue)))
+      .toDF("sig_a", "sig_b")
+    // real signatures: consecutive-doc pairs from the corpus
+    val sigs = graft.text.Dedup.minhashSignatures(
+      Tables.documents(spark, sfDir), 32)
+    val real = sigs.select(col("doc_id"), col("sig").as("sig_a"))
+      .join(
+        sigs.select((col("doc_id") - 1).as("doc_id"), col("sig").as("sig_b")),
+        "doc_id")
+      .select(col("sig_a"), col("sig_b"))
+      .limit(300)
+    for (df <- Seq(edge, real)) {
+      val rows = df
+        .withColumn("via_hof",
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
+        .withColumn("via_kernel",
+          graft.functions.VectorFunctions.sigAgree(col("sig_a"), col("sig_b")))
+        .collect()
+      assert(rows.nonEmpty)
+      for (r <- rows)
+        assert(r.getAs[Int]("via_hof") == r.getAs[Int]("via_kernel"))
+    }
+    // a signature agrees with itself at every position
+    val self = sigs.limit(50)
+      .select(
+        size(col("sig")).as("n"),
+        graft.functions.VectorFunctions.sigAgree(col("sig"), col("sig")).as("agree"))
+      .collect()
+    assert(self.nonEmpty && self.forall(r => r.getAs[Int]("agree") == r.getAs[Int]("n")))
+  }
+
   test("mathFuncs scalar identities hold row-wise") {
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
     // so identities are checked from each output row itself (q recovers

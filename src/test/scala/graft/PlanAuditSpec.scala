@@ -65,6 +65,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(flags(perKey).isEmpty, flags(perKey).toString)
   }
 
+  test("a broadcast 1-row anchor does not launder a few-key window as bounded") {
+    // the anchor's Aggregate sits on the BUILD side of the broadcast
+    // join; the streamed side is still raw corpus-scale facts, so the
+    // window must flag — boundedBelow only recurses the streamed side
+    val li = Tables.lineitem(spark, sfDir)
+    val anchor = li.agg(sum(col("l_quantity")).as("total"))
+    val bad = li.crossJoin(broadcast(anchor))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))))
+    assert(flags(bad).contains("FewKeyWindowOverUnboundedInput"), flags(bad).toString)
+    // the same anchor join over a GRID (aggregate on the streamed side)
+    // stays sanctioned
+    val grid = li.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+    val ok = grid.crossJoin(broadcast(anchor))
+      .withColumn(
+        "cum",
+        sum(col("c")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+    assert(flags(ok).isEmpty, flags(ok).toString)
+  }
+
+  test("a window over a literal-cardinality grid (range/local rows) stays sanctioned") {
+    // the hashUniformity shape: a generated 0..255 bucket grid
+    // left-joined to a broadcast aggregate — the streamed side is a
+    // small RangeExec, which never grows with the corpus
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(expr("CAST(user_id % 256 AS BIGINT)").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val grid = spark.range(1)
+      .select(explode(expr("sequence(0, 255)")).as("b"))
+      .join(counts, Seq("b"), "left_outer")
+      .select(col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    val win = grid.select(
+      col("b"),
+      sum(col("o")).over(Window.partitionBy(lit(1)).orderBy(col("b"))).as("cum"))
+    assert(flags(win).isEmpty, flags(win).toString)
+    assert(flags(graft.engine.Relational.hashUniformity(Tables.events(spark, sfDir))).isEmpty)
+  }
+
   test("a few-key window hiding inside a pinned view still flags") {
     val li = Tables.lineitem(spark, sfDir)
     val pinned = graft.engine.Views.pinned(li, "auditSpecBadPin")(

@@ -20,6 +20,11 @@ def load(path):
     """
     text = open(path).read()
     best, noise = None, {}
+    load.pin_build = getattr(load, "pin_build", {})
+    # tolerate JSON-escaped quotes (driver tail re-encoding)
+    m = re.search(r'pin_build\\?"?[^}]*?value\\?"?\s*:\s*([0-9.eE+-]+)', text)
+    if m:
+        load.pin_build[path] = float(m.group(1))
     for line in text.splitlines():
         line = line.strip()
         if '"per_query_passes"' in line:
@@ -83,6 +88,11 @@ def main():
     print(f"== common {len(common)} queries: {co:.1f}s -> {cn:.1f}s "
           f"({cn / co:.2f}x); {len(regressions)} regressed >{thr}x "
           f"({noisy} within pass spread), {len(improved)} improved >{thr}x")
+    pins = getattr(load, "pin_build", {})
+    for path in (old_path, new_path):
+        if path in pins:
+            print(f"== pin_build {path}: {pins[path]:.1f}s spent materializing "
+                  "pinned views (inside pass 1; pass 2 rides the warm index)")
 
 
 if __name__ == "__main__":
