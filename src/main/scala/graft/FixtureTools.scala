@@ -31,7 +31,11 @@ object RewriteFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     tables.foreach { t =>
-      val df = spark.read.parquet(s"$inDir/$t.parquet")
+      // read through Tables.load, NOT bare spark.read: the fixture stores
+      // TIMESTAMP(NANOS) columns that every query reads as LONG nanos
+      // (nanosAsLong + no NTZ inference, set there) — a bare read would
+      // rewrite them as TIMESTAMP_NTZ and change the read-side schema
+      val df = graft.engine.Tables.load(spark, inDir, t)
       df.repartition(nFiles).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"rewrote $t -> $outDir/$t.parquet ($nFiles files)")
     }

@@ -379,6 +379,8 @@ object SparkEntry {
       TextAnalysis.sourceHhi(Tables.documents(s, dir)).orderBy("source")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q_sig_agree_dist" -> ((s, dir) =>
+      Dedup.candidateAgreementDist(Tables.documents(s, dir)).orderBy("agree")),
     "q_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalBestMatch(Tables.documents(s, dir)).orderBy("new_doc")),
     "q_doc_surprisal" -> ((s, dir) =>
@@ -3457,6 +3459,25 @@ object SparkEntry {
          FROM sj
          WHERE CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32 >= 0.5
          ORDER BY doc_a, doc_b""",
+    "q_sig_agree_dist" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+                FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         SELECT CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS agree,
+                count(*) AS n_pairs
+         FROM sj GROUP BY 1 ORDER BY agree""",
     "q_dedup_incremental" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
          h AS (SELECT doc_id,

@@ -2295,6 +2295,12 @@ object Relational {
     * policy per cell.
     */
   def abcXyzMatrix(lineitem: DataFrame): DataFrame = {
+    // MEASURED NEGATIVE (r6): folding the revenue units into the monthly
+    // grid (one lineitem scan, rev rolled up from monthly + cacheT) was
+    // 1.8 → 2.8 s isolated at sf0.1/32 — the lean map-side
+    // groupBy(partkey) revenue aggregate straight off the scan beats
+    // routing revenue through the wider (partkey, month) shuffle twice
+    // plus a materialization barrier. Two scans is the winning shape.
     val monthly = lineitem
       .groupBy(
         col("l_partkey"),

@@ -120,23 +120,20 @@ object Dedup {
         col("doc_id"),
         graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig")))
 
-  /** MinHash + LSH banding: `numBands` bands of `rowsPerBand` signature
-    * rows; docs sharing any band bucket become candidates; candidates are
-    * scored by estimated Jaccard = fraction of matching signature
-    * positions, and pairs ≥ `minEstJaccard` are emitted.
+  /** Banded candidate pairs with both signatures attached — the shared
+    * generator behind [[minhashNearDups]] and [[candidateAgreementDist]]:
+    * docs sharing any band bucket, deduped, `doc_a < doc_b`. The band
+    * bucket key is the raw signature slice, not a hash of it: Spark
+    * equi-joins on array<bigint> directly, so this costs one comparison
+    * per probe while eliminating bucket-collision false candidates (and
+    * keeping candidate generation reproducible by any engine that can
+    * compare lists).
     */
-  def minhashNearDups(
+  private def bandedCandidates(
       documents: DataFrame,
-      numBands: Int = 8,
-      rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    val sigs = minhashSignatures(documents, numHashes) // pinned view — do not re-cache
-    // The band bucket key is the raw 4-long signature slice, not a hash of
-    // it: Spark equi-joins on array<bigint> directly, so this costs one
-    // comparison per probe while eliminating bucket-collision false
-    // candidates (and keeping candidate generation reproducible by any
-    // engine that can compare lists).
+      numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(documents, numBands * rowsPerBand) // pinned view — do not re-cache
     val withBands = sigs
       .select(
         col("doc_id"),
@@ -151,6 +148,19 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct()
+  }
+
+  /** MinHash + LSH banding: `numBands` bands of `rowsPerBand` signature
+    * rows; docs sharing any band bucket become candidates; candidates are
+    * scored by estimated Jaccard = fraction of matching signature
+    * positions, and pairs ≥ `minEstJaccard` are emitted.
+    */
+  def minhashNearDups(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame =
+    bandedCandidates(documents, numBands, rowsPerBand)
       .withColumn(
         "est_jaccard",
         // native codegen agreement count (graft.functions.SigAgree) in
@@ -162,7 +172,29 @@ object Dedup {
           / size(col("sig_a")).cast("double"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-  }
+
+  /** LSH verify-margin histogram: every banded candidate pair bucketed by
+    * its signature agreement count (the integer numerator of the Jaccard
+    * estimate) — the report behind choosing (bands, rows) BEFORE running
+    * a full dedup: mass far below the acceptance threshold is wasted
+    * verification work the banding admits, mass at the top is the
+    * near-exact-dup load, and a gap in the middle says the threshold is
+    * robust. Candidates come exclusively from band buckets (the same
+    * generator as [[minhashNearDups]] — never a corpus self-join); the
+    * rollup is at most numBands·rowsPerBand+1 rows. Runs the native
+    * [[graft.functions.SigAgree]] kernel on the same per-candidate hot
+    * path the verify stage does.
+    */
+  def candidateAgreementDist(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame =
+    bandedCandidates(documents, numBands, rowsPerBand)
+      .select(
+        graft.functions.VectorFunctions.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("long").as("agree"))
+      .groupBy(col("agree"))
+      .agg(count(lit(1)).as("n_pairs"))
 
   /** Near-duplicate provenance matrix: MinHash-LSH candidate pairs
     * ([[minhashNearDups]]) rolled up to unordered source pairs — the
