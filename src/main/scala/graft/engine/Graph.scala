@@ -255,6 +255,7 @@ object Graph {
     val bidir = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .union(edges.select(col("pb").as("src"), col("pa").as("dst")))
       .repartition(col("src"))
+      .sortWithinPartitions(col("src")) // cached ordering: hop SMJ skips the edge-side sort
       .cacheT()
     val seed = bidir
       .groupBy(col("src").as("node"))
@@ -262,22 +263,24 @@ object Graph {
       .orderBy(col("d").desc, col("node").asc)
       .limit(1)
       .select(col("node"))
-    var reached = seed.withColumn("hop", lit(0L)).cacheT()
-    var frontier = reached.select(col("node"))
+    // Same one-shuffle-per-hop walk-frontier shape as [[harmonicTopK]]:
+    // no per-hop anti-join — frontiers are walk frontiers, re-keyed to
+    // hash(node) so the distinct rides the exchange and the next hop's
+    // join is co-partitioned with the cached edge list; exact BFS hops
+    // fall out afterwards as min(hop) over appearances (minimal walk
+    // length = shortest-path distance), so results are unchanged.
+    var frontier = seed.cacheT()
+    var appearances = frontier.withColumn("hop", lit(0L))
     for (h <- 1 to maxHops) {
-      val next = frontier
+      frontier = frontier
         .join(bidir, col("node") === col("src"))
         .select(col("dst").as("node"))
+        .repartition(col("node"))
         .distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
         .cacheT()
-      // `next` is cached; the running union of cached pieces is cheap to
-      // re-derive, so re-caching `reached` each hop would only add
-      // materialization barriers and memory pressure.
-      reached = reached.union(next.withColumn("hop", lit(h.toLong)))
-      frontier = next
+      appearances = appearances.union(frontier.withColumn("hop", lit(h.toLong)))
     }
-    reached
+    appearances.groupBy(col("node")).agg(min(col("hop")).as("hop"))
   }
 
   /** Bounded k-core peeling on the support-thresholded co-order graph:
