@@ -620,6 +620,7 @@ object Graph {
     // and only the (|V|-sized) label side shuffles per round
     val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
       .repartition(col("pb"))
+      .sortWithinPartitions(col("pb")) // cached ordering: the per-round vote SMJ skips the edge-side sort
       .cacheT()
     var labels = sym.select(col("pa").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to 2) {
