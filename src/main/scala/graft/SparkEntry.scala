@@ -381,6 +381,8 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_sig_agree_dist" -> ((s, dir) =>
       Dedup.candidateAgreementDist(Tables.documents(s, dir)).orderBy("agree")),
+    "q_dedup_transitivity" -> ((s, dir) =>
+      Dedup.dedupTransitivity(Tables.documents(s, dir))),
     "q_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalBestMatch(Tables.documents(s, dir)).orderBy("new_doc")),
     "q_doc_surprisal" -> ((s, dir) =>
@@ -3478,6 +3480,33 @@ object SparkEntry {
          SELECT CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS agree,
                 count(*) AS n_pairs
          FROM sj GROUP BY 1 ORDER BY agree""",
+    "q_dedup_transitivity" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         sj AS (SELECT doc_a, doc_b
+                FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+                WHERE CAST(len(list_filter(generate_series(1,32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5),
+         adj AS (SELECT doc_a, doc_b FROM sj UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM sj),
+         w AS (SELECT x.doc_b AS a, y.doc_b AS c
+               FROM adj x JOIN adj y ON x.doc_a = y.doc_a WHERE x.doc_b < y.doc_b),
+         cl AS (SELECT count(*) AS n_closed FROM w JOIN sj ON sj.doc_a = w.a AND sj.doc_b = w.c)
+         SELECT (SELECT count(*) FROM sj) AS n_pairs,
+                (SELECT count(*) FROM w) AS n_wedges,
+                n_closed,
+                CASE WHEN (SELECT count(*) FROM w) = 0 THEN NULL
+                     ELSE CAST(n_closed AS DOUBLE) / CAST((SELECT count(*) FROM w) AS DOUBLE) END AS transitivity
+         FROM cl""",
     "q_dedup_incremental" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
          h AS (SELECT doc_id,

@@ -196,6 +196,44 @@ object Dedup {
       .groupBy(col("agree"))
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** Near-dup cluster-coherence (transitivity) audit: over the LSH
+    * near-dup pair set, the fraction of wedges a–b–c whose endpoints
+    * (a, c) are themselves a near-dup pair. At 1.0 the pair set is a
+    * disjoint union of cliques, so connected-component dedup removes
+    * exactly what pairwise removal would; low values mean CHAINS — a CC
+    * pass would over-merge and drop documents that are not duplicates
+    * of their keeper. This is the go/no-go a pipeline checks BEFORE
+    * switching from pairwise to cluster-based removal. The wedge
+    * self-join runs on the bounded near-dup pair set (never the
+    * corpus); the three counts combine over 1-row broadcast anchors.
+    */
+  def dedupTransitivity(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(documents, numBands, rowsPerBand, minEstJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .cacheT() // read three times: both adjacency directions + wedge closure
+    val adj = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // wedges centered on the shared doc: each unordered endpoint pair
+    // (a < c) counted once per center, the standard wedge multiplicity
+    val wedges = adj.as("x")
+      .join(adj.as("y"), col("x.doc_a") === col("y.doc_a"))
+      .filter(col("x.doc_b") < col("y.doc_b"))
+      .select(col("x.doc_b").as("a"), col("y.doc_b").as("c"))
+    val closed = wedges
+      .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed"))))
+      .select(
+        col("n_pairs"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_closed").cast("double") / col("n_wedges").cast("double"))
+          .as("transitivity"))
+  }
+
   /** Near-duplicate provenance matrix: MinHash-LSH candidate pairs
     * ([[minhashNearDups]]) rolled up to unordered source pairs — the
     * near-dup complement of the exact-hash cross-source matrix. The
