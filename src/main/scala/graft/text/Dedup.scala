@@ -150,6 +150,29 @@ object Dedup {
       .distinct()
   }
 
+  /** PINNED unthresholded candidate-pair table per band configuration:
+    * (doc_a, doc_b, agree, nh) for every banded candidate, with `agree`
+    * the native-codegen signature agreement count
+    * ([[graft.functions.SigAgree]], the integer numerator of the Jaccard
+    * estimate — the interpreted zip_with/filter HOF this replaced is
+    * gone from the hot path). This is the MAXIMAL parameter-free
+    * near-dup derivation per corpus snapshot: `minEstJaccard` is pure
+    * read-time parameter application, so the whole dedup query family
+    * (near-dup pairs, source matrix, split leakage, PRF estimate,
+    * transitivity, sweep, agreement, link prediction) shares ONE
+    * materialized band join instead of each re-running it.
+    */
+  private def candidatePairs(
+      documents: DataFrame,
+      numBands: Int,
+      rowsPerBand: Int): DataFrame =
+    graft.engine.Views.pinned(documents, s"minhashCand${numBands}x$rowsPerBand")(d =>
+      bandedCandidates(d, numBands, rowsPerBand)
+        .select(
+          col("doc_a"), col("doc_b"),
+          graft.functions.VectorFunctions.sigAgree(col("sig_a"), col("sig_b")).as("agree"),
+          size(col("sig_a")).as("nh")))
+
   /** MinHash + LSH banding: `numBands` bands of `rowsPerBand` signature
     * rows; docs sharing any band bucket become candidates; candidates are
     * scored by estimated Jaccard = fraction of matching signature
@@ -160,16 +183,8 @@ object Dedup {
       numBands: Int = 8,
       rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame =
-    bandedCandidates(documents, numBands, rowsPerBand)
-      .withColumn(
-        "est_jaccard",
-        // native codegen agreement count (graft.functions.SigAgree) in
-        // place of the interpreted zip_with/filter HOF — integer
-        // numerator, so the estimate (and every downstream hash) is
-        // unchanged while the per-candidate loop stays inside
-        // whole-stage codegen
-        graft.functions.VectorFunctions.sigAgree(col("sig_a"), col("sig_b"))
-          / size(col("sig_a")).cast("double"))
+    candidatePairs(documents, numBands, rowsPerBand)
+      .withColumn("est_jaccard", col("agree") / col("nh").cast("double"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
 
@@ -189,10 +204,8 @@ object Dedup {
       documents: DataFrame,
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame =
-    bandedCandidates(documents, numBands, rowsPerBand)
-      .select(
-        graft.functions.VectorFunctions.sigAgree(col("sig_a"), col("sig_b"))
-          .cast("long").as("agree"))
+    candidatePairs(documents, numBands, rowsPerBand)
+      .select(col("agree").cast("long").as("agree"))
       .groupBy(col("agree"))
       .agg(count(lit(1)).as("n_pairs"))
 
