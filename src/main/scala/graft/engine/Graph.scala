@@ -243,10 +243,17 @@ object Graph {
   /** Bounded BFS over the support-thresholded co-order graph: hop
     * distance from the max-degree part (ties → min key) out to `maxHops`.
     * The frontier expands by one distributed join per hop — a FIXED
-    * number of stages, not a convergence loop — and each hop anti-joins
-    * against the visited set so the frontier only carries NEW nodes (on
-    * a high-expansion graph the frontier saturates and stays bounded by
-    * |V|). The driver loop builds the plan; no data touches the driver.
+    * number of stages, not a convergence loop — and frontiers are WALK
+    * frontiers (no per-hop anti-join against the visited set; exact hop
+    * distances fall out afterwards as min(hop) over appearances — see
+    * the loop comment below). Deliberate tradeoff: a walk frontier never
+    * shrinks (it converges to the reachable set, bounded by |V|), so
+    * there is no empty-frontier early exit and every hop joins and
+    * caches ~|reachable| rows — a measured win at the small fixed
+    * maxHops this operator targets; if maxHops ever grows, add a
+    * stop-when-no-new-min-hop check rather than resurrecting the
+    * anti-join's two reached-sized exchanges per hop. The driver loop
+    * builds the plan; no data touches the driver.
     */
   def bfsReach(lineitem: DataFrame, maxHops: Int = 3, minSupport: Int = 2): DataFrame = {
     val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
@@ -443,8 +450,10 @@ object Graph {
     * pure integers, so the cross-node sum is order-free). All-pairs
     * harmonic centrality is |V|·BFS and off the table at corpus scale;
     * seeding at the top-k degree nodes bounds the work to k bounded-hop
-    * frontier expansions (each hop one join + anti-join on the edge
-    * list), the ego-network probe an analyst actually runs. Frontiers
+    * frontier expansions (each hop ONE co-partitioned join + distinct on
+    * the cached edge list — the same walk-frontier shape, and the same
+    * maxHops/memory tradeoff, as [[bfsReach]]; see the loop comment
+    * below), the ego-network probe an analyst actually runs. Frontiers
     * carry (seed, node) pairs — k× the single-source cost, never |V|×.
     */
   def harmonicTopK(

@@ -406,7 +406,12 @@ case class DotMilli(left: Expression, right: Expression)
   * count → swapping it in cannot change any oracle hash. Signatures are
   * fixed-length per pipeline; a length mismatch would count agreements
   * over the shorter prefix (same as zip_with's null-padded tail, whose
-  * null ≠ long comparisons are filtered out).
+  * null ≠ long comparisons are filtered out). Null ELEMENTS are skipped
+  * on either side for the same reason — the HOF's null = null comparison
+  * yields null and the filter drops it, never a counted agreement — so
+  * the equivalence holds for array<bigint> with containsNull=true too
+  * (MinHash signatures never carry null slots; the guard is for the
+  * general Column API surface).
   */
 case class SigAgree(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -422,7 +427,7 @@ case class SigAgree(left: Expression, right: Expression)
     var s = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) s += 1
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) s += 1
       i += 1
     }
     s
@@ -437,7 +442,7 @@ case class SigAgree(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $s = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $s++;
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -99,8 +99,22 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
               table,
               table.toUpperCase(java.util.Locale.ROOT),
               table.toLowerCase(java.util.Locale.ROOT)).distinct
+          // getTables treats its name argument as a LIKE pattern: an
+          // unescaped '_' in names like event_counts matches ANY
+          // character, so a similarly-named unrelated table would fake
+          // "exists", rethrow the genuine first-epoch missing-table
+          // error, and the auto-create path could never run — a
+          // permanent replay loop. Escape '_'/'%' (and the escape
+          // string itself) with the driver's search-string escape.
+          val esc = md.getSearchStringEscape
+          def literal(name: String): String =
+            if (esc == null || esc.isEmpty) name
+            else name.flatMap {
+              case c if c == '_' || c == '%' || esc.indexOf(c) >= 0 => esc + c
+              case c => c.toString
+            }
           val exists = candidates.exists { name =>
-            val tables = md.getTables(null, null, name, null)
+            val tables = md.getTables(null, null, literal(name), null)
             try tables.next() finally tables.close()
           }
           if (exists) throw e

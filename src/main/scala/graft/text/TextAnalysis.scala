@@ -333,8 +333,8 @@ object TextAnalysis {
         .crossJoin(broadcast(nDocs))
         .filter(size(col("ds")).cast("long") <= col("n_docs") * 0.05)
         .filter(expr(
-          "ifnull(assert_true(max_id >= 0 AND max_id < 4294967296L, " +
-            "'winnowCopyPairs packs doc pairs as doc_a*2^32+doc_b: doc_id must fit in 32 unsigned bits'), true)"))
+          "ifnull(assert_true(max_id >= 0 AND max_id < 2147483648L, " +
+            "'winnowCopyPairs packs doc pairs as doc_a*2^32+doc_b in a SIGNED long: doc_id must fit in 31 bits'), true)"))
         .select(col("ds"))
     }
     // Per-doc fingerprint counts (|docs| rows) join onto the AGGREGATED
@@ -346,11 +346,14 @@ object TextAnalysis {
     // by construction from the sorted array): the lambda emits a
     // primitive-long array instead of millions of struct rows, and the
     // pair aggregate hashes a single long key. Valid while doc ids fit
-    // 32 unsigned bits — a HARD precondition (doc_a·2³² overflows Long
-    // past that), enforced in-plan by the assert_true guard on
-    // max(doc_id) in the bucket build above; an id space beyond 2³²
-    // fails loudly there and must switch to a two-column struct key
-    // (not implemented — corpus-snapshot-scoped ids fit). The aggregated
+    // 31 bits — a HARD precondition: the pack is a SIGNED long and the
+    // unpack below uses truncating div / sign-following mod, so a doc_a
+    // in [2³¹, 2³²) would wrap pk negative and silently mis-unpack
+    // (doc_a ≤ 2³¹−1 keeps max pk ≤ Long.MaxValue exactly). Enforced
+    // in-plan by the assert_true guard on max(doc_id) in the bucket
+    // build above; a larger id space fails loudly there and must switch
+    // to a two-column struct key (not implemented —
+    // corpus-snapshot-scoped ids fit). The aggregated
     // shared-fingerprint matrix is PINNED (parameter-free — `minShared`
     // only thresholds it at read time): it is the pairwise-overlap view
     // a plagiarism service materializes per corpus snapshot, and the
