@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   *    shuffle), then candidate generation shuffles only (band_hash →
   *    doc_id) pairs — never full pairwise. The band join is an equi-join
   *    so Catalyst uses a shuffled hash/sort-merge join on band keys;
-  *    pair verification stays inside each band bucket.
+  *    pair verification stays inside each band bucket, and buckets above
+  *    the stop-bucket cap [[Dedup.MaxCandidateBucket]] are dropped
+  *    before pair expansion (the C(n,2) blow-up guard).
   *  - SimHash: one 64-bit signature per doc computed map-side from token
   *    hashes; near-dup candidates via banded 16-bit chunks (pigeonhole: a
-  *    Hamming distance ≤ 3 pair shares at least one of 4 chunks).
+  *    Hamming distance ≤ 3 pair shares at least one of 4 chunks), same
+  *    stop-bucket cap.
   *  - n-gram Jaccard: exact verification restricted to candidate blocks
   *    (here: same `source`), the standard block-join shape.
   */
@@ -120,6 +123,28 @@ object Dedup {
         col("doc_id"),
         graft.functions.VectorFunctions.minhashSignature(col("sh"), numHashes).as("sig")))
 
+  /** Stop-bucket cap for banded candidate generation (MinHash bands and
+    * SimHash chunks): a bucket holding more than this many documents is
+    * dropped ENTIRELY before pair expansion, because an n-doc bucket
+    * emits C(n,2) candidate pairs — the quadratic blow-up a
+    * heavily-templated or viral document family triggers at corpus scale
+    * (the exact analog of winnowing's 5% document-frequency cap and the
+    * slice path's stop-slice cap; MOSS drops ubiquitous fingerprints for
+    * the same reason). Sizing, off the [[lshBucketStats]] distribution
+    * the cap is meant to be tuned from: the sf0.1 fixture's largest band
+    * bucket is single-digit, so 1024 is ~2 orders of magnitude of
+    * headroom (fixture candidate sets — and every oracle hash — are
+    * unchanged) while bounding any one bucket's pair volume at
+    * C(1024,2) ≈ 5.2e5 instead of unbounded. Recall tradeoff, explicit:
+    * members of a dropped bucket can still pair through their OTHER
+    * bands/chunks, but a family of >cap documents identical across ALL
+    * bands is not paired here — that degenerate case is exact
+    * duplication, which the exact-hash pre-pass ([[exact]] /
+    * [[dedupSavings]]) removes before near-dup detection in any
+    * production composition.
+    */
+  private[text] val MaxCandidateBucket = 1024
+
   /** Banded candidate pairs with both signatures attached — the shared
     * generator behind [[minhashNearDups]] and [[candidateAgreementDist]]:
     * docs sharing any band bucket, deduped, `doc_a < doc_b`. The band
@@ -127,7 +152,11 @@ object Dedup {
     * equi-joins on array<bigint> directly, so this costs one comparison
     * per probe while eliminating bucket-collision false candidates (and
     * keeping candidate generation reproducible by any engine that can
-    * compare lists).
+    * compare lists). Buckets above [[MaxCandidateBucket]] docs are
+    * dropped before the join (stop-bucket cap — see its scaladoc for
+    * sizing and the recall tradeoff); the bucket-size count is a window
+    * over the same (band, band_sig) key the self-join shuffles on, so
+    * the cap adds no extra exchange.
     */
   private def bandedCandidates(
       documents: DataFrame,
@@ -142,6 +171,9 @@ object Dedup {
           array((0 until numBands).map(b =>
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
           .as(Seq("band", "band_sig")))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+      .filter(col("bsz") <= MaxCandidateBucket)
     val a = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -151,7 +183,9 @@ object Dedup {
   }
 
   /** PINNED unthresholded candidate-pair table per band configuration:
-    * (doc_a, doc_b, agree, nh) for every banded candidate, with `agree`
+    * (doc_a, doc_b, agree, nh) for every banded candidate (band buckets
+    * above [[MaxCandidateBucket]] docs dropped — see the stop-bucket cap
+    * scaladoc for sizing and the recall tradeoff), with `agree`
     * the native-codegen signature agreement count
     * ([[graft.functions.SigAgree]], the integer numerator of the Jaccard
     * estimate — the interpreted zip_with/filter HOF this replaced is
@@ -437,6 +471,77 @@ object Dedup {
         sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
   }
 
+  /** Stop-bucket tuning sweep — the report that sizes
+    * [[MaxCandidateBucket]] before running a dedup at corpus scale: for
+    * each candidate cap, how many band buckets exceed it and how much
+    * candidate-pair mass (Σ s·(s−1)/2 over buckets with s > cap) a
+    * stop-bucket pass at that cap would drop, as a count and as a
+    * fraction of total pair mass. Costs one map-combined bucket
+    * aggregate over the pinned signature table plus a 1-row rollup
+    * stacked to |caps| rows — no pair join anywhere. The swept caps are
+    * the powers of two bracketing observed fixture bucket sizes; a
+    * production run reads the curve and puts the cap where drop_frac
+    * stops falling (everything above is exact-dup mass the hash pre-pass
+    * owns).
+    */
+  def stopBucketSweep(
+      documents: DataFrame,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val caps = Seq(1, 2, 4, 8, 16, 32)
+    val buckets = minhashSignatures(documents, numBands * rowsPerBand)
+      .select(
+        col("doc_id"),
+        posexplode(
+          array((0 until numBands).map(b =>
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+          .as(Seq("band", "band_sig")))
+      .groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("s"))
+    val aggCols =
+      sum(expr("s * (s - 1) div 2")).as("pairs_total") +:
+        caps.flatMap(c => Seq(
+          sum(when(col("s") > c, 1L).otherwise(0L)).as(s"b$c"),
+          sum(when(col("s") > c, expr("s * (s - 1) div 2")).otherwise(0L)).as(s"p$c")))
+    buckets
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr(
+        s"stack(${caps.size}, " +
+          caps.map(c => s"CAST($c AS BIGINT), b$c, p$c").mkString(", ") +
+          ") AS (cap, n_buckets_over, pairs_dropped)",
+        "pairs_total")
+      .select(
+        col("cap"), col("n_buckets_over"), col("pairs_dropped"), col("pairs_total"),
+        when(col("pairs_total") === 0L, lit(null).cast("double"))
+          .otherwise(col("pairs_dropped").cast("double") / col("pairs_total").cast("double"))
+          .as("drop_frac"))
+  }
+
+  /** SimHash chunk-bucket distribution — the [[lshBucketStats]] twin for
+    * the 16-bit-chunk banding: per chunk position, bucket count,
+    * singleton count, largest bucket and the candidate-pair volume
+    * Σ s·(s−1)/2 the verify stage would face. This is the readout that
+    * says when 16-bit chunks saturate (only 65 536 values per position —
+    * buckets grow linearly with the corpus once it passes that scale)
+    * and the stop-bucket cap starts doing real work. Two map-combined
+    * aggregations over the pinned signature table; no pair join.
+    */
+  def simhashChunkStats(documents: DataFrame): DataFrame =
+    simhash(documents)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "chunk_val")))
+      .groupBy(col("chunk").cast("long").as("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("chunk"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        max(col("s")).as("max_bucket"),
+        sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
+
   /** Dedup threshold sweep — how aggressive each similarity cutoff
     * would be: the LSH candidate pairs (band-sharing only, the same
     * recall envelope the production dedup uses) bucket by estimated
@@ -495,27 +600,50 @@ object Dedup {
           .simhash64(TextAnalysis.tokens(col("text")))
           .as("simhash")))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
-    * via 16-bit chunk banding (pigeonhole over 4 chunks ⊢ dist ≤ 3).
+  /** PINNED unthresholded SimHash candidate-pair table — the SimHash
+    * twin of [[candidatePairs]]: (doc_a, doc_b, hamming) for every pair
+    * sharing a 16-bit signature chunk, pinned per corpus snapshot (the
+    * chunking 16×4 is structural, not a parameter), so `maxHamming` is
+    * pure read-time parameter application and every SimHash consumer
+    * ([[simhashNearDups]] directly; [[dedupAgreement]] through it)
+    * shares ONE materialized chunk join. Chunk buckets above
+    * [[MaxCandidateBucket]] docs are dropped before the join (stop-bucket
+    * cap — same sizing/recall note as the MinHash band path; SimHash is
+    * MORE exposed to it, since a 16-bit chunk has only 65 536 values and
+    * saturates into giant buckets on corpora far smaller than 100 TB).
     */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(documents) // pinned view — do not re-cache
-    val chunked = sigs.select(
-      col("doc_id"),
-      col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+  private def simhashCandidatePairs(documents: DataFrame): DataFrame =
+    graft.engine.Views.pinned(documents, "simhashCand16x4") { d =>
+      val sigs = simhash(d) // pinned view — do not re-cache
+      val chunked = sigs.select(
+        col("doc_id"),
+        col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "chunk_val")))
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("chunk"), col("chunk_val"))))
+        .filter(col("bsz") <= MaxCandidateBucket)
+      val a = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = chunked.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(b, Seq("chunk", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .distinct()
+        .select(
+          col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+    }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
+    * via 16-bit chunk banding (pigeonhole over 4 chunks ⊢ dist ≤ 3):
+    * read-time threshold application over the pinned
+    * [[simhashCandidatePairs]] table.
+    */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidatePairs(documents)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
 
   /** Near-duplicate CLUSTERS: connected components of the
     * [[ngramJaccard]] similarity graph via distributed min-label
