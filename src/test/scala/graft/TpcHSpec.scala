@@ -181,8 +181,12 @@ class TpcHSpec extends AnyFunSuite {
     val q4 = plan("q_tpch_q4")
     assert(q4.contains("LeftSemi"), "Q4 EXISTS must plan as a semi join")
     val q21 = plan("q_tpch_q21")
-    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
-      "Q21 EXISTS/NOT EXISTS must plan as semi + anti joins")
+    // round-7 shape: the EXISTS/NOT EXISTS pair folds into one per-order
+    // aggregate (distinct supplier / distinct late-supplier counts) whose
+    // qualifying orders semi-join back — so the plan pins ONE semi join
+    // and NO anti join (TpcH.suppliersKeptWaiting scaladoc)
+    assert(q21.contains("LeftSemi") && !q21.contains("LeftAnti"),
+      "Q21 must plan as per-order aggregate + semi join (no anti join)")
     val q22 = plan("q_tpch_q22")
     assert(q22.contains("LeftAnti"), "Q22 NOT EXISTS must plan as an anti join")
     val q9 = plan("q_tpch_q9")
