@@ -512,6 +512,10 @@ object SparkEntry {
       Relational.userFeatures(Tables.events(s, dir)).orderBy("user_id")),
     "q_lsh_bucket_stats" -> ((s, dir) =>
       Dedup.lshBucketStats(Tables.documents(s, dir)).orderBy("band")),
+    "q_stop_bucket_sweep" -> ((s, dir) =>
+      Dedup.stopBucketSweep(Tables.documents(s, dir)).orderBy("cap")),
+    "q_simhash_chunk_stats" -> ((s, dir) =>
+      Dedup.simhashChunkStats(Tables.documents(s, dir)).orderBy("chunk")),
     "q_rollup_percentiles" -> ((s, dir) =>
       Relational.rollupPercentiles(Tables.lineitem(s, dir))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
@@ -1312,17 +1316,24 @@ object SparkEntry {
     * bit 63 without overflow-checked arithmetic tripping), candidates via
     * 16-bit chunk equality, output = hamming distances only.
     */
-  private def duckSimhashSql(maxHamming: Int): String = {
+  /** The DuckDB SimHash signature CTE chain (t/th/v/sig), shared by the
+    * near-dup oracle and the chunk-bucket-stats oracle.
+    */
+  private def duckSimhashSigCtes: String = {
     val votes = (0 until 64)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
       .mkString(", ")
     val sigBits = (0 until 64)
       .map(j => s"CASE WHEN v$j > 0 THEN CAST('${java.lang.Long.toUnsignedString(1L << j)}' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+    s"""t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
        th AS (SELECT doc_id, CAST(concat('0x', substring(md5(tok),1,16)) AS UBIGINT) AS h FROM t),
        v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
-       sig AS (SELECT doc_id, $sigBits AS s FROM v),
+       sig AS (SELECT doc_id, $sigBits AS s FROM v)"""
+  }
+
+  private def duckSimhashSql(maxHamming: Int): String = {
+    s"""WITH $duckSimhashSigCtes,
        chunks AS (SELECT doc_id, s, unnest(generate_series(0,3)) AS c FROM sig),
        keyed AS (SELECT doc_id, s, c, (s >> (c*16)) & 65535 AS cv FROM chunks),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
@@ -4317,6 +4328,39 @@ object SparkEntry {
                 CAST(max(s) AS BIGINT) AS max_bucket,
                 CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
          FROM bk GROUP BY band ORDER BY band""",
+    "q_stop_bucket_sweep" ->
+      s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
+         keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         bk AS (SELECT band, bsig, count(*) AS s FROM keyed GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pairs_total FROM bk),
+         caps AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS cap),
+         agg AS (SELECT cap,
+                   CAST(sum(CASE WHEN s > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_over,
+                   CAST(sum(CASE WHEN s > cap THEN s * (s - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_dropped
+                 FROM bk CROSS JOIN caps GROUP BY cap)
+         SELECT CAST(cap AS BIGINT) AS cap, n_buckets_over, pairs_dropped, pairs_total,
+                CASE WHEN pairs_total = 0 THEN NULL
+                     ELSE CAST(pairs_dropped AS DOUBLE) / CAST(pairs_total AS DOUBLE) END AS drop_frac
+         FROM agg CROSS JOIN tot ORDER BY cap""",
+    "q_simhash_chunk_stats" ->
+      s"""WITH $duckSimhashSigCtes,
+         chunks AS (SELECT doc_id, s, unnest(generate_series(0,3)) AS c FROM sig),
+         keyed AS (SELECT doc_id, c, (s >> (c*16)) & 65535 AS cv FROM chunks),
+         bk AS (SELECT c, cv, count(*) AS cnt FROM keyed GROUP BY 1, 2)
+         SELECT CAST(c AS BIGINT) AS chunk, count(*) AS n_buckets,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                CAST(max(cnt) AS BIGINT) AS max_bucket,
+                CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS cand_pairs
+         FROM bk GROUP BY c ORDER BY chunk""",
     "q_rollup_percentiles" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
                 quantile_cont(${Stages.centsSql("l_extendedprice")}, 0.5) AS p50_cents,
