@@ -396,7 +396,13 @@ object Dedup {
 
   /** Shared verdict core: band-probe `batchSigs` (doc_id, sig) against
     * `corpusSigs`, verify candidates by signature-position Jaccard, and
-    * report each batch doc's best match or admission.
+    * report each batch doc's best match or admission. The corpus side
+    * drops band buckets above [[MaxCandidateBucket]] before the probe
+    * join (the batch side is ingest-sized and probes, so its exposure is
+    * linear — only the corpus side can hand one batch doc an unbounded
+    * candidate list). A batch doc whose only collisions were a stop
+    * bucket is ADMITTED: at that bucket size the corpus members are an
+    * exact-dup family the hash pre-pass owns, not a near-dup signal.
     */
   private def screenSigs(
       batchSigs: DataFrame,
@@ -415,6 +421,9 @@ object Dedup {
     val batch = bands(batchSigs)
       .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"), col("sig").as("sig_n"))
     val corpus = bands(corpusSigs)
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+      .filter(col("bsz") <= MaxCandidateBucket)
       .select(col("band"), col("band_sig"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val best = batch.join(corpus, Seq("band", "band_sig"))
       .select(col("new_doc"), col("corpus_doc"), col("sig_n"), col("sig_c"))

@@ -56,4 +56,22 @@ class StopBucketCapSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_copies")).sorted.toSeq
     assert(sizes == Seq(40L, 1100L))
   }
+
+  test("ingest screen drops over-cap corpus buckets but still matches below-cap families") {
+    import spark.implicits._
+    // one probe doc per family: the big-family probe's only collisions
+    // are stop buckets (admitted); the small-family probe must match
+    val batch = Seq(
+      (900000L,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (900001L,
+        "one two three four five six seven eight nine ten " +
+          "eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val got = Dedup.screenAgainst(batch, degenerateDocs()).collect()
+      .map(r => r.getAs[Long]("new_doc") -> r.getAs[Boolean]("admitted")).toMap
+    assert(got(900000L), "probe against the over-cap family must be admitted (stop bucket)")
+    assert(!got(900001L), "probe against the below-cap family must match")
+  }
 }
