@@ -105,6 +105,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(flags(graft.engine.Relational.hashUniformity(Tables.events(spark, sfDir))).isEmpty)
   }
 
+  test("the stop-bucket bucket-size window (high-card band key) stays sanctioned") {
+    // the round-7 candidate-cap shape: count() over the same
+    // (band, band_sig)-style high-cardinality key the candidate
+    // self-join shuffles on — corpus-cardinality partition spec, so
+    // neither the empty-spec nor the few-key check may fire
+    val li = Tables.lineitem(spark, sfDir)
+    val capped = li
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("l_partkey"), col("l_suppkey"))))
+      .filter(col("bsz") <= 1024)
+    assert(flags(capped).isEmpty, flags(capped).toString)
+  }
+
   test("a few-key window hiding inside a pinned view still flags") {
     val li = Tables.lineitem(spark, sfDir)
     val pinned = graft.engine.Views.pinned(li, "auditSpecBadPin")(
