@@ -66,12 +66,17 @@ class FuncParitySpec extends AnyFunSuite {
 
   test("SigAgree kernel equals the zip_with/filter spelling") {
     import spark.implicits._
-    // handcrafted edges: disagreement, empty signatures, self-agreement
+    // handcrafted edges: disagreement, empty signatures, self-agreement,
+    // and NULL ELEMENTS (the kernel must skip null slots exactly like the
+    // HOF, whose null comparisons are dropped by the filter — a null slot
+    // may never count as agreement, even opposite a 0)
     val edge = Seq(
-      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
-      (Seq.empty[Long], Seq.empty[Long]),
-      (Seq(7L), Seq(7L)),
-      (Seq(-1L, 0L, Long.MaxValue), Seq(-1L, 1L, Long.MaxValue)))
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 9L, 3L, 4L)),
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (Seq[java.lang.Long](7L), Seq[java.lang.Long](7L)),
+      (Seq[java.lang.Long](-1L, 0L, Long.MaxValue), Seq[java.lang.Long](-1L, 1L, Long.MaxValue)),
+      (Seq[java.lang.Long](null, 0L, 5L), Seq[java.lang.Long](0L, null, 5L)),
+      (Seq[java.lang.Long](null, null), Seq[java.lang.Long](null, null)))
       .toDF("sig_a", "sig_b")
     // real signatures: consecutive-doc pairs from the corpus
     val sigs = graft.text.Dedup.minhashSignatures(
