@@ -1285,6 +1285,13 @@ object SparkEntry {
     .map(r => s"WHEN rem >= ${1L << (24 - r)} THEN $r")
     .mkString("CASE ", " ", " ELSE 25 END")
 
+  /** The engine's stop-bucket cap ([[graft.text.Dedup.MaxCandidateBucket]]),
+    * shared so every banded-candidate oracle models the same bucket-size
+    * drop the engine applies — the oracles stay faithful even on a corpus
+    * whose buckets exceed the cap (fixtures max out at single digits).
+    */
+  private val bucketCap: Int = graft.text.Dedup.MaxCandidateBucket
+
   /** DuckDB MinHash-LSH near-dup pair pipeline (the q_dedup_minhash
     * chain, shared with q_dedup_agreement): emits (doc_a, doc_b,
     * est_jaccard) for banded candidates at est ≥ 0.5.
@@ -1301,8 +1308,9 @@ object SparkEntry {
                FROM h),
        bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
        keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+       kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
               FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
        SELECT doc_a, doc_b,
@@ -1336,8 +1344,9 @@ object SparkEntry {
     s"""WITH $duckSimhashSigCtes,
        chunks AS (SELECT doc_id, s, unnest(generate_series(0,3)) AS c FROM sig),
        keyed AS (SELECT doc_id, s, c, (s >> (c*16)) & 65535 AS cv FROM chunks),
+       kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY c, cv) <= $bucketCap),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-                FROM keyed a JOIN keyed b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+                FROM kept a JOIN kept b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY doc_a, doc_b"""
   }
@@ -3463,8 +3472,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
          SELECT doc_a, doc_b,
@@ -3484,8 +3494,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
          SELECT CAST(len(list_filter(generate_series(1,32), i -> sig_a[i] = sig_b[i])) AS BIGINT) AS agree,
@@ -3503,8 +3514,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          sj AS (SELECT doc_a, doc_b
                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
                 WHERE CAST(len(list_filter(generate_series(1,32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5),
@@ -3533,11 +3545,12 @@ object SparkEntry {
                    FROM documents),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         ckept AS (SELECT k.* FROM keyed k JOIN split s ON s.doc_id = k.doc_id AND NOT s.is_new
+                   QUALIFY count(*) OVER (PARTITION BY k.band, k.bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
                   FROM keyed a
                   JOIN split sa ON sa.doc_id = a.doc_id AND sa.is_new
-                  JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig
-                  JOIN split sb ON sb.doc_id = b.doc_id AND NOT sb.is_new),
+                  JOIN ckept b ON a.band = b.band AND a.bsig = b.bsig),
          est AS (SELECT new_doc, corpus_doc,
                  CAST(len(list_filter(generate_series(1,32), i -> sn.sig[i] = sc.sig[i])) AS DOUBLE) / 32 AS est_jaccard
                  FROM cand JOIN sig sn ON sn.doc_id = new_doc JOIN sig sc ON sc.doc_id = corpus_doc),
@@ -3571,8 +3584,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          est AS (SELECT doc_a, doc_b,
                         CAST(len(list_filter(generate_series(1,32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
                  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
@@ -6535,8 +6549,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          det AS (SELECT gold.bucket, CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
                  FROM gold LEFT JOIN cand ON cand.doc_a = gold.doc_a AND cand.doc_b = gold.doc_b)
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_detected,
@@ -7539,8 +7554,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          sj AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b
                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
          mh AS (SELECT doc_a, doc_b FROM sj
@@ -7854,8 +7870,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
          cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
@@ -8176,8 +8193,9 @@ object SparkEntry {
                  FROM h),
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
+         kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+                  FROM kept a JOIN kept b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
          sj AS (SELECT CAST(len(list_filter(generate_series(1,32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS ej
                 FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
          SELECT count(*) AS n_candidates,

@@ -143,7 +143,23 @@ object Dedup {
     * [[dedupSavings]]) removes before near-dup detection in any
     * production composition.
     */
-  private[text] val MaxCandidateBucket = 1024
+  private[graft] val MaxCandidateBucket = 1024
+
+  /** (doc_id, sig, band, band_sig) band explosion of a MinHash signature
+    * table — the ONE spelling of LSH banding every consumer shares
+    * ([[bandedCandidates]], [[lshBucketStats]], [[stopBucketSweep]], the
+    * ingest screen's probe/index sides), so a banding change (hashing,
+    * slice indexing) lands once instead of desynchronizing candidate
+    * generation from the tuning reports that size its cap.
+    */
+  private def bandExplode(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(
+        array((0 until numBands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+        .as(Seq("band", "band_sig")))
 
   /** Banded candidate pairs with both signatures attached — the shared
     * generator behind [[minhashNearDups]] and [[candidateAgreementDist]]:
@@ -163,14 +179,7 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(documents, numBands * rowsPerBand) // pinned view — do not re-cache
-    val withBands = sigs
-      .select(
-        col("doc_id"),
-        col("sig"),
-        posexplode(
-          array((0 until numBands).map(b =>
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-          .as(Seq("band", "band_sig")))
+    val withBands = bandExplode(sigs, numBands, rowsPerBand)
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
       .filter(col("bsz") <= MaxCandidateBucket)
@@ -411,19 +420,21 @@ object Dedup {
       rowsPerBand: Int,
       minEstJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def bands(sigs: DataFrame): DataFrame = sigs
-      .select(
-        col("doc_id"), col("sig"),
-        posexplode(
-          array((0 until numBands).map(b =>
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-          .as(Seq("band", "band_sig")))
-    val batch = bands(batchSigs)
+    val batch = bandExplode(batchSigs, numBands, rowsPerBand)
       .select(col("band"), col("band_sig"), col("doc_id").as("new_doc"), col("sig").as("sig_n"))
-    val corpus = bands(corpusSigs)
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
-      .filter(col("bsz") <= MaxCandidateBucket)
+    // the corpus band index — banded AND bucket-capped — is PINNED per
+    // corpus snapshot: it IS the "band index materialized once per
+    // snapshot" the screen scaladoc promises, and before r7 only the
+    // signature table was pinned, so the banding explode (and now the
+    // cap window, a corpus-wide exchange) would re-run on EVERY
+    // screening call — per-snapshot work on the per-ingest-batch path.
+    val corpus = graft.engine.Views
+      .pinned(corpusSigs, s"bandIndex${numBands}x$rowsPerBand")(cs =>
+        bandExplode(cs, numBands, rowsPerBand)
+          .withColumn("bsz",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("band_sig"))))
+          .filter(col("bsz") <= MaxCandidateBucket)
+          .select(col("band"), col("band_sig"), col("doc_id"), col("sig")))
       .select(col("band"), col("band_sig"), col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val best = batch.join(corpus, Seq("band", "band_sig"))
       .select(col("new_doc"), col("corpus_doc"), col("sig_n"), col("sig_c"))
@@ -462,14 +473,7 @@ object Dedup {
       documents: DataFrame,
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
-    sigs
-      .select(
-        col("doc_id"),
-        posexplode(
-          array((0 until numBands).map(b =>
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-          .as(Seq("band", "band_sig")))
+    bandExplode(minhashSignatures(documents, numBands * rowsPerBand), numBands, rowsPerBand)
       .groupBy(col("band").cast("long").as("band"), col("band_sig"))
       .agg(count(lit(1)).as("s"))
       .groupBy(col("band"))
@@ -498,15 +502,10 @@ object Dedup {
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     val caps = Seq(1, 2, 4, 8, 16, 32)
-    val buckets = minhashSignatures(documents, numBands * rowsPerBand)
-      .select(
-        col("doc_id"),
-        posexplode(
-          array((0 until numBands).map(b =>
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-          .as(Seq("band", "band_sig")))
-      .groupBy(col("band"), col("band_sig"))
-      .agg(count(lit(1)).as("s"))
+    val buckets =
+      bandExplode(minhashSignatures(documents, numBands * rowsPerBand), numBands, rowsPerBand)
+        .groupBy(col("band"), col("band_sig"))
+        .agg(count(lit(1)).as("s"))
     val aggCols =
       sum(expr("s * (s - 1) div 2")).as("pairs_total") +:
         caps.flatMap(c => Seq(
@@ -519,6 +518,10 @@ object Dedup {
           caps.map(c => s"CAST($c AS BIGINT), b$c, p$c").mkString(", ") +
           ") AS (cap, n_buckets_over, pairs_dropped)",
         "pairs_total")
+      // empty corpus → the ungrouped agg still emits one all-null row
+      // that stack fans out; the oracle's GROUP BY emits zero — drop the
+      // null rollup so both engines agree on the empty edge
+      .filter(col("pairs_total").isNotNull)
       .select(
         col("cap"), col("n_buckets_over"), col("pairs_dropped"), col("pairs_total"),
         when(col("pairs_total") === 0L, lit(null).cast("double"))

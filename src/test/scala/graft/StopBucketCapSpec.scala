@@ -57,6 +57,12 @@ class StopBucketCapSpec extends AnyFunSuite {
     assert(sizes == Seq(40L, 1100L))
   }
 
+  test("stopBucketSweep emits zero rows on an empty corpus (oracle parity)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.stopBucketSweep(empty).count() == 0L)
+  }
+
   test("ingest screen drops over-cap corpus buckets but still matches below-cap families") {
     import spark.implicits._
     // one probe doc per family: the big-family probe's only collisions
