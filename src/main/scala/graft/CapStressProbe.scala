@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   *    corpus 15x the size costs only its LINEAR signature work (the
   *    uncapped pair volume would be 100 × C(3000,2) = 450M pairs, 226x
   *    the below-cap probe's) — the measured form of the C(n,2) blow-up
-  *    the cap exists to prevent. The probe also
-  *    runs the documented composition: [[graft.text.Dedup.exact]] still
-  *    reports every over-cap family, so nothing is lost that exact
-  *    dedup would not already have removed.
+  *    the cap exists to prevent. The probe also runs the
+  *    byte-identical composition: [[graft.text.Dedup.exact]] still
+  *    reports every over-cap family (these probes build byte-identical
+  *    copies; the cap's residual exposure on normalization-variant
+  *    families is documented at
+  *    [[graft.text.Dedup.MaxCandidateBucket]]).
   *
   * Usage: `runMain graft.CapStressProbe [sfDir]` (defaults to sf0.01).
-  * Prints one JSON line per probe; numbers land in BASELINE.md.
+  * Prints one JSON line per probe and ASSERTS the candidate and family
+  * counts — exits nonzero on any mismatch, so a cap-logic regression
+  * fails the run instead of hiding in a printed field. Numbers land in
+  * BASELINE.md.
   */
 object CapStressProbe {
 
@@ -57,7 +62,7 @@ object CapStressProbe {
       .cache()
     base.count()
 
-    def probe(name: String, copies: Int, expectPairs: Long): Unit = {
+    def probe(name: String, copies: Int, expectPairs: Long): Boolean = {
       val docs = duplicated(base, copies)
       val nDocs = docs.count()
       val t0 = System.nanoTime()
@@ -72,19 +77,22 @@ object CapStressProbe {
       val exactSecs = (System.nanoTime() - t1) / 1e9
       graft.engine.Views.free(spark)
       graft.engine.Caches.freeTransient(spark)
+      val ok = pairs == expectPairs && families == 100L
       println(
         s"""{"probe":"$name","copies":$copies,"n_docs":$nDocs,"cand_pairs":$pairs,""" +
           s""""expect_pairs":$expectPairs,"neardup_sec":${f"$secs%.2f"},""" +
-          s""""exact_families":$families,"exact_sec":${f"$exactSecs%.2f"}}""")
+          s""""exact_families":$families,"exact_sec":${f"$exactSecs%.2f"},"ok":$ok}""")
+      ok
     }
 
     val cap = graft.text.Dedup.MaxCandidateBucket
     // below the cap: full within-family quadratic, count verified exactly
-    probe("below_cap", 200, 100L * (200L * 199L / 2L))
+    val okBelow = probe("below_cap", 200, 100L * (200L * 199L / 2L))
     // above the cap: 15x the documents, ~zero candidates — the runtime
     // must scale with documents (signatures), not with C(copies, 2)
-    probe("above_cap", 3000, 0L)
+    val okAbove = probe("above_cap", 3000, 0L)
     println(s"""{"probe":"config","cap":$cap,"base_docs":100,"sf":"$sfDir"}""")
     spark.stop()
+    if (!(okBelow && okAbove)) sys.exit(1)
   }
 }

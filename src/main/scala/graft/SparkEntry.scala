@@ -4356,7 +4356,7 @@ object SparkEntry {
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          bk AS (SELECT band, bsig, count(*) AS s FROM keyed GROUP BY 1, 2),
          tot AS (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pairs_total FROM bk),
-         caps AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS cap),
+         caps AS (SELECT unnest([1, 2, 4, 8, 16, 32, 256, $bucketCap]) AS cap),
          agg AS (SELECT cap,
                    CAST(sum(CASE WHEN s > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_over,
                    CAST(sum(CASE WHEN s > cap THEN s * (s - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_dropped

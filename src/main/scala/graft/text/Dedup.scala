@@ -135,13 +135,21 @@ object Dedup {
     * bucket is single-digit, so 1024 is ~2 orders of magnitude of
     * headroom (fixture candidate sets — and every oracle hash — are
     * unchanged) while bounding any one bucket's pair volume at
-    * C(1024,2) ≈ 5.2e5 instead of unbounded. Recall tradeoff, explicit:
-    * members of a dropped bucket can still pair through their OTHER
-    * bands/chunks, but a family of >cap documents identical across ALL
-    * bands is not paired here — that degenerate case is exact
-    * duplication, which the exact-hash pre-pass ([[exact]] /
-    * [[dedupSavings]]) removes before near-dup detection in any
-    * production composition.
+    * C(1024,2) ≈ 5.2e5 instead of unbounded. Recall tradeoff, explicit
+    * and not zero: members of a dropped bucket can still pair through
+    * their OTHER bands/chunks, but a family of >cap documents whose
+    * EVERY band bucket saturates is not paired here. BYTE-identical
+    * families are no loss — the exact-hash pre-pass ([[exact]] /
+    * [[dedupSavings]]) removes them first in any production
+    * composition — but families that are only shingle-set-identical
+    * (whitespace/normalization variants of one text) or band-saturating
+    * high-Jaccard near-dups are GENUINE recall loss under the cap.
+    * That residue is why the cap ships with its exposure reports:
+    * [[lshBucketStats]] (max_bucket per band) and [[stopBucketSweep]]
+    * (drop-mass curve, swept through the production cap) surface
+    * over-cap buckets BEFORE a dedup run, and a corpus that shows them
+    * either raises the cap knowingly or adds a normalized-content hash
+    * pre-pass for the variant families.
     */
   private[graft] val MaxCandidateBucket = 1024
 
@@ -410,8 +418,10 @@ object Dedup {
     * join (the batch side is ingest-sized and probes, so its exposure is
     * linear — only the corpus side can hand one batch doc an unbounded
     * candidate list). A batch doc whose only collisions were a stop
-    * bucket is ADMITTED: at that bucket size the corpus members are an
-    * exact-dup family the hash pre-pass owns, not a near-dup signal.
+    * bucket is ADMITTED: at that bucket size the bucket is dominated by
+    * duplicate mass (byte-identical members fall to the exact-hash
+    * pre-pass; normalization-variant families are the documented
+    * recall tradeoff — see [[MaxCandidateBucket]]'s exposure notes).
     */
   private def screenSigs(
       batchSigs: DataFrame,
@@ -491,17 +501,18 @@ object Dedup {
     * stop-bucket pass at that cap would drop, as a count and as a
     * fraction of total pair mass. Costs one map-combined bucket
     * aggregate over the pinned signature table plus a 1-row rollup
-    * stacked to |caps| rows — no pair join anywhere. The swept caps are
-    * the powers of two bracketing observed fixture bucket sizes; a
+    * stacked to |caps| rows — no pair join anywhere. The swept caps run
+    * from the fixture-bucket scale up THROUGH the production cap
+    * itself, so the report can validate or re-size the shipped value: a
     * production run reads the curve and puts the cap where drop_frac
-    * stops falling (everything above is exact-dup mass the hash pre-pass
-    * owns).
+    * stops falling, treating any mass still dropped AT the cap as the
+    * recall exposure documented on [[MaxCandidateBucket]].
     */
   def stopBucketSweep(
       documents: DataFrame,
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val caps = Seq(1, 2, 4, 8, 16, 32)
+    val caps = Seq(1, 2, 4, 8, 16, 32, 256, MaxCandidateBucket)
     val buckets =
       bandExplode(minhashSignatures(documents, numBands * rowsPerBand), numBands, rowsPerBand)
         .groupBy(col("band"), col("band_sig"))
