@@ -112,6 +112,31 @@ class TextPipelineOpsSpec extends AnyFunSuite {
     got.values.foreach { case (_, overlap) => assert(overlap > 0 && overlap <= 1.0) }
   }
 
+  test("winnowCopyPairs pack guard: 2^31-1 ids run, 2^31 fails loudly") {
+    import spark.implicits._
+    // shared long text so the pair survives any threshold path
+    val text = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua ") * 3
+    // 48 distinct filler docs so the identical pair's fingerprints (df=2)
+    // survive the 5%-of-corpus ubiquitous-fp cap (2 <= 0.05*50)
+    val filler = (100L until 148L).map(i =>
+      (i, s"doc$i${i}unique${i}filler${i}body${i}text${i}content${i}end$i"))
+    def run(idA: Long): Boolean = {
+      val docs = (Seq((idA, text), (5L, text)) ++ filler).toDF("doc_id", "text")
+      TextAnalysis.winnowCopyPairs(docs, 1).collect().exists(r =>
+        r.getAs[Long]("doc_a") == math.min(idA, 5L) &&
+          r.getAs[Long]("doc_b") == math.max(idA, 5L))
+    }
+    // boundary id packs within the signed long: must run and find the pair
+    assert(run(2147483647L))
+    // one past the boundary would wrap the signed pack: the in-plan
+    // assert_true guard must abort the job, not mis-unpack silently
+    val e = intercept[Exception] { run(2147483648L) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("31 bits")), messages(e).mkString(" | "))
+  }
+
   test("vocabGrowth ends at the full vocabulary and is strictly increasing") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextAnalysis.vocabGrowth(docs).collect().sortBy(_.getAs[Long]("doc_id"))
