@@ -514,6 +514,8 @@ object SparkEntry {
       Dedup.lshBucketStats(Tables.documents(s, dir)).orderBy("band")),
     "q_stop_bucket_sweep" -> ((s, dir) =>
       Dedup.stopBucketSweep(Tables.documents(s, dir)).orderBy("cap")),
+    "q_url_dedup" -> ((s, dir) =>
+      TextAnalysis.urlCanonicalDedup(Tables.documents(s, dir)).orderBy("canonical_url")),
     "q_simhash_chunk_stats" -> ((s, dir) =>
       Dedup.simhashChunkStats(Tables.documents(s, dir)).orderBy("chunk")),
     "q_rollup_percentiles" -> ((s, dir) =>
@@ -4229,6 +4231,23 @@ object SparkEntry {
                 regexp_extract(url, '^https://[^/]+/([^/]+)/', 1) AS path_lang,
                 CAST(regexp_extract(url, 'len=([0-9]+)', 1) AS BIGINT) AS len_param
          FROM u ORDER BY doc_id""",
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'https://WWW.' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'DOCS.example.com' ELSE 'docs.example.com' END) ||
+           '/corpus/page-' || CAST(doc_id // 2 AS VARCHAR) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=' || source ELSE '' END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '#frag-' || lang ELSE '' END) AS url
+         FROM documents),
+         c AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(regexp_replace(lower(url),
+                   '[?#].*$', ''), '^https://www\.', 'https://'), '/$', '') AS canonical_url
+               FROM u)
+         SELECT canonical_url, count(*) AS n_raw_urls,
+                CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+                min(doc_id) AS keeper_doc_id
+         FROM c GROUP BY 1 ORDER BY canonical_url""",
     "q_rolling_median" ->
       """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
                       count(*) AS cnt

@@ -1546,6 +1546,43 @@ object TextAnalysis {
         regexp_extract(col("url"), "^https://[^/]+/([^/]+)/", 1).as("path_lang"),
         regexp_extract(col("url"), "len=([0-9]+)", 1).cast("long").as("len_param"))
 
+  /** Canonical-URL dedup — the first pass of a web-corpus build: raw
+    * URLs canonicalize (lowercase, strip www / query / fragment /
+    * trailing slash) and collapse by exact hash-groupBy, keeping the
+    * smallest doc_id per canonical URL. The fixture carries no URL
+    * column, so decorated variants are synthesized in-plan from doc
+    * attributes (the [[urlExtract]] trick): consecutive doc pairs point
+    * at one canonical target behind different decorations (scheme-case
+    * www, host case, tracking query, fragment, trailing slash), so the
+    * collapse is verifiable against trivially known values.
+    * Canonicalization is per-row scan work; the dedup is ONE
+    * map-combined hash aggregate on the canonical key — the same
+    * minimal shuffle as [[Dedup.exact]] at any corpus scale.
+    */
+  def urlCanonicalDedup(documents: DataFrame): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("https://WWW.")),
+      when(col("doc_id") % 3 === 0, lit("DOCS.example.com")).otherwise(lit("docs.example.com")),
+      lit("/corpus/page-"), expr("CAST(doc_id div 2 AS STRING)"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 1, concat(lit("?utm_source="), col("source"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit("#frag-"), col("lang"))).otherwise(lit("")))
+    documents
+      .select(col("doc_id"), raw.as("url"))
+      .withColumn(
+        "canonical_url",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("url")), "[?#].*$", ""),
+            "^https://www\\.", "https://"),
+          "/$", ""))
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_raw_urls"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc_id"))
+  }
+
   /** Flesch-style readability per document from regex-countable proxies:
     * words (`\s+` split), syllables ≈ vowel groups, long words (≥ 6
     * chars). The fixture corpus carries NO sentence punctuation, so
