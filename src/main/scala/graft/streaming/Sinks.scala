@@ -113,8 +113,18 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
               case c if c == '_' || c == '%' || esc.indexOf(c) >= 0 => esc + c
               case c => c.toString
             }
+          // Scope the probe to the CONNECTION'S schema — a null schema
+          // pattern searches every schema, so a same-named table in some
+          // other tenant's schema would fake "exists" and wedge the
+          // first-epoch auto-create into a permanent replay loop.
+          // (Schema-QUALIFIED table names are a deployment concern: the
+          // unquoted DELETE above doesn't split them either.)
+          val schemaPattern =
+            Option(try conn.getSchema catch { case _: Throwable => null })
+              .map(literal)
+              .orNull
           val exists = candidates.exists { name =>
-            val tables = md.getTables(null, null, literal(name), null)
+            val tables = md.getTables(null, schemaPattern, literal(name), null)
             try tables.next() finally tables.close()
           }
           if (exists) throw e
@@ -166,8 +176,13 @@ final class SmtpAlerter(host: String, port: Int, from: String, to: String) exten
     // DATA early. Fold any CR/LF in header values to a single space.
     def hdr(s: String): String = s.replaceAll("[\r\n]+", " ")
     val (fromH, toH, subjH) = (hdr(from), hdr(to), hdr(subject))
-    val sock = new java.net.Socket(host, port)
+    // Bounded I/O: the alerter runs inside foreachBatch, so a half-dead
+    // SMTP endpoint (TCP accepts, greeting never comes) must fail the
+    // epoch loudly instead of blocking the streaming query forever.
+    val sock = new java.net.Socket()
     try {
+      sock.connect(new java.net.InetSocketAddress(host, port), 10000)
+      sock.setSoTimeout(10000)
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
       val out = new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")

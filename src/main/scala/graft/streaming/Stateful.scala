@@ -55,8 +55,20 @@ object Stateful {
         sorted.foreach { r =>
           val t = r.ts.getTime
           cur match {
+            // a late event older than the open session's gap horizon
+            // belongs to an EARLIER (already emitted or never seen)
+            // session, which cannot be reopened under append semantics —
+            // close it as its own singleton instead of letting the
+            // negative lastSeen difference smuggle it into the newer
+            // session (documented limitation: exact retro-merge of such
+            // stragglers would need multi-session state per key)
+            case Some(s) if t < s.start - gapMs =>
+              closed ::= SessionOutput(userId, r.ts, r.ts, 1, r.value)
+            // in-gap on either side: late events inside the horizon
+            // extend session_start BACKWARD, in-order ones extend lastSeen
             case Some(s) if t - s.lastSeen <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.lastSeen, t), s.events + 1, s.total + r.value))
+              cur = Some(SessionState(
+                math.min(s.start, t), math.max(s.lastSeen, t), s.events + 1, s.total + r.value))
             case Some(s) =>
               closed ::= SessionOutput(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.total)
               cur = Some(SessionState(t, t, 1, r.value))
@@ -74,6 +86,12 @@ object Stateful {
 
     events
       .selectExpr("user_id", "ts", "value")
+      // poison-pill guard (shared by every stateful face here): the typed
+      // source null-normalizes '' → NULL, and decoding a NULL into a
+      // primitive case-class field throws — which would kill the query
+      // and, via checkpointed offsets, every restart after it. Malformed
+      // rows are dropped at the operator boundary instead.
+      .filter("user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL")
       .withWatermark("ts", watermarkDelay)
       .as[SessionInput]
       .groupByKey(_.user_id)
@@ -94,28 +112,41 @@ object Stateful {
 
   /** Streaming latest-state-per-key — the CDC materialization twin of
     * [[graft.engine.Relational.latestByKey]]: every micro-batch emits the
-    * NEW current row for each key that changed (update-log semantics; a
-    * downstream upsert sink applies it). `mapGroupsWithState` keeps one
-    * fixed-size record per key — state scales with |keys|, never with the
-    * event volume — and ties break on (ts, event_id) exactly like the
-    * batch twin, so replaying the log converges to the same table.
+    * NEW current row for each key that changed — and ONLY for keys that
+    * changed: a batch of purely stale events emits nothing (update-log
+    * semantics; a downstream upsert sink applies it).
+    * `flatMapGroupsWithState` keeps one fixed-size record per key —
+    * state scales with |keys|, never with the event volume — and ties
+    * break on (ts, event_id) exactly like the batch twin, so replaying
+    * the log converges to the same table.
     */
   def latestByKeyStream(spark: SparkSession, events: DataFrame): Dataset[KeyedEvent] = {
     import spark.implicits._
     def update(
         key: Long,
         rows: Iterator[KeyedEvent],
-        state: GroupState[LatestState]): KeyedEvent = {
-      val best = (state.getOption.map(s => KeyedEvent(key, s.event_id, new Timestamp(s.ts), s.event_type, s.value)).iterator ++ rows)
+        state: GroupState[LatestState]): Iterator[KeyedEvent] = {
+      val prior = state.getOption
+      val best = (prior.map(s => KeyedEvent(key, s.event_id, new Timestamp(s.ts), s.event_type, s.value)).iterator ++ rows)
         .maxBy(e => (e.ts.getTime, e.event_id))
       state.update(LatestState(best.event_id, best.ts.getTime, best.event_type, best.value))
-      best
+      // emit ONLY on change — a batch of purely stale (older) events must
+      // not re-emit the unchanged current row, or the downstream
+      // update-log double-counts changes (mapGroupsWithState can't skip a
+      // key, hence the flatMap spelling)
+      if (prior.exists(s => s.ts == best.ts.getTime && s.event_id == best.event_id))
+        Iterator.empty
+      else Iterator.single(best)
     }
     events
       .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      // poison-pill guard — see [[sessionize]]; event_type stays nullable
+      // (a String field decodes NULL fine and ties break on (ts, event_id))
+      .filter("user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL")
       .as[KeyedEvent]
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Stream–stream interval join (the reference stops at stream–static;
@@ -193,8 +224,10 @@ object Stateful {
     }
 
     violations
-      .withWatermark("ts", watermarkDelay)
       .selectExpr("user_id", "event_id", "ts", "value")
+      // poison-pill guard — see [[sessionize]]
+      .filter("user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL")
+      .withWatermark("ts", watermarkDelay)
       .as[AlertEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -252,6 +285,12 @@ object Stateful {
     import spark.implicits._
     events
       .selectExpr("user_id", "event_id", "ts", "event_type", "value")
+      // poison-pill guard — see [[sessionize]]. event_type must ALSO be
+      // non-null here: the processor's ValueState[String] cannot store a
+      // null "last seen type", so null-type rows are dropped rather than
+      // modeled as a transition endpoint.
+      .filter("user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL" +
+        " AND event_type IS NOT NULL AND value IS NOT NULL")
       .as[KeyedEvent]
       .groupByKey(_.user_id)
       .transformWithState(
@@ -299,6 +338,8 @@ object Stateful {
 
     events
       .selectExpr("event_type", "event_id", "ts", "value")
+      // poison-pill guard — see [[sessionize]]; event_type is the key
+      .filter("event_type IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL")
       .as[PatternInput]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)

@@ -26,15 +26,17 @@ object StreamMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val schema = graft.engine.Tables
-      .events(spark, args.lift(2).getOrElse("/root/testdata/sf0.001"))
-      .schema
+    val dimDir = args.lift(2)
+      .orElse(sys.env.get("GRAFT_DIM_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
+    val schema = graft.engine.Tables.events(spark, dimDir).schema
     val source = spark.readStream.schema(schema).parquet(srcDir)
     val runner = new StreamRunner(
       spark,
       new ParquetSink(outDir),
       new LoggingAlerter,
-      s"$outDir/_checkpoints")
+      s"$outDir/_checkpoints",
+      dimDir = dimDir)
     val queries = runner.startAll(source)
     sys.addShutdownHook(queries.foreach(_.stop()))
     runner.awaitAll(queries)

@@ -33,7 +33,11 @@ final class StreamRunner(
     alerter: Alerter,
     checkpointRoot: String,
     watermark: String = "60 minutes",
-    trigger: Option[Trigger] = None) {
+    trigger: Option[Trigger] = None,
+    // dimension snapshot for the stream-static lookup join; the env var
+    // is the fallback, not the only channel — StreamMain passes its
+    // [dimDir] argument through here
+    dimDir: String = sys.env.getOrElse("GRAFT_DIM_DIR", "/root/testdata/sf0.001")) {
 
   /** foreachBatch writer shared by all queries (K2). The reference
     * computes each detector batch twice (count + write, no cache —
@@ -49,11 +53,20 @@ final class StreamRunner(
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (alertOnRows) {
           batch.persist()
-          val n = batch.count()
-          if (n > 0) alerter.alert(s"$table violations", s"epoch $epochId: $n rows")
-          sink.write(batch, epochId, table)
-          batch.unpersist()
-          ()
+          try {
+            val n = batch.count()
+            sink.write(batch, epochId, table)
+            // alert AFTER the write lands: a failed write replays the
+            // whole epoch, and alerting first would send one alert per
+            // retry (a crash between write and alert can still repeat
+            // the alert on replay — the at-least-once contract)
+            if (n > 0) alerter.alert(s"$table violations", s"epoch $epochId: $n rows")
+          } finally {
+            // unpersist on the failure path too, or every retry pins
+            // another orphaned cached batch in executor storage
+            batch.unpersist()
+            ()
+          }
         } else sink.write(batch, epochId, table)
       }
       .queryName(table)
@@ -100,7 +113,7 @@ final class StreamRunner(
     sinkTo("trip_count_by_borough")(
       RefPipelines.hourlyCountByLookup(
         watermarked(events),
-        graft.engine.Tables.nation(spark, sys.env.getOrElse("GRAFT_DIM_DIR", "/root/testdata/sf0.001")))))
+        graft.engine.Tables.nation(spark, dimDir))))
 
   /** Block until termination (reference `:355-360`). */
   def awaitAll(queries: Seq[StreamingQuery]): Unit = queries.foreach(_.awaitTermination())

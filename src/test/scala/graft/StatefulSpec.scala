@@ -142,10 +142,15 @@ class StatefulSpec extends AnyFunSuite {
           .filter(_.user_id == uid).last
       assert(currentOf(1L).event_id == 2L)
 
-      // a LATE event (older ts) must not displace the state
+      // a LATE event (older ts) must not displace the state — and a
+      // stale-only batch must not RE-EMIT the unchanged current row
+      // (round-7 contract: update-log rows only for keys that changed)
+      val rowsBefore = spark.table("latest_out").count()
       input.addData(ev(3, 1, "2024-01-01 00:30:00", 5.0))
       q.processAllAvailable()
       assert(currentOf(1L).event_id == 2L, "late event displaced the newer state")
+      assert(spark.table("latest_out").count() == rowsBefore,
+        "stale-only batch re-emitted an unchanged current row")
 
       // a genuinely newer event does
       input.addData(ev(4, 1, "2024-01-01 02:00:00", 7.0))
