@@ -58,13 +58,39 @@ object Bench {
       graft.engine.Caches.freeTransient(spark) // (untimed) free transients; pinned views survive
       name -> elapsed
     }
+
+    // Memory attribution for the board (r8): cumulative JVM GC seconds,
+    // live heap after a System.gc() settle, and the block manager's
+    // cached-storage footprint — printed per pass, so a board-wide
+    // timing shift can be attributed (pin residency vs machine drift)
+    // with numbers instead of narrative. Untimed: runs between passes.
+    def gcSeconds: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+    def memLine(label: String): String = {
+      val rdds = spark.sparkContext.getRDDStorageInfo
+      val memB = rdds.map(_.memSize).sum
+      val dskB = rdds.map(_.diskSize).sum
+      System.gc()
+      val heap = java.lang.management.ManagementFactory
+        .getMemoryMXBean.getHeapMemoryUsage.getUsed
+      s"""{"metric":"mem","label":"$label","gc_sec":${f"$gcSeconds%.1f"},""" +
+        s""""heap_used_mb":${heap >> 20},"cached_rdds":${rdds.length},""" +
+        s""""storage_mem_mb":${memB >> 20},"storage_disk_mb":${dskB >> 20}}"""
+    }
     // Pins at sfDir build fresh inside pass 1 and are free in pass 2, so
     // best-of-2 reports warm-index economics; book the build seconds
     // separately (eager materialization inside Views.pinned, Bench-only)
     // so the amortization claim is a measured number.
     graft.engine.Views.resetBuildTimer()
     graft.engine.Views.timeBuilds = true
-    val (p1, p2) = (timedPass(), timedPass())
+    val memWarm = memLine("after_warmup")
+    val p1 = timedPass()
+    val memP1 = memLine("after_pass1")
+    val p2 = timedPass()
+    val memP2 = memLine("after_pass2")
     graft.engine.Views.timeBuilds = false
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def jmap(m: Map[String, Double]): String =
@@ -78,6 +104,7 @@ object Bench {
     // The raw pass timings ride their own line so tools/bench_diff.py can
     // separate machine noise (|p1−p2| spread) from real per-query change.
     println(s"""{"metric":"per_query_passes","unit":"sec","p1":${jmap(p1)},"p2":${jmap(p2)},"sf":"$sfDir"}""")
+    println(memWarm); println(memP1); println(memP2)
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"pin_build","value":${graft.engine.Views.buildSeconds},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")

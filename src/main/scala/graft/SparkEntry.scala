@@ -4237,8 +4237,8 @@ object SparkEntry {
            (CASE WHEN doc_id % 3 = 0 THEN 'DOCS.example.com' ELSE 'docs.example.com' END) ||
            '/corpus/page-' || CAST(doc_id // 2 AS VARCHAR) ||
            (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-           (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=' || source ELSE '' END) ||
-           (CASE WHEN doc_id % 7 = 0 THEN '#frag-' || lang ELSE '' END) AS url
+           (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=' || coalesce(source, '') ELSE '' END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '#frag-' || coalesce(lang, '') ELSE '' END) AS url
          FROM documents),
          c AS (SELECT doc_id, url,
                  regexp_replace(regexp_replace(regexp_replace(lower(url),
@@ -4375,7 +4375,7 @@ object SparkEntry {
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          bk AS (SELECT band, bsig, count(*) AS s FROM keyed GROUP BY 1, 2),
          tot AS (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pairs_total FROM bk),
-         caps AS (SELECT unnest([1, 2, 4, 8, 16, 32, 256, $bucketCap]) AS cap),
+         caps AS (SELECT unnest([${graft.text.Dedup.SweepCaps.mkString(", ")}]) AS cap),
          agg AS (SELECT cap,
                    CAST(sum(CASE WHEN s > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_over,
                    CAST(sum(CASE WHEN s > cap THEN s * (s - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_dropped
@@ -8048,13 +8048,15 @@ object SparkEntry {
                 CAST(d_churn AS DOUBLE) / CAST(n_users - exited_before AS DOUBLE) AS hazard
          FROM e, n ORDER BY dur_day""",
     "q_link_predict" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
                GROUP BY 1, 2 HAVING count(*) >= 2),
          adj AS (SELECT pa AS node, pb AS nb FROM e UNION ALL SELECT pb, pa FROM e),
          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         wadj AS (SELECT adj.node, adj.nb FROM adj
+                  JOIN deg d ON d.node = adj.nb AND d.deg <= ${Graph.MaxWedgeDegree}),
          cn AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cn
-                FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node GROUP BY 1, 2),
+                FROM wadj x JOIN wadj y ON x.nb = y.nb AND x.node < y.node GROUP BY 1, 2),
          ne AS (SELECT cn.a, cn.b, cn.cn FROM cn LEFT JOIN e ON cn.a = e.pa AND cn.b = e.pb
                 WHERE e.pa IS NULL),
          sc AS (SELECT a, b, cn, CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
@@ -8103,13 +8105,13 @@ object SparkEntry {
                FROM a2)
          SELECT rank, p_partkey, auth_raw FROM r WHERE rank <= 20 ORDER BY rank""",
     "q_resource_alloc" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
                 GROUP BY 1, 2 HAVING count(*) >= 2),
          adj AS (SELECT pa AS node, pb AS nb FROM e0 UNION ALL SELECT pb, pa FROM e0),
          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
          adjq AS (SELECT adj.node, adj.nb, 1000000 // d.deg AS q
-                  FROM adj JOIN deg d ON d.node = adj.nb),
+                  FROM adj JOIN deg d ON d.node = adj.nb AND d.deg <= ${Graph.MaxWedgeDegree}),
          sc AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cn,
                        CAST(sum(x.q) AS BIGINT) AS ra_micro
                 FROM adjq x JOIN adjq y ON x.nb = y.nb AND x.node < y.node GROUP BY 1, 2),

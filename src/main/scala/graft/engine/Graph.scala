@@ -54,6 +54,24 @@ object Graph {
   def coOrderEdges(lineitem: DataFrame): DataFrame =
     Views.pinned(lineitem, "coOrderEdges")(buildCoOrderEdges)
 
+  /** Stop cap on WEDGE CENTERS for the link predictors — the graph twin
+    * of [[graft.text.Dedup.MaxCandidateBucket]]: a common neighbor z
+    * emits C(deg(z), 2) candidate pairs, so one hub of degree 10⁶ is a
+    * half-trillion-row wedge expansion. Centers of degree > cap are
+    * dropped BEFORE pairing (the filter rides the deg table the score
+    * join already carries — no extra shuffle). Recall residue: pairs
+    * whose ONLY common neighbors are super-hubs are not proposed; that
+    * is the standard link-prediction position (a shared hub neighbor
+    * carries ~zero signal — resource-allocation literally weights it
+    * 1/deg → ~0), but it is a cap, not a free lunch, and it ships
+    * stated. The co-order part graph is additionally catalog-bounded
+    * (|V| = parts, a dimension, max fixture degree 13 at sf0.1), so at
+    * this corpus the cap never binds and every oracle hash is
+    * unchanged; the DuckDB oracles still MODEL the cap so parity holds
+    * on any input, not just hub-free fixtures.
+    */
+  private[graft] val MaxWedgeDegree = 4096
+
   private def buildCoOrderEdges(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_orderkey"))
@@ -335,7 +353,8 @@ object Graph {
     * part pairs scored |N(a)∩N(b)| / |N(a)∪N(b)| on the
     * support-thresholded co-order graph — common neighbors come from
     * one wedge join on the adjacency list (bounded by the thresholded
-    * degree), the union size from the inclusion-exclusion identity
+    * degree AND the [[MaxWedgeDegree]] center cap), the union size
+    * from the inclusion-exclusion identity
     * da + db − cn (pure integers; one final division), existing edges
     * drop via an anti-join on the normalized pair key, and the top-k
     * is the TakeOrdered [[graft.engine.Relational.rankedTopK]] shape.
@@ -348,8 +367,15 @@ object Graph {
     val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
       .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val cn = adj.as("x")
-      .join(adj.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+    // wedge-center stop cap (see [[MaxWedgeDegree]]): drop super-hub
+    // centers before the C(deg, 2) expansion — deg is |V|-bounded (a
+    // dimension leg), so the keep-set broadcasts onto the adjacency
+    // stream and the wedge join's input shrinks instead of growing
+    val wedgeAdj = adj.join(
+      broadcast(deg.filter(col("deg") <= MaxWedgeDegree).select(col("node").as("nb"))),
+      Seq("nb"), "left_semi")
+    val cn = wedgeAdj.as("x")
+      .join(wedgeAdj.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
       .groupBy(col("x.node").as("a"), col("y.node").as("b"))
       .agg(count(lit(1)).as("cn"))
     val nonEdge = cn.join(e, cn("a") === e("pa") && cn("b") === e("pb"), "left_anti")
@@ -581,9 +607,9 @@ object Graph {
     * by Σ_z 1/deg(z) over common neighbors z — Adamic–Adar without the
     * non-portable ln, each 1/deg on the MICRO grid (10⁶ div deg, an
     * integer) so the per-pair sum is order-free. Same wedge-join shape
-    * as [[linkPrediction]] (bounded by the thresholded degree), with
-    * the weight joined onto the wedge CENTER before pairing; top-k via
-    * distributed TakeOrdered.
+    * as [[linkPrediction]] (bounded by the thresholded degree and the
+    * [[MaxWedgeDegree]] center cap), with the weight joined onto the
+    * wedge CENTER before pairing; top-k via distributed TakeOrdered.
     */
   def resourceAllocationTopK(
       lineitem: DataFrame,
@@ -596,8 +622,13 @@ object Graph {
     val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
       .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // wedge-center stop cap (see [[MaxWedgeDegree]]): the weight join
+    // already carries deg onto the center, so the cap is a FREE filter
+    // on that leg — no new shuffle, and super-hub centers (which RA
+    // weights 1/deg ≈ 0 anyway) never reach the pair expansion
     val adjq = adj.join(
-      deg.select(col("node").as("nb"), expr("1000000 div deg").as("q")),
+      deg.filter(col("deg") <= MaxWedgeDegree)
+        .select(col("node").as("nb"), expr("1000000 div deg").as("q")),
       Seq("nb"))
     val scored = adjq.as("x")
       .join(adjq.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))

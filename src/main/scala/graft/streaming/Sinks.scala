@@ -113,20 +113,33 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
               case c if c == '_' || c == '%' || esc.indexOf(c) >= 0 => esc + c
               case c => c.toString
             }
-          // Scope the probe to the CONNECTION'S schema — a null schema
-          // pattern searches every schema, so a same-named table in some
-          // other tenant's schema would fake "exists" and wedge the
-          // first-epoch auto-create into a permanent replay loop.
+          // Scope the probe to the CONNECTION'S schema first — a null
+          // schema pattern searches every schema, so a same-named table
+          // in some other tenant's schema would fake "exists" and wedge
+          // the first-epoch auto-create into a permanent replay loop.
           // (Schema-QUALIFIED table names are a deployment concern: the
           // unquoted DELETE above doesn't split them either.)
           val schemaPattern =
             Option(try conn.getSchema catch { case _: Throwable => null })
               .map(literal)
               .orNull
-          val exists = candidates.exists { name =>
-            val tables = md.getTables(null, schemaPattern, literal(name), null)
+          def probe(schema: String): Boolean = candidates.exists { name =>
+            val tables = md.getTables(null, schema, literal(name), null)
             try tables.next() finally tables.close()
           }
+          // getSchema reports only the FIRST schema of a multi-schema
+          // resolution path (Postgres search_path), so a table the
+          // unquoted DELETE resolved via a LATER path entry would probe
+          // "missing" here and a REAL delete failure (lock timeout,
+          // dropped connection) would be swallowed — duplicating the
+          // epoch on replay. On a scoped no-match, fall back to an
+          // unscoped probe and rethrow if the table exists ANYWHERE
+          // visible: the residual cost is a loud, retried failure when
+          // only an out-of-path tenant owns the name (deployment fix:
+          // schema-qualify the sink table), which is the right side of
+          // the availability-vs-duplication trade for an at-least-once
+          // sink that advertises idempotent replay.
+          val exists = probe(schemaPattern) || (schemaPattern != null && probe(null))
           if (exists) throw e
       } finally st.close()
     } finally conn.close()

@@ -52,30 +52,51 @@ object Stateful {
         val sorted = rows.toSeq.sortBy(_.ts.getTime)
         var closed = List.empty[SessionOutput]
         var cur = state.getOption
+        // Stragglers older than the open session's gap horizon belong to
+        // an EARLIER (already emitted or never seen) session, which
+        // cannot be reopened under append semantics. They are in hand
+        // within this micro-batch though, so CONSECUTIVE below-horizon
+        // stragglers within gap of each other accumulate into one
+        // pending old session (they arrive sorted ascending) instead of
+        // each emitting a singleton; the pending session closes when a
+        // gap opens or a non-straggler row arrives. Documented
+        // limitations: the pending session never retro-merges into an
+        // ALREADY-EMITTED session, nor into the open session even when
+        // within gap of its (backward-extended) start — exact retro-merge
+        // would need multi-session state per key.
+        var pendingOld: Option[SessionState] = None
+        def closePending(): Unit = pendingOld.foreach { p =>
+          closed ::= SessionOutput(
+            userId, new Timestamp(p.start), new Timestamp(p.lastSeen), p.events, p.total)
+          pendingOld = None
+        }
         sorted.foreach { r =>
           val t = r.ts.getTime
           cur match {
-            // a late event older than the open session's gap horizon
-            // belongs to an EARLIER (already emitted or never seen)
-            // session, which cannot be reopened under append semantics —
-            // close it as its own singleton instead of letting the
-            // negative lastSeen difference smuggle it into the newer
-            // session (documented limitation: exact retro-merge of such
-            // stragglers would need multi-session state per key)
             case Some(s) if t < s.start - gapMs =>
-              closed ::= SessionOutput(userId, r.ts, r.ts, 1, r.value)
+              pendingOld = pendingOld match {
+                case Some(p) if t - p.lastSeen <= gapMs =>
+                  Some(SessionState(p.start, t, p.events + 1, p.total + r.value))
+                case other =>
+                  other.foreach(_ => closePending())
+                  Some(SessionState(t, t, 1, r.value))
+              }
             // in-gap on either side: late events inside the horizon
             // extend session_start BACKWARD, in-order ones extend lastSeen
             case Some(s) if t - s.lastSeen <= gapMs =>
+              closePending()
               cur = Some(SessionState(
                 math.min(s.start, t), math.max(s.lastSeen, t), s.events + 1, s.total + r.value))
             case Some(s) =>
+              closePending()
               closed ::= SessionOutput(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.total)
               cur = Some(SessionState(t, t, 1, r.value))
             case None =>
+              closePending()
               cur = Some(SessionState(t, t, 1, r.value))
           }
         }
+        closePending()
         cur.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.lastSeen + gapMs)

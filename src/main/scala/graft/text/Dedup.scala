@@ -153,6 +153,16 @@ object Dedup {
     */
   private[graft] val MaxCandidateBucket = 1024
 
+  /** The cap rungs [[stopBucketSweep]] sweeps: fixed small rungs up
+    * through the shipped [[MaxCandidateBucket]], DEDUPED — retuning the
+    * production cap onto one of the fixed rungs (e.g. 256) must not
+    * generate duplicate aggregate aliases in the sweep (a Spark analysis
+    * error) exactly when the sweep is needed to validate the retune. The
+    * oracle's unnest list interpolates this same sequence.
+    */
+  private[graft] val SweepCaps: Seq[Int] =
+    (Seq(1, 2, 4, 8, 16, 32, 256) :+ MaxCandidateBucket).distinct
+
   /** (doc_id, sig, band, band_sig) band explosion of a MinHash signature
     * table — the ONE spelling of LSH banding every consumer shares
     * ([[bandedCandidates]], [[lshBucketStats]], [[stopBucketSweep]], the
@@ -512,7 +522,7 @@ object Dedup {
       documents: DataFrame,
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val caps = Seq(1, 2, 4, 8, 16, 32, 256, MaxCandidateBucket)
+    val caps = SweepCaps
     val buckets =
       bandExplode(minhashSignatures(documents, numBands * rowsPerBand), numBands, rowsPerBand)
         .groupBy(col("band"), col("band_sig"))

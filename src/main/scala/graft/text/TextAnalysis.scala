@@ -1560,13 +1560,20 @@ object TextAnalysis {
     * minimal shuffle as [[Dedup.exact]] at any corpus scale.
     */
   def urlCanonicalDedup(documents: DataFrame): DataFrame = {
+    // source/lang ride coalesce(_, ''): a NULL attribute would null the
+    // whole concat, and the engine's orderBy and the DuckDB oracle's
+    // ORDER BY disagree on null placement (NULLS FIRST vs LAST) — the
+    // fixture happens to carry no nulls, but the query must not depend
+    // on that. Mirrored in the oracle's url construction.
     val raw = concat(
       when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("https://WWW.")),
       when(col("doc_id") % 3 === 0, lit("DOCS.example.com")).otherwise(lit("docs.example.com")),
       lit("/corpus/page-"), expr("CAST(doc_id div 2 AS STRING)"),
       when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-      when(col("doc_id") % 2 === 1, concat(lit("?utm_source="), col("source"))).otherwise(lit("")),
-      when(col("doc_id") % 7 === 0, concat(lit("#frag-"), col("lang"))).otherwise(lit("")))
+      when(col("doc_id") % 2 === 1,
+        concat(lit("?utm_source="), coalesce(col("source"), lit("")))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("#frag-"), coalesce(col("lang"), lit("")))).otherwise(lit("")))
     documents
       .select(col("doc_id"), raw.as("url"))
       .withColumn(

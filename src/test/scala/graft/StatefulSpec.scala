@@ -159,6 +159,164 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: co-batch below-horizon stragglers within gap form ONE session, not singletons") {
+    val input = MemoryStream[Ev]
+    // long watermark delay so stragglers reach the operator un-dropped —
+    // this pins OPERATOR semantics, not the upstream watermark filter
+    val sessions = Stateful.sessionize(spark, input.toDF(), gapMinutes = 30,
+      watermarkDelay = "10 hours")
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_straggler_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(ev(1, 1, "2024-01-01 10:00:00", 1.0)) // open session
+      q.processAllAvailable()
+      // all four are older than 10:00 − 30 min: 07:00 is its own island,
+      // 08:00/08:10/08:20 are within gap of each other → one session
+      input.addData(
+        ev(2, 1, "2024-01-01 08:10:00", 2.0),
+        ev(3, 1, "2024-01-01 07:00:00", 7.0),
+        ev(4, 1, "2024-01-01 08:00:00", 3.0),
+        ev(5, 1, "2024-01-01 08:20:00", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_straggler_out").as[Stateful.SessionOutput].collect()
+        .sortBy(_.session_start.getTime)
+      assert(closed.length == 2, s"expected island + merged straggler session, got ${closed.toSeq}")
+      assert(closed(0).n_events == 1 && closed(0).total_value == 7.0)
+      assert(closed(1).n_events == 3 && closed(1).total_value == 9.0)
+      assert(closed(1).session_start == Timestamp.valueOf("2024-01-01 08:00:00"))
+      assert(closed(1).session_end == Timestamp.valueOf("2024-01-01 08:20:00"))
+    } finally q.stop()
+  }
+
+  test("property: sessionize matches batch sessionization under ScalaCheck-random orderings and epoch splits") {
+    import org.scalacheck.Gen
+
+    // Per-user random scenario: event times (cumulative whole-second
+    // gaps), values on the exact-in-double grid, an in-order flag, and a
+    // per-event epoch assignment. In-order users get a MONOTONE epoch
+    // split (sorted events cut into consecutive epochs) — for them the
+    // stream must reproduce batch sessions EXACTLY. Shuffled users remix
+    // events across epochs arbitrarily — for them the documented weaker
+    // contract holds: every event is conserved (append emits each event
+    // in exactly one session) and every stream session nests inside one
+    // batch session (stream may split, never merge across a batch gap).
+    val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    case class Scn(uid: Long, times: List[Long], vals: List[Double], inOrder: Boolean, epochOf: List[Int])
+    def scnGen(uid: Long): Gen[Scn] = for {
+      n <- Gen.choose(1, 12)
+      gapsSec <- Gen.listOfN(n, Gen.choose(0L, 5400L)) // 0..90 min, gap = 30 min
+      vals <- Gen.listOfN(n, Gen.oneOf(0.5, 1.0, 2.0, 3.5))
+      inOrder <- Gen.oneOf(true, false)
+      epochs <- Gen.listOfN(n, Gen.choose(0, 3))
+    } yield {
+      val times = gapsSec.scanLeft(baseMs)((t, g) => t + g * 1000L).tail
+      Scn(uid, times, vals, inOrder, if (inOrder) epochs.sorted else epochs)
+    }
+    val corpusGen: Gen[List[Scn]] =
+      (1L to 30L).toList.foldRight(Gen.const(List.empty[Scn])) { (uid, acc) =>
+        for { s <- scnGen(uid); rest <- acc } yield s :: rest
+      }
+
+    val gapMin = 30
+    (0 until 3).foreach { trial =>
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(4242L + trial))
+      val input = MemoryStream[Ev]
+      // watermark far beyond the generated range: nothing is dropped
+      // upstream, so conservation is exact and closure happens only via
+      // the far-future sentinel batches below
+      val sessions = Stateful.sessionize(spark, input.toDF(), gapMinutes = gapMin,
+        watermarkDelay = "400 days")
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(s"sessions_prop_$trial")
+        .option("checkpointLocation", tmpDir())
+        .start()
+      try {
+        var nextId = 1L
+        (0 to 3).foreach { ep =>
+          val batch = corpus.flatMap { s =>
+            s.times.lazyZip(s.vals).lazyZip(s.epochOf).toList.collect {
+              case (t, v, e) if e == ep =>
+                nextId += 1
+                Ev(nextId, new Timestamp(t), s.uid, "purchase", v, "{}")
+            }
+          }
+          if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+        }
+        // sentinel user 999: first batch advances the watermark past every
+        // open session's timeout, second batch fires the timeouts
+        val far = baseMs + 500L * 24 * 3600 * 1000
+        input.addData(Ev(1000000L, new Timestamp(far), 999L, "purchase", 1.0, "{}"))
+        q.processAllAvailable()
+        input.addData(Ev(1000001L, new Timestamp(far + 1000L), 999L, "purchase", 1.0, "{}"))
+        q.processAllAvailable()
+
+        val stream = spark.table(s"sessions_prop_$trial").as[Stateful.SessionOutput].collect()
+          .filter(_.user_id != 999L)
+
+        // independent driver-side batch sessionization of the same multiset
+        def batchSessions(s: Scn): List[(Long, Long, Long, Double)] = {
+          val evs = s.times.zip(s.vals).sortBy(_._1)
+          val out = scala.collection.mutable.ListBuffer.empty[List[(Long, Double)]]
+          evs.foreach { e =>
+            if (out.nonEmpty && e._1 - out.last.last._1 <= gapMin * 60000L)
+              out(out.length - 1) = out.last :+ e
+            else out += List(e)
+          }
+          out.toList.map(ss => (ss.head._1, ss.last._1, ss.length.toLong, ss.map(_._2).sum))
+        }
+        // and the ENGINE batch oracle over the same rows, for engine parity
+        val allRows = corpus.flatMap(s => s.times.zip(s.vals).zipWithIndex.map {
+          case ((t, v), i) => Ev(s.uid * 1000L + i, new Timestamp(t), s.uid, "purchase", v, "{}")
+        })
+        val engineBatch = graft.engine.Analytics
+          .sessionizeBatch(allRows.toDF(), gapMin)
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"),
+            (r.getAs[String]("session_start"), r.getAs[String]("session_end"),
+              r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val utcFmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+        def fmt(ms: Long): String = utcFmt.format(java.time.Instant.ofEpochMilli(ms))
+
+        corpus.foreach { s =>
+          val mine = stream.filter(_.user_id == s.uid)
+          val batch = batchSessions(s)
+          // conservation: every event lands in exactly one emitted session
+          assert(mine.map(_.n_events).sum == s.times.length,
+            s"trial $trial user ${s.uid}: event count not conserved (${mine.toSeq} vs ${s.times.length})")
+          assert(math.abs(mine.map(_.total_value).sum - s.vals.sum) < 1e-9,
+            s"trial $trial user ${s.uid}: value not conserved")
+          // nesting: each stream session sits inside one batch session
+          mine.foreach { m =>
+            assert(batch.exists(b =>
+              b._1 <= m.session_start.getTime && m.session_end.getTime <= b._2),
+              s"trial $trial user ${s.uid}: stream session $m not nested in any batch session $batch")
+          }
+          if (s.inOrder) {
+            // exact parity with the driver oracle…
+            val got = mine.map(m =>
+              (m.session_start.getTime, m.session_end.getTime, m.n_events, m.total_value)).toSet
+            assert(got == batch.toSet,
+              s"trial $trial user ${s.uid} (in-order): $got != ${batch.toSet}")
+            // …and with the engine's batch sessionization
+            val eng = engineBatch(s.uid)
+            val gotFmt = mine.map(m =>
+              (fmt(m.session_start.getTime), fmt(m.session_end.getTime), m.n_events, m.total_value)).toSet
+            assert(gotFmt == eng,
+              s"trial $trial user ${s.uid} (in-order): engine-batch mismatch $gotFmt != $eng")
+          }
+        }
+      } finally q.stop()
+    }
+  }
+
   test("dedupByKey suppresses duplicate event_ids within the watermark") {
     val input = MemoryStream[Ev]
     val deduped = Stateful.dedupByKey(input.toDF())

@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Round-8 pin-residency A/B (VERDICT r7 punch item 1): run the full
+# sf0.1/32 board under (a) the committed config — both r7-new pinned
+# views resident board-wide — and (b) the same binary with those two
+# pins demoted to per-query transients via SPARK_GRAFT_TRANSIENT_PINS.
+# Interleaved A,B,A,B so slow machine drift cancels across configs.
+#
+# Runs from a FROZEN snapshot of target/scala-2.13/classes via java -cp
+# (no sbt lock held, and source edits during the runs can't swap class
+# files under the running JVM). Usage: tools/bench_ab.sh <outdir>
+set -u
+OUT=${1:-/tmp/bench_ab}
+mkdir -p "$OUT"
+SNAP="$OUT/classes_snapshot"
+rm -rf "$SNAP"
+cp -a /root/repo/target/scala-2.13/classes "$SNAP"
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+run() { # run <label> <transient_pins>
+  local label=$1 pins=$2
+  echo "=== $label (SPARK_GRAFT_TRANSIENT_PINS='$pins') $(date -u +%H:%M:%S) ==="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_TRANSIENT_PINS="$pins" \
+  java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$SNAP:/opt/spark/jars/*" graft.Bench \
+    > "$OUT/$label.out" 2> "$OUT/$label.err"
+  grep '"metric":"total"\|"metric":"pin_build"\|"metric":"mem"' "$OUT/$label.out"
+}
+
+PINS="simhashCand16x4,bandIndex8x4"
+run a1 ""
+run b1 "$PINS"
+run a2 ""
+run b2 "$PINS"
+echo "DONE_AB_$?"
