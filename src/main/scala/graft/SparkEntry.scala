@@ -659,6 +659,8 @@ object SparkEntry {
       Similarity.jlDistortion(Tables.embeddings(s, dir)).orderBy("va", "vb")),
     "q_link_predict" -> ((s, dir) =>
       Graph.linkPrediction(Tables.lineitem(s, dir)).orderBy("rank")),
+    "q_wedge_cap_sweep" -> ((s, dir) =>
+      Graph.wedgeCapSweep(Tables.lineitem(s, dir)).orderBy("cap")),
     "q_harmonic" -> ((s, dir) =>
       Graph.harmonicTopK(Tables.lineitem(s, dir)).orderBy("seed")),
     "q_hits" -> ((s, dir) =>
@@ -8065,6 +8067,22 @@ object SparkEntry {
                       CAST(row_number() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS BIGINT) AS rank
                FROM sc)
          SELECT rank, a, b, cn, jaccard FROM r WHERE rank <= 10 ORDER BY rank""",
+    "q_wedge_cap_sweep" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT node, count(*) AS deg
+                 FROM (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+         tot AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges_total FROM deg),
+         caps AS (SELECT unnest([${Graph.WedgeSweepCaps.mkString(", ")}]) AS cap),
+         agg AS (SELECT cap,
+                   CAST(sum(CASE WHEN deg > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_centers_over,
+                   CAST(sum(CASE WHEN deg > cap THEN deg * (deg - 1) // 2 ELSE 0 END) AS BIGINT) AS wedges_dropped
+                 FROM deg CROSS JOIN caps GROUP BY cap)
+         SELECT CAST(cap AS BIGINT) AS cap, n_centers_over, wedges_dropped, wedges_total,
+                CASE WHEN wedges_total = 0 THEN NULL
+                     ELSE CAST(wedges_dropped AS DOUBLE) / CAST(wedges_total AS DOUBLE) END AS drop_frac
+         FROM agg CROSS JOIN tot ORDER BY cap""",
     "q_harmonic" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          e0 AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk

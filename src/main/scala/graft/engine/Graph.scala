@@ -72,6 +72,54 @@ object Graph {
     */
   private[graft] val MaxWedgeDegree = 4096
 
+  /** The cap rungs [[wedgeCapSweep]] sweeps — fixed rungs up through
+    * the shipped [[MaxWedgeDegree]], deduped for the same reason as
+    * [[graft.text.Dedup.SweepCaps]] (retuning the cap onto a fixed rung
+    * must not break the report that validates the retune).
+    */
+  private[graft] val WedgeSweepCaps: Seq[Int] =
+    (Seq(2, 8, 32, 128, 512) :+ MaxWedgeDegree).distinct
+
+  /** Wedge-center cap tuning sweep — [[graft.text.Dedup.stopBucketSweep]]'s
+    * graph twin, the report that sizes [[MaxWedgeDegree]] before a
+    * link-prediction run at corpus scale: for each candidate cap, how
+    * many wedge centers exceed it and how much wedge mass
+    * (Σ C(deg, 2) over centers with deg > cap) a capped pass would
+    * drop, as a count and as a fraction of total wedge mass. One
+    * map-combined degree aggregate over the adjacency list stacked to
+    * |caps| rows — no pair join anywhere, so the report itself is safe
+    * to run on a graph whose wedges are NOT.
+    */
+  def wedgeCapSweep(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val caps = WedgeSweepCaps
+    val e = coOrderEdges(lineitem)
+      .filter(col("w") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val aggCols =
+      sum(expr("deg * (deg - 1) div 2")).as("wedges_total") +:
+        caps.flatMap(c => Seq(
+          sum(when(col("deg") > c, 1L).otherwise(0L)).as(s"c$c"),
+          sum(when(col("deg") > c, expr("deg * (deg - 1) div 2")).otherwise(0L)).as(s"w$c")))
+    deg
+      .agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr(
+        s"stack(${caps.size}, " +
+          caps.map(c => s"CAST($c AS BIGINT), c$c, w$c").mkString(", ") +
+          ") AS (cap, n_centers_over, wedges_dropped)",
+        "wedges_total")
+      // empty graph → the ungrouped agg still emits one all-null row
+      // that stack fans out; the oracle's GROUP BY emits zero
+      .filter(col("wedges_total").isNotNull)
+      .select(
+        col("cap"), col("n_centers_over"), col("wedges_dropped"), col("wedges_total"),
+        when(col("wedges_total") === 0L, lit(null).cast("double"))
+          .otherwise(col("wedges_dropped").cast("double") / col("wedges_total").cast("double"))
+          .as("drop_frac"))
+  }
+
   private def buildCoOrderEdges(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_orderkey"))
@@ -349,39 +397,58 @@ object Graph {
     reports.reduce(_ unionAll _)
   }
 
+  /** PINNED maximal wedge table for the link-prediction family — the
+    * parameter-free-per-support form BOTH predictors read: each
+    * non-adjacent pair (a, b) with its common-neighbor count `cn`, the
+    * resource-allocation mass `ra_micro` = Σ_z 10⁶ div deg(z) over
+    * common neighbors z, and the endpoint degrees (da, db).
+    * [[linkPrediction]] and [[resourceAllocationTopK]] each rebuilt
+    * adjacency + the same wedge join per query (1.93 s + 1.74 s loaded,
+    * BENCH_r07); the round-6 `candidatePairs` precedent applies — when
+    * N queries share a generator differing only in read-time
+    * parameters, pin the maximal unfiltered form. The support threshold
+    * changes the edge set itself, so the pin is keyed per minSupport;
+    * k and the score choice are read-time parameters. Wedge centers
+    * ride the [[MaxWedgeDegree]] stop cap (the filter lives on the
+    * |V|-bounded deg leg the weight join already carries — no extra
+    * shuffle).
+    */
+  private def wedgeTable(lineitem: DataFrame, minSupport: Int): DataFrame =
+    Views.pinned(lineitem, s"wedgeTable$minSupport") { li =>
+      // composes on the pinned co-order edge list (~18 graph queries
+      // share it), so the wedge build reads the edge pin warm
+      val e = coOrderEdges(li)
+        .filter(col("w") >= minSupport)
+        .select(col("pa"), col("pb"))
+        .cacheT()
+      val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
+        .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val adjq = adj.join(
+        deg.filter(col("deg") <= MaxWedgeDegree)
+          .select(col("node").as("nb"), expr("1000000 div deg").as("q")),
+        Seq("nb"))
+      val scored = adjq.as("x")
+        .join(adjq.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+        .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+        .agg(count(lit(1)).as("cn"), sum(col("x.q")).as("ra_micro"))
+      val nonEdge = scored.join(e, scored("a") === e("pa") && scored("b") === e("pb"), "left_anti")
+      nonEdge
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("cn"), col("ra_micro"), col("da"), col("db"))
+    }
+
   /** Link prediction by neighbor-set Jaccard: the `k` best NON-adjacent
     * part pairs scored |N(a)∩N(b)| / |N(a)∪N(b)| on the
-    * support-thresholded co-order graph — common neighbors come from
-    * one wedge join on the adjacency list (bounded by the thresholded
-    * degree AND the [[MaxWedgeDegree]] center cap), the union size
-    * from the inclusion-exclusion identity
-    * da + db − cn (pure integers; one final division), existing edges
-    * drop via an anti-join on the normalized pair key, and the top-k
-    * is the TakeOrdered [[graft.engine.Relational.rankedTopK]] shape.
+    * support-thresholded co-order graph — read-time parameter
+    * application over the pinned [[wedgeTable]]: the union size comes
+    * from the inclusion-exclusion identity da + db − cn (pure
+    * integers; one final division) and the top-k is the TakeOrdered
+    * [[graft.engine.Relational.rankedTopK]] shape.
     */
   def linkPrediction(lineitem: DataFrame, k: Int = 10, minSupport: Int = 2): DataFrame = {
-    val e = coOrderEdges(lineitem)
-      .filter(col("w") >= minSupport)
-      .select(col("pa"), col("pb"))
-      .cacheT()
-    val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
-      .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // wedge-center stop cap (see [[MaxWedgeDegree]]): drop super-hub
-    // centers before the C(deg, 2) expansion — deg is |V|-bounded (a
-    // dimension leg), so the keep-set broadcasts onto the adjacency
-    // stream and the wedge join's input shrinks instead of growing
-    val wedgeAdj = adj.join(
-      broadcast(deg.filter(col("deg") <= MaxWedgeDegree).select(col("node").as("nb"))),
-      Seq("nb"), "left_semi")
-    val cn = wedgeAdj.as("x")
-      .join(wedgeAdj.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
-      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
-      .agg(count(lit(1)).as("cn"))
-    val nonEdge = cn.join(e, cn("a") === e("pa") && cn("b") === e("pb"), "left_anti")
-    val scored = nonEdge
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val scored = wedgeTable(lineitem, minSupport)
       .select(
         col("a"), col("b"), col("cn"),
         expr("CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE)").as("jaccard"))
@@ -606,39 +673,19 @@ object Graph {
   /** Resource-allocation link prediction: score non-adjacent part pairs
     * by Σ_z 1/deg(z) over common neighbors z — Adamic–Adar without the
     * non-portable ln, each 1/deg on the MICRO grid (10⁶ div deg, an
-    * integer) so the per-pair sum is order-free. Same wedge-join shape
-    * as [[linkPrediction]] (bounded by the thresholded degree and the
-    * [[MaxWedgeDegree]] center cap), with the weight joined onto the
-    * wedge CENTER before pairing; top-k via distributed TakeOrdered.
+    * integer) so the per-pair sum is order-free. Read-time parameter
+    * application over the pinned [[wedgeTable]] (which carries the
+    * precomputed ra_micro mass — the weight was joined onto the wedge
+    * CENTER before pairing); top-k via distributed TakeOrdered.
     */
   def resourceAllocationTopK(
       lineitem: DataFrame,
       k: Int = 10,
-      minSupport: Int = 2): DataFrame = {
-    val e = coOrderEdges(lineitem)
-      .filter(col("w") >= minSupport)
-      .select(col("pa"), col("pb"))
-      .cacheT()
-    val adj = e.select(col("pa").as("node"), col("pb").as("nb"))
-      .unionAll(e.select(col("pb").as("node"), col("pa").as("nb")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // wedge-center stop cap (see [[MaxWedgeDegree]]): the weight join
-    // already carries deg onto the center, so the cap is a FREE filter
-    // on that leg — no new shuffle, and super-hub centers (which RA
-    // weights 1/deg ≈ 0 anyway) never reach the pair expansion
-    val adjq = adj.join(
-      deg.filter(col("deg") <= MaxWedgeDegree)
-        .select(col("node").as("nb"), expr("1000000 div deg").as("q")),
-      Seq("nb"))
-    val scored = adjq.as("x")
-      .join(adjq.as("y"), col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
-      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
-      .agg(count(lit(1)).as("cn"), sum(col("x.q")).as("ra_micro"))
-    val nonEdge = scored.join(e, scored("a") === e("pa") && scored("b") === e("pb"), "left_anti")
+      minSupport: Int = 2): DataFrame =
     Relational
-      .rankedTopK(nonEdge, k, col("ra_micro").desc, col("a").asc, col("b").asc)
+      .rankedTopK(wedgeTable(lineitem, minSupport), k,
+        col("ra_micro").desc, col("a").asc, col("b").asc)
       .select(col("rank"), col("a"), col("b"), col("cn"), col("ra_micro"))
-  }
 
   /** Synchronous label propagation (2 fixed rounds) on the
     * support-thresholded co-order graph, with the deterministic update
