@@ -60,12 +60,11 @@ object CapStressProbe {
       .orderBy(col("doc_id"))
       .limit(100)
       .cache()
-    base.count()
 
     // The exact-family expectation assumes the base docs are pairwise
     // byte-distinct; verify instead of assuming, so a fixture change
     // (two identical base texts) reads as a fixture artifact, not a
-    // cap-logic regression.
+    // cap-logic regression. (The count also materializes the cache.)
     val nBase = base.count()
     val nDistinctBase = base.select(col("text")).distinct().count()
     if (nDistinctBase != nBase)
@@ -123,7 +122,7 @@ object CapStressProbe {
     // above the cap: 15x the documents, ~zero candidates — the runtime
     // must scale with documents (signatures), not with C(copies, 2)
     val okAbove = probe("above_cap", 3000, 0L)
-    println(s"""{"probe":"config","cap":$cap,"base_docs":100,"sf":"$sfDir"}""")
+    println(s"""{"probe":"config","cap":$cap,"base_docs":$nBase,"sf":"$sfDir"}""")
     spark.stop()
     if (!(okBelow && okAbove)) sys.exit(1)
   }

@@ -78,11 +78,23 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
         // would let a transient delete failure (lock timeout, dropped
         // connection) silently skip dedup — the following append would then
         // DUPLICATE the epoch's rows, breaking the effective-exactly-once
-        // contract. SQLStates differ per dialect (Derby 42X05, Postgres
-        // 42P01), so existence is checked via metadata instead: if the
-        // table exists, the failure was real — propagate so the replay
-        // retries the whole write.
+        // contract. The KNOWN undefined-table SQLStates short-circuit to
+        // the auto-create; anything else checks existence via metadata:
+        // if the table exists, the failure was real — propagate so the
+        // replay retries the whole write.
+        case e: java.sql.SQLException
+            if UndefinedTableStates.contains(e.getSQLState) =>
+          // The dialect said it outright: undefined table FOR THIS
+          // CONNECTION'S resolution path (Postgres 42P01, Derby 42X05,
+          // H2/MySQL/SQLServer 42S02). First epoch — fall through to the
+          // auto-creating append. This fast path matters in multi-tenant
+          // deployments: a same-named table in some OTHER tenant's
+          // schema would make the metadata probe below report "exists",
+          // rethrow the genuine missing-table error, and wedge the
+          // first-epoch auto-create into a permanent replay loop — but
+          // the database already distinguished the cases for us.
         case e: java.sql.SQLException =>
+          // Unknown dialect / unknown SQLState: fall back to metadata.
           // The lookup must match the database's identifier fold for the
           // UNQUOTED name the DELETE used: Derby folds to upper case,
           // Postgres (the reference's production target,
@@ -146,6 +158,13 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
     df.withColumn("_epoch", org.apache.spark.sql.functions.lit(epochId))
       .write.mode("append").jdbc(url, table, props)
   }
+
+  /** SQLStates that mean "undefined table" in the dialects this sink
+    * documents: Postgres `42P01` (undefined_table), Derby `42X05`
+    * (table does not exist), and the ODBC-inherited `42S02`
+    * (H2/MySQL/SQLServer base-table-not-found).
+    */
+  private val UndefinedTableStates = Set("42P01", "42X05", "42S02")
 }
 
 /** Collects batches in memory for assertions (test double). */

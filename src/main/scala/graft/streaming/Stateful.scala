@@ -65,6 +65,7 @@ object Stateful {
         // within gap of its (backward-extended) start — exact retro-merge
         // would need multi-session state per key.
         var pendingOld: Option[SessionState] = None
+        // no-op when nothing is pending — safe to call from any branch
         def closePending(): Unit = pendingOld.foreach { p =>
           closed ::= SessionOutput(
             userId, new Timestamp(p.start), new Timestamp(p.lastSeen), p.events, p.total)
@@ -74,12 +75,12 @@ object Stateful {
           val t = r.ts.getTime
           cur match {
             case Some(s) if t < s.start - gapMs =>
-              pendingOld = pendingOld match {
+              pendingOld match {
                 case Some(p) if t - p.lastSeen <= gapMs =>
-                  Some(SessionState(p.start, t, p.events + 1, p.total + r.value))
-                case other =>
-                  other.foreach(_ => closePending())
-                  Some(SessionState(t, t, 1, r.value))
+                  pendingOld = Some(SessionState(p.start, t, p.events + 1, p.total + r.value))
+                case _ =>
+                  closePending()
+                  pendingOld = Some(SessionState(t, t, 1, r.value))
               }
             // in-gap on either side: late events inside the horizon
             // extend session_start BACKWARD, in-order ones extend lastSeen
@@ -92,7 +93,9 @@ object Stateful {
               closed ::= SessionOutput(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.total)
               cur = Some(SessionState(t, t, 1, r.value))
             case None =>
-              closePending()
+              // pendingOld is necessarily empty here: stragglers only
+              // accumulate against an open session, and cur never
+              // reverts from Some to None
               cur = Some(SessionState(t, t, 1, r.value))
           }
         }
