@@ -1444,7 +1444,8 @@ object SparkEntry {
        f AS (SELECT src_id,
                     max(CASE WHEN rf = 1 THEN tgt_id END) AS tgt_id,
                     max(CASE WHEN rf = 1 THEN cos END) AS cos,
-                    coalesce(max(CASE WHEN rf = 2 THEN cos END), 0) AS cos2
+                    coalesce(max(CASE WHEN rf = 2 THEN cos END),
+                             max(CASE WHEN rf = 1 THEN cos END)) AS cos2
              FROM fwd WHERE rf <= 2 GROUP BY src_id),
        bwd AS (SELECT tgt_id, src_id AS b_src,
                       row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb FROM pairs)
@@ -1454,7 +1455,7 @@ object SparkEntry {
   }
 
   /** DuckDB squared-distance silhouette, generated with the same centroid
-    * literals, first-match argmin, and value-mask second-min as
+    * literals, first-match argmin, and positional-mask second-min as
     * [[graft.similarity.Similarity.silhouette]].
     */
   private def duckSilhouetteSql(numCells: Int): String = {
@@ -1471,8 +1472,8 @@ object SparkEntry {
        m AS (SELECT dists, list_position(dists, list_min(dists)) - 1 AS cell,
                     list_min(dists) AS a2 FROM d),
        s AS (SELECT cell, a2,
-                    list_min(list_transform(dists,
-                      x -> CASE WHEN x = a2 THEN CAST('Infinity' AS DOUBLE) ELSE x END)) AS b2
+                    list_min(list_transform(generate_series(1, $numCells),
+                      i -> CASE WHEN i = cell + 1 THEN CAST('Infinity' AS DOUBLE) ELSE dists[i] END)) AS b2
              FROM m),
        r AS (SELECT cell,
                     CAST(round((CASE WHEN b2 = 0 THEN 0.0 ELSE (b2 - a2) / b2 END) * 1000000) AS BIGINT) AS sil_micro
@@ -1599,8 +1600,9 @@ object SparkEntry {
        FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
 
   /** DuckDB IVF nprobe=2, generated: [[duckAnnIvfSql]]'s cell assignment
-    * plus a second probe cell from re-argmin after masking the minimum
-    * distance to +∞ (the same value-mask expression the Spark side uses).
+    * plus a second probe cell from re-argmin after masking the ARGMIN
+    * POSITION to +∞ (the same positional mask the Spark side uses —
+    * tie-safe where a value mask is not).
     */
   private def duckAnnIvf2Sql(numQueries: Int, k: Int, numCells: Int): String = {
     val cs = graft.similarity.Similarity.centroids(numCells, 64)
@@ -1615,12 +1617,16 @@ object SparkEntry {
        d AS (SELECT vec_id, v, $dists AS dists FROM e2),
        b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell FROM d),
        qm AS (SELECT vec_id, v, dists,
-                list_transform(dists, x -> CASE WHEN x = list_min(dists) THEN CAST('infinity' AS DOUBLE) ELSE x END) AS masked
+                list_position(dists, list_min(dists)) AS p1
               FROM d WHERE vec_id < $numQueries),
+       qm2 AS (SELECT vec_id, v, p1,
+                list_transform(generate_series(1, $numCells),
+                  i -> CASE WHEN i = p1 THEN CAST('infinity' AS DOUBLE) ELSE dists[i] END) AS masked
+              FROM qm),
        q AS (SELECT vec_id AS qid, v AS qe,
-               unnest([list_position(dists, list_min(dists)) - 1,
+               unnest([p1 - 1,
                        list_position(masked, list_min(masked)) - 1]) AS cell
-             FROM qm),
+             FROM qm2),
        pairs AS (
          SELECT q.qid, c.vec_id AS nid,
                 round(list_dot_product(q.qe, c.v) /
@@ -2118,18 +2124,19 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY qid ORDER BY d16, vec_id) AS r16,
                 row_number() OVER (PARTITION BY qid ORDER BY d32, vec_id) AS r32,
                 row_number() OVER (PARTITION BY qid ORDER BY d64, vec_id) AS r64
-               FROM p)
+               FROM p),
+         tn AS (SELECT sum(CASE WHEN r64 <= 5 THEN 1 ELSE 0 END) AS n_true FROM tk)
          SELECT CAST(8 AS BIGINT) AS dims_kept, CAST(10 AS BIGINT) AS n_queries,
                 CAST(sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-                sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / 50.0 AS recall FROM tk
+                sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / (CAST(max(tn.n_true) AS DOUBLE)) AS recall FROM tk, tn
          UNION ALL
          SELECT 16, 10,
                 CAST(sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT),
-                sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / 50.0 FROM tk
+                sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / (CAST(max(tn.n_true) AS DOUBLE)) FROM tk, tn
          UNION ALL
          SELECT 32, 10,
                 CAST(sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT),
-                sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / 50.0 FROM tk
+                sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / (CAST(max(tn.n_true) AS DOUBLE)) FROM tk, tn
          ORDER BY dims_kept""",
     "q_dedup_savings" ->
       """WITH t AS (SELECT source, doc_id, md5(text) AS k,
@@ -5465,10 +5472,11 @@ object SparkEntry {
          c2 AS (SELECT label, dim, half_a, n,
                        CAST(round(CAST(ms AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS c
                 FROM c),
-         p AS (SELECT a.label AS label, a.dim AS dim, a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
-               FROM c2 a JOIN c2 b ON a.label = b.label AND a.dim = b.dim
-               WHERE a.half_a AND NOT b.half_a)
-         SELECT label, max(na) AS n_a, max(nb) AS n_b,
+         ha AS (SELECT label, dim, c AS ca, n AS na FROM c2 WHERE half_a),
+         hb AS (SELECT label, dim, c AS cb, n AS nb FROM c2 WHERE NOT half_a),
+         p AS (SELECT coalesce(ha.label, hb.label) AS label, ca, na, cb, nb
+               FROM ha FULL JOIN hb ON ha.label = hb.label AND ha.dim = hb.dim)
+         SELECT label, coalesce(max(na), 0) AS n_a, coalesce(max(nb), 0) AS n_b,
                 CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS dist2,
                 sqrt(CAST(sum((ca - cb) * (ca - cb)) AS DOUBLE)) / 1000.0 AS drift
          FROM p GROUP BY label ORDER BY label""",

@@ -138,6 +138,17 @@ object Multimodal {
     */
   def payloadSlices(media: DataFrame, sliceBytes: Int = 64, strideBytes: Int = 128): DataFrame =
     media
+      // an empty payload has ZERO slices. Without this guard the edge
+      // hits the truncate-vs-floor integer-division split: Spark's
+      // (0 - 1) div stride truncates to 0 and sequence(0, 0) would emit
+      // one bogus empty slice whose md5('') fingerprint every empty
+      // payload shares (linking them all in the containment/near-dup
+      // screens), while DuckDB's (0 - 1) // stride floors to -1 and
+      // generate_series emits nothing — the oracles already have the
+      // zero-slice semantics, this makes the engine match on ANY input
+      // (the fixture carries no empty payloads, so fixture hashes are
+      // unchanged)
+      .filter(col("byte_len") > 0)
       .selectExpr(
         "doc_id",
         "byte_len",

@@ -162,7 +162,11 @@ object Similarity {
       .agg(
         max(when(col("rf") === 1, col("tgt_id"))).as("tgt_id"),
         max(when(col("rf") === 1, col("cos"))).as("cos"),
-        coalesce(max(when(col("rf") === 2, col("cos"))), lit(0.0)).as("cos2"))
+        // runner-up missing (single candidate in the cell) → cos2 = cos,
+        // i.e. margin 0: no runner-up means NO margin evidence, and the
+        // margin filter this models must not admit single-candidate
+        // pairs as if they had the largest margin in the corpus
+        coalesce(max(when(col("rf") === 2, col("cos"))), max(when(col("rf") === 1, col("cos")))).as("cos2"))
     val bwd = pairs.withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
       .select(col("tgt_id"), col("src_id").as("b_src"))
     fwd.join(bwd, Seq("tgt_id"))
@@ -208,7 +212,15 @@ object Similarity {
       .withColumn("cell", cellId(col("embedding"), cs))
       .select(col("cell"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("m"))
+      // decimal(38,18) sum, not avg(double): decimal addition is exact
+      // and therefore ORDER-FREE, so the trained codebook is bit-identical
+      // across partition layouts — a raw double avg's partial-merge order
+      // varies with the file split and can flip a boundary vector's
+      // assignment on the next iterate (the same nondeterminism
+      // kmeansAssign's scaled-integer spelling exists to avoid). The
+      // per-coordinate cast rounds each x once (deterministically) to 18
+      // decimal digits; cell sums stay far inside the 20 integer digits.
+      .agg(avg(col("x").cast("decimal(38,18)")).cast("double").as("m"))
       .collect()
     val byCell = dims.groupBy(_.getAs[Int]("cell"))
     cs.indices.map { c =>
@@ -516,8 +528,10 @@ object Similarity {
     * exactly one inverted list (native kernel); only the ~numQueries
     * query rows expand to two probe rows (same explode shape as
     * multi-probe LSH). The second cell falls out compositionally:
-    * re-argmin after masking the minimum distance to +∞ (value-mask, so
-    * the same expression is writable in any engine).
+    * re-argmin after masking the ARGMIN POSITION to +∞ (a positional
+    * mask, not a value mask — masking by value would blank EVERY cell
+    * tied at the minimum, so an exact tie would skip the true
+    * second-nearest cell and probe the third instead).
     */
   def ivfProbe2TopK(embeddings: DataFrame, numQueries: Int, k: Int, numCells: Int = 8): DataFrame = {
     val cs = centroids(numCells, 64)
@@ -530,7 +544,7 @@ object Similarity {
       .withColumn("cell1", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
       .withColumn(
         "masked",
-        transform(col("dists"), x => when(x === array_min(col("dists")), inf).otherwise(x)))
+        transform(col("dists"), (x, i) => when(i === col("cell1"), inf).otherwise(x)))
       .withColumn("cell2", (array_position(col("masked"), array_min(col("masked"))) - 1).cast("int"))
       .select(
         col("vec_id").as("qid"), col("emb_d").as("qe"), col("norm").as("qnorm"),
@@ -554,7 +568,7 @@ object Similarity {
   /** Squared-distance (simplified) silhouette of the IVF coarse
     * quantizer: per vector, a = squared distance to its assigned
     * (nearest) centroid, b = squared distance to the next-nearest via
-    * the [[ivfProbe2TopK]] value-mask re-argmin, s = (b − a)/b — the
+    * the [[ivfProbe2TopK]] positional-mask re-argmin, s = (b − a)/b — the
     * codebook-quality readout that tells you when the quantizer needs
     * retraining. Per-row s is one fixed IEEE tree over the shared
     * centroid literals, quantized to integer micros so the per-cell
@@ -572,9 +586,13 @@ object Similarity {
       .withColumn("dists", centroidDists(col("v"), col("vv"), cs))
       .withColumn("cell", (array_position(col("dists"), array_min(col("dists"))) - 1))
       .withColumn("a2", array_min(col("dists")))
+      // positional mask (see [[ivfProbe2TopK]]): on an all-tied dists
+      // row a value mask would blank every entry, making b2 = +∞ and
+      // sil NaN (which would corrupt sil_sum); masking only the
+      // assigned cell's position keeps b2 = a2 and sil = 0 there
       .withColumn(
         "masked",
-        transform(col("dists"), x => when(x === col("a2"), inf).otherwise(x)))
+        transform(col("dists"), (x, i) => when(i === col("cell"), inf).otherwise(x)))
       .withColumn("b2", array_min(col("masked")))
       .withColumn(
         "sil",
@@ -622,11 +640,16 @@ object Similarity {
 
   /** SemDeDup-style semantic dedup summary: within each `label` block, a
     * vector is DROPPED when any lower-id vector in its block is a cosine
-    * near-duplicate (≥ `minCos`) — the deterministic greedy keep-lowest
+    * near-duplicate (≥ `minCos`) — the deterministic ONE-PASS lower-id
     * rule (block minima are always kept; mutually-far vectors both
-    * survive, so this is greedy pruning, not connected components — that
-    * transitive variant is [[graft.text.Dedup.nearDupClusters]]).
-    * Reuses [[cosineNearDups]]'s blocked pair join; the drop list is
+    * survive). Deliberately NOT sequential greedy: in a chain a∼b, b∼c
+    * (a<b<c, a≁c) sequential greedy would re-admit c once b is dropped,
+    * but that rule is inherently iterative (each verdict depends on all
+    * earlier verdicts); the one-pass rule decides every vector from the
+    * pair list alone — the scalable choice, at the cost of over-dropping
+    * chain tails. The transitive-cluster variant (keep one per connected
+    * component) is [[graft.text.Dedup.nearDupClusters]]. Reuses
+    * [[cosineNearDups]]'s blocked pair join; the drop list is
     * near-dup-pair-sized (≪ corpus) and aggregates to one row per label.
     */
   def semanticDedupSummary(embeddings: DataFrame, minCos: Double): DataFrame = {
@@ -681,11 +704,21 @@ object Similarity {
     * evaluation is a (qid, nid) equi-join over numQueries·k rows. Exact
     * integer ratio (one IEEE division).
     */
-  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val bf = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
-    val approx = lshBucketTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
-    val hits = bf.join(approx, Seq("qid", "nid")).groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-    bf.groupBy(col("qid"))
+  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+    recallAgainst(
+      cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid")),
+      lshBucketTopK(embeddings, numQueries, k).select(col("qid"), col("nid")))
+
+  /** Shared recall@k scorer: per qid, |approx ∩ truth| / |truth| — the
+    * ONE spelling every recall evaluation in this file reads (n_true
+    * derives from the actual truth rows, so a query with fewer than k
+    * true neighbors is scored against what exists, not against k).
+    * Both inputs are (qid, nid) at numQueries·k rows.
+    */
+  private def recallAgainst(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = truth.join(approx, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_true"))
       .join(hits, Seq("qid"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
@@ -745,17 +778,10 @@ object Similarity {
       .select(col("qid"), col("nid"))
   }
 
-  def binaryQuantRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val ranked = hammingTopK(embeddings, numQueries, k)
-    val truth = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
-    val hits = truth.join(ranked, Seq("qid", "nid"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-    truth.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("qid"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-      .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"))
-  }
+  def binaryQuantRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+    recallAgainst(
+      cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid")),
+      hammingTopK(embeddings, numQueries, k))
 
   /** Two-stage retrieval: binary Hamming SHORTLIST (cheap popcount scan,
     * `shortlist` candidates/query) then exact-cosine RERANK of the
@@ -788,14 +814,9 @@ object Similarity {
             .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"))
-    val truth = cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid"))
-    val hits = truth.join(reranked, Seq("qid", "nid"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-    truth.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("qid"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-      .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"))
+    recallAgainst(
+      cosineTopK(embeddings, numQueries, k).select(col("qid"), col("nid")),
+      reranked)
   }
 
   /** Matryoshka (prefix-truncation) recall: brute-force top-`k` under
@@ -838,15 +859,22 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"))
     val truth = topk(s"d$fullDim")
+    // denominator = ACTUAL truth rows, not k·numQueries: with a corpus
+    // smaller than numQueries+k (or any query with fewer than k
+    // neighbors) the hardcoded product would understate recall — a
+    // perfect prefix ranking must score 1.0, the same contract as
+    // recallAgainst
+    val truthN = truth.agg(count(lit(1)).as("n_true"))
     dims.map { d =>
       topk(s"d$d")
         .join(truth, Seq("qid", "vec_id"))
         .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truthN)
         .select(
           lit(d.toLong).as("dims_kept"),
           lit(numQueries.toLong).as("n_queries"),
           col("n_hits"),
-          expr(s"CAST(n_hits AS DOUBLE) / ${k * numQueries}.0").as("recall"))
+          expr("CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE)").as("recall"))
     }.reduce(_.unionByName(_))
   }
 
@@ -993,11 +1021,17 @@ object Similarity {
       .select(col("label"), col("dim"), col("c").as("ca"), col("n").as("na"))
     val b = cents.filter(!col("half_a"))
       .select(col("label"), col("dim"), col("c").as("cb"), col("n").as("nb"))
-    a.join(b, Seq("label", "dim"))
+    // FULL OUTER, not inner: a label present in only one half (a small
+    // label newly ingested into one shard, or one that vanished) is
+    // exactly the appeared/vanished case a drift monitor exists to
+    // catch — an inner join would silently drop it from the report.
+    // Such a label surfaces with the missing half's count at 0 and
+    // NULL dist2/drift (there is no second centroid to measure to).
+    a.join(b, Seq("label", "dim"), "full_outer")
       .groupBy(col("label"))
       .agg(
-        max(col("na")).as("n_a"),
-        max(col("nb")).as("n_b"),
+        coalesce(max(col("na")), lit(0L)).as("n_a"),
+        coalesce(max(col("nb")), lit(0L)).as("n_b"),
         sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("dist2"))
       .withColumn("drift", expr("sqrt(CAST(dist2 AS DOUBLE)) / 1000.0"))
       .select(col("label"), col("n_a"), col("n_b"), col("dist2"), col("drift"))
@@ -1175,19 +1209,6 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("rrf"))
   }
 
-  /** Milli-quantized embedding in long form — the shared integer basis
-    * for the second-moment / eigenvector ops ([[covMatrix]],
-    * [[powerIteration]]): exact BIGINT per (vec, dim), same convention
-    * as [[labelCentroids]] / [[embedOutliers]].
-    */
-  private def milliLong(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
-      .select(
-        col("vec_id"),
-        (col("dim0") + 1).cast("long").as("dim"),
-        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("m"))
-
   /** Uncentered second-moment (Gram/covariance-style) matrix of the
     * milli-quantized embeddings, as (i, j, s_ij = Σ m_i·m_j) cells for
     * an upper-left `dims`×`dims` block. The per-vector dim×dim pair
@@ -1332,7 +1353,14 @@ object Similarity {
     * `dim`), fourth LCG seed of the [[planes]] family.
     */
   def jlSigns(k: Int, dim: Int): Seq[Array[Int]] = {
-    var state = 0x2545F4914F6CDD1DL
+    // distinct from planes/centroids/pq seeds: jlSigns previously reused
+    // [[centroids]]' seed verbatim, which made JL sign bit i a function
+    // of the SAME LCG state whose high bits form IVF centroid component
+    // i — the documented independence of the two codebooks was silently
+    // false (any jlDistortion-vs-IVF-geometry analysis measured a
+    // correlated pair). The oracle interpolates jlSigns into its SQL, so
+    // parity moves with the constant.
+    var state = 0x94D049BB133111EBL
     def next(): Int = {
       state = state * 6364136223846793005L + 1442695040888963407L
       if (((state >>> 11) & 1L) == 1L) 1 else -1
