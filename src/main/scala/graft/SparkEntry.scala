@@ -1663,7 +1663,7 @@ object SparkEntry {
     val its = (1 to iters)
       .map { i =>
         val p = s"r${i - 1}"
-        s"""c$i AS (SELECT e.dst AS node, CAST(sum(($p.r * e.w) // e.outw) AS BIGINT) AS contrib
+        s"""c$i AS (SELECT e.dst AS node, CAST(sum((CAST($p.r AS HUGEINT) * e.w) // e.outw) AS BIGINT) AS contrib
              FROM $p JOIN e ON $p.node = e.src GROUP BY e.dst),
          r$i AS (SELECT nodes.node,
                    CAST(((CAST($scale AS BIGINT) * 15) // 100) // nn.n_nodes
@@ -4859,7 +4859,7 @@ object SparkEntry {
          s AS (SELECT CAST(coalesce(sum(CAST(sign(j.x - i.x) AS BIGINT)), 0) AS BIGINT) AS s_stat
                FROM daily i JOIN daily j ON i.d < j.d),
          t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x),
-         tt AS (SELECT CAST(sum(1) AS BIGINT) AS n_days,
+         tt AS (SELECT CAST(sum(t) AS BIGINT) AS n_days,
                        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
                 FROM t)
          SELECT n_days, s_stat,
@@ -5649,7 +5649,7 @@ object SparkEntry {
          SELECT n_days, r_scaled,
                 sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
              - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS sigma,
-                (CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(n_days AS DOUBLE))
+                (CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE))
              / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
              - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS rs_stat
          FROM agg ORDER BY n_days""",
@@ -5952,7 +5952,11 @@ object SparkEntry {
       val ns = (0 until k).map(i => s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
       val nTotal = (0 until k).map(i => s"n$i").mkString(" + ")
       val sumSq = (0 until k).map(i => s"n$i * n$i").mkString(" + ")
-      val sumSq23 = (0 until k).map(i => s"n$i * n$i * (2 * n$i + 3)").mkString(" + ")
+      // variance cubics in DOUBLE, same text as the engine (BIGINT
+      // n²(2n+3) wraps at n ≈ 1.66e6 rows)
+      val sumSq23 = (0 until k)
+        .map(i => s"CAST(n$i AS DOUBLE) * CAST(n$i AS DOUBLE) * (2.0 * CAST(n$i AS DOUBLE) + 3.0)")
+        .mkString(" + ")
       s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
                   $cs
            FROM events WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})
@@ -5962,7 +5966,8 @@ object SparkEntry {
           b AS (SELECT jt2, $nTotal AS n_total, $sumSq AS sum_sq, $sumSq23 AS sum_sq23 FROM a)
           SELECT n_total, jt2, (n_total * n_total - sum_sq) // 2 AS e2,
                  CAST(jt2 - (n_total * n_total - sum_sq) // 2 AS DOUBLE)
-                   / (2.0 * sqrt(CAST(n_total * n_total * (2 * n_total + 3) - sum_sq23 AS DOUBLE) / 72.0)) AS z
+                   / (2.0 * sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                                  * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - sum_sq23) / 72.0)) AS z
           FROM b ORDER BY n_total"""
     },
     "q_cliffs_delta" ->
@@ -5992,7 +5997,7 @@ object SparkEntry {
          s AS (SELECT coalesce(CAST(sum(CAST(sign(j.x - i.x) AS BIGINT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_stat
                FROM dg i JOIN dg j ON i.g = j.g AND i.d < j.d),
          ties AS (SELECT g, x, CAST(count(*) AS BIGINT) AS t FROM dg GROUP BY 1, 2),
-         per_g AS (SELECT g, CAST(sum(1) AS BIGINT) AS n_g,
+         per_g AS (SELECT g, CAST(sum(t) AS BIGINT) AS n_g,
                           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_g
                    FROM ties GROUP BY 1),
          v AS (SELECT CAST(count(*) AS BIGINT) AS n_seasons, CAST(sum(n_g) AS BIGINT) AS n_days,
@@ -7940,7 +7945,8 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i, " +
           s"CAST(sum(CASE WHEN event_type = '$t' THEN cents ELSE 0 END) AS BIGINT) AS s_$i"
       }.mkString(",\n                  ")
-      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      s"""WITH base AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+                        WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})),
          m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS s, sum(cents * cents) AS q,
                   $perType
                FROM base),
@@ -8302,7 +8308,8 @@ object SparkEntry {
                   AND first_week < week THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
                 CAST(sum(CASE WHEN is_curr IS NULL AND was_prev IS NOT NULL
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
-         FROM j JOIN f USING (user_id)
+         FROM j JOIN f USING (user_id), (SELECT max(week) AS max_week FROM a) mx
+         WHERE week <= max_week
          GROUP BY week ORDER BY week""",
     "q_cuped" -> {
       val stats = (Stages.momentStatsSql.filter(_._1 == "corr_xy") ++ Stages.cupedSql)

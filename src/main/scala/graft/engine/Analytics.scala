@@ -416,7 +416,12 @@ object Analytics {
     var r: Map[String, Long] = nodes.map(_ -> scale / n).toMap
     for (_ <- 1 to iters) {
       val contrib = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-      eList.foreach { case (src, dst, w) => contrib(dst) += (r(src) * w) / outw(src) }
+      // widen the product: r ≤ scale (1e9) but w is a raw transition
+      // count — r*w wraps Long once one edge carries ≳9.2e9 transitions
+      // (routine at log scale); the quotient is ≤ r, so it narrows back
+      eList.foreach { case (src, dst, w) =>
+        contrib(dst) += (BigInt(r(src)) * w / outw(src)).toLong
+      }
       r = nodes.map(v => v -> (((scale * 15) / 100) / n + (85 * contrib(v)) / 100)).toMap
     }
     val ranked = nodes
@@ -1214,7 +1219,15 @@ object Analytics {
           col("first_week") < col("week"), 1L).otherwise(0L)).as("n_resurrected"),
         sum(when(col("is_curr").isNull && col("was_prev").isNotNull, 1L)
           .otherwise(0L)).as("n_churned"))
+    // clip to the observation window: the week+1 shift manufactures a
+    // phantom week max_week+1 holding ONLY the final week's actives as
+    // "churn" — a week that was never observed and reads as a spurious
+    // total-churn cliff at the end of every rollforward
+    val maxWeek = activity.agg(max(col("week")).as("max_week"))
     classified
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("week") <= col("max_week"))
+      .drop("max_week")
   }
 
   /** CUPED readout for the [[abTest]] metric: per-user pre-period (weeks
@@ -1614,7 +1627,11 @@ object Analytics {
     for (_ <- 1 to iters) {
       val contrib = ranks
         .join(e, ranks("node") === e("src"))
-        .select(col("dst"), expr("(r * w) div outw").as("c"))
+        // DECIMAL(38,0) product (exact to 38 digits): the BIGINT r*w
+        // wraps once an edge weight exceeds ~9.2e9; div narrows the
+        // quotient (≤ r) back to BIGINT — same widening as the driver
+        // path's BigInt and the oracle's HUGEINT
+        .select(col("dst"), expr("CAST((CAST(r AS DECIMAL(38,0)) * w) div outw AS BIGINT)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("contrib"))
       ranks = nodes
@@ -2160,7 +2177,10 @@ object Analytics {
       .groupBy(col("x"))
       .agg(count(lit(1)).as("t"))
       .agg(
-        sum(lit(1L)).as("n_days"),
+        // n = Σt (total DAYS), not the distinct-value row count — the
+        // two differ exactly when ties exist, i.e. exactly when the
+        // tie_term correction below matters
+        sum(col("t")).as("n_days"),
         sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_term"))
     s.crossJoin(broadcast(ties))
       .select(
@@ -2991,6 +3011,11 @@ object Analytics {
     val sst = anovaSstSql
     val k = types.length
     events
+      // grand moments over the SAME population as the strata: without
+      // the filter, a caller passing a subset of types gets n/s/q over
+      // all events but SSB over the subset only — SSB can go negative
+      // and F/η² are meaningless (no-op for the default full type list)
+      .filter(col("event_type").isin(types: _*))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("ssb", expr(ssb))
       .withColumn("sst", expr(sst))
@@ -3033,12 +3058,7 @@ object Analytics {
     * part). One map-combined aggregate, one output row.
     */
   def welchTTest(events: DataFrame, typeA: String = "purchase", typeB: String = "view"): DataFrame = {
-    val cents = Stages.centsSql("value")
-    def side(t: String, sfx: String) = Seq(
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
-      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
-      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L))).as(s"q$sfx"))
-    val aggs = side(typeA, "1") ++ side(typeB, "2")
+    val aggs = twoSampleMomentAggs(typeA, typeB)
     events
       .agg(aggs.head, aggs.tail: _*)
       .select(
@@ -3059,6 +3079,21 @@ object Analytics {
   /** Welch t text over the six integer moment columns — shared verbatim
     * with the oracle.
     */
+  /** The six two-sample integer moments (n, Σcents, Σcents² per side,
+    * suffixes 1/2) every two-sample test reads — ONE spelling shared by
+    * [[welchTTest]], [[graft.engine.Inference.cohensD]] and
+    * [[graft.engine.Inference.tost]], so a change to the cents
+    * expression or null handling cannot silently diverge between tests.
+    */
+  private[engine] def twoSampleMomentAggs(typeA: String, typeB: String): Seq[Column] = {
+    val cents = Stages.centsSql("value")
+    def side(t: String, sfx: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
+      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
+      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L))).as(s"q$sfx"))
+    side(typeA, "1") ++ side(typeB, "2")
+  }
+
   def welchTSql: String =
     s"""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
               / sqrt($welchSe2Sql)"""
@@ -3976,9 +4011,14 @@ object Analytics {
           expr(cents).as("c"), col("event_id")),
         col("c").desc, col("event_id").asc)
       .withColumnRenamed("rank", "rn")
-    val n = events.count()
+    // corpus size from the rank's own max via a broadcast scalar (the
+    // [[decileStats]] convention) — a driver-side events.count() would
+    // cost an extra full corpus job and bake a per-corpus literal into
+    // the plan text
+    val nTot = ranked.agg(max(col("rn")).as("n_total"))
     val dec = ranked
-      .withColumn("decile", expr(s"CAST(CAST(rn - 1 AS BIGINT) * 10 div $n AS BIGINT) + 1"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("decile", expr("CAST(CAST(rn - 1 AS BIGINT) * 10 div n_total AS BIGINT) + 1"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"))
     val tot = dec.agg(sum(col("n_rows")).as("nn"), sum(col("n_pos")).as("pp"))
@@ -4343,8 +4383,10 @@ object Analytics {
           """sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
              - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
           .as("sigma"),
+        // R = r_scaled / n (z is the n-SCALED centred prefix sum, so ONE
+        // division by n undoes the scaling); R/S divides that by sigma
         expr(
-          """(CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(n_days AS DOUBLE))
+          """(CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE))
              / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
              - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
           .as("rs_stat"))
@@ -4868,7 +4910,9 @@ object Analytics {
       .agg(count(lit(1)).as("t"))
       .groupBy(col("g"))
       .agg(
-        sum(lit(1L)).as("n_g"),
+        // n_g = Σt (the season's DAY count, not its distinct-value
+        // count) — see the identical fix note in [[mannKendall]]
+        sum(col("t")).as("n_g"),
         sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_g"))
       .agg(
         count(lit(1)).cast("long").as("n_seasons"),

@@ -169,13 +169,7 @@ object Inference {
       events: DataFrame,
       typeA: String = "purchase",
       typeB: String = "view"): DataFrame = {
-    val cents = Stages.centsSql("value")
-    def side(t: String, sfx: String) = Seq(
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
-      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
-      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L)))
-        .as(s"q$sfx"))
-    val aggs = side(typeA, "1") ++ side(typeB, "2")
+    val aggs = Analytics.twoSampleMomentAggs(typeA, typeB)
     events
       .agg(aggs.head, aggs.tail: _*)
       .select(
@@ -420,13 +414,7 @@ object Inference {
       typeA: String = "purchase",
       typeB: String = "view",
       marginCents: Long = 500L): DataFrame = {
-    val cents = Stages.centsSql("value")
-    def side(t: String, sfx: String) = Seq(
-      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$sfx"),
-      sum(when(col("event_type") === t, expr(cents)).otherwise(lit(0L))).as(s"s$sfx"),
-      sum(when(col("event_type") === t, expr(s"$cents * $cents")).otherwise(lit(0L)))
-        .as(s"q$sfx"))
-    val aggs = side(typeA, "1") ++ side(typeB, "2")
+    val aggs = Analytics.twoSampleMomentAggs(typeA, typeB)
     events
       .agg(aggs.head, aggs.tail: _*)
       .select(
@@ -1014,21 +1002,6 @@ object Inference {
                   / CAST($k * t - sum_r2 AS DOUBLE)
         END"""
 
-  /** Kitagawa–Oaxaca–Blinder decomposition of the BUILDING-vs-MACHINERY
-    * gap in mean order value, stratified by nation: per nation g the gap
-    * contribution splits into a composition term (w_Ag − w_Bg)·ȳ_Bg
-    * (segment A buys from different nations) and a rate term
-    * w_Ag·(ȳ_Ag − ȳ_Bg) (segment A pays differently within a nation).
-    * Only nations observed in BOTH segments enter, and the segment
-    * totals are taken over those common nations so the per-nation terms
-    * sum exactly to the (common-nation) mean gap — the identity the spec
-    * pins. All counts/sums are one integer pass; every double is a
-    * shared-text division of exact BIGINTs, emitted PER NATION (no
-    * cross-group float sum — the 25-row reduction happens driver-side in
-    * the spec, not in the engine, so nothing order-dependent ships).
-    * Two broadcast-sized dimension joins; the fact table aggregates
-    * map-side to (segment × nation) before anything else.
-    */
   /** Jonckheere–Terpstra test for an ORDERED alternative across the
     * event types (alphabetical order as the hypothesized ordering, the
     * same fixed ordering Page's L uses): JT = Σ_{i<j} U_ij, each U_ij
@@ -1071,8 +1044,16 @@ object Inference {
     val agged = cummed.agg(aggCols.head, aggCols.tail: _*)
     val nTotal = (0 until k).map(i => col(s"n$i")).reduce(_ + _)
     val sumSq = (0 until k).map(i => col(s"n$i") * col(s"n$i")).reduce(_ + _)
+    // the variance cubics run in DOUBLE (fixed k-term expression tree,
+    // same text in the oracle): the BIGINT form n²(2n+3) wraps past
+    // 2^63 at n ≈ 1.66e6 filtered rows — far below real corpus sizes —
+    // and the term only feeds a sqrt, where last-ulp exactness buys
+    // nothing. jt2/e2 stay BIGINT-exact to their own ~3e9-row bound
+    // (they are pair counts; the z numerator is exact up to there).
     val sumSq23 = (0 until k)
-      .map(i => col(s"n$i") * col(s"n$i") * (lit(2L) * col(s"n$i") + lit(3L)))
+      .map(i =>
+        col(s"n$i").cast("double") * col(s"n$i").cast("double") *
+          (lit(2.0) * col(s"n$i").cast("double") + lit(3.0)))
       .reduce(_ + _)
     agged
       .withColumn("n_total", nTotal)
@@ -1084,7 +1065,8 @@ object Inference {
         expr("(n_total * n_total - sum_sq) div 2").as("e2"),
         expr(
           """CAST(jt2 - (n_total * n_total - sum_sq) div 2 AS DOUBLE)
-             / (2.0 * sqrt(CAST(n_total * n_total * (2 * n_total + 3) - sum_sq23 AS DOUBLE) / 72.0))""")
+             / (2.0 * sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                            * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - sum_sq23) / 72.0))""")
           .as("z"))
   }
 
@@ -1285,6 +1267,21 @@ object Inference {
         (col("qa_cents") - col("qb_cents")).as("gap_cents"))
   }
 
+  /** Kitagawa–Oaxaca–Blinder decomposition of the BUILDING-vs-MACHINERY
+    * gap in mean order value, stratified by nation: per nation g the gap
+    * contribution splits into a composition term (w_Ag − w_Bg)·ȳ_Bg
+    * (segment A buys from different nations) and a rate term
+    * w_Ag·(ȳ_Ag − ȳ_Bg) (segment A pays differently within a nation).
+    * Only nations observed in BOTH segments enter, and the segment
+    * totals are taken over those common nations so the per-nation terms
+    * sum exactly to the (common-nation) mean gap — the identity the spec
+    * pins. All counts/sums are one integer pass; every double is a
+    * shared-text division of exact BIGINTs, emitted PER NATION (no
+    * cross-group float sum — the 25-row reduction happens driver-side in
+    * the spec, not in the engine, so nothing order-dependent ships).
+    * Two broadcast-sized dimension joins; the fact table aggregates
+    * map-side to (segment × nation) before anything else.
+    */
   def oaxacaDecomposition(
       customer: DataFrame,
       orders: DataFrame,

@@ -51,7 +51,12 @@ class GrowthOpsSpec extends AnyFunSuite {
       .distinct
     val byWeek = activity.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._1).toSet }
     val firstOf = activity.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
-    val weeks = byWeek.keySet ++ byWeek.keySet.map(_ + 1)
+    // only OBSERVED weeks: the engine clips the week+1 shift's phantom
+    // trailing week (max_week+1 would hold only the final week's actives
+    // as "churn" — never observed, so it must not be reported)
+    val maxWeek = byWeek.keySet.max
+    assert(!got.contains(maxWeek + 1), "phantom post-window week must be clipped")
+    val weeks = (byWeek.keySet ++ byWeek.keySet.map(_ + 1)).filter(_ <= maxWeek)
     for (w <- weeks) {
       val cur = byWeek.getOrElse(w, Set.empty)
       val prev = byWeek.getOrElse(w - 1, Set.empty)
@@ -64,7 +69,11 @@ class GrowthOpsSpec extends AnyFunSuite {
       }
     }
     assert(got.values.exists(_._2 > 0L), "retention should occur")
-    assert(got.values.exists(_._4 > 0L), "churn should occur")
+    // NOTE: no in-window churn assertion — at this fixture every active
+    // user stays active through the final observed week, so the only
+    // nonzero "churn" the old code reported was the phantom post-window
+    // week this test now pins as clipped; the per-week equality loop
+    // above still verifies the churn classification (at zero)
   }
 
   test("cupedReport theta and variance reduction from exact sufficient stats") {

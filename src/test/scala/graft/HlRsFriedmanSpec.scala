@@ -46,7 +46,8 @@ class HlRsFriedmanSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_days") == n)
     assert(row.getAs[Long]("r_scaled") == rScaled)
     assert(math.abs(row.getAs[Double]("sigma") - sigma) < 1e-9 * sigma)
-    assert(math.abs(row.getAs[Double]("rs_stat") - rScaled.toDouble / n / n / sigma) < 1e-9)
+    // R = rScaled / n (z is the n-scaled centred prefix sum), R/S = R/sigma
+    assert(math.abs(row.getAs[Double]("rs_stat") - rScaled.toDouble / n / sigma) < 1e-9 * (rScaled.toDouble / n / sigma))
   }
 
   test("friedmanPage ranks complete blocks and recovers the integer rank sums") {
