@@ -4482,7 +4482,7 @@ object SparkEntry {
                 min(word) AS min_word, max(word) AS max_word
          FROM r""",
     "q_partition_balance" ->
-      """WITH c AS (SELECT (user_id % 1000003) * 2654435761 % 32 AS bucket, count(*) AS n
+      """WITH c AS (SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 32 AS bucket, count(*) AS n
                     FROM events GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
          SELECT bucket, n, CAST(n AS DOUBLE) * 32 / CAST(total AS DOUBLE) AS balance
@@ -6487,8 +6487,11 @@ object SparkEntry {
                  FROM lineitem JOIN split ON l_partkey = p_partkey
                  GROUP BY 1)
          SELECT p_brand, q1, q2, ps1, n1, ps2, n2,
-                (CAST(q2 - q1 AS DOUBLE) * (CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
-                  / (CAST(q1 + q2 AS DOUBLE) * (CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) - CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS arc_elasticity
+                CASE WHEN n1 = 0 OR n2 = 0 OR q1 + q2 = 0 THEN NULL
+                     WHEN CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) = CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) THEN NULL
+                     ELSE (CAST(q2 - q1 AS DOUBLE) * (CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                          / (CAST(q1 + q2 AS DOUBLE) * (CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) - CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                END AS arc_elasticity
          FROM agg ORDER BY p_brand""",
     "q_sorted_neighborhood" ->
       """WITH k AS (SELECT doc_id, n_chars, md5(text) AS h, n_chars // 16 AS bucket FROM documents),
@@ -7021,9 +7024,12 @@ object SparkEntry {
                        CAST(row_number() OVER (ORDER BY r DESC, l_partkey ASC) AS BIGINT) AS i,
                        CAST(sum(r) OVER (ORDER BY r DESC, l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                 FROM rev),
-         dev AS (SELECT rk.*, t.t, t.n, cum * n - t * i AS dev FROM rk, t),
+         dev AS (SELECT rk.*, t.t, t.n,
+                        CAST(CAST(cum AS HUGEINT) * n - CAST(t AS HUGEINT) * i AS DECIMAL(38,0)) AS dev
+                 FROM rk, t),
          top AS (SELECT * FROM dev ORDER BY dev DESC, i ASC LIMIT 1)
-         SELECT n AS n_parts, i AS knee_rank, l_partkey AS knee_partkey, dev AS dev_scaled,
+         SELECT n AS n_parts, i AS knee_rank, l_partkey AS knee_partkey,
+                CAST(dev AS DOUBLE) AS dev_scaled,
                 CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share_at_knee,
                 CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS rank_share_at_knee
          FROM top ORDER BY n_parts""",
@@ -8353,7 +8359,7 @@ object SparkEntry {
          FROM a FULL OUTER JOIN b USING (k)""",
     "q_sample_error" ->
       s"""WITH b AS (SELECT event_type, ${Stages.centsSql("value")} AS cents,
-                      (event_id % 1000003) * 2654435761 % 10 AS h
+                      CAST(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 AS h
                FROM events)
          SELECT event_type, count(*) AS n,
                 quantile_cont(cents, 0.5) AS p50_full,

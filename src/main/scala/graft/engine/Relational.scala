@@ -451,8 +451,7 @@ object Relational {
       lineitem: DataFrame,
       segment: String,
       k: Int): DataFrame = {
-    val revenueMicros =
-      s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    val revenueMicros = Stages.lineitemRevUnitsSql
     rankedTopK(
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -498,8 +497,7 @@ object Relational {
         col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
           col("o_orderdate") < lit(yearEndExcl).cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"))
-    val revenueMicros =
-      s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    val revenueMicros = Stages.lineitemRevUnitsSql
     lineitem
       .select(col("l_orderkey"), col("l_suppkey"), expr(revenueMicros).as("rev_micros"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -1472,7 +1470,11 @@ object Relational {
     val base = events.select(
       col("event_type"),
       expr(Stages.centsSql("value")).as("cents"),
-      expr("(event_id % 1000003) * 2654435761 % 10").as("h"))
+      // the file's md5 sampling idiom — the previous multiplicative
+      // spelling was a no-op mod 10 (2654435761 ≡ 1 mod 10), i.e. a
+      // systematic last-decimal-digit sample, not a hash sample, so the
+      // accuracy this query measures was not the hash-sampling cost
+      expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 10").as("h"))
     base
       .groupBy(col("event_type"))
       .agg(
@@ -1604,10 +1606,15 @@ object Relational {
     * so the transform holds its shape at any corpus size.
     */
   def quantileTransform(orders: DataFrame): DataFrame = {
+    // cacheT, per scalableCumSum's documented rule for this exact
+    // pattern: the ranked frame feeds BOTH the n aggregate and the
+    // transform — uncached, the range-shuffle + zipWithIndex pipeline
+    // would materialize twice per run
     val ranked = scalableGlobalRank(
       orders.select(
         expr(Stages.centsSql("o_totalprice")).as("cents"), col("o_orderkey")),
       col("cents").asc, col("o_orderkey").asc)
+      .cacheT()
     ranked
       .crossJoin(broadcast(ranked.agg(max(col("rank")).as("n"))))
       .select(
@@ -1686,13 +1693,18 @@ object Relational {
         max(col("word")).as("max_word"))
 
   /** Partition-balance report for a prospective hash partitioning: rows
-    * per bucket under the same multiplicative hash the engine would use,
-    * with each bucket's deviation from the uniform share. 32 output rows
-    * regardless of corpus size; one map-combined aggregate.
+    * per bucket under the repo's md5 key hash, with each bucket's
+    * deviation from the uniform share. 32 output rows regardless of
+    * corpus size; one map-combined aggregate. (The previous
+    * multiplicative spelling depended only on user_id's low 5 bits —
+    * an odd multiplier is a bijection mod 32 — so the audit was a
+    * relabeled user_id%32 histogram that could never detect imbalance.)
     */
   def partitionBalance(events: DataFrame, buckets: Int = 32): DataFrame = {
     val counts = events
-      .groupBy(expr(s"(user_id % 1000003) * 2654435761 % $buckets").as("bucket"))
+      .groupBy(
+        expr(s"cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % $buckets")
+          .as("bucket"))
       .agg(count(lit(1)).as("n"))
     counts
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
@@ -2096,8 +2108,7 @@ object Relational {
                  * (CAST(sc1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE)))""").as("fisher"))
   }
 
-  private val revUnitsSql =
-    s"${Stages.centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+  private val revUnitsSql = Stages.lineitemRevUnitsSql
 
   /** TPC-H Q7-shaped volume shipping: bilateral trade between two
     * nations (supplier's nation × customer's nation, both directions)
@@ -2173,8 +2184,11 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        expr(s"sum(CASE WHEN supp_nation = '$supplierNation' THEN $revUnitsSql ELSE CAST(0 AS BIGINT) END)")
-          .as("num_units"),
+        // parameter as a Column VALUE, never interpolated into expr():
+        // the stratifiedHashSample rule — a quote in a nation name must
+        // stay a value, not become SQL
+        sum(when(col("supp_nation") === lit(supplierNation), expr(revUnitsSql))
+          .otherwise(lit(0L))).as("num_units"),
         expr(s"sum($revUnitsSql)").as("den_units"))
       .select(
         col("o_year").cast("long").as("o_year"),
@@ -2241,9 +2255,18 @@ object Relational {
       .select(
         col("p_brand"),
         col("q1"), col("q2"), col("ps1"), col("n1"), col("ps2"), col("n2"),
+        // lazy CASE → NULL guards (the momentStatsSql/linregSql
+        // convention): a single-part brand leaves one half empty
+        // (n1/n2 = 0), all-zero quantities make q1+q2 = 0, and equal
+        // half-mean prices zero the price step — under ANSI each would
+        // throw DIVIDE_BY_ZERO, and with ANSI off Spark's NULL would
+        // diverge from DuckDB's ±Inf/NaN
         expr(
-          """(CAST(q2 - q1 AS DOUBLE) * (CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
-             / (CAST(q1 + q2 AS DOUBLE) * (CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) - CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE)))""")
+          """CASE WHEN n1 = 0 OR n2 = 0 OR q1 + q2 = 0 THEN NULL
+                  WHEN CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) = CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) THEN NULL
+                  ELSE (CAST(q2 - q1 AS DOUBLE) * (CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                       / (CAST(q1 + q2 AS DOUBLE) * (CAST(ps2 AS DOUBLE) / CAST(n2 AS DOUBLE) - CAST(ps1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+             END""")
           .as("arc_elasticity"))
   }
 
@@ -2346,8 +2369,9 @@ object Relational {
   /** Knee (elbow) point of the cumulative revenue concentration curve —
     * the Kneedle-style rank maximizing the deviation of the cumulative
     * share from the straight chord: argmax_i (cᵢ·N − T·i), every term
-    * an exact BIGINT (no normalization divides until the output), tie
-    * to the SMALLER rank. Where ABC's 80/95 cutoffs are policy, the
+    * exact on the DECIMAL(38,0) grid (no normalization divides until
+    * the output; BIGINT would overflow at ~1.5× the sf0.1 fixture's
+    * revenue mass), tie to the SMALLER rank. Where ABC's 80/95 cutoffs are policy, the
     * knee is the data's own "head ends here" point for cache and
     * hot-tier sizing. The ranking and running sum come from
     * [[scalableCumSum]] (blocked prefix sum — every stage parallel) and
@@ -2363,7 +2387,13 @@ object Relational {
       .withColumnRenamed("rank", "i")
       .crossJoin(broadcast(
         rev.agg(sum(col("r")).as("t"), count(lit(1)).cast("long").as("n"))))
-      .withColumn("dev", col("cum") * col("n") - col("t") * col("i"))
+      // DECIMAL(38,0), not BIGINT: cum·n reaches 65% of 2^63 on the
+      // sf0.1 fixture already — a corpus 1.5× larger would overflow
+      // (ANSI: the query throws). Decimal keeps every term exact with
+      // 10^19 headroom; the oracle widens through HUGEINT identically.
+      .withColumn(
+        "dev",
+        col("cum").cast("decimal(38,0)") * col("n") - col("t").cast("decimal(38,0)") * col("i"))
     ranked
       .orderBy(col("dev").desc, col("i").asc)
       .limit(1)
@@ -2371,7 +2401,10 @@ object Relational {
         col("n").as("n_parts"),
         col("i").as("knee_rank"),
         col("l_partkey").as("knee_partkey"),
-        col("dev").as("dev_scaled"),
+        // the argmax/tie-break above ran on the exact decimal; the
+        // REPORTED deviation rides double (DuckDB's pandas bridge
+        // renders wide decimals as float64 anyway)
+        col("dev").cast("double").as("dev_scaled"),
         expr("CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)").as("cum_share_at_knee"),
         expr("CAST(i AS DOUBLE) / CAST(n AS DOUBLE)").as("rank_share_at_knee"))
   }

@@ -68,6 +68,16 @@ object Stages {
   def centsSql(valueExpr: String): String =
     s"CAST(round(($valueExpr) * 100) AS BIGINT)"
 
+  /** SQL fragment: lineitem revenue in hundredth-cent units —
+    * cents(l_extendedprice) · (100 − discount%), exact BIGINT. The ONE
+    * spelling of the money expression the cross-engine exactness
+    * contract rides on (previously copied verbatim in four places:
+    * Relational×3 and TpcH — a precision follow-up applied to one copy
+    * would have silently missed the others).
+    */
+  val lineitemRevUnitsSql: String =
+    s"${centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
   /** SQL fragment: average of integer-cents expr, rounded half-up to a
     * whole cent, returned as dollars (double). `(2s + n) div (2n)` is
     * half-up of `s/n`; expressed with `%` so the final division is exact in

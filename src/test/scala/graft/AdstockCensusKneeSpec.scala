@@ -75,6 +75,8 @@ class AdstockCensusKneeSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_parts") == n)
     assert(row.getAs[Long]("knee_rank") == best._2)
     assert(row.getAs[Long]("knee_partkey") == best._3)
-    assert(row.getAs[Long]("dev_scaled") == best._1)
+    // the argmax runs on the DECIMAL(38,0) grid (BIGINT overflows
+    // ~1.5x sf0.1); the reported deviation is its double rendering
+    assert(row.getAs[Double]("dev_scaled") == best._1.toDouble)
   }
 }

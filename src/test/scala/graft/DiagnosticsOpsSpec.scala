@@ -80,7 +80,16 @@ class DiagnosticsOpsSpec extends AnyFunSuite {
       .toMap
     val users = Tables.events(spark, sfDir).select("user_id").collect()
       .map(_.getAs[Long]("user_id"))
-    val expected = users.groupBy(u => (u % 1000003) * 2654435761L % 32)
+    // the repo's md5 key hash (the multiplicative spelling was a
+    // relabeled user_id%32 histogram — an odd multiplier is a bijection
+    // mod 32 — that could never detect imbalance)
+    def md5Bucket(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 32
+    }
+    val expected = users.groupBy(md5Bucket)
       .map { case (b, us) => b -> us.length.toLong }
     assert(got.view.mapValues(_._1).toMap == expected)
     val total = users.length.toLong
