@@ -6424,8 +6424,8 @@ object SparkEntry {
           ideal AS (SELECT src, $iSums FROM (
                       SELECT src, w, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
                       FROM test) WHERE rk <= 5 GROUP BY 1),
-          nd AS (SELECT g.src, CAST(round($dcgD / $dcgI * 1000000.0) AS BIGINT) AS m
-                 FROM graded g JOIN ideal i ON g.src = i.src)
+          nd AS (SELECT i.src, CAST(round(coalesce($dcgD, 0.0) / $dcgI * 1000000.0) AS BIGINT) AS m
+                 FROM ideal i LEFT JOIN graded g ON g.src = i.src)
           SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(m) AS BIGINT) AS sum_micro,
                  (CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_ndcg
           FROM nd ORDER BY n_parts"""
@@ -6439,7 +6439,7 @@ object SparkEntry {
                     SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
                     FROM sym) WHERE rk <= 5),
          expo AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_slots FROM recs GROUP BY 1),
-         cat AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_catalog FROM sym),
+         cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS total_slots FROM recs),
          ex AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended, CAST(max(n_slots) AS BIGINT) AS max_exposure FROM expo)
          SELECT n_catalog, n_recommended, total_slots, max_exposure,

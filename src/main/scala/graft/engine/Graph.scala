@@ -554,6 +554,12 @@ object Graph {
       k: Int = 10,
       maxHops: Int = 3,
       minSupport: Int = 2): DataFrame = {
+    // the final aggregate reports per-hop counts n1..n3 and harmonic
+    // mass on the SIXTHS grid (6 div hop — exact only for hops 1..3);
+    // a larger horizon would silently mis-weight hop-4+ nodes and leave
+    // them uncounted, so reject it loudly ([[bfsReach]] is the
+    // general-maxHops traversal)
+    require(maxHops <= 3, s"harmonicTopK supports maxHops <= 3 (got $maxHops); use bfsReach for deeper horizons")
     val edges = coOrderEdges(lineitem).filter(col("w") >= minSupport)
     // Filtered-symmetrized TRANSIENT, deliberately not a pinned bidir
     // view: the hop loop re-reads this small table every round, and a
@@ -825,7 +831,15 @@ object Graph {
           sum(when(col("rk") === 1, col("w")).otherwise(0L)).as("i1"),
           (2 to 5).map(i =>
             sum(when(col("rk") === i, col("w")).otherwise(0L)).as(s"i$i")): _*)
-      graded.join(ideal, Seq("src"))
+      // ideal-driven LEFT join: a part with test-half co-orders but no
+      // train-half recs must score nDCG 0 — an inner join would drop it
+      // and the mean would average only over parts the recommender
+      // could serve, hiding exactly the train-coverage regression the
+      // metric exists to catch. (Parts with train recs but NO test
+      // relevance stay excluded: their IDCG is 0/undefined.)
+      ideal
+        .join(graded, Seq("src"), "left")
+        .na.fill(0L, (1 to 5).map(i => s"d$i"))
     }
     perSrc
       .select(
@@ -898,10 +912,13 @@ object Graph {
     val recs = top5Recs(lineitem)
     val exposure = recs.groupBy(col("dst")).agg(count(lit(1)).as("n_slots"))
     // catalog size folds into the plan as a broadcast one-row aggregate —
-    // a driver-side .count() would force an extra eager job. Counting
-    // distinct src over RECS equals counting it over the full
-    // symmetrized edge list: every src with any edge has a rk=1 row.
-    val catalog = recs.agg(countDistinct(col("src")).cast("long").as("n_catalog"))
+    // a driver-side .count() would force an extra eager job. The
+    // denominator is the PART CATALOG ([[graphCensus]]'s n_catalog),
+    // not the edge-participating nodes: counting distinct src over recs
+    // made coverage read 1.0 exactly when the catalog was most
+    // collapsed (parts with no co-order edge can never be recommended,
+    // and that exclusion is what this health check exists to expose).
+    val catalog = lineitem.agg(countDistinct(col("l_partkey")).cast("long").as("n_catalog"))
     recs
       .agg(count(lit(1)).cast("long").as("total_slots"))
       .crossJoin(

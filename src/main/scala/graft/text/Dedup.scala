@@ -671,12 +671,20 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
     * via 16-bit chunk banding (pigeonhole over 4 chunks ⊢ dist ≤ 3):
     * read-time threshold application over the pinned
-    * [[simhashCandidatePairs]] table.
+    * [[simhashCandidatePairs]] table. `maxHamming` is STRUCTURALLY
+    * capped at 3: a pair at distance 4+ can differ in all four chunks
+    * and never become a candidate, so a larger threshold would silently
+    * under-recall — rejected loudly instead.
     */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(
+      maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 16-bit-chunk banding's pigeonhole guarantee (<= 3); " +
+        "raise the chunk count (more, narrower chunks) to screen at larger distances")
     simhashCandidatePairs(documents)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 
   /** Near-duplicate CLUSTERS: connected components of the
     * [[ngramJaccard]] similarity graph via distributed min-label
@@ -932,20 +940,15 @@ object Dedup {
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     val truth = ngramJaccard(documents, minJaccard).select(col("doc_a"), col("doc_b"))
-    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
-    val withBands = sigs
-      .select(
-        col("doc_id"),
-        posexplode(
-          array((0 until numBands).map(b =>
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-          .as(Seq("band", "band_sig")))
-    val a = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-    val b = withBands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
+    // the PRODUCTION candidate generator — [[bandedCandidates]], shared
+    // banding spelling AND the stop-bucket cap included. An inline
+    // uncapped band join here would report the completeness of a
+    // blocking the shipped dedup never runs: a >cap band bucket's pairs
+    // would count as "surfaced" in this report while minhashNearDups
+    // drops them, overstating completeness exactly on the corpora
+    // (templated/viral families) where the cap binds.
+    val cand = bandedCandidates(documents, numBands, rowsPerBand)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cand.agg(count(lit(1)).as("n_cand"))
@@ -1152,17 +1155,16 @@ object Dedup {
       documents: DataFrame,
       numBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(documents, numBands * rowsPerBand)
+    // the ONE banding spelling ([[bandExplode]]): an inline copy here
+    // is exactly the generation/tuning desync hazard the shared helper
+    // exists to prevent — a banding change would update the corpus
+    // index and its sizing sweeps but leave this screen probing buckets
+    // that no longer match
+    val withBands = bandExplode(
+      minhashSignatures(documents, numBands * rowsPerBand), numBands, rowsPerBand)
       .withColumn(
         "is_batch",
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 5 = 0"))
-    val withBands = sigs.select(
-      col("doc_id"),
-      col("is_batch"),
-      posexplode(
-        array((0 until numBands).map(b =>
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-        .as(Seq("band", "band_sig")))
     val hist = withBands.filter(!col("is_batch")).select(col("band"), col("band_sig"))
     val batchBands = withBands.filter(col("is_batch"))
     val dup = batchBands

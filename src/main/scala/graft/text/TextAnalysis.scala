@@ -369,8 +369,12 @@ object TextAnalysis {
           expr("pk % 4294967296L").as("doc_b"),
           col("n_shared")))
       .filter(col("n_shared") >= minShared)
-      .join(broadcast(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a"))), Seq("doc_a"))
-      .join(broadcast(nFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b"))), Seq("doc_b"))
+      // NO broadcast hint: nFp is one row PER DOCUMENT — a corpus-sized
+      // relation, not a bounded dimension — so forcing it driver-wide
+      // would OOM long before the (small, filtered) pair table does;
+      // the planner broadcasts it anyway when it measures small
+      .join(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(nFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"), col("n_shared"),
         expr("CAST(n_shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)").as("overlap"))
@@ -444,7 +448,11 @@ object TextAnalysis {
     * fully order-determined with the (score desc, token asc) tie-break.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
-    val n = documents.count()
+    // corpus total as a broadcast 1-row aggregate, not documents.count():
+    // the driver action ran a full corpus scan EAGERLY at plan-build
+    // time (every plan audit / dry-run paid it) and baked a per-corpus
+    // literal into the plan text — the boilerplateStats convention
+    val n = documents.agg(count(lit(1)).cast("double").as("n_docs"))
     val td = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -454,9 +462,11 @@ object TextAnalysis {
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token").asc)
     td.join(df, "token")
+      .crossJoin(broadcast(n))
       .withColumn(
         "score",
-        col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+        col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
+      .drop("n_docs")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
@@ -1751,10 +1761,14 @@ object TextAnalysis {
       .agg(
         count(lit(1)).cast("long").as("n_candidates"),
         expr("bool_and(est >= f)").as("est_geq_exact"),
-        expr("bool_and(est - f <= (2 * n_tokens) div 64)").as("overest_within_bound"))
+        // k interpolated, not a hardcoded 64: retuning the sketch
+        // Capacity must retune the 2n/k and 4n/k guarantee bounds this
+        // self-validation tests, or the reported booleans stop
+        // corresponding to the k the row reports
+        expr(s"bool_and(est - f <= (2 * n_tokens) div $k)").as("overest_within_bound"))
     val heavyMissing = exact
       .crossJoin(n)
-      .filter(expr("f > (4 * n_tokens) div 64"))
+      .filter(expr(s"f > (4 * n_tokens) div $k"))
       .join(est, Seq("token"), "left_anti")
       .agg(count(lit(1)).as("missing"))
     candChecks

@@ -41,7 +41,9 @@ class ReconcileOpsSpec extends AnyFunSuite {
     }
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"),
-        expr("(event_id % 1000003) * 2654435761 % 10").as("h"))
+        // the engine's md5 sampling idiom (the multiplicative spelling
+        // was a no-op mod 10 — a last-decimal-digit sample)
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 10").as("h"))
       .collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("c"), r.getAs[Long]("h")))
     for ((t, rs) <- rows.groupBy(_._1)) {

@@ -43,7 +43,9 @@ class StopBucketCapSpec extends AnyFunSuite {
   }
 
   test("simhash chunk buckets above the cap emit no candidates; below-cap families pair completely") {
-    val pairs = Dedup.simhashNearDups(degenerateDocs(), maxHamming = 64).collect()
+    // maxHamming = 3 is the banding's structural ceiling (require-guarded);
+    // the families here are byte-identical so every candidate is hamming 0
+    val pairs = Dedup.simhashNearDups(degenerateDocs(), maxHamming = 3).collect()
     assert(pairs.length == smallPairs,
       s"expected C(40,2)=$smallPairs small-family pairs only, got ${pairs.length}")
     assert(pairs.forall(r =>
