@@ -50,14 +50,23 @@ object Bench {
     }
 
     // best of two measured passes per query — single-shot timings at this
-    // scale carry multi-second machine noise
-    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      graft.engine.Caches.freeTransient(spark) // (untimed) free transients; pinned views survive
-      name -> elapsed
-    }
+    // scale carry multi-second machine noise. A failing query still books
+    // its time-to-failure (so the pass map stays total) but is RECORDED in
+    // `failed` and surfaced on its own JSON line — a crash must never be
+    // silently blessed as a normal timing (VERDICT r8 item 3).
+    def timedPass(failed: scala.collection.mutable.SortedSet[String]): Map[String, Double] =
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: " +
+              String.valueOf(t.getMessage).linesIterator.take(1).mkString.take(300))
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.engine.Caches.freeTransient(spark) // (untimed) free transients; pinned views survive
+        name -> elapsed
+      }
 
     // Memory attribution for the board (r8): cumulative JVM GC seconds,
     // live heap after a System.gc() settle, and the block manager's
@@ -86,10 +95,12 @@ object Bench {
     // so the amortization claim is a measured number.
     graft.engine.Views.resetBuildTimer()
     graft.engine.Views.timeBuilds = true
+    val failedP1 = scala.collection.mutable.SortedSet.empty[String]
+    val failedP2 = scala.collection.mutable.SortedSet.empty[String]
     val memWarm = memLine("after_warmup")
-    val p1 = timedPass()
+    val p1 = timedPass(failedP1)
     val memP1 = memLine("after_pass1")
-    val p2 = timedPass()
+    val p2 = timedPass(failedP2)
     val memP2 = memLine("after_pass2")
     graft.engine.Views.timeBuilds = false
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
@@ -106,6 +117,19 @@ object Bench {
     println(s"""{"metric":"per_query_passes","unit":"sec","p1":${jmap(p1)},"p2":${jmap(p2)},"sf":"$sfDir"}""")
     println(memWarm); println(memP1); println(memP2)
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failures across the two measured passes (empty list on a clean
+    // board): a query that crashes only at this SF is surfaced here, not
+    // silently folded into the timings above.
+    def jarr(names: Iterable[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"failed","queries":${jarr((failedP1 ++ failedP2).toSeq.sorted)},""" +
+      s""""p1":${jarr(failedP1)},"p2":${jarr(failedP2)},"sf":"$sfDir"}""")
+    // Per-pin build seconds (tag -> sec), so a pin_build anomaly is
+    // attributable to a named pin from this artifact alone.
+    val pinDetail = graft.engine.Views.buildDetail.toSeq.sortBy(-_._2)
+    println(s"""{"metric":"pin_build_detail","unit":"sec","pins":${
+      pinDetail.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    },"sf":"$sfDir"}""")
     println(s"""{"metric":"pin_build","value":${graft.engine.Views.buildSeconds},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()

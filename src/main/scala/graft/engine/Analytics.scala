@@ -4011,6 +4011,11 @@ object Analytics {
           expr(cents).as("c"), col("event_id")),
         col("c").desc, col("event_id").asc)
       .withColumnRenamed("rank", "rn")
+      // cacheT, per quantileTransform's documented rule for this exact
+      // pattern: ranked feeds BOTH the n_total aggregate and the decile
+      // aggregation — uncached, the range-shuffle + zipWithIndex
+      // pipeline would materialize twice per run
+      .cacheT()
     // corpus size from the rank's own max via a broadcast scalar (the
     // [[decileStats]] convention) — a driver-side events.count() would
     // cost an extra full corpus job and bake a per-corpus literal into

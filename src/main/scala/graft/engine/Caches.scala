@@ -104,19 +104,40 @@ object Views {
       if (timeBuilds) {
         val t0 = System.nanoTime()
         built.count()
-        buildNanos.addAndGet(System.nanoTime() - t0)
+        buildNanosByTag
+          .computeIfAbsent(tag, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+          .addAndGet(System.nanoTime() - t0)
       }
       built
     }
   }
 
   /** When true, [[pinned]] materializes fresh pins eagerly and books the
-    * build seconds into [[buildSeconds]]. Set ONLY by Bench.
+    * build seconds PER PIN TAG into [[buildDetail]] (aggregate in
+    * [[buildSeconds]]). Set ONLY by Bench. Per-tag booking exists so a
+    * `pin_build` anomaly in a committed bench artifact is attributable
+    * to a NAMED pin without a re-run (round-8 lesson: one aggregate
+    * number cost a full independent bench to adjudicate a 109.6 s vs
+    * ~40 s driver-vs-local spread). A tag that builds for multiple
+    * distinct inputs (e.g. a test fixture alongside the bench SF dir)
+    * accumulates into one entry — by design, it is the tag's total
+    * build bill for the process.
     */
   @volatile var timeBuilds: Boolean = false
-  private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-  def buildSeconds: Double = buildNanos.get / 1e9
-  def resetBuildTimer(): Unit = buildNanos.set(0L)
+  private val buildNanosByTag =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  def buildSeconds: Double = {
+    var total = 0L
+    buildNanosByTag.values.forEach(n => total += n.get)
+    total / 1e9
+  }
+  /** Per-tag build seconds booked since the last [[resetBuildTimer]]. */
+  def buildDetail: Map[String, Double] = {
+    val out = Map.newBuilder[String, Double]
+    buildNanosByTag.forEach((tag, n) => out += tag -> n.get / 1e9)
+    out.result()
+  }
+  def resetBuildTimer(): Unit = buildNanosByTag.clear()
 
   /** Unpersist and forget every pinned view (all sessions). */
   def clear(): Unit = {

@@ -69,11 +69,35 @@ class GrowthOpsSpec extends AnyFunSuite {
       }
     }
     assert(got.values.exists(_._2 > 0L), "retention should occur")
-    // NOTE: no in-window churn assertion — at this fixture every active
-    // user stays active through the final observed week, so the only
-    // nonzero "churn" the old code reported was the phantom post-window
-    // week this test now pins as clipped; the per-week equality loop
-    // above still verifies the churn classification (at zero)
+    // NOTE: no in-window churn assertion on the sf fixture — every
+    // active user there stays active through the final observed week, so
+    // the only nonzero "churn" the old code reported was the phantom
+    // post-window week this test now pins as clipped; the synthetic case
+    // below exercises the nonzero n_churned path the fixture can't
+  }
+
+  test("growthAccounting reports nonzero in-window churn on synthetic activity") {
+    // weeks of activity: w0 = {1,2,3}; w1 = {1,2} (3 churns in w1);
+    // w2 = {1,3} (2 churns in w2, 3 resurrects). maxWeek = 2, so the
+    // phantom week 3 (which would book users 1 and 3 as churned) is
+    // clipped — in-window churn is observed at weeks 1 AND 2.
+    val wk = 604800L
+    val rows = Seq(
+      (1L, 0L * wk + 10L), (2L, 0L * wk + 20L), (3L, 0L * wk + 30L),
+      (1L, 1L * wk + 10L), (2L, 1L * wk + 20L),
+      (1L, 2L * wk + 10L), (3L, 2L * wk + 30L))
+    import spark.implicits._
+    val events = rows.toDF("user_id", "ts")
+    val got = Analytics.growthAccounting(events).collect()
+      .map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L), "phantom week 3 must be clipped")
+    assert(got(0L) == ((3L, 0L, 0L, 0L)))
+    assert(got(1L) == ((0L, 2L, 0L, 1L)), "user 3 churns in week 1")
+    assert(got(2L) == ((0L, 1L, 1L, 1L)), "user 2 churns, user 3 resurrects")
+    assert(got.values.map(_._4).sum == 2L, "in-window churn must be nonzero")
   }
 
   test("cupedReport theta and variance reduction from exact sufficient stats") {

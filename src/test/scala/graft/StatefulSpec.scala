@@ -223,7 +223,33 @@ class StatefulSpec extends AnyFunSuite {
 
     val gapMin = 30
     (0 until 3).foreach { trial =>
-      val corpus = corpusGen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(4242L + trial))
+      val corpusRandom = corpusGen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(4242L + trial))
+      // DETERMINISTIC horizon-boundary fixtures (VERDICT r8 item 6): the
+      // operator's two documented limitations — no retro-merge into an
+      // already-emitted session, no merge into the open session even when
+      // within gap of its backward-extended start — plus the boundary's
+      // exact strictness, as explicit members of every trial's corpus
+      // rather than accidental ScalaCheck coverage. Asserted individually
+      // after the generic conservation/nesting loop.
+      val gapMs = gapMin * 60000L
+      val ta = baseMs + 10 * gapMs
+      val t0 = baseMs + 3 * gapMs
+      val edgeScns = List(
+        // 101: burst straddling the open session's horizon ± 1 s — the
+        // straggler (1 s BELOW start − gap) lands within gap of the
+        // backward-extended start (1 s INSIDE), yet must stay a separate
+        // pending-old session: stream splits 2 ways, batch merges all 3
+        Scn(101L, List(ta, ta - gapMs - 1000L, ta - gapMs + 1000L),
+          List(1.0, 2.0, 3.5), inOrder = false, List(0, 1, 1)),
+        // 102: late event within gap of an ALREADY-EMITTED session but
+        // inside the open session's horizon — it must backward-extend the
+        // open session, never reopen the emitted one
+        Scn(102L, List(t0, t0 + gapMs + 2000L, t0 + gapMs),
+          List(0.5, 1.0, 2.0), inOrder = false, List(0, 0, 1)),
+        // 103: event EXACTLY at start − gap is in-gap (the horizon test is
+        // strict <), so it backward-extends: stream and batch agree
+        Scn(103L, List(ta, ta - gapMs), List(1.0, 0.5), inOrder = false, List(0, 1)))
+      val corpus = corpusRandom ++ edgeScns
       val input = MemoryStream[Ev]
       // watermark far beyond the generated range: nothing is dropped
       // upstream, so conservation is exact and closure happens only via
@@ -313,6 +339,25 @@ class StatefulSpec extends AnyFunSuite {
               s"trial $trial user ${s.uid} (in-order): engine-batch mismatch $gotFmt != $eng")
           }
         }
+
+        // the documented edges, pinned explicitly (fixtures above):
+        def sessOf(uid: Long) = stream.filter(_.user_id == uid).sortBy(_.session_start.getTime)
+        val e101 = sessOf(101L)
+        assert(batchSessions(edgeScns(0)).length == 1, "101: batch must merge the straddling burst")
+        assert(e101.length == 2 && e101(0).n_events == 1 && e101(1).n_events == 2,
+          s"trial $trial 101: horizon-straddling burst must split pending-old/extended-open, got ${e101.toSeq}")
+        assert(e101(0).session_end.getTime == ta - gapMs - 1000L &&
+          e101(1).session_start.getTime == ta - gapMs + 1000L,
+          s"trial $trial 101: split must sit exactly at the ±1 s horizon boundary, got ${e101.toSeq}")
+        val e102 = sessOf(102L)
+        assert(batchSessions(edgeScns(1)).length == 1, "102: batch must merge via the late bridge event")
+        assert(e102.length == 2 && e102(0).n_events == 1 && e102(0).session_end.getTime == t0 &&
+          e102(1).n_events == 2 && e102(1).session_start.getTime == t0 + gapMs,
+          s"trial $trial 102: emitted session must stay closed; late event backward-extends open, got ${e102.toSeq}")
+        val e103 = sessOf(103L)
+        assert(e103.length == 1 && e103(0).n_events == 2 &&
+          e103(0).session_start.getTime == ta - gapMs,
+          s"trial $trial 103: event exactly AT start − gap must backward-extend, got ${e103.toSeq}")
       } finally q.stop()
     }
   }

@@ -25,11 +25,14 @@ done
 run() { # run <label> <transient_pins>
   local label=$1 pins=$2
   echo "=== $label (SPARK_GRAFT_TRANSIENT_PINS='$pins') $(date -u +%H:%M:%S) ==="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_TRANSIENT_PINS="$pins" \
   # 4g matches SBT_OPTS' -Xmx for the local `sbt runMain graft.Bench`
   # boards — the committed A/B mem lines in BASELINE.md were measured at
-  # this heap; changing it breaks comparability with those numbers
+  # this heap; changing it breaks comparability with those numbers.
+  # (Comment must stay OUTSIDE the continuation chain below: a comment
+  # between backslash-continued lines would detach the env prefix from
+  # the java command, silently dropping SF_DIR/CPUS/TRANSIENT_PINS.)
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_TRANSIENT_PINS="$pins" \
   java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-4g}" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$SNAP:/opt/spark/jars/*" graft.Bench \
