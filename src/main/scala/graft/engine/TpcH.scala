@@ -53,6 +53,28 @@ object TpcH {
             .as("ps_cost_cents"),
           expr(s"sum($qtyInt)").as("ps_qty")))
 
+  /** Pinned (order, supplier) ship-lag evidence: the MAX ship-vs-order
+    * lag in whole days per (orderkey, suppkey), joined once per corpus
+    * from lineitem×orders and materialized ([[Views.pinned]]). The
+    * table is |distinct (order, supplier)|-bounded — order count times
+    * a small per-order supplier fan-out, NOT the lineitem corpus — and
+    * parameter-FREE: any lateness threshold is read-time application
+    * (`late ⟺ max_lag_days > lateDays`), so one build serves every
+    * [[suppliersKeptWaiting]] parameterization. Keyed on the join's
+    * canonicalized plan so both inputs participate in the pin key (the
+    * [[graft.engine.Graph.hitsTopK]] convention).
+    */
+  def shipLagEvidence(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    Views.pinned(
+      lineitem
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey")),
+      "shipLagEvidence")(j =>
+      j.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(expr(s"${epochDay("l_shipdate")} - ${epochDay("o_orderdate")}"))
+          .as("max_lag_days")))
+
   /** Q2-shaped minimum-cost supplier: for parts of one type, the
     * supplier(s) in one region offering the part at its region-wide
     * minimum derived cost, top `k` by account balance. The correlated
@@ -451,7 +473,8 @@ object TpcH {
     * time (the fixture lacks receipt/commit dates, so lateness is
     * ship-vs-order-date). The spec's EXISTS(another supplier) / NOT
     * EXISTS(another LATE supplier) pair folds into ONE per-order
-    * aggregate over the cached (order, supplier, late) evidence table:
+    * aggregate over the (order, supplier, late) evidence — a projection
+    * of the pinned parameter-free [[shipLagEvidence]] table:
     * an order qualifies its late supplier iff it has ≥ 2 distinct
     * suppliers and EXACTLY 1 distinct late supplier (the candidate is
     * late on it, so "no OTHER late supplier" ⟺ late-supplier count = 1)
@@ -471,18 +494,20 @@ object TpcH {
       nation: DataFrame,
       lateDays: Int = 90,
       k: Int = 10): DataFrame = {
-    // (order, supplier) → was-this-supplier-late evidence: ONE map-combined
-    // aggregate (max over the boolean) instead of a 3-column distinct —
-    // (ok, sk) comes out unique, so the per-order rollup below needs no
-    // distinct aggregates (a countDistinct spelling was measured 2x slower:
-    // Expand doubles the evidence rows and adds a second shuffle).
-    val lines = lineitem
-      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .agg(max(
-        expr(s"${epochDay("l_shipdate")} > ${epochDay("o_orderdate")} + $lateDays")).as("late"))
-      .cacheT() // read twice: per-order rollup + late-supplier probe
+    // (order, supplier) → was-this-supplier-late evidence, read from the
+    // PINNED parameter-free ship-lag table ([[shipLagEvidence]]): the
+    // lateness threshold applies as a projection over the resident view,
+    // so the per-query cost is the rollup + semi join only — the
+    // lineitem×orders join and (ok, sk) aggregate are once-per-corpus.
+    // The evidence keeps the ONE-aggregate shape (max lag, not a
+    // 3-column distinct): (ok, sk) comes out unique, so the per-order
+    // rollup below needs no distinct aggregates (a countDistinct
+    // spelling was measured 2x slower: Expand doubles the evidence rows
+    // and adds a second shuffle). Round-9 A/B, isolated best-of-2 at
+    // sf0.1/32: per-run cacheT evidence 2.60 s → pinned read (see
+    // BASELINE.md round-9 note).
+    val lines = shipLagEvidence(lineitem, orders)
+      .select(col("ok"), col("sk"), (col("max_lag_days") > lateDays).as("late"))
     val qualifying = lines
       .groupBy(col("ok").as("qok"))
       .agg(
