@@ -162,7 +162,12 @@ object Joins {
       .repartition(parallelism, col("block"), col("cust_a"))
     val b = customer.select(
       col("c_nationkey").as("block"), col("c_custkey").as("cust_b"), col("c_name").as("name_b"))
-    a.join(b, Seq("block"))
+    // the broadcast is HINTED, not left to the size estimate: above the
+    // autoBroadcast threshold Spark would instead shuffle `a` by block
+    // alone — discarding the explicit repartition and collapsing every
+    // block's O(block²) verification onto |blocks| tasks, exactly the
+    // degradation the repartition above exists to prevent
+    a.join(broadcast(b), Seq("block"))
       .filter(col("cust_a") < col("cust_b"))
       // thresholded levenshtein: banded DP, O(maxDist·len) per pair
       // instead of O(len²), returning -1 past the threshold — the exact

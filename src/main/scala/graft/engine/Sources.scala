@@ -57,7 +57,14 @@ object Sources {
       documents: org.apache.spark.sql.DataFrame,
       fmt: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = s"/tmp/graft_roundtrip_$fmt"
+    // Path is APPLICATION-unique (applicationId): a fixed shared path
+    // would let two concurrent processes (a Verify and a Bench run, say)
+    // overwrite each other mid-audit — one side's read-back then scans
+    // the other's rows, producing FileNotFound or a silently wrong
+    // audit. Within one application the path is stable, so repeated
+    // calls overwrite in place and disk stays bounded.
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_roundtrip_" +
+      s"${spark.sparkContext.applicationId}_$fmt"
     documents
       .select(col("doc_id"), md5(col("text")).as("h"))
       .write.mode("overwrite").option("header", "true").format(fmt).save(path)

@@ -78,13 +78,22 @@ object Stages {
   val lineitemRevUnitsSql: String =
     s"${centsSql("l_extendedprice")} * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 
-  /** SQL fragment: average of integer-cents expr, rounded half-up to a
-    * whole cent, returned as dollars (double). `(2s + n) div (2n)` is
-    * half-up of `s/n`; expressed with `%` so the final division is exact in
-    * IEEE double on both engines. NULL when no rows qualify.
+  /** SQL fragment: average of integer-cents expr, rounded HALF_UP
+    * (half away from zero, BigDecimal.RoundingMode.HALF_UP) to a whole
+    * cent, returned as dollars (double). For s ≥ 0,
+    * `trunc((2s + n) / (2n))` is half-up of `s/n`; for s < 0 the
+    * numerator offset must flip sign (`2s − n`) because `%`/division
+    * truncate toward zero on both engines — with the unconditional `+n`
+    * offset a NEGATIVE average rounded toward zero (cents sum −2 over 3
+    * rows: HALF_UP of −0.667 is −1 cent, the old spelling said 0).
+    * Expressed in integer arithmetic so the final division is exact in
+    * IEEE double on both engines; the fragment is one shared text, so
+    * Spark and the DuckDB oracle stay bit-identical by construction.
+    * NULL when no rows qualify.
     */
   def halfUpAvgDollarsSql(cents: String): String = {
-    val num = s"(2 * sum($cents) + count($cents))"
+    val num = s"(2 * sum($cents)" +
+      s" + (CASE WHEN sum($cents) >= 0 THEN count($cents) ELSE -count($cents) END))"
     val den = s"(2 * count($cents))"
     s"CASE WHEN count($cents) > 0 THEN (($num - $num % $den) / $den) / 100.0 END"
   }

@@ -144,6 +144,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   */
 case class Winnow(child: Expression, k: Int, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // validate at plan-construction time, once — unguarded, k <= 0 indexes
+  // pows(k-1) at -1 / allocates a negative array DEEP inside executor
+  // tasks, failing the job with an opaque task error instead of this
+  // message (the patternMatchStream require(m > 0) convention)
+  require(k > 0 && w > 0, s"graft_winnow requires k > 0 and w > 0, got k=$k w=$w")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
@@ -168,6 +173,9 @@ case class Winnow(child: Expression, k: Int, w: Int)
   */
 case class FrameEnergy(child: Expression, frame: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // same plan-construction-time guard as [[Winnow]]: frame = 0 divides
+  // by zero inside executor tasks, negative frames allocate garbage
+  require(frame > 0, s"graft_frame_energy requires frame > 0, got $frame")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)

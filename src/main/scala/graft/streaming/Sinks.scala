@@ -70,8 +70,18 @@ final class IdempotentJdbcSink(url: String, props: java.util.Properties) extends
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      // Spark's JDBC writer quotes COLUMN names but not the table name
-      try st.executeUpdate(s"""DELETE FROM $table WHERE "_epoch" = $epochId""")
+      // Spark's JDBC writer quotes COLUMN names but not the table name.
+      // Quote _epoch with the DRIVER'S identifier quote (ANSI
+      // double-quote on Derby/Postgres/H2, backtick on default-mode
+      // MySQL — where a hard-coded "…" is a syntax error with SQLState
+      // 42000, which is NOT an undefined-table state: once the table
+      // existed, EVERY epoch's delete would fail, rethrow via the
+      // metadata probe, and wedge the sink into a permanent replay
+      // loop). A blank/space quote string means "no quoting supported"
+      // — fall back to the bare name, which every listed dialect parses.
+      val q = Option(conn.getMetaData.getIdentifierQuoteString)
+        .map(_.trim).filter(_.nonEmpty).getOrElse("")
+      try st.executeUpdate(s"DELETE FROM $table WHERE ${q}_epoch$q = $epochId")
       catch {
         // ONLY the missing-table case may be swallowed (first epoch, before
         // the append auto-creates the table). Swallowing every SQLException

@@ -102,7 +102,23 @@ object Stateful {
         closePending()
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastSeen + gapMs)
+          // Clamp the timeout STRICTLY above the eviction watermark, or
+          // GroupStateImpl throws — and via checkpointed offset replay a
+          // throw here poison-pills the query permanently. The raw
+          // lastSeen + gap CAN fall behind it: Spark 4 admits input rows
+          // against the LATE-EVENTS watermark (the previous batch's —
+          // FlatMapGroupsWithStateExecBase filters with
+          // watermarkPredicateForDataForLateEvents) but validates
+          // timeouts against the EVICTION watermark (this batch's — the
+          // InputProcessor builds GroupStateImpl from
+          // eventTimeWatermarkForEviction), and one cross-key burst can
+          // advance the latter past an open session's whole horizon
+          // while a backward-extending row is still admissible. The
+          // clamp only binds in that state (unclamped = guaranteed
+          // throw) and closes the session at the next batch — the
+          // earliest it can legally close.
+          state.setTimeoutTimestamp(
+            math.max(s.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1L))
         }
         closed.reverseIterator
       }
@@ -242,7 +258,17 @@ object Stateful {
       }
       if (lastMs != Long.MinValue) {
         state.update(AlertState(lastMs))
-        state.setTimeoutTimestamp(lastMs + cooldownMs, watermarkDelay)
+        // GC-timeout base clamped above the eviction watermark (see
+        // [[sessionize]] for the late-events/eviction watermark split):
+        // a suppressed-only batch re-sets the timeout from the OLD
+        // lastAlert, which a cross-key burst may have left entirely
+        // behind the watermark — unclamped, setTimeoutTimestamp throws
+        // and checkpoint replay crash-loops the query. The added
+        // watermarkDelay is ≥ 0, so base = watermark + 1 stays legal,
+        // and when the raw base is already ahead the clamp is identity.
+        state.setTimeoutTimestamp(
+          math.max(lastMs + cooldownMs, state.getCurrentWatermarkMs() + 1L),
+          watermarkDelay)
       }
       out.iterator
     }

@@ -29,8 +29,27 @@ object StreamMain {
     val dimDir = args.lift(2)
       .orElse(sys.env.get("GRAFT_DIM_DIR"))
       .getOrElse("/root/testdata/sf0.001")
-    val schema = graft.engine.Tables.events(spark, dimDir).schema
-    val source = spark.readStream.schema(schema).parquet(srcDir)
+    // The stream schema must describe the FILES in srcDir, not the
+    // post-rebuild frame: the events fixture stores TIMESTAMP(NANOS),
+    // which surfaces as LONG under the nanosAsLong conf Tables.load sets
+    // — declaring the rebuilt TIMESTAMP schema against such files fails
+    // parquet schema conversion on the first micro-batch. Read whatever
+    // the files carry (falling back to the dim fixture's RAW schema when
+    // srcDir is still empty), then apply the same µs rebuild
+    // Tables.events does, so fixture-style and already-rebuilt event
+    // files both stream correctly.
+    graft.engine.Tables.load(spark, dimDir, "events") // sets nanosAsLong/NTZ confs
+    val fileSchema =
+      try spark.read.parquet(srcDir).schema
+      catch {
+        case _: Throwable => graft.engine.Tables.load(spark, dimDir, "events").schema
+      }
+    val raw = spark.readStream.schema(fileSchema).parquet(srcDir)
+    val source =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn(
+          "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
     val runner = new StreamRunner(
       spark,
       new ParquetSink(outDir),

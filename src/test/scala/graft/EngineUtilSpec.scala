@@ -132,6 +132,55 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(joined(4L).isEmpty)
   }
 
+  test("asOfJoin: nearest right row travels as a UNIT — a NULL field is not backfilled from an older row") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // nearest quote (11:00) has price=NULL but size=9; the older quote
+    // (10:00) has price=5. A per-column fill would fabricate the
+    // franken-row (price=5, size=9); row semantics require (NULL, 9).
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), Option(5.0), 7L),
+      (1L, t("2024-01-01 11:00:00"), Option.empty[Double], 9L))
+      .toDF("q_key", "q_time", "price", "size")
+    val trades = Seq((1L, 1L, t("2024-01-01 12:00:00"))).toDF("trade_id", "t_key", "t_time")
+    val row = graft.engine.AsOfJoin
+      .leftAsOf(trades, quotes, "t_key", "t_time", "q_key", "q_time")
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("price")),
+      s"price must stay NULL (the matched row's own value), got $row")
+    assert(row.getAs[Long]("size") == 9L)
+  }
+
+  test("asOfJoin: NULL-time rows never match, on either side or direction") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, Option(t("2024-01-01 10:00:00")), 100.0),
+      (1L, Option.empty[Timestamp], 999.0)) // undefined time: matches nothing
+      .toDF("q_key", "q_time", "price")
+    val trades = Seq(
+      (1L, 1L, Option(t("2024-01-01 09:00:00"))), // before any quote
+      (2L, 1L, Option(t("2024-01-01 11:00:00"))), // after the 10:00 quote
+      (3L, 1L, Option.empty[Timestamp])) // undefined time: no match
+      .toDF("trade_id", "t_key", "t_time")
+    def run(fwd: Boolean) = {
+      val f = if (fwd)
+        graft.engine.AsOfJoin.leftAsOfForward(trades, quotes, "t_key", "t_time", "q_key", "q_time")
+      else
+        graft.engine.AsOfJoin.leftAsOf(trades, quotes, "t_key", "t_time", "q_key", "q_time")
+      f.collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    }
+    val back = run(fwd = false)
+    assert(back(1L).isEmpty && back(2L).contains(100.0) && back(3L).isEmpty,
+      s"backward: NULL-time quote leaked or NULL-time trade matched: $back")
+    val fwd = run(fwd = true)
+    assert(fwd(1L).contains(100.0) && fwd(2L).isEmpty && fwd(3L).isEmpty,
+      s"forward: NULL-time quote leaked or NULL-time trade matched: $fwd")
+  }
+
   test("graft expressions are SQL-callable after registration") {
     GraftExtensions.register(spark)
     val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)

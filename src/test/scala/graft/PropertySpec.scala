@@ -16,8 +16,12 @@ class PropertySpec extends AnyFunSuite {
 
   test("halfUpAvgDollarsSql equals BigDecimal HALF_UP average for random money lists") {
     val rnd = new Random(42)
-    (1 to 25).foreach { _ =>
-      val cents = List.fill(1 + rnd.nextInt(50))(1L + rnd.nextInt(500000).toLong)
+    (1 to 25).foreach { i =>
+      // negative money (refunds/adjustments) on odd trials: HALF_UP is
+      // half AWAY FROM ZERO, which truncating integer division got wrong
+      // for negative sums until round 9
+      val sign = if (i % 2 == 1) -1L else 1L
+      val cents = List.fill(1 + rnd.nextInt(50))(sign * (1L + rnd.nextInt(500000).toLong))
       val df = cents.map(c => c / 100.0).toDF("value")
       val got = df
         .agg(org.apache.spark.sql.functions
@@ -27,8 +31,13 @@ class PropertySpec extends AnyFunSuite {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got == expected, s"cents=$cents got=$got expected=$expected")
     }
-    // explicit midpoint cases (the ones double-rounding gets wrong)
-    Seq(List(531L, 532L) -> 5.32, List(531L, 530L) -> 5.31, List(10L, 11L) -> 0.11)
+    // explicit midpoint cases (the ones double-rounding gets wrong),
+    // including the negative tie and the negative non-midpoint
+    Seq(
+      List(531L, 532L) -> 5.32, List(531L, 530L) -> 5.31, List(10L, 11L) -> 0.11,
+      List(-531L, -532L) -> -5.32, // negative tie: away from zero
+      List(-1L, -1L, 0L) -> -0.01, // −0.667 cents → −1 cent, not 0
+      List(-1L, 0L, 0L) -> 0.0) // −0.333 cents → 0 (IEEE 0.0 == -0.0)
       .foreach { case (cents, expected) =>
         val got = cents.map(c => c / 100.0).toDF("value")
           .agg(org.apache.spark.sql.functions

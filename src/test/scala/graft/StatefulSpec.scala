@@ -362,6 +362,88 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize survives a late row admitted after the eviction watermark passed the session horizon") {
+    // Rows are admitted against the LATE-EVENTS watermark (the previous
+    // batch's) but setTimeoutTimestamp validates against the EVICTION
+    // watermark (this batch's). A burst on another key can advance the
+    // eviction watermark past an open session's whole gap horizon while
+    // a backward-extending row for that session is still admissible —
+    // an unclamped lastSeen+gap timeout then throws, and checkpointed
+    // replay turns the throw into a permanent crash loop.
+    val input = MemoryStream[Ev]
+    val sessions = Stateful.sessionize(spark, input.toDF(), gapMinutes = 30,
+      watermarkDelay = "60 minutes")
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_wmclamp_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(ev(1, 1, "2024-01-01 10:00:00", 1.0)) // open; wm → 09:00
+      q.processAllAvailable()
+      // burst and late row as BACK-TO-BACK batches with no barrier
+      // between them: the late-events wm the second batch admits against
+      // stays 09:00 while its eviction wm is already 19:00 (an
+      // intervening processAllAvailable would run an empty batch that
+      // collapses the two watermarks and hides the hazard)
+      input.addData(ev(2, 2, "2024-01-01 20:00:00", 1.0)) // wm → 19:00
+      // 09:30 ≥ late-events wm (09:00) → admitted; backward-extends user
+      // 1's open session (09:30 ≥ start − gap), but lastSeen+gap (10:30)
+      // is far below the eviction wm (19:00) → must clamp, not throw
+      input.addData(ev(3, 1, "2024-01-01 09:30:00", 2.0))
+      q.processAllAvailable()
+      // advance far enough to fire the clamped timeout and close everything
+      input.addData(ev(4, 3, "2024-01-02 10:00:00", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 3, "2024-01-02 10:00:01", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_wmclamp_out").as[Stateful.SessionOutput].collect()
+        .filter(_.user_id == 1L)
+      // Whether the gap actually opens is a batch-boundary race MemoryStream
+      // cannot pin (the two adds may coalesce into one batch, or an engine
+      // no-data batch may collapse the two watermarks and drop ev 3), so
+      // accept both row outcomes; the invariant under test is that NO
+      // interleaving crashes the query, which the unclamped timeout does
+      // whenever ev 3 lands between the two watermarks.
+      val ok = u1.toSeq match {
+        case Seq(s) if s.n_events == 2 =>
+          s.session_start == Timestamp.valueOf("2024-01-01 09:30:00") &&
+            s.session_end == Timestamp.valueOf("2024-01-01 10:00:00") // merged
+        case Seq(s) if s.n_events == 1 =>
+          s.session_start == Timestamp.valueOf("2024-01-01 10:00:00") // ev 3 dropped
+        case _ => false
+      }
+      assert(ok, s"user 1 must close as one intact session, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("rateLimitedAlerts survives a suppressed-only batch after the eviction watermark passed lastAlert+cooldown") {
+    val input = MemoryStream[Ev]
+    val alerts = Stateful.rateLimitedAlerts(spark, input.toDF(), cooldownMinutes = 10,
+      watermarkDelay = "60 minutes")
+    val q = alerts.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("alerts_wmclamp_out")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      input.addData(ev(1, 1, "2024-01-01 10:00:00", 5.0)) // alert; wm → 09:00
+      q.processAllAvailable()
+      // back-to-back batches, no barrier (see the sessionize twin above)
+      input.addData(ev(2, 2, "2024-01-01 20:00:00", 5.0)) // wm → 19:00
+      // 10:05 ≥ late-events wm (09:00) → admitted; inside user 1's
+      // cooldown → suppressed, so lastAlert stays 10:00 and the re-set
+      // timeout base (10:10 + delay) sits below the eviction wm (19:00)
+      input.addData(ev(3, 1, "2024-01-01 10:05:00", 5.0))
+      q.processAllAvailable()
+      val ids = spark.table("alerts_wmclamp_out").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"suppression must hold without crashing, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("dedupByKey suppresses duplicate event_ids within the watermark") {
     val input = MemoryStream[Ev]
     val deduped = Stateful.dedupByKey(input.toDF())
