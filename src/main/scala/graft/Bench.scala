@@ -44,8 +44,10 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       graft.engine.Caches.freeTransient(spark) // free per-query transients; pinned views survive
     }
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+    // one canonical fixture-table list (RewriteFixture.tables) — a copy
+    // here would silently skip a new table's warm-up touch, letting the
+    // first timed query absorb its cold file-listing/footer cost
+    RewriteFixture.tables.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
 

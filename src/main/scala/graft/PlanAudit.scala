@@ -56,6 +56,19 @@ object PlanAudit {
         boundedBelow(j.buildSide match { case BuildLeft => j.right; case BuildRight => j.left })
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
         boundedBelow(j.buildSide match { case BuildLeft => j.right; case BuildRight => j.left })
+      // Shuffled joins have no cheap side: output can be as large as
+      // either input, so a bounded DIMENSION leg says nothing about the
+      // corpus leg — the generic children.exists below would let an
+      // Aggregate on one leg of a SortMergeJoin mark a corpus-scale
+      // window input "bounded" (audit false negative). Semi/anti joins
+      // emit a subset of the left side only, so the left leg decides.
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        shuffledJoinBounded(j.joinType, j.left, j.right)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        shuffledJoinBounded(j.joinType, j.left, j.right)
+      // a Union is corpus-scale if ANY branch is
+      case u: org.apache.spark.sql.execution.UnionExec =>
+        u.children.forall(boundedBelow)
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
       // Literal-cardinality leaves never grow with the corpus: a small
       // Range (the generated 0..255 bucket grids) or a LocalTableScan
@@ -65,6 +78,19 @@ object PlanAudit {
       case _: org.apache.spark.sql.execution.LocalTableScanExec => true
       case other => other.children.exists(boundedBelow)
     }
+  }
+
+  /** Row-count bound for a SHUFFLED join's output: inner/outer joins can
+    * emit up to |left|·|matches|, so both legs must be bounded; semi and
+    * anti joins emit a subset of the left side, so only it decides.
+    */
+  private def shuffledJoinBounded(
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      left: SparkPlan,
+      right: SparkPlan): Boolean = joinType match {
+    case org.apache.spark.sql.catalyst.plans.LeftSemi |
+        org.apache.spark.sql.catalyst.plans.LeftAnti => boundedBelow(left)
+    case _ => boundedBelow(left) && boundedBelow(right)
   }
 
   /** Dimension columns whose cardinality does not grow with the corpus:

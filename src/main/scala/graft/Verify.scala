@@ -11,6 +11,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, Option.empty[Set[String]])
       case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
+      case _ =>
+        System.err.println("usage: Verify <sfDir> <outDir> [q_name,q_name,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

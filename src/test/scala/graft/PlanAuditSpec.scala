@@ -118,6 +118,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(flags(capped).isEmpty, flags(capped).toString)
   }
 
+  test("an aggregate on ONE leg of a shuffled join does not launder the corpus leg") {
+    // force the shuffled-join planning outcome (the tiny fixture would
+    // auto-broadcast): a per-flag aggregate joined to raw lineitem emits
+    // corpus-scale rows, so a few-key window above it must flag — the
+    // old children.exists rule saw the aggregate leg and said "bounded"
+    val li = Tables.lineitem(spark, sfDir)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("flag_n"))
+      val bad = li.join(dim, Seq("l_returnflag"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))))
+      assert(flags(bad).contains("FewKeyWindowOverUnboundedInput"), flags(bad).toString)
+      // both legs aggregated -> join output is grid-sized -> sanctioned
+      val gridA = li.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("ca"))
+      val ok = gridA.join(dim, Seq("l_returnflag"))
+        .withColumn(
+          "cum",
+          sum(col("ca")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+      assert(flags(ok).isEmpty, flags(ok).toString)
+      // semi join: output is a subset of the LEFT side — a bounded left
+      // over a raw right stays sanctioned
+      val okSemi = gridA.join(li.select(col("l_returnflag")), Seq("l_returnflag"), "left_semi")
+        .withColumn(
+          "cum",
+          sum(col("ca")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+      assert(flags(okSemi).isEmpty, flags(okSemi).toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("a few-key window hiding inside a pinned view still flags") {
     val li = Tables.lineitem(spark, sfDir)
     val pinned = graft.engine.Views.pinned(li, "auditSpecBadPin")(

@@ -10,15 +10,24 @@ tables, and compares row counts, schemas (column names), and value hashes
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 import hashlib
 
 def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonical stringification: NaN/None -> '', floats via repr, ts via str
+    # Canonical stringification: NaN/None -> '', floats at fixed 6
+    # decimals (a deliberate absolute tolerance for IEEE noise), ts via
+    # str. Float detection must cover numpy dtypes: np.float64 subclasses
+    # Python float but np.float32 does NOT, so a parquet FLOAT column on
+    # one side would stringify as '1.5' against the other side's
+    # '1.500000' and hash-mismatch values that are equal.
     rows = []
     for _, row in df.iterrows():
-        rows.append("\x1f".join("" if pd.isna(v) else (f"{v:.6f}" if isinstance(v, float) else str(v)) for v in row))
+        rows.append("\x1f".join(
+            "" if pd.isna(v)
+            else (f"{v:.6f}" if isinstance(v, (float, np.floating)) else str(v))
+            for v in row))
     rows.sort()
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
