@@ -1300,16 +1300,27 @@ object SparkEntry {
     * chain, shared with q_dedup_agreement): emits (doc_a, doc_b,
     * est_jaccard) for banded candidates at est ≥ 0.5.
     */
+  /** DuckDB 32-hash MinHash signature CTE pair (`h`/`sig`) over a
+    * preceding `g(doc_id, grams)` CTE — the ONE spelling of the
+    * signature arithmetic every minhash-family oracle interpolates.
+    * Before round 9 this block existed as 13 verbatim copies; a
+    * hash-scheme retune applied to one copy would silently have missed
+    * the others (the [[graft.engine.Stages.lineitemRevUnitsSql]] hazard,
+    * realized at oracle scale).
+    */
+  private val duckMinhashSigCtes: String =
+    """h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
+                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
+               FROM g),
+         sig AS (SELECT doc_id,
+                 list_transform(generate_series(0,31), j ->
+                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
+                 FROM h)"""
+
   private lazy val duckMinhashPairsSql: String =
     s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-       h AS (SELECT doc_id,
-               list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-               list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-             FROM g),
-       sig AS (SELECT doc_id,
-               list_transform(generate_series(0,31), j ->
-                 list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-               FROM h),
+       $duckMinhashSigCtes,
        bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
        keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
        kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -1459,13 +1470,7 @@ object SparkEntry {
     * [[graft.similarity.Similarity.silhouette]].
     */
   private def duckSilhouetteSql(numCells: Int): String = {
-    val cs = graft.similarity.Similarity.centroids(numCells, 64)
-    val dists = cs
-      .map { c =>
-        val lit = c.map(_.toString).mkString("[", ", ", "]")
-        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
-      }
-      .mkString("[", ", ", "]")
+    val dists = duckIvfDists(numCells)
     s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
        e2 AS (SELECT v, list_dot_product(v, v) AS vv FROM e),
        d AS (SELECT $dists AS dists FROM e2),
@@ -1530,13 +1535,7 @@ object SparkEntry {
       numQueries: Int, k: Int, numCells: Int, m: Int, codebookSize: Int): String = {
     val subDim = 64 / m
     val books = graft.similarity.Similarity.pqCodebooks(m, codebookSize, subDim)
-    val cs = graft.similarity.Similarity.centroids(numCells, 64)
-    val cellDists = cs
-      .map { c =>
-        val lit = c.map(_.toString).mkString("[", ", ", "]")
-        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
-      }
-      .mkString("[", ", ", "]")
+    val cellDists = duckIvfDists(numCells)
     def subVec(j: Int) = s"v[${j * subDim + 1}:${(j + 1) * subDim}]"
     val distLists = (0 until m).map { j =>
       books(j)
@@ -1605,13 +1604,7 @@ object SparkEntry {
     * tie-safe where a value mask is not).
     */
   private def duckAnnIvf2Sql(numQueries: Int, k: Int, numCells: Int): String = {
-    val cs = graft.similarity.Similarity.centroids(numCells, 64)
-    val dists = cs
-      .map { c =>
-        val lit = c.map(_.toString).mkString("[", ", ", "]")
-        s"vv - 2*list_dot_product(v, $lit) + ${c.map(x => x * x).sum}"
-      }
-      .mkString("[", ", ", "]")
+    val dists = duckIvfDists(numCells)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        e2 AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
        d AS (SELECT vec_id, v, $dists AS dists FROM e2),
@@ -2086,15 +2079,22 @@ object SparkEntry {
                         CAST(sum(c) AS BIGINT) AS n_bytes,
                         CAST(count(*) AS BIGINT) AS n_distinct,
                         CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS ent_micro
-                 FROM counts GROUP BY doc_id)
+                 FROM counts GROUP BY doc_id),
+         fl AS (SELECT d.doc_id,
+                       coalesce(per.n_bytes, 0) AS n_bytes,
+                       coalesce(per.n_distinct, 0) AS n_distinct,
+                       coalesce(per.ent_micro, 0) AS ent_micro
+                FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
          SELECT doc_id, n_bytes, n_distinct,
-                (ln(CAST(n_bytes AS DOUBLE)) -
-                 CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
-                / 0.6931471805599453 AS bits_per_byte,
-                ((ln(CAST(n_bytes AS DOUBLE)) -
-                  CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
-                 / 0.6931471805599453) > 6.0 AS high_entropy
-         FROM per ORDER BY doc_id""",
+                CASE WHEN n_bytes > 0 THEN
+                  (ln(CAST(n_bytes AS DOUBLE)) -
+                   CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
+                  / 0.6931471805599453 END AS bits_per_byte,
+                CASE WHEN n_bytes > 0 THEN
+                  ((ln(CAST(n_bytes AS DOUBLE)) -
+                    CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
+                   / 0.6931471805599453) > 6.0 END AS high_entropy
+         FROM fl ORDER BY doc_id""",
     "q_setops_bag" ->
       """WITH bag AS (
            (SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -2315,10 +2315,10 @@ object SparkEntry {
               ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS props_k
          FROM events ORDER BY event_id""",
     "q_abnormal_duration" ->
-      """SELECT l_orderkey, l_linenumber,
+      s"""SELECT l_orderkey, l_linenumber,
          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
          strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-         round((epoch(l_shipdate) - epoch(o_orderdate)) / 86400, 2) AS lead_days
+         ${engine.Stages.halfUpCentiSql("epoch(l_shipdate) - epoch(o_orderdate)", 86400L)} AS lead_days
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE (epoch(l_shipdate) - epoch(o_orderdate)) / 86400 < 1
             OR (epoch(l_shipdate) - epoch(o_orderdate)) / 86400 > 2000
@@ -3473,14 +3473,7 @@ object SparkEntry {
          FROM c GROUP BY source ORDER BY source""",
     "q_dedup_minhash" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -3495,14 +3488,7 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q_sig_agree_dist" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -3515,14 +3501,7 @@ object SparkEntry {
          FROM sj GROUP BY 1 ORDER BY agree""",
     "q_dedup_transitivity" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -3543,14 +3522,7 @@ object SparkEntry {
          FROM cl""",
     "q_dedup_incremental" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          split AS (SELECT doc_id,
                    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 10 = 0 AS is_new
                    FROM documents),
@@ -3585,14 +3557,7 @@ object SparkEntry {
          FROM per, tot ORDER BY doc_id""",
     "q_minhash_acc" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -3800,7 +3765,7 @@ object SparkEntry {
     "q_payload_slices" ->
       """WITH s AS (SELECT doc_id, length(text) AS byte_len,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
-              FROM documents)
+              FROM documents WHERE length(text) > 0)
          SELECT doc_id, slice_id, slice_id * 128 AS byte_off,
                 CAST(octet_length(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))) AS BIGINT) AS n_bytes,
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
@@ -3814,7 +3779,7 @@ object SparkEntry {
     "q_slice_neardup" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
-              FROM documents),
+              FROM documents WHERE length(text) > 0),
          sl AS (SELECT DISTINCT doc_id,
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
               FROM s),
@@ -3831,7 +3796,7 @@ object SparkEntry {
     "q_slice_dedup_ratio" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
-              FROM documents),
+              FROM documents WHERE length(text) > 0),
          sl AS (SELECT octet_length(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))) AS nb,
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS h
               FROM s),
@@ -3847,7 +3812,7 @@ object SparkEntry {
     "q_slice_screen" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
-              FROM documents),
+              FROM documents WHERE length(text) > 0),
          sl AS (SELECT DISTINCT doc_id,
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
               FROM s),
@@ -3871,7 +3836,7 @@ object SparkEntry {
     "q_slice_containment" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
-              FROM documents),
+              FROM documents WHERE length(text) > 0),
          sl AS (SELECT DISTINCT doc_id,
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
               FROM s),
@@ -3893,7 +3858,7 @@ object SparkEntry {
     "q_shard_locality" ->
       """WITH s AS (SELECT doc_id,
                 unnest(generate_series(0, (length(text) - 1) // 128)) AS slice_id, text
-              FROM documents),
+              FROM documents WHERE length(text) > 0),
          sl AS (SELECT DISTINCT doc_id,
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
               FROM s),
@@ -4354,14 +4319,7 @@ object SparkEntry {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_lsh_bucket_stats" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          bk AS (SELECT band, bsig, count(*) AS s FROM keyed GROUP BY 1, 2)
@@ -4372,14 +4330,7 @@ object SparkEntry {
          FROM bk GROUP BY band ORDER BY band""",
     "q_stop_bucket_sweep" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          bk AS (SELECT band, bsig, count(*) AS s FROM keyed GROUP BY 1, 2),
@@ -5806,8 +5757,9 @@ object SparkEntry {
                  FROM d, mo),
          top AS (SELECT * FROM dev ORDER BY dev DESC, d ASC LIMIT 1)
          SELECT n_days, d AS day_epoch, y AS y_cents, dev AS abs_dev,
-                dev / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
-                  - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS grubbs_g
+                dev / sqrt((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                  * CAST(n_days AS DOUBLE) / (CAST(n_days AS DOUBLE) - 1.0)) AS grubbs_g
          FROM top ORDER BY n_days""",
     "q_adf" -> {
       val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
@@ -6016,37 +5968,23 @@ object SparkEntry {
                             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
                      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
           t AS (SELECT CAST(sum(a) + sum(b) AS BIGINT) AS nn FROM g),
-          w AS (SELECT a, b, nn,
+          w AS (SELECT a, b, nn, a + b AS cnt,
                        coalesce(sum(a + b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS p
                 FROM g, t),
-          sc AS (SELECT a, b, nn, p + b + 1 AS lo, p + b + a AS hi FROM w),
-          s2 AS (SELECT a, b, nn,
-                        CASE WHEN a > 0 THEN $score ELSE CAST(0 AS BIGINT) END AS sa
-                 FROM sc),
+          sc AS (SELECT a, b, nn, cnt, p + 1 AS lo, p + cnt AS hi FROM w),
+          s2 AS (SELECT a, b, nn, cnt, $score AS s_blk FROM sc),
           m AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
-                       CAST(max(nn) AS BIGINT) AS nn, CAST(sum(sa) AS BIGINT) AS ab_stat
+                       CAST(max(nn) AS BIGINT) AS nn, CAST(sum(s_blk) AS BIGINT) AS s_tot,
+                       sum(CAST(a AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)) AS ab_stat,
+                       sum(CAST(s_blk AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)) AS ss2
                 FROM s2)
           SELECT na, nb, ab_stat,
-                 CASE WHEN nn % 2 = 0
-                   THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
-                   ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
-                 END AS e_ab,
-                 CAST(ab_stat AS DOUBLE) -
-                 (CASE WHEN nn % 2 = 0
-                   THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
-                   ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
-                 END) AS dev_ab,
-                 (CAST(ab_stat AS DOUBLE) -
-                 (CASE WHEN nn % 2 = 0
-                   THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
-                   ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
-                 END)) /
-                 sqrt(CASE WHEN nn % 2 = 0
-                   THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
-                        / (48.0 * CAST(nn - 1 AS DOUBLE))
-                   ELSE CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 1 AS DOUBLE) * CAST(3 + nn * nn AS DOUBLE)
-                        / (48.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
-                 END) AS z
+                 CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE) AS e_ab,
+                 ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE) AS dev_ab,
+                 (ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)) /
+                 sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      * (CAST(nn AS DOUBLE) * ss2 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))
+                      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))) AS z
           FROM m ORDER BY na"""
     },
     "q_ordinal_assoc" ->
@@ -6576,14 +6514,7 @@ object SparkEntry {
                   FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
                   WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                         CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.3),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -7368,14 +7299,7 @@ object SparkEntry {
          FROM r, c1 WHERE rank <= 30 ORDER BY rank""",
     "q_incr_dedup" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          sp AS (SELECT doc_id, sig,
                   CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 5 = 0 AS is_batch
                 FROM sig),
@@ -7584,14 +7508,7 @@ object SparkEntry {
            FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -7900,14 +7817,7 @@ object SparkEntry {
            FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),
@@ -8242,14 +8152,7 @@ object SparkEntry {
          FROM documents""",
     "q_dedup_sweep" ->
       s"""WITH g AS (SELECT doc_id, $duckShingles AS grams FROM documents),
-         h AS (SELECT doc_id,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),1,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h1,
-                 list_transform(grams, s -> CAST(CAST(concat('0x', substring(md5(s),9,8)) AS UBIGINT) AS BIGINT) % 2147483647) AS h2
-               FROM g),
-         sig AS (SELECT doc_id,
-                 list_transform(generate_series(0,31), j ->
-                   list_min(list_transform(generate_series(1,len(h1)), i -> (h1[i] + j*h2[i]) % 2147483647))) AS sig
-                 FROM h),
+         $duckMinhashSigCtes,
          bands AS (SELECT doc_id, sig, unnest(generate_series(0,7)) AS band FROM sig),
          keyed AS (SELECT doc_id, band, sig[band*4+1:band*4+4] AS bsig FROM bands),
          kept AS (SELECT * FROM keyed QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $bucketCap),

@@ -4715,9 +4715,16 @@ object Analytics {
         col("d").as("day_epoch"),
         col("y").as("y_cents"),
         col("dev").as("abs_dev"),
+        // Grubbs' G is defined over the SAMPLE standard deviation
+        // (n−1): the population-sd spelling understated s and inflated
+        // G by sqrt(n/(n−1)) — systematically over-eager against the
+        // published critical values that are this statistic's only use.
+        // Divide-first form (the cmomSql discipline), n/(n−1) applied as
+        // a final factor; shared text with the oracle.
         expr(
-          """dev / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
-             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
+          """dev / sqrt((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             * CAST(n_days AS DOUBLE) / (CAST(n_days AS DOUBLE) - 1.0))""")
           .as("grubbs_g"))
   }
 

@@ -1122,14 +1122,22 @@ object Inference {
   /** Ansari–Bradley scale test between purchase and click values — the
     * rank test for dispersion differences that pairs with Mann–Whitney's
     * location test. Scores min(r, N+1−r) assign from both ends of the
-    * pooled ordering; ties break deterministically with sample B before
-    * sample A within a value (documented variant — both engines replay
-    * it). There is NO corpus-scale sort: each value-grid cell occupies a
-    * contiguous known rank range (from cumulative grid counts), and the
-    * score mass of sample A's sub-range is the closed-form arithmetic
-    * series [[abScoreRangeSql]] — O(|grid|) after a map-combined
-    * aggregate. Null mean/variance use the exact even/odd-N formulas in
-    * shared expression text.
+    * pooled ordering; TIES take MIDRANK scores (every member of a tied
+    * value block carries the block's average score — the same treatment
+    * [[mannWhitney]] uses), with the null mean/variance computed from
+    * the realized score sums, E = na·s̄ and
+    * Var = na·nb·(N·Σs² − (Σs)²)/(N²(N−1)) — the general two-sample
+    * linear-rank formulas, exact under any tie pattern. (An earlier
+    * spelling placed all of B before A inside each tie block and kept
+    * the NO-tie closed-form moments: on tied data that combination
+    * biases z, because the statistic was no longer exchangeable while
+    * the formulas assumed it.) There is NO corpus-scale sort: each
+    * value-grid cell occupies a contiguous known rank range (from
+    * cumulative grid counts), its TOTAL score mass is the closed-form
+    * arithmetic series [[abScoreRangeSql]], and the per-block average
+    * spreads it — O(|grid|) after a map-combined aggregate. Block masses
+    * and Σs stay BIGINT-exact; the per-block averages are shared-text
+    * doubles on both engines.
     */
   def ansariBradley(events: DataFrame, typeA: String, typeB: String): DataFrame = {
     val grid = events
@@ -1146,42 +1154,29 @@ object Inference {
     val scored = grid
       .withColumn("p", coalesce(sum(col("a") + col("b")).over(below), lit(0L)))
       .crossJoin(grid.agg((sum(col("a")) + sum(col("b"))).as("nn")))
-      .withColumn("lo", col("p") + col("b") + lit(1L))
-      .withColumn("hi", col("p") + col("b") + col("a"))
-      .withColumn(
-        "sa",
-        expr(s"CASE WHEN a > 0 THEN ${abScoreRangeSql("lo", "hi")} ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("cnt", col("a") + col("b"))
+      .withColumn("lo", col("p") + lit(1L))
+      .withColumn("hi", col("p") + col("cnt"))
+      .withColumn("s_blk", expr(abScoreRangeSql("lo", "hi")))
     scored
       .agg(
         sum(col("a")).as("na"),
         sum(col("b")).as("nb"),
         max(col("nn")).as("nn"),
-        sum(col("sa")).as("ab_stat"))
+        sum(col("s_blk")).as("s_tot"),
+        sum(expr("CAST(a AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)")).as("ab_stat"),
+        sum(expr("CAST(s_blk AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)")).as("ss2"))
       .select(
         col("na"), col("nb"), col("ab_stat"),
+        expr("CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)").as("e_ab"),
+        expr("""ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)""")
+          .as("dev_ab"),
         expr(
-          """CASE WHEN nn % 2 = 0
-               THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
-               ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
-             END""").as("e_ab"),
-        expr(
-          """CAST(ab_stat AS DOUBLE) -
-             (CASE WHEN nn % 2 = 0
-               THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
-               ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
-             END)""").cast("double").as("dev_ab"),
-        expr(
-          """(CAST(ab_stat AS DOUBLE) -
-             (CASE WHEN nn % 2 = 0
-               THEN CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
-               ELSE CAST(na AS DOUBLE) * CAST((nn + 1) * (nn + 1) AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
-             END)) /
-             sqrt(CASE WHEN nn % 2 = 0
-               THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
-                    / (48.0 * CAST(nn - 1 AS DOUBLE))
-               ELSE CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nn + 1 AS DOUBLE) * CAST(3 + nn * nn AS DOUBLE)
-                    / (48.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
-             END)""").as("z"))
+          """(ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)) /
+             sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  * (CAST(nn AS DOUBLE) * ss2 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))
+                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))""")
+          .as("z"))
   }
 
   /** Goodman–Kruskal γ, Somers' d_yx, and Kendall τ-a between order

@@ -55,15 +55,19 @@ object RefPipelines {
     val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
     joined
       .withColumn(
-        "lead_days",
-        (col("l_shipdate").cast("long") - col("o_orderdate").cast("long")) / lit(86400))
+        "lead_sec", col("l_shipdate").cast("long") - col("o_orderdate").cast("long"))
+      .withColumn("lead_days", col("lead_sec") / lit(86400))
       .filter(Stages.rangeViolation(col("lead_days"), 1.0, 2000.0))
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-        round(col("lead_days"), 2).as("lead_days"))
+        // the reference's `round(x, 2)` projection, spelled exactly
+        // ([[Stages.halfUpCentiSql]]): round(double, 2) splits engines at
+        // hundredth midpoints — dormant on midnight-aligned fixture dates
+        // (lead_days integral) but a gate flake on any intraday input
+        expr(Stages.halfUpCentiSql("lead_sec", 86400L)).as("lead_days"))
   }
 
   /** Query 3 analog — abnormal-fee detector (`spark_streaming.py:196-239`).
@@ -87,6 +91,14 @@ object RefPipelines {
     orders
       .withColumn("total_cents", expr(Stages.centsSql("o_totalprice")))
       .join(calc, col("o_orderkey") === col("l_orderkey"), "left")
+      // PRESERVED reference semantics (spark_streaming.py:207): the
+      // filter null-checks only the ACTUAL total, so an order whose
+      // recomputed total is entirely missing (childless order here; a
+      // null fee component in the reference) propagates NULL through the
+      // abs() comparison and is dropped, not flagged — the reference
+      // behaves identically when any caculated_* component is null. A
+      // detector that flags missing recomputations would add
+      // `calc_cents IS NULL`; parity keeps the reference's blind spot.
       .filter(abs(col("total_cents") - col("calc_cents")) > 100 || col("o_totalprice").isNull)
       .select(
         col("o_orderkey"),

@@ -102,6 +102,23 @@ object Stages {
   def centsWhenSql(cond: String, valueExpr: String): String =
     s"CASE WHEN $cond THEN ${centsSql(valueExpr)} END"
 
+  /** SQL fragment: `num · 100 / den` rounded HALF_UP (away from zero) to
+    * 2 decimals in EXACT integer arithmetic, returned as double — the
+    * row-wise sibling of [[halfUpAvgDollarsSql]] for `round(a/b, 2)`
+    * projections over integer inputs. Plain `round(x, 2)` on the double
+    * quotient splits engines at hundredth midpoints (Spark rounds the
+    * shortest decimal repr via BigDecimal HALF_UP, DuckDB rounds the
+    * scaled double), and the reference's own `round` IS Spark's — so the
+    * exact spelling is also the parity-faithful value. Sign-aware offset
+    * because `%`/division truncate toward zero (see halfUpAvgDollarsSql).
+    */
+  def halfUpCentiSql(num: String, den: Long): String = {
+    require(den > 0, s"halfUpCentiSql needs a positive denominator, got $den")
+    val n2 = s"(200 * ($num) + (CASE WHEN ($num) >= 0 THEN $den ELSE -$den END))"
+    val d2 = s"(2 * $den)"
+    s"((($n2 - $n2 % $d2) / $d2) / 100.0)"
+  }
+
   /** Cofactor expansion of a 3×3 determinant |a b c; d e f; g h i| over
     * nine SQL sub-expressions. One fixed IEEE expression tree, shared
     * TEXTUALLY between the Spark plan and the DuckDB oracle (the

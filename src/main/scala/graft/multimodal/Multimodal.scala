@@ -138,16 +138,16 @@ object Multimodal {
     */
   def payloadSlices(media: DataFrame, sliceBytes: Int = 64, strideBytes: Int = 128): DataFrame =
     media
-      // an empty payload has ZERO slices. Without this guard the edge
-      // hits the truncate-vs-floor integer-division split: Spark's
-      // (0 - 1) div stride truncates to 0 and sequence(0, 0) would emit
-      // one bogus empty slice whose md5('') fingerprint every empty
-      // payload shares (linking them all in the containment/near-dup
-      // screens), while DuckDB's (0 - 1) // stride floors to -1 and
-      // generate_series emits nothing — the oracles already have the
-      // zero-slice semantics, this makes the engine match on ANY input
-      // (the fixture carries no empty payloads, so fixture hashes are
-      // unchanged)
+      // an empty payload has ZERO slices. Without this guard,
+      // (0 - 1) div stride truncates to 0 and sequence(0, 0) emits one
+      // bogus empty slice whose md5('') fingerprint every empty payload
+      // shares, linking them all in the containment/near-dup screens.
+      // DuckDB's `//` ALSO truncates toward zero (empirically:
+      // (0-1)//128 = 0, generate_series(0, 0) = one row — an earlier
+      // comment here wrongly claimed it floors), so the oracles carry
+      // the same explicit `WHERE length(text) > 0` guard; the fixture
+      // has no empty payloads, so fixture hashes are unchanged either
+      // way.
       .filter(col("byte_len") > 0)
       .selectExpr(
         "doc_id",

@@ -10,19 +10,33 @@ import graft.engine.{Analytics, Inference, Tables}
 class AnsariOrdinalWhiteSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("ansariBradley scores equal the explicit pooled ranking with B-before-A ties") {
+  test("ansariBradley matches the midrank-score linear-rank recomputation under ties") {
     val vs = Tables.events(spark, sfDir)
       .filter("event_type IN ('purchase', 'click')")
       .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS x")
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    // pooled order: by value, click (B) before purchase (A) within ties
-    val pooled = vs.sortBy { case (t, x) => (x, if (t == "click") 0 else 1) }
-    val nn = pooled.length
-    var abStat = 0L
-    for (((t, _), idx) <- pooled.zipWithIndex if t == "purchase") {
-      val r = idx + 1L
-      abStat += math.min(r, nn + 1 - r)
+    val nn = vs.length
+    // midrank scores: min(r, N+1−r) averaged over each tied value block
+    // — every member of a block carries the block's mean score, so the
+    // statistic is exchangeable under ties and the sum-based null
+    // moments are exact (the engine's documented treatment)
+    val byValue = vs.groupBy(_._2).toSeq.sortBy(_._1)
+    var rank = 0L
+    var abStat = 0.0
+    var sTot = 0L
+    var ss2 = 0.0
+    for ((_, block) <- byValue) {
+      val cnt = block.length
+      val blockScore = (1 to cnt).map { i =>
+        val r = rank + i
+        math.min(r, nn + 1 - r)
+      }.sum
+      val aInBlock = block.count(_._1 == "purchase")
+      abStat += aInBlock.toDouble * blockScore / cnt
+      sTot += blockScore
+      ss2 += blockScore.toDouble * blockScore / cnt
+      rank += cnt
     }
     val na = vs.count(_._1 == "purchase").toLong
     val nb = vs.count(_._1 == "click").toLong
@@ -30,15 +44,16 @@ class AnsariOrdinalWhiteSpec extends AnyFunSuite {
       .collect().head
     assert(row.getAs[Long]("na") == na)
     assert(row.getAs[Long]("nb") == nb)
-    assert(row.getAs[Long]("ab_stat") == abStat)
-    val eAb =
-      if (nn % 2 == 0) na.toDouble * (nn + 2) / 4.0
-      else na.toDouble * (nn + 1).toDouble * (nn + 1) / (4.0 * nn)
-    assert(math.abs(row.getAs[Double]("e_ab") - eAb) < 1e-9)
-    val varAb =
-      if (nn % 2 == 0) na.toDouble * nb * (nn + 2) * (nn - 2) / (48.0 * (nn - 1))
-      else na.toDouble * nb * (nn + 1) * (3.0 + nn.toDouble * nn) / (48.0 * nn.toDouble * nn)
+    assert(math.abs(row.getAs[Double]("ab_stat") - abStat) < 1e-6)
+    val eAb = na.toDouble * sTot / nn
+    assert(math.abs(row.getAs[Double]("e_ab") - eAb) < 1e-6)
+    val varAb = na.toDouble * nb * (nn * ss2 - sTot.toDouble * sTot) /
+      (nn.toDouble * nn * (nn - 1.0))
     assert(math.abs(row.getAs[Double]("z") - (abStat - eAb) / math.sqrt(varAb)) < 1e-9)
+    // the fixture must actually tie across groups, or this proves nothing
+    assert(byValue.exists { case (_, b) =>
+      b.exists(_._1 == "purchase") && b.exists(_._1 == "click")
+    }, "fixture must exercise cross-group tie blocks")
   }
 
   test("ordinalAssociation pair counts equal brute force on the cell grid") {

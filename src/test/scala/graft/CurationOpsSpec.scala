@@ -456,6 +456,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("payloadSlices and payloadEntropy agree on the empty payload (zero slices; (0,0,NULL) row)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.mediaTable(docs)
+    val slices = graft.multimodal.Multimodal.payloadSlices(media, 64, 128).collect()
+    // doc 2 must emit ZERO slices — one bogus md5('') slice would link
+    // every empty payload as a near-dup pair (the oracles guard the same
+    // edge with WHERE length(text) > 0)
+    assert(slices.map(_.getAs[Long]("doc_id")).toSet == Set(1L), slices.mkString(","))
+    val ent = graft.multimodal.Multimodal.payloadEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("n_distinct"),
+          Option(r.getAs[java.lang.Double]("bits_per_byte")))).toMap
+    // the empty payload keeps its ROW (the kernel's documented contract;
+    // the oracle's LEFT JOIN spelling mirrors it) with NULL entropy
+    assert(ent(2L) == ((0L, 0L, None)), ent.toString)
+    assert(ent(1L)._1 == 3L && ent(1L)._3.isDefined)
+  }
+
   test("sliceNearDup pairs match a direct slice-set recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val media = graft.multimodal.Multimodal.mediaTable(docs)

@@ -67,7 +67,10 @@ class PolishHampelGrubbsSpec extends AnyFunSuite {
     val ds = dailyCents()
     val n = ds.length
     val mean = ds.map(_._2).sum.toDouble / n
-    val sigma = math.sqrt(ds.map(x => x._2.toDouble * x._2).sum / n - mean * mean)
+    // SAMPLE standard deviation (n−1), the denominator Grubbs' G is
+    // defined with — the published critical values assume it
+    val sigma = math.sqrt(
+      (ds.map(x => x._2.toDouble * x._2).sum / n - mean * mean) * n / (n - 1.0))
     val (dTop, yTop) = ds.minBy { case (d, y) => (-math.abs(y - mean), d) }
     val row = Analytics.grubbsOutlier(Tables.events(spark, sfDir)).collect().head
     assert(row.getAs[Long]("n_days") == n.toLong)
