@@ -1216,16 +1216,16 @@ object SparkEntry {
     */
   private def duckAcfSuffCtes(maxLag: Int): String = {
     val wide = (1 to maxLag)
-      .map(k => s"CAST(coalesce(sum(CASE WHEN lag = $k THEN num END), 0) AS BIGINT) AS num$k")
+      .map(k => s"CAST(coalesce(sum(CASE WHEN lag = $k THEN num END), 0) AS DECIMAL(38,0)) AS num$k")
       .mkString(", ")
     s"""daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
                   FROM events GROUP BY 1),
         tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily),
         dm AS (SELECT d, n, n * y - s AS e FROM daily, tot),
-        den AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(e * e) AS BIGINT) AS see FROM dm),
+        den AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(CAST(e AS HUGEINT) * e) AS DECIMAL(38,0)) AS see FROM dm),
         lags AS (SELECT CAST(unnest(generate_series(1, $maxLag)) AS BIGINT) AS lag),
-        p AS (SELECT lag, CAST(sum(a.e * b.e) AS BIGINT) AS num
+        p AS (SELECT lag, CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS HUGEINT) AS num
               FROM dm a, lags, dm b WHERE a.d + lag = b.d GROUP BY 1),
         w AS (SELECT $wide FROM p),
         ss AS (SELECT den.n, den.see, w.* FROM den, w)"""
@@ -2621,11 +2621,12 @@ object SparkEntry {
                            count(*) AS x
                     FROM events GROUP BY 1, 2),
          s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(x) AS BIGINT) AS n_events,
-                      CAST(sum(x * x) AS BIGINT) AS sxx
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
                FROM h GROUP BY event_type)
          SELECT event_type, n_hours, n_events,
-                CAST(n_hours * sxx - n_events * n_events AS DOUBLE)
-                  / CAST(n_hours * n_events AS DOUBLE) AS fano
+                CAST(CAST(n_hours AS HUGEINT) * sxx
+                     - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)
+                  / CAST(CAST(n_hours AS HUGEINT) * n_events AS DOUBLE) AS fano
          FROM s ORDER BY event_type""",
     "q_vocab_growth" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -2663,8 +2664,10 @@ object SparkEntry {
          GROUP BY day ORDER BY day""",
     "q_journey" ->
       """WITH j AS (SELECT user_id,
-                           arg_min(event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 10000000 + event_id) AS first_type,
-                           arg_max(event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 * 10000000 + event_id) AS last_type
+                           arg_min(event_type, concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR), 12, '0'),
+                                                      lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS first_type,
+                           arg_max(event_type, concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR), 12, '0'),
+                                                      lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS last_type
                     FROM events GROUP BY user_id)
          SELECT first_type, last_type, count(*) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY first_type, last_type""",
@@ -3000,9 +3003,11 @@ object SparkEntry {
       """WITH hu AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch, user_id
                      FROM events),
          wu AS (SELECT DISTINCT unnest(generate_series(hour_epoch, hour_epoch + 2)) AS win_end_hour, user_id
-                FROM hu)
+                FROM hu),
+         mx AS (SELECT max(hour_epoch) AS max_hour FROM hu)
          SELECT win_end_hour, count(*) AS n_users
-         FROM wu GROUP BY win_end_hour ORDER BY win_end_hour""",
+         FROM wu, mx WHERE win_end_hour <= max_hour
+         GROUP BY win_end_hour ORDER BY win_end_hour""",
     "q_interleave" ->
       """WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
                     FROM (SELECT DISTINCT source FROM documents)),
@@ -3982,11 +3987,11 @@ object SparkEntry {
                       count(*) AS cnt
                FROM events GROUP BY 1),
          l AS (SELECT unnest(generate_series(0, 3)) AS lag),
-         p AS (SELECT l.lag AS lag, a.cents AS x, b.cnt AS y
+         p AS (SELECT l.lag AS lag, a.cnt AS x, b.cents AS y
                FROM h a CROSS JOIN l JOIN h b ON b.hour = a.hour + l.lag),
          m AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                      CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-                      CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+                      CAST(sum(y) AS BIGINT) AS sy, CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
                FROM p GROUP BY lag)
          SELECT lag, n AS n_pairs, $stats
          FROM m ORDER BY lag"""
@@ -4023,7 +4028,7 @@ object SparkEntry {
          w AS (SELECT hour, cents,
                       count(*) OVER fr AS n_win,
                       CAST(sum(cents) OVER fr AS BIGINT) AS s_win,
-                      CAST(sum(cents * cents) OVER fr AS BIGINT) AS ss_win
+                      CAST(sum(CAST(cents AS HUGEINT) * cents) OVER fr AS HUGEINT) AS ss_win
                FROM h WINDOW fr AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
          SELECT hour, cents, n_win,
                 CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE) AS ma,
@@ -4699,16 +4704,21 @@ object SparkEntry {
                FROM g),
          s AS (SELECT CAST(sum(a) AS BIGINT) AS na,
                       CAST(sum(t - a) AS BIGINT) AS nb,
-                      CAST(sum(a * (2 * c + t + 1)) AS BIGINT) AS two_ra,
-                      CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+                      CAST(sum(CAST(a AS HUGEINT) * (2 * c + t + 1)) AS HUGEINT) AS two_ra,
+                      CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
                FROM r),
-         u AS (SELECT na, nb, two_ra - na * (na + 1) AS two_u_a, tie3 FROM s)
-         SELECT na, nb, two_u_a,
-                CAST(two_u_a - na * nb AS DOUBLE) /
+         u AS (SELECT na, nb,
+                      CAST(two_ra - CAST(na AS HUGEINT) * (na + 1) AS DECIMAL(38,0)) AS two_u_a,
+                      tie3 FROM s)
+         SELECT na, nb, CAST(two_u_a AS DOUBLE) AS two_u_a,
+                CASE WHEN na = 0 OR nb = 0 OR
+                     tie3 = CAST(na + nb AS HUGEINT) * (na + nb - 1) * (na + nb + 1)
+                THEN NULL
+                ELSE CAST(two_u_a - CAST(na AS HUGEINT) * nb AS DOUBLE) /
                 (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
                             (CAST(na + nb + 1 AS DOUBLE) -
                              CAST(tie3 AS DOUBLE) /
-                             (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))) AS z
+                             (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))) END AS z
          FROM u ORDER BY na""",
     "q_mood_median" ->
       s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
@@ -4905,11 +4915,11 @@ object SparkEntry {
                  FROM events GROUP BY 1),
          pre AS (SELECT d,
                         CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
-                        CAST(sum(x * x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ql,
+                        CAST(sum(CAST(x AS HUGEINT) * x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS ql,
                         CAST(sum(1) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl
                  FROM daily),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
-                        CAST(sum(x * x) AS BIGINT) AS q
+                        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
                  FROM daily),
          cand AS (SELECT epoch_us(CAST(d AS TIMESTAMP)) // 1000000 // 86400 AS split_day,
                          nl AS n_left, n - nl AS n_right,
@@ -5482,11 +5492,11 @@ object SparkEntry {
                 FROM events WHERE event_type = 'click' GROUP BY 1),
          tb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM pb),
          eb AS (SELECT d, n * y - s AS e FROM pb, tb),
-         saa AS (SELECT CAST(sum(e * e) AS BIGINT) AS saa FROM ea),
-         sbb AS (SELECT CAST(sum(e * e) AS BIGINT) AS sbb FROM eb),
+         saa AS (SELECT CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS saa FROM ea),
+         sbb AS (SELECT CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS sbb FROM eb),
          lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT) AS lag),
          p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-                      CAST(sum(a.e * b.e) AS BIGINT) AS sab
+                      CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS HUGEINT) AS sab
                FROM ea a, lags, eb b
                WHERE a.d + lag = b.d GROUP BY 1)
          SELECT lag, n_pairs,
@@ -5594,7 +5604,7 @@ object SparkEntry {
          agg AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
                         greatest(CAST(max(z) AS BIGINT), CAST(0 AS BIGINT))
                           - least(CAST(min(z) AS BIGINT), CAST(0 AS BIGINT)) AS r_scaled,
-                        CAST(sum(y * y) AS BIGINT) AS sxx,
+                        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sxx,
                         CAST(max(t) AS BIGINT) AS sx
                  FROM z)
          SELECT n_days, r_scaled,
@@ -5654,8 +5664,9 @@ object SparkEntry {
                      FROM events GROUP BY 1),
           m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
                        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-                       CAST(sum(x * y) AS BIGINT) AS sxy
+                       CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                       CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                       CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
                 FROM d)
           SELECT n_days, $slope AS slope,
                  CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
@@ -6103,7 +6114,7 @@ object SparkEntry {
                       FROM events GROUP BY 1),
           m AS (SELECT $ss,
                        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
-                       CAST(sum(y * y) AS BIGINT) AS syy
+                       CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
                 FROM d0)
           SELECT n AS n_days, $aTxt AS a_re, $bTxt AS b_im,
                  ($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE) AS power7,
@@ -7313,7 +7324,9 @@ object SparkEntry {
          FROM batch b ORDER BY doc_id""",
     "q_pacf" ->
       s"""WITH ${duckAcfSuffCtes(3)}
-         SELECT n AS n_days, see, num1, num2, num3,
+         SELECT n AS n_days, CAST(see AS DOUBLE) AS see,
+                CAST(num1 AS DOUBLE) AS num1, CAST(num2 AS DOUBLE) AS num2,
+                CAST(num3 AS DOUBLE) AS num3,
                 ${Analytics.rSql(1)} AS pacf1,
                 ${Analytics.pacf2Sql} AS pacf2,
                 ${Analytics.pacf3Sql} AS pacf3
@@ -7321,7 +7334,7 @@ object SparkEntry {
     "q_ljung_box" ->
       s"""WITH ${duckAcfSuffCtes(7)},
          ss2 AS (SELECT n AS n_days, see, num1, num2, num3, num4, num5, num6, num7 FROM ss)
-         SELECT n_days, see, ${Analytics.ljungBoxSql(7)} AS q_lb
+         SELECT n_days, CAST(see AS DOUBLE) AS see, ${Analytics.ljungBoxSql(7)} AS q_lb
          FROM ss2 ORDER BY n_days""",
     "q_acf" ->
       """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
@@ -7329,10 +7342,10 @@ object SparkEntry {
                         FROM events GROUP BY 1),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily),
          dm AS (SELECT d, n * y - s AS e FROM daily, tot),
-         den AS (SELECT CAST(sum(e * e) AS BIGINT) AS see FROM dm),
+         den AS (SELECT CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS see FROM dm),
          lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
          p AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-                      CAST(sum(a.e * b.e) AS BIGINT) AS num
+                      CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS HUGEINT) AS num
                FROM dm a, lags, dm b
                WHERE a.d + lag = b.d GROUP BY 1)
          SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(see AS DOUBLE) AS acf
@@ -7429,14 +7442,15 @@ object SparkEntry {
          s AS (SELECT h - h0 AS x, cents AS y FROM hourly, i),
          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
-                      CAST(sum(y * y) AS BIGINT) AS syy
+                      CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                      CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
                FROM s),
          r AS (SELECT x, CAST(round(${Stages.residualSql}) AS BIGINT) AS e FROM s, m),
          l AS (SELECT e, lag(e, 1) OVER (ORDER BY x) AS e_prev FROM r)
          SELECT CAST(count(*) AS BIGINT) AS n_hours,
-                CAST(sum(CASE WHEN e_prev IS NOT NULL THEN (e - e_prev) * (e - e_prev) ELSE 0 END) AS DOUBLE)
-                / CAST(sum(e * e) AS DOUBLE) AS dw
+                CAST(sum(CASE WHEN e_prev IS NOT NULL THEN CAST(e - e_prev AS HUGEINT) * (e - e_prev) ELSE CAST(0 AS HUGEINT) END) AS DOUBLE)
+                / CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE) AS dw
          FROM l""",
     "q_cooks" -> {
       val (nD, sxD, syD, sxyD, sxxD, syyD) =
@@ -8423,7 +8437,7 @@ object SparkEntry {
                        CAST(sum(cnt * (2 * c + t + 1)) AS BIGINT) AS s
                 FROM gx JOIN tx USING (x) GROUP BY 1),
          ties AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
-                         CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM tx),
+                         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3 FROM tx),
          agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
                         CAST(sum(${Inference.rayleighQSql("n", "s")}) AS BIGINT) AS r2q
                  FROM pg)

@@ -256,14 +256,18 @@ object Analytics {
         .as("third_value"))
   }
 
-  /** Native `session_window` sessionization — the same sessions as
-    * [[sessionizeBatch]] but via Spark's first-class session-window
-    * operator (one shuffle on the grouping key; runs identically under
-    * Structured Streaming with a watermark, which is the point of using
-    * the native operator over the gaps-and-islands spelling). Session end
-    * is last-event-time + gap, per the operator's contract; a session
-    * closes only when the NEXT event is ≥ gap away (the window
-    * half-open-ness makes an exactly-gap-apart event a new session).
+  /** Native `session_window` sessionization via Spark's first-class
+    * session-window operator (one shuffle on the grouping key; runs
+    * identically under Structured Streaming with a watermark, which is
+    * the point of using the native operator over the gaps-and-islands
+    * spelling). Session end is last-event-time + gap, per the operator's
+    * contract. BOUNDARY DIVERGENCE from [[sessionizeBatch]] (and the
+    * streaming [[graft.streaming.Stateful.sessionize]]): those treat an
+    * exactly-gap-apart event as the SAME session (strict `>` split),
+    * while the native window's half-open interval starts a NEW one — on
+    * any other input the two produce identical sessions, but they are
+    * not interchangeable on gap-aligned timestamps (each query's oracle
+    * mirrors its own spelling).
     */
   def sessionWindowStats(events: DataFrame, gapMinutes: Int): DataFrame =
     events
@@ -564,13 +568,18 @@ object Analytics {
             .map { case (name, sql) => expr(sql).as(name) }: _*)
   }
 
-  /** Lagged cross-correlation between the hourly revenue series and the
-    * hourly event-count series: does activity volume LEAD spend? The
+  /** Lagged cross-correlation between the hourly event-count series and
+    * the hourly revenue series: does activity volume LEAD spend? The
     * corpus collapses to |hours| rows first; each lag 0..maxLag pairs
-    * hour t revenue with hour t+lag counts via an arithmetic equi-join
-    * (`b.hour = a.hour + lag`), and the correlation comes from exact
-    * integer sufficient statistics through [[Stages.momentStatsSql]]'s
-    * shared closed form. Everything past the first aggregate is
+    * hour t COUNTS (x) with hour t+lag REVENUE (y) via an arithmetic
+    * equi-join (`b.hour = a.hour + lag`) — x must be the EARLIER series
+    * for the lag to read as "activity leads spend by `lag` hours" (an
+    * earlier spelling paired revenue-at-t with counts-at-t+lag,
+    * answering the inverted question) — and the correlation comes from
+    * exact integer sufficient statistics through
+    * [[Stages.momentStatsSql]]'s shared closed form. The cents products
+    * widen to DECIMAL(38,0) (oracle: HUGEINT) — hourly cents square past
+    * BIGINT on realistic volumes. Everything past the first aggregate is
     * |hours|·(maxLag+1)-sized.
     */
   def crossCorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
@@ -589,11 +598,11 @@ object Analytics {
       .groupBy(col("lag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("a.cents")).as("sx"),
-        sum(col("b.cnt")).as("sy"),
-        sum(col("a.cents") * col("b.cnt")).as("sxy"),
-        sum(col("a.cents") * col("a.cents")).as("sxx"),
-        sum(col("b.cnt") * col("b.cnt")).as("syy"))
+        sum(col("a.cnt")).as("sx"),
+        sum(col("b.cents")).as("sy"),
+        sum(expr("CAST(a.cnt AS DECIMAL(38,0)) * b.cents")).as("sxy"),
+        sum(expr("CAST(a.cnt AS DECIMAL(38,0)) * a.cnt")).as("sxx"),
+        sum(expr("CAST(b.cents AS DECIMAL(38,0)) * b.cents")).as("syy"))
       .select(
         Seq(col("lag"), col("n").as("n_pairs")) ++
           Stages.momentStatsSql
@@ -601,8 +610,11 @@ object Analytics {
             .map { case (name, sql) => expr(sql).as(name) }: _*)
   }
 
-  /** Bollinger bands over the hourly revenue series: trailing-24h mean
-    * and population σ derived from integer sufficient statistics (sum,
+  /** Bollinger bands over the hourly revenue series: mean and
+    * population σ over the trailing `span` OBSERVED hourly bars (the
+    * standard N-period Bollinger definition — see the frame note in the
+    * body for how that differs from a calendar-24h range on gappy
+    * series), derived from integer sufficient statistics (sum,
     * sum-of-squares over the frame) through the same /n-first closed
     * form as [[Stages.momentStatsSql]] — no built-in `stddev` (its
     * accumulation order is engine-specific). The corpus collapses to
@@ -614,11 +626,19 @@ object Analytics {
     val hourly = events
       .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
       .agg(sum(expr(Stages.centsSql("value"))).as("cents"))
+    // ROWS frame = trailing `span` OBSERVED hourly bars, the standard
+    // Bollinger definition (N periods of the bar series) — NOT a
+    // calendar-24h range: an hour with zero events produces no bar, so
+    // after a quiet gap the frame reaches further back in clock time.
+    // Callers wanting calendar semantics should densify the hour grid
+    // first (the rollingSums rangeBetween treatment).
     val w = Window.orderBy(col("hour")).rowsBetween(-(span - 1), 0)
     hourly
       .withColumn("n_win", count(lit(1)).over(w))
       .withColumn("s_win", sum(col("cents")).over(w))
-      .withColumn("ss_win", sum(col("cents") * col("cents")).over(w))
+      // DECIMAL(38,0) — 24 squared hourly-cents terms wrap BIGINT on
+      // realistic volumes (oracle twin: HUGEINT)
+      .withColumn("ss_win", sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(w))
       .select(
         col("hour"), col("cents"), col("n_win"),
         expr("CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE)").as("ma"),
@@ -770,8 +790,10 @@ object Analytics {
         col("cnt").isNull.cast("long").as("was_gap"))
   }
 
-  /** Rolling median (and p90) of the hourly count over a trailing-24h
-    * frame — the robust Bollinger alternative: exact interpolated
+  /** Rolling median (and p90) of the hourly count over the trailing
+    * `span` OBSERVED hourly bars (ROWS frame — see [[bollingerBands]]
+    * for the gappy-series caveat) — the robust Bollinger alternative:
+    * exact interpolated
     * percentile evaluated AS a window aggregate, over the
     * pre-aggregated |hours| series only. Outlier hours barely move it,
     * unlike the mean band.
@@ -1293,11 +1315,14 @@ object Analytics {
           .as("v_ma3"))
   }
 
-  /** Error-rate ratio monitor: each hour's error share against its
-    * trailing-24h share, as one fixed-order expression over four integer
-    * window sums (`e·N / (n·E)` spelled in doubles) — rate-of-rates
-    * without any intermediate rounding. Windows run over the
-    * pre-aggregated hourly table.
+  /** Error-rate ratio monitor: each hour's error share against the
+    * share over its trailing 24 OBSERVED hourly bars (a ROWS frame —
+    * zero-event hours produce no bar, so on gappy series the frame
+    * reaches further back in clock time; densify the hour grid first
+    * for calendar semantics), as one fixed-order expression over four
+    * integer window sums (`e·N / (n·E)` spelled in doubles) —
+    * rate-of-rates without any intermediate rounding. Windows run over
+    * the pre-aggregated hourly table.
     */
   def errorRateMonitor(events: DataFrame): DataFrame = {
     val hourly = events
@@ -1570,16 +1595,26 @@ object Analytics {
     * approximate-at-scale variant swaps stage 2 for per-window HLL
     * merges ([[Relational.approxDistinctCheck]] pins that sketch).
     */
-  def slidingDistinctUsers(events: DataFrame, windowHours: Int = 3): DataFrame =
-    events
+  def slidingDistinctUsers(events: DataFrame, windowHours: Int = 3): DataFrame = {
+    val pairs = events
       .select(expr("CAST(ts AS LONG) div 3600").as("hour_epoch"), col("user_id"))
       .distinct()
+    // clip to the OBSERVED hour range: the window-replication explode
+    // manufactures win_end_hours max_hour+1 .. max_hour+windowHours−1
+    // past the data's end — never-observed windows whose decaying counts
+    // read as a spurious activity cliff closing every report (the
+    // growthAccounting phantom-week defect class). Broadcast 1-row max.
+    val maxHour = pairs.agg(max(col("hour_epoch")).as("max_hour"))
+    pairs
       .selectExpr(
         s"explode(sequence(hour_epoch, hour_epoch + ${windowHours - 1})) AS win_end_hour",
         "user_id")
       .distinct()
+      .crossJoin(broadcast(maxHour))
+      .filter(col("win_end_hour") <= col("max_hour"))
       .groupBy(col("win_end_hour"))
       .agg(count(lit(1)).as("n_users"))
+  }
 
   /** Pairwise co-occurrence support — the frequent-itemset (k=2) pass of
     * basket mining: which event types appear together for the same user.
@@ -1783,8 +1818,10 @@ object Analytics {
     * process, >1 for bursty traffic. Computed from exact integer sums
     * over the per-(type, hour) counts — F = (n·Σx² − (Σx)²) / (n·Σx) —
     * so the one closing division is engine-identical. Two map-combined
-    * aggregations; the n·Σx² product stays under 2⁶³ while hours ×
-    * counts² fit 31 bits each (far beyond any realistic hourly series).
+    * aggregations. The centred-moment products widen to DECIMAL(38,0)
+    * (oracle twin: HUGEINT): an earlier BIGINT spelling claimed n·Σx²
+    * stays under 2⁶³, but 1e5 hours at 1e6 events/hour puts it near
+    * 1e22, and n_events² alone wraps past ~3e9 total events.
     */
   def fanoBurstiness(events: DataFrame): DataFrame =
     events
@@ -1794,11 +1831,12 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_hours"),
         sum(col("x")).as("n_events"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
       .select(
         col("event_type"), col("n_hours"), col("n_events"),
-        expr("""CAST(n_hours * sxx - n_events * n_events AS DOUBLE)
-                / CAST(n_hours * n_events AS DOUBLE)""").as("fano"))
+        expr("""CAST(CAST(n_hours AS DECIMAL(38,0)) * sxx
+                     - CAST(n_events AS DECIMAL(38,0)) * n_events AS DOUBLE)
+                / CAST(CAST(n_hours AS DECIMAL(38,0)) * n_events AS DOUBLE)""").as("fano"))
 
   /** Per-type Gini coefficient of user spend — the inequality statistic
     * behind "do whales dominate this event type": G = (2·Σᵢ i·xᵢ −
@@ -1861,13 +1899,18 @@ object Analytics {
   /** User-journey matrix: users bucketed by (first event type → last
     * event type), the entry/exit flow table behind Sankey funnels. One
     * `min_by`/`max_by` aggregate per user (map-combined), then a
-    * |types|²-bounded count. The ordering key is the scalar
-    * `epoch_seconds·10⁷ + event_id` (same-second ties break on the
-    * unique id; assumes event_id < 10⁷ — an engine-portable composite,
-    * since not every engine's arg_min accepts a struct key).
+    * |types|²-bounded count. The ordering key is the [[motifCensus]]
+    * zero-padded `(seconds, event_id)` string — an engine-portable
+    * composite (not every engine's arg_min accepts a struct key) with
+    * NO id-range assumption: the earlier `seconds·10⁷ + event_id`
+    * scalar silently mis-ordered once event_id reached 10⁷ (a 50-second
+    * aliasing that survives every oracle because both engines shared
+    * the text), which a 100× fixture plausibly exceeds.
     */
   def journeyMatrix(events: DataFrame): DataFrame = {
-    val ordKey = expr("CAST(ts AS LONG) * 10000000 + event_id")
+    val ordKey = expr(
+      """concat(lpad(CAST(CAST(ts AS LONG) AS STRING), 12, '0'),
+                lpad(CAST(event_id AS STRING), 12, '0'))""")
     events
       .groupBy(col("user_id"))
       .agg(
@@ -2141,19 +2184,33 @@ object Analytics {
       .agg(
         sum(col("a")).as("na"),
         sum(col("t") - col("a")).as("nb"),
-        sum(col("a") * (lit(2L) * col("c") + col("t") + lit(1L))).as("two_ra"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        // DECIMAL(38,0) (oracle: HUGEINT): a·2c reaches 2N² and Σt³−t
+        // reaches N³ — the cubic wraps BIGINT at a mere ~2e6 rows when
+        // one value dominates
+        sum(expr("CAST(a AS DECIMAL(38,0)) * (2 * c + t + 1)")).as("two_ra"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie3"))
       .select(
         col("na"), col("nb"),
-        (col("two_ra") - col("na") * (col("na") + lit(1L))).as("two_u_a"),
+        expr("two_ra - CAST(na AS DECIMAL(38,0)) * (na + 1)").as("two_u_a"),
         col("tie3"))
       .select(
-        col("na"), col("nb"), col("two_u_a"),
-        expr("""CAST(two_u_a - na * nb AS DOUBLE) /
+        // two_u_a reports as an exact-from-integer double (see [[pacf]]
+        // for the wide-integer output-type rationale)
+        col("na"), col("nb"), expr("CAST(two_u_a AS DOUBLE)").as("two_u_a"),
+        // NULL, not 0/0, on the degenerate inputs the closed form cannot
+        // studentize: an empty group, or ALL values tied (tie3 = N³−N
+        // zeroes the variance — Spark ANSI would throw DIVIDE_BY_ZERO
+        // where DuckDB yields NaN, so the guard is also what keeps the
+        // two engines aligned). The file's CASE-guard convention
+        // (rollingCorrSql, cochranQSql).
+        expr("""CASE WHEN na = 0 OR nb = 0 OR
+                     tie3 = CAST(na + nb AS DECIMAL(38,0)) * (na + nb - 1) * (na + nb + 1)
+                THEN NULL
+                ELSE CAST(two_u_a - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE) /
                 (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
                             (CAST(na + nb + 1 AS DOUBLE) -
                              CAST(tie3 AS DOUBLE) /
-                             (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))""")
+                             (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))) END""")
           .as("z"))
   }
 
@@ -2362,13 +2419,18 @@ object Analytics {
       .partitionBy(lit(1))
       .orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Σx² prefix sums widen to DECIMAL(38,0): one 1e9-cent day squares
+    // to ~2^60, so a thousand-day prefix sum wraps BIGINT — the earlier
+    // comment's headroom claim bounded one TERM, not the sum (oracle
+    // twin: HUGEINT)
     val pre = daily.select(
       col("d"),
       sum(col("x")).over(w).as("sl"),
-      sum(col("x") * col("x")).over(w).as("ql"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w).as("ql"),
       sum(lit(1L)).over(w).as("nl"))
     val tot = daily.agg(
-      count(lit(1)).as("n"), sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
     pre
       .crossJoin(broadcast(tot))
       .filter(col("nl") < col("n"))
@@ -3666,9 +3728,12 @@ object Analytics {
       .withColumn("e_prev", lag(col("e"), 1).over(lagW))
       .agg(
         count(lit(1)).as("n_hours"),
-        sum(col("e") * col("e")).as("see"),
-        sum(when(col("e_prev").isNotNull,
-          (col("e") - col("e_prev")) * (col("e") - col("e_prev"))).otherwise(lit(0L)))
+        // DECIMAL(38,0) — squared cents-scale residuals wrap BIGINT at
+        // scale (oracle twin: HUGEINT)
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("see"),
+        sum(expr("""CASE WHEN e_prev IS NOT NULL
+              THEN CAST(e - e_prev AS DECIMAL(38,0)) * (e - e_prev)
+              ELSE CAST(0 AS DECIMAL(38,0)) END"""))
           .as("sdd"))
       .select(
         col("n_hours"),
@@ -3727,7 +3792,10 @@ object Analytics {
     val dm = daily
       .crossJoin(broadcast(tot))
       .select(col("d"), (col("n") * col("y") - col("s")).as("e"))
-    val den = dm.agg(sum(col("e") * col("e")).as("see"))
+    // e = n·y − Σy amplifies by n, so e² carries an n² factor: a year of
+    // 1e9-cent days puts Σe² near 2^66 — the products widen to
+    // DECIMAL(38,0) (oracle twin: HUGEINT), BIGINT keeps only e itself
+    val den = dm.agg(sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("see"))
     val lags = dm.sparkSession
       .range(1, maxLag + 1)
       .select(col("id").as("lag"))
@@ -3737,7 +3805,7 @@ object Analytics {
         broadcast(dm.select(col("d").as("d2"), col("e").as("e2"))),
         col("a.d") + col("lag") === col("d2"))
       .groupBy(col("lag"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("a.e") * col("e2")).as("num"))
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("CAST(e AS DECIMAL(38,0)) * e2")).as("num"))
       .crossJoin(broadcast(den))
       .select(
         col("lag"), col("n_pairs"),
@@ -3760,7 +3828,11 @@ object Analytics {
     val dm = daily
       .crossJoin(broadcast(tot))
       .select(col("d"), col("n"), (col("n") * col("y") - col("s")).as("e"))
-    val den = dm.agg(max(col("n")).as("n"), sum(col("e") * col("e")).as("see"))
+    // DECIMAL(38,0) products — see [[acfLadder]]: the n-scaled residual
+    // squares carry an n² factor that wraps BIGINT at one year of
+    // realistic daily revenue (oracle twin: HUGEINT)
+    val den = dm.agg(
+      max(col("n")).as("n"), sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("see"))
     val lags = dm.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
     val nums = dm.as("a")
       .crossJoin(broadcast(lags))
@@ -3768,9 +3840,9 @@ object Analytics {
         broadcast(dm.select(col("d").as("d2"), col("e").as("e2"))),
         col("a.d") + col("lag") === col("d2"))
       .groupBy(col("lag"))
-      .agg(sum(col("a.e") * col("e2")).as("num"))
+      .agg(sum(expr("CAST(e AS DECIMAL(38,0)) * e2")).as("num"))
     val wide = (1 to maxLag).map(k =>
-      coalesce(sum(when(col("lag") === k.toLong, col("num"))), lit(0L))
+      coalesce(sum(when(col("lag") === k.toLong, col("num"))), expr("CAST(0 AS DECIMAL(38,0))"))
         .as(s"num$k"))
     den.crossJoin(broadcast(nums.agg(wide.head, wide.tail: _*)))
   }
@@ -3785,8 +3857,14 @@ object Analytics {
   def pacf(events: DataFrame): DataFrame =
     acfSuffStats(events, 3)
       .select(
-        col("n").as("n_days"), col("see"),
-        col("num1"), col("num2"), col("num3"),
+        // the wide integer stats REPORT as exact-from-integer doubles:
+        // the internal DECIMAL(38,0) keeps the arithmetic exact, but as
+        // an output type it has no cross-engine pandas rendering (DuckDB
+        // maps >18-digit DECIMAL/HUGEINT to float64 anyway)
+        col("n").as("n_days"), expr("CAST(see AS DOUBLE)").as("see"),
+        expr("CAST(num1 AS DOUBLE)").as("num1"),
+        expr("CAST(num2 AS DOUBLE)").as("num2"),
+        expr("CAST(num3 AS DOUBLE)").as("num3"),
         expr(s"${rSql(1)}").as("pacf1"),
         expr(pacf2Sql).as("pacf2"),
         expr(pacf3Sql).as("pacf3"))
@@ -3827,7 +3905,8 @@ object Analytics {
     acfSuffStats(events, maxLag)
       .withColumnRenamed("n", "n_days")
       .select(
-        col("n_days"), col("see"),
+        // see reports as an exact-from-integer double (see [[pacf]])
+        col("n_days"), expr("CAST(see AS DOUBLE)").as("see"),
         expr(ljungBoxSql(maxLag)).as("q_lb"))
 
   /** Holt linear-trend exponential smoothing of daily revenue with
@@ -4295,8 +4374,10 @@ object Analytics {
     }
     val a = series("purchase")
     val b = series("click")
-    val da = a.agg(sum(col("e") * col("e")).as("saa"))
-    val db = b.agg(sum(col("e") * col("e")).as("sbb"))
+    // DECIMAL(38,0) products — the n-scaled residuals square with an n²
+    // factor (see [[acfLadder]]); oracle twin widens to HUGEINT
+    val da = a.agg(sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("saa"))
+    val db = b.agg(sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("sbb"))
     val lags = events.sparkSession
       .range(-maxLag, maxLag + 1)
       .select(col("id").as("lag"))
@@ -4305,7 +4386,7 @@ object Analytics {
         broadcast(b.select(col("d").as("d2"), col("e").as("e2"))),
         col("d") + col("lag") === col("d2"))
       .groupBy(col("lag"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("e") * col("e2")).as("sab"))
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("CAST(e AS DECIMAL(38,0)) * e2")).as("sab"))
       .crossJoin(broadcast(da))
       .crossJoin(broadcast(db))
       .select(
@@ -4379,7 +4460,9 @@ object Analytics {
       .agg(
         max(col("n")).as("n_days"),
         expr("greatest(max(z), CAST(0 AS BIGINT)) - least(min(z), CAST(0 AS BIGINT))").as("r_scaled"),
-        sum(col("y") * col("y")).as("sxx"),
+        // DECIMAL(38,0) — Σ(daily cents)² wraps BIGINT at a thousand
+        // 1e9-cent days (oracle twin: HUGEINT)
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sxx"),
         max(col("t")).as("sx"))
       .select(
         col("n_days"),
@@ -4507,9 +4590,11 @@ object Analytics {
         count(lit(1)).cast("long").as("n_days"),
         sum(col("x")).as("sx"),
         sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        // DECIMAL(38,0) products — Σ(daily cents)² wraps BIGINT at scale
+        // (oracle twin: HUGEINT)
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
       .select(
         col("n_days"),
         expr(demingSlopeSql).as("slope"),
@@ -4699,7 +4784,9 @@ object Analytics {
     val moments = daily.agg(
       count(lit(1)).cast("long").as("n_days"),
       sum(col("y")).as("sx"),
-      sum(col("y") * col("y")).as("sxx"))
+      // DECIMAL(38,0) — Σ(daily cents)² wraps BIGINT at scale (oracle
+      // twin: HUGEINT)
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sxx"))
     val dev = daily
       .crossJoin(moments)
       .withColumn(
@@ -5062,7 +5149,9 @@ object Analytics {
         Seq(
           count(lit(1)).cast("long").as("n"),
           sum(col("y")).as("sy"),
-          sum(col("y") * col("y")).as("syy"))
+          // DECIMAL(38,0) — Σ(daily cents)² wraps BIGINT at scale
+          // (oracle twin: HUGEINT)
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
     val aTxt = periodogram7ATxt
     val bTxt = periodogram7BTxt
     val cssTxt =

@@ -100,7 +100,9 @@ object Inference {
         sum(col("cnt") * (lit(2L) * col("c") + col("t") + lit(1L))).as("s"))
     val ties = tx.agg(
       sum(col("t")).as("nn"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      // DECIMAL(38,0) (oracle: HUGEINT): Σt³−t reaches N³, wrapping
+      // BIGINT at ~2e6 rows when one value dominates
+      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie3"))
     perGroup
       .agg(
         count(lit(1)).as("k"),
@@ -110,13 +112,21 @@ object Inference {
   }
 
   /** Kruskal–Wallis H over (r2q, nn, tie3) — r2q holds Σ round((2R)²/n),
-    * i.e. 4·ΣR²/n, hence the /4. Shared verbatim with the oracle.
+    * i.e. 4·ΣR²/n, hence the /4. NULL when ALL values tie (tie3 = N³−N
+    * zeroes the tie-correction denominator — Spark ANSI would throw
+    * DIVIDE_BY_ZERO where DuckDB yields ±Infinity, so the guard also
+    * keeps the engines aligned; H is undefined on a constant sample
+    * anyway). Shared verbatim with the oracle; the comparison runs on
+    * exact doubles of exact integers, so it is engine-identical.
     */
   def kwHSql: String =
-    """((12.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))) * (CAST(r2q AS DOUBLE) / 4.0)
+    """CASE WHEN CAST(tie3 AS DOUBLE) =
+             CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)
+       THEN NULL
+       ELSE ((12.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))) * (CAST(r2q AS DOUBLE) / 4.0)
         - 3.0 * CAST(nn + 1 AS DOUBLE))
        / (1.0 - CAST(tie3 AS DOUBLE) /
-          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))"""
+          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))) END"""
 
   /** Tukey-style post-hoc pairwise contrasts after one-way ANOVA: for
     * every unordered pair of groups, the studentized-range statistic

@@ -237,9 +237,13 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("win_end_hour") -> r.getAs[Long]("n_users")).toMap
     val pairs = ev.select(expr("CAST(ts AS LONG) div 3600").as("h"), col("user_id")).collect()
       .map(r => (r.getAs[Long]("h"), r.getAs[Long]("user_id"))).distinct
-    val brute = pairs.flatMap { case (h, u) => (h to h + 2).map(w => (w, u)) }
+    // windows ending past the last OBSERVED hour are clipped (phantom
+    // post-range windows would read as a spurious end-of-report cliff)
+    val maxH = pairs.map(_._1).max
+    val brute = pairs.flatMap { case (h, u) => (h to math.min(h + 2, maxH)).map(w => (w, u)) }
       .distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     assert(got == brute)
+    assert(!got.keySet.exists(_ > maxH), "phantom post-range windows must be clipped")
   }
 
   test("abTest counts match a manual split and z has the right sign") {

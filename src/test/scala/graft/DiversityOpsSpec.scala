@@ -80,8 +80,10 @@ class DiversityOpsSpec extends AnyFunSuite {
       (sxy / n - (sx / n) * (sy / n)) / math.sqrt(vx * vy)
     }
     for (lag <- 0L to 3L) {
-      val pairs = hourly.toSeq.flatMap { case (h, (cents, _)) =>
-        hourly.get(h + lag).map { case (_, cnt) => (cents, cnt) }
+      // x = count at hour t (the EARLIER series), y = revenue at t+lag —
+      // the pairing that answers "does activity lead spend by lag hours"
+      val pairs = hourly.toSeq.flatMap { case (h, (_, cnt)) =>
+        hourly.get(h + lag).map { case (cents2, _) => (cnt, cents2) }
       }
       assert(got(lag)._1 == pairs.length.toLong, s"lag $lag")
       assert(math.abs(got(lag)._2 - pearson(pairs)) < 1e-9, s"lag $lag")

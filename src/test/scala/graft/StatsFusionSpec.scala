@@ -40,7 +40,9 @@ class StatsFusionSpec extends AnyFunSuite {
     val twoUa = twoRa - na * (na + 1)
     assert(row.getAs[Long]("na") == na)
     assert(row.getAs[Long]("nb") == nb)
-    assert(row.getAs[Long]("two_u_a") == twoUa)
+    // two_u_a computes in DECIMAL(38,0) (tie³ terms wrap BIGINT at
+    // scale) and reports as an exact-from-integer double
+    assert(row.getAs[Double]("two_u_a") == twoUa.toDouble)
     val n = (na + nb).toDouble
     val sigma = math.sqrt(
       (na.toDouble * nb.toDouble / 12.0) *
