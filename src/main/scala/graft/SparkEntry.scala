@@ -1278,7 +1278,8 @@ object SparkEntry {
                     CAST($dk AS BIGINT) AS dk
              FROM y a JOIN y b ON a.vec_id < b.vec_id)
        SELECT va, vb, d64, dk,
-              CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE)) AS ratio
+              CASE WHEN d64 = 0 THEN NULL
+                   ELSE CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE)) END AS ratio
        FROM p ORDER BY va, vb"""
   }
 
@@ -1692,7 +1693,9 @@ object SparkEntry {
     val coll = letters.map(ch => s"n_$ch * (n_$ch - 1)").mkString(" + ")
     s"""WITH c AS (SELECT doc_id, $counts FROM documents)
        SELECT doc_id, $total AS n_letters, $coll AS collisions,
-              CAST($coll AS DOUBLE) / CAST(($total) * (($total) - 1) AS DOUBLE) AS collision_rate
+              CASE WHEN ($total) >= 2 THEN
+                CAST($coll AS DOUBLE) / CAST(($total) * (($total) - 1) AS DOUBLE)
+              END AS collision_rate
        FROM c ORDER BY doc_id"""
   }
 
@@ -1871,7 +1874,7 @@ object SparkEntry {
                   FROM pred p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1, 2),
          rs AS (SELECT t AS lbl, CAST(sum(n) AS BIGINT) AS row_n FROM conf GROUP BY 1),
          cs AS (SELECT pr AS lbl, CAST(sum(n) AS BIGINT) AS col_n FROM conf GROUP BY 1),
-         ch AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS chance
+         ch AS (SELECT CAST(sum(CAST(row_n AS HUGEINT) * col_n) AS HUGEINT) AS chance
                 FROM rs JOIN cs USING (lbl)),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
                         CAST(sum(CASE WHEN t = pr THEN n ELSE 0 END) AS BIGINT) AS n_agree
@@ -1879,8 +1882,9 @@ object SparkEntry {
          SELECT n_docs, n_agree,
                 CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
                 CAST(chance AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS pe,
-                (CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(chance AS DOUBLE)) /
-                (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - CAST(chance AS DOUBLE)) AS kappa
+                CASE WHEN CAST(n_docs AS HUGEINT) * n_docs = chance THEN NULL
+                     ELSE (CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(chance AS DOUBLE)) /
+                (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - CAST(chance AS DOUBLE)) END AS kappa
          FROM tot, ch ORDER BY n_docs""",
     "q_dup_matrix" ->
       """WITH g AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
@@ -4469,7 +4473,7 @@ object SparkEntry {
                FROM c),
          n AS (SELECT count(*) AS n FROM c)
          SELECT o_orderkey, cents,
-                CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS qt
+                CASE WHEN n = 1 THEN NULL ELSE CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS qt
          FROM r CROSS JOIN n ORDER BY o_orderkey""",
     "q_chi2_independence" ->
       """WITH cells AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
@@ -5105,10 +5109,14 @@ object SparkEntry {
          hits AS (SELECT k, CAST(count(*) AS BIGINT) AS h
                   FROM ex JOIN iv USING (qid, nid) CROSS JOIN grid
                   WHERE r_exact <= k AND r_ivf <= k
-                  GROUP BY 1)
-         SELECT g.k, coalesce(h.h, 0) AS n_hits,
-                CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(10 * g.k AS DOUBLE) AS recall
-         FROM grid g LEFT JOIN hits h ON g.k = h.k ORDER BY g.k""",
+                  GROUP BY 1),
+         truth AS (SELECT k, CAST(count(*) AS BIGINT) AS t
+                   FROM ex CROSS JOIN grid WHERE r_exact <= k GROUP BY 1)
+         SELECT g.k, coalesce(h.h, 0) AS n_hits, coalesce(t.t, 0) AS n_truth,
+                CASE WHEN coalesce(t.t, 0) = 0 THEN NULL
+                     ELSE CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(coalesce(t.t, 0) AS DOUBLE) END AS recall
+         FROM grid g LEFT JOIN hits h ON g.k = h.k LEFT JOIN truth t ON g.k = t.k
+         ORDER BY g.k""",
     "q_ridge2" -> {
       val det = Stages.det3Sql("a", "b", "c", "b", "e", "f", "c", "f", "i")
       val d1 = Stages.det3Sql("r1", "b", "c", "r2", "e", "f", "r3", "f", "i")
@@ -6463,7 +6471,8 @@ object SparkEntry {
          SELECT n_candidates, dup_caught, dup_total, n_docs,
                 CASE WHEN dup_total = 0 THEN NULL
                      ELSE CAST(dup_caught AS DOUBLE) / CAST(dup_total AS DOUBLE) END AS pairs_completeness,
-                1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) AS reduction_ratio
+                CASE WHEN n_docs < 2 THEN NULL
+                     ELSE 1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) END AS reduction_ratio
          FROM st, tot ORDER BY n_candidates""",
     "q_qq" ->
       """WITH ga AS (SELECT CAST(round(value * 100) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
@@ -6809,7 +6818,8 @@ object SparkEntry {
                     FROM pr) WHERE rk <= 5),
           kd AS (SELECT a AS node, d2 AS kdist FROM knn WHERE rk = 5),
           reach AS (SELECT k.a, greatest(k.d2, kd.kdist) AS reach FROM knn k JOIN kd ON kd.node = k.b),
-          lrd AS (SELECT a, CAST(5 AS DOUBLE) / CAST(sum_reach AS DOUBLE) AS lrd FROM (
+          lrd AS (SELECT a, CASE WHEN sum_reach = 0 THEN NULL
+                                 ELSE CAST(5 AS DOUBLE) / CAST(sum_reach AS DOUBLE) END AS lrd FROM (
                     SELECT a, CAST(sum(reach) AS BIGINT) AS sum_reach FROM reach GROUP BY 1)),
           nb AS (SELECT k.a, list_sort(list(struct_pack(rk := k.rk, lb := l.lrd))) AS arr
                  FROM knn k JOIN lrd l ON l.a = k.b GROUP BY 1),
@@ -6953,8 +6963,11 @@ object SparkEntry {
          dc AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, CAST(max(d) AS BIGINT) AS max_degree FROM deg),
          cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem)
          SELECT n_nodes, n_edges, n_catalog, max_degree,
-                CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)) AS density,
-                CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_degree,
+                CASE WHEN n_nodes < 2 THEN NULL
+                     ELSE CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+                END AS density,
+                CASE WHEN n_nodes = 0 THEN NULL
+                     ELSE CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) END AS avg_degree,
                 CAST(n_nodes AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS participation
          FROM ec, dc, cat ORDER BY n_nodes""",
     "q_knee" ->
@@ -7843,7 +7856,8 @@ object SparkEntry {
          hh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM truth JOIN cand USING (doc_a, doc_b))
          SELECT n_docs, n_true, n_cand, n_hit,
                 CASE WHEN n_true = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS completeness,
-                1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) AS reduction_ratio
+                CASE WHEN n_docs < 2 THEN NULL
+                     ELSE 1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) END AS reduction_ratio
          FROM nn, tt, cc, hh""",
     "q_paired_shift" ->
       """WITH h AS (SELECT user_id, day(CAST(ts AS TIMESTAMP)) <= 15 AS first_half,

@@ -878,9 +878,16 @@ object Graph {
         col("n_edges"),
         col("n_catalog"),
         col("max_degree"),
-        expr("CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))")
+        // an EMPTY thresholded graph (no pair co-ordered ≥ minSupport
+        // times) still emits its one census row: density/avg_degree are
+        // NULL via lazy integer CASEs — unguarded, Spark ANSI throws
+        // DIVIDE_BY_ZERO on 0/0 where DuckDB yields NaN
+        expr("""CASE WHEN n_nodes < 2 THEN NULL
+                ELSE CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+                END""")
           .as("density"),
-        expr("CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE)").as("avg_degree"),
+        expr("CASE WHEN n_nodes = 0 THEN NULL ELSE CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) END")
+          .as("avg_degree"),
         expr("CAST(n_nodes AS DOUBLE) / CAST(n_catalog AS DOUBLE)").as("participation"))
   }
 

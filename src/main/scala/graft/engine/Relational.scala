@@ -1619,7 +1619,11 @@ object Relational {
       .crossJoin(broadcast(ranked.agg(max(col("rank")).as("n"))))
       .select(
         col("o_orderkey"), col("cents"),
-        expr("CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)").as("qt"))
+        // single-row input: (rank−1)/(n−1) is 0/0 — NULL via the lazy
+        // integer CASE (Spark ANSI throws on the double division where
+        // DuckDB yields NaN); one row has no quantile position
+        expr("CASE WHEN n = 1 THEN NULL ELSE CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END")
+          .as("qt"))
   }
 
   /** Join-key skew diagnostics — the report that decides salting and

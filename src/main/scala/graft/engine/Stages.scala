@@ -262,7 +262,12 @@ object Stages {
     val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
     val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
     val slope = s"($covar / $varX)"
-    s"(CAST(y AS DOUBLE) - ($slope * CAST(x AS DOUBLE) + $sy / $n - $slope * ($sx / $n)))"
+    // NULL when var(x) = 0 (single-row or all-tied group: no line to
+    // fit) — the linregSql lazy-CASE convention; unguarded, Spark ANSI
+    // throws DIVIDE_BY_ZERO on the slope where DuckDB yields NaN
+    s"""CASE WHEN $varX = 0 THEN NULL
+        ELSE (CAST(y AS DOUBLE) - ($slope * CAST(x AS DOUBLE) + $sy / $n - $slope * ($sx / $n)))
+        END"""
   }
 
   def residualOutlierCondSql(mult: String): String = {
@@ -272,7 +277,11 @@ object Stages {
     val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
     val varY = s"($syy / $n - ($sy / $n) * ($sy / $n))"
     val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"
-    s"abs($residualSql) > $mult * sqrt($varY - $covar * $covar / $varX)"
+    // NULL on a zero-variance group (filter treats it as false — a
+    // degenerate group flags no outliers); same rationale as residualSql
+    s"""CASE WHEN $varX = 0 THEN NULL
+        ELSE abs($residualSql) > $mult * sqrt($varY - $covar * $covar / $varX)
+        END"""
   }
 
   /** Two-proportion pooled z-statistic over integer counts

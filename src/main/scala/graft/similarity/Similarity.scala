@@ -1396,7 +1396,12 @@ object Similarity {
         col("b.vec_id").as("vb"),
         sqDist(col("a.ma"), col("b.ma")).as("d64"),
         expr(d8).as("dk"))
-      .withColumn("ratio", expr(s"CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE))"))
+      // duplicate vectors (d64 = 0 after milli quantization) have no
+      // distortion ratio: NULL via the lazy integer CASE — Spark ANSI
+      // throws on 0/0 where DuckDB yields NaN
+      .withColumn(
+        "ratio",
+        expr(s"CASE WHEN d64 = 0 THEN NULL ELSE CAST(dk AS DOUBLE) / ($k.0 * CAST(d64 AS DOUBLE)) END"))
   }
 
   /** Recall@k curve of the IVF index against the exact brute-force
@@ -1420,12 +1425,28 @@ object Similarity {
       .filter(col("r_exact") <= col("k") && col("r_ivf") <= col("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("h"))
+    // denominator = ACTUAL truth rows at each cutoff, not the nominal
+    // numQueries·k (the recallAgainst/matryoshkaRecall contract): with
+    // fewer than numQueries+k vectors, or any query with fewer than k
+    // same-corpus neighbors, the nominal denominator scores a PERFECT
+    // ranking below 1.0 — and both engines shared that formula, so the
+    // gate never saw it
+    val truth = exact
+      .crossJoin(grid)
+      .filter(col("r_exact") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("t"))
     grid
       .join(hits, Seq("k"), "left_outer")
-      .select(col("k"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .join(truth, Seq("k"), "left_outer")
       .select(
-        col("k"), col("n_hits"),
-        expr(s"CAST(n_hits AS DOUBLE) / CAST($numQueries * k AS DOUBLE)").as("recall"))
+        col("k"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("t"), lit(0L)).as("n_truth"))
+      .select(
+        col("k"), col("n_hits"), col("n_truth"),
+        expr("CASE WHEN n_truth = 0 THEN NULL ELSE CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) END")
+          .as("recall"))
   }
 
   /** Farthest-point (k-center greedy) seeding over the milli-quantized
@@ -1619,7 +1640,13 @@ object Similarity {
       .agg(sum(col("reach")).as("sum_reach"))
       .select(
         col("a"),
-        expr(s"CAST($k AS DOUBLE) / CAST(sum_reach AS DOUBLE)").as("lrd"))
+        // k+1 identical vectors give every neighbor reach 0: lrd is NULL
+        // via the lazy integer CASE (ANSI throws on k/0 where DuckDB
+        // yields inf) — duplicate-heavy corpora are exactly where an
+        // outlier screen runs, and an undefined density is more honest
+        // than an infinite one
+        expr(s"CASE WHEN sum_reach = 0 THEN NULL ELSE CAST($k AS DOUBLE) / CAST(sum_reach AS DOUBLE) END")
+          .as("lrd"))
     // Σ lrd_b must NOT be a float sum aggregate (partition-order noise):
     // collect the k neighbor lrds sorted by rank and add them in a fixed
     // 5-term expression

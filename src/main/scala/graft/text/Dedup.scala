@@ -961,7 +961,10 @@ object Dedup {
         col("n_docs"), col("n_true"), col("n_cand"), col("n_hit"),
         expr("CASE WHEN n_true = 0 THEN NULL ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END")
           .as("completeness"),
-        expr("1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0)")
+        // single-doc corpus: the all-pairs denominator is 0 — NULL via
+        // the same lazy CASE as completeness (ANSI throws on 0/0)
+        expr("""CASE WHEN n_docs < 2 THEN NULL
+             ELSE 1.0 - CAST(n_cand AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) END""")
           .as("reduction_ratio"))
   }
 
@@ -1229,7 +1232,10 @@ object Dedup {
         expr("""CASE WHEN dup_total = 0 THEN NULL
              ELSE CAST(dup_caught AS DOUBLE) / CAST(dup_total AS DOUBLE) END""")
           .as("pairs_completeness"),
-        expr("1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0)")
+        // single-doc corpus: the all-pairs denominator is 0 — NULL via
+        // the same lazy CASE as pairs_completeness (ANSI throws on 0/0)
+        expr("""CASE WHEN n_docs < 2 THEN NULL
+             ELSE 1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0) END""")
           .as("reduction_ratio"))
   }
 }

@@ -418,8 +418,17 @@ object TextAnalysis {
     // totals and the join), never a second scan of the corpus.
     val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab")).cacheT()
     val uniCounts = unigrams.groupBy(col("w")).agg(count(lit(1)).as("n_w")).cacheT()
-    val nBi = biCounts.agg(sum(col("n_ab"))).head().getLong(0)
-    val nUni = uniCounts.agg(sum(col("n_w"))).head().getLong(0)
+    // sum over an EMPTY count table is NULL — getLong would NPE at
+    // plan-build time on a corpus with no bigrams (every doc a single
+    // token) where the oracle returns an empty top-k; 1 is a harmless
+    // stand-in denominator since the score join is empty anyway (the
+    // hitsTopK renorm isNullAt convention)
+    def totalOf(df: DataFrame, c: String): Long = {
+      val r = df.agg(sum(col(c))).head()
+      if (r.isNullAt(0)) 1L else r.getLong(0)
+    }
+    val nBi = totalOf(biCounts, "n_ab")
+    val nUni = totalOf(uniCounts, "n_w")
     val scoreSql =
       s"(CAST(n_ab AS DOUBLE) / CAST($nBi AS DOUBLE)) / " +
         s"((CAST(n_a AS DOUBLE) / CAST($nUni AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST($nUni AS DOUBLE)))"
@@ -792,9 +801,11 @@ object TextAnalysis {
     val conf = langConfusion(documents)
     val rowS = conf.groupBy(col("true_lang").as("lbl")).agg(sum(col("n")).as("row_n"))
     val colS = conf.groupBy(col("pred_lang").as("lbl")).agg(sum(col("n")).as("col_n"))
-    // labels missing from one marginal contribute a zero product — inner join drops them
+    // labels missing from one marginal contribute a zero product — inner
+    // join drops them. DECIMAL(38,0) (oracle: HUGEINT): the marginal
+    // product reaches n², past BIGINT at ~3e9 docs
     val chance = rowS.join(colS, Seq("lbl"))
-      .agg(sum(col("row_n") * col("col_n")).as("chance"))
+      .agg(sum(expr("CAST(row_n AS DECIMAL(38,0)) * col_n")).as("chance"))
     val tot = conf.agg(
       sum(col("n")).as("n_docs"),
       sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L)).as("n_agree"))
@@ -802,8 +813,14 @@ object TextAnalysis {
       col("n_docs"), col("n_agree"),
       expr("CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("po"),
       expr("CAST(chance AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))").as("pe"),
-      expr("""(CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(chance AS DOUBLE)) /
-              (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - CAST(chance AS DOUBLE))""")
+      // pe = 1 (single-language corpus whose predictions are also all
+      // that language) is the textbook kappa degenerate: the denominator
+      // n² − chance is exactly 0 — NULL via the lazy integer CASE
+      // (Spark ANSI throws on 0/0 where DuckDB yields NaN)
+      expr("""CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs = chance THEN NULL
+              ELSE (CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(chance AS DOUBLE)) /
+              (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - CAST(chance AS DOUBLE))
+              END""")
         .as("kappa"))
   }
 
@@ -1119,7 +1136,14 @@ object TextAnalysis {
       col("doc_id"),
       total.as("n_letters"),
       collisions.as("collisions"),
-      (collisions.cast("double") / (total * (total - 1)).cast("double")).as("collision_rate"))
+      // NULL below two letters (the collision rate needs a pair to draw)
+      // — Spark ANSI throws DIVIDE_BY_ZERO on the unguarded 0/0 where
+      // DuckDB yields NaN, so the guard is also what keeps the engines
+      // aligned (the simpsonDiversity convention); numeric-only or
+      // non-Latin-script documents hit this for real
+      when(total >= 2,
+        collisions.cast("double") / (total * (total - 1)).cast("double"))
+        .as("collision_rate"))
   }
 
   /** PII redaction pass — the scrub step every training-data pipeline
