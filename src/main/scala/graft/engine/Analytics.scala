@@ -1596,9 +1596,13 @@ object Analytics {
     * merges ([[Relational.approxDistinctCheck]] pins that sketch).
     */
   def slidingDistinctUsers(events: DataFrame, windowHours: Int = 3): DataFrame = {
+    // cacheT, per quantileTransform's documented rule: pairs feeds BOTH
+    // the max-hour aggregate and the window replication — uncached, the
+    // corpus-scale distinct would materialize twice per run
     val pairs = events
       .select(expr("CAST(ts AS LONG) div 3600").as("hour_epoch"), col("user_id"))
       .distinct()
+      .cacheT()
     // clip to the OBSERVED hour range: the window-replication explode
     // manufactures win_end_hours max_hour+1 .. max_hour+windowHours−1
     // past the data's end — never-observed windows whose decaying counts
