@@ -2071,7 +2071,7 @@ object SparkEntry {
                              CAST(ascii(substring(fr, i, 1)) AS BIGINT))), 0) AS BIGINT) AS energy
                FROM per)
          SELECT doc_id, frame_id, n_bytes, energy,
-                sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE)) AS rms
+                CASE WHEN n_bytes > 0 THEN sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE)) END AS rms
          FROM e ORDER BY doc_id, frame_id""",
     "q_payload_entropy" ->
       """WITH b AS (SELECT doc_id,

@@ -17,11 +17,15 @@ import org.apache.spark.sql.types.DataType
 object Stages {
 
   /** P4 (reference `spark_streaming.py:92-111`): empty-string → NULL, then
-    * cast, then rename. Byte-identical NULL semantics to the reference:
-    * `when(col == "", None).otherwise(col.cast(T)).alias(name)`.
+    * cast, then rename. The cast is try_cast: the reference runs
+    * non-ANSI Spark, where a malformed non-empty value ('N/A', a bad
+    * timestamp) casts to NULL — under this build's ANSI default a plain
+    * cast would instead throw CAST_INVALID_INPUT, and in the streaming
+    * fan-out that one dirty record poison-pills every restart from the
+    * checkpointed offset. try_cast IS the reference's NULL semantics.
     */
   def nullNormCast(c: Column, t: DataType, as: String): Column =
-    when(c === lit(""), lit(null)).otherwise(c.cast(t)).as(as)
+    when(c === lit(""), lit(null)).otherwise(c.try_cast(t)).as(as)
 
   /** Empty-string → NULL without a cast (string columns). */
   def nullNorm(c: Column, as: String): Column =

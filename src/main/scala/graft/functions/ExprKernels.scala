@@ -168,7 +168,15 @@ object ExprKernels {
     * per document.
     */
   def frameEnergy(text: String, frame: Int): ArrayData = {
-    val len = text.length
+    // CODE POINTS, not UTF-16 units: Spark's length() and the DuckDB
+    // oracle's substring/ascii are codepoint-based, and the consumer
+    // computes n_bytes = least(frame, length(text) − f·frame) from that
+    // arithmetic — a UTF-16-framed kernel (the earlier charAt loop)
+    // emitted MORE frames than length() predicts on non-BMP text, so
+    // the tail frames read zero or negative n_bytes. BMP text (the
+    // fixtures) is identical under both spellings.
+    val cps = text.codePoints().toArray
+    val len = cps.length
     val n = math.max((len + frame - 1) / frame, 1)
     val out = new Array[Long](n)
     var f = 0
@@ -177,7 +185,7 @@ object ExprKernels {
       var i = f * frame
       val end = math.min(i + frame, len)
       while (i < end) {
-        val c = text.charAt(i).toLong
+        val c = cps(i).toLong
         s += c * c
         i += 1
       }

@@ -66,7 +66,12 @@ object Multimodal {
         col("frame_id").cast("long").as("frame_id"),
         least(lit(frame.toLong), col("byte_len") - col("frame_id") * frame).as("n_bytes"),
         col("energy"),
-        expr("sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE))").as("rms"))
+        // the kernel's empty-payload phantom frame has n_bytes = 0: rms
+        // is NULL via the lazy integer CASE — unguarded, Spark ANSI
+        // throws DIVIDE_BY_ZERO on the 0/0 (energy is 0, NOT NULL, so
+        // nothing short-circuits) where DuckDB yields NaN
+        expr("CASE WHEN n_bytes > 0 THEN sqrt(CAST(energy AS DOUBLE) / CAST(n_bytes AS DOUBLE)) END")
+          .as("rms"))
 
   /** Per-payload byte entropy — the compressibility probe that separates
     * text from random/encrypted/binary junk in a mixed dump (text sits
@@ -100,9 +105,15 @@ object Multimodal {
         col("s.ent_micro").as("ent_micro"))
       .select(
         col("doc_id"), col("n_bytes"), col("n_distinct"),
-        expr("""(ln(CAST(n_bytes AS DOUBLE)) -
+        // the n_bytes > 0 CASE is explicit even though the unguarded
+        // expression happens to survive the empty payload today (ln(0)
+        // is NULL and codegen short-circuits the right operand before
+        // its 0/0 division can throw under ANSI) — an evaluation-order
+        // accident is not a contract; the oracle carries the same CASE
+        expr("""CASE WHEN n_bytes > 0 THEN
+                (ln(CAST(n_bytes AS DOUBLE)) -
                  CAST(ent_micro AS DOUBLE) / (1000000.0 * CAST(n_bytes AS DOUBLE)))
-                / 0.6931471805599453""").as("bits_per_byte"))
+                / 0.6931471805599453 END""").as("bits_per_byte"))
       .withColumn("high_entropy", col("bits_per_byte") > 6.0)
   }
 
@@ -112,6 +123,10 @@ object Multimodal {
     * output is a typed Dataset with a columnar-friendly schema.
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, every: Int): Dataset[Frame] = {
+    // plan-construction-time guard (the Winnow/FrameEnergy convention):
+    // every <= 0 would die per-row as an opaque executor-side
+    // ArithmeticException inside mapPartitions
+    require(every > 0, s"sampleFrames requires every > 0, got $every")
     import spark.implicits._
     media
       .select(col("doc_id"), col("payload"))
@@ -373,6 +388,7 @@ object Multimodal {
     * resize in a media pipeline.
     */
   def resizeFrames(spark: SparkSession, frames: Dataset[Frame], factor: Int): Dataset[Frame] = {
+    require(factor > 0, s"resizeFrames requires factor > 0, got $factor") // see sampleFrames
     import spark.implicits._
     frames.mapPartitions { it =>
       it.map { f =>
@@ -397,6 +413,7 @@ object Multimodal {
     * for q_frame_features does exactly that via ascii()).
     */
   def frameFeatures(spark: SparkSession, media: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"frameFeatures requires every > 0, got $every") // see sampleFrames
     import spark.implicits._
     val Lcm = 720720L // LCM(1..16): exact common denominator for chunk means
     media

@@ -11,6 +11,17 @@ package graft.streaming
   * full-line `;`/`#` comments, whitespace trimming, keys lower-cased on
   * read (values keep their case), later duplicate keys win. No
   * interpolation — the reference doesn't use it.
+  *
+  * DELIBERATE divergences from full configparser (affect only files the
+  * reference's own config never exhibits): section names are
+  * lower-cased here, where configparser preserves their case (a
+  * `[Database]` header reads as `database` on this side but only as
+  * `Database` on the reference); duplicate `[section]` headers merge
+  * and duplicate keys take the LAST value, where configparser's default
+  * strict=True raises DuplicateSection/DuplicateOptionError. A config
+  * carried across both engines must therefore use lower-case unique
+  * section headers and unique keys — which the reference's shipped
+  * `config/` files do.
   */
 final case class IniConfig(sections: Map[String, Map[String, String]]) {
 

@@ -92,7 +92,12 @@ final class StreamRunner(
     events
       .withColumn(
         "caculated_value",
-        get_json_object(col("props"), "$.k").cast("double"))
+        // try_cast: a non-numeric claimed amount must flow through the
+        // discrepancy-or-null predicate as NULL (the reference's
+        // non-ANSI semantics) — a plain cast under this build's ANSI
+        // default would throw on the first dirty record and crash-loop
+        // the detector from its checkpoint
+        get_json_object(col("props"), "$.k").try_cast(org.apache.spark.sql.types.DoubleType))
       .filter(Stages.discrepancyOrNull(col("value"), col("caculated_value"), threshold))
       .select(
         col("event_id"),

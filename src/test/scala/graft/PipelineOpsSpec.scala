@@ -16,6 +16,25 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("nullNormCast yields NULL for empty AND malformed wire values (reference non-ANSI semantics)") {
+    import spark.implicits._
+    // the reference runs non-ANSI Spark, where a malformed value casts
+    // to NULL; under this build's ANSI default a plain cast would throw
+    // CAST_INVALID_INPUT and poison-pill the streaming fan-out — the
+    // try_cast spelling must absorb garbage as NULL, not crash
+    val df = Seq("12.5", "", "N/A", "not-a-number").toDF("raw")
+    val got = df
+      .select(graft.engine.Stages.nullNormCast(col("raw"), org.apache.spark.sql.types.DoubleType, "v"))
+      .collect()
+      .map(r => Option(r.getAs[java.lang.Double]("v")).map(_.toDouble))
+    assert(got.toSeq == Seq(Some(12.5), None, None, None), got.toSeq.toString)
+    val ts = Seq("2024-01-01 00:00:00", "not-a-time")
+      .toDF("raw")
+      .select(graft.engine.Stages.nullNormCast(col("raw"), org.apache.spark.sql.types.TimestampType, "t"))
+      .collect()
+    assert(ts(0).get(0) != null && ts(1).isNullAt(0))
+  }
+
   test("repetitionStats: ratio identity holds and bounds are sane") {
     val rows = TextAnalysis.repetitionStats(Tables.documents(spark, sfDir)).collect()
     assert(rows.nonEmpty)
