@@ -56,8 +56,14 @@ object Bench {
     // its time-to-failure (so the pass map stays total) but is RECORDED in
     // `failed` and surfaced on its own JSON line — a crash must never be
     // silently blessed as a normal timing (VERDICT r8 item 3).
-    def timedPass(failed: scala.collection.mutable.SortedSet[String]): Map[String, Double] =
+    def timedPass(
+        failed: scala.collection.mutable.SortedSet[String],
+        midHook: () => Unit = () => ()): Map[String, Double] = {
+      val mid = queries.size / 2
+      var i = 0
       queries.map { case (name, fn) =>
+        if (i == mid) midHook()
+        i += 1
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case t: Throwable =>
@@ -69,6 +75,30 @@ object Bench {
         graft.engine.Caches.freeTransient(spark) // (untimed) free transients; pinned views survive
         name -> elapsed
       }
+    }
+
+    // Load-calibration probe (VERDICT r9 item 2): one FIXED parquet
+    // scan + aggregate over lineitem, timed in 3-shot bursts at five
+    // points through the board (after warm-up, mid/after each pass).
+    // The probe is constant across rounds and machines, so any two
+    // committed boards become comparable on one line of arithmetic:
+    // divide board totals by the ratio of their load_index medians
+    // (normalization rule recorded in BASELINE.md). Untimed relative
+    // to query timings — bursts run BETWEEN queries.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.count("*"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probePhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def probeBurst(phase: String): Unit = {
+      val ts = Seq.fill(3)(probeOnce()).sorted
+      probePhases(phase) = ts(1) // median of 3
+    }
 
     // Memory attribution for the board (r8): cumulative JVM GC seconds,
     // live heap after a System.gc() settle, and the block manager's
@@ -100,16 +130,26 @@ object Bench {
     val failedP1 = scala.collection.mutable.SortedSet.empty[String]
     val failedP2 = scala.collection.mutable.SortedSet.empty[String]
     val memWarm = memLine("after_warmup")
-    val p1 = timedPass(failedP1)
+    probeBurst("after_warmup")
+    val p1 = timedPass(failedP1, () => probeBurst("mid_pass1"))
     val memP1 = memLine("after_pass1")
-    val p2 = timedPass(failedP2)
+    probeBurst("after_pass1")
+    val p2 = timedPass(failedP2, () => probeBurst("mid_pass2"))
     val memP2 = memLine("after_pass2")
+    probeBurst("after_pass2")
     graft.engine.Views.timeBuilds = false
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The headline total sums CLEAN queries only (ADVICE r9): a query
+    // that crashes early would otherwise contribute its time-to-failure
+    // and make the total look FASTER on a broken board. Failures stay
+    // visible in the `failed` line and the per-query maps; n_failed on
+    // the total line keeps the exclusion explicit.
+    val failedAll = (failedP1 ++ failedP2).toSet
+    val clean = results.view.filterKeys(!failedAll(_)).toMap
+    val total = if (clean.nonEmpty) clean.values.sum else 0.0
     // Per-query detail first (its own line — can be large), then a compact
     // summary line LAST so the driver's bounded tail capture always sees a
     // complete, parsable JSON object (round-3 lesson: one ~15 KB line
@@ -133,7 +173,17 @@ object Bench {
       pinDetail.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     },"sf":"$sfDir"}""")
     println(s"""{"metric":"pin_build","value":${graft.engine.Views.buildSeconds},"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // Per-phase probe medians + the board-level median: the one number
+    // two boards divide to normalize away machine load before comparing
+    // totals (rule in BASELINE.md "Load-calibration probe").
+    val phasesJson = probePhases
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val probeMedian = {
+      val s = probePhases.values.toSeq.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    println(s"""{"metric":"load_index","value":${f"$probeMedian%.4f"},"unit":"sec","phases":$phasesJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failedAll.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

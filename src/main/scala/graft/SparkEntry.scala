@@ -2668,10 +2668,10 @@ object SparkEntry {
          GROUP BY day ORDER BY day""",
     "q_journey" ->
       """WITH j AS (SELECT user_id,
-                           arg_min(event_type, concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR), 12, '0'),
-                                                      lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS first_type,
-                           arg_max(event_type, concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR), 12, '0'),
-                                                      lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS last_type
+                           arg_min(event_type, concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 100000000000 AS VARCHAR), 12, '0'),
+                                                      lpad(CAST(event_id + 100000000000 AS VARCHAR), 12, '0'))) AS first_type,
+                           arg_max(event_type, concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 100000000000 AS VARCHAR), 12, '0'),
+                                                      lpad(CAST(event_id + 100000000000 AS VARCHAR), 12, '0'))) AS last_type
                     FROM events GROUP BY user_id)
          SELECT first_type, last_type, count(*) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY first_type, last_type""",
@@ -5068,8 +5068,8 @@ object SparkEntry {
          FROM p GROUP BY 1 ORDER BY bin""",
     "q_motif" ->
       """WITH keyed AS (SELECT user_id,
-                        concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS VARCHAR), 12, '0'),
-                               lpad(CAST(event_id AS VARCHAR), 12, '0'),
+                        concat(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 100000000000 AS VARCHAR), 12, '0'),
+                               lpad(CAST(event_id + 100000000000 AS VARCHAR), 12, '0'),
                                substring(event_type, 1, 1)) AS k
                  FROM events),
          paths AS (SELECT user_id,
@@ -5982,6 +5982,14 @@ object SparkEntry {
     "q_ansari" -> {
       val score = graft.engine.Inference.abScoreRangeSql("lo", "hi")
         .replace(" div ", " // ")
+      // Exact wide-integer quotient/remainder split of the midrank sums
+      // (HUGEINT here, DECIMAL(38,0) on the Spark side) — shared term
+      // text via Inference.abSplitTermsSql, so both engines floor the
+      // same per-block integers and the reassembled doubles are
+      // bit-identical (no partition-order float-sum noise).
+      val terms = graft.engine.Inference.abSplitTermsSql("HUGEINT")
+        .map(_.replace(" div ", " // ")).mkString(",\n                       ")
+      val reassemble = graft.engine.Inference.abReassembleSql.mkString(",\n                      ")
       s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
                             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
                             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
@@ -5992,11 +6000,17 @@ object SparkEntry {
                 FROM g, t),
           sc AS (SELECT a, b, nn, cnt, p + 1 AS lo, p + cnt AS hi FROM w),
           s2 AS (SELECT a, b, nn, cnt, $score AS s_blk FROM sc),
-          m AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+          s3 AS (SELECT *, $terms FROM s2),
+          m0 AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
                        CAST(max(nn) AS BIGINT) AS nn, CAST(sum(s_blk) AS BIGINT) AS s_tot,
-                       sum(CAST(a AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)) AS ab_stat,
-                       sum(CAST(s_blk AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)) AS ss2
-                FROM s2)
+                       CAST(sum(CAST(ab_i AS HUGEINT)) AS HUGEINT) AS ab_is,
+                       CAST(sum(CAST(ab_f AS HUGEINT)) AS HUGEINT) AS ab_fs,
+                       CAST(sum(ss2_i) AS HUGEINT) AS ss2_is,
+                       CAST(sum(CAST(ss2_f AS HUGEINT)) AS HUGEINT) AS ss2_fs
+                FROM s3),
+          m AS (SELECT na, nb, nn, s_tot,
+                      $reassemble
+                FROM m0)
           SELECT na, nb, ab_stat,
                  CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE) AS e_ab,
                  ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE) AS dev_ab,
@@ -8450,8 +8464,10 @@ object SparkEntry {
          pg AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
                        CAST(sum(cnt * (2 * c + t + 1)) AS BIGINT) AS s
                 FROM gx JOIN tx USING (x) GROUP BY 1),
-         ties AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
-                         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3 FROM tx),
+         ties0 AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+                          CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3 FROM tx),
+         ties AS (SELECT nn, tie3,
+                         (tie3 = CAST(nn AS HUGEINT) * nn * nn - nn) AS all_tied FROM ties0),
          agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
                         CAST(sum(${Inference.rayleighQSql("n", "s")}) AS BIGINT) AS r2q
                  FROM pg)

@@ -1912,9 +1912,16 @@ object Analytics {
     * the text), which a 100× fixture plausibly exceeds.
     */
   def journeyMatrix(events: DataFrame): DataFrame = {
+    // Both components are biased by 10^11 before padding: a bare lpad
+    // of a NEGATIVE value stringifies with a leading '-' ('-' sorts
+    // before '0' and negative magnitudes sort reversed), so a pre-1970
+    // timestamp or negative event_id would silently mis-order. The bias
+    // keeps 12 digits for ts ∈ ±10^11 s (±5100 years) and
+    // event_id ∈ (−10^11, 9·10^11) — and is an order-preserving shift,
+    // so non-negative fixtures hash identically.
     val ordKey = expr(
-      """concat(lpad(CAST(CAST(ts AS LONG) AS STRING), 12, '0'),
-                lpad(CAST(event_id AS STRING), 12, '0'))""")
+      """concat(lpad(CAST(CAST(ts AS LONG) + 100000000000 AS STRING), 12, '0'),
+                lpad(CAST(event_id + 100000000000 AS STRING), 12, '0'))""")
     events
       .groupBy(col("user_id"))
       .agg(
@@ -2567,8 +2574,10 @@ object Analytics {
     val paths = events
       .select(
         col("user_id"),
-        expr("""concat(lpad(CAST(CAST(ts AS LONG) AS STRING), 12, '0'),
-                       lpad(CAST(event_id AS STRING), 12, '0'),
+        // +10^11 bias before padding — same negative-value ordering
+        // guard (and domain bounds) as [[journeyMatrix]]'s ordKey
+        expr("""concat(lpad(CAST(CAST(ts AS LONG) + 100000000000 AS STRING), 12, '0'),
+                       lpad(CAST(event_id + 100000000000 AS STRING), 12, '0'),
                        substring(event_type, 1, 1))""").as("k"))
       .groupBy(col("user_id"))
       .agg(expr("array_join(transform(array_sort(collect_list(k)), x -> right(x, 1)), '')")

@@ -108,21 +108,28 @@ object Inference {
         count(lit(1)).as("k"),
         sum(expr(rayleighQSql("n", "s"))).as("r2q"))
       .crossJoin(broadcast(ties))
+      // The all-tied guard compares in the WIDE integer type (Spark
+      // DECIMAL(38,0); oracle HUGEINT), never after a double cast:
+      // above ~2e5 pooled rows N³−N exceeds 2^53, both double casts
+      // round, and an exact-equality guard on rounded doubles can
+      // misfire on the degenerate case it exists for.
+      .withColumn("all_tied", expr("tie3 = CAST(nn AS DECIMAL(38,0)) * nn * nn - nn"))
       .select(col("k"), col("nn").as("n"), expr(kwHSql).as("h_stat"))
   }
 
-  /** Kruskal–Wallis H over (r2q, nn, tie3) — r2q holds Σ round((2R)²/n),
-    * i.e. 4·ΣR²/n, hence the /4. NULL when ALL values tie (tie3 = N³−N
-    * zeroes the tie-correction denominator — Spark ANSI would throw
-    * DIVIDE_BY_ZERO where DuckDB yields ±Infinity, so the guard also
-    * keeps the engines aligned; H is undefined on a constant sample
-    * anyway). Shared verbatim with the oracle; the comparison runs on
-    * exact doubles of exact integers, so it is engine-identical.
+  /** Kruskal–Wallis H over (r2q, nn, tie3, all_tied) — r2q holds
+    * Σ round((2R)²/n), i.e. 4·ΣR²/n, hence the /4. NULL when ALL values
+    * tie (tie3 = N³−N zeroes the tie-correction denominator — Spark
+    * ANSI would throw DIVIDE_BY_ZERO where DuckDB yields ±Infinity, so
+    * the guard also keeps the engines aligned; H is undefined on a
+    * constant sample anyway). `all_tied` is precomputed by EACH engine
+    * in its wide integer type upstream (exact at any N, unlike a
+    * double-cast equality). Shared verbatim with the oracle; the
+    * comparison runs on exact doubles of exact integers, so it is
+    * engine-identical.
     */
   def kwHSql: String =
-    """CASE WHEN CAST(tie3 AS DOUBLE) =
-             CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)
-       THEN NULL
+    """CASE WHEN all_tied THEN NULL
        ELSE ((12.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))) * (CAST(r2q AS DOUBLE) / 4.0)
         - 3.0 * CAST(nn + 1 AS DOUBLE))
        / (1.0 - CAST(tie3 AS DOUBLE) /
@@ -1129,6 +1136,44 @@ object Inference {
        + CASE WHEN $hi >= $a2 THEN (nn + 1) * ($hi - $a2 + 1) - (($a2 + $hi) * ($hi - $a2 + 1)) div 2 ELSE CAST(0 AS BIGINT) END)"""
   }
 
+  /** Denominator of the exact fractional split below: per-block
+    * remainders are scaled by 10^15 before the integer division, so the
+    * one rounding step per block floors at the 15th decimal — an error
+    * both engines floor IDENTICALLY (exact integers in, exact integers
+    * out), unlike a float sum whose reassociation noise differs by
+    * partition order.
+    */
+  val abFracScale = "1000000000000000"
+
+  /** Per-block EXACT integer split of the two Ansari–Bradley midrank
+    * sums Σ a·s/cnt and Σ s²/cnt (columns a, s_blk, cnt must be in
+    * scope; all non-negative, so truncating `div` ≡ floor `//`). Each
+    * rational term splits as quotient + scaled-remainder — four integer
+    * columns an order-independent wide-integer SUM reassembles into a
+    * double at the very end, replacing the partition-order-dependent
+    * double sums that could drift past the oracle tolerance at large N
+    * (terms scale ~N²). `wide` is the engine's 128-bit integer type
+    * (Spark `DECIMAL(38,0)`, DuckDB `HUGEINT`); the oracle twin
+    * rewrites ` div ` to ` // `. Every intermediate is bounded by
+    * N³/2 < 10^38 for N ≤ 4.3e9 — the same pooled-row domain the BIGINT
+    * s_blk/s_tot already impose — and every `div` quotient fits BIGINT
+    * on that domain (Spark's IntegralDivide returns LONG).
+    */
+  def abSplitTermsSql(wide: String): Seq[String] = Seq(
+    s"(CAST(a AS $wide) * s_blk) div cnt AS ab_i",
+    s"(((CAST(a AS $wide) * s_blk) % cnt) * $abFracScale) div cnt AS ab_f",
+    s"CAST(s_blk div cnt AS $wide) * s_blk + (CAST(s_blk % cnt AS $wide) * s_blk) div cnt AS ss2_i",
+    s"(((CAST(s_blk % cnt AS $wide) * s_blk) % cnt) * $abFracScale) div cnt AS ss2_f")
+
+  /** Reassembly of the split sums into the two double statistics —
+    * shared verbatim with the oracle (exact wide-integer sums in, one
+    * correctly-rounded double cast + one scaled add out, so the doubles
+    * are bit-identical across engines).
+    */
+  def abReassembleSql: Seq[String] = Seq(
+    s"CAST(ab_is AS DOUBLE) + CAST(ab_fs AS DOUBLE) / 1.0e15 AS ab_stat",
+    s"CAST(ss2_is AS DOUBLE) + CAST(ss2_fs AS DOUBLE) / 1.0e15 AS ss2")
+
   /** Ansari–Bradley scale test between purchase and click values — the
     * rank test for dispersion differences that pairs with Mann–Whitney's
     * location test. Scores min(r, N+1−r) assign from both ends of the
@@ -1146,8 +1191,12 @@ object Inference {
     * cumulative grid counts), its TOTAL score mass is the closed-form
     * arithmetic series [[abScoreRangeSql]], and the per-block average
     * spreads it — O(|grid|) after a map-combined aggregate. Block masses
-    * and Σs stay BIGINT-exact; the per-block averages are shared-text
-    * doubles on both engines.
+    * and Σs stay BIGINT-exact; the midrank sums Σa·s/cnt and Σs²/cnt
+    * are EXACT wide-integer quotient/remainder splits
+    * ([[abSplitTermsSql]]) reassembled into doubles once at the end —
+    * order-independent on both engines, where the earlier per-block
+    * double-sum aggregates carried partition-order reassociation noise
+    * that could pass the oracle's 1e-6 at large N.
     */
   def ansariBradley(events: DataFrame, typeA: String, typeB: String): DataFrame = {
     val grid = events
@@ -1169,13 +1218,22 @@ object Inference {
       .withColumn("hi", col("p") + col("cnt"))
       .withColumn("s_blk", expr(abScoreRangeSql("lo", "hi")))
     scored
+      // Exact quotient/remainder split of a·s/cnt and s²/cnt per block
+      // (see [[abSplitTermsSql]]): the sums below are wide-integer
+      // EXACT, so ab_stat/ss2 no longer depend on partition order — the
+      // repo's exact-sufficient-statistic discipline, which the earlier
+      // double-sum aggregates violated (ADVICE r9).
+      .selectExpr(("*" +: abSplitTermsSql("DECIMAL(38,0)")): _*)
       .agg(
         sum(col("a")).as("na"),
         sum(col("b")).as("nb"),
         max(col("nn")).as("nn"),
         sum(col("s_blk")).as("s_tot"),
-        sum(expr("CAST(a AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)")).as("ab_stat"),
-        sum(expr("CAST(s_blk AS DOUBLE) * CAST(s_blk AS DOUBLE) / CAST(cnt AS DOUBLE)")).as("ss2"))
+        sum(expr("CAST(ab_i AS DECIMAL(38,0))")).as("ab_is"),
+        sum(expr("CAST(ab_f AS DECIMAL(38,0))")).as("ab_fs"),
+        sum(col("ss2_i")).as("ss2_is"),
+        sum(expr("CAST(ss2_f AS DECIMAL(38,0))")).as("ss2_fs"))
+      .selectExpr((Seq("na", "nb", "nn", "s_tot") ++ abReassembleSql): _*)
       .select(
         col("na"), col("nb"), col("ab_stat"),
         expr("CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)").as("e_ab"),

@@ -39,10 +39,18 @@ object StreamMain {
     // Tables.events does, so fixture-style and already-rebuilt event
     // files both stream correctly.
     graft.engine.Tables.load(spark, dimDir, "events") // sets nanosAsLong/NTZ confs
+    // Fall back to the fixture schema ONLY for the expected empty/missing
+    // srcDir shapes (AnalysisException: unable to infer schema / path not
+    // found; IOException: unreadable dir). A blanket Throwable here
+    // swallowed fatal errors (OOM, linkage) and masked real read failures
+    // as a confusing schema mismatch on the first micro-batch.
     val fileSchema =
       try spark.read.parquet(srcDir).schema
       catch {
-        case _: Throwable => graft.engine.Tables.load(spark, dimDir, "events").schema
+        case _: org.apache.spark.sql.AnalysisException =>
+          graft.engine.Tables.load(spark, dimDir, "events").schema
+        case _: java.io.IOException =>
+          graft.engine.Tables.load(spark, dimDir, "events").schema
       }
     val raw = spark.readStream.schema(fileSchema).parquet(srcDir)
     val source =
