@@ -2980,6 +2980,9 @@ object Analytics {
     // split assignment is exactly the table an ML pipeline materializes
     // once per corpus snapshot (re-hashing per run is pure re-pay; the
     // md5 bucket is deterministic, so the pin is semantics-neutral).
+    // r10 A/B (single-consumer roster, BASELINE.md): demoting both
+    // conformal pins to transients costs q_conformal +2.08 s best-of-2
+    // for zero board-wide relief — residency measured as the winner.
     val base = Views.pinned(lineitem, "conformalSplit")(
       _.select(
         expr(s"CASE WHEN $bucket < 6 THEN 'train' WHEN $bucket < 8 THEN 'cal' ELSE 'test' END")

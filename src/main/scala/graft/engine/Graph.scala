@@ -627,7 +627,9 @@ object Graph {
     // join's canonicalized plan, so both inputs participate in the key):
     // it is the bipartite analog of [[coOrderEdges]] — a per-corpus
     // derived table every iterate re-reads, whose join+distinct build
-    // dominated the query when it was a per-run transient.
+    // dominated the query when it was a per-run transient. r10 A/B
+    // (BASELINE.md): demoting this + hitsAuthorityRaw costs q_hits
+    // +3.61 s best-of-2 for ~0 board relief — residency wins.
     val edges = Views.pinned(
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -716,22 +718,30 @@ object Graph {
       .sortWithinPartitions(col("pb")) // cached ordering: the per-round vote SMJ skips the edge-side sort
       .cacheT()
     var labels = sym.select(col("pa").as("v")).distinct().withColumn("lbl", col("v"))
-    for (_ <- 1 to 2) {
+    val nRounds = 2
+    for (round <- 1 to nRounds) {
       // labels shares lineage with sym — qualify the self-join through
       // explicit aliases or Spark resolves both `pb`s to one attribute
       val votes = sym.as("s")
         .join(labels.as("l"), col("s.pb") === col("l.v"))
         .select(col("s.pa").as("v"), col("l.lbl").as("lbl"))
         .unionAll(labels)
-      // cache each round's labels (|V|-bounded): the next round reads
-      // them TWICE (vote join + self-vote union) — uncached, round N
-      // would recompute the whole round-N−1 join/window tree per read.
+      // cache each INTERMEDIATE round's labels (|V|-bounded): the next
+      // round reads them TWICE (vote join + self-vote union) — uncached,
+      // round N would recompute the whole round-N−1 join/window tree per
+      // read. The FINAL round's labels feed exactly one downstream
+      // aggregate, so caching them is a pure materialization tax
+      // (r10 `graft.LpaProbe`: dropping it is 2.21/1.88 → 1.64/1.81 s
+      // isolated best-of-2 at sf0.1/32; the same probe shows the rounds,
+      // not the edge build, dominate — prebuilt-edges 1.64-1.67 s — so
+      // the remaining ~1.7 s is the iterative |E|-join's inherent cost
+      // and a vote-edge pin would shift almost nothing).
       // (Round-5 re-measure: the rk=1 window KEEPS WindowGroupLimit
       // pushdown — one candidate per node per partition reaches the
       // shuffle — and beat both min_by(struct) (ObjectHashAggregate)
       // and a packed-long min; the vote join, not the winner selection,
       // dominates this query.)
-      labels = votes
+      val next = votes
         .groupBy(col("v"), col("lbl"))
         .agg(count(lit(1)).as("n"))
         .withColumn(
@@ -740,7 +750,7 @@ object Graph {
             Window.partitionBy(col("v")).orderBy(col("n").desc, col("lbl").asc)))
         .filter(col("rk") === 1)
         .select(col("v"), col("lbl"))
-        .cacheT()
+      labels = if (round < nRounds) next.cacheT() else next
     }
     labels
       .groupBy(col("lbl").as("community"))
@@ -781,7 +791,9 @@ object Graph {
     // measured 8.3 s of re-pay per invocation at sf0.1), and a retrain
     // loop materializes its split edge tables once per corpus snapshot —
     // exactly the [[Views.pinned]] contract [[coOrderEdges]] already
-    // follows for the unsplit graph.
+    // follows for the unsplit graph. r10 A/B (BASELINE.md): demoting
+    // this + ndcgPerSrc5 costs q_ndcg +6.21 s best-of-2 (the roster's
+    // largest) for ~0 board relief — residency wins.
     val byPar = Views.pinned(lineitem, "coOrderEdgesByParity")(
       _.withColumn("par", (col("l_orderkey") % 2).cast("int"))
         .groupBy(col("par"), col("l_orderkey"))

@@ -641,7 +641,9 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     // One map-combined shuffle compresses the facts to the PINNED
     // (flag, dollar) → Σweight distribution; the running-weight window
-    // then sorts the value grid, not the corpus. The former spelling
+    // then sorts the value grid, not the corpus. r10 single-consumer
+    // A/B (BASELINE.md): demotion costs q_weighted_median +1.36 s
+    // best-of-2 for ~0 board relief — residency wins. The former spelling
     // windowed the raw rows partitioned by l_returnflag — THREE distinct
     // partition keys, so at 100 TB each window partition is corpus/3: a
     // skew shape the plan audit cannot see (the spec is non-empty). The
@@ -2322,12 +2324,16 @@ object Relational {
     * policy per cell.
     */
   def abcXyzMatrix(lineitem: DataFrame): DataFrame = {
-    // MEASURED NEGATIVE (r6): folding the revenue units into the monthly
-    // grid (one lineitem scan, rev rolled up from monthly + cacheT) was
-    // 1.8 → 2.8 s isolated at sf0.1/32 — the lean map-side
+    // MEASURED NEGATIVE (r6; RE-MEASURED r10 after the ANSI default and
+    // the integer widenings — `graft.AbcProbe`, interleaved best-of-2 at
+    // sf0.1/32: two_scan 1.82/2.30 s vs one_scan 2.59/2.78 s): folding
+    // the revenue units into the monthly grid (one lineitem scan, rev
+    // rolled up from monthly + cacheT) loses ~0.6 s — the lean map-side
     // groupBy(partkey) revenue aggregate straight off the scan beats
     // routing revenue through the wider (partkey, month) shuffle twice
-    // plus a materialization barrier. Two scans is the winning shape.
+    // plus a materialization barrier. Two scans is the winning shape;
+    // the query's board-max standing (~2.6 s on the r9 boards) is this
+    // shape's inherent cost, not a regression.
     val monthly = lineitem
       .groupBy(
         col("l_partkey"),

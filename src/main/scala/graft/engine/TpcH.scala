@@ -62,7 +62,9 @@ object TpcH {
     * (`late ⟺ max_lag_days > lateDays`), so one build serves every
     * [[suppliersKeptWaiting]] parameterization. Keyed on the join's
     * canonicalized plan so both inputs participate in the pin key (the
-    * [[graft.engine.Graph.hitsTopK]] convention).
+    * [[graft.engine.Graph.hitsTopK]] convention). r10 single-consumer
+    * A/B (BASELINE.md): demotion costs q_tpch_q21 +1.09 s best-of-2,
+    * board relief ~0 — residency measured as the winner.
     */
   def shipLagEvidence(lineitem: DataFrame, orders: DataFrame): DataFrame =
     Views.pinned(

@@ -852,6 +852,10 @@ object Dedup {
     // dedup evaluators join against ([[nearDupClusters]],
     // [[dedupedCorpus]], [[blockingQuality]], [[dedupPrf]]) — one
     // PPJoin pass per (session, corpus, threshold) instead of five.
+    // The 0.3-threshold instance has ONE consumer ([[lshSCurve]]); the
+    // r10 single-consumer A/B (BASELINE.md) measured demoting it at
+    // +3.27 s on q_lsh_scurve for ~0 board relief — residency wins for
+    // both instances.
     graft.engine.Views.pinned(documents, s"ngramJaccard$minJaccard")(
       buildNgramJaccard(_, minJaccard))
 
@@ -1062,7 +1066,8 @@ object Dedup {
     // PINNED like [[ngramJaccard]] (threshold in the tag): the verified
     // containment pair list is the same per-corpus artifact class, and
     // its prefix-postings + verification build re-paid ~2.8 s per
-    // invocation at sf0.1.
+    // invocation at sf0.1 (re-measured r10: +1.98 s on q_containment
+    // when demoted, ~0 board relief — BASELINE.md A/B).
     graft.engine.Views.pinned(documents, s"ngramContainment$minContainment")(
       buildNgramContainment(_, minContainment))
 

@@ -358,6 +358,8 @@ object TextAnalysis {
     // only thresholds it at read time): it is the pairwise-overlap view
     // a plagiarism service materializes per corpus snapshot, and the
     // Σ C(df,2) pair expansion is by far this operator's dominant cost.
+    // r10 A/B (BASELINE.md): demoting this + winnowFpBuckets costs
+    // q_copy_detect +1.57 s best-of-2, ~0 board relief — residency wins.
     Views.pinned(buckets, "winnowPairCounts")(
       _.select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> x * 4294967296L + y)))"))

@@ -1,9 +1,13 @@
 #!/usr/bin/env bash
-# Round-8 pin-residency A/B (VERDICT r7 punch item 1): run the full
-# sf0.1/32 board under (a) the committed config — both r7-new pinned
-# views resident board-wide — and (b) the same binary with those two
-# pins demoted to per-query transients via SPARK_GRAFT_TRANSIENT_PINS.
-# Interleaved A,B,A,B so slow machine drift cancels across configs.
+# Pin-residency A/B (r8: VERDICT r7 item 1; r10: VERDICT r9 item 1): run
+# the full sf0.1/32 board under (a) the committed config — all pinned
+# views resident board-wide — and (b) the same binary with the pins
+# under test demoted to per-query transients via
+# SPARK_GRAFT_TRANSIENT_PINS (default: the r10 single-consumer roster;
+# override with AB_PINS=tag,tag). Interleaved A,B,A,B so slow machine
+# drift cancels across configs. Because every pin in the roster has a
+# DISJOINT single consumer, the per-query diff attributes each pin
+# individually from one group A/B.
 #
 # Runs from a FROZEN snapshot of target/scala-2.13/classes via java -cp
 # (no sbt lock held, and source edits during the runs can't swap class
@@ -40,7 +44,10 @@ run() { # run <label> <transient_pins>
   grep '"metric":"total"\|"metric":"pin_build"\|"metric":"mem"' "$OUT/$label.out"
 }
 
-PINS="simhashCand16x4,bandIndex8x4"
+# r10 roster: every session pin whose build serves exactly ONE
+# registered query (audit in BASELINE.md "Round-10 pin residency A/B").
+# r8's roster was simhashCand16x4,bandIndex8x4 (measured: residency won).
+PINS=${AB_PINS:-conformalSplit,conformalResiduals,shipLagEvidence,custPartEdges,hitsAuthorityRaw,coOrderEdgesByParity,ndcgPerSrc5,qtyWeightDistByFlag,winnowFpBuckets,winnowPairCounts,ngramContainment0.6,ngramJaccard0.3}
 run a1 ""
 run b1 "$PINS"
 run a2 ""

@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Degenerate-fixture oracle sweep (VERDICT r9 item 3) — the executable
+form of the manual gate-blind review passes.
+
+The DuckDB gate only sees fixtures the driver generated; engine/oracle
+divergences that bind on shapes those fixtures never produce (ANSI 0/0,
+CAST_INVALID_INPUT, `//`-vs-floor, ln(0), empty-input scalar subqueries)
+survive every round until someone reads for them. This probe finds them
+mechanically: it rewrites every fixture table into four degenerate
+variants and runs the FULL query registry on both engines over each,
+asserting per query that the engines either AGREE on a result or BOTH
+fail loudly. One engine succeeding while the other throws — or both
+succeeding with different values — is exactly the gate-blind class.
+
+Variants (schema-preserving, built with pyarrow so both engines re-read
+the same files):
+  empty    — zero rows per table
+  single   — the first row of each table
+  dups     — the first row repeated 64x (every key collides; every
+             DISTINCT/grid collapses to one value; all-tied rank paths)
+  nullcol  — first 100 rows with EVERY column nulled (all fixture
+             columns are nullable); null keys, null timestamps, 0-grids
+
+Usage: python3 tools/degenerate_probe.py [sfDir] [workDir]
+  sfDir   default /root/testdata/sf0.001
+  workDir default /tmp/degenerate_probe (wiped per run)
+
+Requires a compiled target/scala-2.13/classes (run `sbt compile` first);
+Spark runs via java -cp against /opt/spark/jars, same as tools/bench_ab.sh.
+
+Exit 0 when every (variant, query) cell is OK/BOTH_FAIL or allowlisted;
+exit 1 on any unexplained divergence (each printed with both engines'
+outcomes). ALLOWED below records ACCEPTED divergences — each entry must
+carry the reason the behaviors legitimately differ and a pointer to the
+code comment documenting it.
+"""
+import sys, os, json, glob, shutil, subprocess, hashlib
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+VARIANTS = ("empty", "single", "dups", "nullcol")
+
+# (variant, query) -> documented reason. Empty until a divergence is
+# adjudicated as legitimate; prefer fixing engine+oracle in lock-step.
+ALLOWED: dict = {}
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_variant(src_dir: str, out_dir: str, variant: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        tab = pq.read_table(f"{src_dir}/{t}.parquet")
+        if variant == "empty":
+            out = tab.slice(0, 0)
+        elif variant == "single":
+            out = tab.slice(0, 1)
+        elif variant == "dups":
+            one = tab.slice(0, 1)
+            out = pa.concat_tables([one] * 64)
+        elif variant == "nullcol":
+            n = min(100, tab.num_rows)
+            out = pa.table(
+                {f.name: pa.nulls(n, type=f.type) for f in tab.schema},
+                schema=tab.schema)
+        else:
+            raise ValueError(variant)
+        pq.write_table(out, f"{out_dir}/{t}.parquet")
+
+
+def run_spark_verify(variant_dir: str, out_dir: str) -> dict:
+    """Run graft.Verify over the variant; return {query: error_first_line}
+    for Spark-side failures (queries with output parquet are successes)."""
+    add_opens = []
+    for p in ("java.lang java.lang.invoke java.lang.reflect java.io java.net "
+              "java.nio java.util java.util.concurrent java.util.concurrent.atomic "
+              "sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar").split():
+        add_opens += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+    cmd = (["java"] + add_opens +
+           ["-Xmx4g", "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.Verify", variant_dir, out_dir])
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=3600)
+    errs = {}
+    for line in r.stderr.splitlines():
+        if line.startswith("[verify] ") and " failed: " in line:
+            name, msg = line[len("[verify] "):].split(" failed: ", 1)
+            errs[name] = msg.strip()[:200]
+    if r.returncode != 0 and not os.path.exists(f"{out_dir}/oracle_sql.json"):
+        raise RuntimeError(f"Verify died before writing oracle_sql.json "
+                           f"(rc={r.returncode}): {r.stderr[-500:]}")
+    return errs
+
+
+def canon(df: pd.DataFrame) -> str:
+    # Same canonicalization as tools/check_oracle.py / the driver.
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for _, row in df.iterrows():
+        rows.append("\x1f".join(
+            "" if pd.isna(v)
+            else (f"{v:.6f}" if isinstance(v, (float, np.floating)) else str(v))
+            for v in row))
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/degenerate_probe"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    n_cells = n_ok = n_both_fail = n_allowed = 0
+    diverged = []
+    for variant in VARIANTS:
+        vdir = f"{work}/{variant}/tables"
+        vout = f"{work}/{variant}/out"
+        build_variant(sf_dir, vdir, variant)
+        print(f"== variant {variant}: running Spark Verify...", flush=True)
+        spark_errs = run_spark_verify(vdir, vout)
+        oracles = json.load(open(f"{vout}/oracle_sql.json"))
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{vdir}/{t}.parquet'")
+        for name, sql in sorted(oracles.items()):
+            n_cells += 1
+            spark_files = sorted(glob.glob(f"{vout}/{name}/*.parquet"))
+            spark_ok = name not in spark_errs and bool(spark_files)
+            try:
+                duck_df = con.execute(sql).df()
+                duck_ok, duck_msg = True, ""
+            except Exception as e:
+                duck_ok, duck_msg = False, str(e).splitlines()[0][:200]
+                duck_df = None
+            if spark_ok and duck_ok:
+                spark_df = pd.concat([pd.read_parquet(p) for p in spark_files]) \
+                    if spark_files else pd.DataFrame()
+                same = (len(spark_df) == len(duck_df)
+                        and sorted(spark_df.columns) == sorted(duck_df.columns)
+                        and canon(spark_df) == canon(duck_df))
+                if same:
+                    n_ok += 1
+                    continue
+                detail = (f"values differ: spark {len(spark_df)} rows vs "
+                          f"duck {len(duck_df)} rows")
+            elif not spark_ok and not duck_ok:
+                n_both_fail += 1  # both engines refused, loudly — agreement
+                continue
+            elif spark_ok:
+                detail = f"spark OK, duck FAILED: {duck_msg}"
+            else:
+                detail = f"duck OK, spark FAILED: {spark_errs.get(name, 'no output')}"
+            if (variant, name) in ALLOWED:
+                n_allowed += 1
+                print(f"  ALLOWED {variant}/{name}: {ALLOWED[(variant, name)]}")
+                continue
+            diverged.append((variant, name, detail))
+            print(f"  DIVERGE {variant}/{name}: {detail}", flush=True)
+        con.close()
+        print(f"== variant {variant} done", flush=True)
+    print(f"== cells={n_cells} agree={n_ok} both_fail={n_both_fail} "
+          f"allowed={n_allowed} diverged={len(diverged)}")
+    sys.exit(1 if diverged else 0)
+
+
+if __name__ == "__main__":
+    main()
