@@ -1791,9 +1791,9 @@ object SparkEntry {
               FROM cs GROUP BY doc_id)
          SELECT m.doc_id,
                 COALESCE(agg.n, 0) AS n_frames,
-                CASE WHEN m.blen = 0 THEN 0
+                CASE WHEN coalesce(m.blen, 0) = 0 THEN 0
                      ELSE 16 + ascii(substring(m.text, 1, 1)) % 128 END AS width,
-                CASE WHEN m.blen = 0 THEN 0
+                CASE WHEN coalesce(m.blen, 0) = 0 THEN 0
                      WHEN m.blen < 2 THEN 9
                      ELSE 9 + ascii(substring(m.text, 2, 1)) % 64 END AS height,
                 CASE WHEN COALESCE(agg.n, 0) = 0 THEN 0.0
@@ -2131,15 +2131,15 @@ object SparkEntry {
                FROM p),
          tn AS (SELECT sum(CASE WHEN r64 <= 5 THEN 1 ELSE 0 END) AS n_true FROM tk)
          SELECT CAST(8 AS BIGINT) AS dims_kept, CAST(10 AS BIGINT) AS n_queries,
-                CAST(sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                CAST(coalesce(sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
                 sum(CASE WHEN r8 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / (CAST(max(tn.n_true) AS DOUBLE)) AS recall FROM tk, tn
          UNION ALL
          SELECT 16, 10,
-                CAST(sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(coalesce(sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT),
                 sum(CASE WHEN r16 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / (CAST(max(tn.n_true) AS DOUBLE)) FROM tk, tn
          UNION ALL
          SELECT 32, 10,
-                CAST(sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(coalesce(sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT),
                 sum(CASE WHEN r32 <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) / (CAST(max(tn.n_true) AS DOUBLE)) FROM tk, tn
          ORDER BY dims_kept""",
     "q_dedup_savings" ->
@@ -3112,7 +3112,7 @@ object SparkEntry {
                       WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = e.user_id)))
          SELECT relation, CAST(n_child AS BIGINT) AS n_child,
                 CAST(n_orphans AS BIGINT) AS n_orphans,
-                CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate
+                CAST(n_orphans AS DOUBLE) / nullif(CAST(n_child AS DOUBLE), 0.0E0) AS orphan_rate
          FROM r ORDER BY relation""",
     "q_ohlc" ->
       """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch,
@@ -3708,7 +3708,7 @@ object SparkEntry {
          t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM grid)
          SELECT na, nb,
                 CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
-                CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d_stat
+                CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / nullif(CAST(na * nb AS DOUBLE), 0.0E0) AS d_stat
          FROM cum CROSS JOIN t GROUP BY na, nb ORDER BY na""",
     "q_vocab_overlap" ->
       """WITH st AS (SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -4121,7 +4121,7 @@ object SparkEntry {
          SELECT CAST(sum(pos_n) AS BIGINT) AS n_pos, CAST(sum(neg_n) AS BIGINT) AS n_neg,
                 CAST(sum(pos_n * (2 * neg_below + neg_n)) AS BIGINT) AS u2,
                 CAST(sum(pos_n * (2 * neg_below + neg_n)) AS DOUBLE)
-                  / (2.0 * CAST(sum(pos_n) AS DOUBLE) * CAST(sum(neg_n) AS DOUBLE)) AS auc
+                  / nullif(2.0 * CAST(sum(pos_n) AS DOUBLE) * CAST(sum(neg_n) AS DOUBLE), 0.0E0) AS auc
          FROM w""",
     "q_sax" ->
       """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour,
@@ -4132,9 +4132,9 @@ object SparkEntry {
                 FROM h),
          z AS (SELECT hour, cnt,
                       (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                      / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                      / nullif(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
                         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 0.0E0) AS z
                FROM h CROSS JOIN st)
          SELECT hour, cnt, z,
                 CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
@@ -4462,7 +4462,7 @@ object SparkEntry {
                       CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
                FROM v)
          SELECT n1, n2,
-                CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS chi2,
+                CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / nullif(CAST(n1 + n2 AS DOUBLE), 0.0E0) AS chi2,
                 CAST(CAST((n1 - n2) * (n1 - n2) AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) > 3.84
                   AS BIGINT) AS flagged
          FROM c""",
@@ -4484,7 +4484,7 @@ object SparkEntry {
                 CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
                 (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
                 * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+                / nullif(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 0.0E0) AS contrib
          FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN t
          ORDER BY source, lang""",
     "q_ltv_curve" ->
@@ -4566,10 +4566,10 @@ object SparkEntry {
                 CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE) AS e_a,
                 (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
                 * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                / nullif(CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE), 0.0E0)
                 + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
                 * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE)) AS contrib
+                / nullif(CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE), 0.0E0) AS contrib
          FROM c CROSS JOIN t ORDER BY bin""",
     "q_attribution" ->
       s"""WITH b AS (SELECT user_id, event_id, event_type,
@@ -4831,7 +4831,7 @@ object SparkEntry {
                 CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
                      ELSE 0.0 END /
-                sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0) AS z
+                nullif(sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0), 0.0E0) AS z
          FROM s CROSS JOIN tt ORDER BY n_days""",
     "q_merge_stats" ->
       """WITH base AS (SELECT event_type, event_id % 2 AS h,
@@ -4851,7 +4851,7 @@ object SparkEntry {
                 CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_dollars,
                 sqrt((CAST(sumsq_cents AS DOUBLE) -
                       CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) /
-                     CAST(n - 1 AS DOUBLE)) / 100.0 AS stddev_dollars
+                     nullif(CAST(n - 1 AS DOUBLE), 0.0E0)) / 100.0 AS stddev_dollars
          FROM m JOIN d USING (event_type) ORDER BY event_type""",
     "q_kendall_tau" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
@@ -4977,7 +4977,7 @@ object SparkEntry {
                  FROM rk)
          SELECT n,
                 CAST(n * suv - su * sv AS DOUBLE) /
-                sqrt(CAST(n * suu - su * su AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE)) AS rho
+                nullif(sqrt(CAST(n * suu - su * su AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE)), 0.0E0) AS rho
          FROM agg ORDER BY n""",
     "q_hash_uniformity" ->
       """WITH c AS (SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS b,
@@ -4998,8 +4998,8 @@ object SparkEntry {
                         max(abs(256 * cum - n * (b + 1))) AS ks_num
                  FROM cum CROSS JOIN tot)
          SELECT n, n_buckets_used,
-                (256.0 * CAST(sumsq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS chi2,
-                CAST(ks_num AS DOUBLE) / (256.0 * CAST(n AS DOUBLE)) AS ks_d
+                (256.0 * CAST(sumsq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / nullif(CAST(n AS DOUBLE), 0.0E0) AS chi2,
+                CAST(ks_num AS DOUBLE) / nullif(256.0 * CAST(n AS DOUBLE), 0.0E0) AS ks_d
          FROM agg ORDER BY n""",
     "q_median_ci" ->
       """WITH base AS (SELECT event_type, event_id,
@@ -5141,8 +5141,8 @@ object SparkEntry {
                       CAST(sb1 AS DOUBLE) AS r1, CAST(sb2 AS DOUBLE) AS r2,
                       CAST(sy AS DOUBLE) AS r3
                FROM m)
-         SELECT n, $d1 / $det AS coef_hour, $d2 / $det AS coef_dow,
-                $d3 / $det AS intercept
+         SELECT n, $d1 / nullif($det, 0.0E0) AS coef_hour, $d2 / nullif($det, 0.0E0) AS coef_dow,
+                $d3 / nullif($det, 0.0E0) AS intercept
          FROM d ORDER BY n"""
     },
     "q_markov_stationary" ->
@@ -5212,7 +5212,7 @@ object SparkEntry {
                         CAST(sum(abs(ca * nb - cb * na) * gap) AS BIGINT) AS w1_num
                  FROM cum CROSS JOIN t WHERE gap IS NOT NULL)
          SELECT na, nb, w1_num,
-                CAST(w1_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS emd
+                CAST(w1_num AS DOUBLE) / nullif(CAST(na * nb AS DOUBLE), 0.0E0) AS emd
          FROM agg ORDER BY na""",
     "q_hist_quantile" ->
       """WITH base AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
@@ -5373,7 +5373,7 @@ object SparkEntry {
                 (1.0 - ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) +
                         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
                         (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))) /
-                       (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS alpha
+                       nullif(CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE), 0.0E0)) AS alpha
          FROM m ORDER BY n""",
     "q_jl_distortion" -> duckJlSql(8, 10),
     "q_conformal" -> {
@@ -5508,7 +5508,7 @@ object SparkEntry {
                FROM ea a, lags, eb b
                WHERE a.d + lag = b.d GROUP BY 1)
          SELECT lag, n_pairs,
-                CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)) AS ccf
+                CAST(sab AS DOUBLE) / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0.0E0) AS ccf
          FROM p, saa, sbb ORDER BY lag""",
     "q_price_index" ->
       """WITH y0 AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c0,
@@ -5619,8 +5619,8 @@ object SparkEntry {
                 sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
              - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS sigma,
                 (CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE))
-             / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
-             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) AS rs_stat
+             / nullif(sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))), 0.0E0) AS rs_stat
          FROM agg ORDER BY n_days""",
     "q_friedman" ->
       """WITH cells AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d, event_type,
@@ -5776,15 +5776,15 @@ object SparkEntry {
                  FROM d, mo),
          top AS (SELECT * FROM dev ORDER BY dev DESC, d ASC LIMIT 1)
          SELECT n_days, d AS day_epoch, y AS y_cents, dev AS abs_dev,
-                dev / sqrt((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+                dev / nullif(sqrt((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
                   - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
-                  * CAST(n_days AS DOUBLE) / (CAST(n_days AS DOUBLE) - 1.0)) AS grubbs_g
+                  * CAST(n_days AS DOUBLE) / nullif(CAST(n_days AS DOUBLE) - 1.0, 0.0E0)), 0.0E0) AS grubbs_g
          FROM top ORDER BY n_days""",
     "q_adf" -> {
       val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
       val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
       val cyy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
-      val gamma = s"($cxy / $cxx)"
+      val gamma = s"($cxy / nullif($cxx, 0.0E0))"
       s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
                      FROM events GROUP BY 1),
@@ -5795,7 +5795,7 @@ object SparkEntry {
                 FROM p)
           SELECT n AS n_pairs, $gamma AS gamma,
                  $gamma / sqrt((($cyy - $gamma * $cxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
-              / (CAST(n AS DOUBLE) * $cxx)) AS t_stat
+              / nullif(CAST(n AS DOUBLE) * $cxx, 0.0E0)) AS t_stat
           FROM m ORDER BY n_pairs"""
     },
     "q_granger" -> {
@@ -5806,10 +5806,10 @@ object SparkEntry {
       val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
       val cyy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
       val det = s"($cll * $cxx - $clx * $clx)"
-      val b1 = s"(($cly * $cxx - $cxy * $clx) / $det)"
-      val b2 = s"(($cll * $cxy - $clx * $cly) / $det)"
+      val b1 = s"(($cly * $cxx - $cxy * $clx) / nullif($det, 0.0E0))"
+      val b2 = s"(($cll * $cxy - $clx * $cly) / nullif($det, 0.0E0))"
       val rssU = s"($cyy - $b1 * $cly - $b2 * $cxy)"
-      val rssR = s"($cyy - $cly * $cly / $cll)"
+      val rssR = s"($cyy - $cly * $cly / nullif($cll, 0.0E0))"
       s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
                             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
@@ -5823,7 +5823,7 @@ object SparkEntry {
                 FROM t)
           SELECT n AS n_triples, $b1 AS b_lag, $b2 AS b_click,
                  $rssU AS rss_u_over_n, $rssR AS rss_r_over_n,
-                 (($rssR - $rssU) * CAST(n - 3 AS DOUBLE)) / $rssU AS f_stat
+                 (($rssR - $rssU) * CAST(n - 3 AS DOUBLE)) / nullif($rssU, 0.0E0) AS f_stat
           FROM m ORDER BY n_triples"""
     },
     "q_mediation" -> {
@@ -5832,11 +5832,11 @@ object SparkEntry {
       val cmm = graft.engine.Analytics.cmomSql("smm", "sm", "sm")
       val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
       val cmy = graft.engine.Analytics.cmomSql("smy", "sm", "sy")
-      val aPath = s"($cxm / $cxx)"
-      val total = s"($cxy / $cxx)"
+      val aPath = s"($cxm / nullif($cxx, 0.0E0))"
+      val total = s"($cxy / nullif($cxx, 0.0E0))"
       val det = s"($cxx * $cmm - $cxm * $cxm)"
-      val direct = s"(($cxy * $cmm - $cmy * $cxm) / $det)"
-      val bPath = s"(($cxx * $cmy - $cxm * $cxy) / $det)"
+      val direct = s"(($cxy * $cmm - $cmy * $cxm) / nullif($det, 0.0E0))"
+      val bPath = s"(($cxx * $cmy - $cxm * $cxy) / nullif($det, 0.0E0))"
       s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
                             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS m,
@@ -5937,8 +5937,8 @@ object SparkEntry {
           b AS (SELECT jt2, $nTotal AS n_total, $sumSq AS sum_sq, $sumSq23 AS sum_sq23 FROM a)
           SELECT n_total, jt2, (n_total * n_total - sum_sq) // 2 AS e2,
                  CAST(jt2 - (n_total * n_total - sum_sq) // 2 AS DOUBLE)
-                   / (2.0 * sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
-                                  * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - sum_sq23) / 72.0)) AS z
+                   / nullif(2.0 * sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                                  * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - sum_sq23) / 72.0), 0.0E0) AS z
           FROM b ORDER BY n_total"""
     },
     "q_cliffs_delta" ->
@@ -5977,7 +5977,7 @@ object SparkEntry {
          SELECT n_days, n_seasons, s_stat,
                 CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                     ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0) AS z
+                     ELSE 0.0 END / nullif(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0.0E0) AS z
          FROM s, v ORDER BY n_days""",
     "q_ansari" -> {
       val score = graft.engine.Inference.abScoreRangeSql("lo", "hi")
@@ -6034,14 +6034,14 @@ object SparkEntry {
                       CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS tie_xy
                FROM cells)
          SELECT n_rows, conc, disc, tie_x, tie_y, tie_xy,
-                CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE) AS gamma,
-                CAST(conc - disc AS DOUBLE) / CAST(conc + disc + tie_y AS DOUBLE) AS somers_d_yx,
-                CAST(conc - disc AS DOUBLE) / CAST((n_rows * (n_rows - 1)) // 2 AS DOUBLE) AS tau_a
+                CAST(conc - disc AS DOUBLE) / nullif(CAST(conc + disc AS DOUBLE), 0.0E0) AS gamma,
+                CAST(conc - disc AS DOUBLE) / nullif(CAST(conc + disc + tie_y AS DOUBLE), 0.0E0) AS somers_d_yx,
+                CAST(conc - disc AS DOUBLE) / nullif(CAST((n_rows * (n_rows - 1)) // 2 AS DOUBLE), 0.0E0) AS tau_a
          FROM pc, t ORDER BY n_rows""",
     "q_white" -> {
       val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
       val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
-      val bTxt = s"($cxy / $cxx)"
+      val bTxt = s"($cxy / nullif($cxx, 0.0E0))"
       val aTxt =
         s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
       val eTxt = s"(CAST(y AS DOUBLE) - ($aTxt + $bTxt * CAST(i AS DOUBLE)))"
@@ -6052,9 +6052,9 @@ object SparkEntry {
       val cvw = graft.engine.Analytics.cmomSql("svw", "sv", "sw")
       val cww = graft.engine.Analytics.cmomSql("sww", "sw", "sw")
       val det = s"($cuu * $cvv - $cuv * $cuv)"
-      val b1 = s"(($cuw * $cvv - $cvw * $cuv) / $det)"
-      val b2 = s"(($cuu * $cvw - $cuv * $cuw) / $det)"
-      val r2 = s"(($b1 * $cuw + $b2 * $cvw) / $cww)"
+      val b1 = s"(($cuw * $cvv - $cvw * $cuv) / nullif($det, 0.0E0))"
+      val b2 = s"(($cuu * $cvw - $cuv * $cuw) / nullif($det, 0.0E0))"
+      val r2 = s"(($b1 * $cuw + $b2 * $cvw) / nullif($cww, 0.0E0))"
       s"""WITH d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
                       FROM events GROUP BY 1),
@@ -6119,8 +6119,9 @@ object SparkEntry {
                FROM w)
          SELECT n_days, t_stat,
                 CAST(2 * (n_days - 2) AS DOUBLE) / 3.0 AS e_t,
-                (CAST(t_stat AS DOUBLE) - CAST(2 * (n_days - 2) AS DOUBLE) / 3.0)
-                  / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0) AS z
+                CASE WHEN 16 * n_days - 29 > 0 THEN
+                  (CAST(t_stat AS DOUBLE) - CAST(2 * (n_days - 2) AS DOUBLE) / 3.0)
+                  / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0) END AS z
          FROM a ORDER BY n_days""",
     "q_periodogram7" -> {
       val aTxt = graft.engine.Analytics.periodogram7ATxt
@@ -6140,7 +6141,7 @@ object SparkEntry {
                 FROM d0)
           SELECT n AS n_days, $aTxt AS a_re, $bTxt AS b_im,
                  ($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE) AS power7,
-                 (($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)) / $css AS share7
+                 (($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)) / nullif($css, 0.0E0) AS share7
           FROM m ORDER BY n_days"""
     },
     "q_matrix_profile" -> {
@@ -6174,10 +6175,10 @@ object SparkEntry {
       val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
       val cxy = graft.engine.Analytics.cmomSql("sxy", "sx", "sy")
       val ryy = graft.engine.Analytics.cmomSql("syy", "sy", "sy")
-      val bTxt = s"($cxy / $cxx)"
+      val bTxt = s"($cxy / nullif($cxx, 0.0E0))"
       val aTxt =
         s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
-      val gamma = s"($cxy / $cxx)"
+      val gamma = s"($cxy / nullif($cxx, 0.0E0))"
       s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
                             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
@@ -6197,7 +6198,7 @@ object SparkEntry {
                 FROM p)
           SELECT n AS n_pairs, beta AS coint_beta, $gamma AS gamma,
                  $gamma / sqrt((($ryy - $gamma * $cxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
-              / (CAST(n AS DOUBLE) * $cxx)) AS eg_t_stat
+              / nullif(CAST(n AS DOUBLE) * $cxx, 0.0E0)) AS eg_t_stat
           FROM m ORDER BY n_pairs"""
     },
     "q_mahalanobis" -> {
@@ -6209,7 +6210,7 @@ object SparkEntry {
       val det = s"($cxx * $cyy - $cxy * $cxy)"
       val dx = s"(CAST(x AS DOUBLE) - $mx)"
       val dy = s"(CAST(y AS DOUBLE) - $my)"
-      val d2 = s"(($cyy * $dx * $dx - 2.0 * $cxy * $dx * $dy + $cxx * $dy * $dy) / $det)"
+      val d2 = s"(($cyy * $dx * $dx - 2.0 * $cxy * $dx * $dy + $cxx * $dy * $dy) / nullif($det, 0.0E0))"
       s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
                             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS y,
                             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
@@ -6257,7 +6258,7 @@ object SparkEntry {
       val cxx = graft.engine.Analytics.cmomSql("sxx", "sx", "sx")
       val det0 = s"($cll * $cxx - $clx * $clx)"
       def eq(cy: String, cxy: String): (String, String) =
-        (s"(($cy * $cxx - $cxy * $clx) / $det0)", s"(($cll * $cxy - $clx * $cy) / $det0)")
+        (s"(($cy * $cxx - $cxy * $clx) / nullif($det0, 0.0E0))", s"(($cll * $cxy - $clx * $cy) / nullif($det0, 0.0E0))")
       val cyl = graft.engine.Analytics.cmomSql("syl", "sl", "sy")
       val cyx = graft.engine.Analytics.cmomSql("syx", "sx", "sy")
       val czl = graft.engine.Analytics.cmomSql("szl", "sl", "sz")
@@ -6414,8 +6415,8 @@ object SparkEntry {
          tot AS (SELECT CAST(count(*) AS BIGINT) AS total_slots FROM recs),
          ex AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended, CAST(max(n_slots) AS BIGINT) AS max_exposure FROM expo)
          SELECT n_catalog, n_recommended, total_slots, max_exposure,
-                CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS coverage,
-                CAST(max_exposure AS DOUBLE) / CAST(total_slots AS DOUBLE) AS max_share
+                CAST(n_recommended AS DOUBLE) / nullif(CAST(n_catalog AS DOUBLE), 0.0E0) AS coverage,
+                CAST(max_exposure AS DOUBLE) / nullif(CAST(total_slots AS DOUBLE), 0.0E0) AS max_share
          FROM cat, tot, ex ORDER BY n_catalog""",
     "q_pq_distortion" -> {
       val m = 8
@@ -6511,7 +6512,8 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24 AS h,
                            CAST(count(*) AS BIGINT) AS c
                     FROM events GROUP BY 1, 2),
-         kept AS (SELECT event_type, h, 2 * c AS doubled_count FROM h WHERE 2 * c >= 20),
+         kept AS (SELECT event_type, h, 2 * c AS doubled_count FROM h
+                  WHERE h IS NOT NULL AND 2 * c >= 20),
          nk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
          SELECT k.event_type, k.h, k.doubled_count, nk.n_kept
          FROM kept k JOIN nk ON k.event_type = nk.event_type
@@ -6675,8 +6677,8 @@ object SparkEntry {
                        CAST(sum(chunk_len) AS BIGINT) AS total_chars
                 FROM ch)
           SELECT n_docs, total_chunks, distinct_chunks, total_chars,
-                 CAST(distinct_chunks AS DOUBLE) / CAST(total_chunks AS DOUBLE) AS unique_ratio,
-                 CAST(total_chars AS DOUBLE) / CAST(total_chunks AS DOUBLE) AS mean_chunk_len
+                 CAST(distinct_chunks AS DOUBLE) / nullif(CAST(total_chunks AS DOUBLE), 0.0E0) AS unique_ratio,
+                 CAST(total_chars AS DOUBLE) / nullif(CAST(total_chunks AS DOUBLE), 0.0E0) AS mean_chunk_len
           FROM a ORDER BY n_docs"""
     },
     "q_merkle" ->
@@ -6769,8 +6771,8 @@ object SparkEntry {
         s"(CASE WHEN $tot = 0 THEN 0.0 ELSE CAST(c_${s}_${d} AS DOUBLE) / CAST($tot AS DOUBLE) END)"
       }
       val det = s"((1.0 - ${p("cl", "cl")}) * (1.0 - ${p("vi", "vi")}) - ${p("cl", "vi")} * ${p("vi", "cl")})"
-      val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / $det)"
-      val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / $det)"
+      val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / nullif($det, 0.0E0))"
+      val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / nullif($det, 0.0E0))"
       val xs = s"(${p("st", "cl")} * $xc + ${p("st", "vi")} * $xv + ${p("st", "pu")})"
       val xvNoC = s"(${p("vi", "pu")} / (1.0 - ${p("vi", "vi")}))"
       val xsNoC = s"(${p("st", "vi")} * $xvNoC + ${p("st", "pu")})"
@@ -6961,10 +6963,10 @@ object SparkEntry {
                    rec.say + (dd.x + rec.a // 2) * dd.y
             FROM rec JOIN days dd ON dd.i = rec.i + 1)
           SELECT n AS n_days,
-                 ($cxy / $cxx) AS beta,
+                 ($cxy / nullif($cxx, 0.0E0)) AS beta,
                  (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-              - ($cxy / $cxx) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))) AS intercept,
-                 (($cxy * $cxy) / ($cxx * $cyy)) AS r2
+              - ($cxy / nullif($cxx, 0.0E0)) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))) AS intercept,
+                 (($cxy * $cxy) / nullif($cxx * $cyy, 0.0E0)) AS r2
           FROM rec WHERE i = (SELECT max(i) FROM days) ORDER BY n_days"""
     },
     "q_graph_census" ->
@@ -6978,11 +6980,11 @@ object SparkEntry {
          cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem)
          SELECT n_nodes, n_edges, n_catalog, max_degree,
                 CASE WHEN n_nodes < 2 THEN NULL
-                     ELSE CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+                     ELSE CAST(2 * n_edges AS DOUBLE) / nullif(CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE), 0.0E0)
                 END AS density,
                 CASE WHEN n_nodes = 0 THEN NULL
                      ELSE CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) END AS avg_degree,
-                CAST(n_nodes AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS participation
+                CAST(n_nodes AS DOUBLE) / nullif(CAST(n_catalog AS DOUBLE), 0.0E0) AS participation
          FROM ec, dc, cat ORDER BY n_nodes""",
     "q_knee" ->
       """WITH rev AS (SELECT l_partkey,
@@ -7030,7 +7032,7 @@ object SparkEntry {
          SELECT feature, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
                 CAST(sum(2 * p * cq + p * q) AS BIGINT) AS u2,
                 CAST(CAST(sum(2 * p * cq + p * q) AS BIGINT) AS DOUBLE)
-                  / (2.0 * CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)) AS auc
+                  / nullif(2.0 * CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(q) AS BIGINT) AS DOUBLE), 0.0E0) AS auc
          FROM c GROUP BY 1 ORDER BY 1""",
     "q_roc_points" ->
       """WITH b AS (SELECT user_id,
@@ -7053,8 +7055,8 @@ object SparkEntry {
          SELECT CAST(t AS BIGINT) AS threshold,
                 CAST(sum(CASE WHEN clicks >= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
                 CAST(sum(CASE WHEN clicks >= t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                CAST(sum(CASE WHEN clicks >= t AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(CAST(sum(label) AS BIGINT) AS DOUBLE) AS tpr,
-                CAST(sum(CASE WHEN clicks >= t AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(CAST(sum(1 - label) AS BIGINT) AS DOUBLE) AS fpr
+                CAST(sum(CASE WHEN clicks >= t AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(CAST(sum(label) AS BIGINT) AS DOUBLE), 0.0E0) AS tpr,
+                CAST(sum(CASE WHEN clicks >= t AND label = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(CAST(sum(1 - label) AS BIGINT) AS DOUBLE), 0.0E0) AS fpr
          FROM x GROUP BY 1 ORDER BY 1""",
     "q_perceptron" ->
       """WITH RECURSIVE d0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
@@ -7375,7 +7377,7 @@ object SparkEntry {
                       CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS HUGEINT) AS num
                FROM dm a, lags, dm b
                WHERE a.d + lag = b.d GROUP BY 1)
-         SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(see AS DOUBLE) AS acf
+         SELECT lag, n_pairs, CAST(num AS DOUBLE) / nullif(CAST(see AS DOUBLE), 0.0E0) AS acf
          FROM p, den ORDER BY lag""",
     "q_skew_kurt" -> {
       val (n, s1, s2, s3, s4) =
@@ -7486,8 +7488,8 @@ object SparkEntry {
       val varX = s"($sxxD / $nD - ($sxD / $nD) * ($sxD / $nD))"
       val varY = s"($syyD / $nD - ($syD / $nD) * ($syD / $nD))"
       val covar = s"($sxyD / $nD - ($sxD / $nD) * ($syD / $nD))"
-      val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / ($nD * $varX))"
-      val s2 = s"(($varY - $covar * $covar / $varX) * $nD / ($nD - 2))"
+      val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / nullif($nD * $varX, 0.0E0))"
+      val s2 = s"(($varY - $covar * $covar / nullif($varX, 0.0E0)) * $nD / nullif($nD - 2, 0.0E0))"
       val cooks =
         s"((${Stages.residualSql} * ${Stages.residualSql}) / (2.0 * $s2) * $h / ((1.0 - $h) * (1.0 - $h)))"
       s"""WITH b AS (SELECT l_orderkey, l_linenumber,
@@ -7533,14 +7535,14 @@ object SparkEntry {
                       CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c2
                FROM a)
          SELECT n1, c1, n2, c2,
-                (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rate1,
-                (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS rate2,
-                CASE WHEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) = (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) THEN NULL ELSE
+                (CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) AS rate1,
+                (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) AS rate2,
+                CASE WHEN (CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) = (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) THEN NULL ELSE
                   (1.96 + 0.8416) * (1.96 + 0.8416)
-                  * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (1 - (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
-                     + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * (1 - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
-                  / (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
-                     * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))) END AS n_per_arm
+                  * ((CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) * (1 - (CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)))
+                     + (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) * (1 - (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0))))
+                  / (((CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) - (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)))
+                     * ((CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) - (CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)))) END AS n_per_arm
          FROM m""",
     "q_dedup_prf" ->
       s"""WITH g AS (SELECT doc_id, source, $duckShingles AS grams FROM documents),
@@ -7668,7 +7670,7 @@ object SparkEntry {
                       CAST(sum(y * z) AS BIGINT) AS s_yz
                FROM b)
          SELECT n, $rxy AS r_xy, $rxz AS r_xz, $ryz AS r_yz,
-                ($rxy - $rxz * $ryz) / sqrt((1 - $rxz * $rxz) * (1 - $ryz * $ryz)) AS r_xy_given_z
+                ($rxy - $rxz * $ryz) / nullif(sqrt((1 - $rxz * $rxz) * (1 - $ryz * $ryz)), 0.0E0) AS r_xy_given_z
          FROM m"""
     },
     "q_icc" ->
@@ -7687,13 +7689,13 @@ object SparkEntry {
                        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE)) AS ssb,
                       (CAST(q AS DOUBLE) - CAST(ssb_centi AS DOUBLE) * 100.0) AS ssw,
                       (CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
-                        / CAST(k - 1 AS DOUBLE) AS k_bar
+                        / nullif(CAST(k - 1 AS DOUBLE), 0.0E0) AS k_bar
                FROM m),
-         y AS (SELECT k, n, ssb / CAST(k - 1 AS DOUBLE) AS msb,
-                      ssw / CAST(n - k AS DOUBLE) AS msw, k_bar
+         y AS (SELECT k, n, ssb / nullif(CAST(k - 1 AS DOUBLE), 0.0E0) AS msb,
+                      ssw / nullif(CAST(n - k AS DOUBLE), 0.0E0) AS msw, k_bar
                FROM x)
          SELECT k, n, msb, msw, k_bar,
-                (msb - msw) / (msb + (k_bar - 1) * msw) AS icc1
+                (msb - msw) / nullif(msb + (k_bar - 1) * msw, 0.0E0) AS icc1
          FROM y""",
     "q_pca2" ->
       """WITH e AS (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS dim FROM embeddings),
@@ -7792,9 +7794,9 @@ object SparkEntry {
                       CAST(b_c AS DOUBLE) AS r1, CAST(b_s AS DOUBLE) AS r2, CAST(b_v AS DOUBLE) AS r3
                FROM m)
          SELECT n_transitions,
-                $d1 / $det AS p_click,
-                $d2 / $det AS p_signup,
-                $d3 / $det AS p_view
+                $d1 / nullif($det, 0.0E0) AS p_click,
+                $d2 / nullif($det, 0.0E0) AS p_signup,
+                $d3 / nullif($det, 0.0E0) AS p_view
          FROM x"""
     },
     "q_nn_match" ->
@@ -7912,8 +7914,8 @@ object SparkEntry {
                       ${Analytics.anovaSstSql} AS sst
                FROM m)
          SELECT n, CAST(${types.length} AS BIGINT) AS k, ssb, sst - ssb AS ssw,
-                (ssb / ${types.length - 1}.0) / ((sst - ssb) / CAST(n - ${types.length} AS DOUBLE)) AS f_stat,
-                ssb / sst AS eta2
+                (ssb / ${types.length - 1}.0) / nullif((sst - ssb) / nullif(CAST(n - ${types.length} AS DOUBLE), 0.0E0), 0.0E0) AS f_stat,
+                ssb / nullif(sst, 0.0E0) AS eta2
          FROM x"""
     },
     "q_welch" ->
@@ -7927,8 +7929,8 @@ object SparkEntry {
                  CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
                FROM base)
          SELECT n1, n2,
-                (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0 AS mean1,
-                (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0 AS mean2,
+                (CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) / 100.0 AS mean1,
+                (CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) / 100.0 AS mean2,
                 ${Analytics.welchTSql} AS t_stat,
                 ${Analytics.welchDfSql} AS df
          FROM m""",
@@ -8510,11 +8512,11 @@ object SparkEntry {
                       CAST(sum(CASE WHEN NOT wk AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS d
                FROM base)
          SELECT a, b, c, d,
-                (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * (CAST(d AS DOUBLE) / CAST(c AS DOUBLE)) AS odds_ratio,
-                (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
-                  / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) AS risk_ratio,
-                1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
-                  + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE) AS se2_log_or
+                (CAST(a AS DOUBLE) / nullif(CAST(b AS DOUBLE), 0.0E0)) * (CAST(d AS DOUBLE) / nullif(CAST(c AS DOUBLE), 0.0E0)) AS odds_ratio,
+                (CAST(a AS DOUBLE) / nullif(CAST(a + b AS DOUBLE), 0.0E0))
+                  / nullif(CAST(c AS DOUBLE) / nullif(CAST(c + d AS DOUBLE), 0.0E0), 0.0E0) AS risk_ratio,
+                1.0 / nullif(CAST(a AS DOUBLE), 0.0E0) + 1.0 / nullif(CAST(b AS DOUBLE), 0.0E0)
+                  + 1.0 / nullif(CAST(c AS DOUBLE), 0.0E0) + 1.0 / nullif(CAST(d AS DOUBLE), 0.0E0) AS se2_log_or
          FROM m""",
     "q_binom_test" ->
       s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -8676,13 +8678,13 @@ object SparkEntry {
                       CAST(sum(CAST(round(
                         ((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
                          * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000)
+                         / nullif(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 0.0E0)) * 1000000)
                         AS BIGINT)) AS BIGINT) AS chi2_micro
                FROM j)
          SELECT nn AS n, r, c,
                 CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
                 sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
-                     / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS v
+                     / nullif(CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE), 0.0E0)) AS v
          FROM t""",
     "q_two_prop" ->
       s"""WITH base AS (SELECT ((CAST(ts AS DATE) - DATE '1970-01-05') % 7) >= 5 AS wk,
@@ -8694,8 +8696,8 @@ object SparkEntry {
                       CAST(sum(CASE WHEN wk AND hi THEN 1 ELSE 0 END) AS BIGINT) AS x2
                FROM base)
          SELECT n1, x1, n2, x2,
-                CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
-                CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                CAST(x1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) AS p1,
+                CAST(x2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0) AS p2,
                 ${Inference.twoPropZSql} AS z
          FROM m""",
     "q_mcnemar" ->
@@ -8797,7 +8799,7 @@ object SparkEntry {
                       CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
                FROM daily)
          SELECT n AS n_days,
-                CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio_cents,
+                CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), 0.0E0) AS ratio_cents,
                 ${Inference.deltaSe2Sql} AS se2_ratio
          FROM m""",
     "q_tost" ->
@@ -8811,7 +8813,7 @@ object SparkEntry {
                  CAST(sum(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
                FROM base)
          SELECT n1, n2,
-                (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0 AS diff_dollars,
+                (CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) / 100.0 AS diff_dollars,
                 ${Inference.tostTSql(500L, lower = true)} AS t_lower,
                 ${Inference.tostTSql(500L, lower = false)} AS t_upper
          FROM m""",
@@ -8854,8 +8856,8 @@ object SparkEntry {
                       CAST(sum(CASE WHEN NOT wk THEN y ELSE 0 END) AS BIGINT) AS sy0
                FROM b)
          SELECT nz1, nz0,
-                CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE) AS first_stage,
-                CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE) AS reduced_form,
+                CAST(sx1 AS DOUBLE) / nullif(CAST(nz1 AS DOUBLE), 0.0E0) - CAST(sx0 AS DOUBLE) / nullif(CAST(nz0 AS DOUBLE), 0.0E0) AS first_stage,
+                CAST(sy1 AS DOUBLE) / nullif(CAST(nz1 AS DOUBLE), 0.0E0) - CAST(sy0 AS DOUBLE) / nullif(CAST(nz0 AS DOUBLE), 0.0E0) AS reduced_form,
                 ${Inference.waldSql} AS wald
          FROM m""",
     "q_top2_agg" ->
@@ -8887,7 +8889,7 @@ object SparkEntry {
     "q_neyman" -> {
       val sd =
         """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
-              / CAST(n - 1 AS DOUBLE))"""
+              / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"""
       s"""WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
          g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
                       CAST(sum(cents * cents) AS BIGINT) AS q
@@ -8895,15 +8897,15 @@ object SparkEntry {
          g2 AS (SELECT *, CAST(round(CAST(n AS DOUBLE) * $sd) AS BIGINT) AS term FROM g),
          t AS (SELECT CAST(sum(term) AS BIGINT) AS term_total FROM g2)
          SELECT event_type, n, $sd / 100.0 AS sd_dollars,
-                CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE) AS share,
-                CAST(round(1000.0 * CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE)) AS BIGINT) AS n_alloc
+                CAST(term AS DOUBLE) / nullif(CAST(term_total AS DOUBLE), 0.0E0) AS share,
+                CAST(round(1000.0 * CAST(term AS DOUBLE) / nullif(CAST(term_total AS DOUBLE), 0.0E0)) AS BIGINT) AS n_alloc
          FROM g2, t ORDER BY event_type"""
     },
     "q_fdr" -> {
       val mu = "(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))"
       val z =
         s"""((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - $mu)
-           / sqrt($mu * (1.0 - $mu) / CAST(n AS DOUBLE)))"""
+           / nullif(sqrt($mu * (1.0 - $mu) / CAST(n AS DOUBLE)), 0.0E0))"""
       s"""WITH pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
                              CAST(sum(CASE WHEN l_quantity >= 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
                       FROM lineitem GROUP BY 1),
@@ -8911,7 +8913,8 @@ object SparkEntry {
                       CAST(count(*) AS BIGINT) AS m
                FROM pp),
          r AS (SELECT l_partkey, n, x, m, $z AS z FROM pp, t),
-         r2 AS (SELECT *, least(1.0, 1.0 / (z * z)) AS p_cheb FROM r),
+         r2 AS (SELECT *, CASE WHEN z * z > 0.0 THEN least(1.0, 1.0 / (z * z))
+                               WHEN z = 0.0 THEN 1.0 END AS p_cheb FROM r),
          r3 AS (SELECT *, CAST(row_number() OVER (ORDER BY p_cheb, l_partkey) AS BIGINT) AS rank
                 FROM r2),
          r4 AS (SELECT *, p_cheb <= 0.1 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) AS bh_ok FROM r3),
@@ -8966,13 +8969,13 @@ object SparkEntry {
          SELECT decile, n_rows, n_pos,
                 CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS rate,
                 (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
-                  / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) AS lift,
-                CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE) AS cum_gain
+                  / nullif(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE), 0.0E0) AS lift,
+                CAST(cum_pos AS DOUBLE) / nullif(CAST(pp AS DOUBLE), 0.0E0) AS cum_gain
          FROM c, t ORDER BY decile""",
     "q_burstiness" -> {
       val sd =
         """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * CAST(s AS DOUBLE))
-            / CAST(n_gaps - 1 AS DOUBLE))"""
+            / nullif(CAST(n_gaps - 1 AS DOUBLE), 0.0E0))"""
       s"""WITH b AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t, event_id
                      FROM events),
          g AS (SELECT event_type,
@@ -8985,7 +8988,7 @@ object SparkEntry {
                 CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
                 $sd AS sd_gap_s,
                 ($sd - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-                  / ($sd + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+                  / nullif($sd + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 0.0E0) AS burstiness
          FROM m ORDER BY event_type"""
     },
     "q_bayes_ab" ->
@@ -9034,7 +9037,7 @@ object SparkEntry {
     "q_cpk" -> {
       val sd =
         """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
-              / CAST(n - 1 AS DOUBLE))"""
+              / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"""
       val mu = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
       s"""WITH b AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                      FROM lineitem),
@@ -9044,8 +9047,8 @@ object SparkEntry {
          SELECT l_returnflag, n,
                 $mu / 100.0 AS mean_dollars,
                 $sd / 100.0 AS sd_dollars,
-                ((100000.0 - 10000.0) / (6.0 * $sd)) AS cp,
-                (least(100000.0 - $mu, $mu - 10000.0) / (3.0 * $sd)) AS cpk
+                ((100000.0 - 10000.0) / nullif(6.0 * $sd, 0.0E0)) AS cp,
+                (least(100000.0 - $mu, $mu - 10000.0) / nullif(3.0 * $sd, 0.0E0)) AS cpk
          FROM g ORDER BY l_returnflag"""
     },
     "q_abc" ->

@@ -738,9 +738,9 @@ object Analytics {
       .withColumn(
         "z",
         expr("""(CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                / nullif(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"""))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 0.0E0)"""))
       .select(
         col("hour"), col("cnt"), col("z"),
         expr("""CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
@@ -1049,14 +1049,14 @@ object Analytics {
       .crossJoin(broadcast(totals))
       .select(
         col("bin"), col("n_a"), col("n_b"),
-        expr("""CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE)""")
+        expr("""CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0)""")
           .as("e_a"),
-        expr("""(CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
-                / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))""")
+        expr("""(CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0))
+                * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0))
+                / nullif(CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0), 0.0E0)
+                + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0))
+                * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0))
+                / nullif(CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / nullif(CAST(ta + tb AS DOUBLE), 0.0E0), 0.0E0)""")
           .as("contrib"))
   }
 
@@ -1533,7 +1533,9 @@ object Analytics {
         sum(col("pos_n") * (lit(2L) * col("neg_below") + col("neg_n"))).as("u2"))
       .select(
         col("n_pos"), col("n_neg"), col("u2"),
-        expr("CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")
+        // nullif: a single-class input has no ROC to integrate (r10
+        // degenerate probe; oracle carries the same guard)
+        expr("CAST(u2 AS DOUBLE) / nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0E0)")
           .as("auc"))
   }
 
@@ -2256,7 +2258,7 @@ object Analytics {
         expr("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
                      ELSE 0.0 END /
-                sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)""")
+                nullif(sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0), 0.0E0)""")
           .as("z"))
   }
 
@@ -2294,7 +2296,7 @@ object Analytics {
         expr("CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0").as("mean_dollars"),
         expr("""sqrt((CAST(sumsq_cents AS DOUBLE) -
                       CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)) /
-                     CAST(n - 1 AS DOUBLE)) / 100.0""").as("stddev_dollars"))
+                     nullif(CAST(n - 1 AS DOUBLE), 0.0E0)) / 100.0""").as("stddev_dollars"))
   }
 
   /** Kendall τ-b rank correlation between daily revenue and daily active
@@ -2511,7 +2513,7 @@ object Analytics {
       .select(
         col("n"),
         expr("""CAST(n * suv - su * sv AS DOUBLE) /
-                sqrt(CAST(n * suu - su * su AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE))""")
+                nullif(sqrt(CAST(n * suu - su * su AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE)), 0.0E0)""")
           .as("rho"))
   }
 
@@ -2634,9 +2636,9 @@ object Analytics {
         expr("CAST(sy AS DOUBLE)").as("r3"))
       .select(
         col("n"),
-        expr(s"$d1 / $det").as("coef_hour"),
-        expr(s"$d2 / $det").as("coef_dow"),
-        expr(s"$d3 / $det").as("intercept"))
+        expr(s"$d1 / nullif($det, 0.0E0)").as("coef_hour"),
+        expr(s"$d2 / nullif($det, 0.0E0)").as("coef_dow"),
+        expr(s"$d3 / nullif($det, 0.0E0)").as("intercept"))
   }
 
   /** Stationary distribution of the event-type Markov chain, two
@@ -2814,7 +2816,7 @@ object Analytics {
         expr("""CASE WHEN abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) >
                        3.0 * sqrt((CAST(sxx AS DOUBLE) -
                                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
-                                  CAST(n - 1 AS DOUBLE))
+                                  nullif(CAST(n - 1 AS DOUBLE), 0.0E0))
                 THEN 1 ELSE 0 END""").as("fz"),
         expr("""CASE WHEN CAST(x AS DOUBLE) < q1 - 1.5 * (q3 - q1)
                        OR CAST(x AS DOUBLE) > q3 + 1.5 * (q3 - q1)
@@ -2915,7 +2917,7 @@ object Analytics {
                 (1.0 - ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) +
                         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
                         (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))) /
-                       (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))""")
+                       nullif(CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE), 0.0E0))""")
           .as("alpha"))
   }
 
@@ -3100,8 +3102,8 @@ object Analytics {
       .select(
         col("n"), lit(k.toLong).as("k"),
         col("ssb"), (col("sst") - col("ssb")).as("ssw"),
-        expr(s"(ssb / ${k - 1}.0) / ((sst - ssb) / CAST(n - $k AS DOUBLE))").as("f_stat"),
-        expr("ssb / sst").as("eta2"))
+        expr(s"(ssb / ${k - 1}.0) / nullif((sst - ssb) / nullif(CAST(n - $k AS DOUBLE), 0.0E0), 0.0E0)").as("f_stat"),
+        expr("ssb / nullif(sst, 0.0E0)").as("eta2"))
   }
 
   /** The fixed stratum order [[anovaByType]] writes its expression in —
@@ -3113,11 +3115,16 @@ object Analytics {
     * `n_i, s_i` plus global `n, s` — shared verbatim with the oracle.
     */
   def anovaSsbSql(k: Int): String =
+    // an EMPTY stratum contributes zero between-group mass (its n·mean²
+    // term is vacuous), so the guard is a 0-yielding CASE, not nullif —
+    // nullif would poison the whole SSB over one absent type; the bare
+    // s/n was an ANSI 0/0 throw (r10 degenerate probe). The grand term
+    // keeps nullif: n = 0 means no population at all.
     (0 until k)
-      .map(i => s"(CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * " +
-        s"(CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * CAST(n_$i AS DOUBLE)")
+      .map(i => s"(CASE WHEN n_$i > 0 THEN (CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * " +
+        s"(CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * CAST(n_$i AS DOUBLE) ELSE 0.0E0 END)")
       .mkString("(", " + ", ")") +
-      " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)"
+      " - (CAST(s AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)) * (CAST(s AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)) * CAST(n AS DOUBLE)"
 
   /** Total sum-of-squares text over global `n, s, q` — shared verbatim
     * with the oracle.
@@ -3141,15 +3148,20 @@ object Analytics {
       .agg(aggs.head, aggs.tail: _*)
       .select(
         col("n1"), col("n2"),
-        expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0").as("mean1"),
-        expr("(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0").as("mean2"),
+        expr("(CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)) / 100.0").as("mean1"),
+        expr("(CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) / 100.0").as("mean2"),
         expr(welchTSql).as("t_stat"),
         expr(welchDfSql).as("df"))
   }
 
-  /** Welch sample-variance fragment over `n<sfx>, s<sfx>, q<sfx>`. */
+  /** Welch sample-variance fragment over `n<sfx>, s<sfx>, q<sfx>`.
+    * Denominators ride `nullif`: a side with n < 2 has no sample
+    * variance — NULL, not an ANSI DIVIDE_BY_ZERO (Spark ANSI throws on
+    * DOUBLE/0 where DuckDB emits ±inf; the shared guard is the
+    * cross-engine alignment — r10 degenerate probe).
+    */
   private def welchVarSql(sfx: String): String =
-    s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE))"
+    s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / nullif(CAST(n$sfx AS DOUBLE), 0.0E0)) * CAST(s$sfx AS DOUBLE)) / nullif(CAST(n$sfx - 1 AS DOUBLE), 0.0E0))"
 
   private def welchSe2Sql: String =
     s"(${welchVarSql("1")} / CAST(n1 AS DOUBLE) + ${welchVarSql("2")} / CAST(n2 AS DOUBLE))"
@@ -3173,14 +3185,14 @@ object Analytics {
   }
 
   def welchTSql: String =
-    s"""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-              / sqrt($welchSe2Sql)"""
+    s"""(CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0))
+              / nullif(sqrt($welchSe2Sql), 0.0E0)"""
 
   /** Welch–Satterthwaite df text — shared verbatim with the oracle. */
   def welchDfSql: String =
     s"""($welchSe2Sql * $welchSe2Sql) /
-              ((${welchVarSql("1")} / CAST(n1 AS DOUBLE)) * (${welchVarSql("1")} / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
-               + (${welchVarSql("2")} / CAST(n2 AS DOUBLE)) * (${welchVarSql("2")} / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))"""
+              nullif((${welchVarSql("1")} / CAST(n1 AS DOUBLE)) * (${welchVarSql("1")} / CAST(n1 AS DOUBLE)) / nullif(CAST(n1 - 1 AS DOUBLE), 0.0E0)
+               + (${welchVarSql("2")} / CAST(n2 AS DOUBLE)) * (${welchVarSql("2")} / CAST(n2 AS DOUBLE)) / nullif(CAST(n2 - 1 AS DOUBLE), 0.0E0), 0.0E0)"""
 
   /** Cumulative Poisson(1) inverse-CDF thresholds on the 32-bit md5
     * bucket scale — floor(CDF(k)·2³²) for k = 0..4, multiplicities past
@@ -3258,7 +3270,7 @@ object Analytics {
         expr("(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0").as("mean_shift_dollars"),
         expr(
           s"""CASE WHEN n < 2 OR $vSql <= 0 THEN NULL
-              ELSE (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sqrt($vSql / CAST(n AS DOUBLE)) END""")
+              ELSE (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / nullif(sqrt($vSql / CAST(n AS DOUBLE)), 0.0E0) END""")
           .as("t_stat"))
   }
 
@@ -3339,9 +3351,9 @@ object Analytics {
         expr("CAST(b_view AS DOUBLE)").as("r3"))
       .select(
         col("n_transitions"),
-        expr(s"$d1 / $det").as("p_click"),
-        expr(s"$d2 / $det").as("p_signup"),
-        expr(s"$d3 / $det").as("p_view"))
+        expr(s"$d1 / nullif($det, 0.0E0)").as("p_click"),
+        expr(s"$d2 / nullif($det, 0.0E0)").as("p_signup"),
+        expr(s"$d3 / nullif($det, 0.0E0)").as("p_view"))
   }
 
   /** Nearest-neighbor matching estimator (ATT) for the effect of being
@@ -3464,7 +3476,7 @@ object Analytics {
         expr(rxy).as("r_xy"),
         expr(rxz).as("r_xz"),
         expr(ryz).as("r_yz"),
-        expr(s"($rxy - $rxz * $ryz) / sqrt((1 - $rxz * $rxz) * (1 - $ryz * $ryz))")
+        expr(s"($rxy - $rxz * $ryz) / nullif(sqrt((1 - $rxz * $rxz) * (1 - $ryz * $ryz)), 0.0E0)")
           .as("r_xy_given_z"))
   }
 
@@ -3480,7 +3492,7 @@ object Analytics {
     val varA = s"($saa / $n - ($sa / $n) * ($sa / $n))"
     val varB = s"($sbb / $n - ($sb / $n) * ($sb / $n))"
     val cov = s"($sab / $n - ($sa / $n) * ($sb / $n))"
-    s"($cov / sqrt($varA * $varB))"
+    s"($cov / nullif(sqrt($varA * $varB), 0.0E0))"
   }
 
   /** Intraclass correlation ICC(1) of event value within users — how
@@ -3515,15 +3527,15 @@ object Analytics {
                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))""").as("ssb"),
         expr("""(CAST(q AS DOUBLE) - CAST(ssb_centi AS DOUBLE) * 100.0)""").as("ssw"),
         expr("""(CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
-                / CAST(k - 1 AS DOUBLE)""").as("k_bar"))
+                / nullif(CAST(k - 1 AS DOUBLE), 0.0E0)""").as("k_bar"))
       .select(
         col("k"), col("n"),
-        expr("ssb / CAST(k - 1 AS DOUBLE)").as("msb"),
-        expr("ssw / CAST(n - k AS DOUBLE)").as("msw"),
+        expr("ssb / nullif(CAST(k - 1 AS DOUBLE), 0.0E0)").as("msb"),
+        expr("ssw / nullif(CAST(n - k AS DOUBLE), 0.0E0)").as("msw"),
         col("k_bar"))
       .select(
         col("k"), col("n"), col("msb"), col("msw"), col("k_bar"),
-        expr("(msb - msw) / (msb + (k_bar - 1) * msw)").as("icc1"))
+        expr("(msb - msw) / nullif(msb + (k_bar - 1) * msw, 0.0E0)").as("icc1"))
   }
 
   /** 5-fold cross-validated OLS by sufficient-statistic subtraction:
@@ -3582,7 +3594,7 @@ object Analytics {
         col("fold"), col("n_train"), col("n_test2").as("n_test"),
         expr(linreg("slope")).as("slope"),
         expr(linreg("intercept")).as("intercept"),
-        expr("CAST(sr2 AS DOUBLE) / CAST(n_test2 AS DOUBLE)").as("test_mse"))
+        expr("CAST(sr2 AS DOUBLE) / nullif(CAST(n_test2 AS DOUBLE), 0.0E0)").as("test_mse"))
   }
 
   /** Sequence predictability per state, log-free: for each previous
@@ -3621,8 +3633,8 @@ object Analytics {
   def abPowerAnalysis(events: DataFrame): DataFrame = {
     val arm =
       "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2"
-    val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
-    val p2 = "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    val p1 = "(CAST(c1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0))"
+    val p2 = "(CAST(c2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0))"
     events
       .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
@@ -3640,7 +3652,7 @@ object Analytics {
           s"""CASE WHEN $p1 = $p2 THEN NULL ELSE
               (1.96 + 0.8416) * (1.96 + 0.8416)
               * ($p1 * (1 - $p1) + $p2 * (1 - $p2))
-              / (($p1 - $p2) * ($p1 - $p2)) END""").as("n_per_arm"))
+              / nullif(($p1 - $p2) * ($p1 - $p2), 0.0E0) END""").as("n_per_arm"))
   }
 
   /** Log-rank test comparing churn timing between error-prone users
@@ -3753,7 +3765,7 @@ object Analytics {
           .as("sdd"))
       .select(
         col("n_hours"),
-        expr("CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)").as("dw"))
+        expr("CAST(sdd AS DOUBLE) / nullif(CAST(see AS DOUBLE), 0.0E0)").as("dw"))
   }
 
   /** Top-k most influential lineitem rows by Cook's distance under the
@@ -3780,8 +3792,8 @@ object Analytics {
     val varX = s"($sxxD / $nD - ($sxD / $nD) * ($sxD / $nD))"
     val varY = s"($syyD / $nD - ($syD / $nD) * ($syD / $nD))"
     val covar = s"($sxyD / $nD - ($sxD / $nD) * ($syD / $nD))"
-    val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / ($nD * $varX))"
-    val s2 = s"(($varY - $covar * $covar / $varX) * $nD / ($nD - 2))"
+    val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / nullif($nD * $varX, 0.0E0))"
+    val s2 = s"(($varY - $covar * $covar / nullif($varX, 0.0E0)) * $nD / nullif($nD - 2, 0.0E0))"
     val cooks =
       s"((${Stages.residualSql} * ${Stages.residualSql}) / (2.0 * $s2) * $h / ((1.0 - $h) * (1.0 - $h)))"
     Relational.rankedTopK(
@@ -3825,7 +3837,7 @@ object Analytics {
       .crossJoin(broadcast(den))
       .select(
         col("lag"), col("n_pairs"),
-        expr("CAST(num AS DOUBLE) / CAST(see AS DOUBLE)").as("acf"))
+        expr("CAST(num AS DOUBLE) / nullif(CAST(see AS DOUBLE), 0.0E0)").as("acf"))
   }
 
   /** One-row ACF sufficient statistics of daily revenue: day count `n`,
@@ -3886,7 +3898,7 @@ object Analytics {
         expr(pacf3Sql).as("pacf3"))
 
   /** r_k as DOUBLE — shared verbatim with the oracle. */
-  def rSql(k: Int): String = s"(CAST(num$k AS DOUBLE) / CAST(see AS DOUBLE))"
+  def rSql(k: Int): String = s"(CAST(num$k AS DOUBLE) / nullif(CAST(see AS DOUBLE), 0.0E0))"
 
   /** φ22 = (r2 − r1²)/(1 − r1²). */
   def pacf2Sql: String = {
@@ -3944,6 +3956,10 @@ object Analytics {
       .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
     daily
       .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      // empty series → zero rows (the oracle twin's CTE chain is empty;
+      // unguarded, slice(xs, 2, -1) throws on the empty array — r10
+      // degenerate probe)
+      .filter(expr("size(xs) > 0"))
       .select(expr("CAST(size(xs) AS BIGINT)").as("n_days"), expr(holtFoldSql).as("st"))
       .select(
         col("n_days"),
@@ -3969,8 +3985,8 @@ object Analytics {
   def ljungBoxSql(maxLag: Int): String = {
     val terms = (1 to maxLag)
       .map { k =>
-        val r = s"(CAST(num$k AS DOUBLE) / CAST(see AS DOUBLE))"
-        s"($r * $r / CAST(n_days - $k AS DOUBLE))"
+        val r = s"(CAST(num$k AS DOUBLE) / nullif(CAST(see AS DOUBLE), 0.0E0))"
+        s"($r * $r / nullif(CAST(n_days - $k AS DOUBLE), 0.0E0))"
       }
       .reduce((a, b) => s"($a + $b)")
     s"CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) * $terms"
@@ -4131,8 +4147,8 @@ object Analytics {
         col("decile"), col("n_rows"), col("n_pos"),
         expr("CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)").as("rate"),
         expr("""(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
-                / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))""").as("lift"),
-        expr("CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE)").as("cum_gain"))
+                / nullif(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE), 0.0E0)""").as("lift"),
+        expr("CAST(cum_pos AS DOUBLE) / nullif(CAST(pp AS DOUBLE), 0.0E0)").as("cum_gain"))
   }
 
   /** Burstiness index per event type: B = (σ−μ)/(σ+μ) of the
@@ -4180,14 +4196,17 @@ object Analytics {
         col("event_type"), col("n_gaps"),
         expr("CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)").as("mean_gap_s"),
         expr(burstSdSql).as("sd_gap_s"),
-        expr(s"($burstSdSql - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / ($burstSdSql + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))")
+        // nullif: sd+mean = 0 (all gaps zero — the duplicate-timestamp
+        // shape) leaves B undefined (r10 degenerate probe; oracle same)
+        expr(s"($burstSdSql - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / nullif($burstSdSql + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 0.0E0)")
           .as("burstiness"))
   }
 
-  /** Sample SD of gaps over (n_gaps, s, q) — shared verbatim. */
+  /** Sample SD of gaps over (n_gaps, s, q) — shared verbatim. nullif:
+    * one gap has no sample SD. */
   def burstSdSql: String =
     """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * CAST(s AS DOUBLE))
-            / CAST(n_gaps - 1 AS DOUBLE))"""
+            / nullif(CAST(n_gaps - 1 AS DOUBLE), 0.0E0))"""
 
   /** Weighted least squares of line-item unit economics: dollars on
     * quantity with quantity itself as the weight (bigger lots count
@@ -4407,7 +4426,7 @@ object Analytics {
       .crossJoin(broadcast(db))
       .select(
         col("lag"), col("n_pairs"),
-        expr("CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))")
+        expr("CAST(sab AS DOUBLE) / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0.0E0)")
           .as("ccf"))
   }
 
@@ -4491,8 +4510,8 @@ object Analytics {
         // division by n undoes the scaling); R/S divides that by sigma
         expr(
           """(CAST(r_scaled AS DOUBLE) / CAST(n_days AS DOUBLE))
-             / sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
-             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))""")
+             / nullif(sqrt(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))), 0.0E0)""")
           .as("rs_stat"))
   }
 
@@ -4628,7 +4647,7 @@ object Analytics {
     val cxx = s"(CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE) - $mx * $mx)"
     val cyy = s"(CAST(syy AS DOUBLE) / CAST(n_days AS DOUBLE) - $my * $my)"
     val cxy = s"(CAST(sxy AS DOUBLE) / CAST(n_days AS DOUBLE) - $mx * $my)"
-    s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) + 4.0 * $cxy * $cxy)) / (2.0 * $cxy))"
+    s"(($cyy - $cxx + sqrt(($cyy - $cxx) * ($cyy - $cxx) + 4.0 * $cxy * $cxy)) / nullif(2.0 * $cxy, 0.0E0))"
   }
 
   /** Gumbel extreme-value fit of the daily block maxima by the method of
@@ -4735,9 +4754,13 @@ object Analytics {
       .withColumn("a", lit(0L))
       .withColumn("b", lit(0L))
     def lowerMed(c: Column, part: Column): Column = {
-      // lower median via sorted frame array — element (cnt+1) div 2
+      // lower median via sorted frame array — element (cnt+1) div 2.
+      // collect_list skips NULLs, so an all-null partition yields an
+      // EMPTY array and element_at(_, 0) throws under ANSI (r10
+      // degenerate probe) — a null median is the aligned answer.
       val arr = sort_array(collect_list(c).over(Window.partitionBy(part)))
-      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+      when(size(arr) === 0, lit(null))
+        .otherwise(element_at(arr, ((size(arr) + 1) / 2).cast("int")))
     }
     def rowSweep(df: DataFrame): DataFrame = df
       .withColumn("m", lowerMed(col("r"), col("i")))
@@ -4775,9 +4798,14 @@ object Analytics {
     val w = Window.partitionBy(lit(1)).orderBy(col("d").asc).rowsBetween(-3, 3)
     daily
       .withColumn("arr", sort_array(collect_list(col("y")).over(w)))
-      .withColumn("med7", expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"))
+      // collect_list skips NULLs: an all-null frame is EMPTY and
+      // element_at(_, 0) throws under ANSI (r10 degenerate probe) —
+      // null median/MAD is the aligned degenerate answer
+      .withColumn("med7", expr(
+        "CASE WHEN size(arr) > 0 THEN element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) END"))
       .withColumn("devs", expr("sort_array(transform(arr, x -> abs(x - med7)))"))
-      .withColumn("mad7", expr("element_at(devs, CAST((size(devs) + 1) div 2 AS INT))"))
+      .withColumn("mad7", expr(
+        "CASE WHEN size(devs) > 0 THEN element_at(devs, CAST((size(devs) + 1) div 2 AS INT)) END"))
       .select(
         col("d").as("day_epoch"),
         col("y").as("y_cents"),
@@ -4825,9 +4853,9 @@ object Analytics {
         // Divide-first form (the cmomSql discipline), n/(n−1) applied as
         // a final factor; shared text with the oracle.
         expr(
-          """dev / sqrt((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+          """dev / nullif(sqrt((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
              - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
-             * CAST(n_days AS DOUBLE) / (CAST(n_days AS DOUBLE) - 1.0))""")
+             * CAST(n_days AS DOUBLE) / nullif(CAST(n_days AS DOUBLE) - 1.0, 0.0E0)), 0.0E0)""")
           .as("grubbs_g"))
   }
 
@@ -4837,8 +4865,12 @@ object Analytics {
     * every downstream double is bit-identical.
     */
   def cmomSql(sab: String, sa: String, sb: String): String =
-    s"""(CAST($sab AS DOUBLE) / CAST(n AS DOUBLE)
-        - (CAST($sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST($sb AS DOUBLE) / CAST(n AS DOUBLE)))"""
+    // nullif: an ungrouped aggregate over an EMPTY input still emits one
+    // row with n = 0, and under ANSI the 0/0 kills the query where
+    // DuckDB's empty CTE chain just goes quiet (r10 degenerate probe) —
+    // shared text, so both engines carry the same NULL convention
+    s"""(CAST($sab AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)
+        - (CAST($sa AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)) * (CAST($sb AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)))"""
 
   /** Dickey–Fuller unit-root regression (lag 0, with intercept) on the
     * daily revenue series: Δy_t = α + γ·y_{t−1} + ε. Emits γ̂ and its
@@ -4858,7 +4890,7 @@ object Analytics {
     val cxx = cmomSql("sxx", "sx", "sx")
     val cxy = cmomSql("sxy", "sx", "sy")
     val cyy = cmomSql("syy", "sy", "sy")
-    val gamma = s"($cxy / $cxx)"
+    val gamma = s"($cxy / nullif($cxx, 0.0E0))"
     pairs
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -4872,7 +4904,7 @@ object Analytics {
         expr(gamma).as("gamma"),
         expr(
           s"""$gamma / sqrt((($cyy - $gamma * $cxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
-              / (CAST(n AS DOUBLE) * $cxx))""").as("t_stat"))
+              / nullif(CAST(n AS DOUBLE) * $cxx, 0.0E0))""").as("t_stat"))
   }
 
   /** Granger-causality F test (lag 1) of daily click counts on daily
@@ -4897,10 +4929,10 @@ object Analytics {
     val cxy = cmomSql("sxy", "sx", "sy")
     val cyy = cmomSql("syy", "sy", "sy")
     val det = s"($cll * $cxx - $clx * $clx)"
-    val b1 = s"(($cly * $cxx - $cxy * $clx) / $det)"
-    val b2 = s"(($cll * $cxy - $clx * $cly) / $det)"
+    val b1 = s"(($cly * $cxx - $cxy * $clx) / nullif($det, 0.0E0))"
+    val b2 = s"(($cll * $cxy - $clx * $cly) / nullif($det, 0.0E0))"
     val rssU = s"($cyy - $b1 * $cly - $b2 * $cxy)"
-    val rssR = s"($cyy - $cly * $cly / $cll)"
+    val rssR = s"($cyy - $cly * $cly / nullif($cll, 0.0E0))"
     triples
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -4919,7 +4951,7 @@ object Analytics {
         expr(b2).as("b_click"),
         expr(rssU).as("rss_u_over_n"),
         expr(rssR).as("rss_r_over_n"),
-        expr(s"(($rssR - $rssU) * CAST(n - 3 AS DOUBLE)) / $rssU").as("f_stat"))
+        expr(s"(($rssR - $rssU) * CAST(n - 3 AS DOUBLE)) / nullif($rssU, 0.0E0)").as("f_stat"))
   }
 
   /** Baron–Kenny mediation decomposition on the daily grid: does the
@@ -4945,11 +4977,11 @@ object Analytics {
     val cmm = cmomSql("smm", "sm", "sm")
     val cxy = cmomSql("sxy", "sx", "sy")
     val cmy = cmomSql("smy", "sm", "sy")
-    val aPath = s"($cxm / $cxx)"
-    val total = s"($cxy / $cxx)"
+    val aPath = s"($cxm / nullif($cxx, 0.0E0))"
+    val total = s"($cxy / nullif($cxx, 0.0E0))"
     val det = s"($cxx * $cmm - $cxm * $cxm)"
-    val direct = s"(($cxy * $cmm - $cmy * $cxm) / $det)"
-    val bPath = s"(($cxx * $cmy - $cxm * $cxy) / $det)"
+    val direct = s"(($cxy * $cmm - $cmy * $cxm) / nullif($det, 0.0E0))"
+    val bPath = s"(($cxx * $cmy - $cxm * $cxy) / nullif($det, 0.0E0))"
     daily
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -5041,7 +5073,7 @@ object Analytics {
         col("s_stat"),
         expr("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                     ELSE 0.0 END / sqrt(CAST(var18 AS DOUBLE) / 18.0)""").as("z"))
+                     ELSE 0.0 END / nullif(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0.0E0)""").as("z"))
   }
 
   /** White's heteroskedasticity statistic n·R² for the daily trend
@@ -5070,7 +5102,7 @@ object Analytics {
       sum(col("i") * col("y")).as("sxy"))
     val cxx = cmomSql("sxx", "sx", "sx")
     val cxy = cmomSql("sxy", "sx", "sy")
-    val bTxt = s"($cxy / $cxx)"
+    val bTxt = s"($cxy / nullif($cxx, 0.0E0))"
     val aTxt =
       s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
     val eTxt = s"(CAST(y AS DOUBLE) - ($aTxt + $bTxt * CAST(i AS DOUBLE)))"
@@ -5085,9 +5117,9 @@ object Analytics {
     val cvw = cmomSql("svw", "sv", "sw")
     val cww = cmomSql("sww", "sw", "sw")
     val det = s"($cuu * $cvv - $cuv * $cuv)"
-    val b1 = s"(($cuw * $cvv - $cvw * $cuv) / $det)"
-    val b2 = s"(($cuu * $cvw - $cuv * $cuw) / $det)"
-    val r2 = s"(($b1 * $cuw + $b2 * $cvw) / $cww)"
+    val b1 = s"(($cuw * $cvv - $cvw * $cuv) / nullif($det, 0.0E0))"
+    val b2 = s"(($cuu * $cvw - $cuv * $cuw) / nullif($det, 0.0E0))"
+    val r2 = s"(($b1 * $cuw + $b2 * $cvw) / nullif($cww, 0.0E0))"
     resid
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -5131,8 +5163,9 @@ object Analytics {
         col("t_stat"),
         expr("CAST(2 * (n_days - 2) AS DOUBLE) / 3.0").as("e_t"),
         expr(
-          """(CAST(t_stat AS DOUBLE) - CAST(2 * (n_days - 2) AS DOUBLE) / 3.0)
-             / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0)""").as("z"))
+          """CASE WHEN 16 * n_days - 29 > 0 THEN
+               (CAST(t_stat AS DOUBLE) - CAST(2 * (n_days - 2) AS DOUBLE) / 3.0)
+               / sqrt(CAST(16 * n_days - 29 AS DOUBLE) / 90.0) END""").as("z"))
   }
 
   /** Discrete-Fourier power of the daily revenue series at the weekly
@@ -5179,7 +5212,7 @@ object Analytics {
         expr(aTxt).as("a_re"),
         expr(bTxt).as("b_im"),
         expr(s"($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)").as("power7"),
-        expr(s"(($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)) / $cssTxt").as("share7"))
+        expr(s"(($aTxt * $aTxt + $bTxt * $bTxt) / CAST(n AS DOUBLE)) / nullif($cssTxt, 0.0E0)").as("share7"))
   }
 
   /** Matrix profile (window m=5, exclusion zone 2) of the daily revenue
@@ -5267,7 +5300,7 @@ object Analytics {
       sum(col("x") * col("y")).as("sxy"))
     val cxx = cmomSql("sxx", "sx", "sx")
     val cxy = cmomSql("sxy", "sx", "sy")
-    val bTxt = s"($cxy / $cxx)"
+    val bTxt = s"($cxy / nullif($cxx, 0.0E0))"
     val aTxt =
       s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - $bTxt * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
     val resid = daily
@@ -5283,7 +5316,7 @@ object Analytics {
     val rxx = cmomSql("sxx", "sx", "sx")
     val rxy = cmomSql("sxy", "sx", "sy")
     val ryy = cmomSql("syy", "sy", "sy")
-    val gamma = s"($rxy / $rxx)"
+    val gamma = s"($rxy / nullif($rxx, 0.0E0))"
     pairs
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -5299,7 +5332,7 @@ object Analytics {
         expr(gamma).as("gamma"),
         expr(
           s"""$gamma / sqrt((($ryy - $gamma * $rxy) * CAST(n AS DOUBLE) / CAST(n - 2 AS DOUBLE))
-              / (CAST(n AS DOUBLE) * $rxx))""").as("eg_t_stat"))
+              / nullif(CAST(n AS DOUBLE) * $rxx, 0.0E0))""").as("eg_t_stat"))
   }
 
   /** Top-k multivariate outlier days by Mahalanobis distance in the
@@ -5327,7 +5360,7 @@ object Analytics {
     val det = s"($cxx * $cyy - $cxy * $cxy)"
     val dx = s"(CAST(x AS DOUBLE) - $mx)"
     val dy = s"(CAST(y AS DOUBLE) - $my)"
-    val d2 = s"(($cyy * $dx * $dx - 2.0 * $cxy * $dx * $dy + $cxx * $dy * $dy) / $det)"
+    val d2 = s"(($cyy * $dx * $dx - 2.0 * $cxy * $dx * $dy + $cxx * $dy * $dy) / nullif($det, 0.0E0))"
     val scored = daily.crossJoin(m).withColumn("md2", expr(d2))
     Relational
       .rankedTopK(scored, k, col("md2").desc, col("d").asc)
@@ -5360,13 +5393,23 @@ object Analytics {
       .crossJoin(profiles.agg(sum(col("pa")).as("ta"), sum(col("pb")).as("tb")))
       .select(
         col("r"),
-        expr("(pa * 1000) div ta").as("a"),
-        expr("(pb * 1000) div tb").as("b"))
+        // nullif: an absent series (total mass 0) has no profile to
+        // normalize — Spark ANSI throws on the integer div where
+        // DuckDB's `// 0` yields NULL (r10 degenerate probe)
+        expr("(pa * 1000) div nullif(ta, 0)").as("a"),
+        expr("(pb * 1000) div nullif(tb, 0)").as("b"))
     scaled
       .agg(sort_array(collect_list(struct(col("r"), col("a"), col("b")))).as("xs"))
       .select(
         expr("CAST(size(xs) AS BIGINT)").as("n_buckets"),
-        expr(dtwFoldSql).as("dtw_permille"))
+        // empty profile grid → no alignment to cost (duck's recursive
+        // CTE goes quiet; the fold would emit the 0-cost seed)
+        // two sequential WHENs, not one OR: ANSI element_at(xs, 1)
+        // throws on the empty array, and Or does not short-circuit
+        expr(s"""CASE WHEN size(xs) = 0 THEN NULL
+                      WHEN element_at(xs, 1).a IS NULL
+                        OR element_at(xs, 1).b IS NULL THEN NULL
+                 ELSE $dtwFoldSql END""").as("dtw_permille"))
   }
 
   /** The DTW fold: state = previous DP row (array of BIGINT, 1-indexed
@@ -5413,8 +5456,8 @@ object Analytics {
     val det0 = s"($cll * $cxx - $clx * $clx)"
     def eq(cy: String, cxy: String): (String, String) = {
       // coefficients on (ly, lx) for target column with centred moments cy (vs ly), cxy (vs lx)
-      val b1 = s"(($cy * $cxx - $cxy * $clx) / $det0)"
-      val b2 = s"(($cll * $cxy - $clx * $cy) / $det0)"
+      val b1 = s"(($cy * $cxx - $cxy * $clx) / nullif($det0, 0.0E0))"
+      val b2 = s"(($cll * $cxy - $clx * $cy) / nullif($det0, 0.0E0))"
       (b1, b2)
     }
     val cyl = cmomSql("syl", "sl", "sy")
@@ -5522,6 +5565,11 @@ object Analytics {
     val hourly = events
       .groupBy(col("event_type"), expr("(CAST(ts AS LONG) div 3600) % 24").as("h"))
       .agg(count(lit(1)).as("c"))
+      // a null hour (null ts) cannot be a map key — map_from_entries
+      // throws NULL_MAP_KEY (r10 degenerate probe). Dropping the null-
+      // hour group is the shared semantic; the oracle twin carries the
+      // same `WHERE h IS NOT NULL`.
+      .filter(col("h").isNotNull)
     hourly
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("h"), col("c")))).as("entries"))
@@ -5722,8 +5770,8 @@ object Analytics {
         col("total_chunks"),
         col("distinct_chunks"),
         col("total_chars"),
-        expr("CAST(distinct_chunks AS DOUBLE) / CAST(total_chunks AS DOUBLE)").as("unique_ratio"),
-        expr("CAST(total_chars AS DOUBLE) / CAST(total_chunks AS DOUBLE)").as("mean_chunk_len"))
+        expr("CAST(distinct_chunks AS DOUBLE) / nullif(CAST(total_chunks AS DOUBLE), 0.0E0)").as("unique_ratio"),
+        expr("CAST(total_chars AS DOUBLE) / nullif(CAST(total_chunks AS DOUBLE), 0.0E0)").as("mean_chunk_len"))
   }
 
   /** Two-level Merkle digest of the documents table: leaf = md5(text),
@@ -5764,6 +5812,8 @@ object Analytics {
       .agg(expr(s"sum(${Stages.centsSql("value")})").as("y"))
     daily
       .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      // empty series → zero rows (element_at(xs, 0) throws; see holtLinear)
+      .filter(expr("size(xs) > 0"))
       .select(expr("CAST(size(xs) AS BIGINT)").as("n_days"), expr(hwFoldSql).as("st"),
         expr("element_at(xs, size(xs)).d").as("last_d"))
       .select(
@@ -5913,8 +5963,8 @@ object Analytics {
     }
     // full chain: solve (1-pcc)xc - pcv xv = pcp ; -pvc xc + (1-pvv)xv = pvp
     val det = s"((1.0 - ${p("cl", "cl")}) * (1.0 - ${p("vi", "vi")}) - ${p("cl", "vi")} * ${p("vi", "cl")})"
-    val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / $det)"
-    val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / $det)"
+    val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / nullif($det, 0.0E0))"
+    val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / nullif($det, 0.0E0))"
     val xs = s"(${p("st", "cl")} * $xc + ${p("st", "vi")} * $xv + ${p("st", "pu")})"
     // remove click: view-only chain
     val xvNoC = s"(${p("vi", "pu")} / (1.0 - ${p("vi", "vi")}))"
@@ -6079,6 +6129,8 @@ object Analytics {
     val cyy = cmomSql("syy", "sy", "sy")
     daily
       .agg(sort_array(collect_list(struct(col("d"), col("x"), col("y")))).as("xs"))
+      // empty series → zero rows (the oracle's CTE chain is empty)
+      .filter(expr("size(xs) > 0"))
       .select(expr(fold).as("st"))
       .select(
         col("st.n").as("n"),
@@ -6089,11 +6141,11 @@ object Analytics {
         col("st.say").as("say"))
       .select(
         col("n").as("n_days"),
-        expr(s"($cxy / $cxx)").as("beta"),
+        expr(s"($cxy / nullif($cxx, 0.0E0))").as("beta"),
         expr(
-          s"""(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-              - ($cxy / $cxx) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))""").as("intercept"),
-        expr(s"(($cxy * $cxy) / ($cxx * $cyy))").as("r2"))
+          s"""(CAST(sy AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)
+              - ($cxy / nullif($cxx, 0.0E0)) * (CAST(sa AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0E0)))""").as("intercept"),
+        expr(s"(($cxy * $cxy) / nullif($cxx * $cyy, 0.0E0))").as("r2"))
   }
 
   /** Per-feature ranking power (AUC) battery: for each behavioral count
@@ -6163,7 +6215,9 @@ object Analytics {
         col("n_pos"),
         col("n_neg"),
         col("u2"),
-        expr("CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))")
+        // nullif: a single-class input has no ROC to integrate (r10
+        // degenerate probe; oracle carries the same guard)
+        expr("CAST(u2 AS DOUBLE) / nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0E0)")
           .as("auc"))
   }
 
@@ -6187,8 +6241,9 @@ object Analytics {
         col("threshold"),
         col("tp"),
         col("fp"),
-        expr("CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)").as("tpr"),
-        expr("CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE)").as("fpr"))
+        // nullif: single-class labels (r10 degenerate probe; oracle same)
+        expr("CAST(tp AS DOUBLE) / nullif(CAST(n_pos AS DOUBLE), 0.0E0)").as("tpr"),
+        expr("CAST(fp AS DOUBLE) / nullif(CAST(n_neg AS DOUBLE), 0.0E0)").as("fpr"))
   }
 
   /** Online perceptron (integer weights) predicting weekend days from
@@ -6218,6 +6273,8 @@ object Analytics {
                           'n', acc.n + 1, 'mist', acc.mist)))"""
     daily
       .agg(sort_array(collect_list(struct(col("d"), col("x1"), col("x2"), col("y")))).as("xs"))
+      // empty series → zero rows (the oracle's CTE chain is empty)
+      .filter(expr("size(xs) > 0"))
       .select(expr(fold).as("st"))
       .select(
         col("st.n").as("n_days"),
@@ -6225,7 +6282,7 @@ object Analytics {
         col("st.w2").as("w2"),
         col("st.b").as("b"),
         col("st.mist").as("n_mistakes"),
-        expr("1.0 - CAST(st.mist AS DOUBLE) / CAST(st.n AS DOUBLE)").as("online_accuracy"))
+        expr("1.0 - CAST(st.mist AS DOUBLE) / nullif(CAST(st.n AS DOUBLE), 0.0E0)").as("online_accuracy"))
   }
 
   /** Hierarchical-forecast reconciliation audit: per event type, the

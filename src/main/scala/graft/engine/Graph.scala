@@ -895,12 +895,12 @@ object Graph {
         // NULL via lazy integer CASEs — unguarded, Spark ANSI throws
         // DIVIDE_BY_ZERO on 0/0 where DuckDB yields NaN
         expr("""CASE WHEN n_nodes < 2 THEN NULL
-                ELSE CAST(2 * n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+                ELSE CAST(2 * n_edges AS DOUBLE) / nullif(CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE), 0.0E0)
                 END""")
           .as("density"),
         expr("CASE WHEN n_nodes = 0 THEN NULL ELSE CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) END")
           .as("avg_degree"),
-        expr("CAST(n_nodes AS DOUBLE) / CAST(n_catalog AS DOUBLE)").as("participation"))
+        expr("CAST(n_nodes AS DOUBLE) / nullif(CAST(n_catalog AS DOUBLE), 0.0E0)").as("participation"))
   }
 
   /** Catalog-coverage and exposure-concentration audit of the top-5
@@ -950,7 +950,7 @@ object Graph {
         col("n_recommended"),
         col("total_slots"),
         col("max_exposure"),
-        expr("CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE)").as("coverage"),
-        expr("CAST(max_exposure AS DOUBLE) / CAST(total_slots AS DOUBLE)").as("max_share"))
+        expr("CAST(n_recommended AS DOUBLE) / nullif(CAST(n_catalog AS DOUBLE), 0.0E0)").as("coverage"),
+        expr("CAST(max_exposure AS DOUBLE) / nullif(CAST(total_slots AS DOUBLE), 0.0E0)").as("max_share"))
   }
 }

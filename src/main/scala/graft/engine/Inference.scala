@@ -33,8 +33,12 @@ object Inference {
     * SSB = rbq − S²/N, SSW = qq − rbq; F = (SSB/(k−1)) / (SSW/(N−k)).
     */
   def fStatSql: String =
-    """((CAST(rbq AS DOUBLE) - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ss AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-       / ((CAST(qq AS DOUBLE) - CAST(rbq AS DOUBLE)) / CAST(nn - k AS DOUBLE))"""
+    // nullif guards (shared text = shared alignment, r10 degenerate
+    // probe): k = 1 group, nn = k (one row per group), or zero
+    // within-group variance each zero a denominator — Spark ANSI throws
+    // on DOUBLE/0 where DuckDB emits ±inf; F is NULL when undefined.
+    """((CAST(rbq AS DOUBLE) - (CAST(ss AS DOUBLE) / nullif(CAST(nn AS DOUBLE), 0.0E0)) * CAST(ss AS DOUBLE)) / nullif(CAST(k - 1 AS DOUBLE), 0.0E0))
+       / nullif((CAST(qq AS DOUBLE) - CAST(rbq AS DOUBLE)) / nullif(CAST(nn - k AS DOUBLE), 0.0E0), 0.0E0)"""
 
   /** Brown–Forsythe homogeneity-of-variance test (Levene with median
     * centers — the robust default): one exact per-group median pass, a
@@ -200,11 +204,15 @@ object Inference {
     * verbatim with the oracle. Sample variances expand divisions-first.
     */
   def cohenDSql: String = {
+    // nullif guards: an absent side (n = 0), a single observation
+    // (n = 1), or two constant sides (pooled SD 0) leave d undefined —
+    // NULL on both engines instead of an ANSI throw vs a DuckDB ±inf
+    // (r10 degenerate probe).
     def v(sfx: String) =
-      s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE))"
-    s"""(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        / sqrt((CAST(n1 - 1 AS DOUBLE) * ${v("1")} + CAST(n2 - 1 AS DOUBLE) * ${v("2")})
-               / CAST(n1 + n2 - 2 AS DOUBLE))"""
+      s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / nullif(CAST(n$sfx AS DOUBLE), 0.0E0)) * CAST(s$sfx AS DOUBLE)) / nullif(CAST(n$sfx - 1 AS DOUBLE), 0.0E0))"
+    s"""(CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0))
+        / nullif(sqrt((CAST(n1 - 1 AS DOUBLE) * ${v("1")} + CAST(n2 - 1 AS DOUBLE) * ${v("2")})
+               / nullif(CAST(n1 + n2 - 2 AS DOUBLE), 0.0E0)), 0.0E0)"""
   }
 
   /** 2×2 cohort contingency: exposure = weekend event (day-of-week from
@@ -228,12 +236,16 @@ object Inference {
           .as("d"))
       .select(
         col("a"), col("b"), col("c"), col("d"),
-        expr("(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * (CAST(d AS DOUBLE) / CAST(c AS DOUBLE))")
+        // nullif per cell: an empty contingency cell is REALISTIC (no
+        // weekend high-value events in a window) and undefined ratios
+        // must be NULL, not an ANSI throw vs a DuckDB ±inf (r10
+        // degenerate probe); oracle carries the same guards
+        expr("(CAST(a AS DOUBLE) / nullif(CAST(b AS DOUBLE), 0.0E0)) * (CAST(d AS DOUBLE) / nullif(CAST(c AS DOUBLE), 0.0E0))")
           .as("odds_ratio"),
-        expr("""(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
-                / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))""").as("risk_ratio"),
-        expr("""1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
-                + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)""").as("se2_log_or"))
+        expr("""(CAST(a AS DOUBLE) / nullif(CAST(a + b AS DOUBLE), 0.0E0))
+                / nullif(CAST(c AS DOUBLE) / nullif(CAST(c + d AS DOUBLE), 0.0E0), 0.0E0)""").as("risk_ratio"),
+        expr("""1.0 / nullif(CAST(a AS DOUBLE), 0.0E0) + 1.0 / nullif(CAST(b AS DOUBLE), 0.0E0)
+                + 1.0 / nullif(CAST(c AS DOUBLE), 0.0E0) + 1.0 / nullif(CAST(d AS DOUBLE), 0.0E0)""").as("se2_log_or"))
   }
 
   /** One-sample binomial proportion z-test per group with continuity
@@ -305,10 +317,15 @@ object Inference {
     * negative prior. Shared with the oracle.
     */
   def ebMSql: String = {
+    // CASE (not nullif+greatest): a single part (k = 1) or zero
+    // between-part variance leaves the prior undefined — and
+    // greatest(NULL, 0) is engine-divergent (Spark skips NULLs, so the
+    // CASE carries the NULL through both engines identically; r10
+    // degenerate probe).
     val s2 =
-      """(((CAST(spp AS DOUBLE) - (CAST(sp AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(sp AS DOUBLE))
-           / CAST(k - 1 AS DOUBLE)) / 1000000000000.0)"""
-    s"""greatest(($ebMuSql) * (1.0 - ($ebMuSql)) / $s2 - 1.0, 0.0)"""
+      """(((CAST(spp AS DOUBLE) - (CAST(sp AS DOUBLE) / nullif(CAST(k AS DOUBLE), 0.0E0)) * CAST(sp AS DOUBLE))
+           / nullif(CAST(k - 1 AS DOUBLE), 0.0E0)) / 1000000000000.0)"""
+    s"""(CASE WHEN $s2 > 0.0 THEN greatest(($ebMuSql) * (1.0 - ($ebMuSql)) / $s2 - 1.0, 0.0) END)"""
   }
 
   /** Two-proportion z-test: does the high-value share differ between
@@ -327,8 +344,8 @@ object Inference {
         sum(when(expr(s"$wkend AND $cents > $caseCents"), 1L).otherwise(0L)).as("x2"))
       .select(
         col("n1"), col("x1"), col("n2"), col("x2"),
-        expr("CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("p1"),
-        expr("CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("p2"),
+        expr("CAST(x1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0)").as("p1"),
+        expr("CAST(x2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)").as("p2"),
         expr(twoPropZSql).as("z"))
   }
 
@@ -336,10 +353,13 @@ object Inference {
     * verbatim with the oracle.
     */
   def twoPropZSql: String =
-    """(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-       / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-              * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"""
+    // nullif guards: an absent side or a degenerate pooled proportion
+    // (all successes / all failures) zeroes the SE — NULL, not an ANSI
+    // throw vs a DuckDB ±inf (r10 degenerate probe)
+    """(CAST(x1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) - CAST(x2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0))
+       / nullif(sqrt((CAST(x1 + x2 AS DOUBLE) / nullif(CAST(n1 + n2 AS DOUBLE), 0.0E0))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / nullif(CAST(n1 + n2 AS DOUBLE), 0.0E0))
+              * (1.0 / nullif(CAST(n1 AS DOUBLE), 0.0E0) + 1.0 / nullif(CAST(n2 AS DOUBLE), 0.0E0))), 0.0E0)"""
 
   /** Hellinger distance between the purchase and view value histograms
     * on $10 buckets: H = sqrt(1 − BC), BC = Σ√(aᵢbᵢ)/√(na·nb). The
@@ -411,12 +431,14 @@ object Inference {
     * divisions-first from the BIGINT moments.
     */
   def deltaSe2Sql: String = {
-    val r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
-    val vx = "((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
-    val vy = "((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
-    val cxy = "((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    // nullif guards: a single day (n = 1) zeroes every sample-moment
+    // denominator — NULL on both engines (r10 degenerate probe)
+    val r = "(CAST(sx AS DOUBLE) / nullif(CAST(sy AS DOUBLE), 0.0E0))"
+    val vx = "((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE)) / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"
+    val vy = "((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)) / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"
+    val cxy = "((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)) / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"
     val ybar = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
-    s"(($vx - 2.0 * $r * $cxy + $r * $r * $vy) / (CAST(n AS DOUBLE) * $ybar * $ybar))"
+    s"(($vx - 2.0 * $r * $cxy + $r * $r * $vy) / nullif(CAST(n AS DOUBLE) * $ybar * $ybar, 0.0E0))"
   }
 
   /** TOST equivalence test (two one-sided t statistics) for the
@@ -436,7 +458,7 @@ object Inference {
       .agg(aggs.head, aggs.tail: _*)
       .select(
         col("n1"), col("n2"),
-        expr("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0")
+        expr("(CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0)) / 100.0")
           .as("diff_dollars"),
         expr(tostTSql(marginCents, lower = true)).as("t_lower"),
         expr(tostTSql(marginCents, lower = false)).as("t_upper"))
@@ -446,11 +468,13 @@ object Inference {
     * −δ. Shares the Welch standard error shape with [[Analytics]].
     */
   def tostTSql(marginCents: Long, lower: Boolean): String = {
+    // same degenerate-side nullif guards as [[Analytics.welchTSql]]
+    // (r10 degenerate probe)
     def v(sfx: String) =
-      s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE))"
-    val se = s"sqrt(${v("1")} / CAST(n1 AS DOUBLE) + ${v("2")} / CAST(n2 AS DOUBLE))"
+      s"((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / nullif(CAST(n$sfx AS DOUBLE), 0.0E0)) * CAST(s$sfx AS DOUBLE)) / nullif(CAST(n$sfx - 1 AS DOUBLE), 0.0E0))"
+    val se = s"nullif(sqrt(${v("1")} / CAST(n1 AS DOUBLE) + ${v("2")} / CAST(n2 AS DOUBLE)), 0.0E0)"
     val sign = if (lower) "+" else "-"
-    s"""((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+    s"""((CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0E0) - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0E0))
          $sign $marginCents.0) / $se"""
   }
 
@@ -485,16 +509,19 @@ object Inference {
         expr(didSe2Sql).as("se2_did"))
   }
 
-  /** DiD point estimate over the four cells' (n, s) — shared verbatim. */
+  /** DiD point estimate over the four cells' (n, s) — shared verbatim.
+    * nullif per cell: an empty arm×period cell is realistic and leaves
+    * the estimate undefined (NULL on both engines, r10 degenerate probe).
+    */
   def didSql: String = {
-    def m(sfx: String) = s"(CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE))"
+    def m(sfx: String) = s"(CAST(s$sfx AS DOUBLE) / nullif(CAST(n$sfx AS DOUBLE), 0.0E0))"
     s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
   }
 
   /** DiD variance Σ vᵢ/nᵢ over the four cells — shared verbatim. */
   def didSe2Sql: String = {
     def v(sfx: String) =
-      s"(((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / CAST(n$sfx AS DOUBLE)) * CAST(s$sfx AS DOUBLE)) / CAST(n$sfx - 1 AS DOUBLE)) / CAST(n$sfx AS DOUBLE))"
+      s"(((CAST(q$sfx AS DOUBLE) - (CAST(s$sfx AS DOUBLE) / nullif(CAST(n$sfx AS DOUBLE), 0.0E0)) * CAST(s$sfx AS DOUBLE)) / nullif(CAST(n$sfx - 1 AS DOUBLE), 0.0E0)) / CAST(n$sfx AS DOUBLE))"
     s"(${v("00")} + ${v("01")} + ${v("10")} + ${v("11")})"
   }
 
@@ -518,17 +545,22 @@ object Inference {
         sum(when(!expr(wkend), expr(y)).otherwise(lit(0L))).as("sy0"))
       .select(
         col("nz1"), col("nz0"),
-        expr("CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE)")
+        expr("CAST(sx1 AS DOUBLE) / nullif(CAST(nz1 AS DOUBLE), 0.0E0) - CAST(sx0 AS DOUBLE) / nullif(CAST(nz0 AS DOUBLE), 0.0E0)")
           .as("first_stage"),
-        expr("CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE)")
+        expr("CAST(sy1 AS DOUBLE) / nullif(CAST(nz1 AS DOUBLE), 0.0E0) - CAST(sy0 AS DOUBLE) / nullif(CAST(nz0 AS DOUBLE), 0.0E0)")
           .as("reduced_form"),
         expr(waldSql).as("wald"))
   }
 
-  /** Wald ratio text over (nz1, sx1, sy1, nz0, sx0, sy0) — shared. */
+  /** Wald ratio text over (nz1, sx1, sy1, nz0, sx0, sy0) — shared.
+    * nullif guards: an absent instrument side or a ZERO first stage (no
+    * treatment contrast — the all-duplicates shape, but also any real
+    * window where weekend and weekday treat identically) leaves the IV
+    * estimate undefined — NULL on both engines (r10 degenerate probe).
+    */
   def waldSql: String =
-    """(CAST(sy1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nz0 AS DOUBLE))
-       / (CAST(sx1 AS DOUBLE) / CAST(nz1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(nz0 AS DOUBLE))"""
+    """(CAST(sy1 AS DOUBLE) / nullif(CAST(nz1 AS DOUBLE), 0.0E0) - CAST(sy0 AS DOUBLE) / nullif(CAST(nz0 AS DOUBLE), 0.0E0))
+       / nullif(CAST(sx1 AS DOUBLE) / nullif(CAST(nz1 AS DOUBLE), 0.0E0) - CAST(sx0 AS DOUBLE) / nullif(CAST(nz0 AS DOUBLE), 0.0E0), 0.0E0)"""
 
   /** Neyman allocation for stratified sampling: given a total budget,
     * each stratum's optimal share is ∝ N_h·S_h (size × within-stratum
@@ -539,9 +571,13 @@ object Inference {
     */
   def neymanAllocation(events: DataFrame, budget: Long = 1000L): DataFrame = {
     val cents = Stages.centsSql("value")
+    // nullif: a single-row stratum has no SD; a zero cross-stratum term
+    // total (every stratum constant) leaves every share undefined —
+    // NULL, not an ANSI throw (r10 degenerate probe; oracle twin
+    // carries the same guards)
     val sdSql =
       """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
-              / CAST(n - 1 AS DOUBLE))"""
+              / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"""
     val g = events
       .groupBy(col("event_type"))
       .agg(
@@ -554,8 +590,8 @@ object Inference {
       .select(
         col("event_type"), col("n"),
         expr(s"$sdSql / 100.0").as("sd_dollars"),
-        expr("CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE)").as("share"),
-        expr(s"CAST(round($budget.0 * CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE)) AS BIGINT)")
+        expr("CAST(term AS DOUBLE) / nullif(CAST(term_total AS DOUBLE), 0.0E0)").as("share"),
+        expr(s"CAST(round($budget.0 * CAST(term AS DOUBLE) / nullif(CAST(term_total AS DOUBLE), 0.0E0)) AS BIGINT)")
           .as("n_alloc"))
   }
 
@@ -577,14 +613,21 @@ object Inference {
     val tot = perPart.agg(
       sum(col("n")).as("sn"), sum(col("x")).as("sx"), count(lit(1)).as("m"))
     val mu = "(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))"
+    // nullif: a degenerate corpus rate (no part ever crosses the
+    // threshold, or all do) zeroes the binomial SE — z is NULL, not an
+    // ANSI throw (r10 degenerate probe). p̃ gets an explicit CASE: 1/z²
+    // is min'd at 1.0 when z = 0 (the bound is exact there), and
+    // least(1.0, NULL) is engine-divergent (Spark skips NULLs), so the
+    // NULL-z row must carry its NULL through a CASE, not through least.
     val z =
       s"""((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - $mu)
-           / sqrt($mu * (1.0 - $mu) / CAST(n AS DOUBLE)))"""
+           / nullif(sqrt($mu * (1.0 - $mu) / CAST(n AS DOUBLE)), 0.0E0))"""
     val w = Window.partitionBy(lit(1)).orderBy(col("p_cheb").asc, col("l_partkey").asc)
     val ranked = perPart
       .crossJoin(broadcast(tot))
       .withColumn("z", expr(z))
-      .withColumn("p_cheb", expr("least(1.0, 1.0 / (z * z))"))
+      .withColumn("p_cheb", expr(
+        "CASE WHEN z * z > 0.0 THEN least(1.0, 1.0 / (z * z)) WHEN z = 0.0 THEN 1.0 END"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("bh_ok", expr(s"p_cheb <= $alpha * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)"))
     val kMax = ranked.agg(coalesce(max(when(col("bh_ok"), col("rank"))), lit(0L)).as("k_max"))
@@ -623,10 +666,11 @@ object Inference {
         expr(etaSqSql).as("eta2"))
   }
 
-  /** η² = SSB/SST over (nn, ss, rbq, qq) — shared verbatim. */
+  /** η² = SSB/SST over (nn, ss, rbq, qq) — shared verbatim. nullif: a
+    * constant series has SST = 0 and no variance share (r10 probe). */
   def etaSqSql: String =
-    """((CAST(rbq AS DOUBLE) - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ss AS DOUBLE))
-        / (CAST(qq AS DOUBLE) - (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ss AS DOUBLE)))"""
+    """((CAST(rbq AS DOUBLE) - (CAST(ss AS DOUBLE) / nullif(CAST(nn AS DOUBLE), 0.0E0)) * CAST(ss AS DOUBLE))
+        / nullif(CAST(qq AS DOUBLE) - (CAST(ss AS DOUBLE) / nullif(CAST(nn AS DOUBLE), 0.0E0)) * CAST(ss AS DOUBLE), 0.0E0))"""
 
   /** Chapman capture–recapture estimate of the active-user population
     * from two "capture occasions" (early vs late half of the observed
@@ -777,7 +821,7 @@ object Inference {
     val cents = Stages.centsSql("l_extendedprice")
     val sd =
       """sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
-              / CAST(n - 1 AS DOUBLE))"""
+              / nullif(CAST(n - 1 AS DOUBLE), 0.0E0))"""
     val mu = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
     lineitem
       .groupBy(col("l_returnflag"))
@@ -789,8 +833,8 @@ object Inference {
         col("l_returnflag"), col("n"),
         expr(s"$mu / 100.0").as("mean_dollars"),
         expr(s"$sd / 100.0").as("sd_dollars"),
-        expr(s"(($uslCents.0 - $lslCents.0) / (6.0 * $sd))").as("cp"),
-        expr(s"(least($uslCents.0 - $mu, $mu - $lslCents.0) / (3.0 * $sd))").as("cpk"))
+        expr(s"(($uslCents.0 - $lslCents.0) / nullif(6.0 * $sd, 0.0E0))").as("cp"),
+        expr(s"(least($uslCents.0 - $mu, $mu - $lslCents.0) / nullif(3.0 * $sd, 0.0E0))").as("cpk"))
   }
 
   /** ABC inventory classification of parts by cumulative revenue share,
@@ -1082,8 +1126,8 @@ object Inference {
         expr("(n_total * n_total - sum_sq) div 2").as("e2"),
         expr(
           """CAST(jt2 - (n_total * n_total - sum_sq) div 2 AS DOUBLE)
-             / (2.0 * sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
-                            * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - sum_sq23) / 72.0))""")
+             / nullif(2.0 * sqrt((CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                            * (2.0 * CAST(n_total AS DOUBLE) + 3.0) - sum_sq23) / 72.0), 0.0E0)""")
           .as("z"))
   }
 
@@ -1288,9 +1332,9 @@ object Inference {
         col("tie_x"),
         col("tie_y"),
         col("tie_xy"),
-        expr("CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE)").as("gamma"),
-        expr("CAST(conc - disc AS DOUBLE) / CAST(conc + disc + tie_y AS DOUBLE)").as("somers_d_yx"),
-        expr("CAST(conc - disc AS DOUBLE) / CAST((n_rows * (n_rows - 1)) div 2 AS DOUBLE)").as("tau_a"))
+        expr("CAST(conc - disc AS DOUBLE) / nullif(CAST(conc + disc AS DOUBLE), 0.0E0)").as("gamma"),
+        expr("CAST(conc - disc AS DOUBLE) / nullif(CAST(conc + disc + tie_y AS DOUBLE), 0.0E0)").as("somers_d_yx"),
+        expr("CAST(conc - disc AS DOUBLE) / nullif(CAST((n_rows * (n_rows - 1)) div 2 AS DOUBLE), 0.0E0)").as("tau_a"))
   }
 
   /** Q–Q table between purchase and click value distributions: both

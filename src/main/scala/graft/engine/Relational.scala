@@ -168,7 +168,13 @@ object Relational {
       .select(
         col("l_returnflag"), col("n_rows"),
         (col("t2._1").cast("double") / 100.0).as("max_price"),
-        (col("t2._2").cast("double") / 100.0).as("second_price"))
+        // The aggregator's two-long state marks "no second DISTINCT
+        // value" with a Long.MinValue sentinel (a tuple encoder cannot
+        // carry null longs); unmasked, a constant-price group leaked
+        // the sentinel as second_price = -9.2e16 dollars where the
+        // oracle's max(CASE ...) yields NULL (r10 degenerate probe).
+        when(col("t2._2") === lit(Long.MinValue), lit(null))
+          .otherwise(col("t2._2").cast("double") / 100.0).as("second_price"))
   }
 
   /** max_by / min_by battery with a DETERMINISTIC composite ordering key
@@ -401,7 +407,7 @@ object Relational {
         .crossJoin(orphans)
         .select(
           lit(name).as("relation"), col("n_child"), col("n_orphans"),
-          expr("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)").as("orphan_rate"))
+          expr("CAST(n_orphans AS DOUBLE) / nullif(CAST(n_child AS DOUBLE), 0.0E0)").as("orphan_rate"))
     }
     audit("lineitem.orderkey", lineitem, "l_orderkey", orders, "o_orderkey")
       .unionByName(audit("orders.custkey", orders, "o_custkey", customer, "c_custkey"))
@@ -1597,7 +1603,7 @@ object Relational {
       .select(
         col("n1"), col("n2"),
         expr("""CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
-                / CAST(n1 + n2 AS DOUBLE)""").as("chi2"))
+                / nullif(CAST(n1 + n2 AS DOUBLE), 0.0E0)""").as("chi2"))
       .withColumn("flagged", (col("chi2") > 3.84).cast("long"))
 
   /** Quantile (rank) normalization of order value — the monotone
@@ -1979,9 +1985,9 @@ object Relational {
         max(abs(lit(256L) * col("cum") - col("n") * (col("b") + 1L))).as("ks_num"))
       .select(
         col("n"), col("n_buckets_used"),
-        expr("(256.0 * CAST(sumsq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)")
+        expr("(256.0 * CAST(sumsq AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / nullif(CAST(n AS DOUBLE), 0.0E0)")
           .as("chi2"),
-        expr("CAST(ks_num AS DOUBLE) / (256.0 * CAST(n AS DOUBLE))").as("ks_d"))
+        expr("CAST(ks_num AS DOUBLE) / nullif(256.0 * CAST(n AS DOUBLE), 0.0E0)").as("ks_d"))
   }
 
   /** Greedy small-file compaction plan: the (day, event_type) "files"

@@ -207,8 +207,11 @@ object Stages {
     * `expr` and the DuckDB oracle, so the doubles are bit-identical.
     */
   val linregSql: Seq[(String, String)] = {
+    // n rides nullif: an EMPTY side (0-row train fold, empty corpus)
+    // makes the CASE *condition* itself 0/0 before the varX guard can
+    // fire — under ANSI that throws (r10 degenerate probe); shared text
     val (n, sx, sy, sxy, sxx, syy) =
-      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      ("nullif(CAST(n AS DOUBLE), 0.0E0)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
         "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
     val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
     val varY = s"($syy / $n - ($sy / $n) * ($sy / $n))"
@@ -260,8 +263,9 @@ object Stages {
     * oracle, so the filter boundary is bit-identical.
     */
   val residualSql: String = {
+    // nullif(n): see linregSql — the n = 0 empty-side case
     val (n, sx, sy, sxy, sxx) =
-      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      ("nullif(CAST(n AS DOUBLE), 0.0E0)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
         "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)")
     val varX = s"($sxx / $n - ($sx / $n) * ($sx / $n))"
     val covar = s"($sxy / $n - ($sx / $n) * ($sy / $n))"

@@ -19,6 +19,12 @@ class GramAggregator(dim: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Lo
   override def zero: Array[Long] = new Array[Long](dim * dim)
 
   override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    // NULL vector rows contribute nothing — the SQL-aggregate skip-null
+    // convention (a null embedding in a 100 TB corpus is certain; the
+    // r10 degenerate probe caught this as a task-killing NPE, and the
+    // typed Aggregator path does NOT null-filter its input column the
+    // way declarative aggregates do).
+    if (v == null) return buf
     val arr = v.toArray
     val n = math.min(dim, arr.length)
     var i = 0

@@ -26,6 +26,10 @@ object Multimodal {
   object FakeCodec {
     val FrameBytes = 16
     def decode(payload: Array[Byte]): Iterator[(Int, Int, Int, Array[Byte])] = {
+      // a NULL blob decodes to zero frames — the codec-skip convention
+      // every real decoder follows (r10 degenerate probe: an unguarded
+      // null payload NPE'd the whole partition's task)
+      if (payload == null) return Iterator.empty
       val width = 16 + (if (payload.isEmpty) 0 else (payload(0) & 0x7f))
       val height = 9 + (if (payload.length < 2) 0 else (payload(1) & 0x3f))
       payload.grouped(FrameBytes).zipWithIndex.map { case (chunk, i) => (i, width, height, chunk) }
@@ -130,12 +134,17 @@ object Multimodal {
     import spark.implicits._
     media
       .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+      // Option[Long]: a null doc_id must not trip the non-nullable
+      // primitive encoder's AssertNotNull (r10 degenerate probe) — the
+      // frame keeps a 0 id for a null-id row (Frame is the typed batch
+      // contract; id presence is the fixture key contract's concern)
+      .as[(Option[Long], Array[Byte])]
       .mapPartitions { it =>
         // one fake "codec context" per partition
         it.flatMap { case (id, payload) =>
           FakeCodec.decode(payload).collect {
-            case (i, w, h, bytes) if i % every == 0 => Frame(id, i, w, h, bytes)
+            case (i, w, h, bytes) if i % every == 0 =>
+              Frame(id.getOrElse(0L), i, w, h, bytes)
           }
         }
       }
@@ -418,7 +427,9 @@ object Multimodal {
     val Lcm = 720720L // LCM(1..16): exact common denominator for chunk means
     media
       .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+      // Option[Long] for the same null-id reason as [[sampleFrames]];
+      // the null id survives to the output column here (toDF nullable)
+      .as[(Option[Long], Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
           var n = 0L

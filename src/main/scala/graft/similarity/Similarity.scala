@@ -874,7 +874,7 @@ object Similarity {
           lit(d.toLong).as("dims_kept"),
           lit(numQueries.toLong).as("n_queries"),
           col("n_hits"),
-          expr("CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE)").as("recall"))
+          expr("CAST(n_hits AS DOUBLE) / nullif(CAST(n_true AS DOUBLE), 0.0E0)").as("recall"))
     }.reduce(_.unionByName(_))
   }
 
@@ -1233,7 +1233,12 @@ object Similarity {
         expr(
           s"transform(slice(CAST(embedding AS ARRAY<DOUBLE>), 1, $dims), v -> CAST(round(v * 1000) AS BIGINT))")
           .as("m"))
-      .agg(agg(col("m")).as("g"))
+      // nv gates the degenerate corpus: with ZERO non-null vectors the
+      // convention (shared with the oracle twins, r10 degenerate probe)
+      // is zero CELLS — not a dims² grid of zero mass, which downstream
+      // eigen-iteration would divide into 0/0
+      .agg(agg(col("m")).as("g"), count(col("m")).as("nv"))
+      .filter(col("nv") > 0)
       .select(posexplode(col("g")).as(Seq("idx", "s")))
       .select(
         expr(s"CAST(idx div $dims + 1 AS BIGINT)").as("i"),
@@ -1264,9 +1269,9 @@ object Similarity {
     * chain of broadcast-join jobs it costs ~20 scheduler round-trips to
     * move 64 numbers around.
     */
-  private def collectGram(cells: DataFrame, dims: Int): Array[Array[Long]] = {
+  private def gramFromRows(rows: Array[org.apache.spark.sql.Row], dims: Int): Array[Array[Long]] = {
     val g = Array.ofDim[Long](dims, dims)
-    cells.collect().foreach { r =>
+    rows.foreach { r =>
       g(r.getAs[Long]("i").toInt - 1)(r.getAs[Long]("j").toInt - 1) = r.getAs[Long]("s")
     }
     g
@@ -1280,12 +1285,21 @@ object Similarity {
     val dims = v.length
     val w = Array.tabulate(dims)(i => (0 until dims).map(j => m(i)(j) * v(j)).sum)
     val mx = w.map(math.abs).max
-    w.map(x => roundHalfUp(1000.0 * x.toDouble / mx.toDouble))
+    // a mass-less iterate (M·v ≡ 0) has no direction to normalize —
+    // stay at zero instead of feeding 0/0 → NaN into the HALF_UP
+    // BigDecimal round (which throws on NaN, r10 degenerate probe)
+    if (mx == 0L) w
+    else w.map(x => roundHalfUp(1000.0 * x.toDouble / mx.toDouble))
   }
 
   def powerIteration(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
-    val g = collectGram(gramCells(embeddings, 64), 64)
+    val cells = gramCells(embeddings, 64).collect()
+    // zero non-null vectors → zero loading rows (the oracle twin's CTE
+    // chain is empty for the same reason — degenerate-corpus alignment)
+    if (cells.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("dim", "loading_milli")
+    val g = gramFromRows(cells, 64)
     val u0 = Array.fill(64)(1L)
     val u2 = stepLocal(g, stepLocal(g, u0))
     u2.toSeq.zipWithIndex.map { case (u, i) => (i + 1L, u) }
@@ -1309,16 +1323,24 @@ object Similarity {
   def powerIterationDeflated(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
     val dims = 64
-    val g = collectGram(gramCells(embeddings, dims), dims)
+    val cells = gramCells(embeddings, dims).collect()
+    // degenerate-corpus alignment: see [[powerIteration]]
+    if (cells.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("dim", "loading2_milli")
+    val g = gramFromRows(cells, dims)
     val u2 = stepLocal(g, stepLocal(g, Array.fill(dims)(1L)))
     // re-quantize milli→centi before deflation (uᵀMu must stay in BIGINT)
     val u1 = u2.map(x => roundHalfUp(x.toDouble / 10.0))
     val uu = u1.map(x => x * x).sum
     val umu = (0 until dims).map(i =>
       (0 until dims).map(j => g(i)(j) * u1(i) * u1(j)).sum).sum
-    val deflated = Array.tabulate(dims, dims)((i, j) =>
-      g(i)(j) - roundHalfUp(
-        (umu.toDouble / uu.toDouble) * ((u1(i) * u1(j)).toDouble / uu.toDouble)))
+    // a zero iterate (mass-less gram, see stepLocal) has nothing to
+    // deflate — guard the uᵀu division the same way
+    val deflated =
+      if (uu == 0L) g
+      else Array.tabulate(dims, dims)((i, j) =>
+        g(i)(j) - roundHalfUp(
+          (umu.toDouble / uu.toDouble) * ((u1(i) * u1(j)).toDouble / uu.toDouble)))
     val w0 = Array.tabulate(dims)(i => if ((i + 1) % 2 == 0) 1L else -1L)
     val w2 = stepLocal(deflated, stepLocal(deflated, w0))
     w2.toSeq.zipWithIndex.map { case (u, i) => (i + 1L, u) }

@@ -678,7 +678,7 @@ object TextAnalysis {
       .agg(max(col("diff")).as("d_num"))
       .select(
         col("na"), col("nb"), col("d_num"),
-        expr("CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("d_stat"))
+        expr("CAST(d_num AS DOUBLE) / nullif(CAST(na * nb AS DOUBLE), 0.0E0)").as("d_stat"))
   }
 
   /** Exact 1-D earth mover's (Wasserstein-1) distance between the
@@ -715,7 +715,7 @@ object TextAnalysis {
         sum(abs(col("ca") * col("nb") - col("cb") * col("na")) * col("gap")).as("w1_num"))
       .select(
         col("na"), col("nb"), col("w1_num"),
-        expr("CAST(w1_num AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("emd"))
+        expr("CAST(w1_num AS DOUBLE) / nullif(CAST(na * nb AS DOUBLE), 0.0E0)").as("emd"))
   }
 
   /** BM25 top-documents per term for the `numTerms` highest-df corpus
@@ -1385,7 +1385,7 @@ object TextAnalysis {
         expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)").as("exp"),
         expr("""(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
                 * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))""")
+                / nullif(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 0.0E0)""")
           .as("contrib"))
   }
 
@@ -1405,7 +1405,7 @@ object TextAnalysis {
     val contrib =
       """(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
          * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"""
+         / nullif(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 0.0E0)"""
     cells
       .join(broadcast(rowTot), "source")
       .join(broadcast(colTot), "lang")
@@ -1419,7 +1419,7 @@ object TextAnalysis {
         col("nn").as("n"), col("r"), col("c"),
         expr("CAST(chi2_micro AS DOUBLE) / 1000000.0").as("chi2"),
         expr("""sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
-                / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))""").as("v"))
+                / nullif(CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE), 0.0E0))""").as("v"))
   }
 
   /** McNemar's paired-proportion statistic over two curation predicates
