@@ -3786,18 +3786,48 @@ object Analytics {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
+    // nD rides nullif: the broadcast side evaluates even when the fact
+    // side is empty, and n = 0 would 0/0 under ANSI (the r10 probe's
+    // empty variant); passthrough for any real corpus
     val (nD, sxD, syD, sxyD, sxxD, syyD) =
-      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      ("nullif(CAST(n AS DOUBLE), 0.0E0)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
         "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
     val varX = s"($sxxD / $nD - ($sxD / $nD) * ($sxD / $nD))"
     val varY = s"($syyD / $nD - ($syD / $nD) * ($syD / $nD))"
     val covar = s"($sxyD / $nD - ($sxD / $nD) * ($syD / $nD))"
-    val h = s"(1.0 / $nD + (CAST(x AS DOUBLE) - $sxD / $nD) * (CAST(x AS DOUBLE) - $sxD / $nD) / nullif($nD * $varX, 0.0E0))"
-    val s2 = s"(($varY - $covar * $covar / nullif($varX, 0.0E0)) * $nD / nullif($nD - 2, 0.0E0))"
+    // The ROW-INDEPENDENT scalars (slope, the intercept's two terms, n,
+    // mean-x, n·var(x), s²) are factored into the broadcast 1-row frame:
+    // inlined per row, the composite D_i expression (residual² · h with
+    // every moment ratio and its r10 degenerate-input nullif repeated
+    // inside) crossed Spark's whole-stage-codegen size cliff and the
+    // query fell to interpreted evaluation — 0.74 → 5.4 s at sf0.1.
+    // Factoring is value-identical: each named column carries the SAME
+    // IEEE subtree, evaluated once instead of per row, and the per-row
+    // residual keeps residualSql's exact association
+    // (slope·x + ȳ − slope·x̄, guarded by the same varX = 0 CASE).
+    val scal = stats.select(
+      col("n"), col("sx"), col("sy"),
+      expr(nD).as("nd"),
+      expr(s"($sxD / $nD)").as("mx"),
+      expr(s"($syD / $nD)").as("myn"),
+      expr(varX).as("var_x"),
+      // slope's own nullif: the column evaluates eagerly even though
+      // the row CASE only reads it when var_x ≠ 0
+      expr(s"($covar / nullif($varX, 0.0E0))").as("slope"),
+      expr(s"nullif($nD * $varX, 0.0E0)").as("hden"),
+      expr(s"(($varY - $covar * $covar / nullif($varX, 0.0E0)) * $nD / nullif($nD - 2, 0.0E0))")
+        .as("s2v"))
+    val residRow =
+      """CASE WHEN var_x = 0 THEN NULL
+         ELSE (CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + myn - slope * mx))
+         END"""
+    val hRow = "(1.0 / nd + (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) / hden)"
+    // nullif: a perfect fit (s² = 0) or a full-leverage row (h = 1,
+    // the single-observation shape) leaves D_i undefined
     val cooks =
-      s"((${Stages.residualSql} * ${Stages.residualSql}) / (2.0 * $s2) * $h / ((1.0 - $h) * (1.0 - $h)))"
+      s"(($residRow * $residRow) / nullif(2.0 * s2v, 0.0E0) * $hRow / nullif((1.0 - $hRow) * (1.0 - $hRow), 0.0E0))"
     Relational.rankedTopK(
-      base.crossJoin(broadcast(stats)).withColumn("cooks_d", expr(cooks)),
+      base.crossJoin(broadcast(scal)).withColumn("cooks_d", expr(cooks)),
       k, col("cooks_d").desc, col("l_orderkey").asc, col("l_linenumber").asc)
       .select(
         col("rank"), col("l_orderkey"), col("l_linenumber"),
