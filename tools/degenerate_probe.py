@@ -20,13 +20,27 @@ the same files):
              DISTINCT/grid collapses to one value; all-tied rank paths)
   nullcol  — first 100 rows with EVERY column nulled (all fixture
              columns are nullable); null keys, null timestamps, 0-grids
+  extreme  — first 48 rows with every column pushed to its type's
+             domain edges while HONORING the fixture contracts
+             (unique non-null keys, non-null ts/payload/embedding):
+             signed zero-crossing integer keys with ±1e6 outliers;
+             pre-1970 / negative-fractional-epoch / epoch-0 / 2099
+             timestamps (truncate-vs-floor, biased-lpad domains);
+             ±0.0 / ±9.9e5 / 1e-9 doubles (log/sqrt-of-negative,
+             signed-zero, ANSI guards); empty / non-BMP-unicode /
+             2000-char / whitespace-framed strings (code-point vs
+             byte arithmetic; events.props becomes malformed JSON →
+             from_json NULL paths); zero / constant / tiny / negated
+             embedding vectors (norm-0 divisions, tie cosines)
 
-Usage: python3 tools/degenerate_probe.py [sfDir] [workDir] [q1,q2,...]
+Usage: python3 tools/degenerate_probe.py [sfDir] [workDir] [q1,q2,...] [v1,v2,...]
   sfDir   default /root/testdata/sf0.001
   workDir default /tmp/degenerate_probe (wiped per run)
   q1,...  optional comma-separated query subset (fast re-check while
           sweeping a divergence class; the round receipt must come from
-          a FULL run)
+          a FULL run). Pass '' to keep all queries while subsetting
+          variants.
+  v1,...  optional comma-separated variant subset (same caveat)
 
 Requires a compiled target/scala-2.13/classes (run `sbt compile` first);
 Spark runs via java -cp against /opt/spark/jars, same as tools/bench_ab.sh.
@@ -46,7 +60,7 @@ import pyarrow.parquet as pq
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
-VARIANTS = ("empty", "single", "dups", "nullcol")
+VARIANTS = ("empty", "single", "dups", "nullcol", "extreme")
 
 # (variant, query) -> documented reason. Populated from the r10 full
 # sweep (originally 229 divergent cells; the 150 CRASH-class cells —
@@ -128,6 +142,61 @@ ALLOWED: dict = {
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+import datetime as _dt
+
+_EXTREME_TS = [  # cycle; two slots keep the original for realistic spread
+    _dt.datetime(1950, 6, 15, 12, 34, 56, 789012),   # negative epoch + frac
+    _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),  # -1 µs: floor vs trunc
+    _dt.datetime(1970, 1, 1, 0, 0, 0),               # epoch zero
+    _dt.datetime(2099, 12, 31, 23, 59, 59),          # far future
+]
+_EXTREME_STR = [  # cycle; one slot keeps the original
+    "",                         # empty string (length/substr/split edges)
+    "\U0001f389\U0001d518ñ中",  # non-BMP + BMP unicode
+    "x" * 2000 + "\U0001f389",  # long payload ending in a surrogate pair
+    "a\nb\tc d",                # embedded newline/tab/space
+    "  pad  ",                  # whitespace framing (trim/split edges)
+]
+
+
+def _extreme_table(tab: pa.Table) -> pa.Table:
+    """Push every column to its type's domain edges, preserving the
+    fixture contracts the other variants deliberately violate: integer
+    keys stay UNIQUE and non-null (a strictly increasing signed ladder
+    with ±1e6 endpoints — dup keys are the `dups` variant's job),
+    ts/payload/embedding stay non-null. Rows that keep original values
+    are interleaved so literal-predicate queries still see real data."""
+    n = min(48, tab.num_rows)
+    tab = tab.slice(0, n)
+    cols = {}
+    for f in tab.schema:
+        orig = tab.column(f.name).to_pylist()
+        vals = []
+        for i, o in enumerate(orig):
+            k = i % 6
+            if pa.types.is_integer(f.type):
+                v = (i - n // 2) * 1009 + 7  # signed, unique, crosses 0
+                if i == 0:
+                    v = -1000003
+                elif i == n - 1:
+                    v = 1000003
+            elif pa.types.is_floating(f.type):
+                v = [0.0, -0.0, 987654.321, -987654.321, 1e-9, o][k]
+            elif pa.types.is_timestamp(f.type):
+                v = _EXTREME_TS[k] if k < 4 else o
+            elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                v = _EXTREME_STR[k] if k < 5 else o
+            elif pa.types.is_list(f.type) and o is not None:
+                d = len(o)
+                v = [[0.0] * d, [100.0] * d, [1e-7] * d,
+                     [-x for x in o], o, o][k]
+            else:
+                v = o
+            vals.append(v)
+        cols[f.name] = pa.array(vals, type=f.type)
+    return pa.table(cols, schema=tab.schema)
+
+
 def build_variant(src_dir: str, out_dir: str, variant: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
@@ -144,6 +213,8 @@ def build_variant(src_dir: str, out_dir: str, variant: str) -> None:
             out = pa.table(
                 {f.name: pa.nulls(n, type=f.type) for f in tab.schema},
                 schema=tab.schema)
+        elif variant == "extreme":
+            out = _extreme_table(tab)
         else:
             raise ValueError(variant)
         pq.write_table(out, f"{out_dir}/{t}.parquet")
@@ -184,7 +255,10 @@ def canon(df: pd.DataFrame) -> str:
     for _, row in df.iterrows():
         rows.append("\x1f".join(
             "" if pd.isna(v)
-            else (f"{v:.6f}" if isinstance(v, (float, np.floating)) else str(v))
+            # v == 0 folds -0.0 into 0.0 before formatting: both engines can
+            # legitimately produce either signed zero and %.6f distinguishes.
+            else (f"{(0.0 if v == 0 else v):.6f}"
+                  if isinstance(v, (float, np.floating)) else str(v))
             for v in row))
     rows.sort()
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
@@ -194,11 +268,15 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/degenerate_probe"
     only = sys.argv[3] if len(sys.argv) > 3 else ""
+    variants = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else VARIANTS
+    for v in variants:
+        if v not in VARIANTS:
+            raise SystemExit(f"unknown variant {v!r} (have {VARIANTS})")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
     n_cells = n_ok = n_both_fail = n_allowed = 0
     diverged = []
-    for variant in VARIANTS:
+    for variant in variants:
         vdir = f"{work}/{variant}/tables"
         vout = f"{work}/{variant}/out"
         build_variant(sf_dir, vdir, variant)

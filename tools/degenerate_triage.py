@@ -17,7 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem "
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/degenerate_probe"
     only = set(sys.argv[2:])
-    for variant in ("empty", "single", "dups", "nullcol"):
+    for variant in ("empty", "single", "dups", "nullcol", "extreme"):
         vdir, vout = f"{work}/{variant}/tables", f"{work}/{variant}/out"
         if not os.path.exists(f"{vout}/oracle_sql.json"):
             continue
