@@ -106,6 +106,33 @@ object PlanAudit {
     w.partitionSpec.nonEmpty &&
       w.partitionSpec.forall(_.references.forall(a => lowCardCols(a.name)))
 
+  /** Frames of the shape `[x, unboundedFollowing]` with
+    * `x ≠ unboundedPreceding`: Spark's
+    * `UnboundedFollowingWindowFunctionFrame` recomputes the aggregate
+    * FROM SCRATCH for every row — O(rows²) per partition — because
+    * aggregates can't retract rows. The entire-partition frame
+    * ([unboundedPreceding, unboundedFollowing], computed once) and the
+    * growing frame ([unboundedPreceding, x], incremental) are both
+    * O(rows), and every shrinking use has an exact growing-frame rewrite
+    * over the REVERSED ordering (see [[graft.engine.Analytics
+    * .gapInterpolate]]), so any appearance is a plan bug. Flagged
+    * regardless of input boundedness: `boundedBelow` cannot see through
+    * value-range-driven explodes (`sequence(min_ts, max_ts)` re-inflates
+    * an aggregate's bound), which is exactly how the one live instance
+    * survived nine rounds of fixture-green boards.
+    */
+  def shrinkingFrame(w: WindowExec): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
+    w.windowExpression.exists(ne => ne.collect {
+      case WindowExpression(_, spec) => spec.frameSpecification
+    }.exists {
+      case SpecifiedWindowFrame(_, lower, UnboundedFollowing) =>
+        lower != UnboundedPreceding
+      case _ => false
+    })
+  }
+
   /** `row_number() <= k` plans get Catalyst's WindowGroupLimit pushdown,
     * capping what any partition forwards — exempt.
     */
@@ -127,11 +154,17 @@ object PlanAudit {
     }
     root.collect {
       case _: CartesianProductExec => Seq("CartesianProduct")
-      case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
-        Seq("UnpartitionedWindowOverUnboundedInput")
+      // A node can carry several anti-patterns; `collect` stops at the
+      // first matching case, so the WindowExec arm reports all three.
       case w: WindowExec
-          if fewKeyOnly(w) && !boundedBelow(w.child) && !groupLimited(w.child) =>
-        Seq("FewKeyWindowOverUnboundedInput")
+          if shrinkingFrame(w) ||
+            (w.partitionSpec.isEmpty && !boundedBelow(w.child)) ||
+            (fewKeyOnly(w) && !boundedBelow(w.child) && !groupLimited(w.child)) =>
+        (if (shrinkingFrame(w)) Seq("ShrinkingWindowFrame") else Nil) ++
+          (if (w.partitionSpec.isEmpty && !boundedBelow(w.child))
+             Seq("UnpartitionedWindowOverUnboundedInput") else Nil) ++
+          (if (fewKeyOnly(w) && !boundedBelow(w.child) && !groupLimited(w.child))
+             Seq("FewKeyWindowOverUnboundedInput") else Nil)
       case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
       // executed AQE plans park subtrees inside QueryStageExec leaves
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => offenders(q.plan)

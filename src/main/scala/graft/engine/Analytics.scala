@@ -763,17 +763,27 @@ object Analytics {
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(expr("sequence(lo, hi)")).as("hour"))
     val before = Window.orderBy(col("hour")).rowsBetween(Window.unboundedPreceding, 0)
-    val after = Window.orderBy(col("hour")).rowsBetween(0, Window.unboundedFollowing)
+    // "Nearest observed at-or-AFTER" as a running frame over DESCENDING
+    // hour, NOT first(...).over(rowsBetween(0, unboundedFollowing)):
+    // Spark evaluates a shrinking frame ([x, ∞]) from scratch per row —
+    // O(|spine|²), which the growing frame maintains incrementally in
+    // O(|spine|). Same rows, same values (hour is unique, so the desc
+    // order is the exact reversal); only the frame direction changes.
+    // Found by the extreme-fixture sweep: a 1950→2099 ts domain makes a
+    // 1.3M-hour spine, and the quadratic frame turned a sub-second query
+    // into CPU-hours — the shape a 100 TB corpus hits on day one.
+    val beforeDesc =
+      Window.orderBy(col("hour").desc).rowsBetween(Window.unboundedPreceding, 0)
     spine
       .join(hourly, Seq("hour"), "left")
       .withColumn("prev_val", last(col("cnt"), ignoreNulls = true).over(before))
       .withColumn(
         "prev_hour",
         last(when(col("cnt").isNotNull, col("hour")), ignoreNulls = true).over(before))
-      .withColumn("next_val", first(col("cnt"), ignoreNulls = true).over(after))
+      .withColumn("next_val", last(col("cnt"), ignoreNulls = true).over(beforeDesc))
       .withColumn(
         "next_hour",
-        first(when(col("cnt").isNotNull, col("hour")), ignoreNulls = true).over(after))
+        last(when(col("cnt").isNotNull, col("hour")), ignoreNulls = true).over(beforeDesc))
       .select(
         col("hour"),
         col("cnt"),
@@ -3383,14 +3393,19 @@ object Analytics {
           1L).otherwise(0L).as("treated"))
     val ord = Window.orderBy(col("x").asc, col("user_id").asc)
     val prevF = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val nextF = ord.rowsBetween(1, Window.unboundedFollowing)
+    // "Nearest control strictly AFTER" via a growing frame over the
+    // exact reverse order — first(...).over(rowsBetween(1, ∞)) is a
+    // shrinking frame Spark recomputes from scratch per row, O(|users|²)
+    // at corpus scale (same fix and rationale as [[gapInterpolate]]).
+    val nextF = Window.orderBy(col("x").desc, col("user_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val ctrl = when(col("treated") === 0L, col("x"))
     val ctry = when(col("treated") === 0L, col("y"))
     val matched = users
       .withColumn("px", last(ctrl, ignoreNulls = true).over(prevF))
       .withColumn("py", last(ctry, ignoreNulls = true).over(prevF))
-      .withColumn("nx", first(ctrl, ignoreNulls = true).over(nextF))
-      .withColumn("ny", first(ctry, ignoreNulls = true).over(nextF))
+      .withColumn("nx", last(ctrl, ignoreNulls = true).over(nextF))
+      .withColumn("ny", last(ctry, ignoreNulls = true).over(nextF))
       .filter(col("treated") === 1L)
       .withColumn(
         "cy",

@@ -87,9 +87,18 @@ object ExprKernels {
   }
 
   def winnow(text: String, k: Int, w: Int): ArrayData = {
-    val n = math.max(text.length - k + 1, 1)
+    // CODE POINTS, not UTF-16 units — the same alignment frameEnergy
+    // carries: the oracle's ascii(substring(text, i, 1)) and length()
+    // are codepoint-based, so a charAt loop mis-hashes any gram touching
+    // a surrogate pair (and mis-counts the gram total). BMP text — all
+    // driver fixtures — is bit-identical under both spellings. A code
+    // point tops out at 0x10FFFF < 2^21, so cp·pows(j) < 2^52 keeps the
+    // per-term arithmetic exact.
+    val cps = text.codePoints().toArray
+    val len = cps.length
+    val n = math.max(len - k + 1, 1)
     // Polynomial k-gram hash mod 2^31−1, base 256: per-term modular
-    // reduction keeps every intermediate < 2^40, so the arithmetic is
+    // reduction keeps every intermediate < 2^52, so the arithmetic is
     // exact BIGINT on any engine (the oracle mirrors it with ascii() and
     // precomputed 256^j mod p constants). ~100× cheaper than the md5
     // digest per position this replaces — the gram hash ran once per
@@ -103,9 +112,9 @@ object ExprKernels {
     while (i < n) {
       var s = 0L
       var j = 0
-      val end = math.min(k, text.length - i)
+      val end = math.min(k, len - i)
       while (j < end) {
-        s += (text.charAt(i + j).toLong * pows(j)) % MinHashP
+        s += (cps(i + j).toLong * pows(j)) % MinHashP
         j += 1
       }
       hashes(i) = s % MinHashP

@@ -151,6 +151,30 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("a shrinking window frame flags even over bounded input; the reversed growing frame passes") {
+    // Spark recomputes [x, unboundedFollowing) frames from scratch per
+    // row — O(rows²) — and boundedness doesn't excuse it: the live
+    // instance this rule generalizes sat above an aggregate whose bound
+    // a sequence() explode re-inflated to 1.3M rows (gapInterpolate).
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val shrinking = Window.orderBy(col("hour"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val bad = hourly.withColumn("nxt", first(col("cnt"), ignoreNulls = true).over(shrinking))
+    assert(flags(bad).contains("ShrinkingWindowFrame"), flags(bad).toString)
+    // the exact O(rows) rewrite: growing frame over the reversed ordering
+    val growingDesc = Window.orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ok = hourly.withColumn("nxt", last(col("cnt"), ignoreNulls = true).over(growingDesc))
+    assert(flags(ok).isEmpty, flags(ok).toString)
+    // the entire-partition frame is computed once per partition — exempt
+    val entire = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val okEntire = hourly.withColumn("tot", sum(col("cnt")).over(entire))
+    assert(flags(okEntire).isEmpty, flags(okEntire).toString)
+  }
+
   test("a few-key window hiding inside a pinned view still flags") {
     val li = Tables.lineitem(spark, sfDir)
     val pinned = graft.engine.Views.pinned(li, "auditSpecBadPin")(
