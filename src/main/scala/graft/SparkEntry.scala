@@ -1773,17 +1773,23 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_frame_features" ->
-      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+      // The decode is BYTE-based (the engine folds unsigned bytes of
+      // the BINARY payload): all positions index the hex text 2 chars
+      // per byte — the old ascii(substring(text,...)) read CODEPOINTS,
+      // which coincides with bytes only on pure-ascii fixtures
+      // (extreme sweep, r10).
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS blen,
                 (octet_length(encode(text)) + 15) // 16 AS chunks
               FROM documents),
-         f AS (SELECT doc_id, blen, text,
+         f AS (SELECT doc_id, blen, hx,
                 unnest(generate_series(0, chunks - 1, 2)) AS fi
               FROM m WHERE chunks > 0),
-         ch AS (SELECT doc_id, fi, text, fi * 16 AS off,
+         ch AS (SELECT doc_id, fi, hx, fi * 16 AS off,
                 unnest(generate_series(1, CAST(least(16, blen - fi * 16) AS BIGINT))) AS j
               FROM f),
          cs AS (SELECT doc_id, fi,
-                CAST(sum(ascii(substring(text, CAST(off + j AS INTEGER), 1))) AS BIGINT) AS s,
+                CAST(sum(CAST(concat('0x', substring(hx, CAST((off + j) * 2 - 1 AS INTEGER), 2)) AS INTEGER)) AS BIGINT) AS s,
                 count(*) AS l
               FROM ch GROUP BY doc_id, fi),
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
@@ -1792,10 +1798,10 @@ object SparkEntry {
          SELECT m.doc_id,
                 COALESCE(agg.n, 0) AS n_frames,
                 CASE WHEN coalesce(m.blen, 0) = 0 THEN 0
-                     ELSE 16 + ascii(substring(m.text, 1, 1)) % 128 END AS width,
+                     ELSE 16 + CAST(concat('0x', substring(m.hx, 1, 2)) AS INTEGER) % 128 END AS width,
                 CASE WHEN coalesce(m.blen, 0) = 0 THEN 0
                      WHEN m.blen < 2 THEN 9
-                     ELSE 9 + ascii(substring(m.text, 2, 1)) % 64 END AS height,
+                     ELSE 9 + CAST(concat('0x', substring(m.hx, 3, 2)) AS INTEGER) % 64 END AS height,
                 CASE WHEN COALESCE(agg.n, 0) = 0 THEN 0.0
                      ELSE CAST((2 * isum * 100 + 720720 * agg.n) // (2 * 720720 * agg.n) AS DOUBLE) / 100.0
                 END AS mean_intensity
@@ -2312,12 +2318,16 @@ object SparkEntry {
                              AND o_orderdate >= TIMESTAMP '1999-01-01')
          GROUP BY 1 ORDER BY nation""",
     "q_full_table" ->
-      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      // json_valid guard: DuckDB's json_extract THROWS on malformed
+      // props (Spark's from_json is NULL) — extreme-fixture sweep, r10.
+      """WITH j AS (SELECT *, CASE WHEN json_valid(props)
+                                   THEN json_extract_string(props, '$.k') END AS jk
+                    FROM events)
+         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
          CASE WHEN event_type = '' THEN NULL ELSE event_type END AS event_type,
          value,
-         CASE WHEN json_extract_string(props, '$.k') = '' THEN NULL
-              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS props_k
-         FROM events ORDER BY event_id""",
+         CASE WHEN jk = '' THEN NULL ELSE CAST(jk AS INTEGER) END AS props_k
+         FROM j ORDER BY event_id""",
     "q_abnormal_duration" ->
       s"""SELECT l_orderkey, l_linenumber,
          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -2444,8 +2454,8 @@ object SparkEntry {
                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
            FROM flagged)
          SELECT user_id,
-                epoch_us(min(ts)) // 1000000 AS session_start,
-                (epoch_us(max(ts)) + 1800 * 1000000) // 1000000 AS session_end,
+                CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
                 count(*) AS n_events,
                 sum(CAST(round((value) * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
          FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
@@ -2466,11 +2476,18 @@ object SparkEntry {
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q_window_sliding" ->
-      """WITH w AS (
-           SELECT unnest([(epoch_us(ts) // 1000000 // 1800) * 1800 - 1800,
-                          (epoch_us(ts) // 1000000 // 1800) * 1800]) AS ws,
+      // w0 = s - floormod(s, 1800) FLOORS to the window grid exactly —
+      // Spark's window() floor-aligns pre-1970 timestamps where the old
+      // truncating // shifted them a full window (extreme sweep, r10).
+      """WITH s AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                   CAST(round((value) * 100) AS BIGINT) AS cents
-           FROM events)
+           FROM events),
+         w AS (
+           SELECT unnest([sec - ((sec % 1800) + 1800) % 1800 - 1800,
+                          sec - ((sec % 1800) + 1800) % 1800]) AS ws,
+                  cents
+           FROM s)
          SELECT ws, count(*) AS n_events, sum(cents) / CAST(100 AS DOUBLE) AS sum_value
          FROM w GROUP BY ws ORDER BY ws""",
     "q_anti_join" ->
@@ -2502,12 +2519,19 @@ object SparkEntry {
       """SELECT CAST(round((value) * 100) AS BIGINT) // 2500 AS bucket, count(*) AS n
          FROM events GROUP BY bucket ORDER BY bucket""",
     "q_json_funcs" ->
-      """SELECT event_id,
-                json_extract_string(props, '$.k') AS k_str,
-                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-                json_extract_string(props, '$.k') IS NOT NULL AS has_k,
-                json_extract_string(props, '$.missing') IS NULL AS no_missing
-         FROM events ORDER BY event_id""",
+      // json_valid guard: DuckDB's json_extract THROWS on malformed
+      // props (Spark's get_json_object is NULL) — extreme sweep, r10.
+      """WITH j AS (SELECT event_id, CASE WHEN json_valid(props)
+                                          THEN json_extract_string(props, '$.k') END AS jk,
+                           CASE WHEN json_valid(props)
+                                THEN json_extract_string(props, '$.missing') END AS jm
+                    FROM events)
+         SELECT event_id,
+                jk AS k_str,
+                CAST(jk AS BIGINT) AS k_int,
+                jk IS NOT NULL AS has_k,
+                jm IS NULL AS no_missing
+         FROM j ORDER BY event_id""",
     "q_regex_funcs" ->
       """SELECT doc_id,
                 regexp_extract(text, '^([a-z]+)', 1) AS first_word,
@@ -2711,7 +2735,7 @@ object SparkEntry {
          FROM b GROUP BY 1, 2 ORDER BY split, event_type""",
     "q_weighted_median" ->
       s"""WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
-                            CAST(round(l_quantity) AS BIGINT) AS wt,
+                            greatest(CAST(round(l_quantity) AS BIGINT), 0) AS wt,
                             ${Stages.centsSql("l_extendedprice")} // 100 AS y
                      FROM lineitem),
          c AS (SELECT l_returnflag, y,
@@ -2978,8 +3002,8 @@ object SparkEntry {
                  count(value) AS n_value_nonnull,
                  count(DISTINCT user_id) AS n_users,
                  count(DISTINCT event_type) AS n_types,
-                 epoch_us(CAST(min(ts) AS TIMESTAMP)) // 1000000 AS min_ts_epoch,
-                 epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000000 AS max_ts_epoch,
+                 CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS min_ts_epoch,
+                 CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT) AS max_ts_epoch,
                  CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS total_cents
           FROM events ORDER BY n_rows""",
     "q_histogram2d" ->
@@ -2999,9 +3023,9 @@ object SparkEntry {
          WHERE prev_max IS NULL OR prev_max < max_qty
          ORDER BY price_dollars""",
     "q_bitmap_index" ->
-      """SELECT event_type, user_id // 32 AS word_id,
-                bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits,
-                CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))) AS BIGINT) AS n_users
+      """SELECT event_type, (user_id - ((user_id % 32) + 32) % 32) // 32 AS word_id,
+                bit_or(CAST(1 AS BIGINT) << CAST(((user_id % 32) + 32) % 32 AS INTEGER)) AS bits,
+                CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(((user_id % 32) + 32) % 32 AS INTEGER))) AS BIGINT) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY event_type, word_id""",
     "q_sliding_distinct" ->
       """WITH hu AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS hour_epoch, user_id
@@ -3643,7 +3667,7 @@ object SparkEntry {
       s"""SELECT user_id, event_id, epoch_s,
                 sum(cents) OVER w / CAST(100 AS DOUBLE) AS rolling_sum,
                 count(*) OVER w AS n_in_range
-         FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS epoch_s,
+         FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
                       ${Stages.centsSql("value")} AS cents FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -3780,10 +3804,14 @@ object SparkEntry {
                 md5(lower(hex(encode(substring(text, CAST(slice_id * 128 + 1 AS INTEGER), 64))))) AS slice_md5
          FROM s ORDER BY doc_id, slice_id""",
     "q_multimodal_meta" ->
+      // header = first 8 BYTES of the utf-8 payload (Spark slices the
+      // BINARY column): slice the hex text 2 chars per byte — the old
+      // encode(substring(text,...)) sliced CODEPOINTS first and emitted
+      // up to 4 extra bytes on multi-byte text (extreme sweep, r10).
       """SELECT doc_id,
                 octet_length(encode(text)) AS byte_len,
                 sha256(text) AS sha,
-                lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+                lower(substring(hex(encode(text)), 1, 16)) AS header_hex
          FROM documents ORDER BY doc_id""",
     "q_slice_neardup" ->
       """WITH s AS (SELECT doc_id,
@@ -3901,7 +3929,7 @@ object SparkEntry {
          ORDER BY rule""",
     "q_late_events" ->
       """WITH ev AS (SELECT event_type,
-                            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                               - CASE WHEN event_id % 13 = 0 THEN 21600
                                      WHEN event_id % 97 = 0 THEN 86400
                                      ELSE 0 END AS ts_sec,
@@ -4316,13 +4344,13 @@ object SparkEntry {
                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
                 CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400)
                   AS BIGINT) AS active_days,
-                min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS first_seen,
-                max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS last_seen,
+                min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS first_seen,
+                max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS last_seen,
                 CAST(sum(${Stages.centsSql("value")}) AS BIGINT) AS spend_cents,
                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_purchases,
-                (max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
-                 - min(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)) // 86400 AS tenure_days,
+                (max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                 - min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))) // 86400 AS tenure_days,
                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS purchase_ratio
          FROM events GROUP BY user_id ORDER BY user_id""",
@@ -5171,7 +5199,7 @@ object SparkEntry {
                 FROM w2 CROSS JOIN m2)
          SELECT vtype AS event_type, v AS stationary_milli FROM v2 ORDER BY event_type""",
     "q_watermark_reco" ->
-      """WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+      """WITH ev AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                        - CASE WHEN event_id % 13 = 0 THEN 21600
                               WHEN event_id % 97 = 0 THEN 86400
                               ELSE 0 END AS ts_sec,
@@ -7352,10 +7380,16 @@ object SparkEntry {
          SELECT b.doc_id, b.doc_id IN (SELECT doc_id FROM dup) AS is_dup
          FROM batch b ORDER BY doc_id""",
     "q_pacf" ->
+      // via-VARCHAR double casts: DuckDB's HUGEINT/DECIMAL->DOUBLE cast
+      // is NOT correctly rounded past 2^53 (measured r10: ...292880
+      // casts to the ulp BELOW; Spark and strtod round to nearest) —
+      // the string parse is correctly rounded, keeping the surfaced
+      // wide-integer statistics bit-identical across engines.
       s"""WITH ${duckAcfSuffCtes(3)}
-         SELECT n AS n_days, CAST(see AS DOUBLE) AS see,
-                CAST(num1 AS DOUBLE) AS num1, CAST(num2 AS DOUBLE) AS num2,
-                CAST(num3 AS DOUBLE) AS num3,
+         SELECT n AS n_days, CAST(CAST(see AS VARCHAR) AS DOUBLE) AS see,
+                CAST(CAST(num1 AS VARCHAR) AS DOUBLE) AS num1,
+                CAST(CAST(num2 AS VARCHAR) AS DOUBLE) AS num2,
+                CAST(CAST(num3 AS VARCHAR) AS DOUBLE) AS num3,
                 ${Analytics.rSql(1)} AS pacf1,
                 ${Analytics.pacf2Sql} AS pacf2,
                 ${Analytics.pacf3Sql} AS pacf3
@@ -7363,7 +7397,7 @@ object SparkEntry {
     "q_ljung_box" ->
       s"""WITH ${duckAcfSuffCtes(7)},
          ss2 AS (SELECT n AS n_days, see, num1, num2, num3, num4, num5, num6, num7 FROM ss)
-         SELECT n_days, CAST(see AS DOUBLE) AS see, ${Analytics.ljungBoxSql(7)} AS q_lb
+         SELECT n_days, CAST(CAST(see AS VARCHAR) AS DOUBLE) AS see, ${Analytics.ljungBoxSql(7)} AS q_lb
          FROM ss2 ORDER BY n_days""",
     "q_acf" ->
       """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 AS d,
@@ -8385,7 +8419,7 @@ object SparkEntry {
          ORDER BY l_partkey""",
     "q_freshness" ->
       """WITH t AS (SELECT event_type, count(*) AS n_events,
-                           max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS max_ts
+                           max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS max_ts
                     FROM events GROUP BY 1),
          g AS (SELECT max(max_ts) AS global_max FROM t)
          SELECT event_type, n_events, max_ts, global_max - max_ts AS lag_sec
@@ -8566,7 +8600,7 @@ object SparkEntry {
                 (CAST(round(l_extendedprice * 100) AS BIGINT) + 99999) // 100000 AS p_ceil_k,
                 l_orderkey % 7 AS k_mod7,
                 l_quantity * l_quantity AS q_sq,
-                sqrt(l_quantity) AS q_sqrt,
+                CASE WHEN l_quantity < 0 THEN NULL ELSE sqrt(l_quantity) END AS q_sqrt,
                 greatest(l_quantity, 25.0) AS q_hi,
                 least(l_quantity, 25.0) AS q_lo,
                 CAST(length(bin(CAST(round(l_extendedprice * 100) AS BIGINT))) AS BIGINT) AS p_bits
@@ -8578,7 +8612,7 @@ object SparkEntry {
                 CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
                 CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS popcount_sum,
                 CAST(sum(l_orderkey & 255) AS BIGINT) AS low_byte_sum,
-                CAST(sum(l_linenumber << 3) AS BIGINT) AS shifted_sum
+                CAST(sum(l_linenumber * 8) AS BIGINT) AS shifted_sum
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_posexplode" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -8846,7 +8880,8 @@ object SparkEntry {
     "q_wald_iv" ->
       s"""WITH b AS (SELECT ((CAST(ts AS DATE) - DATE '1970-01-05') % 7) >= 5 AS wk,
                             CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000 THEN 1 ELSE 0 END AS x,
-                            coalesce(CAST(nullif(json_extract_string(props, '$$.k'), '') AS BIGINT), 0) AS y
+                            coalesce(CAST(nullif(CASE WHEN json_valid(props)
+                                                      THEN json_extract_string(props, '$$.k') END, '') AS BIGINT), 0) AS y
                      FROM events),
          m AS (SELECT CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS nz1,
                       CAST(sum(CASE WHEN wk THEN x ELSE 0 END) AS BIGINT) AS sx1,
@@ -8927,7 +8962,7 @@ object SparkEntry {
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
                                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
                         FROM events GROUP BY 1),
-         dw AS (SELECT ((d - DATE '1970-01-05') % 7) AS dow, rev FROM daily),
+         dw AS (SELECT ((((d - DATE '1970-01-05') % 7) + 7) % 7) AS dow, rev FROM daily),
          g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
                       CAST(sum(rev * rev) AS BIGINT) AS q
                FROM dw GROUP BY 1),

@@ -1957,7 +1957,9 @@ object Analytics {
       .withColumn("user_total", sum(col("cents")).over(Window.partitionBy(col("user_id"))))
       .select(
         col("user_id"), col("event_id"), col("cents"), col("user_total"),
-        expr("CAST(cents AS DOUBLE) / CAST(user_total AS DOUBLE)").as("share"))
+        // nullif: a user whose cents sum to zero is NULL share on both
+        // engines (DuckDB /0 = NULL; bare Spark ANSI would throw).
+        expr("CAST(cents AS DOUBLE) / nullif(CAST(user_total AS DOUBLE), 0.0)").as("share"))
 
   /** Forward fill (LOCF — last observation carried forward) per user:
     * the time-series imputation pass, via `last(_, ignoreNulls)` over
@@ -3300,12 +3302,15 @@ object Analytics {
         count(lit(1)).as("n"),
         sum(col("w")).as("sum_w"),
         sum(col("w") * col("w")).as("sum_w2"))
+      // nullif: all-zero (or sign-cancelled) weights zero either sum —
+      // NULL in DuckDB's bare division, ANSI throw in Spark (extreme-
+      // fixture sweep, r10).
       .withColumn(
         "ess",
-        expr("(CAST(sum_w AS DOUBLE) / CAST(sum_w2 AS DOUBLE)) * CAST(sum_w AS DOUBLE)"))
+        expr("(CAST(sum_w AS DOUBLE) / nullif(CAST(sum_w2 AS DOUBLE), 0.0)) * CAST(sum_w AS DOUBLE)"))
       .withColumn(
         "deff",
-        expr("(CAST(n AS DOUBLE) * (CAST(sum_w2 AS DOUBLE) / CAST(sum_w AS DOUBLE))) / CAST(sum_w AS DOUBLE)"))
+        expr("(CAST(n AS DOUBLE) * (CAST(sum_w2 AS DOUBLE) / nullif(CAST(sum_w AS DOUBLE), 0.0))) / nullif(CAST(sum_w AS DOUBLE), 0.0)"))
 
   /** Absorption probabilities of the event-type Markov chain: with
     * 'purchase' and 'error' as absorbing states, the probability that a
@@ -5567,7 +5572,9 @@ object Analytics {
         col("n1"),
         col("n2"),
         col("tv_num"),
-        expr("CAST(tv_num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))").as("tv"))
+        // nullif: one side absent zeroes n1·n2 — NULL in DuckDB's bare
+        // division, ANSI throw in Spark (extreme-fixture sweep, r10).
+        expr("CAST(tv_num AS DOUBLE) / nullif(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0)").as("tv"))
   }
 
   /** Pinball (quantile) loss of the seasonal-naive forecast at τ = 0.9,
@@ -6011,19 +6018,23 @@ object Analytics {
     val xc = s"((${p("cl", "pu")} * (1.0 - ${p("vi", "vi")}) + ${p("cl", "vi")} * ${p("vi", "pu")}) / nullif($det, 0.0E0))"
     val xv = s"((${p("vi", "pu")} * (1.0 - ${p("cl", "cl")}) + ${p("vi", "cl")} * ${p("cl", "pu")}) / nullif($det, 0.0E0))"
     val xs = s"(${p("st", "cl")} * $xc + ${p("st", "vi")} * $xv + ${p("st", "pu")})"
-    // remove click: view-only chain
-    val xvNoC = s"(${p("vi", "pu")} / (1.0 - ${p("vi", "vi")}))"
+    // remove click: view-only chain. nullif on every degenerate-chain
+    // denominator (absorbing self-loop p=1, zero conversion mass, zero
+    // combined removal effect): DuckDB's bare /0 is NULL, Spark ANSI
+    // throws — the guards keep the engines lock-step on inputs whose
+    // transition structure collapses (extreme-fixture sweep, r10).
+    val xvNoC = s"(${p("vi", "pu")} / nullif(1.0 - ${p("vi", "vi")}, 0.0E0))"
     val xsNoC = s"(${p("st", "vi")} * $xvNoC + ${p("st", "pu")})"
-    val xcNoV = s"(${p("cl", "pu")} / (1.0 - ${p("cl", "cl")}))"
+    val xcNoV = s"(${p("cl", "pu")} / nullif(1.0 - ${p("cl", "cl")}, 0.0E0))"
     val xsNoV = s"(${p("st", "cl")} * $xcNoV + ${p("st", "pu")})"
-    val reC = s"(1.0 - $xsNoC / $xs)"
-    val reV = s"(1.0 - $xsNoV / $xs)"
+    val reC = s"(1.0 - $xsNoC / nullif($xs, 0.0E0))"
+    val reV = s"(1.0 - $xsNoV / nullif($xs, 0.0E0))"
     wide.select(
       expr(xs).as("p_conv"),
       expr(reC).as("removal_click"),
       expr(reV).as("removal_view"),
-      expr(s"($reC / ($reC + $reV))").as("attr_click"),
-      expr(s"($reV / ($reC + $reV))").as("attr_view"))
+      expr(s"($reC / nullif($reC + $reV, 0.0E0))").as("attr_click"),
+      expr(s"($reV / nullif($reC + $reV, 0.0E0))").as("attr_view"))
   }
 
   /** Next-event-type prediction accuracy of the majority-class bigram

@@ -396,8 +396,11 @@ object Inference {
     * verbatim with the oracle.
     */
   def hellingerBcSql: String =
+    // nullif: one side empty (na·nb = 0) is NULL on both engines — a
+    // bare /0 is NULL in DuckDB but an ANSI throw in Spark (extreme-
+    // fixture sweep, r10); the shared text keeps them lock-step.
     """(CAST(bc_milli AS DOUBLE) / 1000.0
-        / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"""
+        / nullif(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 0.0))"""
 
   /** Delta-method variance for a RATIO metric (revenue per event), the
     * estimator experimentation platforms need because ratio metrics
@@ -1160,11 +1163,11 @@ object Inference {
         sum(col("b") * col("ca")).as("lt"))
       .select(
         col("na"), col("nb"), col("gt"), col("lt"),
-        expr("CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))").as("delta"),
+        expr("CAST(gt - lt AS DOUBLE) / nullif(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0.0)").as("delta"),
         expr(
-          """CASE WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.147 THEN 'negligible'
-                  WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.33 THEN 'small'
-                  WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) < 0.474 THEN 'medium'
+          """CASE WHEN abs(CAST(gt - lt AS DOUBLE) / nullif(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0.0)) < 0.147 THEN 'negligible'
+                  WHEN abs(CAST(gt - lt AS DOUBLE) / nullif(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0.0)) < 0.33 THEN 'small'
+                  WHEN abs(CAST(gt - lt AS DOUBLE) / nullif(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0.0)) < 0.474 THEN 'medium'
                   ELSE 'large' END""").as("magnitude"))
   }
 
@@ -1283,11 +1286,15 @@ object Inference {
         expr("CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)").as("e_ab"),
         expr("""ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)""")
           .as("dev_ab"),
+        // nullif guards: nn=1 zeroes the inner denominator and an
+        // all-tied / one-sided sample zeroes the sqrt — both are NULL in
+        // DuckDB's bare division but ANSI throws in Spark (extreme-
+        // fixture sweep, r10).
         expr(
           """(ab_stat - CAST(na AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(nn AS DOUBLE)) /
-             sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             nullif(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
                   * (CAST(nn AS DOUBLE) * ss2 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))
-                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))""")
+                  / nullif(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE), 0.0)), 0.0)""")
           .as("z"))
   }
 

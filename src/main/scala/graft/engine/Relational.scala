@@ -260,14 +260,19 @@ object Relational {
       col("l_linenumber").cast("long").as("l_linenumber"),
       expr("abs(l_quantity - 25.0)").as("q_abs"),
       expr("CAST(sign(l_quantity - 25.0) AS BIGINT)").as("q_sign"),
-      // div truncates on Spark but // floors on DuckDB — identical only
-      // for non-negative operands, so ceil is the +denom-1 form, never
-      // the negate-floor-negate trick
+      // Measured r10: DuckDB's INTEGER `//` truncates toward zero
+      // exactly like Spark's `div` (-98765432 // 100000 = -987), so
+      // these integer divisions are cross-engine identical for ALL
+      // signs; the +denom-1 form is true ceil only for non-negative
+      // numerators, but both engines compute the same value either way.
       expr(s"$cents div 100000").as("p_floor_k"),
       expr(s"($cents + 99999) div 100000").as("p_ceil_k"),
       expr("l_orderkey % 7").as("k_mod7"),
       expr("l_quantity * l_quantity").as("q_sq"),
-      expr("sqrt(l_quantity)").as("q_sqrt"),
+      // CASE: sqrt of a negative is NaN in Spark but an error in DuckDB
+      // — NULL on both engines is the portable semantics (extreme-
+      // fixture sweep, r10); non-negative inputs are untouched.
+      expr("CASE WHEN l_quantity < 0 THEN NULL ELSE sqrt(l_quantity) END").as("q_sqrt"),
       expr("greatest(l_quantity, 25.0)").as("q_hi"),
       expr("least(l_quantity, 25.0)").as("q_lo"),
       expr(s"CAST(length(bin($cents)) AS BIGINT)").as("p_bits"))
@@ -539,8 +544,15 @@ object Relational {
       .agg(
         expr(s"percentile($cents, 0.5) / CAST(100 AS DOUBLE)").as("p50_exact"),
         expr(s"approx_percentile($cents, 0.5, 10000)").as("approx_cents"),
-        expr(s"percentile($cents, 0.49)").as("lo"),
-        expr(s"percentile($cents, 0.51)").as("hi"))
+        // DISCRETE rank bounds, not interpolated percentile(): the
+        // sketch returns an actual data value with rank error <=
+        // n/10000, which always lies within the 49th-51st DISCRETE
+        // percentile values — but can sit outside an INTERPOLATED
+        // midpoint on gappy distributions, failing the check on a
+        // correct sketch (extreme sweep, r10). This makes the oracle's
+        // always-TRUE contract genuinely input-independent.
+        expr(s"percentile_disc(0.49) WITHIN GROUP (ORDER BY $cents)").as("lo"),
+        expr(s"percentile_disc(0.51) WITHIN GROUP (ORDER BY $cents)").as("hi"))
       .select(
         col("l_returnflag"),
         col("p50_exact"),
@@ -658,10 +670,16 @@ object Relational {
     // window selected (any row of value y crossing the threshold implies
     // y's end-cum crosses, and conversely the crossing end-cum row IS a
     // row of y).
+    // greatest(wt, 0): the grid/row equivalence above needs MONOTONE
+    // cumulative weight — a negative quantity lets a mid-value row
+    // cross the threshold transiently and the two spellings pick
+    // different medians (extreme sweep, r10). Clamping defines the
+    // contract (negative weights carry no median mass) identically in
+    // engine and oracle; positive fixtures are untouched.
     val dist = Views.pinned(lineitem, "qtyWeightDistByFlag")(
       _.select(
         col("l_returnflag"),
-        expr("CAST(round(l_quantity) AS BIGINT)").as("wt"),
+        expr("greatest(CAST(round(l_quantity) AS BIGINT), 0)").as("wt"),
         expr(s"${Stages.centsSql("l_extendedprice")} div 100").as("y"))
         .groupBy(col("l_returnflag"), col("y"))
         .agg(sum(col("wt")).as("wt")))
@@ -1225,10 +1243,18 @@ object Relational {
     */
   def bitmapIndex(events: DataFrame): DataFrame =
     events
+      // floor-mod bit + exact-pair word: a NEGATIVE id under the old
+      // `id div 32` / `id % 32` spelling made Spark's shiftleft mask the
+      // -3 amount to bit 61 (silent garbage) where DuckDB's `<<` throws
+      // (extreme-fixture sweep, r10). `((id % 32) + 32) % 32` is the
+      // same non-negative bit on both engines (both %s take the
+      // dividend's sign), and (id - bit) is exactly divisible so the
+      // word is floor-consistent too. Non-negative ids are bit-for-bit
+      // the old arithmetic.
       .select(
         col("event_type"),
-        expr("user_id div 32").as("word_id"),
-        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
+        expr("(user_id - ((user_id % 32) + 32) % 32) div 32").as("word_id"),
+        expr("shiftleft(1L, CAST(((user_id % 32) + 32) % 32 AS INT))").as("bit"))
       .groupBy(col("event_type"), col("word_id"))
       .agg(expr("bit_or(bit)").as("bits"))
       .withColumn("n_users", expr("CAST(bit_count(bits) AS BIGINT)"))
@@ -2228,7 +2254,9 @@ object Relational {
         col("ship_month"),
         col("promo_units"),
         col("total_units"),
-        expr("100.0 * CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE)")
+        // nullif: a month whose revenue units cancel to zero is NULL
+        // share on both engines (DuckDB /0 = NULL; ANSI Spark throws).
+        expr("100.0 * CAST(promo_units AS DOUBLE) / nullif(CAST(total_units AS DOUBLE), 0.0)")
           .as("promo_share"))
 
   /** Arc (midpoint) price elasticity of demand per brand, cheap-vs-
@@ -2546,7 +2574,7 @@ object Relational {
            GROUP BY n_name, year(o_orderdate))
          SELECT n_name, CAST(o_year AS BIGINT) AS o_year, rev_units,
                 CAST(rev_units AS DOUBLE)
-                  / CAST(sum(rev_units) OVER (PARTITION BY o_year) AS DOUBLE) AS year_share,
+                  / nullif(CAST(sum(rev_units) OVER (PARTITION BY o_year) AS DOUBLE), 0.0) AS year_share,
                 CAST(row_number() OVER (PARTITION BY o_year ORDER BY rev_units DESC, n_name ASC) AS BIGINT)
                   AS year_rank
          FROM rev""")

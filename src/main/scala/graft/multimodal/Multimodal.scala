@@ -418,8 +418,10 @@ object Multimodal {
     * into an integer, so the cross-frame sum is order-free and the
     * single half-up rounding to 2 decimals is pure integer arithmetic
     * ((2a+b) div 2b) — which is what lets a SQL engine recompute this
-    * "decode" bit-identically from the payload text (the DuckDB oracle
-    * for q_frame_features does exactly that via ascii()).
+    * "decode" bit-identically from the payload BYTES (the DuckDB oracle
+    * for q_frame_features reads them 2 hex chars at a time off
+    * hex(encode(text)) — codepoint ascii() only coincides on pure-ascii
+    * payloads).
     */
   def frameFeatures(spark: SparkSession, media: DataFrame, every: Int): DataFrame = {
     require(every > 0, s"frameFeatures requires every > 0, got $every") // see sampleFrames

@@ -45,13 +45,24 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Divide by a norm product with the zero-norm guard BOTH engines
+    * share: `x / 0.0` is NULL in DuckDB but an ANSI throw in Spark, so
+    * one all-zero embedding in the corpus would kill the whole job
+    * (extreme-fixture sweep, round 10). `nullif` makes the engine yield
+    * NULL exactly where the oracle's bare division already does — same
+    * doubles everywhere else, so no fixture hash moves.
+    */
+  def overNorms(d: Column, na: Column, nb: Column): Column =
+    d / nullif(na * nb, lit(0.0))
+
   /** cosine(a, b) with the exact association `dot/(sqrt(aa)*sqrt(bb))` —
-    * mirrored textually in the DuckDB oracle.
+    * mirrored textually in the DuckDB oracle (whose bare division is
+    * NULL at zero norms, matching [[overNorms]]'s guard).
     */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    overNorms(dot(ad, bd), sqrt(dot(ad, ad)), sqrt(dot(bd, bd)))
   }
 
   /** Corpus projection with the embedding pre-cast to double and its norm
@@ -79,7 +90,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -111,7 +122,7 @@ object Similarity {
         col("qid"),
         col("vec_id").as("nid"),
         col("label").cast("long").as("label"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -151,7 +162,7 @@ object Similarity {
     val pairs = src.join(tgt, Seq("cell"))
       .select(
         col("src_id"), col("tgt_id"),
-        (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+        (overNorms(dot(col("sv"), col("tv")), col("sn"), col("tn"))).as("cos"))
       .cacheT()
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
@@ -251,7 +262,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -284,7 +295,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -335,7 +346,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -555,7 +566,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id").as("nid"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -627,7 +638,7 @@ object Similarity {
         col("qid"),
         col("vec_id").as("nid"),
         col("label").as("neg_label"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
@@ -806,7 +817,7 @@ object Similarity {
       .join(broadcast(qv), "qid")
       .select(
         col("qid"), col("nid"),
-        round(dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm")), 3).as("cos_sim"))
       .withColumn(
         "rk",
         row_number().over(
@@ -889,7 +900,7 @@ object Similarity {
     val b = corpus.select(col("label"), col("vec_id").as("vec_b"), col("emb_d").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 3))
+      .withColumn("cos_sim", round(overNorms(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")), 3))
       .filter(col("cos_sim") >= minCos)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
@@ -915,7 +926,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vb").asc)
     val top1 = a.join(b, Seq("label"))
       .filter(col("va") =!= col("vb"))
-      .withColumn("cos_sim", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 3))
+      .withColumn("cos_sim", round(overNorms(dot(col("ea"), col("eb")), col("na"), col("nb")), 3))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("label"), col("va"), col("vb"), col("cos_sim"))
@@ -1160,7 +1171,7 @@ object Similarity {
       .crossJoin(broadcast(seeds))
       .select(
         col("vec_id"), col("label"), col("seed_id"),
-        round(dot(col("se"), col("emb_d")) / (col("snorm") * col("norm")), 3).as("cos_sim"))
+        round(overNorms(dot(col("se"), col("emb_d")), col("snorm"), col("norm")), 3).as("cos_sim"))
       .withColumn(
         "rn",
         row_number().over(
@@ -1361,7 +1372,7 @@ object Similarity {
     corpus
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(
-        (round(lit(100) * (dot(col("qe"), col("emb_d")) / (col("qnorm") * col("norm"))))
+        (round(lit(100) * (overNorms(dot(col("qe"), col("emb_d")), col("qnorm"), col("norm"))))
           .cast("long") + 100L).as("cent_shift"))
       // +100 keeps the bin key non-negative: integer `div` truncates
       // toward zero in Spark but floors in DuckDB, so negatives would

@@ -131,8 +131,11 @@ object TextAnalysis {
         sum(col("bpe")).as("bpe_total"))
       .select(
         col("lang"), col("n_docs"), col("chars_total"), col("words_total"), col("bpe_total"),
-        expr("CAST(chars_total AS DOUBLE) / CAST(bpe_total AS DOUBLE)").as("chars_per_token"),
-        expr("CAST(bpe_total AS DOUBLE) / CAST(words_total AS DOUBLE)").as("tokens_per_word"))
+        // nullif: a language bucket of empty/whitespace-only docs zeroes
+        // either total — NULL ratio on both engines (DuckDB /0 = NULL;
+        // ANSI Spark throws). Extreme-fixture sweep, r10.
+        expr("CAST(chars_total AS DOUBLE) / nullif(CAST(bpe_total AS DOUBLE), 0.0)").as("chars_per_token"),
+        expr("CAST(bpe_total AS DOUBLE) / nullif(CAST(words_total AS DOUBLE), 0.0)").as("tokens_per_word"))
 
   /** Corpus quality filter: the keep/drop decision an LLM-data pipeline
     * applies from the [[qualityScore]] metrics — pure narrow filter,
