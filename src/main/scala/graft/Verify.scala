@@ -27,9 +27,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        // Per-query wall time on stderr: the degenerate probe reads the
+        // "ok in" lines to flag asymptotic blowups (an O(n²) frame on a
+        // 48-row fixture burns minutes while returning correct rows —
+        // the gapInterpolate class, which r10 caught only because the
+        // sweep visibly hung). The driver parses nothing but outDir.
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         graft.engine.Caches.freeTransient(spark) // free per-query transients; pinned views survive

@@ -262,6 +262,23 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(got == manual)
   }
 
+  test("weightedMedian clamps negative weights to zero mass") {
+    import spark.implicits._
+    // clamped weights [5, 0, 3, 2] -> total 10, median at y=10; the
+    // unclamped total would be -90 and the first value would "cross"
+    // immediately (and the grid/row spellings would split) — the
+    // extreme-sweep r10 class.
+    val li = Seq(
+      ("X", 1L, 1, 5.0, 10.0),
+      ("X", 2L, 1, -100.0, 1.0),
+      ("X", 3L, 1, 3.0, 20.0),
+      ("X", 4L, 1, 2.0, 30.0))
+      .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val row = Relational.weightedMedian(li).collect().head
+    assert(row.getAs[Long]("weighted_median") == 10L)
+    assert(row.getAs[Long]("total_weight") == 10L)
+  }
+
   test("wilsonTopUsers ranks by the lower bound, never above the raw rate") {
     val got = Relational.wilsonTopUsers(Tables.events(spark, sfDir), 20).collect()
       .sortBy(_.getAs[Long]("rank"))

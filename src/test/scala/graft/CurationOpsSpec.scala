@@ -359,6 +359,25 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopK survives a zero-norm vector with a NULL similarity") {
+    import spark.implicits._
+    // one all-zero corpus vector: cos = dot/nullif(norms, 0) must be
+    // NULL (DuckDB's /0 convention), not an ANSI DIVIDE_BY_ZERO that
+    // kills the job — the extreme-sweep r10 crasher class that felled
+    // the whole ANN family through the shared norm division.
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.5f, 0.5f), 0),
+      (2L, Seq(0f, 0f), 1),
+      (3L, Seq(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.similarity.Similarity.cosineTopK(emb, 1, 3).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("nid")).toSeq == Seq(1L, 3L, 2L)) // NULL sim ranks last
+    assert(rows.take(2).forall(!_.isNullAt(rows.head.fieldIndex("cos_sim"))))
+    assert(rows.last.isNullAt(rows.last.fieldIndex("cos_sim")))
+  }
+
   test("annRecall is the per-query overlap of LSH with brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val rec = graft.similarity.Similarity.annRecall(emb, 10, 5).collect()

@@ -146,10 +146,14 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("bitmapIndex reconstructs arbitrary user id sets exactly") {
+  test("bitmapIndex reconstructs arbitrary user id sets exactly — negatives included") {
     val rnd = new Random(11)
     (1 to 5).foreach { _ =>
-      val users = (1 to 40).map(_ => rnd.nextInt(500).toLong).distinct
+      // signed ids: the floor-mod bit + exact-pair word must round-trip
+      // negative ids too (the old % spelling silently masked a negative
+      // shift amount to bit 61 — extreme sweep, r10); the decode below
+      // (id = word*32 + bit) is exactly the floor-division identity.
+      val users = (1 to 40).map(_ => (rnd.nextInt(1000) - 500).toLong).distinct
       val df = users.map(u => (u, "t")).toDF("user_id", "event_type")
       val words = graft.engine.Relational.bitmapIndex(df).collect()
       val decoded = words.flatMap { w =>

@@ -45,11 +45,12 @@ Usage: python3 tools/degenerate_probe.py [sfDir] [workDir] [q1,q2,...] [v1,v2,..
 Requires a compiled target/scala-2.13/classes (run `sbt compile` first);
 Spark runs via java -cp against /opt/spark/jars, same as tools/bench_ab.sh.
 
-Exit 0 when every (variant, query) cell is OK/BOTH_FAIL or allowlisted;
-exit 1 on any unexplained divergence (each printed with both engines'
-outcomes). ALLOWED below records ACCEPTED divergences — each entry must
-carry the reason the behaviors legitimately differ and a pointer to the
-code comment documenting it.
+Exit 0 when every (variant, query) cell is OK/BOTH_FAIL or allowlisted
+AND no cell is SLOW (>= SLOW_CELL_S wall seconds on a tiny fixture — an
+asymptotic suspect even when the values agree); exit 1 otherwise, with
+each divergence/slow cell printed. ALLOWED below records ACCEPTED
+divergences — each entry must carry the reason the behaviors
+legitimately differ and a pointer to the code comment documenting it.
 """
 import sys, os, json, glob, shutil, subprocess, hashlib
 import duckdb
@@ -220,9 +221,16 @@ def build_variant(src_dir: str, out_dir: str, variant: str) -> None:
         pq.write_table(out, f"{out_dir}/{t}.parquet")
 
 
-def run_spark_verify(variant_dir: str, out_dir: str, only: str = "") -> dict:
-    """Run graft.Verify over the variant; return {query: error_first_line}
-    for Spark-side failures (queries with output parquet are successes)."""
+# A query that takes this long on a <=100-row fixture is an asymptotic
+# bug (value-range-driven row generation, quadratic window frames — the
+# gapInterpolate class), not machine noise: the whole 498-query registry
+# clears a variant in minutes, so fixed overhead is ~seconds per query.
+SLOW_CELL_S = 60.0
+
+
+def run_spark_verify(variant_dir: str, out_dir: str, only: str = ""):
+    """Run graft.Verify over the variant; return ({query: error_first_line},
+    {query: wall_seconds}) — queries with output parquet are successes."""
     add_opens = []
     for p in ("java.lang java.lang.invoke java.lang.reflect java.io java.net "
               "java.nio java.util java.util.concurrent java.util.concurrent.atomic "
@@ -237,15 +245,24 @@ def run_spark_verify(variant_dir: str, out_dir: str, only: str = "") -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        timeout=3600)
-    errs = {}
+    errs, times = {}, {}
     for line in r.stderr.splitlines():
-        if line.startswith("[verify] ") and " failed: " in line:
-            name, msg = line[len("[verify] "):].split(" failed: ", 1)
+        if not line.startswith("[verify] "):
+            continue
+        body = line[len("[verify] "):]
+        if " failed: " in body:
+            name, msg = body.split(" failed: ", 1)
             errs[name] = msg.strip()[:200]
+        elif " ok in " in body and body.endswith("s"):
+            name, sec = body.split(" ok in ", 1)
+            try:
+                times[name] = float(sec[:-1])
+            except ValueError:
+                pass
     if r.returncode != 0 and not os.path.exists(f"{out_dir}/oracle_sql.json"):
         raise RuntimeError(f"Verify died before writing oracle_sql.json "
                            f"(rc={r.returncode}): {r.stderr[-500:]}")
-    return errs
+    return errs, times
 
 
 def canon(df: pd.DataFrame) -> str:
@@ -276,12 +293,19 @@ def main():
     os.makedirs(work)
     n_cells = n_ok = n_both_fail = n_allowed = 0
     diverged = []
+    slow = []
     for variant in variants:
         vdir = f"{work}/{variant}/tables"
         vout = f"{work}/{variant}/out"
         build_variant(sf_dir, vdir, variant)
         print(f"== variant {variant}: running Spark Verify...", flush=True)
-        spark_errs = run_spark_verify(vdir, vout, only)
+        spark_errs, spark_times = run_spark_verify(vdir, vout, only)
+        for name, sec in sorted(spark_times.items(), key=lambda kv: -kv[1]):
+            if sec >= SLOW_CELL_S:
+                slow.append((variant, name, sec))
+                print(f"  SLOW {variant}/{name}: {sec:.1f}s on a tiny fixture "
+                      f"— asymptotic suspect (value-range generation or a "
+                      f"quadratic frame)", flush=True)
         oracles = json.load(open(f"{vout}/oracle_sql.json"))
         con = duckdb.connect()
         for t in TABLES:
@@ -323,8 +347,11 @@ def main():
         con.close()
         print(f"== variant {variant} done", flush=True)
     print(f"== cells={n_cells} agree={n_ok} both_fail={n_both_fail} "
-          f"allowed={n_allowed} diverged={len(diverged)}")
-    sys.exit(1 if diverged else 0)
+          f"allowed={n_allowed} diverged={len(diverged)} slow={len(slow)}")
+    # SLOW cells fail the probe alongside divergences: a correct answer
+    # computed in O(n²) is still a 100 TB outage (the r10 shrinking-frame
+    # class survived nine value-only rounds).
+    sys.exit(1 if (diverged or slow) else 0)
 
 
 if __name__ == "__main__":
