@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteEntropyStats, DotMilli, DotProduct, FrameEnergy, MinHashSignature, SimHash64, SqDistMilli, Winnow}
+import graft.functions.{ByteEntropyStats, CdcBoundaries, DotMilli, DotProduct, FrameEnergy, MinHashSignature, SimHash64, SqDistMilli, Winnow}
 
 /** Registers the native graft expressions as SQL functions.
   *
@@ -51,7 +51,8 @@ object GraftExtensions {
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1)))),
     "graft_winnow" -> (es => Winnow(es(0), intLit(es(1)), intLit(es(2)))),
     "graft_frame_energy" -> (es => FrameEnergy(es(0), intLit(es(1)))),
-    "graft_byte_entropy" -> (es => ByteEntropyStats(es(0))))
+    "graft_byte_entropy" -> (es => ByteEntropyStats(es(0))),
+    "graft_cdc_boundaries" -> (es => CdcBoundaries(es(0))))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -5791,16 +5791,19 @@ object Analytics {
     * divisions.
     */
   def cdcChunking(documents: DataFrame): DataFrame = {
-    val weights = (0 to 7).map(k => math.pow(31.0, k).toLong)
-    val rolling = (0 to 7)
-      .map(k => s"element_at(ch, CAST(p - $k AS INT)) * ${weights(k)}L")
-      .mkString(" + ")
+    // Boundary scan = native codegen kernel (graft_cdc_boundaries), not
+    // the HOF spelling `filter(sequence(8, len), p -> Σ element_at(ch,
+    // p−k)·31ᵏ % 64 = 0)`: higher-order lambdas evaluate interpreted —
+    // an 8-term element_at sum per CHARACTER of the corpus — which was
+    // this query's entire tail standing (r10 isolated best-of-2 at
+    // sf0.1/32: 1.71/1.50 → 0.42/0.40 s, −73%). Bit-identical by
+    // construction (codepoint positions, exact long arithmetic,
+    // non-negative %; kernel-vs-HOF equivalence pinned in
+    // BootCdcMerkleSpec incl. non-BMP/short/empty texts); the DuckDB
+    // oracle twin is untouched.
     val chunks = documents
       .select(col("doc_id"), col("text"), expr("length(text)").cast("int").as("len"))
-      .withColumn("ch", expr("transform(split(text, ''), c -> ascii(c))"))
-      .withColumn(
-        "bl",
-        expr(s"CASE WHEN len < 8 THEN CAST(array() AS ARRAY<INT>) ELSE filter(sequence(8, len), p -> ($rolling) % 64 = 0) END"))
+      .withColumn("bl", graft.functions.VectorFunctions.cdcBoundaries(col("text")))
       .withColumn("starts", expr("concat(array(1), transform(bl, p -> p + 1))"))
       .withColumn("ends", expr("concat(bl, array(len))"))
       .select(

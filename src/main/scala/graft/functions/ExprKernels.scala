@@ -141,6 +141,47 @@ object ExprKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Content-defined-chunking boundary positions: every 1-based CODE
+    * POINT position p in [8, len] where the 8-window rolling polynomial
+    * hash Σ_{k=0..7} cp[p−k]·31ᵏ ≡ 0 (mod 64); empty below 8 code
+    * points. Bit-for-bit the HOF spelling it replaces
+    * (`filter(sequence(8, len), p -> (Σ element_at(ch, p−k)·31ᵏ) % 64 =
+    * 0)` over `ch = transform(split(text, ''), c -> ascii(c))`): Spark's
+    * `length`/`split('')`/`ascii` are all codepoint-based, code points
+    * top out at 0x10FFFF so cp·31⁷ < 2⁵⁵ keeps every term exact in a
+    * long, and all terms are non-negative so Java `%` equals SQL `%`.
+    * One tight scalar loop per document instead of ~len interpreted
+    * lambda evaluations of an 8-term `element_at` sum (higher-order
+    * functions never enter whole-stage codegen) — the per-character
+    * interpreted cost was q_cdc_chunking's entire tail standing.
+    */
+  def cdcBoundaries(text: String): ArrayData = {
+    val cps = text.codePoints().toArray
+    val len = cps.length
+    if (len < 8) return ArrayData.toArrayData(Array.empty[Int])
+    // w(k) = 31^k, k = 0..7 — exact in long (31^7 ≈ 2.75e10)
+    val w = new Array[Long](8)
+    w(0) = 1L
+    var k = 1
+    while (k < 8) { w(k) = w(k - 1) * 31L; k += 1 }
+    val out = new java.util.ArrayList[Integer]()
+    var p = 8
+    while (p <= len) {
+      var s = 0L
+      var j = 0
+      while (j < 8) {
+        s += cps(p - 1 - j) * w(j) // element_at(ch, p − j), 1-based
+        j += 1
+      }
+      if (s % 64L == 0L) out.add(p)
+      p += 1
+    }
+    val arr = new Array[Int](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
   /** One-pass byte-histogram entropy stats for a payload: returns
     * (n_bytes, n_distinct, ent_micro) where ent_micro = Σ over distinct
     * codes of round(c·ln(c)·10⁶) — the micronat-quantized Σ c·ln c term

@@ -192,6 +192,32 @@ case class FrameEnergy(child: Expression, frame: Int)
     copy(child = newChild)
 }
 
+/** Content-defined-chunking boundary positions over a text payload —
+  * `array<int>` of the 1-based codepoint positions where the 8-window
+  * rolling polynomial hash is ≡ 0 mod 64; see
+  * [[ExprKernels.cdcBoundaries]]. A codegen'd scalar loop per row in
+  * place of a `filter(sequence, …)` higher-order lambda that evaluated
+  * an interpreted 8-term `element_at` sum per character; exact
+  * integers, reproducible by any engine from ascii codes.
+  */
+case class CdcBoundaries(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.cdcBoundaries(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprKernels.cdcBoundaries($a.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass byte-entropy sufficient statistics over a text payload —
   * struct(n_bytes, n_distinct, ent_micro); see
   * [[ExprKernels.byteEntropy]]. A codegen'd scalar loop per row in
@@ -522,6 +548,12 @@ object VectorFunctions {
   def byteEntropyStats(text: Column): Column = {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(ByteEntropyStats(ColumnShim.expression(text)))
+  }
+
+  /** Column API for [[CdcBoundaries]]. Argument: a string column. */
+  def cdcBoundaries(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(CdcBoundaries(ColumnShim.expression(text)))
   }
 
   /** Column API for [[SigAgree]]. Arguments: two `array<bigint>`. */

@@ -71,6 +71,41 @@ class BootCdcMerkleSpec extends AnyFunSuite {
     assert(row.getAs[Long]("total_chars") == chars)
   }
 
+  test("cdcBoundaries kernel is bit-identical to the HOF spelling it replaced") {
+    // the r10 spelling swap: graft_cdc_boundaries (codegen kernel) vs the
+    // interpreted filter/sequence/element_at lambda — must agree on every
+    // domain edge the extreme sweep exercises: empty, below the 8-cp
+    // window, exactly 8, surrogate pairs (codepoint positions, not UTF-16
+    // units), and long mixed text
+    val weights = (0 to 7).map(k => math.pow(31.0, k).toLong)
+    val rolling = (0 to 7)
+      .map(k => s"element_at(ch, CAST(p - $k AS INT)) * ${weights(k)}L")
+      .mkString(" + ")
+    val texts = Seq(
+      "",
+      "short",
+      "exactly8",
+      "a" * 64,
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "emoji 😀 mixed 😀😀 tail padding to cross the window",
+      "😀" * 16,
+      (0 until 256).map(i => ('a' + i % 26).toChar).mkString)
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .withColumn("ch", org.apache.spark.sql.functions.expr(
+        "transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("len", org.apache.spark.sql.functions.expr("CAST(length(text) AS INT)"))
+      .withColumn("hof", org.apache.spark.sql.functions.expr(
+        s"CASE WHEN len < 8 THEN CAST(array() AS ARRAY<INT>) ELSE filter(sequence(8, len), p -> ($rolling) % 64 = 0) END"))
+      .withColumn("kernel", graft.functions.VectorFunctions.cdcBoundaries(
+        org.apache.spark.sql.functions.col("text")))
+    for (row <- df.select("text", "hof", "kernel").collect()) {
+      assert(
+        row.getSeq[Int](1) == row.getSeq[Int](2),
+        s"boundary mismatch on ${row.getString(0).take(40)}")
+    }
+  }
+
   test("merkleDigest buckets reproduce and the root covers all buckets") {
     val docs = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "md5(text) AS h").collect()
