@@ -24,6 +24,21 @@ object TextAnalysis {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Adjacent-token pair structs over a token array, natively:
+    * `arrays_zip` of the two one-off slices. Replaces the
+    * `transform(sequence(1, n−1), i -> struct(element_at(t, i),
+    * element_at(t, i+1)))` spelling — Spark evaluates higher-order
+    * lambdas INTERPRETED, one lambda call (plus two element_at walks)
+    * per TOKEN of the corpus, where slice/arrays_zip are single native
+    * array operations (r10 isolated A/B on q_bigram_pmi at sf0.1/32,
+    * same session, flat q_tfidf control: 1.27 → 0.98 s, −23%).
+    * Identical pairs in identical order, so every consumer's counts are
+    * bit-identical; struct fields are positional (`bg.0` = w1,
+    * `bg.1` = w2). Callers pre-filter `size(t) >= 2`, as before.
+    */
+  def adjacentPairs(t: Column): Column =
+    arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
+
   /** Language-specific stopword lists for the language-ID heuristic.
     * Deliberately small and overlapping-aware: ties resolve to 'und'.
     */
@@ -199,14 +214,8 @@ object TextAnalysis {
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val bigrams = toksDf
       .filter(size(col("t")) >= 2)
-      .select(
-        col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(
-            element_at(col("t"), i).as("w1"),
-            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), explode(adjacentPairs(col("t"))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
       .distinct()
     val first = bigrams.groupBy(col("w1"), col("w2")).agg(min(col("doc_id")).as("first_doc"))
     bigrams
@@ -410,13 +419,8 @@ object TextAnalysis {
     // under ANSI — single-token docs simply contribute no bigrams
     val bigrams = toksDf
       .filter(size(col("t")) >= 2)
-      .select(
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(
-            element_at(col("t"), i).as("w1"),
-            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(explode(adjacentPairs(col("t"))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
     val unigrams = toksDf.select(explode(col("t")).as("w"))
     // One tokenizing pass per n-gram order; the corpus totals come from
     // the vocabulary-sized count tables (cached — they feed both the
@@ -979,13 +983,8 @@ object TextAnalysis {
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val bigrams = toksDf
       .filter(size(col("t")) >= 2)
-      .select(
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(
-            element_at(col("t"), i).as("w1"),
-            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(explode(adjacentPairs(col("t"))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
     val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
     val prefix = biCounts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
     graft.engine.Relational.rankedTopK(
@@ -1066,14 +1065,8 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val bigrams = toksDf
-      .select(
-        col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(
-            element_at(col("t"), i).as("w1"),
-            element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), explode(adjacentPairs(col("t"))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
     val biCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
     val prefix = biCounts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
     val vocab = documents
@@ -1767,13 +1760,8 @@ object TextAnalysis {
     val toks = documents
       .select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-      .select(
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(
-            " ",
-            element_at(col("t"), i),
-            element_at(col("t"), (i + lit(1)).cast("int"))))).as("token"))
+      .select(explode(adjacentPairs(col("t"))).as("bg"))
+      .select(concat_ws(" ", col("bg.0"), col("bg.1")).as("token"))
     val sketch = udaf(graft.functions.SpaceSavingAggregator)
     val est = toks
       .agg(sketch(col("token")).as("sk"))

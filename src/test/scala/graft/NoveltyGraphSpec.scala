@@ -67,4 +67,30 @@ class NoveltyGraphSpec extends AnyFunSuite {
     // every bigram is novel in exactly one doc: totals line up
     assert(rows.map(_.getAs[Long]("n_novel")).sum == firstDoc.size.toLong)
   }
+
+  test("adjacentPairs is bit-identical to the HOF bigram spelling it replaced") {
+    // the r10 spelling swap (arrays_zip of one-off slices vs the
+    // interpreted transform/sequence/element_at lambda) — pin equality on
+    // the edges: minimal 2-token, repeated tokens, collapsed whitespace
+    // handled upstream by tokens(), and non-BMP surrogate-pair tokens
+    import spark.implicits._
+    val texts = Seq(
+      "a b",
+      "x x x x",
+      "the quick brown fox jumps over the lazy dog",
+      "😀 emoji 😀😀 tokens 😀",
+      ('a' to 'z').mkString(" ") * 3)
+    val df = texts.toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("hof", expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(element_at(t, i) AS w1, element_at(t, CAST(i + 1 AS INT)) AS w2))"""))
+      .withColumn("zip", TextAnalysis.adjacentPairs(col("t")))
+    for (r <- df.select("hof", "zip").collect()) {
+      val hof = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getString(0), x.getString(1)))
+      val zip = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1)))
+      assert(hof == zip)
+    }
+  }
 }
